@@ -1,0 +1,256 @@
+"""Gold-layer analytics: the capabilities the reference README promises but
+never implements (SURVEY.md §2c; /root/reference/README.md:27-33,70-79).
+
+G1 funnel, G2 sessionization, G3 conversion metrics, G4 attribution,
+G5 cohorts, G6 key-value param extraction — each as a lazy DataFrame
+transform parameterized by column names so it runs over both the driver's
+synthetic `events` table and the GA4 schema.
+
+Scale notes: every operator here shuffles at most once, on the analysis key
+(user or user+date), and aggregates with map-side partial combine. Window
+functions partition by user id — high cardinality, so skew is bounded by a
+single user's event count; no global windows anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def funnel(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """G1 — ordered funnel (README.md:29: page_view → add_to_cart → purchase).
+
+    A user counts for stage i only if they reached stage i-1 first: we take
+    each user's earliest timestamp per stage and require monotone ordering.
+    One shuffle on user, then a tiny (|stages| rows) result.
+
+    Returns: (stage_index, stage, users) with users = how many reached it.
+    """
+    firsts = df.groupBy(user_col).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"_t{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    # reached_i = all earlier stages happened, in non-decreasing time order
+    reached_prev = F.lit(True)
+    reach_cols = []
+    for i in range(len(stages)):
+        cond = F.col(f"_t{i}").isNotNull()
+        if i > 0:
+            cond = cond & F.col(f"_t{i-1}").isNotNull() & (F.col(f"_t{i}") >= F.col(f"_t{i-1}"))
+        reached_prev = reached_prev & cond
+        reach_cols.append(reached_prev.alias(f"_r{i}"))
+    flags = firsts.select(F.col(user_col), *reach_cols)
+    per_stage = [
+        flags.agg(
+            F.lit(i).alias("stage_index"),
+            F.lit(s).alias("stage"),
+            F.sum(F.col(f"_r{i}").cast("long")).alias("users"),
+        )
+        for i, s in enumerate(stages)
+    ]
+    out = per_stage[0]
+    for p in per_stage[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def funnel_user_flags(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """G1 (unordered variant) — per-user stage participation flags.
+    Cheaper than the ordered funnel (no timestamps needed); useful as the
+    conditional-aggregation building block."""
+    return df.groupBy(user_col).agg(
+        *[
+            F.max((F.col(type_col) == s).cast("int")).alias(f"did_{s}")
+            for s in stages
+        ]
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """G2 — gap-based sessionization (README.md:30). Classic lag + running
+    sum: a new session starts when the gap to the previous event of the same
+    user exceeds `gap_minutes`. Single shuffle on user; both windows share
+    the same partitioning so Spark reuses the exchange.
+
+    Adds: session_seq (1-based per user), session_id (user#seq).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak_cols)
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_ts = F.lag(ts_col).over(w)
+    # compare in microseconds: casting timestamp→long truncates to seconds,
+    # which misclassifies gaps within 1s of the threshold
+    new_session = (
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us)
+    ).cast("long")
+    df2 = df.withColumn("_new_session", new_session)
+    seq = F.sum("_new_session").over(
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, *tiebreak_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df2.withColumn("session_seq", seq)
+        .withColumn(
+            "session_id",
+            F.concat_ws("#", F.col(user_col).cast("string"), F.col("session_seq").cast("string")),
+        )
+        .drop("_new_session")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """G2 rollup — one row per session: bounds, duration, event count."""
+    s = sessionize(df, user_col, ts_col, gap_minutes)
+    return s.groupBy(user_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double"))).alias(
+            "duration_sec"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def conversion_metrics(
+    df: DataFrame,
+    convert_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """G3 — per-day conversion metrics (README.md:31): events, active users,
+    converters, conversion rate, converted revenue. One shuffle on the date
+    key; count_distinct uses partial aggregation."""
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day")
+    is_conv = F.col(type_col) == convert_type
+    return (
+        df.groupBy(day)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(user_col).alias("n_users"),
+            F.countDistinct(F.when(is_conv, F.col(user_col))).alias("n_converters"),
+            F.sum(F.when(is_conv, F.col(value_col)).otherwise(F.lit(0.0))).alias(
+                "converted_value"
+            ),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.col("n_converters").cast("double") / F.col("n_users").cast("double"),
+        )
+    )
+
+
+def attribution(
+    df: DataFrame,
+    convert_type: str,
+    touch_types: Sequence[str] | None = None,
+    model: str = "last",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """G4 — first/last-touch attribution (README.md:32). For each conversion
+    event, credit the nearest prior (last-touch) or earliest (first-touch)
+    touch event of the same user. Window over user ordered by time — the
+    canonical Spark shape for point-in-time "as-of" matching without a
+    range join.
+
+    Returns one row per conversion: (user, conv_ts, touch_type, touch_ts).
+    """
+    if model not in ("first", "last"):
+        raise ValueError("model must be 'first' or 'last'")
+    is_touch = (
+        F.col(type_col).isin(list(touch_types))
+        if touch_types is not None
+        else F.col(type_col) != convert_type
+    )
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    touch_type_c = F.when(is_touch, F.col(type_col))
+    touch_ts_c = F.when(is_touch, F.col(ts_col))
+    if model == "last":
+        attr_type = F.last(touch_type_c, ignorenulls=True).over(w)
+        attr_ts = F.last(touch_ts_c, ignorenulls=True).over(w)
+    else:
+        attr_type = F.first(touch_type_c, ignorenulls=True).over(w)
+        attr_ts = F.first(touch_ts_c, ignorenulls=True).over(w)
+    return (
+        df.withColumn("touch_type", attr_type)
+        .withColumn("touch_ts", attr_ts)
+        .filter(F.col(type_col) == convert_type)
+        .select(
+            F.col(user_col),
+            F.col(ts_col).alias("conv_ts"),
+            F.col("touch_type"),
+            F.col("touch_ts"),
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """G5 — cohort retention (README.md:79). Cohort = user's first-activity
+    period; count distinct active users per (cohort, period_offset).
+    Two shuffles (user first-seen, then cohort grid) — both keyed, both with
+    partial aggregation."""
+    trunc = F.date_trunc(period, F.col(ts_col))
+    firsts = df.groupBy(user_col).agg(F.min(trunc).alias("cohort_start"))
+    per = 7 * 86400 if period == "week" else 86400
+    joined = df.join(firsts, on=user_col)  # broadcast when user dim is small; AQE decides
+    return (
+        joined.withColumn(
+            "period_offset",
+            F.floor(
+                (trunc.cast("long") - F.col("cohort_start").cast("long")) / F.lit(per)
+            ).cast("int"),
+        )
+        .groupBy(
+            F.date_format("cohort_start", "yyyy-MM-dd").alias("cohort"),
+            F.col("period_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("active_users"))
+    )
+
+
+def extract_param(df: DataFrame, json_col: str, key: str, out_col: str, cast_to: str | None = None):
+    """G6 — key-value lookup in a JSON props column (the driver testdata's
+    stand-in for GA4 event_params; see ga4.py for the array<struct> form).
+    get_json_object is JVM-side, no UDF."""
+    c = F.get_json_object(F.col(json_col), f"$.{key}")
+    if cast_to:
+        c = c.cast(cast_to)
+    return df.withColumn(out_col, c)

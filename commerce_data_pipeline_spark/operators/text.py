@@ -1,0 +1,125 @@
+"""Text analysis operators for corpus pipelines (SURVEY.md §2d X4).
+
+Language ID, quality scoring, token counting, document fingerprinting —
+all built-in-function compositions (split/regexp/higher-order), no UDFs,
+so every one of them runs inside whole-stage codegen on the scan.
+
+These are per-row map operations: zero shuffles, and at 100 TB they
+pipeline with whatever filter/write follows them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from commerce_data_pipeline_spark.operators.dedup import fingerprint, normalized_text
+
+# Marker stopwords per language for the n-gram/marker-word language-ID
+# heuristic. Deliberately tiny and deterministic so an ANSI-SQL oracle can
+# reproduce the scoring exactly.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+)
+
+# BPE-ish token pattern: word pieces, numbers, or single punctuation — the
+# standard pre-tokenizer shape (letters | digits | single non-space symbol).
+TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def words(text_col: str = "text") -> Column:
+    return F.split(normalized_text(text_col), " ")
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count (cheap path)."""
+    return F.size(words(text_col))
+
+
+def bpe_token_count(text_col: str = "text") -> Column:
+    """Regex token count approximating a BPE pre-tokenizer: words, number
+    runs, and punctuation each count as one token."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0))
+
+
+def char_count(text_col: str = "text") -> Column:
+    return F.length(F.col(text_col))
+
+
+def stopword_ratio(text_col: str = "text") -> Column:
+    ws = words(text_col)
+    hits = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    return hits.cast("double") / F.greatest(F.size(ws), F.lit(1)).cast("double")
+
+
+def punct_ratio(text_col: str = "text") -> Column:
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(text_col), F.lit(1)).cast("double")
+
+
+def mean_word_length(text_col: str = "text") -> Column:
+    ws = words(text_col)
+    total = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    return total.cast("double") / F.greatest(F.size(ws), F.lit(1)).cast("double")
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite quality heuristic in [0,1]: rewards mid-length documents,
+    normal word lengths, some stopword presence, low punctuation noise.
+    Deterministic arithmetic only — oracle-reproducible."""
+    n_tokens = token_count(text_col).cast("double")
+    len_score = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    wl = mean_word_length(text_col)
+    wl_score = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_score = F.least(stopword_ratio(text_col) * F.lit(5.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(text_col) * F.lit(2.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * len_score + F.lit(0.2) * wl_score + F.lit(0.2) * sw_score
+        + F.lit(0.2) * (F.lit(1.0) - punct_penalty)
+    )
+
+
+def language_id(text_col: str = "text") -> Column:
+    """Marker-word language ID: score each language by its marker-word hit
+    count; argmax with deterministic tie-break on language code. Returns the
+    language code, 'und' when nothing matches."""
+    ws = words(text_col)
+
+    # closure factory: HOF lambdas must stay unary (PySpark derives the
+    # lambda-variable count from the Python arity)
+    def _hits(markers: tuple[str, ...]):
+        return lambda w: w.isin(*markers)
+
+    # array_sort ascending by (score, lang); element_at(-1) → max score,
+    # ties broken toward the lexicographically-largest language code.
+    scored = [
+        F.struct(
+            F.size(F.filter(ws, _hits(markers))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.element_at(F.array_sort(F.array(*scored)), -1)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Full text-analysis profile: one map-only pass over the corpus."""
+    return df.select(
+        F.col(id_col),
+        char_count(text_col).cast("long").alias("n_chars_computed"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        bpe_token_count(text_col).cast("long").alias("n_bpe_tokens"),
+        F.round(mean_word_length(text_col), 4).alias("mean_word_len"),
+        F.round(stopword_ratio(text_col), 4).alias("stopword_ratio"),
+        F.round(punct_ratio(text_col), 4).alias("punct_ratio"),
+        F.round(quality_score(text_col), 4).alias("quality"),
+        language_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

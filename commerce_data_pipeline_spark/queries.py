@@ -1,0 +1,730 @@
+"""Named query registry: each entry pairs a Spark DataFrame implementation
+with an ANSI-SQL oracle that DuckDB runs over the same Parquet.
+
+This is the engine's public query surface (SURVEY.md §2 inventory) and the
+driver's correctness gate: row-count + schema + order-insensitive value hash
+must match per query (see /root/repo/__spark_entry__.py).
+
+Determinism contract (what makes hash-equality achievable):
+- Float SUMs go through DECIMAL(18,6): cast each addend to decimal (exact,
+  order-independent addition), sum, cast the result back to double. Both
+  engines produce the identical double. Plain double sums would differ in
+  the last ulps because partition order differs.
+- AVGs are computed as exact-decimal sum ÷ count in double — one IEEE
+  division of identical operands.
+- Timestamps in outputs are epoch microseconds (bigint) or formatted
+  strings — never raw timestamp columns (parquet ns vs engine µs handling
+  differs).
+- Counts are bigint on both sides (DuckDB integer SUMs are cast down from
+  HUGEINT explicitly).
+- Window/rank queries order by a unique composite key so ties cannot flip.
+- Cosine similarities are rounded to 4 decimals in the *output* (ranking
+  uses full precision; random vectors make rank-flipping ties impossible).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from commerce_data_pipeline_spark.catalog import load_table
+from commerce_data_pipeline_spark.operators import dedup, similarity, text
+from commerce_data_pipeline_spark.operators.analytics import (
+    attribution,
+    funnel,
+    sessionize,
+)
+
+# exact, order-independent sum of a double expression: see module docstring
+def _dsum(col):
+    return F.sum(col.cast("decimal(18,6)")).cast("double")
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver does a rows-only check
+    doc: str = ""
+
+
+# --------------------------------------------------------------------------
+# Relational surface (SURVEY §2a/§2e): scan, project, filter, agg, join,
+# semi/anti join, sort, top-k, distinct, rollup, window.
+# --------------------------------------------------------------------------
+
+def _q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: filter → groupBy → multi-agg. R2/R4/R7 + §2e aggs."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_O_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_top_revenue_nations(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join + agg. Dims broadcast (they are tiny
+    at every scale factor); only lineitem⋈orders shuffles, on the join key."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(revenue).alias("revenue"))
+    )
+
+
+_O_TOP_REVENUE_NATIONS = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def _q_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join then count by priority."""
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    late = load_table(spark, sf, "lineitem").select("l_orderkey").distinct()
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_O_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+def _q_top_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k over a join+agg: TakeOrderedAndProject, no global sort shuffle."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(_dsum(revenue).alias("revenue"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select(F.col("c_custkey"), F.col("c_name"), F.col("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+_O_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, revenue FROM (
+  SELECT o_custkey,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+) r JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def _q_sort_topk_lineitems(spark: SparkSession, sf: str) -> DataFrame:
+    """R5 sort + top-k with a unique composite key and explicit rank.
+
+    orderBy+limit lowers to TakeOrderedAndProject (per-task k-row heaps);
+    the rank window then runs over only the 100 surviving rows — the
+    global window never sees the full table.
+    """
+    li = load_table(spark, sf, "lineitem")
+    order = [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    top = li.select("l_orderkey", "l_linenumber", "l_extendedprice").orderBy(*order).limit(100)
+    return top.withColumn("price_rank", F.row_number().over(Window.orderBy(*order)))
+
+
+_O_SORT_TOPK_LINEITEMS = """
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+  CAST(ROW_NUMBER() OVER (ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS INT) AS price_rank
+FROM lineitem
+QUALIFY price_rank <= 100
+"""
+
+
+def _q_distinct_ship_dates(spark: SparkSession, sf: str) -> DataFrame:
+    """P4/P5 — date discovery: distinct, newest first, capped at 30."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.select(F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"))
+        .distinct()
+        .orderBy(F.desc("ship_day"))
+        .limit(30)
+    )
+
+
+_O_DISTINCT_SHIP_DATES = """
+SELECT DISTINCT strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+FROM lineitem ORDER BY ship_day DESC LIMIT 30
+"""
+
+
+def _q_date_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """P6 — gap detection as a left-anti join: order days with no shipment."""
+    o = load_table(spark, sf, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).distinct()
+    li = load_table(spark, sf, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).distinct()
+    return o.join(li, on="day", how="left_anti")
+
+
+_O_DATE_GAPS = """
+SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders
+EXCEPT
+SELECT DISTINCT strftime(l_shipdate, '%Y-%m-%d') AS day FROM lineitem
+"""
+
+
+def _q_rollup_sales(spark: SparkSession, sf: str) -> DataFrame:
+    """§2e grouping-sets surface: ROLLUP over (returnflag, linestatus)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+_O_ROLLUP_SALES = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_running_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """§2e window frame: per-customer running order total (cumulative sum).
+
+    Cumulative DECIMAL sum is order-dependent-but-exact: with the window
+    ordered on a unique key the prefix sums are identical on both engines.
+    """
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+_O_RUNNING_REVENUE = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Gold analytics over `events` (SURVEY §2c, README-promised capabilities)
+# --------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """G1 — ordered funnel view→click→purchase (flagship query)."""
+    ev = load_table(spark, sf, "events")
+    return funnel(ev, FUNNEL_STAGES)
+
+
+_O_FUNNEL = """
+WITH firsts AS (
+  SELECT user_id,
+    MIN(ts) FILTER (WHERE event_type = 'view') AS t0,
+    MIN(ts) FILTER (WHERE event_type = 'click') AS t1,
+    MIN(ts) FILTER (WHERE event_type = 'purchase') AS t2
+  FROM events GROUP BY user_id
+)
+SELECT 0 AS stage_index, 'view' AS stage,
+  CAST(COUNT(*) FILTER (WHERE t0 IS NOT NULL) AS BIGINT) AS users FROM firsts
+UNION ALL
+SELECT 1, 'click',
+  CAST(COUNT(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0) AS BIGINT) FROM firsts
+UNION ALL
+SELECT 2, 'purchase',
+  CAST(COUNT(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                         AND t2 IS NOT NULL AND t2 >= t1) AS BIGINT) FROM firsts
+"""
+
+
+def _q_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """G2 — 30-min-gap sessions rolled up to one row per session."""
+    ev = load_table(spark, sf, "events")
+    s = sessionize(ev, gap_minutes=30, tiebreak_cols=("event_id",))
+    return s.groupBy("user_id", "session_seq").agg(
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_O_SESSIONIZATION = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seq AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM gaps
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+  epoch_us(MIN(ts)) AS session_start_us,
+  epoch_us(MAX(ts)) AS session_end_us,
+  COUNT(*) AS n_events
+FROM seq GROUP BY user_id, session_seq
+"""
+
+
+def _q_conversion_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """G3 — per-day conversion metrics with exact-decimal revenue."""
+    ev = load_table(spark, sf, "events")
+    is_conv = F.col("event_type") == "purchase"
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(F.when(is_conv, F.col("user_id"))).alias("n_converters"),
+            _dsum(F.when(is_conv, F.col("value")).otherwise(F.lit(0.0))).alias("converted_value"),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.col("n_converters").cast("double") / F.col("n_users").cast("double"),
+        )
+    )
+
+
+_O_CONVERSION_DAILY = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS n_converters,
+  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS converted_value,
+  CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS DOUBLE)
+    / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS conversion_rate
+FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+"""
+
+
+def _q_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """G4 — last-touch attribution of purchases, event_id as tiebreak."""
+    ev = load_table(spark, sf, "events")
+    out = attribution(
+        ev, convert_type="purchase", model="last", tiebreak_cols=("event_id",)
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("conv_ts").alias("conv_ts_us"),
+        "touch_type",
+        F.unix_micros("touch_ts").alias("touch_ts_us"),
+    )
+
+
+_O_ATTRIBUTION_LAST_TOUCH = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER w AS touch_type,
+    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+      OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, epoch_us(ts) AS conv_ts_us, touch_type, epoch_us(touch_ts) AS touch_ts_us
+FROM marked WHERE event_type = 'purchase'
+"""
+
+
+def _q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """G5 — weekly cohort retention grid."""
+    ev = load_table(spark, sf, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_start"))
+    per_us = 7 * 86400 * 1_000_000
+    return (
+        ev.join(firsts, on="user_id")
+        .withColumn(
+            "period_offset",
+            F.floor(
+                (F.unix_micros(wk) - F.unix_micros(F.col("cohort_start"))) / F.lit(per_us)
+            ).cast("int"),
+        )
+        .groupBy(
+            F.date_format("cohort_start", "yyyy-MM-dd").alias("cohort"),
+            "period_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+_O_COHORT_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_start
+  FROM events GROUP BY user_id
+)
+SELECT strftime(cohort_start, '%Y-%m-%d') AS cohort,
+  CAST(FLOOR((epoch_us(date_trunc('week', ts)) - epoch_us(cohort_start)) / 604800000000.0) AS INT) AS period_offset,
+  COUNT(DISTINCT e.user_id) AS active_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+def _q_param_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """G6 — JSON key-value extraction (GA4 event_params stand-in) + agg."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("k").cast("double")).alias("avg_k"),
+        )
+    )
+
+
+_O_PARAM_EXTRACT = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
+    / COUNT(CAST(props->>'$.k' AS BIGINT)) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators over documents/embeddings (SURVEY §2d)
+# --------------------------------------------------------------------------
+
+def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """X1 — exact dedup. The corpus is unioned with itself so the operator
+    provably collapses duplicates (the raw corpus is all-distinct)."""
+    docs = load_table(spark, sf, "documents")
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    return dedup.exact_dedup(doubled).select("doc_id", "n_chars")
+
+
+_O_DEDUP_EXACT = """
+WITH doubled AS (
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, n_chars FROM documents
+)
+SELECT MIN(doc_id) AS doc_id, ANY_VALUE(n_chars) AS n_chars
+FROM doubled
+GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+"""
+
+
+def _q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 — MinHash signatures (8 hashes over 3-word shingles), the exact
+    md5-based construction the LSH dedup banding uses."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.minhash_signature(docs, num_hashes=8, shingle_n=3)
+
+
+def _ora_minhash(num_hashes: int = 8, n: int = 3) -> str:
+    comps = ",\n  ".join(
+        f"list_min(list_transform(shingles, s -> md5('{h}:' || s))) AS mh_{h}"
+        for h in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {n}
+      THEN list_distinct(list_transform(generate_series(1, len(words) - {n} + 1),
+             i -> array_to_string(words[i:i+{n}-1], ' ')))
+      ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks
+)
+SELECT doc_id, {comps} FROM sh
+"""
+
+
+def _q_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 — exact n-gram Jaccard: 50 most-similar sampled-doc pairs.
+    Sampling (doc_id % 5 = 0) bounds the quadratic pair space; ranking by
+    (jaccard desc, ids) is unique."""
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.0)
+    w = Window.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+    return (
+        pairs.withColumn("jrank", F.row_number().over(w))
+        .filter(F.col("jrank") <= 50)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"), "jrank")
+    )
+
+
+_O_JACCARD_TOPK = """
+WITH sample_docs AS (
+  SELECT doc_id, list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS ws
+  FROM documents WHERE doc_id % 5 = 0
+), sh AS (
+  SELECT doc_id, unnest(ws) AS shingle FROM sample_docs
+), sizes AS (
+  SELECT doc_id, len(ws) AS n_sh FROM sample_docs
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), j AS (
+  SELECT id_a, id_b,
+    CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard,
+  CAST(ROW_NUMBER() OVER (ORDER BY jaccard DESC, id_a, id_b) AS INT) AS jrank
+FROM j QUALIFY jrank <= 50
+"""
+
+
+def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 — 64-bit SimHash per document (xxhash64 → no SQL oracle;
+    rows-only check, unit-tested for self-consistency instead)."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.simhash(docs)
+
+
+def _q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 — brute-force cosine top-5 for a deterministic query sample.
+    Queries broadcast against a single corpus scan."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
+    )
+
+
+_O_SIMILARITY_TOPK = """
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, u AS qu FROM unit WHERE vec_id % 20 = 0
+), sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.qu, c.u) AS sim
+  FROM q JOIN unit c ON c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+FROM sims QUALIFY rank <= 5
+"""
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 (embedding family) — 20 most-similar vector pairs corpus-wide.
+    Per-batch local top-20 pruning keeps the candidate set tiny; the global
+    window ranks only batches×20 rows."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = similarity.near_dup_pairs(emb, threshold=-1.0, top_pairs=20)
+    w = Window.orderBy(F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b"))
+    return (
+        pairs.withColumn("prank", F.row_number().over(w))
+        .filter(F.col("prank") <= 20)
+        .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"), "prank")
+    )
+
+
+_O_EMBEDDING_NEAR_DUP = """
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_dot_product(a.u, b.u) AS sim
+  FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(sim, 4) AS cosine_sim,
+  CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, id_a, id_b) AS INT) AS prank
+FROM sims QUALIFY prank <= 20
+"""
+
+
+def _q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 — corpus token statistics grouped by declared language."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(
+            "lang",
+            text.token_count("text").alias("toks"),
+            text.bpe_token_count("text").alias("btoks"),
+            F.col("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.sum("btoks").alias("total_bpe_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+    )
+
+
+_O_TEXT_STATS = """
+WITH t AS (
+  SELECT lang, n_chars,
+    len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks,
+    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS btoks
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+  CAST(SUM(btoks) AS BIGINT) AS total_bpe_tokens,
+  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM t GROUP BY lang
+"""
+
+
+def _q_text_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 — per-document fingerprint + token counts (map-only pass)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        dedup.fingerprint("text").alias("fingerprint"),
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.char_count("text").cast("long").alias("n_chars_exact"),
+    )
+
+
+_O_TEXT_FINGERPRINTS = """
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+  CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_exact
+FROM documents
+"""
+
+
+def _q_approx_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """X6 — sketch aggregates (HLL++ / quantile sketch). Approximate by
+    construction → no SQL oracle; driver does a rows-only check."""
+    ev = load_table(spark, sf, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, QuerySpec] = {
+    # relational (SURVEY §2a / §2e)
+    "pricing_summary": QuerySpec(_q_pricing_summary, _O_PRICING_SUMMARY, "R2/R4/R7 agg sweep (Q1 shape)"),
+    "top_revenue_nations": QuerySpec(_q_top_revenue_nations, _O_TOP_REVENUE_NATIONS, "5-way broadcast star join (Q5 shape)"),
+    "order_priority": QuerySpec(_q_order_priority, _O_ORDER_PRIORITY, "EXISTS semi-join (Q4 shape)"),
+    "top_customers": QuerySpec(_q_top_customers, _O_TOP_CUSTOMERS, "join+agg+top-k"),
+    "sort_topk_lineitems": QuerySpec(_q_sort_topk_lineitems, _O_SORT_TOPK_LINEITEMS, "R5 global sort / top-k with rank"),
+    "distinct_ship_dates": QuerySpec(_q_distinct_ship_dates, _O_DISTINCT_SHIP_DATES, "P4/P5 date discovery"),
+    "date_gaps": QuerySpec(_q_date_gaps, _O_DATE_GAPS, "P6 anti-join gap detection"),
+    "rollup_sales": QuerySpec(_q_rollup_sales, _O_ROLLUP_SALES, "grouping sets (ROLLUP)"),
+    "running_revenue": QuerySpec(_q_running_revenue, _O_RUNNING_REVENUE, "window cumulative frame"),
+    # gold analytics (SURVEY §2c)
+    "funnel": QuerySpec(_q_funnel, _O_FUNNEL, "G1 ordered funnel (flagship)"),
+    "sessionization": QuerySpec(_q_sessionization, _O_SESSIONIZATION, "G2 gap sessionization"),
+    "conversion_daily": QuerySpec(_q_conversion_daily, _O_CONVERSION_DAILY, "G3 conversion metrics"),
+    "attribution_last_touch": QuerySpec(_q_attribution_last_touch, _O_ATTRIBUTION_LAST_TOUCH, "G4 last-touch attribution"),
+    "cohort_retention": QuerySpec(_q_cohort_retention, _O_COHORT_RETENTION, "G5 weekly cohorts"),
+    "param_extract": QuerySpec(_q_param_extract, _O_PARAM_EXTRACT, "G6 JSON param extraction"),
+    # training-data ops (SURVEY §2d)
+    "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
+    "minhash_signature": QuerySpec(_q_minhash_signature, _ora_minhash(8, 3), "X2 MinHash signatures"),
+    "jaccard_topk": QuerySpec(_q_jaccard_topk, _O_JACCARD_TOPK, "X2 exact n-gram Jaccard top-k"),
+    "simhash": QuerySpec(_q_simhash, None, "X2 SimHash (rows-only: xxhash64)"),
+    "similarity_topk": QuerySpec(_q_similarity_topk, _O_SIMILARITY_TOPK, "X3 brute-force cosine top-k"),
+    "embedding_near_dup": QuerySpec(_q_embedding_near_dup, _O_EMBEDDING_NEAR_DUP, "X2 embedding near-dup pairs"),
+    "text_stats": QuerySpec(_q_text_stats, _O_TEXT_STATS, "X4 corpus token stats"),
+    "text_fingerprints": QuerySpec(_q_text_fingerprints, _O_TEXT_FINGERPRINTS, "X4 fingerprint + token counts"),
+    "approx_stats": QuerySpec(_q_approx_stats, None, "X6 sketches (rows-only: approximate)"),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

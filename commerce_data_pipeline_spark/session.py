@@ -1,0 +1,73 @@
+"""SparkSession construction with scale-tuned defaults.
+
+The reference has no execution engine of its own (it delegates to BigQuery;
+see SURVEY.md §3-4), so this module is the engine's equivalent of the
+reference's client construction (/root/reference/src/pipeline/pipeline.py:55-69):
+one place that wires the compute substrate.
+
+Defaults are chosen for correctness on local[N] test runs while remaining
+the right knobs for a large cluster:
+- AQE on: runtime partition coalescing + skew-join splitting means the same
+  plan that runs at sf0.01 keeps working at 100 TB without re-tuning.
+- Arrow on: any Pandas-UDF path moves data in columnar batches.
+- shuffle.partitions matched to local cores here; on a real cluster this is
+  overridden (or left to AQE's coalescing with a high initial count).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Worker thread count: $SPARK_GRAFT_CPUS, else all cores."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "commerce_data_pipeline_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    On a cluster, master/memory come from spark-submit; this only sets SQL
+    behavior configs that are safe to carry to any deployment.
+    """
+    n = cpus if cpus is not None else default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]"))
+        # AQE: coalesce tiny shuffle partitions, split skewed ones, demote
+        # sort-merge to broadcast when runtime stats allow.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # One shuffle partition per core locally; AQE coalesces below this.
+        .config("spark.sql.shuffle.partitions", str(n))
+        # Arrow for any pandas interchange (Pandas UDFs, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Dims under this size broadcast instead of shuffling the fact side.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Per-day overwrite of one partition must not clobber siblings
+        # (reference semantics: s3_loader.py writes exactly one day's key).
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Nested-struct column pruning (GA4 schema is deeply nested).
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # Parquet TIMESTAMP(NANOS) columns (e.g. pandas-written events.ts)
+        # surface as LongType; the catalog converts them to µs timestamps.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Quieter local runs.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
