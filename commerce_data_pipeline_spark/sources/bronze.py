@@ -106,7 +106,7 @@ class BronzeWriter:
         try:
             p = self.partition_path(d)
             os.makedirs(p, exist_ok=True)
-            with open(os.path.join(p, "_metadata.json"), "w") as f:
+            with open(os.path.join(p, "_meta.json"), "w") as f:
                 json.dump(meta, f)
         except Exception as e:  # parity: never fail the run on sidecar errors
             logger.warning("metadata write failed for %s: %s", d, e)

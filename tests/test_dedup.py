@@ -1,0 +1,96 @@
+"""Unit tests for dedup operators (SURVEY.md §2d X1/X2)."""
+
+import hashlib
+
+from commerce_data_pipeline_spark.operators import dedup as D
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+
+def test_exact_dedup_normalization(spark):
+    df = _docs(
+        spark,
+        [
+            "Hello   World",
+            "hello world",      # same after normalization → deduped
+            "HELLO  WORLD ",    # same after normalization → deduped
+            "different doc",
+        ],
+    )
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(df).collect())
+    assert kept == [0, 3]  # lowest id survives per group
+
+
+def test_fingerprint_matches_python_md5(spark):
+    df = _docs(spark, ["Some  TEXT here"])
+    fp = df.select(D.fingerprint("text").alias("f")).collect()[0]["f"]
+    assert fp == hashlib.md5(b"some text here").hexdigest()
+
+
+def test_word_shingles(spark):
+    df = _docs(spark, ["a b c d", "a b"])
+    out = df.select(D.word_shingles("text", 3).alias("s")).collect()
+    assert sorted(out[0]["s"]) == ["a b c", "b c d"]
+    assert out[1]["s"] == []  # shorter than n → empty
+
+
+def test_minhash_identical_docs_equal_signatures(spark):
+    df = _docs(spark, ["the quick brown fox jumps", "the quick brown fox jumps", "totally other words here now"])
+    sig = {r["doc_id"]: (r["mh_0"], r["mh_1"], r["mh_2"], r["mh_3"]) for r in D.minhash_signature(df, num_hashes=4).collect()}
+    assert sig[0] == sig[1]
+    assert sig[0] != sig[2]
+    # cross-check one component against python md5
+    shingles = ["the quick brown", "quick brown fox", "brown fox jumps"]
+    expect = min(hashlib.md5(f"0:{s}".encode()).hexdigest() for s in shingles)
+    assert sig[0][0] == expect
+
+
+def test_minhash_lsh_finds_duplicates(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"  # one extra word → most shingles shared
+    other = "one two three four five six seven eight nine ten"
+    df = _docs(spark, [base, near, other])
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(df, num_hashes=8, bands=4).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # unigram sets: {a b c d} vs {a b c e} → jaccard = 3/5
+    df = _docs(spark, ["a b c d", "a b c e"])
+    out = D.ngram_jaccard_pairs(df, shingle_n=1, threshold=0.0).collect()
+    assert len(out) == 1
+    assert abs(out[0]["jaccard"] - 3 / 5) < 1e-12
+
+
+def test_ngram_jaccard_max_freq_cap(spark):
+    # 'x' appears in all docs; with cap=2 it is dropped, leaving no overlap
+    df = _docs(spark, ["x a", "x b", "x c"])
+    out = D.ngram_jaccard_pairs(df, shingle_n=1, threshold=0.0, max_shingle_freq=2).collect()
+    assert out == []
+
+
+def test_simhash_properties(spark):
+    df = _docs(
+        spark,
+        ["the quick brown fox jumps over the lazy dog today",
+         "the quick brown fox jumps over the lazy dog today",
+         "entirely unrelated vocabulary cluster with many different terms"],
+    )
+    sims = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+    assert sims[0] == sims[1]
+    assert sims[0] != sims[2]
+
+
+def test_simhash_buckets_near_dup(spark):
+    # identical docs → hamming 0 → guaranteed to share every block;
+    # (a one-word edit flips ~#(zero-sum bits) ≈ n·C(n,n/2)/2^n bits, which
+    # can exceed the ≤3-bit guarantee of 4 blocks, so it isn't a stable test)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    df = _docs(spark, [base, base, "one two three four five six seven"])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_buckets(df).collect()}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) not in pairs

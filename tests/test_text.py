@@ -1,0 +1,67 @@
+"""Unit tests for text analysis (SURVEY.md §2d X4)."""
+
+from commerce_data_pipeline_spark.operators import text as X
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+
+def test_token_counts(spark):
+    df = _docs(spark, ["one two three", "hello, world! 42"])
+    out = df.select(
+        X.token_count("text").alias("t"), X.bpe_token_count("text").alias("b")
+    ).collect()
+    assert out[0]["t"] == 3 and out[0]["b"] == 3
+    # 'hello' ',' 'world' '!' '42' → 5 BPE-ish tokens, 3 whitespace tokens
+    assert out[1]["t"] == 3 and out[1]["b"] == 5
+
+
+def test_stopword_and_punct_ratio(spark):
+    df = _docs(spark, ["the cat and the dog"])
+    r = df.select(
+        X.stopword_ratio("text").alias("s"), X.punct_ratio("text").alias("p")
+    ).collect()[0]
+    assert abs(r["s"] - 3 / 5) < 1e-12  # the, and, the
+    assert r["p"] == 0.0
+
+
+def test_mean_word_length(spark):
+    df = _docs(spark, ["ab abcd"])  # (2+4)/2 = 3
+    r = df.select(X.mean_word_length("text").alias("m")).collect()[0]
+    assert abs(r["m"] - 3.0) < 1e-12
+
+
+def test_language_id_markers(spark):
+    df = _docs(
+        spark,
+        [
+            "the cat and the dog of a house",   # en markers
+            "der hund und die katze ist gross", # de markers
+            "xyzzy plugh qwerty",               # no markers → und
+        ],
+    )
+    out = [r["l"] for r in df.select(X.language_id("text").alias("l")).collect()]
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "und"
+
+
+def test_quality_score_bounds(spark):
+    df = _docs(spark, ["", "the quick brown fox jumps over the lazy dog " * 10])
+    out = [r["q"] for r in df.select(X.quality_score("text").alias("q")).collect()]
+    for q in out:
+        assert 0.0 <= q <= 1.0
+    assert out[1] > out[0]  # long clean prose beats empty string
+
+
+def test_profile_schema(spark):
+    df = _docs(spark, ["the small test document with some words"])
+    prof = X.profile(df)
+    assert set(prof.columns) == {
+        "doc_id", "n_chars_computed", "n_tokens", "n_bpe_tokens", "mean_word_len",
+        "stopword_ratio", "punct_ratio", "quality", "lang_pred", "fingerprint",
+    }
+    row = prof.collect()[0]
+    assert row["n_tokens"] == 7
+    assert row["lang_pred"] == "en"
