@@ -1,0 +1,86 @@
+"""Structured Streaming tests: real micro-batch execution against a file
+source, plus batch/streaming parity of the shared transforms."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from commerce_data_pipeline_spark.operators.analytics import sessionize
+from commerce_data_pipeline_spark.schemas import EVENTS
+from commerce_data_pipeline_spark.streaming import events as SE
+
+
+def _events_df(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 10), 1, "purchase", 5.0, "{}"),
+        (3, datetime(2024, 1, 1, 11, 0), 1, "view", 1.0, "{}"),   # >30min gap → session 2
+        (4, datetime(2024, 1, 2, 9, 0), 2, "view", 2.0, "{}"),
+    ]
+    return spark.createDataFrame(rows, EVENTS)
+
+
+def test_daily_counts_batch_semantics(spark):
+    out = SE.daily_event_counts(_events_df(spark)).collect()
+    got = {(r["day"], r["event_type"]): (r["n_events"], r["total_value"]) for r in out}
+    assert got[("2024-01-01", "view")] == (2, 2.0)
+    assert got[("2024-01-01", "purchase")] == (1, 5.0)
+    assert got[("2024-01-02", "view")] == (1, 2.0)
+
+
+def test_session_window_matches_batch_sessionize(spark):
+    df = _events_df(spark)
+    sw = SE.session_window_stats(df).collect()
+    batch = (
+        sessionize(df, gap_minutes=30)
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    key = lambda rs: sorted((r["user_id"], r["session_start"], r["session_end"], r["n_events"]) for r in rs)
+    assert key(sw) == key(batch)
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    """Genuine streaming run: parquet file source → windowed agg → memory
+    sink, availableNow trigger (the backlog-then-stop execution mode)."""
+    src_dir = str(tmp_path / "in")
+    _events_df(spark).write.parquet(src_dir)
+
+    stream = SE.read_events_stream(spark, src_dir)
+    assert stream.isStreaming
+    agg = SE.daily_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("daily_counts_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM daily_counts_test").collect()
+    got = {(r["day"], r["event_type"]): r["n_events"] for r in out}
+    assert got[("2024-01-01", "view")] == 2
+    assert got[("2024-01-02", "view")] == 1
+
+
+def test_streaming_bronze_sink(spark, tmp_path):
+    src_dir = str(tmp_path / "in")
+    _events_df(spark).write.parquet(src_dir)
+    out_dir = str(tmp_path / "bronze")
+
+    stream = SE.read_events_stream(spark, src_dir)
+    q = SE.write_stream_to_bronze(stream, out_dir, str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 4
+    # partition discovery type-infers event_day=2024-01-01 as DateType;
+    # compare on the string form
+    days = {
+        r["d"]
+        for r in back.select(F.col("event_day").cast("string").alias("d")).distinct().collect()
+    }
+    assert days == {"2024-01-01", "2024-01-02"}
