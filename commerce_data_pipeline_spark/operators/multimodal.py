@@ -1,0 +1,272 @@
+"""Multimodal (image/audio/video) column operators (SURVEY.md §2d X5).
+
+The reference pipeline is tabular-only (GA4 events; /root/reference/src/
+pipeline/extractors/bigquery_extractor.py:76), so this module is pure
+extension surface: the operations a 100 TB training-data pipeline needs for
+media columns, expressed Spark-first.
+
+Data model: media are **opaque binary columns with typed metadata** —
+`payload binary` next to a `meta struct<...>` carrying what you'd get from
+a container probe (dimensions, frame count, sample rate, codec). All
+relational work (filtering, routing, dedup-by-digest, partition pruning)
+happens on the metadata/digest columns JVM-side; the payload bytes are only
+touched inside Arrow-batched `mapInPandas` stages.
+
+Decode stubs: the real image/audio codecs (PIL/libav) are NOT in this
+container, so `decode_image` tries the real library and falls back to a
+deterministic fake decoder (seeded by the payload digest). The fake is
+clearly marked; the Spark-side plumbing — schemas, batch iteration, column
+shapes, partitioning — is real and is what the tests pin down.
+
+Scale notes:
+- payloads never shuffle for metadata-only queries (column pruning keeps
+  the binary column out of the scan entirely — verify via ReadSchema).
+- frame sampling emits one row per *sampled* frame, so the blow-up factor
+  is n_frames/stride, controlled by the caller.
+- feature extraction returns fixed-width float arrays → downstream joins
+  shuffle dim×4 bytes/row, not the media bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# Typed metadata carried beside every payload. A real ingest fills this from
+# a container probe (ffprobe/PIL.open); the synthesizer below derives it
+# deterministically from the source row.
+MEDIA_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Derive a deterministic media table from the documents corpus: the
+    UTF-8 text bytes stand in for the container payload; metadata fields are
+    arithmetic in the id (so a SQL oracle reproduces them exactly).
+
+    This is the test-data path only — real ingest reads binary files +
+    probes. Everything downstream treats the result as opaque media.
+    """
+    did = F.col(id_col)
+    mtype = F.element_at(F.array(*[F.lit(t) for t in MEDIA_TYPES]), (did % 3 + 1).cast("int"))
+    width = (F.lit(64) + (did % 16) * 8).cast("int")
+    height = (F.lit(64) + (did % 9) * 8).cast("int")
+    n_frames = F.when(mtype == "video", (did % 40 + 8).cast("int")).otherwise(F.lit(1))
+    sample_rate = F.when(mtype == "audio", F.lit(16000)).otherwise(F.lit(0)).cast("int")
+    duration_ms = (n_frames.cast("long") * 40)
+    return docs.select(
+        did.alias("media_id"),
+        mtype.alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            width.alias("width"),
+            height.alias("height"),
+            n_frames.alias("n_frames"),
+            sample_rate.alias("sample_rate"),
+            duration_ms.alias("duration_ms"),
+            F.lit("synthetic/v1").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Metadata/digest projection — pure built-ins, no Python. The payload
+    is touched only by octet_length/md5 inside codegen; at scale this is a
+    map-only scan and the binary column prunes away for callers that drop
+    the digest columns."""
+    return media.select(
+        "media_id",
+        "media_type",
+        F.octet_length("payload").cast("long").alias("byte_len"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode / feature-extract / resize / frame-sample — Arrow-batched stages
+# ---------------------------------------------------------------------------
+
+_DECODED_SCHEMA = "media_id long, width int, height int, pixels array<float>"
+
+
+def _fake_pixels(payload: bytes, width: int, height: int, channels: int = 1):
+    """STUB decoder: deterministic pixel block seeded by the payload digest.
+
+    Real decode would be `PIL.Image.open(io.BytesIO(payload))`; that library
+    is not in this container. The fake keeps the exact output shape/dtype a
+    real decoder would produce (width*height*channels float32 in [0,1]), so
+    every downstream stage exercises real plumbing.
+    """
+    import numpy as np
+
+    n = width * height * channels
+    seed = np.frombuffer(hashlib.md5(payload).digest(), dtype="uint8").astype("uint32")
+    # xorshift-ish expansion of the 16 seed bytes to n values — cheap, seeded
+    idx = np.arange(n, dtype="uint32")
+    vals = (seed[idx % 16] * 2654435761 + idx * 97) % 256
+    return (vals / 255.0).astype("float32")
+
+
+def decode_image(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Decode image payloads to pixel arrays via `mapInPandas` (one Arrow
+    batch in, one out; payload bytes never leave the executor).
+
+    `use_real_codec=True` requires PIL and raises NotImplementedError here
+    (codec libraries are not installed in this environment — see module
+    docstring); the default path uses the deterministic stub decoder.
+    """
+    if use_real_codec:
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as e:  # pragma: no cover - environment-dependent
+            raise NotImplementedError(
+                "real image decode needs PIL, which is not installed; "
+                "use use_real_codec=False for the deterministic stub"
+            ) from e
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "pixels": [
+                        _fake_pixels(p, w, h)
+                        for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+                    ],
+                }
+            )
+
+    src = media.filter(F.col("media_type") == "image").select(
+        "media_id", "payload", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
+    )
+    return src.mapInPandas(run, _DECODED_SCHEMA)
+
+
+def resize(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel arrays (numpy, vectorized
+    per Arrow batch). Nearest-neighbor is exact integer indexing — no codec
+    needed, so this stage is real, not a stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for px, w, h in zip(pdf["pixels"], pdf["width"], pdf["height"]):
+                img = np.asarray(px, dtype="float32").reshape(h, w)
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                out.append(img[yi][:, xi].ravel())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "pixels": out,
+                }
+            )
+
+    return decoded.mapInPandas(run, _DECODED_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
+    """Fixed-width feature vector per media row (the embedding-model stage).
+
+    STUB model: md5-chained digest expansion of the payload — deterministic,
+    media-type-agnostic, correct output shape (`array<float>` of `dim`).
+    A real deployment swaps `_embed` for an ONNX/torch call; the Spark
+    surface (Arrow batches in, fixed-width float arrays out) is unchanged.
+    """
+
+    def _embed(payload: bytes) -> list:
+        import numpy as np
+
+        out, block = [], payload[:64] or b"\x00"
+        while len(out) * 16 < dim:
+            block = hashlib.md5(block).digest()
+            out.append(np.frombuffer(block, dtype="uint8"))
+        flat = np.concatenate(out)[:dim].astype("float32")
+        return (flat / 255.0 - 0.5).tolist()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "embedding": [_embed(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        run, "media_id long, media_type string, embedding array<float>"
+    )
+
+
+def sample_frames(media: DataFrame, stride: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled frame
+    index (0, stride, 2·stride, …), each carrying a byte-slice of the
+    payload as the fake frame data.
+
+    Expressed as pure built-ins (sequence + posexplode) — frame *selection*
+    is relational work; only frame *decode* (a later decode_image-shaped
+    stage) needs Python. Blow-up factor = n_frames/stride, chosen by caller.
+    """
+    vids = media.filter(F.col("media_type") == "video")
+    idx = F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(stride))
+    # floor division (not cast-truncate): bit-for-bit reproducible in ANSI SQL
+    per_frame = F.greatest(
+        F.floor(F.octet_length("payload") / F.greatest(F.col("meta.n_frames"), F.lit(1))).cast("int"),
+        F.lit(1),
+    )
+    return (
+        vids.select(
+            "media_id",
+            F.col("meta.n_frames").alias("n_frames"),
+            F.explode(idx).alias("frame_index"),
+            "payload",
+            per_frame.alias("_fbytes"),
+        )
+        .select(
+            "media_id",
+            "frame_index",
+            F.substring(
+                F.col("payload"), F.col("frame_index") * F.col("_fbytes") + 1, F.col("_fbytes")
+            ).alias("frame_bytes"),
+        )
+    )

@@ -30,7 +30,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from commerce_data_pipeline_spark.catalog import load_table
-from commerce_data_pipeline_spark.operators import dedup, similarity, text
+from commerce_data_pipeline_spark.operators import dedup, multimodal, similarity, text
 from commerce_data_pipeline_spark.operators.analytics import (
     attribution,
     funnel,
@@ -687,6 +687,248 @@ def _q_approx_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 — full text-analysis profile: token counts, quality ratios,
+    marker-word language ID. Ratios are emitted as floor(x·10⁴) integers:
+    floor of an identical IEEE double is unambiguous cross-engine, where
+    round() half-way behavior could differ on exact small-denominator
+    fractions (e.g. 1/32)."""
+    docs = load_table(spark, sf, "documents")
+
+    def e4(c):
+        return F.floor(c * 10000).cast("long")
+
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        e4(text.mean_word_length("text")).alias("mean_word_len_e4"),
+        e4(text.stopword_ratio("text")).alias("stopword_ratio_e4"),
+        e4(text.punct_ratio("text")).alias("punct_ratio_e4"),
+        e4(text.quality_score("text")).alias("quality_e4"),
+        text.language_id("text").alias("lang_pred"),
+    )
+
+
+# mirrors text.LANG_MARKERS / text.STOPWORDS / text.quality_score exactly
+_O_TEXT_PROFILE = """
+WITH t AS (
+  SELECT doc_id, text,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id, text, ws,
+    len(ws) AS n_tokens,
+    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe,
+    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+      / GREATEST(len(ws), 1) AS wl,
+    CAST(len(list_filter(ws, w -> list_contains(
+      ['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+      / GREATEST(len(ws), 1) AS sw,
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+      / GREATEST(length(text), 1) AS pr,
+    len(list_filter(ws, w -> list_contains(['the','and','of','to','a'], w))) AS s_en,
+    len(list_filter(ws, w -> list_contains(['der','die','das','und','ist'], w))) AS s_de,
+    len(list_filter(ws, w -> list_contains(['el','la','de','que','y'], w))) AS s_es,
+    len(list_filter(ws, w -> list_contains(['le','la','et','les','des'], w))) AS s_fr
+  FROM t
+)
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+  CAST(FLOOR(wl * 10000) AS BIGINT) AS mean_word_len_e4,
+  CAST(FLOOR(sw * 10000) AS BIGINT) AS stopword_ratio_e4,
+  CAST(FLOOR(pr * 10000) AS BIGINT) AS punct_ratio_e4,
+  CAST(FLOOR((0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+            + 0.2 * (CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END)
+            + 0.2 * LEAST(sw * 5.0, 1.0)
+            + 0.2 * (1.0 - LEAST(pr * 2.0, 1.0))) * 10000) AS BIGINT) AS quality_e4,
+  CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr) THEN 'fr'
+       WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+       WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+       ELSE 'de' END AS lang_pred
+FROM m
+"""
+
+
+def _q_lsh_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 — MinHash+LSH banded candidate pairs. The corpus is doubled
+    (id+10⁶, identical text) so every document provably pairs with its
+    twin: an exact duplicate agrees on all bands. 16 hashes × 4 bands."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    return dedup.minhash_lsh_pairs(doubled, num_hashes=16, bands=4, shingle_n=3)
+
+
+def _ora_lsh_pairs(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    r = num_hashes // bands
+    comps = ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> md5('{h}:' || s))) AS mh_{h}"
+        for h in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * r + i}" for i in range(r))
+        + ")) AS bkey FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), toks AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM doubled
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {n}
+      THEN list_distinct(list_transform(generate_series(1, len(words) - {n} + 1),
+             i -> array_to_string(words[i:i+{n}-1], ' ')))
+      ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks
+), sig AS (
+  SELECT doc_id, {comps} FROM sh
+), band_rows AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM band_rows a JOIN band_rows b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 scale path — IVF-routed ANN top-5 (16 deterministic centroids,
+    4 probes). Fully deterministic → oracle-checkable, unlike LSH whose
+    xxhash64 buckets have no DuckDB equivalent."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    out = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
+    )
+
+
+_O_ANN_IVF = """
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), num AS (
+  SELECT vec_id, u, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM unit
+), par AS (
+  SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM embeddings
+), cent AS (
+  SELECT CAST((rn - 1) // step AS INT) AS centroid_id, u AS c_vec
+  FROM num, par WHERE (rn - 1) % step = 0 AND rn <= step * 16
+), assign AS (
+  SELECT c.vec_id AS neighbor_id, cent.centroid_id, c.u AS c_unit,
+    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      ORDER BY list_dot_product(c.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit c CROSS JOIN cent
+), inv AS (
+  SELECT neighbor_id, centroid_id, c_unit FROM assign WHERE r = 1
+), probes AS (
+  SELECT q.vec_id AS query_id, cent.centroid_id, q.u AS q_unit,
+    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      ORDER BY list_dot_product(q.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit q CROSS JOIN cent WHERE q.vec_id % 20 = 0
+), pr AS (
+  SELECT query_id, centroid_id, q_unit FROM probes WHERE r <= 4
+), sims AS (
+  SELECT query_id, neighbor_id, list_dot_product(q_unit, c_unit) AS sim
+  FROM inv JOIN pr USING (centroid_id)
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+FROM sims QUALIFY rank <= 5
+"""
+
+
+def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 scale path — random-hyperplane LSH ANN (8 planes × 4 tables).
+    Plane signs derive from xxhash64 → Spark-only; driver does a rows-only
+    check, recall-vs-brute-force is pinned in tests/test_similarity.py."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    out = similarity.rp_lsh_topk(emb, queries, k=5, dim=64, n_planes=8, n_tables=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
+    )
+
+
+def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """X5 — media table (binary payload + typed metadata) synthesized from
+    the documents corpus; metadata/digest projection only — the payload
+    column prunes out of the scan for this shape."""
+    docs = load_table(spark, sf, "documents")
+    return multimodal.media_metadata(multimodal.synthesize_media(docs))
+
+
+_O_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+  (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  md5(text) AS payload_md5,
+  CAST(64 + (doc_id % 16) * 8 AS INT) AS width,
+  CAST(64 + (doc_id % 9) * 8 AS INT) AS height,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 40 + 8 ELSE 1 END AS INT) AS n_frames,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 40 + 8 ELSE 1 END * 40 AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+def _q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """X5 — video frame sampling (stride 4): one row per sampled frame with
+    its byte-slice length (the slice itself is binary; the arithmetic length
+    is the oracle-comparable witness that slicing is correct)."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synthesize_media(docs)
+    frames = multimodal.sample_frames(media, stride=4)
+    return frames.select(
+        "media_id", "frame_index", F.octet_length("frame_bytes").cast("long").alias("frame_len")
+    )
+
+
+_O_FRAME_SAMPLE = """
+WITH vids AS (
+  SELECT doc_id AS media_id,
+    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+    (doc_id % 40 + 8) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+), fr AS (
+  SELECT media_id, byte_len, n_frames,
+    GREATEST(byte_len // n_frames, 1) AS fb,
+    unnest(generate_series(0, n_frames - 1, 4)) AS frame_index
+  FROM vids
+)
+SELECT media_id, CAST(frame_index AS INT) AS frame_index,
+  CAST(LEAST(fb, GREATEST(byte_len - frame_index * fb, 0)) AS BIGINT) AS frame_len
+FROM fr
+"""
+
+
+def _q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """X5 — Arrow-batched feature extraction over media payloads (stub
+    embedding model, real mapInPandas plumbing). Digest-chain features are
+    not SQL-expressible → rows-only check; determinism is unit-tested."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synthesize_media(docs)
+    feats = multimodal.extract_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda s, x: s + x.cast("double")), 4).alias(
+            "feat_sum"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -718,6 +960,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_near_dup": QuerySpec(_q_embedding_near_dup, _O_EMBEDDING_NEAR_DUP, "X2 embedding near-dup pairs"),
     "text_stats": QuerySpec(_q_text_stats, _O_TEXT_STATS, "X4 corpus token stats"),
     "text_fingerprints": QuerySpec(_q_text_fingerprints, _O_TEXT_FINGERPRINTS, "X4 fingerprint + token counts"),
+    "text_profile": QuerySpec(_q_text_profile, _O_TEXT_PROFILE, "X4 lang-ID + quality scoring"),
+    "lsh_dedup_pairs": QuerySpec(_q_lsh_dedup_pairs, _ora_lsh_pairs(16, 4, 3), "X2 MinHash+LSH banded pairs"),
+    "ann_ivf": QuerySpec(_q_ann_ivf, _O_ANN_IVF, "X3 IVF-routed ANN top-k"),
+    "ann_lsh": QuerySpec(_q_ann_lsh, None, "X3 RP-LSH ANN top-k (rows-only: xxhash64)"),
+    "multimodal_meta": QuerySpec(_q_multimodal_meta, _O_MULTIMODAL_META, "X5 media metadata/digest projection"),
+    "frame_sample": QuerySpec(_q_frame_sample, _O_FRAME_SAMPLE, "X5 video frame sampling"),
+    "media_features": QuerySpec(_q_media_features, None, "X5 feature extraction (rows-only: digest stub)"),
     "approx_stats": QuerySpec(_q_approx_stats, None, "X6 sketches (rows-only: approximate)"),
 }
 
