@@ -521,10 +521,12 @@ def _q_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
     (jaccard desc, ids) is unique."""
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
     pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.0)
-    w = Window.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+    order = [F.desc("jaccard"), F.asc("id_a"), F.asc("id_b")]
+    # orderBy+limit → TakeOrderedAndProject (per-task heaps); the global
+    # rank window then sees only the 50 survivors, never the full pair set
+    top = pairs.orderBy(*order).limit(50)
     return (
-        pairs.withColumn("jrank", F.row_number().over(w))
-        .filter(F.col("jrank") <= 50)
+        top.withColumn("jrank", F.row_number().over(Window.orderBy(*order)))
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"), "jrank")
     )
 

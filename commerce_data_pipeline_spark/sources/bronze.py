@@ -261,11 +261,12 @@ class BronzePipeline:
         gaps = src.join(sink_df, on="d", how="left_anti").orderBy("d")
         return [r["d"].isoformat() for r in gaps.collect()]
 
-    def status(self, days_back: int = 30) -> dict:
-        """`--status` parity (pipeline.py:234-256)."""
+    def status(self, days_back: int | None = 30) -> dict:
+        """`--status` parity (pipeline.py:234-256). `days_back=None` checks
+        the full history instead of the reference's 30-day window."""
         missing = self.missing_dates(days_back)
         return {
-            "sink_dates": self.writer.list_available_dates(limit=days_back),
+            "sink_dates": self.writer.list_available_dates(limit=days_back or 100),
             "missing_dates": missing,
             "is_healthy": not missing,
         }
