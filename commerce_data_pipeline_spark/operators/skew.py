@@ -1,0 +1,87 @@
+"""Skew-mitigation utilities (SURVEY.md §2e; 100 TB posture).
+
+AQE's skew-join splitting (on in session.py) handles most sort-merge skew
+at runtime. These helpers cover the cases AQE can't:
+
+- `key_skew_profile`: measure it first — the top-N heaviest join/group keys
+  and their share of all rows. Cheap (one partial-agg pass).
+- `salted_join`: explicit key salting for a shuffle join whose hot keys
+  overwhelm single tasks even after AQE splitting (e.g. null-heavy or
+  power-law foreign keys joined to a mid-size table that can't broadcast).
+  The large side scatters each key across `n_salts` sub-keys; the small
+  side replicates ×n_salts. Equi-join semantics are preserved exactly.
+- `salted_count_distinct`: two-stage distinct aggregation for a hot group
+  key (partial distinct per (key, salt), then merge) — the classic fix for
+  one-reducer count-distinct.
+
+Salt derivation is deterministic (hash of the large side's whole row, not
+rand()), so retried/recomputed tasks produce identical assignments —
+nondeterministic salts break exactly-once file commits under task retry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def key_skew_profile(df: DataFrame, key: str | Column, top: int = 20) -> DataFrame:
+    """Top-N heaviest keys with absolute counts and share of total rows."""
+    k = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(k.alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    total = df.count()
+    return (
+        counts.withColumn("share", F.col("n") / F.lit(float(total)))
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(top)
+    )
+
+
+def _row_salt(df: DataFrame, n_salts: int, key: str) -> Column:
+    """Deterministic per-row salt in [0, n_salts): hash of every non-key
+    column. Rows identical in all columns get the same salt — harmless
+    (they'd land in the same task anyway)."""
+    non_key = [c for c in df.columns if c != key] or [key]
+    return F.pmod(F.xxhash64(*[F.col(c) for c in non_key]), F.lit(n_salts)).cast("int")
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the hot-key pressure spread over `n_salts` sub-keys.
+
+    large: salt each row deterministically → (key, salt) has ≤ 1/n_salts of
+    the key's rows. small: explode ×n_salts (use only when small ≪ large —
+    the replication cost is n_salts × |small|). Join on (key, salt), then
+    drop the salt. Result is column-identical to `large.join(small, on, how)`.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    l = large.withColumn("_salt", _row_salt(large, n_salts, on))
+    s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))).withColumn(
+        "_salt", F.col("_salt").cast("int")
+    )
+    return l.join(s, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """COUNT(DISTINCT distinct_col) GROUP BY group_col, resistant to a hot
+    group key: stage 1 computes partial distinct sets per (group, salt)
+    where salt = hash(distinct value) — so duplicates of one value always
+    share a salt and global distinctness is preserved; stage 2 sums the
+    per-salt distinct counts."""
+    salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salts)).cast("int")
+    partial = (
+        df.select(F.col(group_col), F.col(distinct_col), salt.alias("_salt"))
+        .groupBy(group_col, "_salt")
+        .agg(F.countDistinct(distinct_col).alias("_pc"))
+    )
+    return partial.groupBy(group_col).agg(F.sum("_pc").alias("n_distinct"))
