@@ -1,0 +1,143 @@
+"""Temporal join operators Spark lacks natively (SURVEY.md §2e "Joins"):
+as-of join and band (interval) join, both expressed as compositions of
+existing DataFrame ops — no custom strategy, no UDF.
+
+The reference has no joins at all (SURVEY.md §2e); these exist because
+event-time analytics (G2/G4) and feature engineering over event streams
+need them, and a naive theta-join (`a.ts BETWEEN ...`) is a cartesian
+product at scale.
+
+Implementations and their scale shape:
+- `asof_join` uses the union+window formulation: tag both inputs, union,
+  one window per key ordered by (ts, side), carry the last-seen right row
+  forward, keep left rows. Cost = ONE hash shuffle on the key + a
+  per-partition sort — O(n log n) per key group, no pair blow-up at all.
+  This beats the broadcast-range-join formulation whenever the right side
+  is too big to broadcast, and is the standard distributed as-of shape
+  (kdb/Flink temporal joins reduce to the same merge).
+- `band_join` buckets time into `band`-sized cells: the left row lands in
+  its own cell, the right side replicates into 3 adjacent cells, the join
+  is a plain equi-join on (key, cell) followed by the exact |Δt| filter.
+  Each qualifying pair matches in exactly one cell → no dedup needed.
+  Shuffle volume = 3×|right| + |left|, versus |left|×|right| for the
+  naive theta join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Backward as-of join: each left row picks the latest right row of the
+    same `on` key with right_ts <= left_ts (ties: right row wins). Left
+    rows with no prior right row keep nulls (left-outer semantics).
+
+    `right_cols` are the right-side payload columns to carry (default: all
+    but key/ts). The matched right timestamp is exposed as
+    `{right_ts}{suffix}`; with `tolerance_seconds`, matches older than the
+    tolerance are nulled out (pandas merge_asof semantics).
+    """
+    rc = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    matched_ts = f"{right_ts}{suffix}"
+    out_rc = [f"{c}{suffix}" for c in rc]
+
+    l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(0))
+    r_tag = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c).alias(f"_r_{c}") for c in rc],
+        )
+        .withColumn("_side", F.lit(1))
+    )
+    # align schemas for union
+    for c in left.columns:
+        if c not in (on,):
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in rc:
+        l_tag = l_tag.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    cols = [on, "_ts", "_side", *[c for c in left.columns if c != on], *[f"_r_{c}" for c in rc]]
+    u = l_tag.select(*cols).unionByName(r_tag.select(*cols))
+
+    # right rows sort before left rows at equal ts → "<=" match semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *[F.col(c) for c in u.columns],
+        F.last(F.when(F.col("_side") == 1, F.col("_ts")), ignorenulls=True)
+        .over(w)
+        .alias(matched_ts),
+        *[
+            F.last(F.when(F.col("_side") == 1, F.col(f"_r_{c}")), ignorenulls=True)
+            .over(w)
+            .alias(f"{c}{suffix}")
+            for c in rc
+        ],
+    ).filter(F.col("_side") == 0)
+
+    if tolerance_seconds is not None:
+        stale = (
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(matched_ts))
+            > tolerance_seconds * 1_000_000
+        )
+        carried = carried.select(
+            *[c for c in carried.columns if c != matched_ts and c not in out_rc],
+            F.when(stale, F.lit(None)).otherwise(F.col(matched_ts)).alias(matched_ts),
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in rc
+            ],
+        )
+    return carried.drop("_ts", "_side", *[f"_r_{c}" for c in rc])
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    band_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    l_prefix: str = "a_",
+    r_prefix: str = "b_",
+) -> DataFrame:
+    """Interval join: all (left, right) pairs of the same key with
+    |left_ts - right_ts| <= band. Bucketed equi-join (see module doc) —
+    each qualifying pair matches in exactly one cell, so no dedup pass."""
+    band_us = band_seconds * 1_000_000
+    l_cell = F.floor(F.unix_micros(F.col(left_ts)) / band_us)
+    r_cell = F.floor(F.unix_micros(F.col(right_ts)) / band_us)
+
+    l = left.select(
+        F.col(on),
+        l_cell.alias("_cell"),
+        *[F.col(c).alias(f"{l_prefix}{c}") for c in left.columns if c != on],
+    )
+    r = right.select(
+        F.col(on),
+        F.explode(F.array(r_cell - 1, r_cell, r_cell + 1)).alias("_cell"),
+        *[F.col(c).alias(f"{r_prefix}{c}") for c in right.columns if c != on],
+    )
+    within = (
+        F.abs(
+            F.unix_micros(F.col(f"{l_prefix}{left_ts}"))
+            - F.unix_micros(F.col(f"{r_prefix}{right_ts}"))
+        )
+        <= band_us
+    )
+    return l.join(r, on=[on, "_cell"]).filter(within).drop("_cell")

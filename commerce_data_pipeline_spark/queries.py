@@ -30,7 +30,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from commerce_data_pipeline_spark.catalog import load_table
-from commerce_data_pipeline_spark.operators import dedup, multimodal, similarity, text
+from commerce_data_pipeline_spark.operators import dedup, multimodal, similarity, temporal, text
 from commerce_data_pipeline_spark.operators.analytics import (
     attribution,
     funnel,
@@ -689,6 +689,69 @@ def _q_approx_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_asof_view_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (union+window, one shuffle): each purchase picks the
+    user's latest view at-or-before it. The view side is deduped to unique
+    (user, ts) — max event_id — so tie-breaks are engine-independent."""
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = temporal.asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["view_event_id"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("view_event_id_matched").alias("view_event_id"),
+        F.unix_micros("ts_matched").alias("view_ts_us"),
+    )
+
+
+_O_ASOF_VIEW_BEFORE_PURCHASE = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, MAX(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_ts_us,
+  v.view_event_id, epoch_us(v.ts) AS view_ts_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def _q_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Band (interval) join: same-user event pairs within 60 s of each
+    other, via the 3-cell bucketed equi-join (no quadratic theta join)."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts")
+    pairs = temporal.band_join(ev, ev, on="user_id", band_seconds=60)
+    return (
+        pairs.filter(F.col("a_event_id") < F.col("b_event_id"))
+        .select(
+            "user_id",
+            F.col("a_event_id").alias("id_a"),
+            F.col("b_event_id").alias("id_b"),
+            F.abs(F.unix_micros("a_ts") - F.unix_micros("b_ts")).alias("dt_us"),
+        )
+    )
+
+
+_O_BAND_PAIRS = """
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+  abs(epoch_us(a.ts) - epoch_us(b.ts)) AS dt_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+"""
+
+
 def _q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     """X4 — full text-analysis profile: token counts, quality ratios,
     marker-word language ID. Ratios are emitted as floor(x·10⁴) integers:
@@ -946,6 +1009,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "date_gaps": QuerySpec(_q_date_gaps, _O_DATE_GAPS, "P6 anti-join gap detection"),
     "rollup_sales": QuerySpec(_q_rollup_sales, _O_ROLLUP_SALES, "grouping sets (ROLLUP)"),
     "running_revenue": QuerySpec(_q_running_revenue, _O_RUNNING_REVENUE, "window cumulative frame"),
+    "asof_view_before_purchase": QuerySpec(_q_asof_view_before_purchase, _O_ASOF_VIEW_BEFORE_PURCHASE, "as-of join (union+window)"),
+    "band_pairs": QuerySpec(_q_band_pairs, _O_BAND_PAIRS, "band/interval join (bucketed)"),
     # gold analytics (SURVEY §2c)
     "funnel": QuerySpec(_q_funnel, _O_FUNNEL, "G1 ordered funnel (flagship)"),
     "sessionization": QuerySpec(_q_sessionization, _O_SESSIONIZATION, "G2 gap sessionization"),

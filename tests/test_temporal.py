@@ -1,0 +1,89 @@
+"""As-of and band join operators (operators/temporal.py)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from commerce_data_pipeline_spark.operators import temporal
+
+
+def _t(m, s=0):
+    return datetime(2024, 1, 1, 10, m, s)
+
+
+def test_asof_backward_basic(spark):
+    quotes = spark.createDataFrame(
+        [(1, _t(0), 100.0), (1, _t(10), 101.0), (2, _t(5), 50.0)],
+        "sym long, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, _t(5), 7), (1, _t(10), 8), (1, _t(20), 9), (2, _t(0), 10)],
+        "sym long, ts timestamp, qty long",
+    )
+    out = temporal.asof_join(trades, quotes, on="sym", right_cols=["px"])
+    got = {r["qty"]: r["px_matched"] for r in out.collect()}
+    # trade@10:05 sees quote@10:00; trade@10:10 sees the equal-ts quote;
+    # trade@10:20 sees quote@10:10; sym 2's trade precedes any quote → null
+    assert got == {7: 100.0, 8: 101.0, 9: 101.0, 10: None}
+
+
+def test_asof_tolerance(spark):
+    quotes = spark.createDataFrame([(1, _t(0), 100.0)], "sym long, ts timestamp, px double")
+    trades = spark.createDataFrame(
+        [(1, _t(1), 7), (1, _t(30), 8)], "sym long, ts timestamp, qty long"
+    )
+    out = temporal.asof_join(
+        trades, quotes, on="sym", right_cols=["px"], tolerance_seconds=300
+    )
+    got = {r["qty"]: r["px_matched"] for r in out.collect()}
+    assert got == {7: 100.0, 8: None}  # 29 min > 5 min tolerance
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    left = pd.DataFrame(
+        {"k": [1] * 6, "ts": pd.to_datetime(["2024-01-01 10:%02d:00" % m for m in range(0, 60, 10)])}
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1] * 4,
+            "ts": pd.to_datetime(["2024-01-01 10:%02d:30" % m for m in (5, 15, 25, 35)]),
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    expected = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"), on="ts", by="k")
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    out = temporal.asof_join(sl, sr, on="k", right_cols=["v"]).orderBy("ts").collect()
+    got = [r["v_matched"] for r in out]
+    want = [None if pd.isna(v) else v for v in expected["v"]]
+    assert got == want
+
+
+def test_band_join_pairs_exact_and_no_dupes(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _t(0, 0)),
+            (1, 2, _t(0, 45)),   # 45 s after e1 → within 60 s
+            (1, 3, _t(2, 0)),    # 75 s after e2 → out of band
+            (2, 4, _t(0, 0)),
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    pairs = (
+        temporal.band_join(ev, ev, on="user_id", band_seconds=60)
+        .filter(F.col("a_event_id") < F.col("b_event_id"))
+        .select("a_event_id", "b_event_id")
+        .collect()
+    )
+    assert sorted((r[0], r[1]) for r in pairs) == [(1, 2)]
+
+
+def test_band_join_boundary_inclusive(spark):
+    a = spark.createDataFrame([(1, 1, _t(0, 0))], "k long, id long, ts timestamp")
+    b = spark.createDataFrame([(1, 2, _t(1, 0))], "k long, id long, ts timestamp")
+    got = temporal.band_join(a, b, on="k", band_seconds=60).count()
+    assert got == 1  # exactly 60 s apart → included
+    got2 = temporal.band_join(a, b, on="k", band_seconds=59).count()
+    assert got2 == 0
