@@ -50,18 +50,22 @@ def funnel(
         reached_prev = reached_prev & cond
         reach_cols.append(reached_prev.alias(f"_r{i}"))
     flags = firsts.select(F.col(user_col), *reach_cols)
-    per_stage = [
-        flags.agg(
-            F.lit(i).alias("stage_index"),
-            F.lit(s).alias("stage"),
-            F.sum(F.col(f"_r{i}").cast("long")).alias("users"),
-        )
-        for i, s in enumerate(stages)
-    ]
-    out = per_stage[0]
-    for p in per_stage[1:]:
-        out = out.unionAll(p)
-    return out
+    # ONE global aggregation for every stage count (not one agg per stage —
+    # that would rescan events per stage), then unpivot the single row.
+    sums = flags.agg(
+        *[F.sum(F.col(f"_r{i}").cast("long")).alias(f"_u{i}") for i in range(len(stages))]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_index"),
+                F.lit(s).alias("stage"),
+                F.col(f"_u{i}").alias("users"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    return sums.select(F.explode(rows).alias("_s")).select("_s.*")
 
 
 def funnel_user_flags(

@@ -1,0 +1,73 @@
+"""Plan-quality regression tests: broadcast joins stay broadcast, filters
+stay pushed down, projections stay pruned, shuffle counts stay minimal.
+These assert the *plan*, not timings — the properties that decide whether a
+query survives a 100×/1000× scale-up."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from commerce_data_pipeline_spark import plans
+from commerce_data_pipeline_spark.catalog import load_table
+from commerce_data_pipeline_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    df = REGISTRY["top_revenue_nations"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert plan.count("BroadcastExchange") >= 3  # customer, nation, region
+    # exactly one real shuffle: the final groupBy (lineitem⋈orders may
+    # itself broadcast at tiny SF, more at scale)
+    assert plans.num_shuffles(df) <= 2
+
+
+def test_pricing_summary_minimal_plan(spark):
+    df = REGISTRY["pricing_summary"].spark(spark, SF)
+    # one shuffle: partial agg → exchange → final agg
+    assert plans.num_shuffles(df) == 1
+    # shipdate predicate reaches the scan
+    assert any("l_shipdate" in f for f in plans.pushed_filters(df))
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    pushed = plans.pushed_filters(q)
+    assert any("l_quantity" in f and "GreaterThan" in f for f in pushed)
+    scans = plans.read_schema_columns(q)
+    assert scans and set(scans[0]) == {"l_orderkey", "l_quantity"}
+
+
+def test_events_projection_prunes_props(spark):
+    ev = load_table(spark, SF, "events").select("user_id", "event_type")
+    scans = plans.read_schema_columns(ev)
+    assert scans and "props" not in scans[0] and "value" not in scans[0]
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    df = REGISTRY["top_customers"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_exact_shuffles_digest_not_text(spark):
+    df = REGISTRY["dedup_exact"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    # the agg-side exchange must carry the md5 fingerprint, not document text
+    import re
+
+    exchanges = re.findall(r"Arguments: hashpartitioning\((.*?)\)", plan)
+    assert exchanges and not any("text" in e for e in exchanges)
+
+
+def test_whole_stage_codegen_present(spark):
+    df = REGISTRY["pricing_summary"].spark(spark, SF)
+    df.collect()  # AQE finalizes the plan (and codegen) on execution
+    assert plans.whole_stage_codegen_spans(df) >= 1
+
+
+@pytest.mark.parametrize("name", ["funnel", "sessionization", "conversion_daily"])
+def test_gold_queries_bounded_shuffles(spark, name):
+    df = REGISTRY[name].spark(spark, SF)
+    assert plans.num_shuffles(df) <= 3
