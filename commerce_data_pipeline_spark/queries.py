@@ -689,6 +689,75 @@ def _q_approx_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_customer_segments_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """§2e set operations: UNION / INTERSECT / EXCEPT over customer key
+    sets (buyers in 1996 vs 1997), labeled and unioned into one result."""
+    o = load_table(spark, sf, "orders")
+
+    def buyers(year: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    b96, b97 = buyers(1996), buyers(1997)
+    both = b96.intersect(b97).withColumn("segment", F.lit("retained"))
+    churned = b96.exceptAll(b97).distinct().withColumn("segment", F.lit("churned"))
+    new = b97.exceptAll(b96).distinct().withColumn("segment", F.lit("new"))
+    either = b96.union(b97).distinct().withColumn("segment", F.lit("any"))
+    return both.unionAll(churned).unionAll(new).unionAll(either)
+
+
+_O_SETOPS = """
+WITH b96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+), b97 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_custkey, 'retained' AS segment FROM (SELECT * FROM b96 INTERSECT SELECT * FROM b97)
+UNION ALL
+SELECT o_custkey, 'churned' FROM (SELECT * FROM b96 EXCEPT SELECT * FROM b97)
+UNION ALL
+SELECT o_custkey, 'new' FROM (SELECT * FROM b97 EXCEPT SELECT * FROM b96)
+UNION ALL
+SELECT o_custkey, 'any' FROM (SELECT * FROM b96 UNION SELECT * FROM b97)
+"""
+
+
+def _q_event_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """§2e pivot: daily event counts pivoted to one column per event type.
+    Explicit value list → single-pass pivot (no distinct-values pre-query)."""
+    ev = load_table(spark, sf, "events")
+    types = ["view", "click", "cart", "purchase", "refund"]
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    out = (
+        ev.groupBy(day)
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves missing cells null; normalize to 0 for the oracle
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
+_O_EVENT_TYPE_PIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+  COUNT(*) FILTER (WHERE event_type = 'cart') AS n_cart,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+  COUNT(*) FILTER (WHERE event_type = 'refund') AS n_refund
+FROM events GROUP BY 1
+"""
+
+
 def _q_asof_view_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (union+window, one shuffle): each purchase picks the
     user's latest view at-or-before it. The view side is deduped to unique
@@ -1009,6 +1078,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "date_gaps": QuerySpec(_q_date_gaps, _O_DATE_GAPS, "P6 anti-join gap detection"),
     "rollup_sales": QuerySpec(_q_rollup_sales, _O_ROLLUP_SALES, "grouping sets (ROLLUP)"),
     "running_revenue": QuerySpec(_q_running_revenue, _O_RUNNING_REVENUE, "window cumulative frame"),
+    "customer_segments_setops": QuerySpec(_q_customer_segments_setops, _O_SETOPS, "§2e UNION/INTERSECT/EXCEPT"),
+    "event_type_pivot": QuerySpec(_q_event_type_pivot, _O_EVENT_TYPE_PIVOT, "§2e pivot (explicit values)"),
     "asof_view_before_purchase": QuerySpec(_q_asof_view_before_purchase, _O_ASOF_VIEW_BEFORE_PURCHASE, "as-of join (union+window)"),
     "band_pairs": QuerySpec(_q_band_pairs, _O_BAND_PAIRS, "band/interval join (bucketed)"),
     # gold analytics (SURVEY §2c)
