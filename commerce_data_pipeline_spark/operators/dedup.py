@@ -65,29 +65,61 @@ def word_shingles(text_col: str = "text", n: int = 3):
     )
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne), the classic minhash modulus
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation constants (a_i odd, LCG-derived).
+    Shared by the Spark implementation and the SQL oracle generator so both
+    engines compute bit-identical signatures."""
+    out = []
+    for i in range(num_hashes):
+        a = ((1103515245 * (i + 1) + 12345) % 2147483648) | 1
+        b = (22695477 * (i + 1) + 7777) % 2147483648
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
-    """MinHash signature per document: component h = min over shingles of
-    md5(h || ':' || shingle). md5-as-string min is a valid uniform hash
-    order and is exactly reproducible in an ANSI-SQL oracle.
+    """MinHash signature per document: ONE md5 per shingle → 60-bit int →
+    `num_hashes` affine permutations h_i(v) = (a_i·v + b_i) mod (2³¹−1),
+    min per permutation. One cryptographic hash per shingle instead of
+    `num_hashes` — the standard k-permutation construction, ~k× cheaper
+    than k seeded hashes and exactly reproducible in ANSI SQL
+    (hex-substring → integer → same arithmetic).
 
     Computed entirely scan-side (transform + array_min): no shuffle, no
     explode — at 100 TB this is the difference between a map stage and a
-    shingle-cardinality shuffle.
+    shingle-cardinality shuffle. Overflow-safe: v,a < 2³¹ → a·v+b < 2⁶³.
     """
-    # NB: HOF lambdas must be unary — PySpark derives the lambda-variable
-    # count from the Python arity, so `lambda s, h=h:` would silently bind
-    # h to the array index. Capture h via a closure factory instead.
-    def _seeded_md5(h: int):
-        prefix = f"{h}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    sh = word_shingles(text_col, shingle_n)
+    vs = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % 2147483648,
+    )
+    # `_mb` (nondeterministic) blocks CollapseProject: without it Catalyst
+    # merges the projections and inlines `_vs` — with its per-shingle md5 —
+    # into every mh_i column, re-hashing k× per row. Benchmarked (sf0.1
+    # doubled corpus, k=16): 16-seeded-md5 8.2s; aggregate-of-zip_with
+    # 10.2s (per-element array allocation); this split construction 5.5s.
+    staged = df.select(
+        F.col(id_col),
+        vs.alias("_vs"),
+        F.monotonically_increasing_id().alias("_mb"),
+    )
 
-    sh = word_shingles(text_col, shingle_n).alias("_sh")
+    # NB: HOF lambdas must be unary — PySpark derives the lambda-variable
+    # count from the Python arity, so `lambda v, a=a:` would silently bind
+    # a to the array index. Capture constants via a closure factory.
+    def _perm(a: int, b: int):
+        return lambda v: (F.lit(a) * v + F.lit(b)) % F.lit(MINHASH_PRIME)
+
     sig_cols = [
-        F.array_min(F.transform(F.col("_sh"), _seeded_md5(h))).alias(f"mh_{h}")
-        for h in range(num_hashes)
+        F.array_min(F.transform(F.col("_vs"), _perm(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    return df.select(F.col(id_col), sh).select(F.col(id_col), *sig_cols)
+    return staged.select(F.col(id_col), *sig_cols)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -119,15 +151,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             )
         ).alias("bb"),
     ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
-    return (
-        a.join(b, on=["band", "bkey"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+    # Pairs come from grouping ids per bucket and expanding in-bucket pairs
+    # — NOT a band_rows self-join: the self-join scans + recomputes the
+    # signature pipeline twice and shuffles both sides, and candidate
+    # buckets are tiny by construction (band collisions are rare for
+    # non-duplicates). One aggregation shuffle total. Degenerate giant
+    # buckets (all-identical corpora) are quadratic in either formulation;
+    # cap bucket size upstream if that's a real input.
+    buckets = band_rows.groupBy("band", "bkey").agg(
+        F.sort_array(F.collect_set(F.col(id_col))).alias("_ids")
+    ).filter(F.size("_ids") >= 2)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda a: F.transform(
+                F.filter(F.col("_ids"), lambda b: b > a),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .distinct()
     )
 

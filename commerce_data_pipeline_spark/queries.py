@@ -495,8 +495,8 @@ def _q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
 
 def _ora_minhash(num_hashes: int = 8, n: int = 3) -> str:
     comps = ",\n  ".join(
-        f"list_min(list_transform(shingles, s -> md5('{h}:' || s))) AS mh_{h}"
-        for h in range(num_hashes)
+        f"list_min(list_transform(vs, v -> ({a} * v + {b}) % {dedup.MINHASH_PRIME})) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.minhash_coeffs(num_hashes))
     )
     return f"""
 WITH toks AS (
@@ -510,8 +510,13 @@ WITH toks AS (
              i -> array_to_string(words[i:i+{n}-1], ' ')))
       ELSE CAST([] AS VARCHAR[]) END AS shingles
   FROM toks
+), vals AS (
+  SELECT doc_id,
+    list_transform(shingles,
+      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483648) AS vs
+  FROM sh
 )
-SELECT doc_id, {comps} FROM sh
+SELECT doc_id, {comps} FROM vals
 """
 
 
@@ -892,14 +897,18 @@ def _q_lsh_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     twin: an exact duplicate agrees on all bands. 16 hashes × 4 bands."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    # signature evaluation is CPU-bound per row; the corpus arrives as one
+    # small parquet file (2 input splits) — scatter it across cores first.
+    # At real scale the input's own splits provide this parallelism.
+    doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
     return dedup.minhash_lsh_pairs(doubled, num_hashes=16, bands=4, shingle_n=3)
 
 
 def _ora_lsh_pairs(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
     r = num_hashes // bands
     comps = ",\n    ".join(
-        f"list_min(list_transform(shingles, s -> md5('{h}:' || s))) AS mh_{h}"
-        for h in range(num_hashes)
+        f"list_min(list_transform(vs, v -> ({a} * v + {b}) % {dedup.MINHASH_PRIME})) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.minhash_coeffs(num_hashes))
     )
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, md5(concat_ws('|', "
@@ -923,8 +932,13 @@ WITH doubled AS (
              i -> array_to_string(words[i:i+{n}-1], ' ')))
       ELSE CAST([] AS VARCHAR[]) END AS shingles
   FROM toks
+), vals AS (
+  SELECT doc_id,
+    list_transform(shingles,
+      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483648) AS vs
+  FROM sh
 ), sig AS (
-  SELECT doc_id, {comps} FROM sh
+  SELECT doc_id, {comps} FROM vals
 ), band_rows AS (
 {band_rows}
 )

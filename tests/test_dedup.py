@@ -41,9 +41,12 @@ def test_minhash_identical_docs_equal_signatures(spark):
     sig = {r["doc_id"]: (r["mh_0"], r["mh_1"], r["mh_2"], r["mh_3"]) for r in D.minhash_signature(df, num_hashes=4).collect()}
     assert sig[0] == sig[1]
     assert sig[0] != sig[2]
-    # cross-check one component against python md5
+    # cross-check one component against the python reference construction:
+    # v = 60-bit md5 prefix mod 2^31; h_0 = (a_0*v + b_0) mod (2^31 - 1)
     shingles = ["the quick brown", "quick brown fox", "brown fox jumps"]
-    expect = min(hashlib.md5(f"0:{s}".encode()).hexdigest() for s in shingles)
+    a0, b0 = D.minhash_coeffs(1)[0]
+    vs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2147483648 for s in shingles]
+    expect = min((a0 * v + b0) % D.MINHASH_PRIME for v in vs)
     assert sig[0][0] == expect
 
 
