@@ -254,6 +254,41 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return df2.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                bits: int = 32) -> DataFrame:
+    """SimHash over md5-derived word hashes (≤60 usable bits): the
+    oracle-checkable twin of `simhash` — identical bit-vote construction,
+    but the word hash is the 60-bit md5 prefix, which any ANSI-SQL engine
+    reproduces (`simhash` uses xxhash64: Spark-only, ~4× cheaper — prefer
+    it when no cross-engine comparison is needed)."""
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60] (60-bit md5 prefix)")
+    words = F.split(normalized_text(text_col), " ")
+    h = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"))
+
+    def _bit_vote(b: int):
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    # `_mb` barrier: stop CollapseProject inlining the md5 transform into
+    # every bit column (see minhash_signature)
+    staged = df.select(
+        F.col(id_col), h.alias("_h"), F.monotonically_increasing_id().alias("_mb")
+    )
+    bit_cols = [
+        F.when(F.aggregate(F.col("_h"), F.lit(0).cast("long"), _bit_vote(b)) > 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    df2 = staged.select(F.col(id_col), *bit_cols)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.shiftleft(F.col(f"_b{b}"), b).cast("long")
+    return df2.select(F.col(id_col), sim.alias("simhash"))
+
+
 def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                     block_bits: int = 16) -> DataFrame:
     """Candidate pairs whose simhash shares at least one 16-bit block

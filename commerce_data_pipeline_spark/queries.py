@@ -568,6 +568,30 @@ def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(docs)
 
 
+def _q_simhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 — 32-bit SimHash from md5-derived word hashes: same construction
+    as `simhash` but cross-engine reproducible → oracle-checked."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.simhash_md5(docs, bits=32)
+
+
+def _ora_simhash_md5(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> {b}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+      w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS hs
+  FROM documents
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM t
+"""
+
+
 def _q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     """X3 — brute-force cosine top-5 for a deterministic query sample.
     Queries broadcast against a single corpus scan."""
@@ -1107,7 +1131,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
     "minhash_signature": QuerySpec(_q_minhash_signature, _ora_minhash(8, 3), "X2 MinHash signatures"),
     "jaccard_topk": QuerySpec(_q_jaccard_topk, _O_JACCARD_TOPK, "X2 exact n-gram Jaccard top-k"),
-    "simhash": QuerySpec(_q_simhash, None, "X2 SimHash (rows-only: xxhash64)"),
+    "simhash": QuerySpec(_q_simhash, None, "X2 SimHash (rows-only: xxhash64 fast path)"),
+    "simhash_md5": QuerySpec(_q_simhash_md5, _ora_simhash_md5(32), "X2 SimHash, md5-derived (oracle-checked)"),
     "similarity_topk": QuerySpec(_q_similarity_topk, _O_SIMILARITY_TOPK, "X3 brute-force cosine top-k"),
     "embedding_near_dup": QuerySpec(_q_embedding_near_dup, _O_EMBEDDING_NEAR_DUP, "X2 embedding near-dup pairs"),
     "text_stats": QuerySpec(_q_text_stats, _O_TEXT_STATS, "X4 corpus token stats"),
