@@ -9,8 +9,11 @@ from commerce_data_pipeline_spark.session import get_spark
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", cpus=4)
+def spark(tmp_path_factory):
+    # warehouse dir is a static conf — must be set at session build time
+    # (bucketed-table tests create catalog tables there)
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark("tests", cpus=4, extra_conf={"spark.sql.warehouse.dir": wh})
     yield s
 
 
