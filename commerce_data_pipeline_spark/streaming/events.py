@@ -116,6 +116,33 @@ def streaming_conversion_rates(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop redundant deliveries of the same key
+    (at-least-once sources re-deliver on retry; training pipelines need
+    exactly-once event feeds).
+
+    `dropDuplicatesWithinWatermark` bounds state to keys seen within the
+    watermark window — a plain dropDuplicates on a stream keeps every key
+    forever, which at 100 TB/day is an unbounded state store. Duplicates
+    arriving later than the watermark are NOT caught (they're also dropped
+    as late data upstream); batch `dedup.exact_dedup` over bronze is the
+    backstop.
+
+    Works on batch input too (falls back to plain dropDuplicates —
+    identical result on a bounded frame).
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(list(key_cols))
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def write_stream_to_bronze(
     df: DataFrame,
     path: str,

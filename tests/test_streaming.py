@@ -67,6 +67,40 @@ def test_streaming_end_to_end(spark, tmp_path):
     assert got[("2024-01-02", "view")] == 1
 
 
+def test_dedup_stream_drops_redelivery(spark, tmp_path):
+    """Duplicate event_ids across micro-batches are dropped within the
+    watermark window."""
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "view", 1.0, "{}"),
+        (1, datetime(2024, 1, 1, 10, 0), 1, "view", 1.0, "{}"),   # re-delivery
+        (2, datetime(2024, 1, 1, 10, 5), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 5), 1, "click", 1.0, "{}"),  # re-delivery
+        (3, datetime(2024, 1, 1, 10, 9), 2, "view", 2.0, "{}"),
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, EVENTS).write.parquet(src)
+
+    stream = SE.read_events_stream(spark, src)
+    deduped = SE.dedup_stream(stream, key_cols=("event_id",), watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT event_id FROM dedup_stream_test").collect()
+    assert sorted(r["event_id"] for r in out) == [1, 2, 3]
+
+
+def test_dedup_stream_batch_fallback(spark):
+    df = _events_df(spark)
+    doubled = df.unionAll(df)
+    assert SE.dedup_stream(doubled).count() == df.count()
+
+
 def test_streaming_bronze_sink(spark, tmp_path):
     src_dir = str(tmp_path / "in")
     _events_df(spark).write.parquet(src_dir)
