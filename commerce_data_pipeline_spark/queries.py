@@ -1027,8 +1027,12 @@ def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     Plane signs derive from xxhash64 → Spark-only; driver does a rows-only
     check, recall-vs-brute-force is pinned in tests/test_similarity.py."""
     emb = load_table(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 20 == 0)
-    out = similarity.rp_lsh_topk(emb, queries, k=5, dim=64, n_planes=8, n_tables=4)
+    # single small parquet file → 1 input split; scatter before the
+    # CPU-bound Python bucketing stage (real inputs bring their own splits)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    out = similarity.rp_lsh_self_topk(
+        emb, lambda vid: vid % 20 == 0, k=5, dim=64, n_planes=8, n_tables=4
+    )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
     )
