@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis): operator invariants on generated
+inputs, not just hand-picked fixtures. Examples are kept small and capped
+(max_examples) because each example pays a Spark job."""
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from commerce_data_pipeline_spark.operators import skew, temporal
+from commerce_data_pipeline_spark.operators.analytics import sessionize
+from pyspark.sql import functions as F
+
+BASE = datetime(2024, 1, 1)
+
+# (user_id, minutes-offset) event streams
+events_strategy = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 5000)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _unique_ts(rows):
+    """One event per (user, ts): sessionization tie-order is irrelevant to
+    the invariants but duplicate timestamps make assertions ambiguous."""
+    return list({(u, m): None for u, m in rows}.keys())
+
+
+@settings(max_examples=12, deadline=None)
+@given(events_strategy)
+def test_sessionize_invariants(spark, rows):
+    rows = _unique_ts(rows)
+    df = spark.createDataFrame(
+        [(u, BASE + timedelta(minutes=m)) for u, m in rows], "user_id long, ts timestamp"
+    )
+    out = sessionize(df, gap_minutes=30).collect()
+    # partition property: every event assigned exactly one session
+    assert len(out) == len(rows)
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["session_seq"]))
+    for user, evs in by_user.items():
+        evs.sort()
+        for (t0, s0), (t1, s1) in zip(evs, evs[1:]):
+            gap = (t1 - t0).total_seconds()
+            if s1 == s0:
+                assert gap <= 1800  # within-session gap never exceeds threshold
+            else:
+                assert s1 == s0 + 1 and gap > 1800  # new session iff gap exceeded
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(1, 2), st.integers(0, 1000)), min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(1, 2), st.integers(0, 1000), st.integers(0, 100)),
+             min_size=0, max_size=25),
+)
+def test_asof_join_matches_pandas(spark, left_rows, right_rows):
+    left_rows = _unique_ts(left_rows)
+    right_rows = list({(k, m): v for k, m, v in right_rows}.items())
+    lpdf = pd.DataFrame(
+        {"k": [u for u, _ in left_rows],
+         "ts": [BASE + timedelta(seconds=m) for _, m in left_rows]}
+    )
+    rpdf = pd.DataFrame(
+        {"k": [k for (k, _), _ in right_rows],
+         "ts": [BASE + timedelta(seconds=m) for (_, m), _ in right_rows],
+         "v": [float(v) for _, v in right_rows]}
+    )
+    sl = spark.createDataFrame(lpdf)
+    sr = (
+        spark.createDataFrame(rpdf)
+        if len(rpdf)
+        else spark.createDataFrame([], "k bigint, ts timestamp, v double")
+    )
+    got = temporal.asof_join(sl, sr, on="k", right_cols=["v"]).orderBy("k", "ts").collect()
+    want = (
+        pd.merge_asof(
+            lpdf.sort_values("ts", kind="stable"), rpdf.sort_values("ts", kind="stable"),
+            on="ts", by="k",
+        )
+        .sort_values(["k", "ts"], kind="stable")["v"]
+        .tolist()
+        if len(rpdf)
+        else [None] * len(lpdf)
+    )
+    got_v = [r["v_matched"] for r in got]
+    want_v = [None if pd.isna(v) else v for v in want]
+    assert got_v == want_v
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(1, 4), st.integers(0, 50)), min_size=1, max_size=40),
+    st.lists(st.integers(1, 6), min_size=1, max_size=6),
+)
+def test_salted_join_equals_plain_join(spark, large_rows, small_keys):
+    large = spark.createDataFrame(large_rows, "k long, payload long")
+    small = spark.createDataFrame(
+        [(k, f"d{k}") for k in set(small_keys)], "k long, name string"
+    )
+    plain = sorted(map(tuple, large.join(small, on="k").select("k", "payload", "name").collect()))
+    salted = sorted(
+        map(tuple, skew.salted_join(large, small, on="k", n_salts=4)
+            .select("k", "payload", "name").collect())
+    )
+    assert plain == salted
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 3), st.integers(0, 600)), min_size=1, max_size=25))
+def test_band_join_matches_theta_join(spark, rows):
+    rows = [(u, i, m) for i, (u, m) in enumerate(_unique_ts(rows))]
+    df = spark.createDataFrame(
+        [(u, i, BASE + timedelta(seconds=m)) for u, i, m in rows],
+        "k long, id long, ts timestamp",
+    )
+    banded = (
+        temporal.band_join(df, df, on="k", band_seconds=60)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    theta = (
+        df.alias("a").join(df.alias("b"), on="k")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(F.abs(F.unix_micros("a.ts") - F.unix_micros("b.ts")) <= 60_000_000)
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+    )
+    key = lambda d: sorted((r["a_id"], r["b_id"]) for r in d.collect())
+    assert key(banded) == key(theta)
