@@ -176,6 +176,80 @@ LIMIT 10
 """
 
 
+def _q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on BOTH join sides before the join
+    (pushdown visible on each scan), then agg + top-k."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1997-06-01"))
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-06-01"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"))
+        .agg(_dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_O_SHIPPING_PRIORITY = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def _q_nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: the fact table joins TWO dimension paths (customer
+    nation and supplier nation) — the classic snowflake double-join; both
+    nation paths broadcast."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.cn_key)
+        .join(F.broadcast(n2), s.s_nationkey == n2.sn_key)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(_dsum(revenue).alias("volume"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+_O_NATION_TRADE_VOLUME = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS volume,
+  COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY cn.n_name, sn.n_name
+"""
+
+
 def _q_sort_topk_lineitems(spark: SparkSession, sf: str) -> DataFrame:
     """R5 sort + top-k with a unique composite key and explicit rank.
 
@@ -1115,6 +1189,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "top_revenue_nations": QuerySpec(_q_top_revenue_nations, _O_TOP_REVENUE_NATIONS, "5-way broadcast star join (Q5 shape)"),
     "order_priority": QuerySpec(_q_order_priority, _O_ORDER_PRIORITY, "EXISTS semi-join (Q4 shape)"),
     "top_customers": QuerySpec(_q_top_customers, _O_TOP_CUSTOMERS, "join+agg+top-k"),
+    "shipping_priority": QuerySpec(_q_shipping_priority, _O_SHIPPING_PRIORITY, "two-side filtered join (Q3 shape)"),
+    "nation_trade_volume": QuerySpec(_q_nation_trade_volume, _O_NATION_TRADE_VOLUME, "double-dimension snowflake (Q7 shape)"),
     "sort_topk_lineitems": QuerySpec(_q_sort_topk_lineitems, _O_SORT_TOPK_LINEITEMS, "R5 global sort / top-k with rank"),
     "distinct_ship_dates": QuerySpec(_q_distinct_ship_dates, _O_DISTINCT_SHIP_DATES, "P4/P5 date discovery"),
     "date_gaps": QuerySpec(_q_date_gaps, _O_DATE_GAPS, "P6 anti-join gap detection"),
