@@ -322,6 +322,74 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def _q_cube_sales(spark: SparkSession, sf: str) -> DataFrame:
+    """§2e grouping sets: full CUBE over (returnflag, linestatus) — all
+    2^2 grouping combinations in one pass."""
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("l_extendedprice")).alias("sum_price")
+    )
+
+
+_O_CUBE_SALES = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def _q_trailing_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """§2e window RANGE frame: 30-day trailing order total per customer —
+    a value-based frame (rangeBetween on epoch days), not a row count."""
+    o = load_table(spark, sf, "orders")
+    days = F.floor(F.unix_micros(F.col("o_orderdate")) / (86400 * 1_000_000))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("trailing_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+_O_TRAILING_REVENUE = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS trailing_30d,
+  COUNT(*) OVER w AS n_orders_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 86400000000
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_word_count(spark: SparkSession, sf: str) -> DataFrame:
+    """§2e explode/unnest + agg: the canonical word count — top 20 corpus
+    words. explode → partial-agg → exchange on word → TakeOrdered."""
+    docs = load_table(spark, sf, "documents")
+    words = F.split(dedup.normalized_text("text"), " ")
+    return (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+_O_WORD_COUNT = """
+SELECT word, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+)
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
 def _q_running_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """§2e window frame: per-customer running order total (cumulative sum).
 
@@ -1195,7 +1263,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "distinct_ship_dates": QuerySpec(_q_distinct_ship_dates, _O_DISTINCT_SHIP_DATES, "P4/P5 date discovery"),
     "date_gaps": QuerySpec(_q_date_gaps, _O_DATE_GAPS, "P6 anti-join gap detection"),
     "rollup_sales": QuerySpec(_q_rollup_sales, _O_ROLLUP_SALES, "grouping sets (ROLLUP)"),
+    "cube_sales": QuerySpec(_q_cube_sales, _O_CUBE_SALES, "grouping sets (CUBE)"),
     "running_revenue": QuerySpec(_q_running_revenue, _O_RUNNING_REVENUE, "window cumulative frame"),
+    "trailing_revenue": QuerySpec(_q_trailing_revenue, _O_TRAILING_REVENUE, "window RANGE frame (30-day trailing)"),
+    "word_count": QuerySpec(_q_word_count, _O_WORD_COUNT, "explode/unnest + agg + top-k"),
     "customer_segments_setops": QuerySpec(_q_customer_segments_setops, _O_SETOPS, "§2e UNION/INTERSECT/EXCEPT"),
     "event_type_pivot": QuerySpec(_q_event_type_pivot, _O_EVENT_TYPE_PIVOT, "§2e pivot (explicit values)"),
     "asof_view_before_purchase": QuerySpec(_q_asof_view_before_purchase, _O_ASOF_VIEW_BEFORE_PURCHASE, "as-of join (union+window)"),

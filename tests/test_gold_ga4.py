@@ -102,6 +102,32 @@ def test_ga4_cohorts_single_week(silver):
     assert len(out) == 1 and out[0]["active_users"] == 3 and out[0]["period_offset"] == 0
 
 
+def test_ga4_silver_runs_on_stream(spark, tmp_path):
+    """The silver projection is a pure map — identical code path on a
+    Structured Streaming source (bronze → silver unification)."""
+    rows = [_ev("u1", "page_view", 0), _ev("u1", "purchase", 60, revenue=9.0)]
+    src = str(tmp_path / "ga4_bronze")
+    spark.createDataFrame(rows, GA4_EVENTS).write.parquet(src)
+
+    stream = spark.readStream.schema(GA4_EVENTS).parquet(src)
+    silver_stream = G.ga4_silver(stream)
+    assert silver_stream.isStreaming
+    q = (
+        silver_stream.writeStream.format("memory")
+        .queryName("ga4_silver_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM ga4_silver_stream").collect()
+    assert len(out) == 2
+    got = {r["event_name"]: r for r in out}
+    assert got["purchase"]["revenue"] == 9.0
+    assert got["page_view"]["ga_session_id"] == 1
+
+
 def test_funnel_by_source(silver):
     out = {r["traffic_source"]: r for r in G.ga4_page_funnel_by_source(silver).collect()}
     assert out["google"]["users_page_view"] == 2      # u1, u3
