@@ -220,6 +220,77 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list: the step that
+    turns near-dup PAIRS into dedup CLUSTERS (keep min-id per component,
+    drop the rest). Returns (id, component) with component = min id
+    reachable — deterministic.
+
+    Algorithm: min-label propagation. Each node starts labeled with itself;
+    every iteration each node takes the min label in its closed
+    neighborhood; stop when an iteration changes nothing. Converges in
+    O(component diameter) iterations — near-dup graphs are clique-ish, so
+    2-3 in practice. Each iteration is one shuffle (join labels⋈edges +
+    min-agg); `localCheckpoint` truncates the growing lineage so iteration
+    N doesn't replay iterations 1..N-1 (the classic iterative-DataFrame
+    trap). The driver loop only inspects a scalar convergence count —
+    labels themselves never leave the executors.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # min label among neighbors, then min with own label
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+                ).alias("component"),
+                (F.col("n_min") < F.col("component")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Complete near-dup dedup: keep one representative (min id) per
+    component; rows not in any pair survive untouched. Anti-join drops the
+    non-representative members — document rows never shuffle."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 64) -> DataFrame:
     """X2 — SimHash: sign-sum of per-word xxhash64 bits. Spark-side only

@@ -1070,7 +1070,9 @@ def _q_lsh_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(doubled, num_hashes=16, bands=4, shingle_n=3)
 
 
-def _ora_lsh_pairs(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+def _ora_lsh_ctes(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    """Shared CTE chain: doubled corpus → shingles → signatures → band rows
+    → distinct candidate pairs (used by both the pairs and clusters oracles)."""
     r = num_hashes // bands
     comps = ",\n    ".join(
         f"list_min(list_transform(vs, v -> ({a} * v + {b}) % {dedup.MINHASH_PRIME})) AS mh_{i}"
@@ -1082,8 +1084,7 @@ def _ora_lsh_pairs(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
         + ")) AS bkey FROM sig"
         for b in range(bands)
     )
-    return f"""
-WITH doubled AS (
+    return f"""doubled AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000, text FROM documents
@@ -1107,11 +1108,47 @@ WITH doubled AS (
   SELECT doc_id, {comps} FROM vals
 ), band_rows AS (
 {band_rows}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band_rows a JOIN band_rows b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+)"""
+
+
+def _ora_lsh_pairs(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    return f"WITH {_ora_lsh_ctes(num_hashes, bands, n)}\nSELECT id_a, id_b FROM pairs"
+
+
+def _ora_dedup_clusters(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    """Transitive closure of the candidate-pair graph via recursive CTE:
+    each node's component = min reachable id — the oracle for the Spark
+    min-label-propagation `connected_components`."""
+    return f"""
+WITH RECURSIVE {_ora_lsh_ctes(num_hashes, bands, n)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM band_rows a JOIN band_rows b ON a.band = b.band AND a.bkey = b.bkey
-WHERE a.doc_id < b.doc_id
+SELECT id, MIN(r) AS component FROM reach GROUP BY id
 """
+
+
+def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 — near-dup CLUSTERS: connected components (iterative min-label
+    propagation) over the LSH candidate pairs. Oracle = recursive-CTE
+    transitive closure of the same graph."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
+    pairs = dedup.minhash_lsh_pairs(doubled, num_hashes=16, bands=4, shingle_n=3)
+    return dedup.connected_components(pairs)
 
 
 def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
@@ -1290,6 +1327,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_fingerprints": QuerySpec(_q_text_fingerprints, _O_TEXT_FINGERPRINTS, "X4 fingerprint + token counts"),
     "text_profile": QuerySpec(_q_text_profile, _O_TEXT_PROFILE, "X4 lang-ID + quality scoring"),
     "lsh_dedup_pairs": QuerySpec(_q_lsh_dedup_pairs, _ora_lsh_pairs(16, 4, 3), "X2 MinHash+LSH banded pairs"),
+    "dedup_clusters": QuerySpec(_q_dedup_clusters, _ora_dedup_clusters(16, 4, 3), "X2 connected-components clustering"),
     "ann_ivf": QuerySpec(_q_ann_ivf, _O_ANN_IVF, "X3 IVF-routed ANN top-k"),
     "ann_lsh": QuerySpec(_q_ann_lsh, None, "X3 RP-LSH ANN top-k (rows-only: xxhash64)"),
     "multimodal_meta": QuerySpec(_q_multimodal_meta, _O_MULTIMODAL_META, "X5 media metadata/digest projection"),

@@ -97,3 +97,22 @@ def test_simhash_buckets_near_dup(spark):
     assert (0, 1) in pairs
     assert pairs[(0, 1)] == 0
     assert (0, 2) not in pairs
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter > 1 → needs multiple propagation rounds)
+    # plus clique {10,11,12} and isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_by_components_keeps_representatives(spark):
+    df = _docs(spark, ["a", "b", "c", "d", "e"])  # ids 0..4
+    pairs = spark.createDataFrame([(0, 2), (2, 4)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in D.dedup_by_components(df, pairs).collect())
+    # component {0,2,4} → keep 0; 1 and 3 untouched
+    assert kept == [0, 1, 3]
