@@ -25,9 +25,17 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # Warm the JVM/codegen paths once so per-query numbers measure the
-    # queries, not session bring-up.
+    # Warm the JVM paths once so per-query numbers measure the queries,
+    # not session bring-up: codegen compile, parquet reader init (footer +
+    # vectorized reader classes), shuffle machinery, python worker fork +
+    # numpy import (several seconds on first use otherwise billed to
+    # whichever query happens to run first).
+    from pyspark.sql import functions as F
+
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    warm.join(warm.select(F.col("r_regionkey")), on="r_regionkey").groupBy("r_name").count().count()
+    spark.range(100).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
