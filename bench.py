@@ -47,6 +47,9 @@ def main() -> None:
         except Exception as e:  # record the failure; never break the bench line
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
+        # drop persisted blocks (e.g. the LSH bucket index) so queries are
+        # timed independently, not under accumulated memory pressure
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
