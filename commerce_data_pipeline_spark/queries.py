@@ -580,6 +580,68 @@ GROUP BY 1, 2
 """
 
 
+def _q_journey_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """G2 adjacency — customer-journey transition matrix (README.md:30
+    "journey mapping"): counts of consecutive (event → next event) steps
+    per user timeline. One lag window + one agg, both keyed."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_O_JOURNEY_TRANSITIONS = """
+WITH steps AS (
+  SELECT user_id, event_type AS from_type,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, COUNT(*) AS n_transitions,
+  COUNT(DISTINCT user_id) AS n_users
+FROM steps WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+def _q_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """G1/G3 — latency from first view to first purchase per converting
+    user, bucketed into hour bins. Exact integer µs arithmetic end-to-end."""
+    ev = load_table(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    conv = firsts.filter(
+        F.col("t_view").isNotNull() & F.col("t_buy").isNotNull() & (F.col("t_buy") >= F.col("t_view"))
+    )
+    hours = F.floor((F.unix_micros("t_buy") - F.unix_micros("t_view")) / (3600 * 1_000_000))
+    return conv.groupBy(hours.cast("long").alias("hours_to_convert")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+_O_TIME_TO_CONVERT = """
+WITH firsts AS (
+  SELECT user_id,
+    MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+    MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT CAST(FLOOR((epoch_us(t_buy) - epoch_us(t_view)) / 3600000000.0) AS BIGINT) AS hours_to_convert,
+  COUNT(*) AS n_users
+FROM firsts
+WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+GROUP BY 1
+"""
+
+
 def _q_param_extract(spark: SparkSession, sf: str) -> DataFrame:
     """G6 — JSON key-value extraction (GA4 event_params stand-in) + agg."""
     ev = load_table(spark, sf, "events")
@@ -1315,6 +1377,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "attribution_last_touch": QuerySpec(_q_attribution_last_touch, _O_ATTRIBUTION_LAST_TOUCH, "G4 last-touch attribution"),
     "cohort_retention": QuerySpec(_q_cohort_retention, _O_COHORT_RETENTION, "G5 weekly cohorts"),
     "param_extract": QuerySpec(_q_param_extract, _O_PARAM_EXTRACT, "G6 JSON param extraction"),
+    "journey_transitions": QuerySpec(_q_journey_transitions, _O_JOURNEY_TRANSITIONS, "G2 journey transition matrix"),
+    "time_to_convert": QuerySpec(_q_time_to_convert, _O_TIME_TO_CONVERT, "G1/G3 conversion latency histogram"),
     # training-data ops (SURVEY §2d)
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
     "minhash_signature": QuerySpec(_q_minhash_signature, _ora_minhash(8, 3), "X2 MinHash signatures"),
