@@ -240,3 +240,189 @@ GA4_EVENTS = T.StructType(
         T.StructField("is_active_user", T.BooleanType()),
     ]
 )
+
+
+# --- Raw nested GA4 export schema (source side of the extraction) -----------
+# The shape of Google's BigQuery GA4 export tables (events_YYYYMMDD) that the
+# reference queries against — its extraction SQL flattens this to GA4_EVENTS
+# (/root/reference/config/queries/extract_events.sql:5-95). Types follow the
+# public GA4 export schema documentation.
+
+_GA4_WEB_INFO = T.StructType(
+    [
+        T.StructField("browser", T.StringType()),
+        T.StructField("browser_version", T.StringType()),
+        T.StructField("hostname", T.StringType()),
+    ]
+)
+
+_GA4_DEVICE = T.StructType(
+    [
+        T.StructField("category", T.StringType()),
+        T.StructField("mobile_brand_name", T.StringType()),
+        T.StructField("mobile_model_name", T.StringType()),
+        T.StructField("mobile_marketing_name", T.StringType()),
+        T.StructField("mobile_os_hardware_model", T.StringType()),
+        T.StructField("operating_system", T.StringType()),
+        T.StructField("operating_system_version", T.StringType()),
+        T.StructField("vendor_id", T.StringType()),
+        T.StructField("advertising_id", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("is_limited_ad_tracking", T.StringType()),
+        T.StructField("time_zone_offset_seconds", T.LongType()),
+        T.StructField("browser", T.StringType()),
+        T.StructField("browser_version", T.StringType()),
+        T.StructField("web_info", _GA4_WEB_INFO),
+    ]
+)
+
+_GA4_GEO = T.StructType(
+    [
+        T.StructField("continent", T.StringType()),
+        T.StructField("country", T.StringType()),
+        T.StructField("region", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("sub_continent", T.StringType()),
+        T.StructField("metro", T.StringType()),
+    ]
+)
+
+_GA4_APP_INFO = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("version", T.StringType()),
+        T.StructField("install_store", T.StringType()),
+        T.StructField("firebase_app_id", T.StringType()),
+        T.StructField("install_source", T.StringType()),
+    ]
+)
+
+_GA4_ECOMMERCE = T.StructType(
+    [
+        T.StructField("total_item_quantity", T.LongType()),
+        T.StructField("purchase_revenue_in_usd", T.DoubleType()),
+        T.StructField("purchase_revenue", T.DoubleType()),
+        T.StructField("refund_value_in_usd", T.DoubleType()),
+        T.StructField("refund_value", T.DoubleType()),
+        T.StructField("shipping_value_in_usd", T.DoubleType()),
+        T.StructField("shipping_value", T.DoubleType()),
+        T.StructField("tax_value_in_usd", T.DoubleType()),
+        T.StructField("tax_value", T.DoubleType()),
+        T.StructField("unique_items", T.LongType()),
+        T.StructField("transaction_id", T.StringType()),
+    ]
+)
+
+_GA4_PRIVACY_INFO = T.StructType(
+    [
+        T.StructField("analytics_storage", T.StringType()),
+        T.StructField("ads_storage", T.StringType()),
+        T.StructField("uses_transient_token", T.StringType()),
+    ]
+)
+
+_GA4_COLLECTED_TRAFFIC = T.StructType(
+    [
+        T.StructField("manual_campaign_id", T.StringType()),
+        T.StructField("manual_campaign_name", T.StringType()),
+        T.StructField("manual_source", T.StringType()),
+        T.StructField("manual_medium", T.StringType()),
+        T.StructField("gclid", T.StringType()),
+        T.StructField("dclid", T.StringType()),
+        T.StructField("srsltid", T.StringType()),
+    ]
+)
+
+_GA4_LAST_CLICK = T.StructType(
+    [
+        T.StructField(
+            "manual_campaign",
+            T.StructType(
+                [
+                    T.StructField("campaign_id", T.StringType()),
+                    T.StructField("campaign_name", T.StringType()),
+                    T.StructField("source", T.StringType()),
+                    T.StructField("medium", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+GA4_EXPORT_RAW = T.StructType(
+    [
+        T.StructField("event_date", T.StringType()),
+        T.StructField("event_timestamp", T.LongType()),
+        T.StructField("event_name", T.StringType()),
+        T.StructField(
+            "event_params",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value", _GA4_PARAM_VALUE),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("event_previous_timestamp", T.LongType()),
+        T.StructField("event_value_in_usd", T.DoubleType()),
+        T.StructField("event_bundle_sequence_id", T.LongType()),
+        T.StructField("event_server_timestamp_offset", T.LongType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("user_pseudo_id", T.StringType()),
+        T.StructField(
+            "user_properties",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value", _GA4_USER_PROP_VALUE),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("user_first_touch_timestamp", T.LongType()),
+        T.StructField(
+            "user_ltv",
+            T.StructType(
+                [
+                    T.StructField("revenue", T.DoubleType()),
+                    T.StructField("currency", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "traffic_source",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType()),
+                    T.StructField("medium", T.StringType()),
+                    T.StructField("name", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("device", _GA4_DEVICE),
+        T.StructField("geo", _GA4_GEO),
+        T.StructField("app_info", _GA4_APP_INFO),
+        T.StructField("platform", T.StringType()),
+        T.StructField("stream_id", T.StringType()),
+        T.StructField("ecommerce", _GA4_ECOMMERCE),
+        T.StructField("items", T.ArrayType(GA4_ITEM)),
+        T.StructField("privacy_info", _GA4_PRIVACY_INFO),
+        T.StructField(
+            "event_dimensions",
+            T.StructType([T.StructField("hostname", T.StringType())]),
+        ),
+        T.StructField("collected_traffic_source", _GA4_COLLECTED_TRAFFIC),
+        T.StructField("is_active_user", T.BooleanType()),
+        T.StructField("batch_event_index", T.LongType()),
+        T.StructField("batch_page_id", T.LongType()),
+        T.StructField("batch_ordering_id", T.LongType()),
+        T.StructField("session_traffic_source_last_click", _GA4_LAST_CLICK),
+        T.StructField(
+            "publisher",
+            T.StructType([T.StructField("ad_revenue_in_usd", T.DoubleType())]),
+        ),
+    ]
+)
