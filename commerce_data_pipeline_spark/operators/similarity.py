@@ -397,14 +397,21 @@ def ivf_topk(
             F.col("unit").alias("c_vec"),
         )
     )
-    # invert: each corpus vector → nearest centroid
-    assign_w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    # invert: each corpus vector → nearest centroid. Assignment is an
+    # argmax AGGREGATION (max_by over lexicographic (sim, -centroid_id) —
+    # same tie-break as ORDER BY sim DESC, centroid_id ASC), not a window:
+    # partial aggregation combines map-side and there is no per-id sort.
     inverted = (
         u.crossJoin(F.broadcast(centroids))
         .withColumn("c_sim", _dot(F.col("unit"), F.col("c_vec")))
-        .withColumn("_r", F.row_number().over(assign_w))
-        .filter(F.col("_r") == 1)
-        .select(F.col(id_col).alias("neighbor_id"), "centroid_id", F.col("unit").alias("c_unit"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("c_sim"), (-F.col("centroid_id")).alias("_nc"))
+            ).alias("centroid_id"),
+            F.first("unit").alias("c_unit"),  # identical across the group
+        )
+        .select(F.col(id_col).alias("neighbor_id"), "centroid_id", "c_unit")
     )
     # route: each query → its n_probe nearest centroids
     qu = with_unit_vector(queries, vec_col, "q_unit").select(
