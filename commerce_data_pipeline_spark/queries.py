@@ -36,6 +36,7 @@ from commerce_data_pipeline_spark.operators.analytics import (
     funnel,
     sessionize,
 )
+from commerce_data_pipeline_spark.streaming import events as streaming_events
 
 # exact, order-independent sum of a double expression: see module docstring
 def _dsum(col):
@@ -577,6 +578,58 @@ SELECT strftime(cohort_start, '%Y-%m-%d') AS cohort,
   COUNT(DISTINCT e.user_id) AS active_users
 FROM events e JOIN firsts f ON e.user_id = f.user_id
 GROUP BY 1, 2
+"""
+
+
+def _q_streaming_daily_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming transform, batch-parity surface: `daily_event_counts` is
+    the same code path for streams and batch (watermark no-ops on bounded
+    input) — oracle-checking the batch side pins the shared semantics;
+    micro-batch execution is pinned in tests/test_streaming.py."""
+    ev = load_table(spark, sf, "events")
+    return streaming_events.daily_event_counts(ev)
+
+
+_O_STREAMING_DAILY_COUNTS = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-native gap sessions (`session_window`), batch-parity
+    surface: merges while inter-event gap <= 30 min — verified equal to
+    the lag+cumsum batch sessionizer, and here against the SQL oracle."""
+    ev = load_table(spark, sf, "events")
+    out = streaming_events.session_window_stats(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+_O_SESSION_WINDOWS = """
+WITH gaps AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seq AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM gaps
+)
+SELECT user_id,
+  epoch_us(MIN(ts)) AS session_start_us,
+  epoch_us(MAX(ts)) AS session_end_us,
+  COUNT(*) AS n_events
+FROM seq GROUP BY user_id, session_seq
 """
 
 
@@ -1378,6 +1431,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "cohort_retention": QuerySpec(_q_cohort_retention, _O_COHORT_RETENTION, "G5 weekly cohorts"),
     "param_extract": QuerySpec(_q_param_extract, _O_PARAM_EXTRACT, "G6 JSON param extraction"),
     "journey_transitions": QuerySpec(_q_journey_transitions, _O_JOURNEY_TRANSITIONS, "G2 journey transition matrix"),
+    "streaming_daily_counts": QuerySpec(_q_streaming_daily_counts, _O_STREAMING_DAILY_COUNTS, "streaming tumbling-window agg (batch parity)"),
+    "session_windows": QuerySpec(_q_session_windows, _O_SESSION_WINDOWS, "streaming session_window (batch parity)"),
     "time_to_convert": QuerySpec(_q_time_to_convert, _O_TIME_TO_CONVERT, "G1/G3 conversion latency histogram"),
     # training-data ops (SURVEY §2d)
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
