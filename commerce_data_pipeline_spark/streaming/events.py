@@ -143,6 +143,47 @@ def dedup_stream(
     )
 
 
+def maintain_daily_gold(
+    events: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Incremental gold maintenance via foreachBatch: each micro-batch
+    recomputes the (day, event_type) aggregate rows for ONLY the days it
+    touched and dynamic-partition-overwrites those partitions of the gold
+    parquet table. Readers always see complete day aggregates.
+
+    This is the streaming upsert pattern for stores without row-level
+    merge: state holds the running aggregate (Spark's update-mode output),
+    the sink granularity is a partition. Late data within the watermark
+    updates its day in place on the next batch; checkpointing makes the
+    rewrite idempotent under micro-batch replay — replaying batch N
+    overwrites the same partitions with the same content.
+    """
+    agg = daily_event_counts(events)  # watermarked, update-mode state
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.withColumn("day_part", F.col("day"))
+            .write.mode("overwrite")
+            .partitionBy("day_part")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(gold_path)
+        )
+
+    writer = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_stream_to_bronze(
     df: DataFrame,
     path: str,

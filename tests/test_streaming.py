@@ -101,6 +101,40 @@ def test_dedup_stream_batch_fallback(spark):
     assert SE.dedup_stream(doubled).count() == df.count()
 
 
+def test_maintain_daily_gold_incremental_upsert(spark, tmp_path):
+    """foreachBatch gold maintenance: second batch of late-but-in-watermark
+    events updates only its day partition; other days stay intact."""
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    gold = str(tmp_path / "gold")
+
+    _events_df(spark).write.parquet(src)
+    stream = SE.read_events_stream(spark, src)
+    q = SE.maintain_daily_gold(stream, gold, ckpt)
+    q.awaitTermination(120)
+
+    first = {
+        (r["day"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(gold).collect()
+    }
+    assert first[("2024-01-01", "view")] == 2
+    assert first[("2024-01-02", "view")] == 1
+
+    # new file: one more 2024-01-02 view → that day's aggregate must update
+    more = [(9, datetime(2024, 1, 2, 9, 30), 3, "view", 1.0, "{}")]
+    spark.createDataFrame(more, EVENTS).write.mode("append").parquet(src)
+    q2 = SE.maintain_daily_gold(SE.read_events_stream(spark, src), gold, ckpt)
+    q2.awaitTermination(120)
+
+    second = {
+        (r["day"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(gold).collect()
+    }
+    assert second[("2024-01-02", "view")] == 2   # updated in place
+    assert second[("2024-01-01", "view")] == 2   # untouched partition intact
+    assert second[("2024-01-01", "purchase")] == 1
+
+
 def test_streaming_bronze_sink(spark, tmp_path):
     src_dir = str(tmp_path / "in")
     _events_df(spark).write.parquet(src_dir)
