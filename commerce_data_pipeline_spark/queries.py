@@ -975,6 +975,72 @@ def _q_approx_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_above_brand_avg_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """§2e/§4 — correlated scalar subquery through the SQL surface:
+    Catalyst decorrelates it into an aggregate + join (RewriteCorrelated
+    ScalarSubquery); verify via .explain — no per-row subquery execution."""
+    load_table(spark, sf, "part").createOrReplaceTempView("_part_v")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               COUNT(*) AS n_above,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM _part_v p
+        WHERE p_retailprice > (
+            SELECT AVG(p2.p_retailprice) FROM _part_v p2 WHERE p2.p_brand = p.p_brand
+        )
+        GROUP BY p_brand
+        """
+    )
+
+
+_O_ABOVE_BRAND_AVG_PARTS = """
+SELECT p_brand, COUNT(*) AS n_above,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM part p
+WHERE p_retailprice > (
+  SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+GROUP BY p_brand
+"""
+
+
+def _q_priciest_item_per_order(spark: SparkSession, sf: str) -> DataFrame:
+    """§2e — argmax aggregates (max_by/min_by): per order, the line number
+    of its most/least expensive item. Tie-break folded into the ordering
+    struct (price, -linenumber) so both engines pick identically."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.max_by(
+            "l_linenumber", F.struct(F.col("l_extendedprice"), (-F.col("l_linenumber")).alias("_n"))
+        ).alias("max_price_line"),
+        F.min_by(
+            "l_linenumber", F.struct(F.col("l_extendedprice"), F.col("l_linenumber"))
+        ).alias("min_price_line"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# oracle computes the same argmax via window ranking (DuckDB's arg_max has
+# no composite tie-break); tie-breaks align: max → (price DESC, line ASC),
+# min → (price ASC, line ASC)
+_O_PRICIEST_ITEM_PER_ORDER = """
+WITH ranked AS (
+  SELECT l_orderkey, l_linenumber,
+    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rmax,
+    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      ORDER BY l_extendedprice ASC, l_linenumber ASC) AS rmin
+  FROM lineitem
+)
+SELECT l_orderkey,
+  MAX(CASE WHEN rmax = 1 THEN l_linenumber END) AS max_price_line,
+  MAX(CASE WHEN rmin = 1 THEN l_linenumber END) AS min_price_line,
+  COUNT(*) AS n_lines
+FROM ranked GROUP BY l_orderkey
+"""
+
+
 def _q_customer_segments_setops(spark: SparkSession, sf: str) -> DataFrame:
     """§2e set operations: UNION / INTERSECT / EXCEPT over customer key
     sets (buyers in 1996 vs 1997), labeled and unioned into one result."""
@@ -1419,6 +1485,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "running_revenue": QuerySpec(_q_running_revenue, _O_RUNNING_REVENUE, "window cumulative frame"),
     "trailing_revenue": QuerySpec(_q_trailing_revenue, _O_TRAILING_REVENUE, "window RANGE frame (30-day trailing)"),
     "word_count": QuerySpec(_q_word_count, _O_WORD_COUNT, "explode/unnest + agg + top-k"),
+    "above_brand_avg_parts": QuerySpec(_q_above_brand_avg_parts, _O_ABOVE_BRAND_AVG_PARTS, "correlated scalar subquery (SQL surface)"),
+    "priciest_item_per_order": QuerySpec(_q_priciest_item_per_order, _O_PRICIEST_ITEM_PER_ORDER, "argmax aggregates (max_by/min_by)"),
     "customer_segments_setops": QuerySpec(_q_customer_segments_setops, _O_SETOPS, "§2e UNION/INTERSECT/EXCEPT"),
     "event_type_pivot": QuerySpec(_q_event_type_pivot, _O_EVENT_TYPE_PIVOT, "§2e pivot (explicit values)"),
     "asof_view_before_purchase": QuerySpec(_q_asof_view_before_purchase, _O_ASOF_VIEW_BEFORE_PURCHASE, "as-of join (union+window)"),
