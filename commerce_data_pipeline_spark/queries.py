@@ -581,6 +581,50 @@ GROUP BY 1, 2
 """
 
 
+def _q_price_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """§2e — EXACT percentiles (linear interpolation) per group; both
+    engines implement the same continuous-quantile definition. Rounded to
+    6 decimals to absorb last-ulp interpolation differences."""
+    li = load_table(spark, sf, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.element_at(pct, 1), 6).alias("p50"),
+        F.round(F.element_at(pct, 2), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_O_PRICE_PERCENTILES = """
+SELECT l_returnflag,
+  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+  ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+  COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_props_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """G6 — typed JSON parsing: from_json with an explicit schema (vs the
+    per-key get_json_object in `param_extract`), then aggregate over the
+    struct fields. One parse per row regardless of field count."""
+    ev = load_table(spark, sf, "events")
+    schema = "k long, source string"
+    parsed = ev.select(
+        "event_type", F.from_json("props", schema).alias("p")
+    )
+    return parsed.groupBy("event_type", F.col("p.source").alias("source")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p.k").alias("sum_k"),
+    )
+
+
+_O_PROPS_STRUCT = """
+SELECT event_type, props->>'$.source' AS source, COUNT(*) AS n,
+  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1, 2
+"""
+
+
 def _q_streaming_daily_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming transform, batch-parity surface: `daily_event_counts` is
     the same code path for streams and batch (watermark no-ops on bounded
@@ -1498,6 +1542,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "attribution_last_touch": QuerySpec(_q_attribution_last_touch, _O_ATTRIBUTION_LAST_TOUCH, "G4 last-touch attribution"),
     "cohort_retention": QuerySpec(_q_cohort_retention, _O_COHORT_RETENTION, "G5 weekly cohorts"),
     "param_extract": QuerySpec(_q_param_extract, _O_PARAM_EXTRACT, "G6 JSON param extraction"),
+    "props_struct": QuerySpec(_q_props_struct, _O_PROPS_STRUCT, "G6 typed from_json parsing"),
+    "price_percentiles": QuerySpec(_q_price_percentiles, _O_PRICE_PERCENTILES, "exact interpolated percentiles"),
     "journey_transitions": QuerySpec(_q_journey_transitions, _O_JOURNEY_TRANSITIONS, "G2 journey transition matrix"),
     "streaming_daily_counts": QuerySpec(_q_streaming_daily_counts, _O_STREAMING_DAILY_COUNTS, "streaming tumbling-window agg (batch parity)"),
     "session_windows": QuerySpec(_q_session_windows, _O_SESSION_WINDOWS, "streaming session_window (batch parity)"),
