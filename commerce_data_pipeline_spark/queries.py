@@ -251,6 +251,33 @@ GROUP BY cn.n_name, sn.n_name
 """
 
 
+def _q_supplier_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute group,
+    with a NOT-IN exclusion (suppliers in deficit) — left-anti join in
+    DataFrame terms; lineitem acts as the part↔supplier bridge."""
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf, "part").filter(F.col("p_size").isin(1, 5, 9, 13, 17))
+    excluded = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(excluded, on="l_suppkey", how="left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_O_SUPPLIER_DIVERSITY = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 9, 13, 17)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
 def _q_sort_topk_lineitems(spark: SparkSession, sf: str) -> DataFrame:
     """R5 sort + top-k with a unique composite key and explicit rank.
 
@@ -1520,6 +1547,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "order_priority": QuerySpec(_q_order_priority, _O_ORDER_PRIORITY, "EXISTS semi-join (Q4 shape)"),
     "top_customers": QuerySpec(_q_top_customers, _O_TOP_CUSTOMERS, "join+agg+top-k"),
     "shipping_priority": QuerySpec(_q_shipping_priority, _O_SHIPPING_PRIORITY, "two-side filtered join (Q3 shape)"),
+    "supplier_diversity": QuerySpec(_q_supplier_diversity, _O_SUPPLIER_DIVERSITY, "NOT-IN anti-join + distinct count (Q16 shape)"),
     "nation_trade_volume": QuerySpec(_q_nation_trade_volume, _O_NATION_TRADE_VOLUME, "double-dimension snowflake (Q7 shape)"),
     "sort_topk_lineitems": QuerySpec(_q_sort_topk_lineitems, _O_SORT_TOPK_LINEITEMS, "R5 global sort / top-k with rank"),
     "distinct_ship_dates": QuerySpec(_q_distinct_ship_dates, _O_DISTINCT_SHIP_DATES, "P4/P5 date discovery"),
