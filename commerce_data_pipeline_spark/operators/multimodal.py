@@ -238,6 +238,41 @@ def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
     )
 
 
+def audio_windows(
+    media: DataFrame, window_bytes: int = 256, hop_bytes: int = 128
+) -> DataFrame:
+    """Overlapping audio windows (the STFT-framing shape): one row per
+    window of `window_bytes` payload bytes advancing by `hop_bytes`
+    (50% overlap at the defaults). Pure built-ins — window *selection* is
+    relational (sequence + explode + substring); only spectral transforms
+    on the window bytes would need a Pandas-UDF stage downstream.
+
+    Returns (media_id, window_index, start_byte, window_len, window_bytes_col).
+    Blow-up factor ≈ byte_len/hop — caller controls via hop.
+    """
+    auds = media.filter(F.col("media_type") == "audio")
+    n_windows = F.greatest(
+        F.floor(
+            (F.octet_length("payload") - F.lit(window_bytes)) / F.lit(hop_bytes)
+        ).cast("int")
+        + 1,
+        F.lit(1),
+    )
+    idx = F.sequence(F.lit(0), n_windows - 1)
+    return (
+        auds.select("media_id", "payload", F.explode(idx).alias("window_index"))
+        .select(
+            "media_id",
+            "window_index",
+            (F.col("window_index") * hop_bytes).alias("start_byte"),
+            F.substring(
+                F.col("payload"), F.col("window_index") * hop_bytes + 1, F.lit(window_bytes)
+            ).alias("window_payload"),
+        )
+        .withColumn("window_len", F.octet_length("window_payload").cast("long"))
+    )
+
+
 def sample_frames(media: DataFrame, stride: int = 4) -> DataFrame:
     """Frame sampling for video payloads: one output row per sampled frame
     index (0, stride, 2·stride, …), each carrying a byte-slice of the

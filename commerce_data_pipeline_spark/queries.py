@@ -1520,6 +1520,33 @@ FROM fr
 """
 
 
+def _q_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """X5 — overlapping audio windows (64-byte window, 32-byte hop over
+    the synthetic payloads); arithmetic window lengths are the
+    oracle-comparable witness of correct slicing."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synthesize_media(docs)
+    w = multimodal.audio_windows(media, window_bytes=64, hop_bytes=32)
+    return w.select("media_id", "window_index", "start_byte", "window_len")
+
+
+_O_AUDIO_WINDOWS = """
+WITH auds AS (
+  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS blen
+  FROM documents WHERE doc_id % 3 = 1
+), wins AS (
+  SELECT media_id, blen,
+    GREATEST(CAST(FLOOR((blen - 64) / 32.0) AS INT) + 1, 1) AS n_windows
+  FROM auds
+)
+SELECT media_id,
+  CAST(i AS INT) AS window_index,
+  CAST(i * 32 AS BIGINT) AS start_byte,
+  CAST(LEAST(64, GREATEST(blen - i * 32, 0)) AS BIGINT) AS window_len
+FROM wins, LATERAL unnest(generate_series(0, n_windows - 1)) AS t(i)
+"""
+
+
 def _q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     """X5 — Arrow-batched feature extraction over media payloads (stub
     embedding model, real mapInPandas plumbing). Digest-chain features are
@@ -1593,6 +1620,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_lsh": QuerySpec(_q_ann_lsh, None, "X3 RP-LSH ANN top-k (rows-only: xxhash64)"),
     "multimodal_meta": QuerySpec(_q_multimodal_meta, _O_MULTIMODAL_META, "X5 media metadata/digest projection"),
     "frame_sample": QuerySpec(_q_frame_sample, _O_FRAME_SAMPLE, "X5 video frame sampling"),
+    "audio_windows": QuerySpec(_q_audio_windows, _O_AUDIO_WINDOWS, "X5 overlapping audio windows"),
     "media_features": QuerySpec(_q_media_features, None, "X5 feature extraction (rows-only: digest stub)"),
     "approx_stats": QuerySpec(_q_approx_stats, None, "X6 sketches (rows-only: approximate)"),
 }

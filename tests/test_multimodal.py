@@ -131,3 +131,18 @@ def test_metadata_query_prunes_payload(media, spark):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "payload" not in plan
+
+
+def test_audio_windows_overlap(media):
+    w = MM.audio_windows(media, window_bytes=8, hop_bytes=4)
+    rows = sorted(
+        (r["media_id"], r["window_index"], r["start_byte"], bytes(r["window_payload"]))
+        for r in w.collect()
+    )
+    auds = {m["media_id"]: bytes(m["payload"]) for m in media.collect()
+            if m["media_type"] == "audio"}
+    assert {r[0] for r in rows} == set(auds)
+    for mid, idx, start, payload in rows:
+        full = auds[mid]
+        assert start == idx * 4
+        assert payload == full[start:start + 8]  # 50% overlap slices
