@@ -129,3 +129,24 @@ def test_band_join_matches_theta_join(spark, rows):
     )
     key = lambda d: sorted((r["a_id"], r["b_id"]) for r in d.collect())
     assert key(banded) == key(theta)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=15))
+def test_exact_dedup_idempotent_and_normalizing(spark, texts):
+    from commerce_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    once = dedup.exact_dedup(df)
+    twice = dedup.exact_dedup(once)
+    rows_once = sorted(r["doc_id"] for r in once.collect())
+    rows_twice = sorted(r["doc_id"] for r in twice.collect())
+    assert rows_once == rows_twice  # idempotent
+    # survivors have pairwise-distinct normalized text
+    import re
+
+    norm = lambda t: re.sub(r"\s+", " ", t.lower()).strip()
+    kept = [norm(r["text"]) for r in once.collect()]
+    assert len(kept) == len(set(kept))
+    # every input text has a surviving representative
+    assert {norm(t) for t in texts} == set(kept)
