@@ -157,56 +157,122 @@ def brute_force_topk_expr(
     )
 
 
+def _bucketed_self_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+) -> DataFrame:
+    """LSH-bucketed near-dup pairs: the broadcast-free scale path. The
+    corpus is bucketized ONCE (numpy GEMM, persisted — probe/build sides
+    share the Python stage); only same-bucket pairs are scored, an
+    equi-join on (table, bucket). Recall < 1 by construction (tunable via
+    n_planes/n_tables) — near-dup pairs at cosine ≥ 0.9 collide with high
+    probability under random-hyperplane LSH."""
+    b = _bucketize_np(df, "id_a", id_col, vec_col, dim, n_planes, n_tables).persist()
+    a = b.select("id_a", F.col("unit").alias("a_unit"), "tab", "bucket")
+    c = b.select(
+        F.col("id_a").alias("id_b"), F.col("unit").alias("b_unit"), "tab", "bucket"
+    )
+    cand = (
+        a.join(c, on=["tab", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", _dot(F.col("a_unit"), F.col("b_unit")).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     top_pairs: int | None = None,
+    max_broadcast_rows: int = 500_000,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family X2): pairs with
-    cosine >= threshold (id_a < id_b); optionally only the `top_pairs` most
-    similar.
+    cosine >= threshold (id_a < id_b); with `top_pairs`, exactly the
+    `top_pairs` most similar globally (sim desc, id_a, id_b tie-break).
 
-    Execution mirrors `brute_force_topk`: the corpus broadcasts as a dense
-    matrix (precondition of all-pairs brute force), batches GEMM against it,
-    and each batch emits only pairs above threshold / its local top pairs.
-    At broadcast-infeasible scale use rp_lsh buckets or minhash first.
+    Two execution paths, chosen by a row budget (the guard is code, not a
+    docstring — an unguarded collect is the driver-OOM shape at scale):
+
+    - |corpus| <= `max_broadcast_rows`: exact brute force. The corpus
+      broadcasts as a dense matrix, batches GEMM against it, each batch
+      emits only pairs above threshold / its local top pairs.
+    - |corpus| > budget and threshold >= 0: `_bucketed_self_pairs` — the
+      RP-LSH bucketed self-join; nothing collects to the driver.
+      Approximate recall (documented on the helper).
+    - |corpus| > budget and threshold < 0 (exact all-pairs demanded):
+      ValueError — that shape is inherently O(n²)-dense; no safe plan
+      exists. Use a threshold or minhash prefilter.
     """
     spark = df.sparkSession
-    all_rows = df.select(F.col(id_col), F.col(vec_col)).collect()
-    if not all_rows:
-        return spark.createDataFrame([], "id_a long, id_b long, cosine_sim double")
-    bc = spark.sparkContext.broadcast(_normalized_matrix(all_rows))
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf[id_col].to_numpy(dtype="int64")
-            a_mat = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
-            norms = np.sqrt((a_mat * a_mat).sum(axis=1, keepdims=True))
-            norms[norms == 0.0] = 1.0
-            sims = (a_mat / norms) @ b_mat.T  # (batch, |corpus|)
-            mask = a_ids[:, None] < b_ids[None, :]
-            if threshold > -1.0:
-                mask &= sims >= threshold
-            ai, bi = np.nonzero(mask)
-            out = pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": b_ids[bi], "cosine_sim": sims[ai, bi]}
+    n_rows = df.count()
+    if n_rows > max_broadcast_rows:
+        if threshold < 0.0:
+            raise ValueError(
+                f"near_dup_pairs: corpus has {n_rows} rows > max_broadcast_rows="
+                f"{max_broadcast_rows} and threshold={threshold} demands exact "
+                "all-pairs output; use threshold >= 0 (LSH-bucketed path) or a "
+                "minhash prefilter."
             )
-            if top_pairs is not None and len(out) > top_pairs:
-                out = out.nlargest(top_pairs, "cosine_sim")
-            yield out
+        pairs = _bucketed_self_pairs(
+            df, threshold, id_col, vec_col, dim, n_planes, n_tables
+        )
+    else:
+        all_rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+        if not all_rows:
+            return spark.createDataFrame([], "id_a long, id_b long, cosine_sim double")
+        bc = spark.sparkContext.broadcast(_normalized_matrix(all_rows))
 
-    pairs = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        score, "id_a long, id_b long, cosine_sim double"
-    )
-    if threshold > -1.0:
-        pairs = pairs.filter(F.col("cosine_sim") >= threshold)
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            b_ids, b_mat = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                a_ids = pdf[id_col].to_numpy(dtype="int64")
+                a_mat = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+                norms = np.sqrt((a_mat * a_mat).sum(axis=1, keepdims=True))
+                norms[norms == 0.0] = 1.0
+                sims = (a_mat / norms) @ b_mat.T  # (batch, |corpus|)
+                mask = a_ids[:, None] < b_ids[None, :]
+                if threshold > -1.0:
+                    mask &= sims >= threshold
+                ai, bi = np.nonzero(mask)
+                out = pd.DataFrame(
+                    {"id_a": a_ids[ai], "id_b": b_ids[bi], "cosine_sim": sims[ai, bi]}
+                )
+                if top_pairs is not None and len(out) > top_pairs:
+                    out = out.nlargest(top_pairs, "cosine_sim")
+                yield out
+
+        pairs = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            score, "id_a long, id_b long, cosine_sim double"
+        )
+        if threshold > -1.0:
+            pairs = pairs.filter(F.col("cosine_sim") >= threshold)
+    if top_pairs is not None:
+        # Global truncation: per-batch nlargest above is candidate PRUNING
+        # (≤ top_pairs per Arrow batch survive); this window makes the
+        # contract exact. It ranks only the pruned candidate set
+        # (O(batches × top_pairs) rows), not the pair space.
+        w = Window.orderBy(F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b"))
+        pairs = (
+            pairs.withColumn("_pr", F.row_number().over(w))
+            .filter(F.col("_pr") <= top_pairs)
+            .drop("_pr")
+        )
     return pairs
 
 
@@ -377,23 +443,31 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    corpus_count: int | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: centroids are a deterministic sample of the corpus
-    (every |C|/n_centroids-th vector by id order — seeded, reproducible);
-    corpus vectors are assigned to their nearest centroid (the inverted
+    """IVF-style ANN: centroids are a SHUFFLE-FREE deterministic sample of
+    the corpus — rows with `id % step == 0` (step = |C| // n_centroids),
+    `centroid_id = id // step`. The filter pushes to the scan and the tiny
+    centroid set broadcasts; there is no global sort/window anywhere (an
+    unpartitioned row_number would funnel the whole corpus through one
+    task — the classic 100 TB scale-killer). For dense 0..N-1 ids this
+    picks exactly n_centroids evenly-spaced vectors; for sparse id spaces
+    substitute a hash-mod rule (e.g. md5(id) % m == 0) — same shape.
+
+    Corpus vectors are assigned to their nearest centroid (the inverted
     file); each query probes its `n_probe` nearest centroids and scans only
-    those lists. All joins are equi-joins on centroid_id; the centroid set
-    broadcasts everywhere.
+    those lists. All joins are equi-joins on centroid_id.
+
+    `corpus_count`: pass a known/cached |C| to avoid the count job — at
+    scale this is a catalog statistic, not an action per query.
     """
     u = with_unit_vector(corpus, vec_col, "unit")
-    w_ord = Window.orderBy(id_col)
-    numbered = u.withColumn("_rn", F.row_number().over(w_ord))
-    total = corpus.count()
+    total = corpus_count if corpus_count is not None else corpus.count()
     step = max(1, total // n_centroids)
     centroids = (
-        numbered.filter(((F.col("_rn") - 1) % step == 0) & (F.col("_rn") <= step * n_centroids))
+        u.filter((F.col(id_col) % step == 0) & (F.col(id_col) < step * n_centroids))
         .select(
-            ((F.col("_rn") - 1) / step).cast("int").alias("centroid_id"),
+            (F.col(id_col) / step).cast("int").alias("centroid_id"),
             F.col("unit").alias("c_vec"),
         )
     )

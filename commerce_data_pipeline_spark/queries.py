@@ -1421,13 +1421,11 @@ WITH unit AS (
     list_transform(embedding, x -> CAST(x AS DOUBLE) /
       sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
   FROM embeddings
-), num AS (
-  SELECT vec_id, u, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM unit
 ), par AS (
   SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM embeddings
 ), cent AS (
-  SELECT CAST((rn - 1) // step AS INT) AS centroid_id, u AS c_vec
-  FROM num, par WHERE (rn - 1) % step = 0 AND rn <= step * 16
+  SELECT CAST(vec_id // step AS INT) AS centroid_id, u AS c_vec
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * 16
 ), assign AS (
   SELECT c.vec_id AS neighbor_id, cent.centroid_id, c.u AS c_unit,
     ROW_NUMBER() OVER (PARTITION BY c.vec_id
