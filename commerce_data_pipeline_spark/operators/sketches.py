@@ -39,12 +39,20 @@ def approx_quantiles(
 def frequent_items(df: DataFrame, col: str, min_share: float = 0.01, k: int = 20) -> DataFrame:
     """Heavy hitters: exact groupBy-count with a share filter and top-k cap.
     (Spark's freqItems gives no counts; the exact form with map-side combine
-    is the scalable default for moderate-cardinality keys.)"""
-    total = df.count()
+    is the scalable default for moderate-cardinality keys.)
+
+    One job, lazily composed: the denominator is a cross-joined scalar
+    aggregate (1 row, auto-broadcast), not a separate `df.count()` action —
+    an eager count would launch a full job before the real one, and the
+    returned plan would silently embed a stale total if `df` changed. Both
+    aggregations combine map-side; no unpartitioned window anywhere (an
+    `over()` total would funnel all groups through one task)."""
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("_total"))
     return (
-        df.groupBy(col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("share", F.col("cnt") / F.lit(float(total)))
+        counts.crossJoin(total)
+        .withColumn("share", F.col("cnt") / F.col("_total"))
+        .drop("_total")
         .filter(F.col("share") >= min_share)
         .orderBy(F.desc("cnt"), F.asc(col))
         .limit(k)

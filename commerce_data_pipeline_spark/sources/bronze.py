@@ -34,12 +34,13 @@ from __future__ import annotations
 
 import json
 import logging
-import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import date, datetime, timedelta
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
 
 logger = logging.getLogger(__name__)
 
@@ -59,18 +60,32 @@ class BronzeWriter:
 
     @property
     def table_root(self) -> str:
-        return os.path.join(self.root, self.data_type)
+        return join_path(self.root, self.data_type)
+
+    def _hfs(self) -> HadoopFS:
+        """Sink-side filesystem access goes through Hadoop's FileSystem API
+        (P12): the same code path serves file:, s3a:, hdfs: — scheme picked
+        by the `root` path, endpoint/credentials by Hadoop conf (the
+        reference's LocalStack endpoint wiring, s3_loader.py:49-57, maps to
+        `spark.hadoop.fs.s3a.endpoint`)."""
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("BronzeWriter requires an active SparkSession")
+        return HadoopFS(spark, self.root)
 
     def partition_path(self, d: str | date) -> str:
         d = _to_date(d)
-        return os.path.join(
+        return join_path(
             self.table_root, f"year={d.year}", f"month={d.month:02d}", f"day={d.day:02d}"
         )
 
     def write(self, df: DataFrame, date_col: str, sort_col: str | None = None) -> None:
         """P1 — write every date present in `df` as its own Hive partition,
         dynamic overwrite (only the touched days are replaced — reference
-        writes exactly one day's key, s3_loader.py:84-86)."""
+        writes exactly one day's key, s3_loader.py:84-86). The overwrite
+        mode is set ON THE WRITER, not inherited from session config: with
+        a default-config session, static overwrite mode would delete the
+        whole table on every daily run."""
         out = (
             df.withColumn("year", F.year(date_col))
             .withColumn("month", F.lpad(F.month(date_col).cast("string"), 2, "0"))
@@ -80,6 +95,7 @@ class BronzeWriter:
             out = out.sortWithinPartitions(sort_col)
         (
             out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("year", "month", "day")
             .parquet(self.table_root)
         )
@@ -87,10 +103,9 @@ class BronzeWriter:
     def exists(self, d: str | date) -> bool:
         """P3 — idempotency gate: does the partition directory hold data?
         (reference: S3 head_object, s3_loader.py:147-169)."""
-        p = self.partition_path(d)
-        if not os.path.isdir(p):
-            return False
-        return any(f.endswith(".parquet") for f in os.listdir(p))
+        return any(
+            f.endswith(".parquet") for f in self._hfs().listdir(self.partition_path(d))
+        )
 
     def write_metadata(self, d: str | date, record_count: int, columns: list[str]) -> None:
         """P2 — JSON sidecar for parity with s3_loader.py:111-145. Failure
@@ -104,27 +119,34 @@ class BronzeWriter:
             "upload_timestamp": datetime.now().isoformat(),
         }
         try:
+            fs = self._hfs()
             p = self.partition_path(d)
-            os.makedirs(p, exist_ok=True)
-            with open(os.path.join(p, "_meta.json"), "w") as f:
-                json.dump(meta, f)
+            fs.mkdirs(p)
+            fs.write_bytes(join_path(p, "_meta.json"), json.dumps(meta).encode())
         except Exception as e:  # parity: never fail the run on sidecar errors
             logger.warning("metadata write failed for %s: %s", d, e)
+
+    def read_metadata(self, d: str | date) -> dict | None:
+        """Sidecar readback (reference: get_object roundtrip in tests)."""
+        p = join_path(self.partition_path(d), "_meta.json")
+        fs = self._hfs()
+        if not fs.exists(p):
+            return None
+        return json.loads(fs.read_bytes(p).decode())
 
     def list_available_dates(self, limit: int = 100) -> list[str]:
         """P4 — sink-side partition listing, newest first, capped
         (reference: s3_loader.py:171-216 with zero-padding at :196-206)."""
+        fs = self._hfs()
         dates: list[str] = []
         root = self.table_root
-        if not os.path.isdir(root):
-            return []
-        for y in os.listdir(root):
+        for y in fs.listdir(root):
             if not y.startswith("year="):
                 continue
-            for m in os.listdir(os.path.join(root, y)):
+            for m in fs.listdir(join_path(root, y)):
                 if not m.startswith("month="):
                     continue
-                for dd in os.listdir(os.path.join(root, y, m)):
+                for dd in fs.listdir(join_path(root, y, m)):
                     if not dd.startswith("day="):
                         continue
                     dates.append(

@@ -63,19 +63,37 @@ def compact_parquet_dir(
     table accreted in 10 MB files pays per-file open/footer cost and
     floods the driver's file index).
 
-    Reads, repartitions, writes to a temp dir, then swaps. Returns the new
-    file count. `sort_col` sorts within partitions for row-group pruning.
+    Reads, repartitions, writes to a temp dir, then swaps with
+    rename-aside ordering: `path`→`old`, `tmp`→`path`, delete `old`. A
+    failure between any two steps leaves a complete copy of the data on
+    disk under a recoverable name — never a window where the live path is
+    missing (delete-then-rename has exactly that window). All filesystem
+    calls go through Hadoop's FileSystem API, so the swap works for any
+    scheme Spark can read (file:, hdfs:; on s3a: rename is copy+delete —
+    non-atomic but still never destroys the only copy).
+
+    Returns the new file count. `sort_col` sorts within partitions for
+    row-group pruning.
     """
-    import glob
-    import os
-    import shutil
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
 
     df = spark.read.parquet(path)
     out = df.repartition(target_files)
     if sort_col:
         out = out.sortWithinPartitions(sort_col)
     tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    return len(glob.glob(os.path.join(path, "*.parquet")))
+    fs = HadoopFS(spark, path)
+    if fs.exists(old):  # leftover from a crashed prior compaction
+        raise RuntimeError(
+            f"compact_parquet_dir: {old} already exists — recover or remove "
+            "the previous compaction's rename-aside copy first"
+        )
+    if not fs.rename(path.rstrip("/"), old):
+        raise RuntimeError(f"compact_parquet_dir: rename {path} -> {old} failed")
+    if not fs.rename(tmp, path.rstrip("/")):
+        fs.rename(old, path.rstrip("/"))  # roll back: restore the live path
+        raise RuntimeError(f"compact_parquet_dir: promote {tmp} -> {path} failed")
+    fs.delete(old)
+    return sum(f.endswith(".parquet") for f in fs.listdir(path))

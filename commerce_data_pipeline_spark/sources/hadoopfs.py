@@ -1,0 +1,88 @@
+"""Hadoop FileSystem access via the session JVM (SURVEY.md §2b P12).
+
+The reference talks to storage through boto3 against S3/LocalStack
+(/root/reference/src/pipeline/loaders/s3_loader.py:49-57, LocalStack
+harness scripts/setup_localstack.py:30-125). The Spark-native equivalent
+of that client boundary is Hadoop's `FileSystem` API: the SAME code path
+serves `file:`, `hdfs:`, `s3a:`, `gs:`, `abfs:` — whichever scheme the
+path carries — with credentials/endpoints supplied by Hadoop conf
+(e.g. `spark.hadoop.fs.s3a.endpoint` for a LocalStack/MinIO emulator),
+not by application code. Everything here goes through py4j to the JVM
+filesystem objects Spark itself uses for reads and writes, so sink-side
+listing/existence/rename logic is scheme-agnostic by construction.
+
+No Python `os.*` calls: local paths work because Hadoop's default
+filesystem is `file:///`, not because we special-case them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class HadoopFS:
+    """Thin wrapper over org.apache.hadoop.fs.FileSystem for one scheme.
+
+    Instantiate with any path; all subsequent calls must use paths of the
+    same scheme+authority (Hadoop resolves the filesystem per scheme).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._jpath(path).getFileSystem(self._conf)
+
+    def _jpath(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._jpath(p))
+
+    def is_dir(self, p: str) -> bool:
+        jp = self._jpath(p)
+        return self._fs.exists(jp) and self._fs.getFileStatus(jp).isDirectory()
+
+    def listdir(self, p: str) -> list[str]:
+        """Child basenames of a directory ([] if it doesn't exist)."""
+        jp = self._jpath(p)
+        if not self._fs.exists(jp):
+            return []
+        return [s.getPath().getName() for s in self._fs.listStatus(jp)]
+
+    def mkdirs(self, p: str) -> bool:
+        return self._fs.mkdirs(self._jpath(p))
+
+    def rename(self, src: str, dst: str) -> bool:
+        """Atomic-per-filesystem rename (true rename on file:/hdfs:;
+        object stores emulate with copy+delete — still the correct
+        primitive for promote-then-delete swaps)."""
+        return self._fs.rename(self._jpath(src), self._jpath(dst))
+
+    def delete(self, p: str, recursive: bool = True) -> bool:
+        return self._fs.delete(self._jpath(p), recursive)
+
+    def write_bytes(self, p: str, data: bytes) -> None:
+        """Create/overwrite a small file (metadata sidecars, markers)."""
+        out = self._fs.create(self._jpath(p), True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def read_bytes(self, p: str) -> bytes:
+        stream = self._fs.open(self._jpath(p))
+        try:
+            ioutils = self._jvm.org.apache.hadoop.io.IOUtils
+            baos = self._jvm.java.io.ByteArrayOutputStream()
+            ioutils.copyBytes(stream, baos, 65536, False)
+            return bytes(baos.toByteArray())
+        finally:
+            stream.close()
+
+
+def join_path(*parts: str) -> str:
+    """Join URI path segments with '/'. `os.path.join` is wrong for
+    Hadoop paths on principle (URIs are always /-separated) — use this
+    for anything that may carry a scheme."""
+    cleaned = [parts[0].rstrip("/")] + [p.strip("/") for p in parts[1:]]
+    return "/".join(cleaned)
