@@ -41,7 +41,9 @@ SHIFT_COLS = {
 
 # linear-scaling candidates: keyed shuffles/windows/aggs (quadratic pair
 # generators like jaccard_topk are excluded by design — their cost model
-# is documented in their docstrings)
+# is documented in their docstrings). The last three are round-1's "weak
+# trio" — included after their fixes to prove the fixed plans scale, not
+# just that they got faster at 1×.
 STRESS_QUERIES = [
     "pricing_summary",
     "top_revenue_nations",
@@ -55,7 +57,38 @@ STRESS_QUERIES = [
     "dedup_exact",
     "text_profile",
     "minhash_signature",
+    "lsh_dedup_pairs",
+    "dedup_clusters",
+    "ann_ivf",
 ]
+
+
+def _salt_copy(name: str, df: DataFrame, i: int) -> DataFrame:
+    """Decorrelate CONTENT across copies so the K× corpus has K× the data
+    at the SAME dup-rate. Without this, identical text/vectors across
+    copies make every doc an 8-way near-dup — pair counts grow K² for
+    data reasons and the stress can't tell a scaling cliff in the
+    operator from one baked into the synthetic corpus."""
+    if i == 0:
+        return df
+    if name == "documents" and "text" in df.columns:
+        # suffix every word: shingle/minhash sets become disjoint across
+        # copies while within-copy dup structure is preserved exactly
+        return df.withColumn(
+            "text", F.regexp_replace(F.col("text"), r"(\S+)", rf"$1x{i}")
+        )
+    if name == "embeddings" and "embedding" in df.columns:
+        # circular-shift coordinates: norm and within-copy geometry are
+        # invariant; cross-copy cosine drops to noise
+        dim = 64
+        return df.withColumn(
+            "embedding",
+            F.concat(
+                F.slice(F.col("embedding"), i + 1, dim - i),
+                F.slice(F.col("embedding"), 1, i),
+            ),
+        )
+    return df
 
 
 def scaled_loader(k: int):
@@ -66,7 +99,7 @@ def scaled_loader(k: int):
             return base
         copies = []
         for i in range(k):
-            df = base
+            df = _salt_copy(name, base, i)
             for c in cols:
                 df = df.withColumn(c, F.col(c) + F.lit(i * 100_000_000))
             copies.append(df)
@@ -104,7 +137,10 @@ def main() -> None:
         "# STRESS — wall-time scaling at K× data",
         "",
         f"`python tools/stress.py {k} {sf_dir}` — each query timed at 1× and {k}×",
-        f"the sf0.1 tables (key-shifted union copies; fixed dims stay fixed).",
+        f"the sf0.1 tables (key-shifted union copies; fixed dims stay fixed;",
+        "document text / embedding directions are decorrelated per copy so the",
+        f"{k}× corpus keeps the base dup-rate — without that, pair counts grow",
+        "K² for data reasons and hide/invent operator cliffs).",
         f"`ratio` ≈ {k} means linear scaling in input size; sub-{k} means fixed",
         "costs still dominate at this size; far above K would flag a cliff.",
         "",
