@@ -284,6 +284,107 @@ def connected_components(
     return labels
 
 
+def connected_components_alternating(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Connected components via the ALTERNATING algorithm (large-star /
+    small-star; Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14). Same output contract as `connected_components`:
+    (id, component) with component = min reachable id.
+
+    Why a second implementation: plain min-label propagation converges in
+    O(component diameter) rounds — fine for clique-ish duplicate graphs,
+    degenerate (O(n) rounds) for chain-shaped ones. Alternating rounds
+    contract every tree onto its minimum in O(log n) rounds on ANY graph
+    shape, each round two keyed shuffles (groupBy min + self-join), no
+    driver-side data, labels never leave executors.
+
+    large-star: for every node u, hang u's LARGER neighbors off
+    m = min(N(u) ∪ {u}).     (v > u) → (v, m)
+    small-star: hang u's smaller-or-equal neighbors (and u) off m.
+    Both preserve connectivity and strictly reduce edge "potential";
+    convergence = edge multiset is a fixed point (checked via a count +
+    min-sum checksum — one tiny action per round over checkpointed data).
+    """
+    # Work on the symmetric closure with self-loops dropped; orient each
+    # undirected edge both ways so groupBy(src) sees the full neighborhood.
+    und = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        und.select(F.col("src").alias("id"))
+        .unionAll(und.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = und.localCheckpoint()
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = _sym(e)
+        m = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        return (
+            sym.join(m, on="src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient edges toward the smaller endpoint: (u, v) with v <= u
+        oriented = e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        m = oriented.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        j = oriented.join(m, on="src")
+        hang_nbrs = j.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        hang_self = j.select("src", F.col("m").alias("dst")).distinct()
+        return (
+            hang_nbrs.unionAll(hang_self)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _sig(e: DataFrame):
+        # decimal(38,0) sums: xxhash64 values span the full long range, so a
+        # long SUM overflows under ANSI mode on ~any real edge set
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("src") + F.col("dst")).cast("decimal(38,0)")).alias("s"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["s"], row["h"])
+
+    sig = _sig(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # Fixed point: every surviving edge points a node at its component min.
+    comp = edges.groupBy("src").agg(F.min("dst").alias("component")).select(
+        F.col("src").alias("id"), "component"
+    )
+    # Component minima (and any isolated nodes) label themselves.
+    return (
+        nodes.join(comp, on="id", how="left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+
+
 def dedup_by_components(
     df: DataFrame,
     pairs: DataFrame,

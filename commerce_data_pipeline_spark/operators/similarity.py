@@ -434,48 +434,54 @@ def rp_lsh_self_topk(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "vec_id",
-    corpus_count: int | None = None,
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """IVF-style ANN: centroids are a SHUFFLE-FREE deterministic sample of
-    the corpus — rows with `id % step == 0` (step = |C| // n_centroids),
-    `centroid_id = id // step`. The filter pushes to the scan and the tiny
-    centroid set broadcasts; there is no global sort/window anywhere (an
-    unpartitioned row_number would funnel the whole corpus through one
-    task — the classic 100 TB scale-killer). For dense 0..N-1 ids this
-    picks exactly n_centroids evenly-spaced vectors; for sparse id spaces
-    substitute a hash-mod rule (e.g. md5(id) % m == 0) — same shape.
+    """Scalar int8 quantization: per-vector scale = max|x|/127, codes =
+    floor(x/scale + 0.5) ∈ [-127, 127]. Cuts vector storage/shuffle bytes
+    4× (float32→int8) and 8× vs float64 — the standard first step before
+    ANN at 100 TB (IVF lists of int8 codes + per-vector scale). floor(+0.5)
+    instead of round(): identical half-up semantics in every engine,
+    whereas round() half-even/half-away behavior differs.
 
-    Corpus vectors are assigned to their nearest centroid (the inverted
-    file); each query probes its `n_probe` nearest centroids and scans only
-    those lists. All joins are equi-joins on centroid_id.
-
-    `corpus_count`: pass a known/cached |C| to avoid the count job — at
-    scale this is a catalog statistic, not an action per query.
+    Returns (id, scale double, qvec array<int>); reconstruct x ≈ q*scale.
+    Zero vectors get scale=1 so codes stay defined (all zeros).
     """
-    u = with_unit_vector(corpus, vec_col, "unit")
-    total = corpus_count if corpus_count is not None else corpus.count()
-    step = max(1, total // n_centroids)
-    centroids = (
-        u.filter((F.col(id_col) % step == 0) & (F.col(id_col) < step * n_centroids))
-        .select(
-            (F.col(id_col) / step).cast("int").alias("centroid_id"),
-            F.col("unit").alias("c_vec"),
-        )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    raw_scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    s = F.when(raw_scale == 0.0, F.lit(1.0)).otherwise(raw_scale)
+    return df.select(
+        F.col(id_col),
+        s.alias("scale"),
+        F.transform(v, lambda x: F.floor(x / s + F.lit(0.5)).cast("int")).alias("qvec"),
     )
-    # invert: each corpus vector → nearest centroid. Assignment is an
-    # argmax AGGREGATION (max_by over lexicographic (sim, -centroid_id) —
-    # same tie-break as ORDER BY sim DESC, centroid_id ASC), not a window:
-    # partial aggregation combines map-side and there is no per-id sort.
-    inverted = (
+
+
+def ivf_centroids(
+    u: DataFrame, step: int, n_centroids: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """SHUFFLE-FREE deterministic centroid sample: rows with
+    `id % step == 0`, `centroid_id = id // step`. The filter pushes to the
+    scan and the tiny centroid set broadcasts; there is no global
+    sort/window anywhere (an unpartitioned row_number would funnel the
+    whole corpus through one task — the classic 100 TB scale-killer). For
+    dense 0..N-1 ids this picks exactly n_centroids evenly-spaced vectors;
+    for sparse id spaces substitute a hash-mod rule (e.g. md5(id) % m == 0)
+    — same shape. `u` must carry a `unit` column (see with_unit_vector)."""
+    return u.filter(
+        (F.col(id_col) % step == 0) & (F.col(id_col) < step * n_centroids)
+    ).select(
+        (F.col(id_col) / step).cast("int").alias("centroid_id"),
+        F.col("unit").alias("c_vec"),
+    )
+
+
+def ivf_invert(u: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """The inverted file: each corpus vector → nearest centroid. Assignment
+    is an argmax AGGREGATION (max_by over lexicographic (sim, -centroid_id)
+    — same tie-break as ORDER BY sim DESC, centroid_id ASC), not a window:
+    partial aggregation combines map-side and there is no per-id sort."""
+    return (
         u.crossJoin(F.broadcast(centroids))
         .withColumn("c_sim", _dot(F.col("unit"), F.col("c_vec")))
         .groupBy(id_col)
@@ -487,7 +493,21 @@ def ivf_topk(
         )
         .select(F.col(id_col).alias("neighbor_id"), "centroid_id", "c_unit")
     )
-    # route: each query → its n_probe nearest centroids
+
+
+def ivf_probe_score(
+    inverted: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Route each query to its `n_probe` nearest centroids and score only
+    those inverted lists — equi-joins on centroid_id throughout. Works the
+    same whether `inverted`/`centroids` were just built or loaded from a
+    persisted index (operators/index.py)."""
     qu = with_unit_vector(queries, vec_col, "q_unit").select(
         F.col(query_id_col).alias("query_id"), "q_unit"
     )
@@ -508,3 +528,32 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """IVF-style ANN, built inline: centroid sample → inverted file →
+    probe/score (see the three helpers for the plan rationale; the
+    persisted-index variant in operators/index.py composes the same
+    helpers, so results are bit-identical).
+
+    `corpus_count`: pass a known/cached |C| to avoid the count job — at
+    scale this is a catalog statistic, not an action per query.
+    """
+    u = with_unit_vector(corpus, vec_col, "unit")
+    total = corpus_count if corpus_count is not None else corpus.count()
+    step = max(1, total // n_centroids)
+    centroids = ivf_centroids(u, step, n_centroids, id_col)
+    inverted = ivf_invert(u, centroids, id_col)
+    return ivf_probe_score(
+        inverted, centroids, queries, k, n_probe, vec_col, query_id_col
+    )

@@ -1403,6 +1403,18 @@ def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def _q_dedup_clusters_alt(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 — same clusters via the ALTERNATING algorithm (large-star /
+    small-star): O(log n) rounds on any graph shape vs label propagation's
+    O(diameter). Same oracle as `dedup_clusters` — the two implementations
+    must agree bit-for-bit."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
+    pairs = dedup.minhash_lsh_pairs(doubled, num_hashes=16, bands=4, shingle_n=3)
+    return dedup.connected_components_alternating(pairs)
+
+
 def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """X3 scale path — IVF-routed ANN top-5 (16 deterministic centroids,
     4 probes). Fully deterministic → oracle-checkable, unlike LSH whose
@@ -1410,6 +1422,31 @@ def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     out = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
+    )
+
+
+def _q_ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 production shape — the SAME IVF search served from a PERSISTED
+    index (parquet inverted file partitioned by centroid_id + centroid
+    table): built once per sf under .cache/, reused by every later call.
+    Bit-identical to `ann_ivf` by construction (same helpers), so it
+    shares its oracle. Probes prune to the probed centroids' partitions."""
+    import os
+
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+
+    emb = load_table(spark, sf, "embeddings")
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".cache", "ivf",
+        os.path.basename(os.path.normpath(sf)),
+    )
+    path = os.path.normpath(path)
+    if not ivf_index.index_exists(spark, path):
+        ivf_index.build_ivf_index(emb, path, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    out = ivf_index.ivf_query(spark, path, queries, k=5, n_probe=4)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
     )
@@ -1562,6 +1599,295 @@ def _q_media_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-2 relational widening: Q9/Q2/Q11/Q22 shapes through the lineitem
+# part↔supplier bridge (the schema has no partsupp table; p_retailprice
+# stands in for supply cost), plus RFM segmentation on the commerce side.
+# --------------------------------------------------------------------------
+
+def _q_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: a name-filtered part dim plus the supplier→nation
+    snowflake AND the orders date dim all meet on the fact table. All three
+    dims broadcast; the only shuffle is lineitem⋈orders on the join key,
+    then the group-by. Profit uses p_retailprice as the cost proxy."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_name").contains("bolt"))
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    o = load_table(spark, sf, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.6
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dsum(profit).alias("sum_profit"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+_O_PRODUCT_PROFIT = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.6
+      AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit,
+  COUNT(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def _q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: groupwise ARGMIN with a join-back — for each sizable
+    part, the supplier with the lowest average sale price (ties break on
+    s_suppkey). The window partitions by part over already-AGGREGATED rows
+    (one per part×supplier), so no task ever sees more than one part's
+    group — nothing global anywhere."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_size") >= 20)
+    s = load_table(spark, sf, "supplier")
+    pa = li.groupBy("l_partkey", "l_suppkey").agg(
+        (_dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("avg_price"), F.asc("l_suppkey"))
+    best = pa.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("avg_price").alias("min_avg_price"),
+        )
+        .orderBy(F.desc("min_avg_price"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+_O_MIN_COST_SUPPLIER = """
+WITH pa AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY l_partkey ORDER BY avg_price ASC, l_suppkey ASC) AS rn
+  FROM pa
+)
+SELECT p_partkey, p_name, s_name, avg_price AS min_avg_price
+FROM best
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1 AND p_size >= 20
+ORDER BY min_avg_price DESC, p_partkey ASC
+LIMIT 100
+"""
+
+
+def _q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a GLOBAL scalar — parts whose
+    revenue exceeds a fraction of total revenue. The denominator is a
+    cross-joined 1-row scalar aggregate composed into the same lazy plan
+    (no separate count/collect action, no unpartitioned window)."""
+    li = load_table(spark, sf, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(_dsum(revenue).alias("part_value"))
+    thr = li.agg((_dsum(revenue) * 0.0006).alias("_thr"))
+    return (
+        per_part.crossJoin(thr)
+        .filter(F.col("part_value") > F.col("_thr"))
+        .select("l_partkey", "part_value")
+    )
+
+
+_O_IMPORTANT_PARTS = """
+SELECT l_partkey,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) > (
+  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) * 0.0006
+  FROM lineitem
+)
+"""
+
+
+def _q_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS — customers
+    with above-average positive balance and no RECENT orders (none since
+    2000-08-01), summarized per market segment. The anti-join's right side
+    filters before the join (pushdown) and carries only custkeys; the
+    threshold is a broadcast 1-row aggregate."""
+    c = load_table(spark, sf, "customer")
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-08-01"))
+        .select("o_custkey")
+    )
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        (_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("_thr")
+    )
+    rich = c.crossJoin(thr).filter(F.col("c_acctbal") > F.col("_thr"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        _dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+_O_IDLE_RICH_CUSTOMERS = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-08-01')
+GROUP BY c_mktsegment
+"""
+
+
+def _q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """G-family widening: RFM (recency/frequency/monetary) segmentation.
+
+    Quartile assignment uses EXACT percentile CUTOFFS (3 values per
+    metric, a 1-row broadcast) instead of ntile — ntile needs a global
+    total order (single-partition sort, the 100 TB killer); comparing
+    against broadcast cutoffs is map-side. Cutoffs are rounded to 6
+    decimals so both engines interpolate to the identical boundary."""
+    o = load_table(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        _dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    gmax = o.agg(F.max("o_orderdate").alias("_gmax"))
+    rfm = per_cust.crossJoin(gmax).withColumn(
+        "recency_days", F.datediff("_gmax", "_last")
+    )
+    def _pct(col, p):
+        return F.round(F.percentile(col, F.lit(p)), 6)
+    cuts = rfm.agg(
+        *[_pct("recency_days", p).alias(f"_r{i}") for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))],
+        *[_pct("frequency", p).alias(f"_f{i}") for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))],
+        *[_pct("monetary", p).alias(f"_m{i}") for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))],
+    )
+    def _quart(col, c1, c2, c3):
+        return (
+            F.when(F.col(col) <= F.col(c1), 1)
+            .when(F.col(col) <= F.col(c2), 2)
+            .when(F.col(col) <= F.col(c3), 3)
+            .otherwise(4)
+        )
+    seg = rfm.crossJoin(cuts).select(
+        _quart("recency_days", "_r1", "_r2", "_r3").alias("r_quartile"),
+        _quart("frequency", "_f1", "_f2", "_f3").alias("f_quartile"),
+        _quart("monetary", "_m1", "_m2", "_m3").alias("m_quartile"),
+        F.col("monetary"),
+    )
+    return seg.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (_dsum(F.col("monetary")) / F.count(F.lit(1))).alias("avg_monetary"),
+    )
+
+
+_O_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+    MAX(o_orderdate) AS _last,
+    COUNT(*) AS frequency,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+), rfm AS (
+  SELECT *, CAST(date_diff('day', _last, (SELECT MAX(o_orderdate) FROM orders)) AS INT)
+    AS recency_days
+  FROM per_cust
+), cuts AS (
+  SELECT
+    ROUND(quantile_cont(recency_days, 0.25), 6) AS r1,
+    ROUND(quantile_cont(recency_days, 0.5), 6) AS r2,
+    ROUND(quantile_cont(recency_days, 0.75), 6) AS r3,
+    ROUND(quantile_cont(frequency, 0.25), 6) AS f1,
+    ROUND(quantile_cont(frequency, 0.5), 6) AS f2,
+    ROUND(quantile_cont(frequency, 0.75), 6) AS f3,
+    ROUND(quantile_cont(monetary, 0.25), 6) AS m1,
+    ROUND(quantile_cont(monetary, 0.5), 6) AS m2,
+    ROUND(quantile_cont(monetary, 0.75), 6) AS m3
+  FROM rfm
+), seg AS (
+  SELECT
+    CASE WHEN recency_days <= r1 THEN 1 WHEN recency_days <= r2 THEN 2
+         WHEN recency_days <= r3 THEN 3 ELSE 4 END AS r_quartile,
+    CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
+         WHEN frequency <= f3 THEN 3 ELSE 4 END AS f_quartile,
+    CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2
+         WHEN monetary <= m3 THEN 3 ELSE 4 END AS m_quartile,
+    monetary
+  FROM rfm, cuts
+)
+SELECT r_quartile, f_quartile, m_quartile, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_monetary
+FROM seg
+GROUP BY r_quartile, f_quartile, m_quartile
+"""
+
+
+def _q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 — int8 scalar quantization profile: per-vector scale, code
+    checksum, and L2 reconstruction error. Map-only (scan-side transforms,
+    no shuffle at all); floor(x/s + 0.5) half-up rounding is engine-stable
+    where round() is not. The operator form lives in
+    similarity.quantize_int8; this query re-derives codes inline so the
+    oracle needs no list zip."""
+    emb = load_table(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    raw = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    s = F.when(raw == 0.0, F.lit(1.0)).otherwise(raw)
+    code = lambda x: F.floor(x / s + F.lit(0.5))
+    qsum = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + code(x)).cast("long")
+    err2 = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + F.pow(x - code(x) * s, F.lit(2.0))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(s, 6).alias("scale6"),
+        qsum.alias("qsum"),
+        F.floor(F.sqrt(err2) * 10000).cast("long").alias("l2_err_e4"),
+    )
+
+
+_O_EMBEDDING_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+), s AS (
+  SELECT vec_id, vv,
+    CASE WHEN list_max(list_transform(vv, x -> abs(x))) / 127.0 = 0
+         THEN 1.0
+         ELSE list_max(list_transform(vv, x -> abs(x))) / 127.0 END AS scale
+  FROM v
+)
+SELECT vec_id,
+  ROUND(scale, 6) AS scale6,
+  CAST(list_sum(list_transform(vv, x -> floor(x / scale + 0.5))) AS BIGINT) AS qsum,
+  CAST(FLOOR(sqrt(list_sum(list_transform(vv,
+      x -> pow(x - floor(x / scale + 0.5) * scale, 2)))) * 10000) AS BIGINT) AS l2_err_e4
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1588,6 +1914,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_type_pivot": QuerySpec(_q_event_type_pivot, _O_EVENT_TYPE_PIVOT, "§2e pivot (explicit values)"),
     "asof_view_before_purchase": QuerySpec(_q_asof_view_before_purchase, _O_ASOF_VIEW_BEFORE_PURCHASE, "as-of join (union+window)"),
     "band_pairs": QuerySpec(_q_band_pairs, _O_BAND_PAIRS, "band/interval join (bucketed)"),
+    "product_profit": QuerySpec(_q_product_profit, _O_PRODUCT_PROFIT, "triple-dim star + fact shuffle (Q9 shape)"),
+    "min_cost_supplier": QuerySpec(_q_min_cost_supplier, _O_MIN_COST_SUPPLIER, "groupwise argmin + join-back (Q2 shape)"),
+    "important_parts": QuerySpec(_q_important_parts, _O_IMPORTANT_PARTS, "HAVING vs global scalar (Q11 shape)"),
+    "idle_rich_customers": QuerySpec(_q_idle_rich_customers, _O_IDLE_RICH_CUSTOMERS, "scalar threshold + NOT EXISTS (Q22 shape)"),
+    "rfm_segments": QuerySpec(_q_rfm_segments, _O_RFM_SEGMENTS, "RFM quartile segmentation (percentile cutoffs)"),
     # gold analytics (SURVEY §2c)
     "funnel": QuerySpec(_q_funnel, _O_FUNNEL, "G1 ordered funnel (flagship)"),
     "sessionization": QuerySpec(_q_sessionization, _O_SESSIONIZATION, "G2 gap sessionization"),
@@ -1614,7 +1945,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_profile": QuerySpec(_q_text_profile, _O_TEXT_PROFILE, "X4 lang-ID + quality scoring"),
     "lsh_dedup_pairs": QuerySpec(_q_lsh_dedup_pairs, _ora_lsh_pairs(16, 4, 3), "X2 MinHash+LSH banded pairs"),
     "dedup_clusters": QuerySpec(_q_dedup_clusters, _ora_dedup_clusters(16, 4, 3), "X2 connected-components clustering"),
+    "dedup_clusters_alt": QuerySpec(_q_dedup_clusters_alt, _ora_dedup_clusters(16, 4, 3), "X2 alternating-algorithm clustering (large/small-star)"),
     "ann_ivf": QuerySpec(_q_ann_ivf, _O_ANN_IVF, "X3 IVF-routed ANN top-k"),
+    "ann_ivf_indexed": QuerySpec(_q_ann_ivf_indexed, _O_ANN_IVF, "X3 ANN from persisted IVF index (same oracle)"),
+    "embedding_quantize": QuerySpec(_q_embedding_quantize, _O_EMBEDDING_QUANTIZE, "X3 int8 scalar quantization profile"),
     "ann_lsh": QuerySpec(_q_ann_lsh, None, "X3 RP-LSH ANN top-k (rows-only: xxhash64)"),
     "multimodal_meta": QuerySpec(_q_multimodal_meta, _O_MULTIMODAL_META, "X5 media metadata/digest projection"),
     "frame_sample": QuerySpec(_q_frame_sample, _O_FRAME_SAMPLE, "X5 video frame sampling"),

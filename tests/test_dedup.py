@@ -110,6 +110,43 @@ def test_connected_components_chain_and_clique(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_alternating_cc_matches_label_propagation(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["component"] for r in D.connected_components_alternating(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_alternating_cc_long_chain_converges_in_log_rounds(spark):
+    # a 64-node chain has diameter 63: label propagation needs ~63 rounds,
+    # the alternating algorithm must finish well inside max_iter=10
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    out = D.connected_components_alternating(pairs, max_iter=10)
+    comp = {r["id"]: r["component"] for r in out.collect()}
+    assert comp == {i: 0 for i in range(64)}
+
+
+def test_alternating_cc_random_graphs_match_reference_impl(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n, m = 60, 45
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        ref = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
+        alt = {
+            r["id"]: r["component"]
+            for r in D.connected_components_alternating(pairs).collect()
+        }
+        assert alt == ref, f"trial {trial}"
+
+
 def test_dedup_by_components_keeps_representatives(spark):
     df = _docs(spark, ["a", "b", "c", "d", "e"])  # ids 0..4
     pairs = spark.createDataFrame([(0, 2), (2, 4)], "id_a long, id_b long")

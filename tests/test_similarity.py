@@ -91,6 +91,45 @@ def test_ivf_topk_shape_and_recall(spark):
         assert sorted(r["rank"] for r in rs) == [1, 2, 3]
 
 
+def test_persisted_ivf_index_matches_inline(spark, tmp_path):
+    from commerce_data_pipeline_spark.operators import index as I
+
+    emb = _vecs(spark, n=60)
+    q = emb.filter(F.col("vec_id") < 3)
+    inline = S.ivf_topk(emb, q, k=3, n_centroids=6, n_probe=3)
+    path = f"file://{tmp_path}/ivf"
+    assert not I.index_exists(spark, path)
+    I.build_ivf_index(emb, path, n_centroids=6)
+    assert I.index_exists(spark, path)
+    indexed = I.ivf_query(spark, path, q, k=3, n_probe=3)
+    key = lambda r: (r["query_id"], r["rank"])
+    a = sorted(inline.collect(), key=key)
+    b = sorted(indexed.collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # bit-identical
+    # the inverted file is laid out one directory per centroid list
+    names = {n for n in __import__("os").listdir(tmp_path / "ivf" / "inverted")}
+    assert any(n.startswith("centroid_id=") for n in names)
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    emb = _vecs(spark, n=20)
+    rows = S.quantize_int8(emb).collect()
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert len(rows) == 20
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        # per-coordinate reconstruction error is at most scale/2
+        for x, q in zip(orig[r["vec_id"]], r["qvec"]):
+            assert abs(x - q * r["scale"]) <= r["scale"] / 2 + 1e-12
+
+
+def test_quantize_int8_zero_vector(spark):
+    df = spark.createDataFrame([(0, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    r = S.quantize_int8(df).collect()[0]
+    assert r["scale"] == 1.0
+    assert list(r["qvec"]) == [0, 0, 0]
+
+
 def test_unit_vector_norm(spark):
     df = spark.createDataFrame([(0, [3.0, 4.0])], "vec_id long, embedding array<float>")
     u = S.with_unit_vector(df).collect()[0]["unit"]
