@@ -1,0 +1,247 @@
+"""Corpus-construction operators for LLM training-data pipelines.
+
+The reference pipeline (ashwin2912/commerce-data-pipeline) stops at
+warehouse analytics; a 100 TB training-data pipeline additionally needs
+corpus shaping: reproducible sampling, benchmark-contamination checks,
+quality-quota mixing, sequence packing, and PII redaction. Everything
+here follows the same design rules as the rest of the engine:
+
+- Deterministic and engine-portable: randomness is md5-hash-derived
+  (`hash_bucket`) so a DuckDB oracle reproduces every row bit-for-bit
+  and a re-run on different cluster sizes selects the same sample.
+- Scale-first: map-only where possible (sampling, redaction), broadcast
+  where one side is small (contamination benchmark), group-partitioned
+  windows / applyInPandas where per-group sequential state is inherent
+  (packing) — never a global sort or a driver-side collect.
+
+Operators
+---------
+- stratified_sample      : per-stratum deterministic hash sampling
+- benchmark_contamination: n-gram overlap vs an eval/benchmark set
+- quota_topk             : top-k rows per group (corpus mixing quota)
+- chunk_pack             : GPT-style concat-then-chunk packing (window)
+- greedy_pack            : whole-doc greedy bin packing (applyInPandas)
+- redact_pii             : email/phone redaction + match counts
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from commerce_data_pipeline_spark.operators.dedup import word_shingles
+
+# Redaction patterns restricted to syntax with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, \b word boundaries. No backrefs, no lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+def hash_bucket(col: Column, n_buckets: int = 10_000) -> Column:
+    """Deterministic bucket in [0, n_buckets): md5 of the stringified
+    value, top-15 hex chars as a 60-bit int, mod n_buckets. md5 (not
+    xxhash64) so DuckDB computes the identical bucket:
+    `CAST(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15)) AS BIGINT) % n`.
+
+    This is how a 100 TB pipeline samples reproducibly: the bucket is a
+    pure function of the row key, so the sample is stable across runs,
+    cluster sizes, and partitionings — no RNG state to coordinate.
+    """
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash bucket
+    falls below rate(stratum) * n_buckets. Map-only — zero shuffles, the
+    rate lookup is a literal map, and the filter pipelines with the scan.
+    Strata absent from `rates` get `default_rate`.
+
+    This is the training-mix primitive: 'keep 50% of en, 10% of zh' as a
+    pure filter, reproducible row-for-row on any cluster.
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for k, v in sorted(rates.items()) for x in (k, float(v))]
+    )
+    rate = F.coalesce(mapping[F.col(stratum_col)], F.lit(float(default_rate)))
+    return df.filter(
+        hash_bucket(F.col(id_col), n_buckets)
+        < F.floor(rate * F.lit(float(n_buckets))).cast("long")
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: for every training document, the
+    fraction of its distinct word n-grams that also appear anywhere in
+    the benchmark/eval set. Docs at or above `threshold` are flagged.
+
+    Plan shape for 100 TB training vs ~MB-GB benchmark: the benchmark's
+    distinct shingle set is SMALL — it broadcasts, so the per-doc overlap
+    is a broadcast semi-join on the exploded doc shingles followed by one
+    groupBy(doc) count. The corpus shuffles only (doc_id, n_hits) pairs,
+    never text. `overlap_e6 = floor(ratio * 1e6)` (floor, not round —
+    half-even vs half-away rounding differs across engines).
+    """
+    sh = word_shingles(text_col, shingle_n)
+    doc_sh = docs.select(F.col(id_col), F.explode(sh).alias("_sh"))
+    bench_sh = benchmark.select(F.explode(sh).alias("_sh")).distinct()
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), on="_sh", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = docs.select(F.col(id_col), F.size(sh).cast("long").alias("n_shingles"))
+    ratio = F.col("n_hits") / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double")
+    return (
+        totals.join(hits, on=id_col, how="left")
+        .na.fill({"n_hits": 0})
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.floor(ratio * 1_000_000).cast("long").alias("overlap_e6"),
+            (ratio >= threshold).alias("contaminated"),
+        )
+    )
+
+
+def quota_topk(
+    df: DataFrame,
+    group_cols: Iterable[str],
+    order_cols: Iterable[Column],
+    k: int,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group — the corpus-mixing quota: 'at most k docs per
+    (lang, source), best quality first'. The window partitions by the
+    group, so each task ranks one group's rows — no global order anywhere.
+    Callers must make `order_cols` a total order for determinism.
+    """
+    w = Window.partitionBy(*list(group_cols)).orderBy(*list(order_cols))
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
+def chunk_pack(
+    df: DataFrame,
+    budget: int,
+    group_cols: Iterable[str] = ("lang",),
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """GPT-style concat-then-chunk packing: documents are concatenated in
+    id order within each group and the token stream is cut into fixed
+    `budget`-token context windows; a document may span several chunks.
+    Output per doc: its start offset in the group's token stream and the
+    [first_chunk, last_chunk] window range it lands in.
+
+    One running-sum window partitioned by the group — each group sorts
+    locally in its own tasks. At 100 TB the group key includes a shard
+    (e.g. `hash_bucket(id) % n_shards`) so no single group's stream is
+    forced through one task; chunk ids are then shard-local, which is
+    exactly what a sharded training-data writer wants.
+    """
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy(id_col)
+    end = F.sum(token_col).over(w)  # running total INCLUDING this doc
+    start = (end - F.col(token_col)).alias("start_offset")
+    return df.select(
+        *gcols,
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        start.cast("long"),
+        F.floor((end - F.col(token_col)) / budget).cast("long").alias("first_chunk"),
+        F.floor((end - 1) / budget).cast("long").alias("last_chunk"),
+    )
+
+
+def greedy_pack(
+    df: DataFrame,
+    budget: int,
+    group_cols: Iterable[str] = ("lang",),
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Whole-document greedy bin packing: within each group, walk docs in
+    id order and open a new bin whenever adding the next doc would exceed
+    `budget`; documents are never split (an oversized doc occupies — and
+    overflows — its own bin). The packing for a group is inherently
+    sequential state, so it runs as one Arrow batch per group via
+    applyInPandas; parallelism = number of groups, which at 100 TB is
+    (lang × shard) with a hash shard in `group_cols` — thousands of
+    independent packing tasks, none of them global.
+
+    Output: (group_cols..., doc_id, n_tokens, bin_id, bin_fill) where
+    bin_fill is the bin's running total after this doc. Deterministic —
+    oracle-checkable via a recursive CTE stepping the same recurrence.
+    """
+    gcols = list(group_cols)
+    fields = ", ".join(f"{c} string" for c in gcols)
+    schema = f"{fields}, {id_col} long, n_tokens long, bin_id long, bin_fill long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bin_ids, fills = [], []
+        bin_id, fill = 0, 0
+        for t in pdf[token_col].astype("int64"):
+            if fill > 0 and fill + t > budget:
+                bin_id += 1
+                fill = 0
+            fill += int(t)
+            bin_ids.append(bin_id)
+            fills.append(fill)
+        out = pdf[gcols + [id_col]].copy()
+        out["n_tokens"] = pdf[token_col].astype("int64")
+        out["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        out["bin_fill"] = pd.Series(fills, dtype="int64")
+        return out
+
+    return df.select(*gcols, id_col, token_col).groupBy(*gcols).applyInPandas(
+        pack, schema
+    )
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Email/phone redaction with audit counts — the minimum-viable PII
+    scrub before corpus release. Map-only regexp work (codegen'd JVM
+    regex, no UDF); patterns are restricted to the Java-regex ∩ RE2
+    subset so the DuckDB oracle replays them exactly.
+
+    Returns (id, n_emails, n_phones, redacted_text) with matches replaced
+    by fixed tags, emails first then phones (order matters only if a
+    phone could appear inside an email; these patterns can't overlap, but
+    the order is still pinned for determinism).
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"), PHONE_PATTERN, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
+        redacted.alias("redacted_text"),
+    )

@@ -30,7 +30,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from commerce_data_pipeline_spark.catalog import load_table
-from commerce_data_pipeline_spark.operators import dedup, multimodal, similarity, temporal, text
+from commerce_data_pipeline_spark.operators import corpus, dedup, multimodal, similarity, temporal, text
 from commerce_data_pipeline_spark.operators.analytics import (
     attribution,
     funnel,
@@ -1888,6 +1888,233 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# Corpus shaping (LLM training-data pipeline, operators/corpus.py)
+# --------------------------------------------------------------------------
+
+_WS_SPLIT_SQL = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — deterministic per-language sampling (training-mix rates:
+    en 0.5 / de 0.25 / zh 0.1, everything else 0.2). Pure map-side filter
+    on an md5 hash bucket of doc_id: reproducible row-for-row on any
+    cluster size, and both engines compute the identical bucket."""
+    docs = load_table(spark, sf, "documents")
+    out = corpus.stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "zh": 0.1}, default_rate=0.2
+    )
+    return out.select("doc_id", "lang")
+
+
+_O_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+  < CAST(FLOOR((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                          WHEN 'zh' THEN 0.1 ELSE 0.2 END) * 10000.0) AS BIGINT)
+"""
+
+
+def _q_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — benchmark-contamination scan: overlap of each doc's
+    distinct 3-gram shingles with the 'benchmark' set (docs with
+    doc_id % 50 = 0 stand in for an eval suite). Benchmark shingles
+    broadcast; only (doc_id, count) pairs shuffle."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return corpus.benchmark_contamination(docs, bench, shingle_n=3, threshold=0.5)
+
+
+_O_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, {_WS_SPLIT_SQL} AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct(list_transform(generate_series(1, len(words) - 2),
+             i -> array_to_string(words[i:i+2], ' ')))
+      ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits FROM ex
+  WHERE s IN (SELECT s FROM bench) GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(len(t.shingles) AS BIGINT) AS n_shingles,
+  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+  CAST(FLOOR(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+       / GREATEST(len(t.shingles), 1) * 1000000) AS BIGINT) AS overlap_e6,
+  (CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / GREATEST(len(t.shingles), 1)) >= 0.5
+    AS contaminated
+FROM sh t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def _q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — quality-quota mixing: at most 3 docs per (lang, source),
+    best quality first (tie-break doc_id). Ordering uses the e4-floored
+    quality so both engines rank on the identical integer; the window
+    partitions by the quota group — nothing global."""
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "lang", "source", "doc_id",
+        F.floor(text.quality_score("text") * 10000).cast("long").alias("quality_e4"),
+    )
+    return corpus.quota_topk(
+        scored, ["lang", "source"],
+        [F.desc("quality_e4"), F.asc("doc_id")], k=3,
+    )
+
+
+_O_CORPUS_MIX = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, text, {_WS_SPLIT_SQL} AS ws FROM documents
+), m AS (
+  SELECT doc_id, lang, source,
+    len(ws) AS n_tokens,
+    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+      / GREATEST(len(ws), 1) AS wl,
+    CAST(len(list_filter(ws, w -> list_contains(
+      ['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+      / GREATEST(len(ws), 1) AS sw,
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+      / GREATEST(length(text), 1) AS pr
+  FROM t
+), q AS (
+  SELECT lang, source, doc_id,
+    CAST(FLOOR((0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+              + 0.2 * (CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END)
+              + 0.2 * LEAST(sw * 5.0, 1.0)
+              + 0.2 * (1.0 - LEAST(pr * 2.0, 1.0))) * 10000) AS BIGINT) AS quality_e4
+  FROM m
+)
+SELECT lang, source, doc_id, quality_e4, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY lang, source ORDER BY quality_e4 DESC, doc_id ASC) AS INT) AS rank
+  FROM q
+) WHERE rank <= 3
+"""
+
+
+def _q_chunk_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — concat-then-chunk sequence packing into 512-token context
+    windows per language stream: one running-sum window partitioned by
+    lang (at 100 TB the group key adds a hash shard; see operator doc)."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "lang", "doc_id", text.token_count("text").cast("long").alias("n_tokens")
+    )
+    return corpus.chunk_pack(toks, budget=512, group_cols=["lang"])
+
+
+_O_CHUNK_PACK = f"""
+WITH t AS (
+  SELECT lang, doc_id, CAST(len({_WS_SPLIT_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *, SUM(n_tokens) OVER (
+    PARTITION BY lang ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT lang, doc_id, n_tokens,
+  CAST(cum - n_tokens AS BIGINT) AS start_offset,
+  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS first_chunk,
+  CAST(FLOOR(CAST(cum - 1 AS DOUBLE) / 512) AS BIGINT) AS last_chunk
+FROM c
+"""
+
+
+def _q_greedy_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — whole-document greedy bin packing (512-token bins) per
+    language via applyInPandas; the oracle replays the identical greedy
+    recurrence as a recursive CTE, so the sequential-state operator is
+    still hash-checked, not just row-counted."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "lang", "doc_id", text.token_count("text").cast("long").alias("n_tokens")
+    )
+    return corpus.greedy_pack(toks, budget=512, group_cols=["lang"])
+
+
+_O_GREEDY_PACK = f"""
+WITH RECURSIVE t AS (
+  SELECT lang, doc_id, CAST(len({_WS_SPLIT_SQL}) AS BIGINT) AS n_tokens,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+), rec AS (
+  SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin_id,
+    n_tokens AS bin_fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.rn, t.doc_id, t.n_tokens,
+    CASE WHEN rec.bin_fill + t.n_tokens > 512
+         THEN rec.bin_id + 1 ELSE rec.bin_id END,
+    CASE WHEN rec.bin_fill + t.n_tokens > 512
+         THEN t.n_tokens ELSE rec.bin_fill + t.n_tokens END
+  FROM rec JOIN t ON t.lang = rec.lang AND t.rn = rec.rn + 1
+)
+SELECT lang, doc_id, n_tokens, bin_id, bin_fill FROM rec
+"""
+
+
+def _q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — PII scrub audit. The synthetic docs carry no PII, so the
+    query plants deterministic emails (doc_id % 7 = 0) and phone numbers
+    (doc_id % 11 = 0) IDENTICALLY in both engines, then redacts; the md5
+    of the redacted text pins the exact replacement behavior."""
+    docs = load_table(spark, sf, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"), F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-867-530"),
+                    (F.col("doc_id") % 10).cast("string"), F.lit(" today"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = corpus.redact_pii(aug)
+    return out.select(
+        "doc_id", "n_emails", "n_phones", F.md5("redacted_text").alias("redacted_md5")
+    )
+
+
+_O_PII_REDACT = """
+WITH aug AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0
+         THEN ' call 555-867-530' || CAST(doc_id % 10 AS VARCHAR) || ' today'
+         ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1950,6 +2177,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_ivf_indexed": QuerySpec(_q_ann_ivf_indexed, _O_ANN_IVF, "X3 ANN from persisted IVF index (same oracle)"),
     "embedding_quantize": QuerySpec(_q_embedding_quantize, _O_EMBEDDING_QUANTIZE, "X3 int8 scalar quantization profile"),
     "ann_lsh": QuerySpec(_q_ann_lsh, None, "X3 RP-LSH ANN top-k (rows-only: xxhash64)"),
+    # corpus shaping (LLM training-data pipeline)
+    "stratified_sample": QuerySpec(_q_stratified_sample, _O_STRATIFIED_SAMPLE, "corpus: deterministic per-stratum hash sampling"),
+    "contamination": QuerySpec(_q_contamination, _O_CONTAMINATION, "corpus: benchmark n-gram contamination scan"),
+    "corpus_mix": QuerySpec(_q_corpus_mix, _O_CORPUS_MIX, "corpus: quality-quota mixing (top-k per group)"),
+    "chunk_pack": QuerySpec(_q_chunk_pack, _O_CHUNK_PACK, "corpus: concat-then-chunk sequence packing"),
+    "greedy_pack": QuerySpec(_q_greedy_pack, _O_GREEDY_PACK, "corpus: greedy bin packing (recursive-CTE oracle)"),
+    "pii_redact": QuerySpec(_q_pii_redact, _O_PII_REDACT, "corpus: email/phone redaction audit"),
     "multimodal_meta": QuerySpec(_q_multimodal_meta, _O_MULTIMODAL_META, "X5 media metadata/digest projection"),
     "frame_sample": QuerySpec(_q_frame_sample, _O_FRAME_SAMPLE, "X5 video frame sampling"),
     "audio_windows": QuerySpec(_q_audio_windows, _O_AUDIO_WINDOWS, "X5 overlapping audio windows"),

@@ -1,0 +1,160 @@
+"""Unit tests for operators/corpus.py (LLM training-data shaping)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from commerce_data_pipeline_spark.operators import corpus as C
+
+
+def _docs(spark, texts, langs=None):
+    langs = langs or ["en"] * len(texts)
+    return spark.createDataFrame(
+        [(i, t, l) for i, (t, l) in enumerate(zip(texts, langs))],
+        "doc_id long, text string, lang string",
+    )
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_stratified_sample_rate_bounds(spark):
+    df = _docs(spark, [f"doc {i}" for i in range(200)])
+    assert C.stratified_sample(df, {"en": 1.0}).count() == 200
+    assert C.stratified_sample(df, {"en": 0.0}).count() == 0
+    # absent stratum falls back to default_rate
+    assert C.stratified_sample(df, {"zz": 1.0}, default_rate=0.0).count() == 0
+    assert C.stratified_sample(df, {"zz": 0.0}, default_rate=1.0).count() == 200
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    df = _docs(spark, [f"doc {i}" for i in range(300)])
+    a = {r["doc_id"] for r in C.stratified_sample(df, {"en": 0.4}).collect()}
+    b = {r["doc_id"] for r in C.stratified_sample(df, {"en": 0.4}).collect()}
+    assert a == b  # same sample every run
+    # lower rate selects a SUBSET of a higher rate (hash thresholding)
+    small = {r["doc_id"] for r in C.stratified_sample(df, {"en": 0.2}).collect()}
+    assert small <= a
+    # rate roughly honored (hash-uniform: 300 rows, generous band)
+    assert 60 <= len(a) <= 180
+
+
+def test_stratified_sample_rate_differs_by_stratum(spark):
+    df = _docs(spark, [f"doc {i}" for i in range(100)], ["en"] * 50 + ["de"] * 50)
+    out = C.stratified_sample(df, {"en": 1.0, "de": 0.0})
+    langs = {r["lang"] for r in out.collect()}
+    assert langs == {"en"} and out.count() == 50
+
+
+# ----------------------------------------------------------- contamination
+
+def test_contamination_full_and_zero_overlap(spark):
+    texts = [
+        "alpha beta gamma delta epsilon",   # 0: in benchmark
+        "alpha beta gamma delta epsilon",   # 1: identical to benchmark doc
+        "one two three four five six",      # 2: disjoint
+        "xx",                               # 3: too short for 3-shingles
+    ]
+    df = _docs(spark, texts)
+    bench = df.filter(F.col("doc_id") == 0)
+    rows = {r["doc_id"]: r for r in C.benchmark_contamination(df, bench).collect()}
+    assert rows[1]["overlap_e6"] == 1_000_000 and rows[1]["contaminated"]
+    assert rows[2]["n_hits"] == 0 and not rows[2]["contaminated"]
+    assert rows[3]["n_shingles"] == 0 and rows[3]["overlap_e6"] == 0
+
+
+def test_contamination_partial_overlap(spark):
+    # doc 1 shares exactly its first 3-shingle with the benchmark doc
+    df = _docs(spark, ["a b c d", "a b c z z2 z3"])
+    bench = df.filter(F.col("doc_id") == 0)
+    row = {r["doc_id"]: r for r in C.benchmark_contamination(df, bench).collect()}[1]
+    assert row["n_shingles"] == 4 and row["n_hits"] == 1
+    assert row["overlap_e6"] == 250_000
+
+
+# ----------------------------------------------------------------- packing
+
+def test_chunk_pack_offsets_and_spans(spark):
+    df = spark.createDataFrame(
+        [(0, "en", 300), (1, "en", 300), (2, "en", 600), (3, "de", 100)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    rows = {r["doc_id"]: r for r in C.chunk_pack(df, budget=512).collect()}
+    assert (rows[0]["start_offset"], rows[0]["first_chunk"], rows[0]["last_chunk"]) == (0, 0, 0)
+    # doc 1: offsets 300..599 → spans chunk 0 and 1
+    assert (rows[1]["start_offset"], rows[1]["first_chunk"], rows[1]["last_chunk"]) == (300, 0, 1)
+    # doc 2: offsets 600..1199 → chunks 1..2
+    assert (rows[2]["start_offset"], rows[2]["first_chunk"], rows[2]["last_chunk"]) == (600, 1, 2)
+    # separate group restarts at offset 0
+    assert (rows[3]["start_offset"], rows[3]["first_chunk"], rows[3]["last_chunk"]) == (0, 0, 0)
+
+
+def test_greedy_pack_bins_and_oversize(spark):
+    df = spark.createDataFrame(
+        [(0, "en", 300), (1, "en", 300), (2, "en", 200), (3, "en", 900), (4, "en", 10)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    rows = {r["doc_id"]: r for r in C.greedy_pack(df, budget=512).collect()}
+    assert rows[0]["bin_id"] == 0 and rows[0]["bin_fill"] == 300
+    assert rows[1]["bin_id"] == 1  # 300+300 > 512 → new bin
+    assert rows[2]["bin_id"] == 1 and rows[2]["bin_fill"] == 500
+    assert rows[3]["bin_id"] == 2 and rows[3]["bin_fill"] == 900  # oversize: own bin
+    assert rows[4]["bin_id"] == 3  # 900+10 > 512 → next bin
+
+
+def test_greedy_pack_never_splits_and_respects_budget(spark):
+    import random
+
+    rng = random.Random(3)
+    data = [(i, "en", rng.randrange(1, 400)) for i in range(60)]
+    df = spark.createDataFrame(data, "doc_id long, lang string, n_tokens long")
+    rows = sorted(C.greedy_pack(df, budget=512).collect(), key=lambda r: r["doc_id"])
+    fills: dict[int, int] = {}
+    for r in rows:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+        assert fills[r["bin_id"]] == r["bin_fill"]
+    # every doc < 400 < budget here, so no bin may exceed the budget
+    assert all(v <= 512 for v in fills.values())
+    # bins are consecutive starting at 0
+    assert sorted(fills) == list(range(len(fills)))
+
+
+# --------------------------------------------------------------- redaction
+
+def test_redact_pii_counts_and_replacement(spark):
+    df = _docs(
+        spark,
+        [
+            "reach me at jane.doe+spam@mail.example.org or 555-123-4567.",
+            "no pii here at all",
+            "two mails a@b.io c@d.ai one phone 111-222-3333",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in C.redact_pii(df).collect()}
+    assert (rows[0]["n_emails"], rows[0]["n_phones"]) == (1, 1)
+    assert "<EMAIL>" in rows[0]["redacted_text"] and "<PHONE>" in rows[0]["redacted_text"]
+    assert "jane.doe" not in rows[0]["redacted_text"]
+    assert "555-123-4567" not in rows[0]["redacted_text"]
+    assert rows[1]["redacted_text"] == "no pii here at all"
+    assert (rows[2]["n_emails"], rows[2]["n_phones"]) == (2, 1)
+
+
+def test_redact_pii_phone_word_boundary(spark):
+    # embedded in a longer digit run → \b prevents a match
+    df = _docs(spark, ["serial 9555-123-45678 is not a phone"])
+    r = C.redact_pii(df).collect()[0]
+    assert r["n_phones"] == 0 and "<PHONE>" not in r["redacted_text"]
+
+
+# -------------------------------------------------------------------- mix
+
+def test_quota_topk_caps_each_group(spark):
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 2), float(i)) for i in range(10)],
+        "doc_id long, grp string, score double",
+    )
+    out = C.quota_topk(df, ["grp"], [F.desc("score"), F.asc("doc_id")], k=2)
+    rows = sorted(out.collect(), key=lambda r: (r["grp"], r["rank"]))
+    assert [(r["grp"], r["doc_id"], r["rank"]) for r in rows] == [
+        ("g0", 8, 1), ("g0", 6, 2), ("g1", 9, 1), ("g1", 7, 2),
+    ]
