@@ -1888,6 +1888,291 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# Relational widening, part 2: Q8/Q10/Q13/Q14/Q17/Q18/Q19 shapes on the
+# available columns (no partsupp/shipmode/commitdate in this schema).
+# --------------------------------------------------------------------------
+
+def _q_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Q8 shape — NATION_3's share of supplier revenue among ASIA-customer
+    orders, per year. The share is a conditional-sum ratio inside one
+    aggregation (no second pass); all four dims broadcast, lineitem⋈orders
+    is the only big shuffle. e6-floored ratio for engine-stable hashing."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cust_asia = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(load_table(spark, sf, "nation")), s.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_asia), o.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        _dsum(F.when(F.col("supp_nation") == "NATION_3", revenue).otherwise(F.lit(0.0)))
+        .alias("nation_rev"),
+        _dsum(revenue).alias("total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        F.floor(F.col("nation_rev") / F.col("total_rev") * 1_000_000)
+        .cast("long")
+        .alias("mkt_share_e6"),
+    )
+
+
+_O_MARKET_SHARE = """
+WITH asia_cust AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+  CAST(FLOOR(
+    CAST(SUM(CAST(CASE WHEN n.n_name = 'NATION_3'
+        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+    * 1000000) AS BIGINT) AS mkt_share_e6
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n ON s_nationkey = n.n_nationkey
+WHERE o_custkey IN (SELECT c_custkey FROM asia_cust)
+GROUP BY year(o_orderdate)
+"""
+
+
+def _q_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """Q10 shape — top 20 customers by revenue lost to returns
+    (l_returnflag = 'R'). The flag filter reaches the lineitem scan
+    (pushdown); customer is the smaller join side and broadcasts after
+    the per-customer aggregate shrinks the fact stream."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(_dsum(revenue).alias("lost_revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("c_custkey"), F.col("c_name"), F.col("n_name").alias("nation"),
+            "lost_revenue", "n_lines",
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_O_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name AS nation,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+    AS lost_revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def _q_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Q13 shape — distribution of per-customer order counts INCLUDING
+    zero-order customers: left outer join then two stacked aggregations.
+    Both group-bys shrink the data monotonically; nothing global."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+    )
+
+
+_O_ORDER_COUNT_DISTRIBUTION = """
+SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def _q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q14 shape — monthly share of revenue from PROMO-type parts in 1999:
+    conditional-sum ratio in a single aggregation after a broadcast join
+    of the part dim (only p_partkey/p_type read — column pruning)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01"))
+    )
+    p = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            _dsum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0)))
+            .alias("promo_rev"),
+            _dsum(revenue).alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        F.floor(F.col("promo_rev") / F.col("total_rev") * 1_000_000)
+        .cast("long")
+        .alias("promo_share_e6"),
+    )
+
+
+_O_PROMO_REVENUE = """
+SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+  CAST(FLOOR(
+    CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+    * 1000000) AS BIGINT) AS promo_share_e6
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2000-01-01'
+GROUP BY month(l_shipdate)
+"""
+
+
+def _q_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q17 shape — revenue from lineitems whose quantity is below 50% of
+    their part's average: the per-part average is a first aggregation
+    that joins back to the fact on the SAME key (partkey), so AQE can
+    plan it shuffle-aligned; no correlated per-row subquery execution."""
+    li = load_table(spark, sf, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    joined = li.join(part_avg.withColumnRenamed("l_partkey", "p_key"),
+                     li.l_partkey == F.col("p_key"))
+    return (
+        joined.filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            F.floor(_dsum(F.col("l_extendedprice")) / 7.0 * 100).cast("long")
+            .alias("avg_yearly_e2"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_O_SMALL_QUANTITY_REVENUE = """
+WITH pa AS (
+  SELECT l_partkey AS p_key,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT
+  CAST(FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 * 100)
+    AS BIGINT) AS avg_yearly_e2,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN pa ON l_partkey = p_key
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def _q_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Q18 shape — orders whose total quantity exceeds 150, with customer
+    attribution: groupBy-HAVING on the fact, then the SURVIVORS (few)
+    join orders/customer. The heavy table aggregates before any join."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+_O_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def _q_disjunctive_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Q19 shape — OR-of-ANDs predicate across fact and dim columns.
+    The part-side disjunction (brand/size) prunes the broadcast dim scan;
+    the residual per-branch quantity bounds apply post-join. One row out:
+    revenue + matched line count."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50))
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(5, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(10, 50))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(cond).agg(
+        _dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+_O_DISJUNCTIVE_FILTER = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+    AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 5 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 10 AND 50)
+"""
+
+
+# --------------------------------------------------------------------------
 # Corpus shaping (LLM training-data pipeline, operators/corpus.py)
 # --------------------------------------------------------------------------
 
@@ -2146,6 +2431,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "important_parts": QuerySpec(_q_important_parts, _O_IMPORTANT_PARTS, "HAVING vs global scalar (Q11 shape)"),
     "idle_rich_customers": QuerySpec(_q_idle_rich_customers, _O_IDLE_RICH_CUSTOMERS, "scalar threshold + NOT EXISTS (Q22 shape)"),
     "rfm_segments": QuerySpec(_q_rfm_segments, _O_RFM_SEGMENTS, "RFM quartile segmentation (percentile cutoffs)"),
+    "market_share": QuerySpec(_q_market_share, _O_MARKET_SHARE, "conditional-sum share ratio (Q8 shape)"),
+    "returned_items": QuerySpec(_q_returned_items, _O_RETURNED_ITEMS, "returns revenue top-k (Q10 shape)"),
+    "order_count_distribution": QuerySpec(_q_order_count_distribution, _O_ORDER_COUNT_DISTRIBUTION, "outer-join histogram (Q13 shape)"),
+    "promo_revenue": QuerySpec(_q_promo_revenue, _O_PROMO_REVENUE, "conditional monthly share (Q14 shape)"),
+    "small_quantity_revenue": QuerySpec(_q_small_quantity_revenue, _O_SMALL_QUANTITY_REVENUE, "self-agg join-back threshold (Q17 shape)"),
+    "large_orders": QuerySpec(_q_large_orders, _O_LARGE_ORDERS, "HAVING then join-back (Q18 shape)"),
+    "disjunctive_filter": QuerySpec(_q_disjunctive_filter, _O_DISJUNCTIVE_FILTER, "OR-of-ANDs pushdown (Q19 shape)"),
     # gold analytics (SURVEY §2c)
     "funnel": QuerySpec(_q_funnel, _O_FUNNEL, "G1 ordered funnel (flagship)"),
     "sessionization": QuerySpec(_q_sessionization, _O_SESSIONIZATION, "G2 gap sessionization"),

@@ -71,3 +71,55 @@ def test_whole_stage_codegen_present(spark):
 def test_gold_queries_bounded_shuffles(spark, name):
     df = REGISTRY[name].spark(spark, SF)
     assert plans.num_shuffles(df) <= 3
+
+
+def test_disjunctive_filter_prunes_part_scan(spark):
+    df = REGISTRY["disjunctive_filter"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    # the part-side OR-of-ANDs disjunction reaches the dim scan as an Or
+    # pushed filter, and the dim broadcasts
+    assert any("Or(" in f or "p_brand" in f for f in plans.pushed_filters(df))
+    assert "BroadcastExchange" in plan
+
+
+def test_returned_items_pushes_flag_and_takeordered(spark):
+    df = REGISTRY["returned_items"].spark(spark, SF)
+    assert any("l_returnflag" in f for f in plans.pushed_filters(df))
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+
+
+def test_promo_revenue_prunes_part_columns(spark):
+    df = REGISTRY["promo_revenue"].spark(spark, SF)
+    for cols in plans.read_schema_columns(df):
+        if "p_type" in cols:  # the part scan
+            assert set(cols) == {"p_partkey", "p_type"}
+            break
+    else:
+        raise AssertionError("no part scan found")
+
+
+def test_market_share_single_fact_shuffle_plus_agg(spark):
+    df = REGISTRY["market_share"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    # four dim-side broadcasts (asia custkeys, supplier-nation map, inner dims)
+    assert plan.count("BroadcastExchange") >= 2
+    # shuffles: lineitem⋈orders (both sides) + final groupBy at most
+    assert plans.num_shuffles(df) <= 3
+
+
+def test_stratified_sample_is_map_only(spark):
+    df = REGISTRY["stratified_sample"].spark(spark, SF)
+    assert plans.num_shuffles(df) == 0
+
+
+def test_chunk_pack_single_window_shuffle(spark):
+    df = REGISTRY["chunk_pack"].spark(spark, SF)
+    # one hash-partition exchange for the lang-partitioned window; no
+    # global (rangepartitioning) exchange anywhere
+    assert plans.num_shuffles(df) == 1
+    assert "rangepartitioning" not in plans.formatted_plan(df).lower()
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    df = REGISTRY["contamination"].spark(spark, SF)
+    assert "BroadcastExchange" in plans.formatted_plan(df)
