@@ -2172,6 +2172,70 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def _q_forecast_revenue_change(spark: SparkSession, sf: str) -> DataFrame:
+    """Q6 shape — the pure scan-side query: filtered single-pass aggregate
+    with every predicate pushed into the parquet scan (date range,
+    discount band, quantity cap). No join, one shuffle (partial→final
+    agg). The canonical 'is pushdown working' probe."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_effect"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_O_FORECAST_REVENUE_CHANGE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+    AS revenue_effect,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2000-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def _q_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q15 shape — suppliers achieving the MAX quarterly revenue: an
+    aggregate joined against its own maximum (1-row broadcast), which
+    returns ALL ties like the SQL correlated-max form — no arbitrary
+    row_number pick."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01"))
+    )
+    s = load_table(spark, sf, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(_dsum(revenue).alias("total_revenue"))
+    mx = per_supp.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        per_supp.crossJoin(mx)
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_O_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '1999-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
 # --------------------------------------------------------------------------
 # Corpus shaping (LLM training-data pipeline, operators/corpus.py)
 # --------------------------------------------------------------------------
@@ -2438,6 +2502,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "small_quantity_revenue": QuerySpec(_q_small_quantity_revenue, _O_SMALL_QUANTITY_REVENUE, "self-agg join-back threshold (Q17 shape)"),
     "large_orders": QuerySpec(_q_large_orders, _O_LARGE_ORDERS, "HAVING then join-back (Q18 shape)"),
     "disjunctive_filter": QuerySpec(_q_disjunctive_filter, _O_DISJUNCTIVE_FILTER, "OR-of-ANDs pushdown (Q19 shape)"),
+    "forecast_revenue_change": QuerySpec(_q_forecast_revenue_change, _O_FORECAST_REVENUE_CHANGE, "pure pushdown scan agg (Q6 shape)"),
+    "top_supplier": QuerySpec(_q_top_supplier, _O_TOP_SUPPLIER, "agg joined to own max, ties kept (Q15 shape)"),
     # gold analytics (SURVEY §2c)
     "funnel": QuerySpec(_q_funnel, _O_FUNNEL, "G1 ordered funnel (flagship)"),
     "sessionization": QuerySpec(_q_sessionization, _O_SESSIONIZATION, "G2 gap sessionization"),

@@ -1,0 +1,72 @@
+"""Streaming corpus ingestion: micro-batch execution + batch/stream parity
+of the shared enrichment expressions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from commerce_data_pipeline_spark.streaming import corpus_stream as CS
+
+SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_enrich_is_deterministic_and_batch_usable(spark):
+    docs = spark.read.parquet(SF_DOCS)
+    a = CS.enrich_documents(docs)
+    row = a.filter(F.col("doc_id") == 0).collect()[0]
+    assert row["fp"] is not None and len(row["fp"]) == 32
+    assert row["ingest_ts"] is not None
+    # enrichment is pure: same values on a second evaluation
+    b = CS.enrich_documents(docs).filter(F.col("doc_id") == 0).collect()[0]
+    assert (row["quality_e4"], row["lang_pred"], row["fp"]) == (
+        b["quality_e4"], b["lang_pred"], b["fp"]
+    )
+
+
+def test_quality_gate_thresholds(spark):
+    docs = spark.createDataFrame(
+        [(0, "the of and to a good long enough document here", "en", "s", 10),
+         (1, "x", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    gated = CS.quality_gate(CS.enrich_documents(docs), min_quality_e4=0, min_tokens=5)
+    assert [r["doc_id"] for r in gated.collect()] == [0]
+
+
+def test_dedup_documents_batch_fallback(spark):
+    docs = spark.read.parquet(SF_DOCS).limit(50)
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 10_000))
+    out = CS.dedup_documents(CS.enrich_documents(doubled))
+    assert out.count() == CS.enrich_documents(docs).select("fp").distinct().count()
+
+
+def test_streaming_pipeline_matches_batch(spark, tmp_path):
+    """availableNow micro-batch run of the full pipeline produces exactly
+    the batch pipeline's surviving fingerprint set, partitioned by
+    predicted language."""
+    src = str(tmp_path / "in")
+    spark.read.parquet(SF_DOCS).write.parquet(src)
+
+    stream = CS.read_documents_stream(spark, src)
+    clean = CS.corpus_pipeline(stream, min_quality_e4=5000, min_tokens=5)
+    q = CS.write_corpus_stream(
+        clean, str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "corpus"))
+    batch = CS.corpus_pipeline(
+        spark.read.parquet(src), min_quality_e4=5000, min_tokens=5
+    )
+    assert {r["fp"] for r in got.select("fp").collect()} == {
+        r["fp"] for r in batch.select("fp").collect()
+    }
+    # partitioned-by-language layout on disk
+    names = {p.name for p in (tmp_path / "corpus").iterdir()}
+    assert any(n.startswith("lang_pred=") for n in names)
+    # stream output carries the same enrichment values as batch
+    g = {r["doc_id"]: (r["quality_e4"], r["lang_pred"]) for r in got.collect()}
+    b = {r["doc_id"]: (r["quality_e4"], r["lang_pred"]) for r in batch.collect()}
+    common = set(g) & set(b)
+    assert common and all(g[d] == b[d] for d in common)

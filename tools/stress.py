@@ -60,6 +60,16 @@ STRESS_QUERIES = [
     "lsh_dedup_pairs",
     "dedup_clusters",
     "ann_ivf",
+    # round 2: alternating CC (must scale like dedup_clusters or better),
+    # relational widening, and the corpus-shaping block
+    "dedup_clusters_alt",
+    "market_share",
+    "product_profit",
+    "returned_items",
+    "stratified_sample",
+    "contamination",
+    "chunk_pack",
+    "greedy_pack",
 ]
 
 
