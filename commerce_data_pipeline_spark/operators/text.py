@@ -109,6 +109,66 @@ def language_id(text_col: str = "text") -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Within-document repetition signals (C4/Gopher-style quality
+    filters for training corpora):
+
+    - `rep_ratio_e6`  : 1 − distinct n-grams / total n-grams — high for
+      boilerplate/degenerate text (computed scan-side with HOFs, no
+      explode for this part).
+    - `top_word_e6`   : most-frequent-token fraction — high for spammy
+      keyword-stuffed text. This one needs a per-(doc, word) count, so it
+      is the one shuffle here: explode → two stacked group-bys keyed by
+      doc_id (map-side combine applies; cardinality shrinks every step).
+
+    e6 floors (not round) keep both engines on the same integer.
+    """
+    ws = words(text_col)
+    total_n = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    idx = F.when(F.size(ws) >= n, F.sequence(F.lit(0), F.size(ws) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    all_grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(ws, i + F.lit(1), F.lit(n)))
+    )
+    distinct_n = F.size(F.array_distinct(all_grams))
+    rep = F.when(
+        total_n > 0,
+        F.lit(1.0) - distinct_n.cast("double") / total_n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    base = df.select(
+        F.col(id_col),
+        F.size(ws).cast("long").alias("n_words"),
+        total_n.cast("long").alias("n_grams_total"),
+        distinct_n.cast("long").alias("n_grams_distinct"),
+        F.floor(rep * 1_000_000).cast("long").alias("rep_ratio_e6"),
+    )
+    top_word = (
+        df.select(F.col(id_col), F.explode(ws).alias("_w"))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_max_c"))
+    )
+    return (
+        base.join(top_word, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            "n_grams_total",
+            "n_grams_distinct",
+            "rep_ratio_e6",
+            F.floor(
+                F.coalesce(F.col("_max_c"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+                * 1_000_000
+            ).cast("long").alias("top_word_e6"),
+        )
+    )
+
+
 def profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Full text-analysis profile: one map-only pass over the corpus."""
     return df.select(

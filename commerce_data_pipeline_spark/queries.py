@@ -2463,6 +2463,60 @@ FROM aug
 """
 
 
+def _q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """X4/corpus — C4/Gopher-style repetition quality signals: within-doc
+    3-gram repetition ratio (scan-side HOFs) and most-frequent-token
+    fraction (one doc-keyed shuffle)."""
+    docs = load_table(spark, sf, "documents")
+    return text.repetition_profile(docs)
+
+
+_O_TEXT_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {_WS_SPLIT_SQL} AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(GREATEST(len(ws) - 2, 0) AS BIGINT) AS n_grams_total,
+    CAST(CASE WHEN len(ws) >= 3
+      THEN len(list_distinct(list_transform(generate_series(1, len(ws) - 2),
+             i -> array_to_string(ws[i:i+2], ' '))))
+      ELSE 0 END AS BIGINT) AS n_grams_distinct
+  FROM t
+), wc AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS word FROM t)
+  GROUP BY doc_id, word
+), topw AS (
+  SELECT doc_id, MAX(c) AS max_c FROM wc GROUP BY doc_id
+)
+SELECT g.doc_id, g.n_words, g.n_grams_total, g.n_grams_distinct,
+  CAST(FLOOR(CASE WHEN g.n_grams_total > 0
+    THEN 1.0 - CAST(g.n_grams_distinct AS DOUBLE) / g.n_grams_total
+    ELSE 0.0 END * 1000000) AS BIGINT) AS rep_ratio_e6,
+  CAST(FLOOR(CAST(COALESCE(topw.max_c, 0) AS DOUBLE)
+    / GREATEST(g.n_words, 1) * 1000000) AS BIGINT) AS top_word_e6
+FROM g LEFT JOIN topw USING (doc_id)
+"""
+
+
+def _q_approx_group_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """X6 — per-group sketch aggregates: HLL++ distinct fingerprints and
+    the KLL/GK quantile sketch of document length, grouped by language.
+    Fixed-size mergeable state per group — the 100 TB profile report.
+    Approximate by construction → rows-only driver check; accuracy is
+    pinned against exact values in tests/test_sketches.py."""
+    docs = load_table(spark, sf, "documents")
+    enriched = docs.select(
+        "lang", "n_chars", dedup.fingerprint("text").alias("fp")
+    )
+    return enriched.groupBy("lang").agg(
+        F.approx_count_distinct("fp", rsd=0.01).alias("approx_distinct_docs"),
+        F.percentile_approx("n_chars", [0.5, 0.9], 10000).alias("chars_q50_q90"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2542,6 +2596,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "chunk_pack": QuerySpec(_q_chunk_pack, _O_CHUNK_PACK, "corpus: concat-then-chunk sequence packing"),
     "greedy_pack": QuerySpec(_q_greedy_pack, _O_GREEDY_PACK, "corpus: greedy bin packing (recursive-CTE oracle)"),
     "pii_redact": QuerySpec(_q_pii_redact, _O_PII_REDACT, "corpus: email/phone redaction audit"),
+    "text_repetition": QuerySpec(_q_text_repetition, _O_TEXT_REPETITION, "corpus: C4/Gopher repetition quality signals"),
+    "approx_group_stats": QuerySpec(_q_approx_group_stats, None, "X6 per-group sketches (rows-only: approximate)"),
     "multimodal_meta": QuerySpec(_q_multimodal_meta, _O_MULTIMODAL_META, "X5 media metadata/digest projection"),
     "frame_sample": QuerySpec(_q_frame_sample, _O_FRAME_SAMPLE, "X5 video frame sampling"),
     "audio_windows": QuerySpec(_q_audio_windows, _O_AUDIO_WINDOWS, "X5 overlapping audio windows"),

@@ -65,3 +65,22 @@ def test_profile_schema(spark):
     row = prof.collect()[0]
     assert row["n_tokens"] == 7
     assert row["lang_pred"] == "en"
+
+
+def test_repetition_profile_degenerate_vs_diverse(spark):
+    df = _docs(spark, [
+        "spam spam spam spam spam spam spam spam",   # 0: one token repeated
+        "one two three four five six seven eight",   # 1: all distinct
+        "ab",                                        # 2: too short for 3-grams
+    ])
+    rows = {r["doc_id"]: r for r in X.repetition_profile(df).collect()}
+    # all 3-grams identical → distinct=1 of 6 → ratio 5/6; top word = 8/8
+    assert rows[0]["n_grams_total"] == 6 and rows[0]["n_grams_distinct"] == 1
+    assert rows[0]["rep_ratio_e6"] == 833_333
+    assert rows[0]["top_word_e6"] == 1_000_000
+    # fully diverse → ratio 0; top word fraction 1/8
+    assert rows[1]["rep_ratio_e6"] == 0
+    assert rows[1]["top_word_e6"] == 125_000
+    # short doc: no grams, ratio 0, top word 1/1
+    assert rows[2]["n_grams_total"] == 0 and rows[2]["rep_ratio_e6"] == 0
+    assert rows[2]["top_word_e6"] == 1_000_000
