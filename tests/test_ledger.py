@@ -1,0 +1,52 @@
+"""Cross-run incremental dedup ledger tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commerce_data_pipeline_spark.sources.ledger import FingerprintLedger
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_first_batch_admits_all_unique(spark, tmp_path):
+    led = FingerprintLedger(spark, str(tmp_path / "ledger"))
+    assert not led.exists()
+    batch = _docs(spark, [(0, "alpha"), (1, "beta"), (2, "alpha")])  # 2 intra-dup
+    admitted = led.ingest(batch)
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [0, 1]  # min id wins
+    assert led.exists()
+    assert led.known().count() == 2
+
+
+def test_second_batch_admits_only_unseen(spark, tmp_path):
+    led = FingerprintLedger(spark, str(tmp_path / "ledger"))
+    led.ingest(_docs(spark, [(0, "alpha"), (1, "beta")]))
+    admitted = led.ingest(_docs(spark, [(10, "beta"), (11, "gamma"), (12, "GAMMA ")]))
+    # beta known; gamma and "GAMMA " normalize to the same content → one row
+    assert [r["doc_id"] for r in admitted.collect()] == [11]
+    assert led.known().count() == 3
+
+
+def test_reingest_is_idempotent(spark, tmp_path):
+    led = FingerprintLedger(spark, str(tmp_path / "ledger"))
+    batch = _docs(spark, [(0, "alpha"), (1, "beta")])
+    led.ingest(batch)
+    again = led.ingest(batch)
+    assert again.count() == 0
+    assert led.known().count() == 2
+
+
+def test_ledger_prefix_partitioned_digest_only(spark, tmp_path):
+    led = FingerprintLedger(spark, str(tmp_path / "ledger"))
+    led.ingest(_docs(spark, [(i, f"text number {i}") for i in range(20)]))
+    stored = spark.read.parquet(str(tmp_path / "ledger"))
+    # only the digest (+ partition column) persists — never text
+    assert set(stored.columns) == {"fp", "fp_prefix"}
+    names = {p.name for p in (tmp_path / "ledger").iterdir() if p.is_dir()}
+    assert names and all(n.startswith("fp_prefix=") for n in names)
+    # prefix really is the fp prefix
+    r = stored.limit(1).collect()[0]
+    assert r["fp"].startswith(r["fp_prefix"])

@@ -150,3 +150,57 @@ def test_exact_dedup_idempotent_and_normalizing(spark, texts):
     assert len(kept) == len(set(kept))
     # every input text has a surviving representative
     assert {norm(t) for t in texts} == set(kept)
+
+
+token_lists_strategy = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(1, 700)),  # (group, n_tokens)
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(token_lists_strategy)
+def test_greedy_pack_matches_python_reference(spark, rows):
+    from commerce_data_pipeline_spark.operators import corpus as C
+
+    data = [(i, f"g{g}", t) for i, (g, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, lang string, n_tokens long")
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_fill"])
+        for r in C.greedy_pack(df, budget=512).collect()
+    }
+    # pure-Python reference of the same greedy recurrence, per group
+    expect = {}
+    for gname in {f"g{g}" for g, _ in rows}:
+        fill, bin_id = 0, 0
+        for i, (g, t) in enumerate(rows):
+            if f"g{g}" != gname:
+                continue
+            if fill > 0 and fill + t > 512:
+                bin_id += 1
+                fill = 0
+            fill += t
+            expect[i] = (bin_id, fill)
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(token_lists_strategy)
+def test_chunk_pack_stream_is_gapless(spark, rows):
+    from commerce_data_pipeline_spark.operators import corpus as C
+
+    data = [(i, f"g{g}", t) for i, (g, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, lang string, n_tokens long")
+    out = sorted(
+        C.chunk_pack(df, budget=512).collect(),
+        key=lambda r: (r["lang"], r["doc_id"]),
+    )
+    offset = {}
+    for r in out:
+        # offsets are contiguous: each doc starts where the previous ended
+        assert r["start_offset"] == offset.get(r["lang"], 0)
+        offset[r["lang"]] = r["start_offset"] + r["n_tokens"]
+        # chunk span consistent with offsets and budget
+        assert r["first_chunk"] == r["start_offset"] // 512
+        assert r["last_chunk"] == (r["start_offset"] + r["n_tokens"] - 1) // 512
