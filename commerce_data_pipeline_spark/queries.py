@@ -2463,6 +2463,114 @@ FROM aug
 """
 
 
+def _q_corpus_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — the end-to-end ingestion pipeline in batch form: scan-side
+    enrichment (language ID, quality, fingerprint), quality gate, then
+    exact-dedup keeping the min doc_id per fingerprint (the deterministic
+    survivor rule, digest-only shuffle). The same composition runs as a
+    stream in streaming/corpus_stream.py; this query is its oracle-checked
+    batch twin."""
+    from commerce_data_pipeline_spark.streaming import corpus_stream as CS
+
+    docs = load_table(spark, sf, "documents")
+    gated = CS.quality_gate(
+        CS.enrich_documents(docs), min_quality_e4=5000, min_tokens=5
+    ).select("doc_id", "lang_pred", "quality_e4", "n_tokens", "fp")
+    keep = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return gated.join(keep, on=["fp", "doc_id"], how="left_semi")
+
+
+_O_CORPUS_INGEST = f"""
+WITH t AS (
+  SELECT doc_id, text, {_WS_SPLIT_SQL} AS ws FROM documents
+), m AS (
+  SELECT doc_id, text, ws,
+    len(ws) AS n_tokens,
+    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+      / GREATEST(len(ws), 1) AS wl,
+    CAST(len(list_filter(ws, w -> list_contains(
+      ['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+      / GREATEST(len(ws), 1) AS sw,
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+      / GREATEST(length(text), 1) AS pr,
+    len(list_filter(ws, w -> list_contains(['the','and','of','to','a'], w))) AS s_en,
+    len(list_filter(ws, w -> list_contains(['der','die','das','und','ist'], w))) AS s_de,
+    len(list_filter(ws, w -> list_contains(['el','la','de','que','y'], w))) AS s_es,
+    len(list_filter(ws, w -> list_contains(['le','la','et','les','des'], w))) AS s_fr
+  FROM t
+), e AS (
+  SELECT doc_id,
+    CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr) THEN 'fr'
+         WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+         WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+         ELSE 'de' END AS lang_pred,
+    CAST(FLOOR((0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+              + 0.2 * (CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END)
+              + 0.2 * LEAST(sw * 5.0, 1.0)
+              + 0.2 * (1.0 - LEAST(pr * 2.0, 1.0))) * 10000) AS BIGINT) AS quality_e4,
+    CAST(n_tokens AS BIGINT) AS n_tokens,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM m
+), gated AS (
+  SELECT * FROM e WHERE quality_e4 >= 5000 AND n_tokens >= 5
+)
+SELECT fp, doc_id, lang_pred, quality_e4, n_tokens
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM gated
+) WHERE rn = 1
+"""
+
+
+def _q_semantic_only_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — near-duplicates the LEXICAL pipeline cannot see: the top
+    embedding pairs (cosine, globally ranked) anti-joined against the
+    MinHash/LSH candidate pairs of the same documents (doc_id aligns with
+    vec_id in the testdata). This is the semantic-dedup story at 100 TB:
+    lexical LSH first (cheap, catches verbatim/near-verbatim), embedding
+    pass second, and only its EXTRA pairs are new information. Both
+    inputs reuse the existing operators unchanged; the anti-join shuffles
+    id pairs only."""
+    emb = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    epairs = similarity.near_dup_pairs(emb, threshold=0.3, top_pairs=100)
+    lpairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
+    sem = epairs.join(lpairs, on=["id_a", "id_b"], how="left_anti")
+    order = [F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")]
+    top = sem.orderBy(*order).limit(50)
+    return top.select(
+        "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"),
+        F.row_number().over(Window.orderBy(*order)).alias("srank"),
+    )
+
+
+_O_SEMANTIC_ONLY_DUPS = f"""
+WITH {_ora_lsh_ctes(16, 4, 3)},
+lex AS (
+  SELECT id_a, id_b FROM pairs WHERE id_a < 1000000 AND id_b < 1000000
+), unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_dot_product(a.u, b.u) AS sim
+  FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+), etop AS (
+  SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.3
+  QUALIFY ROW_NUMBER() OVER (ORDER BY sim DESC, id_a, id_b) <= 100
+), sem AS (
+  SELECT s.id_a, s.id_b, s.sim
+  FROM etop s LEFT JOIN lex l ON s.id_a = l.id_a AND s.id_b = l.id_b
+  WHERE l.id_a IS NULL
+)
+SELECT id_a, id_b, ROUND(sim, 4) AS cosine_sim,
+  CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, id_a, id_b) AS INT) AS srank
+FROM sem QUALIFY srank <= 50
+"""
+
+
 def _q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """X4/corpus — C4/Gopher-style repetition quality signals: within-doc
     3-gram repetition ratio (scan-side HOFs) and most-frequent-token
@@ -2597,6 +2705,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "greedy_pack": QuerySpec(_q_greedy_pack, _O_GREEDY_PACK, "corpus: greedy bin packing (recursive-CTE oracle)"),
     "pii_redact": QuerySpec(_q_pii_redact, _O_PII_REDACT, "corpus: email/phone redaction audit"),
     "text_repetition": QuerySpec(_q_text_repetition, _O_TEXT_REPETITION, "corpus: C4/Gopher repetition quality signals"),
+    "corpus_ingest": QuerySpec(_q_corpus_ingest, _O_CORPUS_INGEST, "corpus: end-to-end enrich+gate+dedup pipeline (stream twin)"),
+    "semantic_only_dups": QuerySpec(_q_semantic_only_dups, _O_SEMANTIC_ONLY_DUPS, "corpus: embedding near-dups missed by lexical LSH"),
     "approx_group_stats": QuerySpec(_q_approx_group_stats, None, "X6 per-group sketches (rows-only: approximate)"),
     "multimodal_meta": QuerySpec(_q_multimodal_meta, _O_MULTIMODAL_META, "X5 media metadata/digest projection"),
     "frame_sample": QuerySpec(_q_frame_sample, _O_FRAME_SAMPLE, "X5 video frame sampling"),
