@@ -57,6 +57,33 @@ def build_ivf_index(
     centroids.write.mode("overwrite").parquet(join_path(path, "centroids"))
 
 
+def append_to_ivf_index(
+    corpus_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally index NEW vectors against the EXISTING centroids:
+    assign each to its nearest centroid (broadcast argmax, the same
+    `ivf_invert` code as the build) and append to the partitioned
+    inverted file — only the touched centroid_id partitions gain files,
+    nothing is rewritten. This is how a live corpus grows its ANN index
+    between periodic rebuilds; recall degrades only as the data
+    distribution drifts from the centroid sample, so rebuild cadence is
+    a drift question, not a correctness one. Queries need no change:
+    `ivf_query` reads whatever the partitions contain."""
+    spark = corpus_new.sparkSession
+    centroids = spark.read.parquet(join_path(path, "centroids"))
+    u = with_unit_vector(corpus_new, vec_col, "unit")
+    inverted_new = ivf_invert(u, centroids, id_col)
+    (
+        inverted_new.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(join_path(path, "inverted"))
+    )
+
+
 def index_exists(spark: SparkSession, path: str) -> bool:
     """Complete-index probe: the centroid table's _SUCCESS marker (written
     last) plus at least one inverted-list partition directory. A dynamic

@@ -2463,6 +2463,154 @@ FROM aug
 """
 
 
+def _q_daily_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """G-family widening — trailing z-score anomaly detection: per market
+    segment, each day's revenue against the mean/std of the prior 7 days
+    (ROWS frame excluding the current row). The window runs over the
+    POST-AGGREGATION series (segments × days — tiny), so the per-segment
+    sort is trivial; the heavy table only ever does one groupBy. Variance
+    via the sum/sum-of-squares identity with decimal-exact window sums so
+    both engines do the identical float arithmetic; z floored to e4."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", F.to_date("o_orderdate").alias("day"))
+        .agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("day").rowsBetween(-7, -1)
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(F.col("revenue").cast("decimal(38,6)")).over(w).cast("double")
+    ss = (
+        F.sum((F.col("revenue") * F.col("revenue")).cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+    )
+    mean = s / n
+    var = (ss - n.cast("double") * mean * mean) / (n.cast("double") - 1)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col("revenue") - mean) / std
+    return (
+        daily.select(
+            "c_mktsegment", "day", "revenue", n.alias("_n"), std.alias("_std"), z.alias("_z")
+        )
+        .filter((F.col("_n") == 7) & (F.col("_std") > 0))
+        .select(
+            "c_mktsegment", "day", "revenue",
+            F.floor(F.col("_z") * 10000).cast("long").alias("z_e4"),
+            (F.abs(F.col("_z")) >= 2.0).alias("is_anomaly"),
+        )
+    )
+
+
+_O_DAILY_ANOMALIES = """
+WITH daily AS (
+  SELECT c_mktsegment, CAST(o_orderdate AS DATE) AS day,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, CAST(o_orderdate AS DATE)
+), win AS (
+  SELECT c_mktsegment, day, revenue,
+    COUNT(*) OVER w AS n,
+    CAST(SUM(CAST(revenue AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s,
+    CAST(SUM(CAST(revenue * revenue AS DECIMAL(38,6))) OVER w AS DOUBLE) AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT c_mktsegment, day, revenue, n,
+    sqrt(GREATEST((ss - n * (s / n) * (s / n)) / (n - 1), 0.0)) AS std,
+    (revenue - s / n) AS dev
+  FROM win
+)
+SELECT c_mktsegment, day, revenue,
+  CAST(FLOOR(dev / std * 10000) AS BIGINT) AS z_e4,
+  (ABS(dev / std) >= 2.0) AS is_anomaly
+FROM scored
+WHERE n = 7 AND std > 0
+"""
+
+
+def _q_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket affinity — top part pairs co-occurring in orders,
+    with lift. Baskets come from ONE groupBy (collect_set, bounded by
+    lines-per-order); in-basket pair expansion reuses the LSH bucket
+    trick — no self-join, so the fact table is scanned once. Lift's
+    denominator terms join back via two broadcast-size aggregates; the
+    order total is a cross-joined scalar in the same lazy plan. Top-50 by
+    (support desc, ids) via TakeOrderedAndProject."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("_items"))
+        .filter(F.size("_items") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_items"),
+            lambda a: F.transform(
+                F.filter(F.col("_items"), lambda b: b > a),
+                lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
+            ),
+        )
+    )
+    pair_counts = (
+        baskets.select(F.explode(pair_structs).alias("_p"))
+        .groupBy(F.col("_p.part_a").alias("part_a"), F.col("_p.part_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    part_orders = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    scored = (
+        pair_counts.join(
+            F.broadcast(part_orders.withColumnRenamed("l_partkey", "part_a")
+                        .withColumnRenamed("cnt", "cnt_a")), on="part_a")
+        .join(
+            F.broadcast(part_orders.withColumnRenamed("l_partkey", "part_b")
+                        .withColumnRenamed("cnt", "cnt_b")), on="part_b")
+        .crossJoin(n_orders)
+        .select(
+            "part_a", "part_b", "support",
+            F.floor(
+                F.col("support").cast("double") * F.col("_n")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double"))
+                * 10000
+            ).cast("long").alias("lift_e4"),
+        )
+    )
+    order = [F.desc("support"), F.asc("part_a"), F.asc("part_b")]
+    top = scored.orderBy(*order).limit(50)
+    return top.withColumn("brank", F.row_number().over(Window.orderBy(*order)))
+
+
+_O_BASKET_PAIRS = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+), pc AS (
+  SELECT l_partkey, COUNT(*) AS cnt FROM d GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM d
+)
+SELECT part_a, part_b, support,
+  CAST(FLOOR(CAST(support AS DOUBLE) * tot.n
+       / (CAST(pa.cnt AS DOUBLE) * CAST(pb.cnt AS DOUBLE)) * 10000) AS BIGINT)
+    AS lift_e4,
+  CAST(ROW_NUMBER() OVER (ORDER BY support DESC, part_a ASC, part_b ASC) AS INT)
+    AS brank
+FROM pairs
+JOIN pc pa ON part_a = pa.l_partkey
+JOIN pc pb ON part_b = pb.l_partkey
+CROSS JOIN tot
+QUALIFY brank <= 50
+"""
+
+
 def _q_corpus_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus — the end-to-end ingestion pipeline in batch form: scan-side
     enrichment (language ID, quality, fingerprint), quality gate, then
@@ -2666,6 +2814,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "disjunctive_filter": QuerySpec(_q_disjunctive_filter, _O_DISJUNCTIVE_FILTER, "OR-of-ANDs pushdown (Q19 shape)"),
     "forecast_revenue_change": QuerySpec(_q_forecast_revenue_change, _O_FORECAST_REVENUE_CHANGE, "pure pushdown scan agg (Q6 shape)"),
     "top_supplier": QuerySpec(_q_top_supplier, _O_TOP_SUPPLIER, "agg joined to own max, ties kept (Q15 shape)"),
+    "daily_anomalies": QuerySpec(_q_daily_anomalies, _O_DAILY_ANOMALIES, "trailing z-score anomaly detection (per-segment window)"),
+    "basket_pairs": QuerySpec(_q_basket_pairs, _O_BASKET_PAIRS, "market-basket co-occurrence + lift (no self-join)"),
     # gold analytics (SURVEY §2c)
     "funnel": QuerySpec(_q_funnel, _O_FUNNEL, "G1 ordered funnel (flagship)"),
     "sessionization": QuerySpec(_q_sessionization, _O_SESSIONIZATION, "G2 gap sessionization"),

@@ -111,6 +111,34 @@ def test_persisted_ivf_index_matches_inline(spark, tmp_path):
     assert any(n.startswith("centroid_id=") for n in names)
 
 
+def test_ivf_index_incremental_append(spark, tmp_path):
+    from commerce_data_pipeline_spark.operators import index as I
+
+    emb = _vecs(spark, n=60)
+    first = emb.filter(F.col("vec_id") < 40)
+    later = emb.filter(F.col("vec_id") >= 40)
+    path = f"file://{tmp_path}/ivf"
+    I.build_ivf_index(first, path, n_centroids=6)
+    I.append_to_ivf_index(later, path)
+    # the index now covers the full corpus: probing everything must equal
+    # probe/score against build-time centroids over all 60 vectors
+    q = emb.filter(F.col("vec_id") < 3)
+    got = I.ivf_query(spark, path, q, k=3, n_probe=6)
+    centroids = spark.read.parquet(f"{path}/centroids")
+    u = S.with_unit_vector(emb, "embedding", "unit")
+    expect = S.ivf_probe_score(
+        S.ivf_invert(u, centroids), centroids, q, k=3, n_probe=6
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    assert [tuple(r) for r in sorted(got.collect(), key=key)] == [
+        tuple(r) for r in sorted(expect.collect(), key=key)
+    ]
+    # appended vectors are actually reachable as neighbors
+    neighbors = {r["neighbor_id"] for r in I.ivf_query(
+        spark, path, later, k=1, n_probe=6).collect()}
+    assert neighbors & set(range(40, 60))
+
+
 def test_quantize_int8_bounds_and_reconstruction(spark):
     emb = _vecs(spark, n=20)
     rows = S.quantize_int8(emb).collect()
