@@ -82,6 +82,51 @@ def stratified_sample(
     )
 
 
+def fixed_size_sample(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: the k rows with the
+    SMALLEST hash bucket per stratum (ties broken by id). The bottom-k-
+    of-a-hash trick is the distributed, reproducible replacement for
+    reservoir sampling: no RNG state, identical result on any cluster,
+    and growing the corpus only ever swaps items whose hash displaces a
+    kept one. Window partitions by stratum — per-group sort only.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_bucket(F.col(id_col), 1 << 30).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_sr", F.row_number().over(w))
+        .filter(F.col("_sr") <= k)
+        .drop("_sr")
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: float = 0.1,
+    test_pct: float = 0.1,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the id hash: the same
+    document lands in the same split on every run, every cluster, every
+    re-shard — the property that keeps eval sets uncontaminated as the
+    corpus is rebuilt. Map-only (adds a `split` column)."""
+    b = hash_bucket(F.col(id_col), n_buckets)
+    val_cut = int(val_pct * n_buckets)
+    test_cut = val_cut + int(test_pct * n_buckets)
+    return df.withColumn(
+        "split",
+        F.when(b < val_cut, F.lit("val"))
+        .when(b < test_cut, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
 def benchmark_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -2263,6 +2263,53 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10
 """
 
 
+def _q_fixed_size_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — exactly-10-per-language deterministic sample (bottom-k of
+    the id hash, the distributed reservoir replacement)."""
+    docs = load_table(spark, sf, "documents")
+    out = corpus.fixed_size_sample(docs, k=10)
+    return out.select("doc_id", "lang")
+
+
+_O_FIXED_SIZE_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, ROW_NUMBER() OVER (
+    PARTITION BY lang
+    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 1073741824 ASC, doc_id ASC) AS sr
+  FROM documents
+) WHERE sr <= 10
+"""
+
+
+def _q_corpus_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — deterministic train/val/test assignment (hash of doc_id;
+    10%/10% val/test), summarized per (lang, split). The same doc lands in
+    the same split on every run and cluster — eval-set stability."""
+    docs = load_table(spark, sf, "documents")
+    out = corpus.train_val_test_split(docs, val_pct=0.1, test_pct=0.1)
+    return out.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _dsum(F.col("n_chars")).alias("total_chars"),
+    )
+
+
+_O_CORPUS_SPLIT = """
+WITH assigned AS (
+  SELECT lang, n_chars,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 10000 < 1000 THEN 'val'
+         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 10000 < 2000 THEN 'test'
+         ELSE 'train' END AS split
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+  CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) AS total_chars
+FROM assigned GROUP BY lang, split
+"""
+
+
 def _q_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus — benchmark-contamination scan: overlap of each doc's
     distinct 3-gram shingles with the 'benchmark' set (docs with
@@ -2849,6 +2896,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_lsh": QuerySpec(_q_ann_lsh, None, "X3 RP-LSH ANN top-k (rows-only: xxhash64)"),
     # corpus shaping (LLM training-data pipeline)
     "stratified_sample": QuerySpec(_q_stratified_sample, _O_STRATIFIED_SAMPLE, "corpus: deterministic per-stratum hash sampling"),
+    "fixed_size_sample": QuerySpec(_q_fixed_size_sample, _O_FIXED_SIZE_SAMPLE, "corpus: exactly-k-per-stratum bottom-k-hash sample"),
+    "corpus_split": QuerySpec(_q_corpus_split, _O_CORPUS_SPLIT, "corpus: deterministic train/val/test split summary"),
     "contamination": QuerySpec(_q_contamination, _O_CONTAMINATION, "corpus: benchmark n-gram contamination scan"),
     "corpus_mix": QuerySpec(_q_corpus_mix, _O_CORPUS_MIX, "corpus: quality-quota mixing (top-k per group)"),
     "chunk_pack": QuerySpec(_q_chunk_pack, _O_CHUNK_PACK, "corpus: concat-then-chunk sequence packing"),

@@ -158,3 +158,36 @@ def test_quota_topk_caps_each_group(spark):
     assert [(r["grp"], r["doc_id"], r["rank"]) for r in rows] == [
         ("g0", 8, 1), ("g0", 6, 2), ("g1", 9, 1), ("g1", 7, 2),
     ]
+
+
+def test_fixed_size_sample_exact_k_and_stable(spark):
+    df = _docs(spark, [f"doc {i}" for i in range(100)], ["en"] * 60 + ["de"] * 40)
+    out = C.fixed_size_sample(df, k=7)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 7, "de": 7}
+    # deterministic: identical ids on re-evaluation
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in C.fixed_size_sample(df, k=7).collect()}
+    assert a == b
+    # k larger than the stratum returns the whole stratum
+    tiny = _docs(spark, ["x", "y"], ["fr", "fr"])
+    assert C.fixed_size_sample(tiny, k=10).count() == 2
+
+
+def test_train_val_test_split_stable_partition(spark):
+    df = _docs(spark, [f"doc {i}" for i in range(300)])
+    out = C.train_val_test_split(df, val_pct=0.1, test_pct=0.1)
+    rows = out.collect()
+    assert len(rows) == 300  # partition: every row assigned exactly once
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) <= {"train", "val", "test"}
+    # splits are disjoint and stable across evaluations
+    again = {r["doc_id"]: r["split"] for r in
+             C.train_val_test_split(df, val_pct=0.1, test_pct=0.1).collect()}
+    for split, ids in by_split.items():
+        assert all(again[i] == split for i in ids)
+    # roughly 80/10/10 (hash-uniform, generous band)
+    assert len(by_split.get("train", ())) > 200
