@@ -70,6 +70,11 @@ STRESS_QUERIES = [
     "contamination",
     "chunk_pack",
     "greedy_pack",
+    "corpus_ingest",
+    "fixed_size_sample",
+    "semantic_only_dups",
+    "daily_anomalies",
+    "basket_pairs",
 ]
 
 
