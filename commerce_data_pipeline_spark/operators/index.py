@@ -40,14 +40,33 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_count: int | None = None,
+    quantize: bool = False,
 ) -> None:
     """Materialize the IVF index under `path` (any Hadoop-FS scheme):
-    `inverted/` (partitioned by centroid_id) + `centroids/`."""
+    `inverted/` (partitioned by centroid_id) + `centroids/`.
+
+    `quantize=True` stores the inverted lists as int8 codes + per-vector
+    scale instead of float64 unit vectors — 8× fewer list bytes, which at
+    100 TB is the difference between an index that fits hot storage and
+    one that doesn't. Probes reconstruct x ≈ q·scale on read (scan-side
+    transform); results become approximate within quantization error
+    (recall pinned in tests), while the centroid table — tiny — always
+    stays exact."""
     u = with_unit_vector(corpus, vec_col, "unit")
     total = corpus_count if corpus_count is not None else corpus.count()
     step = max(1, total // n_centroids)
     centroids = ivf_centroids(u, step, n_centroids, id_col)
     inverted = ivf_invert(u, centroids, id_col)
+    if quantize:
+        v = F.col("c_unit")
+        raw = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+        sc = F.when(raw == 0.0, F.lit(1.0)).otherwise(raw)
+        inverted = inverted.select(
+            "neighbor_id",
+            "centroid_id",
+            sc.alias("scale"),
+            F.transform(v, lambda x: F.floor(x / sc + F.lit(0.5)).cast("int")).alias("qvec"),
+        )
     (
         inverted.repartition("centroid_id")
         .write.mode("overwrite")
@@ -110,5 +129,12 @@ def ivf_query(
     partitioned inverted file prunes to the probed lists' directories —
     check `.explain` for the partition filter on centroid_id."""
     inverted = spark.read.parquet(join_path(path, "inverted"))
+    if "qvec" in inverted.columns:  # quantized lists: reconstruct on read
+        inverted = inverted.select(
+            "neighbor_id",
+            "centroid_id",
+            F.transform(F.col("qvec"), lambda q: q.cast("double") * F.col("scale"))
+            .alias("c_unit"),
+        )
     centroids = spark.read.parquet(join_path(path, "centroids"))
     return ivf_probe_score(inverted, centroids, queries, k, n_probe, vec_col, query_id_col)

@@ -305,3 +305,100 @@ def sample_frames(media: DataFrame, stride: int = 4) -> DataFrame:
             ).alias("frame_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (image near-dup — the X2 dedup family applied to X5)
+# ---------------------------------------------------------------------------
+
+def perceptual_hash(decoded: DataFrame, hash_size: int = 8) -> DataFrame:
+    """pHash over decoded pixel arrays: nearest-neighbor downscale to a
+    (4·hash_size)² square, 2-D DCT-II (numpy matmul against the cosine
+    basis — no scipy needed), keep the top-left hash_size×hash_size
+    low-frequency block minus the DC term, threshold at the median →
+    63-bit hash packed into a long.
+
+    Near-identical images (re-encodes, small crops/noise under a REAL
+    codec; identical payloads under the stub) land within a few hamming
+    bits. Arrow-batched mapInPandas; pixels never leave the executor, the
+    output is 8 bytes per image — the dedup-friendly shape.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        size = hash_size * 4
+        # DCT-II basis (orthonormal not required — median-threshold bits
+        # are scale-invariant)
+        n_ = np.arange(size)
+        basis = np.cos(np.pi * (n_[None, :] + 0.5) * n_[:, None] / size)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hashes = []
+            for px, w, h in zip(pdf["pixels"], pdf["width"], pdf["height"]):
+                img = np.asarray(px, dtype="float64").reshape(h, w)
+                yi = (np.arange(size) * h) // size
+                xi = (np.arange(size) * w) // size
+                small = img[yi][:, xi]
+                dct = basis @ small @ basis.T
+                block = dct[:hash_size, :hash_size].ravel()[1:]  # drop DC
+                bits = block > np.median(block)
+                hashes.append(int(bits.astype(np.uint64) @ (1 << np.arange(63, dtype=np.uint64))))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": pd.Series(hashes, dtype="int64")})
+
+    return decoded.select("media_id", "width", "height", "pixels").mapInPandas(
+        run, "media_id long, phash long"
+    )
+
+
+def phash_pairs(hashes: DataFrame, max_hamming: int = 8, blocks: int = 4) -> DataFrame:
+    """Near-duplicate image pairs from perceptual hashes, without an
+    all-pairs join: split each 64-bit hash into `blocks` 16-bit blocks —
+    any pair within `max_hamming ≤ 3·16/4`-ish bits must agree on at
+    least one block (pigeonhole, exact when max_hamming < blocks) — then
+    candidate pairs come from per-(block, value) buckets via the same
+    in-bucket expansion the LSH/banding path uses (one aggregation
+    shuffle, no self-join), verified by bit_count(xor) ≤ max_hamming.
+    """
+    width = 64 // blocks
+    block_rows = hashes.select(
+        F.col("media_id"),
+        F.col("phash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftrightunsigned(F.col("phash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("bval"),
+                )
+                for b in range(blocks)
+            ])
+        ).alias("bb"),
+    ).select("media_id", "phash", F.col("bb.blk").alias("blk"), F.col("bb.bval").alias("bval"))
+    buckets = (
+        block_rows.groupBy("blk", "bval")
+        .agg(F.sort_array(F.collect_set(F.struct("media_id", "phash"))).alias("_m"))
+        .filter(F.size("_m") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda a: F.transform(
+                F.filter(F.col("_m"), lambda b: b["media_id"] > a["media_id"]),
+                lambda b: F.struct(
+                    a["media_id"].alias("id_a"), b["media_id"].alias("id_b"),
+                    a["phash"].alias("ha"), b["phash"].alias("hb"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.id_a", "_p.id_b", "_p.ha", "_p.hb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -2766,6 +2766,29 @@ FROM sem QUALIFY srank <= 50
 """
 
 
+def _q_image_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """X5×X2 — perceptual hashes of the image subset of the synthetic
+    media table (decode → DCT pHash; Arrow-batched, 8 bytes out per
+    image). Values derive from the stub decoder's md5-seeded pixels →
+    no SQL oracle; rows-only check, semantics pinned in test_multimodal."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synthesize_media(docs)
+    return multimodal.perceptual_hash(multimodal.decode_image(media))
+
+
+def _q_image_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """X5×X2 — image near-dup pairs via pHash hamming buckets on a
+    doubled corpus (copy offset ≡ 0 mod 144 keeps media_type and
+    dimensions identical, so each image's copy is an exact perceptual
+    dup at hamming 0). Bucketed candidates + bit_count verify — the
+    LSH/banding shape applied to images; rows-only check."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_080)))
+    media = multimodal.synthesize_media(doubled)
+    hashes = multimodal.perceptual_hash(multimodal.decode_image(media))
+    return multimodal.phash_pairs(hashes, max_hamming=4)
+
+
 def _q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """X4/corpus — C4/Gopher-style repetition quality signals: within-doc
     3-gram repetition ratio (scan-side HOFs) and most-frequent-token
@@ -2908,6 +2931,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "semantic_only_dups": QuerySpec(_q_semantic_only_dups, _O_SEMANTIC_ONLY_DUPS, "corpus: embedding near-dups missed by lexical LSH"),
     "approx_group_stats": QuerySpec(_q_approx_group_stats, None, "X6 per-group sketches (rows-only: approximate)"),
     "multimodal_meta": QuerySpec(_q_multimodal_meta, _O_MULTIMODAL_META, "X5 media metadata/digest projection"),
+    "image_phash": QuerySpec(_q_image_phash, None, "X5 perceptual hashes (rows-only: stub pixels)"),
+    "image_near_dup": QuerySpec(_q_image_near_dup, None, "X5 pHash hamming-bucket near-dup (rows-only)"),
     "frame_sample": QuerySpec(_q_frame_sample, _O_FRAME_SAMPLE, "X5 video frame sampling"),
     "audio_windows": QuerySpec(_q_audio_windows, _O_AUDIO_WINDOWS, "X5 overlapping audio windows"),
     "media_features": QuerySpec(_q_media_features, None, "X5 feature extraction (rows-only: digest stub)"),

@@ -146,3 +146,47 @@ def test_audio_windows_overlap(media):
         full = auds[mid]
         assert start == idx * 4
         assert payload == full[start:start + 8]  # 50% overlap slices
+
+
+def test_perceptual_hash_identical_payloads_collide(spark):
+    from commerce_data_pipeline_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        # offset 144 ≡ 0 mod lcm(3,16,9): same media_type + dimensions
+        [(0, "the quick brown fox " * 10), (144, "the quick brown fox " * 10),
+         (3, "a completely different document body " * 10)],
+        "doc_id long, text string",
+    )
+    media = M.synthesize_media(docs)
+    hashes = {r["media_id"]: r["phash"]
+              for r in M.perceptual_hash(M.decode_image(media)).collect()}
+    images = {mid for mid in hashes}
+    assert 0 in images and 144 in images  # doc_id % 3 == 0 → image type
+    assert hashes[0] == hashes[144]       # same payload → same pHash
+    if 3 in hashes:
+        assert hashes[3] != hashes[0]     # different content → different hash
+
+
+def test_phash_pairs_bucketing_finds_exact_dups(spark):
+    from commerce_data_pipeline_spark.operators import multimodal as M
+
+    texts = [(i * 3, f"image document number {i} " * 8) for i in range(8)]
+    dups = [(i * 3 + 1_000_080, t) for i, (_, t) in zip(range(8), texts)]
+    docs = spark.createDataFrame(texts + dups, "doc_id long, text string")
+    hashes = M.perceptual_hash(M.decode_image(M.synthesize_media(docs)))
+    pairs = M.phash_pairs(hashes, max_hamming=0).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every original pairs with its planted copy at hamming 0
+    assert {(i * 3, i * 3 + 1_000_080) for i in range(8)} <= got
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
+def test_phash_pairs_max_hamming_filters(spark):
+    from commerce_data_pipeline_spark.operators import multimodal as M
+
+    # hand-built hashes: 0 vs 1-bit flip vs far value
+    hashes = spark.createDataFrame(
+        [(1, 0b1010), (2, 0b1011), (3, (1 << 60) - 1)], "media_id long, phash long"
+    )
+    close = M.phash_pairs(hashes, max_hamming=1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in close} == {(1, 2)}

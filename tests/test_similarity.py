@@ -139,6 +139,29 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     assert neighbors & set(range(40, 60))
 
 
+def test_quantized_ivf_index_recall(spark, tmp_path):
+    from commerce_data_pipeline_spark.operators import index as I
+
+    emb = _vecs(spark, n=60)
+    q = emb.filter(F.col("vec_id") < 5)
+    path = f"file://{tmp_path}/ivfq"
+    I.build_ivf_index(emb, path, n_centroids=6, quantize=True)
+    # quantized lists store int8 codes + scale, not float vectors
+    stored = spark.read.parquet(f"{path}/inverted")
+    assert {"qvec", "scale"} <= set(stored.columns) and "c_unit" not in stored.columns
+    got = I.ivf_query(spark, path, q, k=3, n_probe=3)
+    exact = S.ivf_topk(emb, q, k=3, n_probe=3, n_centroids=6)
+    by_q = lambda rows: {
+        qid: {r["neighbor_id"] for r in rows if r["query_id"] == qid}
+        for qid in {r["query_id"] for r in rows}
+    }
+    g, e = by_q(got.collect()), by_q(exact.collect())
+    # int8 error is tiny: demand >= 2/3 of exact neighbors per query
+    assert set(g) == set(e)
+    for qid in e:
+        assert len(g[qid] & e[qid]) >= 2, (qid, g[qid], e[qid])
+
+
 def test_quantize_int8_bounds_and_reconstruction(spark):
     emb = _vecs(spark, n=20)
     rows = S.quantize_int8(emb).collect()
