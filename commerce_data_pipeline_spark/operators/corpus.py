@@ -242,7 +242,8 @@ def greedy_pack(
     oracle-checkable via a recursive CTE stepping the same recurrence.
     """
     gcols = list(group_cols)
-    fields = ", ".join(f"{c} string" for c in gcols)
+    dtypes = dict(df.dtypes)  # carry real group-col types (e.g. an int shard)
+    fields = ", ".join(f"{c} {dtypes[c]}" for c in gcols)
     schema = f"{fields}, {id_col} long, n_tokens long, bin_id long, bin_fill long"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

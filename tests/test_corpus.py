@@ -191,3 +191,16 @@ def test_train_val_test_split_stable_partition(spark):
         assert all(again[i] == split for i in ids)
     # roughly 80/10/10 (hash-uniform, generous band)
     assert len(by_split.get("train", ())) > 200
+
+
+def test_greedy_pack_with_int_shard_group(spark):
+    # the documented 100 TB group key is (lang, shard) with an INT shard —
+    # the output schema must carry the real group-col types
+    df = spark.createDataFrame(
+        [(0, "en", 0, 300), (1, "en", 0, 300), (2, "en", 1, 400), (3, "en", 1, 200)],
+        "doc_id long, lang string, shard int, n_tokens long",
+    )
+    out = C.greedy_pack(df, budget=512, group_cols=["lang", "shard"])
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["shard"] == 0 and rows[1]["bin_id"] == 1
+    assert rows[2]["bin_id"] == 0 and rows[3]["bin_id"] == 1  # shard 1 independent
