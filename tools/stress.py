@@ -75,6 +75,8 @@ STRESS_QUERIES = [
     "semantic_only_dups",
     "daily_anomalies",
     "basket_pairs",
+    "image_phash",
+    "image_near_dup",
 ]
 
 
