@@ -2847,23 +2847,79 @@ def _q_approx_group_stats(spark: SparkSession, sf: str) -> DataFrame:
 # Registry
 # --------------------------------------------------------------------------
 
+# Ordering contract: the driver's correctness harness checks only the FIRST 50
+# entries (insertion order).  Positions 1-50 therefore carry exactly one proving
+# query per operator family — every §2d/corpus/multimodal/sketch query plus one
+# representative per relational/pipeline/gold row.  Surplus relational shapes
+# (all green in CORRECTNESS_r02.json) live past position 50.  When adding a
+# query: new operator families go INSIDE the window (displacing a surplus
+# relational shape), variants of already-proven shapes go at the end.
 REGISTRY: dict[str, QuerySpec] = {
-    # relational (SURVEY §2a / §2e)
+    # -- checked window: training-data ops (SURVEY §2d) -----------------------
+    "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
+    "minhash_signature": QuerySpec(_q_minhash_signature, _ora_minhash(8, 3), "X2 MinHash signatures"),
+    "jaccard_topk": QuerySpec(_q_jaccard_topk, _O_JACCARD_TOPK, "X2 exact n-gram Jaccard top-k"),
+    "simhash": QuerySpec(_q_simhash, None, "X2 SimHash (rows-only: xxhash64 fast path)"),
+    "simhash_md5": QuerySpec(_q_simhash_md5, _ora_simhash_md5(32), "X2 SimHash, md5-derived (oracle-checked)"),
+    "similarity_topk": QuerySpec(_q_similarity_topk, _O_SIMILARITY_TOPK, "X3 brute-force cosine top-k"),
+    "embedding_near_dup": QuerySpec(_q_embedding_near_dup, _O_EMBEDDING_NEAR_DUP, "X2 embedding near-dup pairs"),
+    "lsh_dedup_pairs": QuerySpec(_q_lsh_dedup_pairs, _ora_lsh_pairs(16, 4, 3), "X2 MinHash+LSH banded pairs"),
+    "dedup_clusters": QuerySpec(_q_dedup_clusters, _ora_dedup_clusters(16, 4, 3), "X2 connected-components clustering"),
+    "dedup_clusters_alt": QuerySpec(_q_dedup_clusters_alt, _ora_dedup_clusters(16, 4, 3), "X2 alternating-algorithm clustering (large/small-star)"),
+    "ann_ivf": QuerySpec(_q_ann_ivf, _O_ANN_IVF, "X3 IVF-routed ANN top-k"),
+    "ann_ivf_indexed": QuerySpec(_q_ann_ivf_indexed, _O_ANN_IVF, "X3 ANN from persisted IVF index (same oracle)"),
+    "embedding_quantize": QuerySpec(_q_embedding_quantize, _O_EMBEDDING_QUANTIZE, "X3 int8 scalar quantization profile"),
+    "ann_lsh": QuerySpec(_q_ann_lsh, None, "X3 RP-LSH ANN top-k (rows-only: xxhash64)"),
+    # -- checked window: text analysis (X4) -----------------------------------
+    "word_count": QuerySpec(_q_word_count, _O_WORD_COUNT, "explode/unnest + agg + top-k"),
+    "text_stats": QuerySpec(_q_text_stats, _O_TEXT_STATS, "X4 corpus token stats"),
+    "text_fingerprints": QuerySpec(_q_text_fingerprints, _O_TEXT_FINGERPRINTS, "X4 fingerprint + token counts"),
+    "text_profile": QuerySpec(_q_text_profile, _O_TEXT_PROFILE, "X4 lang-ID + quality scoring"),
+    "text_repetition": QuerySpec(_q_text_repetition, _O_TEXT_REPETITION, "corpus: C4/Gopher repetition quality signals"),
+    # -- checked window: corpus shaping (LLM training-data pipeline) ----------
+    "stratified_sample": QuerySpec(_q_stratified_sample, _O_STRATIFIED_SAMPLE, "corpus: deterministic per-stratum hash sampling"),
+    "fixed_size_sample": QuerySpec(_q_fixed_size_sample, _O_FIXED_SIZE_SAMPLE, "corpus: exactly-k-per-stratum bottom-k-hash sample"),
+    "corpus_split": QuerySpec(_q_corpus_split, _O_CORPUS_SPLIT, "corpus: deterministic train/val/test split summary"),
+    "contamination": QuerySpec(_q_contamination, _O_CONTAMINATION, "corpus: benchmark n-gram contamination scan"),
+    "corpus_mix": QuerySpec(_q_corpus_mix, _O_CORPUS_MIX, "corpus: quality-quota mixing (top-k per group)"),
+    "chunk_pack": QuerySpec(_q_chunk_pack, _O_CHUNK_PACK, "corpus: concat-then-chunk sequence packing"),
+    "greedy_pack": QuerySpec(_q_greedy_pack, _O_GREEDY_PACK, "corpus: greedy bin packing (recursive-CTE oracle)"),
+    "pii_redact": QuerySpec(_q_pii_redact, _O_PII_REDACT, "corpus: email/phone redaction audit"),
+    "corpus_ingest": QuerySpec(_q_corpus_ingest, _O_CORPUS_INGEST, "corpus: end-to-end enrich+gate+dedup pipeline (stream twin)"),
+    "semantic_only_dups": QuerySpec(_q_semantic_only_dups, _O_SEMANTIC_ONLY_DUPS, "corpus: embedding near-dups missed by lexical LSH"),
+    # -- checked window: multimodal (X5) + sketches (X6) ----------------------
+    "multimodal_meta": QuerySpec(_q_multimodal_meta, _O_MULTIMODAL_META, "X5 media metadata/digest projection"),
+    "image_phash": QuerySpec(_q_image_phash, None, "X5 perceptual hashes (rows-only: stub pixels)"),
+    "image_near_dup": QuerySpec(_q_image_near_dup, None, "X5 pHash hamming-bucket near-dup (rows-only)"),
+    "frame_sample": QuerySpec(_q_frame_sample, _O_FRAME_SAMPLE, "X5 video frame sampling"),
+    "audio_windows": QuerySpec(_q_audio_windows, _O_AUDIO_WINDOWS, "X5 overlapping audio windows"),
+    "media_features": QuerySpec(_q_media_features, None, "X5 feature extraction (rows-only: digest stub)"),
+    "approx_stats": QuerySpec(_q_approx_stats, None, "X6 sketches (rows-only: approximate)"),
+    "approx_group_stats": QuerySpec(_q_approx_group_stats, None, "X6 per-group sketches (rows-only: approximate)"),
+    # -- checked window: one representative per relational/pipeline/gold row --
     "pricing_summary": QuerySpec(_q_pricing_summary, _O_PRICING_SUMMARY, "R2/R4/R7 agg sweep (Q1 shape)"),
     "top_revenue_nations": QuerySpec(_q_top_revenue_nations, _O_TOP_REVENUE_NATIONS, "5-way broadcast star join (Q5 shape)"),
+    "sort_topk_lineitems": QuerySpec(_q_sort_topk_lineitems, _O_SORT_TOPK_LINEITEMS, "R5 global sort / top-k with rank"),
+    "distinct_ship_dates": QuerySpec(_q_distinct_ship_dates, _O_DISTINCT_SHIP_DATES, "P4/P5 date discovery"),
+    "date_gaps": QuerySpec(_q_date_gaps, _O_DATE_GAPS, "P6 anti-join gap detection"),
+    "funnel": QuerySpec(_q_funnel, _O_FUNNEL, "G1 ordered funnel (flagship)"),
+    "sessionization": QuerySpec(_q_sessionization, _O_SESSIONIZATION, "G2 gap sessionization"),
+    "conversion_daily": QuerySpec(_q_conversion_daily, _O_CONVERSION_DAILY, "G3 conversion metrics"),
+    "attribution_last_touch": QuerySpec(_q_attribution_last_touch, _O_ATTRIBUTION_LAST_TOUCH, "G4 last-touch attribution"),
+    "cohort_retention": QuerySpec(_q_cohort_retention, _O_COHORT_RETENTION, "G5 weekly cohorts"),
+    "param_extract": QuerySpec(_q_param_extract, _O_PARAM_EXTRACT, "G6 JSON param extraction"),
+    "streaming_daily_counts": QuerySpec(_q_streaming_daily_counts, _O_STREAMING_DAILY_COUNTS, "streaming tumbling-window agg (batch parity)"),
+    "session_windows": QuerySpec(_q_session_windows, _O_SESSION_WINDOWS, "streaming session_window (batch parity)"),
+    # ======== position 51+ : surplus relational shapes, all green in r02 =====
     "order_priority": QuerySpec(_q_order_priority, _O_ORDER_PRIORITY, "EXISTS semi-join (Q4 shape)"),
     "top_customers": QuerySpec(_q_top_customers, _O_TOP_CUSTOMERS, "join+agg+top-k"),
     "shipping_priority": QuerySpec(_q_shipping_priority, _O_SHIPPING_PRIORITY, "two-side filtered join (Q3 shape)"),
     "supplier_diversity": QuerySpec(_q_supplier_diversity, _O_SUPPLIER_DIVERSITY, "NOT-IN anti-join + distinct count (Q16 shape)"),
     "nation_trade_volume": QuerySpec(_q_nation_trade_volume, _O_NATION_TRADE_VOLUME, "double-dimension snowflake (Q7 shape)"),
-    "sort_topk_lineitems": QuerySpec(_q_sort_topk_lineitems, _O_SORT_TOPK_LINEITEMS, "R5 global sort / top-k with rank"),
-    "distinct_ship_dates": QuerySpec(_q_distinct_ship_dates, _O_DISTINCT_SHIP_DATES, "P4/P5 date discovery"),
-    "date_gaps": QuerySpec(_q_date_gaps, _O_DATE_GAPS, "P6 anti-join gap detection"),
     "rollup_sales": QuerySpec(_q_rollup_sales, _O_ROLLUP_SALES, "grouping sets (ROLLUP)"),
     "cube_sales": QuerySpec(_q_cube_sales, _O_CUBE_SALES, "grouping sets (CUBE)"),
     "running_revenue": QuerySpec(_q_running_revenue, _O_RUNNING_REVENUE, "window cumulative frame"),
     "trailing_revenue": QuerySpec(_q_trailing_revenue, _O_TRAILING_REVENUE, "window RANGE frame (30-day trailing)"),
-    "word_count": QuerySpec(_q_word_count, _O_WORD_COUNT, "explode/unnest + agg + top-k"),
     "above_brand_avg_parts": QuerySpec(_q_above_brand_avg_parts, _O_ABOVE_BRAND_AVG_PARTS, "correlated scalar subquery (SQL surface)"),
     "priciest_item_per_order": QuerySpec(_q_priciest_item_per_order, _O_PRICIEST_ITEM_PER_ORDER, "argmax aggregates (max_by/min_by)"),
     "customer_segments_setops": QuerySpec(_q_customer_segments_setops, _O_SETOPS, "§2e UNION/INTERSECT/EXCEPT"),
@@ -2886,57 +2942,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "top_supplier": QuerySpec(_q_top_supplier, _O_TOP_SUPPLIER, "agg joined to own max, ties kept (Q15 shape)"),
     "daily_anomalies": QuerySpec(_q_daily_anomalies, _O_DAILY_ANOMALIES, "trailing z-score anomaly detection (per-segment window)"),
     "basket_pairs": QuerySpec(_q_basket_pairs, _O_BASKET_PAIRS, "market-basket co-occurrence + lift (no self-join)"),
-    # gold analytics (SURVEY §2c)
-    "funnel": QuerySpec(_q_funnel, _O_FUNNEL, "G1 ordered funnel (flagship)"),
-    "sessionization": QuerySpec(_q_sessionization, _O_SESSIONIZATION, "G2 gap sessionization"),
-    "conversion_daily": QuerySpec(_q_conversion_daily, _O_CONVERSION_DAILY, "G3 conversion metrics"),
-    "attribution_last_touch": QuerySpec(_q_attribution_last_touch, _O_ATTRIBUTION_LAST_TOUCH, "G4 last-touch attribution"),
-    "cohort_retention": QuerySpec(_q_cohort_retention, _O_COHORT_RETENTION, "G5 weekly cohorts"),
-    "param_extract": QuerySpec(_q_param_extract, _O_PARAM_EXTRACT, "G6 JSON param extraction"),
     "props_struct": QuerySpec(_q_props_struct, _O_PROPS_STRUCT, "G6 typed from_json parsing"),
     "price_percentiles": QuerySpec(_q_price_percentiles, _O_PRICE_PERCENTILES, "exact interpolated percentiles"),
     "journey_transitions": QuerySpec(_q_journey_transitions, _O_JOURNEY_TRANSITIONS, "G2 journey transition matrix"),
-    "streaming_daily_counts": QuerySpec(_q_streaming_daily_counts, _O_STREAMING_DAILY_COUNTS, "streaming tumbling-window agg (batch parity)"),
-    "session_windows": QuerySpec(_q_session_windows, _O_SESSION_WINDOWS, "streaming session_window (batch parity)"),
     "time_to_convert": QuerySpec(_q_time_to_convert, _O_TIME_TO_CONVERT, "G1/G3 conversion latency histogram"),
-    # training-data ops (SURVEY §2d)
-    "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
-    "minhash_signature": QuerySpec(_q_minhash_signature, _ora_minhash(8, 3), "X2 MinHash signatures"),
-    "jaccard_topk": QuerySpec(_q_jaccard_topk, _O_JACCARD_TOPK, "X2 exact n-gram Jaccard top-k"),
-    "simhash": QuerySpec(_q_simhash, None, "X2 SimHash (rows-only: xxhash64 fast path)"),
-    "simhash_md5": QuerySpec(_q_simhash_md5, _ora_simhash_md5(32), "X2 SimHash, md5-derived (oracle-checked)"),
-    "similarity_topk": QuerySpec(_q_similarity_topk, _O_SIMILARITY_TOPK, "X3 brute-force cosine top-k"),
-    "embedding_near_dup": QuerySpec(_q_embedding_near_dup, _O_EMBEDDING_NEAR_DUP, "X2 embedding near-dup pairs"),
-    "text_stats": QuerySpec(_q_text_stats, _O_TEXT_STATS, "X4 corpus token stats"),
-    "text_fingerprints": QuerySpec(_q_text_fingerprints, _O_TEXT_FINGERPRINTS, "X4 fingerprint + token counts"),
-    "text_profile": QuerySpec(_q_text_profile, _O_TEXT_PROFILE, "X4 lang-ID + quality scoring"),
-    "lsh_dedup_pairs": QuerySpec(_q_lsh_dedup_pairs, _ora_lsh_pairs(16, 4, 3), "X2 MinHash+LSH banded pairs"),
-    "dedup_clusters": QuerySpec(_q_dedup_clusters, _ora_dedup_clusters(16, 4, 3), "X2 connected-components clustering"),
-    "dedup_clusters_alt": QuerySpec(_q_dedup_clusters_alt, _ora_dedup_clusters(16, 4, 3), "X2 alternating-algorithm clustering (large/small-star)"),
-    "ann_ivf": QuerySpec(_q_ann_ivf, _O_ANN_IVF, "X3 IVF-routed ANN top-k"),
-    "ann_ivf_indexed": QuerySpec(_q_ann_ivf_indexed, _O_ANN_IVF, "X3 ANN from persisted IVF index (same oracle)"),
-    "embedding_quantize": QuerySpec(_q_embedding_quantize, _O_EMBEDDING_QUANTIZE, "X3 int8 scalar quantization profile"),
-    "ann_lsh": QuerySpec(_q_ann_lsh, None, "X3 RP-LSH ANN top-k (rows-only: xxhash64)"),
-    # corpus shaping (LLM training-data pipeline)
-    "stratified_sample": QuerySpec(_q_stratified_sample, _O_STRATIFIED_SAMPLE, "corpus: deterministic per-stratum hash sampling"),
-    "fixed_size_sample": QuerySpec(_q_fixed_size_sample, _O_FIXED_SIZE_SAMPLE, "corpus: exactly-k-per-stratum bottom-k-hash sample"),
-    "corpus_split": QuerySpec(_q_corpus_split, _O_CORPUS_SPLIT, "corpus: deterministic train/val/test split summary"),
-    "contamination": QuerySpec(_q_contamination, _O_CONTAMINATION, "corpus: benchmark n-gram contamination scan"),
-    "corpus_mix": QuerySpec(_q_corpus_mix, _O_CORPUS_MIX, "corpus: quality-quota mixing (top-k per group)"),
-    "chunk_pack": QuerySpec(_q_chunk_pack, _O_CHUNK_PACK, "corpus: concat-then-chunk sequence packing"),
-    "greedy_pack": QuerySpec(_q_greedy_pack, _O_GREEDY_PACK, "corpus: greedy bin packing (recursive-CTE oracle)"),
-    "pii_redact": QuerySpec(_q_pii_redact, _O_PII_REDACT, "corpus: email/phone redaction audit"),
-    "text_repetition": QuerySpec(_q_text_repetition, _O_TEXT_REPETITION, "corpus: C4/Gopher repetition quality signals"),
-    "corpus_ingest": QuerySpec(_q_corpus_ingest, _O_CORPUS_INGEST, "corpus: end-to-end enrich+gate+dedup pipeline (stream twin)"),
-    "semantic_only_dups": QuerySpec(_q_semantic_only_dups, _O_SEMANTIC_ONLY_DUPS, "corpus: embedding near-dups missed by lexical LSH"),
-    "approx_group_stats": QuerySpec(_q_approx_group_stats, None, "X6 per-group sketches (rows-only: approximate)"),
-    "multimodal_meta": QuerySpec(_q_multimodal_meta, _O_MULTIMODAL_META, "X5 media metadata/digest projection"),
-    "image_phash": QuerySpec(_q_image_phash, None, "X5 perceptual hashes (rows-only: stub pixels)"),
-    "image_near_dup": QuerySpec(_q_image_near_dup, None, "X5 pHash hamming-bucket near-dup (rows-only)"),
-    "frame_sample": QuerySpec(_q_frame_sample, _O_FRAME_SAMPLE, "X5 video frame sampling"),
-    "audio_windows": QuerySpec(_q_audio_windows, _O_AUDIO_WINDOWS, "X5 overlapping audio windows"),
-    "media_features": QuerySpec(_q_media_features, None, "X5 feature extraction (rows-only: digest stub)"),
-    "approx_stats": QuerySpec(_q_approx_stats, None, "X6 sketches (rows-only: approximate)"),
 }
 
 
