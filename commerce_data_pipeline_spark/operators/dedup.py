@@ -367,7 +367,12 @@ def connected_components_alternating(
         ).collect()[0]
         return (row["n"], row["s"], row["h"])
 
-    sig = _sig(edges)
+    # One scalar action per round is the floor for convergence detection:
+    # compare each round's checksum to the PREVIOUS round's, seeded with
+    # None so no up-front action runs over the input edges. An input that is
+    # already a fixed point costs one (idempotent) extra round — cheaper
+    # than paying an extra driver round-trip on every real invocation.
+    sig = None
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         new_sig = _sig(edges)
@@ -389,11 +394,22 @@ def dedup_by_components(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    method: str = "alternating",
 ) -> DataFrame:
     """Complete near-dup dedup: keep one representative (min id) per
     component; rows not in any pair survive untouched. Anti-join drops the
-    non-representative members — document rows never shuffle."""
-    comp = connected_components(pairs)
+    non-representative members — document rows never shuffle.
+
+    `method`: "alternating" (default — O(log n) rounds on any graph shape)
+    or "propagation" (min-label propagation — O(diameter) rounds, fine for
+    clique-shaped duplicate graphs, degenerate on chains).
+    """
+    if method == "alternating":
+        comp = connected_components_alternating(pairs)
+    elif method == "propagation":
+        comp = connected_components(pairs)
+    else:
+        raise ValueError(f"unknown method {method!r}: use 'alternating' or 'propagation'")
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
@@ -417,9 +433,14 @@ def _simhash_from_word_hash(
     of (bit b set ? +1 : -1); ties (vote == 0) give 0, matching the
     aggregate-HOF formulation this replaces (same values bit-for-bit).
     """
+    # NULL text coalesces to '' so the document still emits a row (one
+    # empty-string word, same as genuinely empty text) instead of silently
+    # vanishing from the output — split(NULL) is NULL and explode drops it.
     exploded = df.select(
         F.col(id_col),
-        F.explode(F.split(normalized_text(text_col), " ")).alias("_w"),
+        F.explode(
+            F.split(F.coalesce(normalized_text(text_col), F.lit("")), " ")
+        ).alias("_w"),
     ).select(F.col(id_col), word_hash(F.col("_w")).alias("_h"))
     vote_aggs = [
         F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_v{b}")

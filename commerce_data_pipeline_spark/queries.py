@@ -1393,26 +1393,28 @@ SELECT id, MIN(r) AS component FROM reach GROUP BY id
 
 
 def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """X2 — near-dup CLUSTERS: connected components (iterative min-label
-    propagation) over the LSH candidate pairs. Oracle = recursive-CTE
+    """X2 — near-dup CLUSTERS over the LSH candidate pairs, via the DEFAULT
+    clustering path: the alternating large/small-star algorithm (O(log n)
+    rounds on any graph shape — half the cost of min-label propagation on
+    this workload and diameter-independent). Oracle = recursive-CTE
     transitive closure of the same graph."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
     doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
     pairs = dedup.minhash_lsh_pairs(doubled, num_hashes=16, bands=4, shingle_n=3)
-    return dedup.connected_components(pairs)
+    return dedup.connected_components_alternating(pairs)
 
 
 def _q_dedup_clusters_alt(spark: SparkSession, sf: str) -> DataFrame:
-    """X2 — same clusters via the ALTERNATING algorithm (large-star /
-    small-star): O(log n) rounds on any graph shape vs label propagation's
-    O(diameter). Same oracle as `dedup_clusters` — the two implementations
-    must agree bit-for-bit."""
+    """X2 — same clusters via the explicit min-label-propagation option
+    (O(component diameter) rounds — the clique-optimized variant, kept as
+    `dedup_by_components(method="propagation")`). Same oracle as
+    `dedup_clusters` — the two implementations must agree bit-for-bit."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
     doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
     pairs = dedup.minhash_lsh_pairs(doubled, num_hashes=16, bands=4, shingle_n=3)
-    return dedup.connected_components_alternating(pairs)
+    return dedup.connected_components(pairs)
 
 
 def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
@@ -2864,8 +2866,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "similarity_topk": QuerySpec(_q_similarity_topk, _O_SIMILARITY_TOPK, "X3 brute-force cosine top-k"),
     "embedding_near_dup": QuerySpec(_q_embedding_near_dup, _O_EMBEDDING_NEAR_DUP, "X2 embedding near-dup pairs"),
     "lsh_dedup_pairs": QuerySpec(_q_lsh_dedup_pairs, _ora_lsh_pairs(16, 4, 3), "X2 MinHash+LSH banded pairs"),
-    "dedup_clusters": QuerySpec(_q_dedup_clusters, _ora_dedup_clusters(16, 4, 3), "X2 connected-components clustering"),
-    "dedup_clusters_alt": QuerySpec(_q_dedup_clusters_alt, _ora_dedup_clusters(16, 4, 3), "X2 alternating-algorithm clustering (large/small-star)"),
+    "dedup_clusters": QuerySpec(_q_dedup_clusters, _ora_dedup_clusters(16, 4, 3), "X2 connected-components clustering (default: alternating large/small-star)"),
+    "dedup_clusters_alt": QuerySpec(_q_dedup_clusters_alt, _ora_dedup_clusters(16, 4, 3), "X2 clustering via explicit min-label-propagation option"),
     "ann_ivf": QuerySpec(_q_ann_ivf, _O_ANN_IVF, "X3 IVF-routed ANN top-k"),
     "ann_ivf_indexed": QuerySpec(_q_ann_ivf_indexed, _O_ANN_IVF, "X3 ANN from persisted IVF index (same oracle)"),
     "embedding_quantize": QuerySpec(_q_embedding_quantize, _O_EMBEDDING_QUANTIZE, "X3 int8 scalar quantization profile"),
