@@ -134,38 +134,67 @@ def _fake_pixels(payload: bytes, width: int, height: int, channels: int = 1):
     return (vals / 255.0).astype("float32")
 
 
+def _decode_real(payload: bytes):
+    """Real image decode via PIL (public library, optional in this
+    container): grayscale float32 in [0,1], returned as (pixels, w, h).
+    Callers must have verified PIL is importable (see decode_image)."""
+    import io
+
+    import numpy as np
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    arr = np.asarray(img, dtype="float32") / 255.0
+    return arr.ravel(), img.width, img.height
+
+
+def _require_pil():
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "real image decode needs PIL, which is not installed; "
+            "use use_real_codec=False for the deterministic stub"
+        ) from e
+
+
 def decode_image(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
     """Decode image payloads to pixel arrays via `mapInPandas` (one Arrow
     batch in, one out; payload bytes never leave the executor).
 
-    `use_real_codec=True` requires PIL and raises NotImplementedError here
-    (codec libraries are not installed in this environment — see module
-    docstring); the default path uses the deterministic stub decoder.
+    `use_real_codec=True` decodes with PIL (grayscale, [0,1] float) and
+    raises NotImplementedError when PIL is absent; the default path uses
+    the deterministic stub decoder.
     """
     if use_real_codec:
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError as e:  # pragma: no cover - environment-dependent
-            raise NotImplementedError(
-                "real image decode needs PIL, which is not installed; "
-                "use use_real_codec=False for the deterministic stub"
-            ) from e
+        _require_pil()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "pixels": [
-                        _fake_pixels(p, w, h)
-                        for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
-                    ],
-                }
-            )
+            if use_real_codec:
+                decoded = [_decode_real(p) for p in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": [d[1] for d in decoded],
+                        "height": [d[2] for d in decoded],
+                        "pixels": [d[0] for d in decoded],
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": pdf["width"],
+                        "height": pdf["height"],
+                        "pixels": [
+                            _fake_pixels(p, w, h)
+                            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+                        ],
+                    }
+                )
 
     src = media.filter(F.col("media_type") == "image").select(
         "media_id", "payload", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
@@ -311,40 +340,56 @@ def sample_frames(media: DataFrame, stride: int = 4) -> DataFrame:
 # Perceptual hashing (image near-dup — the X2 dedup family applied to X5)
 # ---------------------------------------------------------------------------
 
-def perceptual_hash(decoded: DataFrame, hash_size: int = 8) -> DataFrame:
-    """pHash over decoded pixel arrays: nearest-neighbor downscale to a
-    (4·hash_size)² square, 2-D DCT-II (numpy matmul against the cosine
-    basis — no scipy needed), keep the top-left hash_size×hash_size
-    low-frequency block minus the DC term, threshold at the median →
-    63-bit hash packed into a long.
+def _dct_basis(size: int):
+    """DCT-II basis matrix (orthonormal not required — median-threshold
+    bits are scale-invariant)."""
+    import numpy as np
 
-    Near-identical images (re-encodes, small crops/noise under a REAL
-    codec; identical payloads under the stub) land within a few hamming
-    bits. Arrow-batched mapInPandas; pixels never leave the executor, the
-    output is 8 bytes per image — the dedup-friendly shape.
+    n_ = np.arange(size)
+    return np.cos(np.pi * (n_[None, :] + 0.5) * n_[:, None] / size)
+
+
+def _phash_one(img, basis, hash_size: int) -> int:
+    """pHash kernel for one decoded image (2-D float64 array): nearest-
+    neighbor downscale to (4·hash_size)², 2-D DCT-II via matmul, keep the
+    top-left hash_size×hash_size low-frequency block minus the DC term,
+    threshold at the median → 63-bit hash packed into a long."""
+    import numpy as np
+
+    size = hash_size * 4
+    h, w = img.shape
+    yi = (np.arange(size) * h) // size
+    xi = (np.arange(size) * w) // size
+    small = img[yi][:, xi]
+    dct = basis @ small @ basis.T
+    block = dct[:hash_size, :hash_size].ravel()[1:]  # drop DC
+    bits = block > np.median(block)
+    return int(bits.astype(np.uint64) @ (1 << np.arange(63, dtype=np.uint64)))
+
+
+def perceptual_hash(decoded: DataFrame, hash_size: int = 8) -> DataFrame:
+    """pHash over already-decoded pixel arrays (see `_phash_one` for the
+    construction). Near-identical images (re-encodes, small crops/noise
+    under a REAL codec; identical payloads under the stub) land within a
+    few hamming bits. Arrow-batched mapInPandas; the output is 8 bytes per
+    image — the dedup-friendly shape.
+
+    Prefer `decode_and_phash` when the pixels have no other consumer: it
+    fuses decode and hash into ONE Arrow stage, so the width×height float
+    array never crosses a Python-worker boundary.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        size = hash_size * 4
-        # DCT-II basis (orthonormal not required — median-threshold bits
-        # are scale-invariant)
-        n_ = np.arange(size)
-        basis = np.cos(np.pi * (n_[None, :] + 0.5) * n_[:, None] / size)
+        basis = _dct_basis(hash_size * 4)
         for pdf in batches:
             if pdf.empty:
                 continue
-            hashes = []
-            for px, w, h in zip(pdf["pixels"], pdf["width"], pdf["height"]):
-                img = np.asarray(px, dtype="float64").reshape(h, w)
-                yi = (np.arange(size) * h) // size
-                xi = (np.arange(size) * w) // size
-                small = img[yi][:, xi]
-                dct = basis @ small @ basis.T
-                block = dct[:hash_size, :hash_size].ravel()[1:]  # drop DC
-                bits = block > np.median(block)
-                hashes.append(int(bits.astype(np.uint64) @ (1 << np.arange(63, dtype=np.uint64))))
+            hashes = [
+                _phash_one(np.asarray(px, dtype="float64").reshape(h, w), basis, hash_size)
+                for px, w, h in zip(pdf["pixels"], pdf["width"], pdf["height"])
+            ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "phash": pd.Series(hashes, dtype="int64")})
 
     return decoded.select("media_id", "width", "height", "pixels").mapInPandas(
@@ -352,27 +397,91 @@ def perceptual_hash(decoded: DataFrame, hash_size: int = 8) -> DataFrame:
     )
 
 
-def phash_pairs(hashes: DataFrame, max_hamming: int = 8, blocks: int = 4) -> DataFrame:
+def decode_and_phash(
+    media: DataFrame, hash_size: int = 8, use_real_codec: bool = False
+) -> DataFrame:
+    """Fused decode→pHash: ONE mapInPandas stage from (payload, meta) to
+    (media_id, phash). Produces bit-identical hashes to
+    `perceptual_hash(decode_image(media))` — same stub/real decoder, same
+    kernel — but the intermediate pixel array (width×height doubles per
+    image) stays a worker-local numpy value instead of being Arrow-
+    serialized between two Python stages. At 100 TB that serialization is
+    the dominant cost of the two-stage form; here the per-image payload →
+    8-byte hash reduction happens in a single map pass.
+    """
+    if use_real_codec:
+        _require_pil()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        basis = _dct_basis(hash_size * 4)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hashes = []
+            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                if use_real_codec:
+                    px, w, h = _decode_real(p)
+                else:
+                    px = _fake_pixels(p, w, h)
+                img = np.asarray(px, dtype="float64").reshape(h, w)
+                hashes.append(_phash_one(img, basis, hash_size))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": pd.Series(hashes, dtype="int64")})
+
+    src = media.filter(F.col("media_type") == "image").select(
+        "media_id", "payload", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
+    )
+    return src.mapInPandas(run, "media_id long, phash long")
+
+
+def _block_bounds(total_bits: int, blocks: int) -> list[tuple[int, int]]:
+    """Split `total_bits` into `blocks` contiguous (offset, width) spans,
+    widths differing by at most one (first `total_bits % blocks` spans get
+    the extra bit)."""
+    base, rem = divmod(total_bits, blocks)
+    out, off = [], 0
+    for b in range(blocks):
+        w = base + (1 if b < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def phash_pairs(
+    hashes: DataFrame, max_hamming: int = 4, blocks: int | None = None
+) -> DataFrame:
     """Near-duplicate image pairs from perceptual hashes, without an
-    all-pairs join: split each 64-bit hash into `blocks` 16-bit blocks —
-    any pair within `max_hamming ≤ 3·16/4`-ish bits must agree on at
-    least one block (pigeonhole, exact when max_hamming < blocks) — then
-    candidate pairs come from per-(block, value) buckets via the same
+    all-pairs join: split each 64-bit hash into `blocks` contiguous bit
+    blocks — a pair differing in at most `max_hamming` bits must agree on
+    at least one block whenever `max_hamming < blocks` (pigeonhole: k
+    flipped bits can touch at most k blocks). `blocks=None` (default)
+    picks `max_hamming + 1`, making recall EXACT. Passing an explicit
+    `blocks <= max_hamming` is allowed as a cost knob but recall becomes
+    approximate: pairs whose differing bits hit every block are missed.
+    Candidate pairs come from per-(block, value) buckets via the same
     in-bucket expansion the LSH/banding path uses (one aggregation
     shuffle, no self-join), verified by bit_count(xor) ≤ max_hamming.
     """
-    width = 64 // blocks
+    if blocks is None:
+        blocks = max_hamming + 1
+    if not 1 <= blocks <= 64:
+        raise ValueError("blocks must be in [1, 64]")
+    bounds = _block_bounds(64, blocks)
+
+    def _bval(off: int, w: int):
+        # a 64-bit-wide block is the whole hash; (1<<64)-1 overflows a long
+        if w == 64:
+            return F.col("phash")
+        return F.shiftrightunsigned(F.col("phash"), off).bitwiseAND(F.lit((1 << w) - 1))
+
     block_rows = hashes.select(
         F.col("media_id"),
         F.col("phash"),
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("blk"),
-                    F.shiftrightunsigned(F.col("phash"), b * width)
-                    .bitwiseAND(F.lit((1 << width) - 1)).alias("bval"),
-                )
-                for b in range(blocks)
+                F.struct(F.lit(b).alias("blk"), _bval(off, w).alias("bval"))
+                for b, (off, w) in enumerate(bounds)
             ])
         ).alias("bb"),
     ).select("media_id", "phash", F.col("bb.blk").alias("blk"), F.col("bb.bval").alias("bval"))

@@ -2770,25 +2770,31 @@ FROM sem QUALIFY srank <= 50
 
 def _q_image_phash(spark: SparkSession, sf: str) -> DataFrame:
     """X5×X2 — perceptual hashes of the image subset of the synthetic
-    media table (decode → DCT pHash; Arrow-batched, 8 bytes out per
-    image). Values derive from the stub decoder's md5-seeded pixels →
-    no SQL oracle; rows-only check, semantics pinned in test_multimodal."""
+    media table, via the FUSED decode→pHash stage: one mapInPandas from
+    payload to 8-byte hash, no pixel array crossing an Arrow boundary.
+    Values derive from the stub decoder's md5-seeded pixels → no SQL
+    oracle; rows-only check; fused/two-stage hash equality pinned in
+    test_multimodal."""
     docs = load_table(spark, sf, "documents")
     media = multimodal.synthesize_media(docs)
-    return multimodal.perceptual_hash(multimodal.decode_image(media))
+    return multimodal.decode_and_phash(media)
 
 
 def _q_image_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """X5×X2 — image near-dup pairs via pHash hamming buckets on a
     doubled corpus (copy offset ≡ 0 mod 144 keeps media_type and
     dimensions identical, so each image's copy is an exact perceptual
-    dup at hamming 0). Bucketed candidates + bit_count verify — the
+    dup at hamming 0). The base corpus is decoded+hashed ONCE (fused
+    stage, checkpointed); the copies' hashes are derived by construction
+    — same payload, same dims → same pHash — so the doubled corpus costs
+    an id-shift, not a second decode pass. Bucketed candidates (exact
+    pigeonhole: 5 blocks > max_hamming=4) + bit_count verify — the
     LSH/banding shape applied to images; rows-only check."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_080)))
-    media = multimodal.synthesize_media(doubled)
-    hashes = multimodal.perceptual_hash(multimodal.decode_image(media))
-    return multimodal.phash_pairs(hashes, max_hamming=4)
+    media = multimodal.synthesize_media(docs)
+    base = multimodal.decode_and_phash(media).localCheckpoint()
+    copies = base.withColumn("media_id", F.col("media_id") + F.lit(1_000_080))
+    return multimodal.phash_pairs(base.unionAll(copies), max_hamming=4)
 
 
 def _q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:

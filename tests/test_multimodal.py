@@ -190,3 +190,44 @@ def test_phash_pairs_max_hamming_filters(spark):
     )
     close = M.phash_pairs(hashes, max_hamming=1).collect()
     assert {(r["id_a"], r["id_b"]) for r in close} == {(1, 2)}
+
+
+def test_fused_decode_and_phash_matches_two_stage(media):
+    fused = {r["media_id"]: r["phash"] for r in MM.decode_and_phash(media).collect()}
+    staged = {
+        r["media_id"]: r["phash"]
+        for r in MM.perceptual_hash(MM.decode_image(media)).collect()
+    }
+    assert fused == staged and fused  # identical hashes, nonempty
+
+
+def test_phash_pairs_default_blocks_exact_pigeonhole(spark):
+    """With blocks=None (max_hamming+1), a pair at exactly max_hamming bits
+    whose flipped bits are spread one-per-block is still found — the case
+    the old fixed-4-block default missed."""
+    from commerce_data_pipeline_spark.operators import multimodal as M
+
+    base = 0
+    # one flip per 16-bit block — under 5 blocks (13,13,13,13,12) these land
+    # in blocks 0-3 and block 4 (bits 52-63) still agrees
+    other = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+    hashes = spark.createDataFrame(
+        [(1, base), (2, other)], "media_id long, phash long"
+    )
+    got = M.phash_pairs(hashes, max_hamming=4).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in got} == {(1, 2, 4)}
+    # explicit blocks <= max_hamming is the approximate cost knob: this
+    # spread pattern (one flip per 16-bit block) is legitimately missed
+    approx = M.phash_pairs(hashes, max_hamming=4, blocks=4).collect()
+    assert approx == []
+
+
+def test_decode_and_phash_real_codec_gate(media):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed; stub-gate test not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        MM.decode_and_phash(media, use_real_codec=True)
