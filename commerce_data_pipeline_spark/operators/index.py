@@ -28,6 +28,7 @@ from commerce_data_pipeline_spark.operators.similarity import (
     ivf_centroids,
     ivf_invert,
     ivf_probe_score,
+    require_centroids,
     with_unit_vector,
 )
 from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
@@ -55,7 +56,7 @@ def build_ivf_index(
     u = with_unit_vector(corpus, vec_col, "unit")
     total = corpus_count if corpus_count is not None else corpus.count()
     step = max(1, total // n_centroids)
-    centroids = ivf_centroids(u, step, n_centroids, id_col)
+    centroids = require_centroids(ivf_centroids(u, step, n_centroids, id_col), id_col)
     inverted = ivf_invert(u, centroids, id_col)
     if quantize:
         v = F.col("c_unit")

@@ -167,12 +167,15 @@ def _bucketed_self_pairs(
     n_tables: int,
 ) -> DataFrame:
     """LSH-bucketed near-dup pairs: the broadcast-free scale path. The
-    corpus is bucketized ONCE (numpy GEMM, persisted — probe/build sides
-    share the Python stage); only same-bucket pairs are scored, an
-    equi-join on (table, bucket). Recall < 1 by construction (tunable via
-    n_planes/n_tables) — near-dup pairs at cosine ≥ 0.9 collide with high
-    probability under random-hyperplane LSH."""
-    b = _bucketize_np(df, "id_a", id_col, vec_col, dim, n_planes, n_tables).persist()
+    corpus is bucketized ONCE (numpy GEMM, localCheckpoint — probe/build
+    sides share the materialized result, and unlike persist() the blocks
+    are reclaimed by the ContextCleaner when the frame goes out of scope,
+    so a long-lived session doesn't accumulate pinned storage); only
+    same-bucket pairs are scored, an equi-join on (table, bucket). Recall
+    < 1 by construction (tunable via n_planes/n_tables) — near-dup pairs
+    at cosine ≥ 0.9 collide with high probability under random-hyperplane
+    LSH."""
+    b = _bucketize_np(df, "id_a", id_col, vec_col, dim, n_planes, n_tables).localCheckpoint()
     a = b.select("id_a", F.col("unit").alias("a_unit"), "tab", "bucket")
     c = b.select(
         F.col("id_a").alias("id_b"), F.col("unit").alias("b_unit"), "tab", "bucket"
@@ -228,6 +231,24 @@ def near_dup_pairs(
         pairs = _bucketed_self_pairs(
             df, threshold, id_col, vec_col, dim, n_planes, n_tables
         )
+        if top_pairs is not None:
+            # Local pre-prune before the global ranking below: without it
+            # every above-threshold LSH candidate would funnel through the
+            # single task of the unpartitioned window. Salted per-partition
+            # top-`top_pairs` caps the global sort's input at
+            # O(salt_buckets × top_pairs) rows.
+            n_salt = 32
+            wl = Window.partitionBy("_salt").orderBy(
+                F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")
+            )
+            pairs = (
+                pairs.withColumn(
+                    "_salt", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(n_salt)).cast("int")
+                )
+                .withColumn("_lr", F.row_number().over(wl))
+                .filter(F.col("_lr") <= top_pairs)
+                .drop("_salt", "_lr")
+            )
     else:
         all_rows = df.select(F.col(id_col), F.col(vec_col)).collect()
         if not all_rows:
@@ -306,6 +327,32 @@ def _plane_signs(unit_col, dim: int, n_planes: int, seed: int):
     return out
 
 
+def md5_rademacher_planes(
+    dim: int, n_planes: int, n_tables: int, seed: str = "rplsh/v1"
+) -> list[list[float]]:
+    """±1 (Rademacher) hyperplanes derived from md5 — ENGINE-INDEPENDENT
+    constants: the sign of coordinate i of plane (t, p) is bit 0 of
+    md5(f"{seed}|{t}|{p}|{i}"). Because md5 is identical everywhere, the
+    Spark GEMM path and a SQL oracle generator can both materialize the
+    SAME matrix (Spark as a closure constant, SQL as inlined list
+    literals) and agree on every bucket bit — the `simhash`→`simhash_md5`
+    trick applied to RP-LSH. Returns n_tables·n_planes columns of `dim`
+    floats, ordered t*n_planes + p (the layout `_bucketize_np` expects).
+    """
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}|{t}|{p}|{i}".encode()).digest()[0] & 1
+            else -1.0
+            for i in range(dim)
+        ]
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
+
+
 def _bucketize_np(
     df: DataFrame,
     out_id: str,
@@ -315,23 +362,32 @@ def _bucketize_np(
     n_planes: int,
     n_tables: int,
     seed0: int = 1000,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Numpy bucket assignment: one GEMM against the (dim × n_planes·tables)
     plane matrix per Arrow batch, sign bits packed to a bucket int. The
     plane matrix is regenerated per task from seeded PCG64 (stable across
     platforms/runs) — nothing to broadcast. ~30× faster than evaluating
-    n_planes·n_tables interpreted HOF aggregates per row."""
+    n_planes·n_tables interpreted HOF aggregates per row.
+
+    `planes`: optional explicit plane columns (n_tables·n_planes lists of
+    `dim` floats, e.g. from `md5_rademacher_planes`) replacing the PCG64
+    Gaussian family — used when an external engine must reproduce the
+    buckets."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        planes = np.concatenate(
-            [
-                np.random.default_rng(seed0 + t).standard_normal((dim, n_planes))
-                for t in range(n_tables)
-            ],
-            axis=1,
-        )  # (dim, n_tables*n_planes)
+        if planes is not None:
+            plane_mat = np.asarray(planes, dtype="float64").T  # (dim, T*P)
+        else:
+            plane_mat = np.concatenate(
+                [
+                    np.random.default_rng(seed0 + t).standard_normal((dim, n_planes))
+                    for t in range(n_tables)
+                ],
+                axis=1,
+            )  # (dim, n_tables*n_planes)
         weights = (1 << np.arange(n_planes)).astype("int64")
         for pdf in batches:
             if pdf.empty:
@@ -340,7 +396,7 @@ def _bucketize_np(
             norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
             norms[norms == 0.0] = 1.0
             unit = mat / norms
-            signs = (unit @ planes) >= 0  # (batch, tables*planes)
+            signs = (unit @ plane_mat) >= 0  # (batch, tables*planes)
             ids = pdf[id_from].to_numpy()
             frames = []
             for t in range(n_tables):
@@ -403,14 +459,20 @@ def rp_lsh_self_topk(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """`rp_lsh_topk` for the self-lookup shape (queries ⊆ corpus, selected
     by `query_pred` over the id column): the corpus is bucketized ONCE and
     the query side is a filter of it. The bucket table IS the index — it's
     persisted so probe and query sides don't re-run the Python stage (in
     production this index is written to storage and reused across queries).
+
+    `planes`: explicit plane columns (see `md5_rademacher_planes`) for
+    cross-engine-reproducible buckets; default is the PCG64 Gaussian family.
     """
-    c = _bucketize_np(corpus, "neighbor_id", id_col, vec_col, dim, n_planes, n_tables).persist()
+    c = _bucketize_np(
+        corpus, "neighbor_id", id_col, vec_col, dim, n_planes, n_tables, planes=planes
+    ).persist()
     q = (
         c.filter(query_pred(F.col("neighbor_id")))
         .select(
@@ -474,6 +536,23 @@ def ivf_centroids(
         (F.col(id_col) / step).cast("int").alias("centroid_id"),
         F.col("unit").alias("c_vec"),
     )
+
+
+def require_centroids(centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Guard the `ivf_centroids` dense-id precondition in code: on a sparse
+    or offset id space the `id % step` sample can yield zero rows, and an
+    empty centroid set silently produces an empty inverted file — every ANN
+    probe then returns no neighbors with no error. The centroid set is
+    driver-tiny by construction (it broadcasts downstream), so one count at
+    build time is free relative to the build itself."""
+    if centroids.limit(1).count() == 0:
+        raise ValueError(
+            f"ivf_centroids produced an empty centroid set: the `{id_col} % step` "
+            "sample assumes dense 0..N-1 ids. For sparse/offset id spaces, "
+            "derive a dense surrogate id first or use a hash-mod sample "
+            "(e.g. filter on md5(id) % m == 0) before building the inverted file."
+        )
+    return centroids
 
 
 def ivf_invert(u: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -552,7 +631,9 @@ def ivf_topk(
     u = with_unit_vector(corpus, vec_col, "unit")
     total = corpus_count if corpus_count is not None else corpus.count()
     step = max(1, total // n_centroids)
-    centroids = ivf_centroids(u, step, n_centroids, id_col)
+    centroids = require_centroids(
+        ivf_centroids(u, step, n_centroids, id_col), id_col=id_col
+    )
     inverted = ivf_invert(u, centroids, id_col)
     return ivf_probe_score(
         inverted, centroids, queries, k, n_probe, vec_col, query_id_col

@@ -1492,8 +1492,9 @@ FROM sims QUALIFY rank <= 5
 
 def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """X3 scale path — random-hyperplane LSH ANN (8 planes × 4 tables).
-    Plane signs derive from xxhash64 → Spark-only; driver does a rows-only
-    check, recall-vs-brute-force is pinned in tests/test_similarity.py."""
+    Plane signs derive from seeded PCG64 Gaussians → Spark-only; driver
+    does a rows-only check, recall-vs-brute-force is pinned in
+    tests/test_similarity.py. `ann_lsh_md5` is the oracle-checked twin."""
     emb = load_table(spark, sf, "embeddings")
     # single small parquet file → 1 input split; scatter before the
     # CPU-bound Python bucketing stage (real inputs bring their own splits)
@@ -1504,6 +1505,74 @@ def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
     )
+
+
+_ANN_LSH_MD5_PLANES = 8
+_ANN_LSH_MD5_TABLES = 2
+
+
+def _q_ann_lsh_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 — RP-LSH ANN with md5-derived Rademacher planes: the
+    oracle-checked twin of `ann_lsh` (same bucket/join/score plan; the
+    plane matrix is ±1 constants both engines derive from md5 — the
+    `simhash`→`simhash_md5` trick applied to LSH). Same GEMM execution as
+    the fast path — only the plane family differs."""
+    emb = load_table(spark, sf, "embeddings")
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    planes = similarity.md5_rademacher_planes(64, _ANN_LSH_MD5_PLANES, _ANN_LSH_MD5_TABLES)
+    out = similarity.rp_lsh_self_topk(
+        emb,
+        lambda vid: vid % 20 == 0,
+        k=5,
+        dim=64,
+        n_planes=_ANN_LSH_MD5_PLANES,
+        n_tables=_ANN_LSH_MD5_TABLES,
+        planes=planes,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
+    )
+
+
+def _ora_ann_lsh_md5(dim: int = 64, n_planes: int = _ANN_LSH_MD5_PLANES,
+                     n_tables: int = _ANN_LSH_MD5_TABLES) -> str:
+    """Oracle for `ann_lsh_md5`: the SAME md5-derived ±1 plane constants
+    are inlined as list literals, so DuckDB reproduces every bucket bit;
+    candidates = pairs agreeing on any table's full sign pattern."""
+    from commerce_data_pipeline_spark.operators.similarity import md5_rademacher_planes
+
+    planes = md5_rademacher_planes(dim, n_planes, n_tables)
+
+    def lit(col: list[float]) -> str:
+        return "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in col) + "]"
+
+    buckets = []
+    for t in range(n_tables):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(u, {lit(planes[t * n_planes + p])}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        buckets.append(f"({terms}) AS b{t}")
+    bucket_match = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), b AS (
+  SELECT vec_id, u, {", ".join(buckets)} FROM unit
+), cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.u, c.u) AS sim
+  FROM b q JOIN b c ON c.vec_id <> q.vec_id AND ({bucket_match})
+  WHERE q.vec_id % 20 = 0
+)
+SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+FROM cand QUALIFY rank <= 5
+"""
 
 
 def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
@@ -2877,7 +2946,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_ivf": QuerySpec(_q_ann_ivf, _O_ANN_IVF, "X3 IVF-routed ANN top-k"),
     "ann_ivf_indexed": QuerySpec(_q_ann_ivf_indexed, _O_ANN_IVF, "X3 ANN from persisted IVF index (same oracle)"),
     "embedding_quantize": QuerySpec(_q_embedding_quantize, _O_EMBEDDING_QUANTIZE, "X3 int8 scalar quantization profile"),
-    "ann_lsh": QuerySpec(_q_ann_lsh, None, "X3 RP-LSH ANN top-k (rows-only: xxhash64)"),
+    "ann_lsh": QuerySpec(_q_ann_lsh, None, "X3 RP-LSH ANN top-k (rows-only: PCG64 planes fast path)"),
+    "ann_lsh_md5": QuerySpec(_q_ann_lsh_md5, _ora_ann_lsh_md5(), "X3 RP-LSH ANN, md5-derived planes (oracle-checked)"),
     # -- checked window: text analysis (X4) -----------------------------------
     "word_count": QuerySpec(_q_word_count, _O_WORD_COUNT, "explode/unnest + agg + top-k"),
     "text_stats": QuerySpec(_q_text_stats, _O_TEXT_STATS, "X4 corpus token stats"),
@@ -2917,8 +2987,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "cohort_retention": QuerySpec(_q_cohort_retention, _O_COHORT_RETENTION, "G5 weekly cohorts"),
     "param_extract": QuerySpec(_q_param_extract, _O_PARAM_EXTRACT, "G6 JSON param extraction"),
     "streaming_daily_counts": QuerySpec(_q_streaming_daily_counts, _O_STREAMING_DAILY_COUNTS, "streaming tumbling-window agg (batch parity)"),
-    "session_windows": QuerySpec(_q_session_windows, _O_SESSION_WINDOWS, "streaming session_window (batch parity)"),
     # ======== position 51+ : surplus relational shapes, all green in r02 =====
+    "session_windows": QuerySpec(_q_session_windows, _O_SESSION_WINDOWS, "streaming session_window (batch parity)"),
     "order_priority": QuerySpec(_q_order_priority, _O_ORDER_PRIORITY, "EXISTS semi-join (Q4 shape)"),
     "top_customers": QuerySpec(_q_top_customers, _O_TOP_CUSTOMERS, "join+agg+top-k"),
     "shipping_priority": QuerySpec(_q_shipping_priority, _O_SHIPPING_PRIORITY, "two-side filtered join (Q3 shape)"),

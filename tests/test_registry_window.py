@@ -29,6 +29,7 @@ FAMILY_PROOFS = {
     "ann_ivf_indexed",
     "embedding_quantize",
     "ann_lsh",
+    "ann_lsh_md5",
     # X4 text
     "word_count",
     "text_stats",

@@ -186,3 +186,34 @@ def test_unit_vector_norm(spark):
     u = S.with_unit_vector(df).collect()[0]["unit"]
     assert abs(math.hypot(*u) - 1.0) < 1e-12
     assert abs(u[0] - 0.6) < 1e-12
+
+
+def test_require_centroids_raises_on_sparse_ids(spark):
+    import pytest
+
+    # offset id space: id % step == 0 never fires -> empty centroid set
+    emb = _vecs(spark, n=20).withColumn("vec_id", F.col("vec_id") + F.lit(1_000_001))
+    with pytest.raises(ValueError, match="empty centroid set"):
+        S.ivf_topk(emb, emb.limit(2), k=3, n_centroids=4)
+
+
+def test_md5_planes_deterministic_and_signed(spark):
+    a = S.md5_rademacher_planes(16, 4, 2)
+    b = S.md5_rademacher_planes(16, 4, 2)
+    assert a == b and len(a) == 8 and all(len(c) == 16 for c in a)
+    assert {v for c in a for v in c} == {1.0, -1.0}
+    # different seed -> different planes
+    assert S.md5_rademacher_planes(16, 4, 2, seed="other") != a
+
+
+def test_near_dup_pairs_lsh_path_top_pairs_pre_prune(spark):
+    # force the LSH path with a tiny row budget; top_pairs must still hold
+    emb = _vecs(spark, n=60)
+    out = S.near_dup_pairs(
+        emb, threshold=0.0, top_pairs=5, max_broadcast_rows=10, dim=8
+    ).collect()
+    assert 0 < len(out) <= 5
+    sims = [r["cosine_sim"] for r in out]
+    assert sims == sorted(sims, reverse=True) or len(set(sims)) < len(sims)
+    for r in out:
+        assert r["cosine_sim"] >= 0.0 and r["id_a"] < r["id_b"]
