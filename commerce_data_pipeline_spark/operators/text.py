@@ -169,6 +169,68 @@ def repetition_profile(
     )
 
 
+def unigram_typicality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Corpus-LM quality scoring (perplexity proxy): score each document by
+    how typical its words are under the corpus's own unigram distribution —
+    the cheap, trainer-free version of the LM-perplexity filters used on
+    web-scale training corpora. Two passes:
+
+    1. Corpus unigram counts c(w) (explode → word-keyed groupBy; partial
+       aggregation combines map-side) and the top-`vocab_size` vocabulary by
+       (count desc, word asc) — orderBy+limit lowers to the distributed
+       TakeOrderedAndProject, no single-task vocabulary sort.
+    2. Per-doc score: tokens left-broadcast-join the vocabulary, then one
+       doc-keyed groupBy emits integer sums only.
+
+    Output per doc: `n_words`, `n_oov` (words outside the top-V vocab),
+    `oov_e6` = floor(1e6 · n_oov/n_words) via pure INTEGER division, and
+    `typicality_e9` = floor(1e9 · Σc(w_i) / (n_words · T)) where T is the
+    corpus token total — the arithmetic mean of in-vocab unigram
+    probabilities. High OOV / low typicality → atypical, likely low-quality
+    text. No float logs anywhere: every aggregate is an exact integer and
+    each ratio is a single correctly-rounded division, so an ANSI-SQL
+    oracle lands on the identical integer (the determinism rule used
+    throughout this repo: floor(x·1eN) over exact operands, never round).
+
+    Scale: the exploded token table is the one big shuffle (word-keyed);
+    the vocabulary (V rows) broadcasts; the scalar total T broadcasts as a
+    1-row frame. Document text itself never shuffles.
+    """
+    ws = words(text_col)
+    tok = df.select(F.col(id_col), F.explode(ws).alias("_w"))
+    freq = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    total = freq.agg(F.sum("_c").alias("_t"))
+    vocab = freq.orderBy(F.desc("_c"), F.asc("_w")).limit(vocab_size)
+    return (
+        tok.join(F.broadcast(vocab), on="_w", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias("_sum_c"),
+            F.sum(F.when(F.col("_c").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.expr("(n_oov * 1000000) div n_words").cast("long").alias("oov_e6"),
+            F.floor(
+                F.col("_sum_c").cast("double")
+                * 1e9
+                / (F.col("n_words").cast("double") * F.col("_t").cast("double"))
+            )
+            .cast("long")
+            .alias("typicality_e9"),
+        )
+    )
+
+
 def profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Full text-analysis profile: one map-only pass over the corpus."""
     return df.select(

@@ -2874,6 +2874,44 @@ def _q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return text.repetition_profile(docs)
 
 
+def _q_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """X4/corpus — corpus-LM quality scoring (perplexity proxy): per-doc
+    mean unigram probability + OOV rate against the corpus's own top-1000
+    vocabulary. Two-pass: word-keyed count shuffle, then a broadcast
+    vocab join and one doc-keyed integer aggregation — all-integer
+    arithmetic until two final exact divisions, so the SQL oracle lands on
+    identical values."""
+    docs = load_table(spark, sf, "documents")
+    return text.unigram_typicality(docs, vocab_size=1000)
+
+
+_O_LM_QUALITY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WS_SPLIT_SQL}) AS w FROM documents
+), freq AS (
+  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+), total AS (
+  SELECT SUM(c) AS t FROM freq
+), vocab AS (
+  SELECT w, c FROM freq ORDER BY c DESC, w ASC LIMIT 1000
+), scored AS (
+  SELECT tok.doc_id,
+    COUNT(*) AS n_words,
+    SUM(COALESCE(v.c, 0)) AS sum_c,
+    SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tok LEFT JOIN vocab v ON tok.w = v.w
+  GROUP BY tok.doc_id
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_oov AS BIGINT) AS n_oov,
+  CAST((n_oov * 1000000) // n_words AS BIGINT) AS oov_e6,
+  CAST(FLOOR(CAST(sum_c AS DOUBLE) * 1000000000
+       / (CAST(n_words AS DOUBLE) * CAST(t AS DOUBLE))) AS BIGINT) AS typicality_e9
+FROM scored, total
+"""
+
+
 _O_TEXT_REPETITION = f"""
 WITH t AS (
   SELECT doc_id, {_WS_SPLIT_SQL} AS ws FROM documents
@@ -2954,6 +2992,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_fingerprints": QuerySpec(_q_text_fingerprints, _O_TEXT_FINGERPRINTS, "X4 fingerprint + token counts"),
     "text_profile": QuerySpec(_q_text_profile, _O_TEXT_PROFILE, "X4 lang-ID + quality scoring"),
     "text_repetition": QuerySpec(_q_text_repetition, _O_TEXT_REPETITION, "corpus: C4/Gopher repetition quality signals"),
+    "lm_quality": QuerySpec(_q_lm_quality, _O_LM_QUALITY, "X4/corpus: unigram-LM typicality + OOV scoring (perplexity proxy)"),
     # -- checked window: corpus shaping (LLM training-data pipeline) ----------
     "stratified_sample": QuerySpec(_q_stratified_sample, _O_STRATIFIED_SAMPLE, "corpus: deterministic per-stratum hash sampling"),
     "fixed_size_sample": QuerySpec(_q_fixed_size_sample, _O_FIXED_SIZE_SAMPLE, "corpus: exactly-k-per-stratum bottom-k-hash sample"),
@@ -2977,7 +3016,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: one representative per relational/pipeline/gold row --
     "pricing_summary": QuerySpec(_q_pricing_summary, _O_PRICING_SUMMARY, "R2/R4/R7 agg sweep (Q1 shape)"),
     "top_revenue_nations": QuerySpec(_q_top_revenue_nations, _O_TOP_REVENUE_NATIONS, "5-way broadcast star join (Q5 shape)"),
-    "sort_topk_lineitems": QuerySpec(_q_sort_topk_lineitems, _O_SORT_TOPK_LINEITEMS, "R5 global sort / top-k with rank"),
     "distinct_ship_dates": QuerySpec(_q_distinct_ship_dates, _O_DISTINCT_SHIP_DATES, "P4/P5 date discovery"),
     "date_gaps": QuerySpec(_q_date_gaps, _O_DATE_GAPS, "P6 anti-join gap detection"),
     "funnel": QuerySpec(_q_funnel, _O_FUNNEL, "G1 ordered funnel (flagship)"),
@@ -2989,6 +3027,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "streaming_daily_counts": QuerySpec(_q_streaming_daily_counts, _O_STREAMING_DAILY_COUNTS, "streaming tumbling-window agg (batch parity)"),
     # ======== position 51+ : surplus relational shapes, all green in r02 =====
     "session_windows": QuerySpec(_q_session_windows, _O_SESSION_WINDOWS, "streaming session_window (batch parity)"),
+    "sort_topk_lineitems": QuerySpec(_q_sort_topk_lineitems, _O_SORT_TOPK_LINEITEMS, "R5 global sort / top-k with rank"),
     "order_priority": QuerySpec(_q_order_priority, _O_ORDER_PRIORITY, "EXISTS semi-join (Q4 shape)"),
     "top_customers": QuerySpec(_q_top_customers, _O_TOP_CUSTOMERS, "join+agg+top-k"),
     "shipping_priority": QuerySpec(_q_shipping_priority, _O_SHIPPING_PRIORITY, "two-side filtered join (Q3 shape)"),

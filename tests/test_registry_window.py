@@ -36,6 +36,7 @@ FAMILY_PROOFS = {
     "text_fingerprints",
     "text_profile",
     "text_repetition",
+    "lm_quality",
     # corpus shaping
     "stratified_sample",
     "fixed_size_sample",
@@ -57,10 +58,10 @@ FAMILY_PROOFS = {
     # X6 sketches
     "approx_stats",
     "approx_group_stats",
-    # relational / pipeline / gold representatives
+    # relational / pipeline / gold representatives (surplus relational
+    # shapes — e.g. the R5 sort, r02-green and unchanged — live past 50)
     "pricing_summary",
     "top_revenue_nations",
-    "sort_topk_lineitems",
     "distinct_ship_dates",
     "date_gaps",
     "funnel",

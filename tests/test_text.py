@@ -84,3 +84,26 @@ def test_repetition_profile_degenerate_vs_diverse(spark):
     # short doc: no grams, ratio 0, top word 1/1
     assert rows[2]["n_grams_total"] == 0 and rows[2]["rep_ratio_e6"] == 0
     assert rows[2]["top_word_e6"] == 1_000_000
+
+
+def test_unigram_typicality_exact_values(spark):
+    df = _docs(spark, [
+        "the cat sat",          # 0: all common-ish words
+        "the the the the",      # 1: only the most frequent word
+        "zzz qqq",              # 2: words unique to this doc
+    ])
+    # corpus counts: the=5, cat=1, sat=1, zzz=1, qqq=1 ; T=9
+    # vocab_size=2 -> vocab = {the:5, cat:1} (count desc, word asc tiebreak)
+    rows = {r["doc_id"]: r for r in X.unigram_typicality(df, vocab_size=2).collect()}
+    r0 = rows[0]
+    assert (r0["n_words"], r0["n_oov"]) == (3, 1)  # sat is OOV
+    assert r0["oov_e6"] == 333_333
+    # sum_c = 5 (the) + 1 (cat) + 0 (sat) = 6 -> 1e9*6/(3*9)
+    assert r0["typicality_e9"] == 222_222_222
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_oov"], r1["oov_e6"]) == (4, 0, 0)
+    # sum_c = 20 -> 1e9*20/(4*9) = 555_555_555
+    assert r1["typicality_e9"] == 555_555_555
+    r2 = rows[2]
+    assert (r2["n_words"], r2["n_oov"], r2["oov_e6"]) == (2, 2, 1_000_000)
+    assert r2["typicality_e9"] == 0
