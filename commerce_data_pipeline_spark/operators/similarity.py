@@ -609,6 +609,56 @@ def ivf_probe_score(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assignment_profile(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """IVF index health profile — the rebuild-cadence signal: per centroid,
+    the inverted-list size and the floored-e6 min/mean/max cosine of its
+    assigned vectors. A drifting corpus shows up here before recall
+    degrades: list sizes skew (hot centroids) and assignment sims sink
+    (vectors far from every centroid). Same assignment plan as
+    `ivf_invert` (broadcast centroids + argmax aggregation, no window);
+    per-vector sims floor to integers BEFORE the centroid-level
+    aggregation so mean = floor(sum/size) is engine-exact.
+
+    Returns (centroid_id, list_size, mean_sim_e6, min_sim_e6, max_sim_e6).
+    """
+    u = with_unit_vector(corpus, vec_col, "unit")
+    total = corpus_count if corpus_count is not None else corpus.count()
+    step = max(1, total // n_centroids)
+    centroids = require_centroids(
+        ivf_centroids(u, step, n_centroids, id_col), id_col=id_col
+    )
+    best = (
+        u.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", _dot(F.col("unit"), F.col("c_vec")))
+        .groupBy(id_col)
+        .agg(
+            # lexicographic max over (sim, -centroid_id): same argmax +
+            # tie-break as ivf_invert, but keeping the winning sim too
+            F.max(
+                F.struct(F.col("c_sim"), (-F.col("centroid_id")).alias("_nc"))
+            ).alias("_best")
+        )
+        .select(
+            (-F.col("_best._nc")).cast("int").alias("centroid_id"),
+            F.floor(F.col("_best.c_sim") * 1_000_000).cast("long").alias("sim_e6"),
+        )
+    )
+    return best.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("list_size"),
+        F.floor(F.sum("sim_e6").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_sim_e6"),
+        F.min("sim_e6").alias("min_sim_e6"),
+        F.max("sim_e6").alias("max_sim_e6"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

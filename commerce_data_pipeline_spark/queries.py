@@ -1490,6 +1490,132 @@ FROM sims QUALIFY rank <= 5
 """
 
 
+def _q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 — measured recall@5 of the IVF ANN path against exact brute
+    force, per query: the 'measure, don't guess' harness for ANN quality
+    as a first-class query. Integer overlap counts and an exact integer
+    division — the oracle composes the ann_ivf and similarity_topk CTEs
+    and lands on identical values."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = similarity.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = (
+        similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(ivf, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"))
+        .select(
+            "query_id",
+            F.lit(5).cast("long").alias("k"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.expr("(n_overlap * 1000000) div 5").cast("long").alias("recall_e6"),
+        )
+    )
+
+
+_O_ANN_RECALL = """
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), par AS (
+  SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM embeddings
+), cent AS (
+  SELECT CAST(vec_id // step AS INT) AS centroid_id, u AS c_vec
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * 16
+), assign AS (
+  SELECT c.vec_id AS neighbor_id, cent.centroid_id, c.u AS c_unit,
+    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      ORDER BY list_dot_product(c.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit c CROSS JOIN cent
+), inv AS (
+  SELECT neighbor_id, centroid_id, c_unit FROM assign WHERE r = 1
+), probes AS (
+  SELECT q.vec_id AS query_id, cent.centroid_id, q.u AS q_unit,
+    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      ORDER BY list_dot_product(q.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit q CROSS JOIN cent WHERE q.vec_id % 20 = 0
+), pr AS (
+  SELECT query_id, centroid_id, q_unit FROM probes WHERE r <= 4
+), ivf_sims AS (
+  SELECT query_id, neighbor_id, list_dot_product(q_unit, c_unit) AS sim
+  FROM inv JOIN pr USING (centroid_id)
+  WHERE neighbor_id <> query_id
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM ivf_sims
+  ) WHERE rank <= 5
+), exact_sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.u, c.u) AS sim
+  FROM unit q JOIN unit c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % 20 = 0
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM exact_sims
+  ) WHERE rank <= 5
+)
+SELECT e.query_id,
+  CAST(5 AS BIGINT) AS k,
+  CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_overlap,
+  CAST((COUNT(i.neighbor_id) * 1000000) // 5 AS BIGINT) AS recall_e6
+FROM exact e LEFT JOIN ivf i
+  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+def _q_ivf_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 — IVF index health: per-centroid list size + assignment-cosine
+    profile (the rebuild-cadence / drift signal for a persisted ANN
+    index). Per-vector sims floor to integers before the centroid-level
+    aggregation, so the oracle reproduces the means exactly."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.ivf_assignment_profile(emb, n_centroids=16)
+
+
+_O_IVF_PROFILE = """
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), par AS (
+  SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM embeddings
+), cent AS (
+  SELECT CAST(vec_id // step AS INT) AS centroid_id, u AS c_vec
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * 16
+), assign AS (
+  SELECT c.vec_id, cent.centroid_id,
+    list_dot_product(c.u, cent.c_vec) AS s,
+    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      ORDER BY list_dot_product(c.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit c CROSS JOIN cent
+), best AS (
+  SELECT vec_id, centroid_id,
+    CAST(FLOOR(s * 1000000) AS BIGINT) AS sim_e6
+  FROM assign WHERE r = 1
+)
+SELECT centroid_id,
+  CAST(COUNT(*) AS BIGINT) AS list_size,
+  CAST(FLOOR(CAST(SUM(sim_e6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_sim_e6,
+  CAST(MIN(sim_e6) AS BIGINT) AS min_sim_e6,
+  CAST(MAX(sim_e6) AS BIGINT) AS max_sim_e6
+FROM best GROUP BY centroid_id
+"""
+
+
 def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """X3 scale path — random-hyperplane LSH ANN (8 planes × 4 tables).
     Plane signs derive from seeded PCG64 Gaussians → Spark-only; driver
@@ -3028,6 +3154,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # ======== position 51+ : surplus relational shapes, all green in r02 =====
     "session_windows": QuerySpec(_q_session_windows, _O_SESSION_WINDOWS, "streaming session_window (batch parity)"),
     "sort_topk_lineitems": QuerySpec(_q_sort_topk_lineitems, _O_SORT_TOPK_LINEITEMS, "R5 global sort / top-k with rank"),
+    "ann_recall": QuerySpec(_q_ann_recall, _O_ANN_RECALL, "X3 measured recall@5 of IVF vs brute force"),
+    "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid)"),
     "order_priority": QuerySpec(_q_order_priority, _O_ORDER_PRIORITY, "EXISTS semi-join (Q4 shape)"),
     "top_customers": QuerySpec(_q_top_customers, _O_TOP_CUSTOMERS, "join+agg+top-k"),
     "shipping_priority": QuerySpec(_q_shipping_priority, _O_SHIPPING_PRIORITY, "two-side filtered join (Q3 shape)"),

@@ -217,3 +217,16 @@ def test_near_dup_pairs_lsh_path_top_pairs_pre_prune(spark):
     assert sims == sorted(sims, reverse=True) or len(set(sims)) < len(sims)
     for r in out:
         assert r["cosine_sim"] >= 0.0 and r["id_a"] < r["id_b"]
+
+
+def test_ivf_assignment_profile_consistency(spark):
+    emb = _vecs(spark, n=48)
+    prof = {r["centroid_id"]: r for r in
+            S.ivf_assignment_profile(emb, n_centroids=4, vec_col="embedding").collect()}
+    # every corpus vector lands in exactly one list
+    assert sum(r["list_size"] for r in prof.values()) == 48
+    for r in prof.values():
+        assert r["min_sim_e6"] <= r["mean_sim_e6"] <= r["max_sim_e6"]
+        assert r["max_sim_e6"] <= 1_000_000
+    # the centroid's own vector assigns to itself at sim ~1.0
+    assert all(r["max_sim_e6"] >= 999_999 for r in prof.values())
