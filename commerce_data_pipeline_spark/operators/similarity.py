@@ -271,12 +271,17 @@ def near_dup_pairs(
                 if threshold > -1.0:
                     mask &= sims >= threshold
                 ai, bi = np.nonzero(mask)
-                out = pd.DataFrame(
-                    {"id_a": a_ids[ai], "id_b": b_ids[bi], "cosine_sim": sims[ai, bi]}
+                sims_v = sims[ai, bi]
+                if top_pairs is not None and sims_v.size > top_pairs:
+                    # cap BEFORE building the pandas frame: at low thresholds
+                    # a batch can pass hundreds of thousands of pairs, and
+                    # materializing them just to nlargest() dominates the
+                    # stage. argpartition keeps the top-k in O(n).
+                    sel = np.argpartition(-sims_v, top_pairs - 1)[:top_pairs]
+                    ai, bi, sims_v = ai[sel], bi[sel], sims_v[sel]
+                yield pd.DataFrame(
+                    {"id_a": a_ids[ai], "id_b": b_ids[bi], "cosine_sim": sims_v}
                 )
-                if top_pairs is not None and len(out) > top_pairs:
-                    out = out.nlargest(top_pairs, "cosine_sim")
-                yield out
 
         pairs = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
             score, "id_a long, id_b long, cosine_sim double"

@@ -853,6 +853,9 @@ def _q_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
     Sampling (doc_id % 5 = 0) bounds the quadratic pair space; ranking by
     (jaccard desc, ids) is unique."""
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    # single-file input → 1 split; scatter before the CPU-bound shingle
+    # hashing (real inputs bring their own splits)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.0)
     order = [F.desc("jaccard"), F.asc("id_a"), F.asc("id_b")]
     # orderBy+limit → TakeOrderedAndProject (per-task heaps); the global
@@ -2923,8 +2926,13 @@ def _q_semantic_only_dups(spark: SparkSession, sf: str) -> DataFrame:
     pass second, and only its EXTRA pairs are new information. Both
     inputs reuse the existing operators unchanged; the anti-join shuffles
     id pairs only."""
-    emb = load_table(spark, sf, "embeddings")
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    # both inputs arrive as single small parquet files (1 split each);
+    # scatter before the CPU-bound stages — md5-per-shingle minhashing and
+    # the GEMM scoring would otherwise run on one core each. Real inputs
+    # bring their own splits.
+    par = spark.sparkContext.defaultParallelism
+    emb = load_table(spark, sf, "embeddings").repartition(par)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").repartition(par)
     epairs = similarity.near_dup_pairs(emb, threshold=0.3, top_pairs=100)
     lpairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
     sem = epairs.join(lpairs, on=["id_a", "id_b"], how="left_anti")
