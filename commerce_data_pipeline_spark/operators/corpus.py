@@ -188,6 +188,80 @@ def quota_topk(
     )
 
 
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    group_cols: Iterable[str] = ("lang",),
+    order_cols: Iterable[Column] | None = None,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-BUDGET corpus selection — the 'sample N tokens per domain' mix
+    rule (quota_topk caps document COUNTS; training mixes are specified in
+    tokens): within each group, walk documents in priority order and keep
+    every document that still fits the remaining budget, greedily by
+    running total. A document straddling the boundary is kept iff its
+    cumulative total stays within `budget` (whole-document semantics — no
+    mid-document truncation here; chunking is a separate op).
+
+    One group-partitioned window (running token sum in priority order) —
+    each task scans only its group's rows, no global sort. `order_cols`
+    defaults to id order; pass e.g. (quality desc, doc_id) for
+    best-first mixes, and ALWAYS make it a total order for determinism.
+
+    Returns the kept rows + `cum_tokens` (running total including the row)
+    so downstream writers can audit how full each group's budget is.
+    """
+    gcols = list(group_cols)
+    ocols = list(order_cols) if order_cols is not None else [F.col(id_col)]
+    w = Window.partitionBy(*gcols).orderBy(*ocols)
+    return (
+        df.withColumn("cum_tokens", F.sum(token_col).over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def overlap_chunks(
+    df: DataFrame,
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Sliding-window chunk spans with overlap — the retrieval/context-prep
+    shape (`stride < size` ⇒ consecutive chunks share `size - stride`
+    tokens). Emits one row per (doc, chunk): chunk index, token start, and
+    span length (the final chunk is truncated to the document end; a
+    document shorter than `size` yields exactly one chunk).
+
+    Pure built-ins (sequence + posexplode) — chunk *selection* is
+    relational; actual token slicing happens wherever the tokens live.
+    Map-side only: the blow-up factor is ≈ n_tokens/stride per doc, chosen
+    by the caller, and nothing shuffles.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    n = F.col(token_col)
+    # chunk starts: 0, stride, 2·stride, …, where the LAST start is the
+    # smallest stride multiple ≥ n - size (ceil), so the final chunk always
+    # reaches the document end — no uncovered tail tokens.
+    last_start = F.greatest(n - size, F.lit(0))
+    n_chunks = F.floor((last_start + (stride - 1)) / stride).cast("int") + 1
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.posexplode(starts).alias("chunk_index", "start_tok"),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(size).cast("long"), F.col("n_tokens") - F.col("start_tok"))
+        .alias("span_len"),
+    )
+
+
 def chunk_pack(
     df: DataFrame,
     budget: int,

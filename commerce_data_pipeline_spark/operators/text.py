@@ -231,6 +231,71 @@ def unigram_typicality(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS algorithm): hash every character k-gram of the
+    normalized text, slide a w-window over the hash sequence, keep each
+    window's minimum — a position-robust fingerprint SET that overlaps
+    between documents sharing any run of ≥ w+k-1 characters (the
+    guarantee threshold), unlike the whole-document md5 in
+    `dedup.fingerprint` which only matches exact normalized equality.
+
+    Entirely scan-side HOFs (one md5 per k-gram, window minima via
+    transform+slice) → map-only, no shuffle; output explodes to
+    (doc_id, fp) rows for set-join overlap queries downstream. Hashes are
+    60-bit md5 prefixes — the cross-engine-reproducible integer family
+    used throughout this repo. Documents shorter than k characters emit
+    no rows (no k-gram exists).
+    """
+    # Staged projections with nondeterministic barriers (`_mb*`): without
+    # them CollapseProject inlines (a) the normalize-regex into every
+    # k-gram substring and (b) the k-gram hash array into EVERY window's
+    # slice — O(n) regex evaluations and O(n²) cryptographic hashing per
+    # document (same trap, same fix as minhash_signature).
+    norm = df.select(
+        F.col(id_col),
+        normalized_text(text_col).alias("_nt"),
+        F.monotonically_increasing_id().alias("_mb0"),
+    )
+    nt = F.col("_nt")
+    n_grams = F.greatest(F.length(nt) - (k - 1), F.lit(0))
+    gram_idx = F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def _gram_hash(i):
+        return F.conv(F.substring(F.md5(nt.substr(i, F.lit(k))), 1, 15), 16, 10).cast(
+            "long"
+        )
+
+    staged = norm.select(
+        F.col(id_col),
+        F.transform(gram_idx, _gram_hash).alias("_hs"),
+        F.monotonically_increasing_id().alias("_mb"),
+    )
+    hs = F.col("_hs")
+    # windows: 1..(len-w+1); a doc with 0 < grams < w gets ONE window over
+    # the whole (short) hash sequence, matching the algorithm's contract
+    # that every document with at least one k-gram yields a fingerprint
+    n_win = F.when(
+        F.size(hs) > 0,
+        F.greatest(F.size(hs) - (w - 1), F.lit(1)),
+    ).otherwise(F.lit(0))
+    win_idx = F.when(n_win > 0, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    selected = F.transform(win_idx, lambda j: F.array_min(F.slice(hs, j, w)))
+    return staged.select(
+        F.col(id_col), F.explode(F.array_distinct(selected)).alias("fp")
+    )
+
+
 def profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Full text-analysis profile: one map-only pass over the corpus."""
     return df.select(

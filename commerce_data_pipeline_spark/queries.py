@@ -2595,6 +2595,124 @@ SELECT lang, source, doc_id, quality_e4, rank FROM (
 """
 
 
+def _q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — token-budget mix selection: per language, keep the
+    best-quality documents (e4-floored quality, doc_id tie-break) while
+    the running token total stays within a 5000-token budget — the
+    'N tokens per domain' training-mix rule, whole-document semantics.
+    One group-partitioned window; integer cum sums → exact oracle."""
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        F.floor(text.quality_score("text") * 10000).cast("long").alias("quality_e4"),
+        text.token_count("text").cast("long").alias("n_tokens"),
+    )
+    return corpus.token_budget_select(
+        scored,
+        budget=5_000,
+        group_cols=["lang"],
+        order_cols=[F.desc("quality_e4"), F.asc("doc_id")],
+    )
+
+
+_O_TOKEN_BUDGET = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_WS_SPLIT_SQL} AS ws FROM documents
+), m AS (
+  SELECT doc_id, lang,
+    len(ws) AS n_tokens,
+    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+      / GREATEST(len(ws), 1) AS wl,
+    CAST(len(list_filter(ws, w -> list_contains(
+      ['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+      / GREATEST(len(ws), 1) AS sw,
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+      / GREATEST(length(text), 1) AS pr
+  FROM t
+), q AS (
+  SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+    CAST(FLOOR((0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+              + 0.2 * (CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END)
+              + 0.2 * LEAST(sw * 5.0, 1.0)
+              + 0.2 * (1.0 - LEAST(pr * 2.0, 1.0))) * 10000) AS BIGINT) AS quality_e4
+  FROM m
+), c AS (
+  SELECT lang, doc_id, quality_e4, n_tokens,
+    SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY quality_e4 DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM q
+)
+SELECT lang, doc_id, quality_e4, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 5000
+"""
+
+
+def _q_overlap_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — sliding-window chunk spans (size 128, stride 64 → 50%
+    overlap): the retrieval/context-prep shape. Pure built-ins
+    (sequence + posexplode), map-only, blow-up ≈ n_tokens/stride."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", text.token_count("text").cast("long").alias("n_tokens"))
+    return corpus.overlap_chunks(toks, size=128, stride=64)
+
+
+_O_OVERLAP_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_WS_SPLIT_SQL}) AS BIGINT) AS n_tokens FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+    unnest(generate_series(0, (GREATEST(n_tokens - 128, 0) + 63) // 64 * 64, 64)) AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  CAST(start_tok // 64 AS INT) AS chunk_index,
+  CAST(start_tok AS BIGINT) AS start_tok,
+  CAST(LEAST(128, n_tokens - start_tok) AS BIGINT) AS span_len
+FROM s
+"""
+
+
+def _q_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 — winnowing fingerprints (MOSS): per-doc count + min/max of the
+    selected k-gram hash set (k=5, w=4). The per-doc aggregate keeps the
+    oracle row count bounded while still pinning the exact fingerprint
+    SET (count + extremes over 60-bit md5-prefix ints)."""
+    docs = load_table(spark, sf, "documents")
+    fps = text.winnow_fingerprints(docs, k=5, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+_O_WINNOW = """
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, GREATEST(length(nt) - 4, 0)),
+      i -> CAST(('0x' || substr(md5(substr(nt, i, 5)), 1, 15)) AS BIGINT)) AS hs
+  FROM t
+), sel AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, CASE WHEN len(hs) > 0
+                            THEN GREATEST(len(hs) - 3, 1) ELSE 0 END),
+      j -> list_min(hs[j:j+3]))) AS fps
+  FROM h
+)
+SELECT doc_id,
+  CAST(len(fps) AS BIGINT) AS n_fps,
+  CAST(list_min(fps) AS BIGINT) AS min_fp,
+  CAST(list_max(fps) AS BIGINT) AS max_fp
+FROM sel WHERE len(fps) > 0
+"""
+
+
 def _q_chunk_pack(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus — concat-then-chunk sequence packing into 512-token context
     windows per language stream: one running-sum window partitioned by
@@ -3164,6 +3282,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sort_topk_lineitems": QuerySpec(_q_sort_topk_lineitems, _O_SORT_TOPK_LINEITEMS, "R5 global sort / top-k with rank"),
     "ann_recall": QuerySpec(_q_ann_recall, _O_ANN_RECALL, "X3 measured recall@5 of IVF vs brute force"),
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid)"),
+    "token_budget": QuerySpec(_q_token_budget, _O_TOKEN_BUDGET, "corpus: token-budget mix selection (N tokens per group)"),
+    "overlap_chunks": QuerySpec(_q_overlap_chunks, _O_OVERLAP_CHUNKS, "corpus: sliding-window chunk spans with overlap"),
+    "winnow": QuerySpec(_q_winnow, _O_WINNOW, "X4 winnowing (MOSS) k-gram fingerprint sets"),
     "order_priority": QuerySpec(_q_order_priority, _O_ORDER_PRIORITY, "EXISTS semi-join (Q4 shape)"),
     "top_customers": QuerySpec(_q_top_customers, _O_TOP_CUSTOMERS, "join+agg+top-k"),
     "shipping_priority": QuerySpec(_q_shipping_priority, _O_SHIPPING_PRIORITY, "two-side filtered join (Q3 shape)"),

@@ -204,3 +204,51 @@ def test_greedy_pack_with_int_shard_group(spark):
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows[0]["shard"] == 0 and rows[1]["bin_id"] == 1
     assert rows[2]["bin_id"] == 0 and rows[3]["bin_id"] == 1  # shard 1 independent
+
+
+def test_token_budget_select_whole_doc_semantics(spark):
+    rows = [
+        ("en", 1, 100), ("en", 2, 100), ("en", 3, 100),
+        ("de", 4, 50), ("de", 5, 300),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    out = {r["doc_id"]: r for r in C.token_budget_select(
+        df, budget=250, group_cols=["lang"]).collect()}
+    # en: 100+100 fits, third crosses 250 → dropped
+    # de: cum after 4 = 50, doc 5 pushes cum to 350 > 250 → dropped
+    assert set(out) == {1, 2, 4}
+    assert out[2]["cum_tokens"] == 200
+    assert out[4]["cum_tokens"] == 50
+
+
+def test_token_budget_respects_priority_order(spark):
+    from pyspark.sql import functions as F
+
+    rows = [("en", 1, 5, 100), ("en", 2, 9, 200), ("en", 3, 7, 180)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, q long, n_tokens long")
+    kept = sorted(r["doc_id"] for r in C.token_budget_select(
+        df, budget=380, group_cols=["lang"],
+        order_cols=[F.desc("q"), F.asc("doc_id")]).collect())
+    # priority: 2 (200), then 3 (cum 380 fits), then 1 (cum 480 > 380)
+    assert kept == [2, 3]
+
+
+def test_overlap_chunks_spans(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 300)], "doc_id long, n_tokens long"
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_index"], r["start_tok"], r["span_len"])
+        for r in C.overlap_chunks(df, size=128, stride=64).collect()
+    )
+    # doc 1 (10 toks < size): one chunk covering the whole doc
+    assert rows[0] == (1, 0, 0, 10)
+    # doc 2 (300 toks): last start = ceil((300-128)/64)·64 = 192
+    doc2 = [r for r in rows if r[0] == 2]
+    assert [(r[1], r[2]) for r in doc2] == [(0, 0), (1, 64), (2, 128), (3, 192)]
+    assert doc2[-1][3] == 108  # final chunk truncated: 300 - 192
+    # every token is covered by at least one chunk
+    covered = set()
+    for _, _, start, span in doc2:
+        covered |= set(range(start, start + span))
+    assert covered == set(range(300))

@@ -107,3 +107,25 @@ def test_unigram_typicality_exact_values(spark):
     r2 = rows[2]
     assert (r2["n_words"], r2["n_oov"], r2["oov_e6"]) == (2, 2, 1_000_000)
     assert r2["typicality_e9"] == 0
+
+
+def test_winnow_fingerprints_overlap_and_determinism(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    df = _docs(spark, [
+        base,
+        "PREFIX words here " + base,   # shares a long run -> fps overlap
+        "entirely different content with no shared runs at all whatsoever",
+        "small",                       # shorter than w+k-1 but == k: >=1 fp
+    ])
+    fps = {}
+    for r in X.winnow_fingerprints(df, k=5, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    # shared-run guarantee: docs 0 and 1 share fingerprints
+    assert fps[0] & fps[1]
+    # unrelated doc shares (almost) nothing with doc 0 - allow tiny collisions
+    assert len(fps.get(2, set()) & fps[0]) <= 1
+    assert len(fps.get(3, set())) >= 1
+    again = {}
+    for r in X.winnow_fingerprints(df, k=5, w=4).collect():
+        again.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps == again
