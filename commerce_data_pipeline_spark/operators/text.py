@@ -296,6 +296,54 @@ def winnow_fingerprints(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int = 64,
+) -> DataFrame:
+    """Winnowing-based near-dup candidate pairs: documents sharing at
+    least `min_shared` winnow fingerprints — the plagiarism/boilerplate
+    detection shape winnowing exists for. Guarantee: any pair sharing a
+    run of ≥ w+k-1 normalized characters shares ≥ 1 fingerprint; raising
+    `min_shared` trades recall for precision.
+
+    Same bucketed machinery as the LSH/banding paths: group doc ids per
+    fingerprint, expand in-bucket pairs (no self-join — the fingerprint
+    table is scanned once), then count shared fingerprints per pair. One
+    aggregation shuffle on the fingerprint, one on the pair. Ubiquitous
+    fingerprints (boilerplate shared by >max_fp_freq docs) are dropped
+    exactly like frequency-capped shingles — they carry no pair signal
+    and their buckets are quadratic.
+
+    Returns (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_fp_freq))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda a: F.transform(
+                F.filter(F.col("_ids"), lambda b: b > a),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Full text-analysis profile: one map-only pass over the corpus."""
     return df.select(

@@ -2713,6 +2713,53 @@ FROM sel WHERE len(fps) > 0
 """
 
 
+def _q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """X4×X2 — winnowing near-dup candidate pairs on a doubled corpus
+    (each doc provably pairs with its exact copy: identical fingerprint
+    sets). Bucketed in-bucket expansion — fingerprint table scanned once,
+    no self-join on the Spark side; the oracle uses the equivalent
+    fp-equijoin formulation."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
+    return text.winnow_pairs(doubled, k=8, w=4, min_shared=4, max_fp_freq=16)
+
+
+_O_WINNOW_PAIRS = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+), t AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM d
+), h AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, GREATEST(length(nt) - 7, 0)),
+      i -> CAST(('0x' || substr(md5(substr(nt, i, 8)), 1, 15)) AS BIGINT)) AS hs
+  FROM t
+), sel AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, CASE WHEN len(hs) > 0
+                            THEN GREATEST(len(hs) - 3, 1) ELSE 0 END),
+      j -> list_min(hs[j:j+3]))) AS fps
+  FROM h
+), fprows AS (
+  SELECT doc_id, unnest(fps) AS fp FROM sel
+), ok AS (
+  SELECT fp FROM fprows GROUP BY fp
+  HAVING COUNT(*) BETWEEN 2 AND 16
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fprows a JOIN fprows b USING (fp) JOIN ok USING (fp)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM p GROUP BY id_a, id_b HAVING COUNT(*) >= 4
+"""
+
+
 def _q_chunk_pack(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus — concat-then-chunk sequence packing into 512-token context
     windows per language stream: one running-sum window partitioned by
@@ -3285,6 +3332,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "token_budget": QuerySpec(_q_token_budget, _O_TOKEN_BUDGET, "corpus: token-budget mix selection (N tokens per group)"),
     "overlap_chunks": QuerySpec(_q_overlap_chunks, _O_OVERLAP_CHUNKS, "corpus: sliding-window chunk spans with overlap"),
     "winnow": QuerySpec(_q_winnow, _O_WINNOW, "X4 winnowing (MOSS) k-gram fingerprint sets"),
+    "winnow_pairs": QuerySpec(_q_winnow_pairs, _O_WINNOW_PAIRS, "X4×X2 winnow-fingerprint near-dup candidate pairs"),
     "order_priority": QuerySpec(_q_order_priority, _O_ORDER_PRIORITY, "EXISTS semi-join (Q4 shape)"),
     "top_customers": QuerySpec(_q_top_customers, _O_TOP_CUSTOMERS, "join+agg+top-k"),
     "shipping_priority": QuerySpec(_q_shipping_priority, _O_SHIPPING_PRIORITY, "two-side filtered join (Q3 shape)"),

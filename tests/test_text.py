@@ -129,3 +129,18 @@ def test_winnow_fingerprints_overlap_and_determinism(spark):
     for r in X.winnow_fingerprints(df, k=5, w=4).collect():
         again.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps == again
+
+
+def test_winnow_pairs_finds_planted_copy(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank again"
+    df = _docs(spark, [
+        base,
+        "completely unrelated text about spark physical plans and shuffles",
+    ])
+    doubled = df.unionAll(df.selectExpr("doc_id + 100 AS doc_id", "text"))
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in
+             X.winnow_pairs(doubled, k=8, w=4, min_shared=2).collect()}
+    # each doc pairs with its exact copy (identical fingerprint sets)...
+    assert (0, 100) in pairs and (1, 101) in pairs
+    # ...and unrelated docs don't pair
+    assert (0, 1) not in pairs and (0, 101) not in pairs
