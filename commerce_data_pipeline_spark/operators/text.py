@@ -237,6 +237,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 5,
     w: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
     2003 — the MOSS algorithm): hash every character k-gram of the
@@ -246,13 +247,18 @@ def winnow_fingerprints(
     guarantee threshold), unlike the whole-document md5 in
     `dedup.fingerprint` which only matches exact normalized equality.
 
-    Entirely scan-side HOFs (one md5 per k-gram, window minima via
+    Entirely scan-side HOFs (one hash per k-gram, window minima via
     transform+slice) → map-only, no shuffle; output explodes to
-    (doc_id, fp) rows for set-join overlap queries downstream. Hashes are
-    60-bit md5 prefixes — the cross-engine-reproducible integer family
-    used throughout this repo. Documents shorter than k characters emit
-    no rows (no k-gram exists).
+    (doc_id, fp) rows for set-join overlap queries downstream.
+
+    `hash_fn`: "md5" (60-bit prefix ints — the cross-engine-reproducible
+    family, what the SQL oracle replays) or "xxhash64" (Spark-only, ~4×
+    cheaper — the production fast path, same trade as simhash vs
+    simhash_md5). Documents shorter than k characters emit no rows (no
+    k-gram exists).
     """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
     # Staged projections with nondeterministic barriers (`_mb*`): without
     # them CollapseProject inlines (a) the normalize-regex into every
     # k-gram substring and (b) the k-gram hash array into EVERY window's
@@ -270,6 +276,8 @@ def winnow_fingerprints(
     )
 
     def _gram_hash(i):
+        if hash_fn == "xxhash64":
+            return F.xxhash64(nt.substr(i, F.lit(k)))
         return F.conv(F.substring(F.md5(nt.substr(i, F.lit(k))), 1, 15), 16, 10).cast(
             "long"
         )
@@ -304,6 +312,7 @@ def winnow_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_fp_freq: int = 64,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing-based near-dup candidate pairs: documents sharing at
     least `min_shared` winnow fingerprints — the plagiarism/boilerplate
@@ -321,7 +330,7 @@ def winnow_pairs(
 
     Returns (id_a, id_b, n_shared) with id_a < id_b.
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    fps = winnow_fingerprints(df, id_col, text_col, k, w, hash_fn)
     buckets = (
         fps.groupBy("fp")
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_ids"))

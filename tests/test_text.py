@@ -144,3 +144,14 @@ def test_winnow_pairs_finds_planted_copy(spark):
     assert (0, 100) in pairs and (1, 101) in pairs
     # ...and unrelated docs don't pair
     assert (0, 1) not in pairs and (0, 101) not in pairs
+
+
+def test_winnow_xxhash_fast_path_same_shape(spark):
+    df = _docs(spark, ["the quick brown fox jumps over the lazy dog"])
+    md5_fps = X.winnow_fingerprints(df, k=5, w=4, hash_fn="md5").count()
+    xx_fps = X.winnow_fingerprints(df, k=5, w=4, hash_fn="xxhash64").count()
+    # same selection structure, different hash family -> similar set sizes
+    assert md5_fps > 0 and xx_fps > 0
+    a = X.winnow_fingerprints(df, k=5, w=4, hash_fn="xxhash64").collect()
+    b = X.winnow_fingerprints(df, k=5, w=4, hash_fn="xxhash64").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
