@@ -614,6 +614,154 @@ def ivf_probe_score(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def pq_codebooks(
+    u: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """Deterministic product-quantization codebooks: split the vector into
+    `m` subspaces of dim/m; subspace s's codebook = the s-th subvectors of
+    `ksub` evenly-spaced sample rows — the same shuffle-free `id % step`
+    sample as `ivf_centroids` (k-means would give tighter cells but is
+    neither deterministic nor oracle-reproducible; sampled codebooks are
+    the standard bootstrap and both engines can replay them exactly).
+
+    Returns (s, code, sub_vec) — m·ksub rows, broadcast-size by
+    construction. `u` must carry a `unit` column.
+    """
+    if dim % m != 0:
+        raise ValueError("dim must be divisible by m")
+    d_sub = dim // m
+    total = corpus_count if corpus_count is not None else u.count()
+    step = max(1, total // ksub)
+    sample = u.filter(
+        (F.col(id_col) % step == 0) & (F.col(id_col) < step * ksub)
+    ).select((F.col(id_col) / step).cast("int").alias("code"), "unit")
+    cb = sample.select(
+        "code",
+        F.posexplode(
+            F.array(*[F.slice("unit", s * d_sub + 1, d_sub) for s in range(m)])
+        ).alias("s", "sub_vec"),
+    ).select("s", "code", "sub_vec")
+    if cb.limit(1).count() == 0:
+        raise ValueError(
+            "pq_codebooks produced an empty sample: the `id % step` rule "
+            "assumes dense 0..N-1 ids (see require_centroids for the fix)."
+        )
+    return cb
+
+
+def pq_encode(
+    u: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-encode each vector: per subspace, the nearest codebook entry by
+    L2 (ties → lowest code). Storage per vector drops from dim·8 bytes to
+    m codes (m bytes at ksub ≤ 256) — the memory layout ANN shops use for
+    billion-vector corpora. Plan: subvector explode (map-side) → broadcast
+    codebook join → per-(vector, subspace) argmin AGGREGATION (min of
+    (dist, code) structs — no window), → one array per vector.
+
+    Returns (id, codes array<int> ordered by subspace).
+    """
+    d_sub = dim // m
+    sub_rows = u.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice("unit", s * d_sub + 1, d_sub) for s in range(m)])
+        ).alias("s", "v_sub"),
+    )
+    best = (
+        sub_rows.join(F.broadcast(codebooks), on="s")
+        .withColumn("dist", _l2(F.col("v_sub"), F.col("sub_vec")))
+        .groupBy(id_col, "s")
+        .agg(F.min(F.struct(F.col("dist"), F.col("code"))).alias("_b"))
+        .select(F.col(id_col), "s", F.col("_b.code").alias("code"))
+    )
+    return (
+        best.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("s", "code"))).alias("_sc"))
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_sc"), lambda x: x["code"]).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """ANN via product quantization with asymmetric distance computation
+    (ADC; Jégou/Douze/Schmid, TPAMI 2011): queries stay exact, corpus
+    vectors are m quantization codes, and sim(q, x) ≈ Σ_s lut[s][code_s]
+    where the per-query lookup table holds q's inner product with every
+    codebook entry (|Q|·m·ksub rows — broadcast-size).
+
+    Plan: codes explode to (neighbor, s, code) → broadcast LUT equi-join
+    → per-pair sum. The partial sims are summed in FIXED subspace order
+    (sorted collect, then an ordered fold) — a plain SUM aggregates in
+    partition-arbitrary order and float addition isn't associative, so
+    the oracle could land one ulp away and flip ranks on near-ties.
+
+    Returns (query_id, neighbor_id, pq_sim, rank) — approximate sims;
+    recall vs exact pinned in tests.
+    """
+    u = with_unit_vector(corpus, vec_col, "unit")
+    cb = pq_codebooks(u, m, ksub, dim, id_col, corpus_count)
+    enc = pq_encode(u, cb, m, dim, id_col)
+    d_sub = dim // m
+    qu = with_unit_vector(queries, vec_col, "q_unit").select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(
+            F.array(*[F.slice("q_unit", s * d_sub + 1, d_sub) for s in range(m)])
+        ).alias("s", "q_sub"),
+    )
+    lut = qu.join(F.broadcast(cb), on="s").select(
+        "query_id", "s", "code", _dot(F.col("q_sub"), F.col("sub_vec")).alias("psim")
+    )
+    exp = enc.select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("s", "code")
+    )
+    sims = (
+        exp.join(F.broadcast(lut), on=["s", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "psim"))).alias("_ps"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.transform(F.col("_ps"), lambda x: x["psim"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("pq_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pq_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_assignment_profile(
     corpus: DataFrame,
     n_centroids: int = 16,

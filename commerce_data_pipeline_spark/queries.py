@@ -1619,6 +1619,63 @@ FROM best GROUP BY centroid_id
 """
 
 
+def _q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 — product-quantization ANN with ADC scoring (4 subspaces × 16
+    codes over 64 dims): corpus stored as 4 codes/vector, queries exact,
+    sims from a broadcast lookup table. Deterministic sampled codebooks +
+    fixed-order partial-sim folds → full value-hash oracle."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    out = similarity.pq_topk(emb, queries, k=5, m=4, ksub=16, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round("pq_sim", 4).alias("pq_sim"), "rank"
+    )
+
+
+_O_ANN_PQ = """
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), par AS (
+  SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM embeddings
+), samp AS (
+  SELECT CAST(vec_id // step AS INT) AS code, u
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * 16
+), subspaces AS (
+  SELECT unnest(generate_series(0, 3)) AS s
+), cb AS (
+  SELECT s, code, samp.u[s*16+1 : s*16+16] AS sub_vec FROM samp, subspaces
+), enc0 AS (
+  SELECT c.vec_id, cb.s, cb.code,
+    list_sum(list_transform(generate_series(1, 16),
+      i -> (c.u[cb.s*16+i] - cb.sub_vec[i]) * (c.u[cb.s*16+i] - cb.sub_vec[i]))) AS dist
+  FROM unit c CROSS JOIN cb
+), enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, code ASC) AS rn
+    FROM enc0
+  ) WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS query_id, cb.s, cb.code,
+    list_sum(list_transform(generate_series(1, 16),
+      i -> q.u[cb.s*16+i] * cb.sub_vec[i])) AS psim
+  FROM unit q CROSS JOIN cb WHERE q.vec_id % 20 = 0
+), sims AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+    list_sum(list(l.psim ORDER BY l.s)) AS pq_sim
+  FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(pq_sim, 4) AS pq_sim,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pq_sim DESC, neighbor_id ASC) AS INT) AS rank
+FROM sims QUALIFY rank <= 5
+"""
+
+
 def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """X3 scale path — random-hyperplane LSH ANN (8 planes × 4 tables).
     Plane signs derive from seeded PCG64 Gaussians → Spark-only; driver
@@ -3327,6 +3384,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # ======== position 51+ : surplus relational shapes, all green in r02 =====
     "session_windows": QuerySpec(_q_session_windows, _O_SESSION_WINDOWS, "streaming session_window (batch parity)"),
     "sort_topk_lineitems": QuerySpec(_q_sort_topk_lineitems, _O_SORT_TOPK_LINEITEMS, "R5 global sort / top-k with rank"),
+    "ann_pq": QuerySpec(_q_ann_pq, _O_ANN_PQ, "X3 product-quantization ANN (ADC, deterministic codebooks)"),
     "ann_recall": QuerySpec(_q_ann_recall, _O_ANN_RECALL, "X3 measured recall@5 of IVF vs brute force"),
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid)"),
     "token_budget": QuerySpec(_q_token_budget, _O_TOKEN_BUDGET, "corpus: token-budget mix selection (N tokens per group)"),

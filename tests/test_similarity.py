@@ -230,3 +230,28 @@ def test_ivf_assignment_profile_consistency(spark):
         assert r["max_sim_e6"] <= 1_000_000
     # the centroid's own vector assigns to itself at sim ~1.0
     assert all(r["max_sim_e6"] >= 999_999 for r in prof.values())
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    emb = _vecs(spark, n=64, dim=16)
+    q = emb.filter(F.col("vec_id") < 4)
+    exact = S.brute_force_topk(emb, q, k=5).collect()
+    approx = S.pq_topk(emb, q, k=10, m=4, ksub=8, dim=16).collect()
+    approx_by_q = {}
+    for r in approx:
+        approx_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # quantized top-10 should recover most exact top-5 neighbors
+    hits = sum(1 for r in exact if r["neighbor_id"] in approx_by_q.get(r["query_id"], set()))
+    assert hits >= 10  # 10 of 20 - PQ on random gaussians is lossy but deterministic
+
+
+def test_pq_encode_shapes(spark):
+    emb = _vecs(spark, n=32, dim=16)
+    u = S.with_unit_vector(emb, "embedding", "unit")
+    cb = S.pq_codebooks(u, m=4, ksub=8, dim=16)
+    assert cb.count() == 4 * 8
+    enc = S.pq_encode(u, cb, m=4, dim=16).collect()
+    assert len(enc) == 32
+    for r in enc:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])
