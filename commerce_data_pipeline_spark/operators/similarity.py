@@ -716,50 +716,83 @@ def pq_topk(
     (ADC; Jégou/Douze/Schmid, TPAMI 2011): queries stay exact, corpus
     vectors are m quantization codes, and sim(q, x) ≈ Σ_s lut[s][code_s]
     where the per-query lookup table holds q's inner product with every
-    codebook entry (|Q|·m·ksub rows — broadcast-size).
+    codebook entry.
 
-    Plan: codes explode to (neighbor, s, code) → broadcast LUT equi-join
-    → per-pair sum. The partial sims are summed in FIXED subspace order
-    (sorted collect, then an ordered fold) — a plain SUM aggregates in
-    partition-arbitrary order and float addition isn't associative, so
-    the oracle could land one ulp away and flip ranks on near-ties.
+    Execution is the `brute_force_topk` shape, not a row join: the LUT
+    ((m, |Q|, ksub) floats — query-side, broadcast by precondition)
+    ships to executors and the CODES stream through one mapInPandas
+    doing table lookups + an m-term accumulation per (vector, query),
+    emitting only per-batch local top-k. Candidate shuffle is
+    O(batches × |Q| × k). An earlier draft exploded codes and equi-
+    joined a LUT DataFrame on (s, code) — only m·ksub distinct keys, so
+    the join materialized O(|C|·|Q|·m) rows through a shuffle and went
+    quadratic at 8× stress (38×). Partial sims accumulate s=0..m-1
+    sequentially — the same fixed order the SQL oracle's ordered
+    list_sum uses, so float non-associativity can't flip ranks.
 
     Returns (query_id, neighbor_id, pq_sim, rank) — approximate sims;
     recall vs exact pinned in tests.
     """
+    spark = corpus.sparkSession
     u = with_unit_vector(corpus, vec_col, "unit")
     cb = pq_codebooks(u, m, ksub, dim, id_col, corpus_count)
     enc = pq_encode(u, cb, m, dim, id_col)
     d_sub = dim // m
-    qu = with_unit_vector(queries, vec_col, "q_unit").select(
-        F.col(query_id_col).alias("query_id"),
-        F.posexplode(
-            F.array(*[F.slice("q_unit", s * d_sub + 1, d_sub) for s in range(m)])
-        ).alias("s", "q_sub"),
-    )
-    lut = qu.join(F.broadcast(cb), on="s").select(
-        "query_id", "s", "code", _dot(F.col("q_sub"), F.col("sub_vec")).alias("psim")
-    )
-    exp = enc.select(
-        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("s", "code")
-    )
-    sims = (
-        exp.join(F.broadcast(lut), on=["s", "code"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.array_sort(F.collect_list(F.struct("s", "psim"))).alias("_ps"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.transform(F.col("_ps"), lambda x: x["psim"]),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("pq_sim"),
+
+    q_rows = with_unit_vector(queries, vec_col, "q_unit").select(
+        F.col(query_id_col), F.col("q_unit")
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, pq_sim double, rank int"
         )
-    )
+    cb_rows = cb.collect()  # m·ksub rows — broadcast-size by construction
+
+    import numpy as np
+
+    q_ids = np.asarray([r[0] for r in q_rows], dtype="int64")
+    q_mat = np.asarray([r[1] for r in q_rows], dtype="float64")  # (Q, dim)
+    cb_mat = np.zeros((m, ksub, d_sub), dtype="float64")
+    for r in cb_rows:
+        cb_mat[r["s"], r["code"]] = np.asarray(r["sub_vec"], dtype="float64")
+    # lut[s] = (Q, ksub): q's inner product with every code of subspace s.
+    # Accumulated term-by-term in coordinate order (not BLAS GEMM): dgemm's
+    # blocked/FMA summation can land one ulp off the oracle's sequential
+    # list_sum, and ranks compare raw floats. m·ksub·d_sub is tiny.
+    lut = np.zeros((m, q_mat.shape[0], ksub), dtype="float64")
+    for s in range(m):
+        for i in range(d_sub):
+            lut[s] += q_mat[:, s * d_sub + i, None] * cb_mat[s][None, :, i]
+    bc = spark.sparkContext.broadcast((q_ids, lut))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_lut = bc.value
+        n_q = b_ids.shape[0]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype="int64")
+            codes = np.asarray([np.asarray(c, dtype="int64") for c in pdf["codes"]])
+            sims = np.zeros((codes.shape[0], n_q), dtype="float64")
+            for s in range(m):  # fixed subspace order — oracle-exact sums
+                sims += b_lut[s][:, codes[:, s]].T
+            sims[c_ids[:, None] == b_ids[None, :]] = -np.inf  # self-match
+            kk = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]
+            qi = np.broadcast_to(np.arange(n_q), idx.shape)
+            flat = sims[idx, qi].ravel()
+            keep = flat > -np.inf
+            yield pd.DataFrame(
+                {
+                    "query_id": np.broadcast_to(b_ids, idx.shape).ravel()[keep],
+                    "neighbor_id": c_ids[idx.ravel()][keep],
+                    "pq_sim": flat[keep],
+                }
+            )
+
+    cand = enc.mapInPandas(score, "query_id long, neighbor_id long, pq_sim double")
     w = Window.partitionBy("query_id").orderBy(F.desc("pq_sim"), F.asc("neighbor_id"))
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def ivf_assignment_profile(

@@ -77,6 +77,14 @@ STRESS_QUERIES = [
     "basket_pairs",
     "image_phash",
     "image_near_dup",
+    # round 3: corpus-LM scoring, winnowing, PQ/recall ANN, budget selection
+    "lm_quality",
+    "winnow",
+    "winnow_pairs",
+    "ann_pq",
+    "ann_recall",
+    "token_budget",
+    "overlap_chunks",
 ]
 
 
