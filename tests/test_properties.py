@@ -204,3 +204,34 @@ def test_chunk_pack_stream_is_gapless(spark, rows):
         # chunk span consistent with offsets and budget
         assert r["first_chunk"] == r["start_offset"] // 512
         assert r["last_chunk"] == (r["start_offset"] + r["n_tokens"] - 1) // 512
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(1, 400), min_size=1, max_size=6),
+    st.integers(2, 64),
+    st.integers(1, 64),
+)
+def test_overlap_chunks_full_coverage(spark, lens, size, stride):
+    from commerce_data_pipeline_spark.operators.corpus import overlap_chunks
+
+    stride = min(stride, size)  # overlap semantics require stride <= size
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n_tokens long"
+    )
+    rows = overlap_chunks(df, size=size, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(lens):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_index"])
+        # chunk indexes are consecutive from 0; starts are stride-aligned
+        assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+        covered = set()
+        for c in chunks:
+            assert c["start_tok"] % stride == 0
+            assert 1 <= c["span_len"] <= size
+            assert c["start_tok"] + c["span_len"] <= n
+            covered |= set(range(c["start_tok"], c["start_tok"] + c["span_len"]))
+        # every token covered by at least one chunk
+        assert covered == set(range(n))
