@@ -28,6 +28,8 @@ from commerce_data_pipeline_spark.operators.similarity import (
     ivf_centroids,
     ivf_invert,
     ivf_probe_score,
+    pq_codebooks,
+    pq_encode,
     require_centroids,
     with_unit_vector,
 )
@@ -41,24 +43,38 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_count: int | None = None,
-    quantize: bool = False,
+    quantize: bool | str = False,
+    pq_m: int = 4,
+    pq_ksub: int = 16,
+    dim: int = 64,
 ) -> None:
     """Materialize the IVF index under `path` (any Hadoop-FS scheme):
     `inverted/` (partitioned by centroid_id) + `centroids/`.
 
-    `quantize=True` stores the inverted lists as int8 codes + per-vector
-    scale instead of float64 unit vectors — 8× fewer list bytes, which at
-    100 TB is the difference between an index that fits hot storage and
-    one that doesn't. Probes reconstruct x ≈ q·scale on read (scan-side
-    transform); results become approximate within quantization error
-    (recall pinned in tests), while the centroid table — tiny — always
-    stays exact."""
+    `quantize` selects the list storage format:
+    - False: float64 unit vectors (exact probe scoring).
+    - True / "int8": int8 codes + per-vector scale — 8× fewer list bytes.
+      Probes reconstruct x ≈ q·scale scan-side.
+    - "pq": IVF-PQ, the billion-vector production layout — each list
+      entry is `pq_m` product-quantization codes (pq_m bytes at
+      ksub ≤ 256 vs dim·8 exact); the tiny codebook table persists
+      beside the centroids and queries reconstruct list vectors from a
+      literal codebook expression at scan time. Coarse routing stays
+      exact (centroids are never quantized); only list scoring is
+      approximate (recall pinned in tests)."""
     u = with_unit_vector(corpus, vec_col, "unit")
     total = corpus_count if corpus_count is not None else corpus.count()
     step = max(1, total // n_centroids)
     centroids = require_centroids(ivf_centroids(u, step, n_centroids, id_col), id_col)
     inverted = ivf_invert(u, centroids, id_col)
-    if quantize:
+    if quantize == "pq":
+        cb = pq_codebooks(u, pq_m, pq_ksub, dim, id_col, corpus_count=total)
+        enc = pq_encode(u, cb, pq_m, dim, id_col)
+        inverted = inverted.select("neighbor_id", "centroid_id").join(
+            enc.withColumnRenamed(id_col, "neighbor_id"), on="neighbor_id"
+        )
+        cb.write.mode("overwrite").parquet(join_path(path, "codebooks"))
+    elif quantize:
         v = F.col("c_unit")
         raw = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
         sc = F.when(raw == 0.0, F.lit(1.0)).otherwise(raw)
@@ -130,7 +146,31 @@ def ivf_query(
     partitioned inverted file prunes to the probed lists' directories —
     check `.explain` for the partition filter on centroid_id."""
     inverted = spark.read.parquet(join_path(path, "inverted"))
-    if "qvec" in inverted.columns:  # quantized lists: reconstruct on read
+    if "codes" in inverted.columns:  # IVF-PQ lists: codebook reconstruction
+        cb_rows = spark.read.parquet(join_path(path, "codebooks")).collect()
+        m = max(r["s"] for r in cb_rows) + 1
+        ksub = max(r["code"] for r in cb_rows) + 1
+        table: list[list[list[float]]] = [[[] for _ in range(ksub)] for _ in range(m)]
+        for r in cb_rows:
+            table[r["s"]][r["code"]] = [float(x) for x in r["sub_vec"]]
+        # reconstruction as a LITERAL nested-array expression: the codebook
+        # is m·ksub·d_sub floats (tiny), so it inlines into codegen — no
+        # join, no broadcast variable, pure scan-side concat of the m
+        # looked-up subvectors
+        sub_lits = [
+            F.array(*[F.array(*[F.lit(v) for v in code_vec]) for code_vec in table[s]])
+            for s in range(m)
+        ]
+        reconstructed = F.flatten(
+            F.array(*[
+                F.element_at(sub_lits[s], F.element_at(F.col("codes"), s + 1) + 1)
+                for s in range(m)
+            ])
+        )
+        inverted = inverted.select(
+            "neighbor_id", "centroid_id", reconstructed.alias("c_unit")
+        )
+    elif "qvec" in inverted.columns:  # int8 lists: reconstruct on read
         inverted = inverted.select(
             "neighbor_id",
             "centroid_id",

@@ -255,3 +255,28 @@ def test_pq_encode_shapes(spark):
     for r in enc:
         assert len(r["codes"]) == 4
         assert all(0 <= c < 8 for c in r["codes"])
+
+
+def test_ivf_pq_index_recall(spark, tmp_path):
+    from commerce_data_pipeline_spark.operators import index as I
+
+    emb = _vecs(spark, n=64, dim=16)
+    q = emb.filter(F.col("vec_id") < 5)
+    path = f"file://{tmp_path}/ivfpq"
+    I.build_ivf_index(emb, path, n_centroids=6, quantize="pq",
+                      pq_m=4, pq_ksub=8, dim=16)
+    stored = spark.read.parquet(f"{path}/inverted")
+    assert "codes" in stored.columns and "c_unit" not in stored.columns
+    # codes are tiny: m ints per vector
+    assert all(len(r["codes"]) == 4 for r in stored.collect())
+    got = I.ivf_query(spark, path, q, k=3, n_probe=6)
+    exact = S.ivf_topk(emb, q, k=3, n_probe=6, n_centroids=6)
+    by_q = lambda rows: {
+        qid: {r["neighbor_id"] for r in rows if r["query_id"] == qid}
+        for qid in {r["query_id"] for r in rows}
+    }
+    g, e = by_q(got.collect()), by_q(exact.collect())
+    assert set(g) == set(e)
+    # PQ with 8 codes/subspace on gaussians is lossy; demand 1/3 overlap
+    total_hits = sum(len(g[qid] & e[qid]) for qid in e)
+    assert total_hits >= 5, (total_hits, g, e)
