@@ -123,3 +123,36 @@ def test_chunk_pack_single_window_shuffle(spark):
 def test_contamination_benchmark_side_broadcasts(spark):
     df = REGISTRY["contamination"].spark(spark, SF)
     assert "BroadcastExchange" in plans.formatted_plan(df)
+
+
+def test_lm_quality_broadcasts_vocab_no_global_sort(spark):
+    df = REGISTRY["lm_quality"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    # vocab + corpus-total both broadcast; the top-V vocab lowers to the
+    # distributed TakeOrdered, never a global Sort+Exchange
+    assert plan.count("BroadcastExchange") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winnow_is_map_side_until_explode(spark):
+    df = REGISTRY["winnow"].spark(spark, SF)
+    # fingerprint generation is scan-side HOFs; only the per-doc aggregate
+    # shuffles
+    assert plans.num_shuffles(df) <= 1
+
+
+def test_overlap_chunks_zero_shuffle(spark):
+    df = REGISTRY["overlap_chunks"].spark(spark, SF)
+    assert plans.num_shuffles(df) == 0
+
+
+def test_token_budget_single_group_shuffle(spark):
+    df = REGISTRY["token_budget"].spark(spark, SF)
+    # one exchange for the lang-partitioned running-sum window
+    assert plans.num_shuffles(df) <= 1
+
+
+def test_ivf_profile_broadcasts_centroids(spark):
+    df = REGISTRY["ivf_profile"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastExchange" in plan  # centroid set never shuffle-joins
