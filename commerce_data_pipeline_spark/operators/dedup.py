@@ -122,20 +122,19 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return staged.select(F.col(id_col), *sig_cols)
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+def minhash_band_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 16, bands: int = 4, shingle_n: int = 3) -> DataFrame:
-    """X2 — LSH candidate pairs: documents sharing at least one band
-    (band = concat of rows_per_band consecutive signature components).
-
-    Shuffle volume is O(docs × bands) small rows; the bucket self-join is an
-    equi-join on the band hash — uniformly distributed, broadcast-free,
-    AQE-splittable. Returns distinct (id_a, id_b) with id_a < id_b.
-    """
+    """One row per (document, band): `bkey` = md5 of the band's signature
+    components. Two documents share a band key iff their signatures agree
+    on that whole band — the LSH collision event. Shared by the in-batch
+    pair generator (`minhash_lsh_pairs`) and the cross-run `BandLedger`
+    (sources/ledger.py), so batch and historical collisions are defined
+    identically."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
-    band_rows = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -151,6 +150,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             )
         ).alias("bb"),
     ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 16, bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """X2 — LSH candidate pairs: documents sharing at least one band
+    (band = concat of rows_per_band consecutive signature components).
+
+    Shuffle volume is O(docs × bands) small rows; the bucket self-join is an
+    equi-join on the band hash — uniformly distributed, broadcast-free,
+    AQE-splittable. Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    band_rows = minhash_band_rows(df, id_col, text_col, num_hashes, bands, shingle_n)
     # Pairs come from grouping ids per bucket and expanding in-bucket pairs
     # — NOT a band_rows self-join: the self-join scans + recomputes the
     # signature pipeline twice and shuffles both sides, and candidate

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from commerce_data_pipeline_spark.operators.dedup import fingerprint
+from commerce_data_pipeline_spark.operators.dedup import fingerprint, minhash_band_rows
 from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
 
 
@@ -86,3 +86,99 @@ class FingerprintLedger:
         new_rows = self.filter_new(df, id_col, text_col).localCheckpoint()
         self.commit(new_rows)
         return new_rows
+
+
+class BandLedger:
+    """Cross-run NEAR-dup state: the `FingerprintLedger` idea lifted from
+    exact content equality to MinHash/LSH band collisions. The ledger
+    stores (band, bkey, doc_id) rows for every admitted document; a new
+    batch near-dups history iff it shares at least one band key — the
+    SAME collision event `minhash_lsh_pairs` uses in-batch (both build on
+    `dedup.minhash_band_rows`), so in-batch and cross-run dedup agree on
+    what "near-duplicate" means.
+
+    Scale posture:
+    - Ledger rows are (band int, 32-char bkey, id) — bands·|docs| rows of
+      ~45 bytes; text and signatures are never stored.
+    - `match_history` is one equi-join on (band, bkey): uniform md5 keys,
+      broadcast-free, AQE-splittable; partition pruning on the bkey
+      prefix keeps per-run appends small.
+    - History never recomputes: each run minhashes only ITS batch — the
+      property that makes incremental corpus ingestion O(batch), not
+      O(corpus).
+    """
+
+    def __init__(self, spark: SparkSession, path: str,
+                 num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+                 prefix_chars: int = 2):
+        self.spark = spark
+        self.path = path
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.prefix_chars = prefix_chars
+
+    def exists(self) -> bool:
+        return HadoopFS(self.spark, self.path).exists(self.path)
+
+    def known(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], "band int, bkey string, doc_id long")
+        return self.spark.read.parquet(self.path).select("band", "bkey", "doc_id")
+
+    def band_rows(self, df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+        return minhash_band_rows(
+            df, id_col, text_col, self.num_hashes, self.bands, self.shingle_n
+        )
+
+    def match_history(self, df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+        """Candidate cross-run near-dup pairs: (new_id, old_id) for every
+        batch document sharing at least one band with an admitted one."""
+        batch = self.band_rows(df, id_col, text_col).select(
+            F.col(id_col).alias("new_id"), "band", "bkey"
+        )
+        hist = self.known().select("band", "bkey", F.col("doc_id").alias("old_id"))
+        return (
+            batch.join(hist, on=["band", "bkey"])
+            .select("new_id", "old_id")
+            .distinct()
+        )
+
+    def filter_unmatched(self, df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+        """Batch rows with NO historical near-dup candidate (the admit
+        policy a dedup-against-history ingest wants). Anti-join on the
+        matched id set — document rows never shuffle on text."""
+        matched = self.match_history(df, id_col, text_col).select(
+            F.col("new_id").alias(id_col)
+        ).distinct()
+        return df.join(matched, on=id_col, how="left_anti")
+
+    def commit(self, df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> None:
+        """Append the band rows of admitted documents (bkey-prefix
+        partitioned, like the fingerprint ledger)."""
+        (
+            self.band_rows(df, id_col, text_col)
+            .select(
+                F.col(id_col).alias("doc_id"), "band", "bkey",
+                F.substring("bkey", 1, self.prefix_chars).alias("bkey_prefix"),
+            )
+            .repartition("bkey_prefix")
+            .write.mode("append")
+            .partitionBy("bkey_prefix")
+            .parquet(self.path)
+        )
+
+    def ingest(self, df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+        """Admit only documents with no near-dup in history, record their
+        band keys, return the admitted rows. Intra-batch near-dups are
+        NOT collapsed here — run `minhash_lsh_pairs`/`dedup_by_components`
+        on the batch first if that's wanted; the ledger's job is the
+        cross-run boundary."""
+        admitted = self.filter_unmatched(df, id_col, text_col).localCheckpoint()
+        self.commit(admitted, id_col, text_col)
+        return admitted

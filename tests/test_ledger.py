@@ -50,3 +50,35 @@ def test_ledger_prefix_partitioned_digest_only(spark, tmp_path):
     # prefix really is the fp prefix
     r = stored.limit(1).collect()[0]
     assert r["fp"].startswith(r["fp_prefix"])
+
+
+def test_band_ledger_cross_run_near_dup(spark, tmp_path):
+    from commerce_data_pipeline_spark.sources.ledger import BandLedger
+
+    led = BandLedger(spark, str(tmp_path / "bands"), num_hashes=16, bands=4, shingle_n=2)
+    run1 = _docs(spark, [
+        (0, "the quick brown fox jumps over the lazy dog by the river"),
+        (1, "an entirely different document about spark physical plans"),
+    ])
+    admitted1 = led.ingest(run1)
+    assert {r["doc_id"] for r in admitted1.collect()} == {0, 1}
+
+    run2 = _docs(spark, [
+        (10, "the quick brown fox jumps over the lazy dog by the river"),  # dup of 0
+        (11, "fresh unseen content about winnowing and fingerprints today"),
+    ])
+    matches = led.match_history(run2).collect()
+    assert {(r["new_id"], r["old_id"]) for r in matches} == {(10, 0)}
+    admitted2 = led.ingest(run2)
+    assert {r["doc_id"] for r in admitted2.collect()} == {11}
+    # history now carries band rows for 0, 1, 11 (bands x 3 docs)
+    assert led.known().count() == 4 * 3
+
+
+def test_band_ledger_stores_no_text(spark, tmp_path):
+    from commerce_data_pipeline_spark.sources.ledger import BandLedger
+
+    led = BandLedger(spark, str(tmp_path / "bands"))
+    led.ingest(_docs(spark, [(0, "some document body here with words")]))
+    stored = spark.read.parquet(str(tmp_path / "bands"))
+    assert set(stored.columns) == {"doc_id", "band", "bkey", "bkey_prefix"}
