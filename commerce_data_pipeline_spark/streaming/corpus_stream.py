@@ -95,3 +95,54 @@ def write_corpus_stream(clean: DataFrame, out_path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_corpus_stream_with_ledger(
+    clean: DataFrame,
+    ledger_path: str,
+    out_path: str,
+    checkpoint: str,
+    near_dup: bool = False,
+):
+    """Streaming ingestion with DURABLE cross-run dedup state: each
+    micro-batch runs through a ledger (sources/ledger.py) inside
+    `foreachBatch`, so duplicates are dropped against EVERYTHING ever
+    admitted — not just the watermark window that bounds
+    `dropDuplicatesWithinWatermark`. This is the production composition:
+    the watermarked operator handles the hot window cheaply in-stream,
+    the ledger closes the unbounded tail with one equi-join per batch
+    against prefix-partitioned digest state.
+
+    `near_dup=False` uses the exact `FingerprintLedger` (md5 content
+    equality); `near_dup=True` the `BandLedger` (MinHash band collisions
+    — admits only documents with no near-duplicate in history).
+
+    foreachBatch + availableNow keeps exactly-once semantics per batch id
+    via the checkpoint; the ledger append is idempotent at the content
+    level (re-admitted batches admit nothing), so replays are safe.
+    """
+    from commerce_data_pipeline_spark.sources.ledger import (
+        BandLedger,
+        FingerprintLedger,
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = (
+            BandLedger(spark, ledger_path)
+            if near_dup
+            else FingerprintLedger(spark, ledger_path)
+        )
+        admitted = ledger.ingest(batch_df)
+        (
+            admitted.write.mode("append")
+            .partitionBy("lang_pred")
+            .parquet(out_path)
+        )
+
+    return (
+        clean.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

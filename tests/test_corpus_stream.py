@@ -70,3 +70,41 @@ def test_streaming_pipeline_matches_batch(spark, tmp_path):
     b = {r["doc_id"]: (r["quality_e4"], r["lang_pred"]) for r in batch.collect()}
     common = set(g) & set(b)
     assert common and all(g[d] == b[d] for d in common)
+
+
+def test_ledger_backed_stream_dedups_across_runs(spark, tmp_path):
+    """Two separate availableNow runs over the same checkpoint: the second
+    run's re-sent content is dropped by the durable ledger even though no
+    watermark window spans the runs."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    ledger = str(tmp_path / "ledger")
+
+    good = "the of and to a perfectly good long document body with many words here"
+    other = "the of and to a different acceptable document about spark streaming state"
+
+    spark.createDataFrame(
+        [(0, good, "en", "s", len(good))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(src + "/d1")
+
+    def run_once():
+        stream = CS.read_documents_stream(spark, src + "/*")
+        clean = CS.corpus_pipeline(stream, min_quality_e4=0, min_tokens=5)
+        q = CS.write_corpus_stream_with_ledger(clean, ledger, out, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out)
+    assert [r["doc_id"] for r in first.collect()] == [0]
+
+    # run 2: a re-send of the same content (new id) + genuinely new content
+    spark.createDataFrame(
+        [(10, good, "en", "s", len(good)), (11, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(src + "/d2")
+    run_once()
+
+    final = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert final == {0, 11}  # the cross-run duplicate (10) never lands
