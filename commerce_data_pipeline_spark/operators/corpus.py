@@ -208,6 +208,11 @@ def token_budget_select(
     each task scans only its group's rows, no global sort. `order_cols`
     defaults to id order; pass e.g. (quality desc, doc_id) for
     best-first mixes, and ALWAYS make it a total order for determinism.
+    A running sum is inherently sequential PER GROUP, so one huge group
+    funnels through one task; at 100 TB add a hash shard to `group_cols`
+    and give each shard `budget / n_shards` — the mix stays within budget
+    and each shard's window parallelizes independently (the same shard
+    trick `chunk_pack` documents).
 
     Returns the kept rows + `cum_tokens` (running total including the row)
     so downstream writers can audit how full each group's budget is.
