@@ -1676,6 +1676,58 @@ FROM sims QUALIFY rank <= 5
 """
 
 
+def _q_cluster_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus×X3 — cluster-balanced sampling: assign every embedding to
+    its nearest deterministic centroid (the IVF inverted-file assignment)
+    then take exactly 8 per cluster via bottom-k-of-hash — semantic
+    rebalancing of a training corpus (uniform coverage across embedding
+    clusters instead of raw frequency). Pure composition of existing
+    operators: ivf_invert ∘ fixed_size_sample."""
+    emb = load_table(spark, sf, "embeddings")
+    u = similarity.with_unit_vector(emb, "embedding", "unit")
+    total = emb.count()
+    step = max(1, total // 16)
+    centroids = similarity.require_centroids(
+        similarity.ivf_centroids(u, step, 16)
+    )
+    assigned = similarity.ivf_invert(u, centroids).select(
+        F.col("neighbor_id").alias("vec_id"), "centroid_id"
+    )
+    sample = corpus.fixed_size_sample(
+        assigned, k=8, stratum_col="centroid_id", id_col="vec_id"
+    )
+    return sample.select("centroid_id", "vec_id")
+
+
+_O_CLUSTER_SAMPLE = """
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), par AS (
+  SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM embeddings
+), cent AS (
+  SELECT CAST(vec_id // step AS INT) AS centroid_id, u AS c_vec
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * 16
+), assign AS (
+  SELECT c.vec_id, cent.centroid_id,
+    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      ORDER BY list_dot_product(c.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit c CROSS JOIN cent
+), best AS (
+  SELECT vec_id, centroid_id FROM assign WHERE r = 1
+), s AS (
+  SELECT centroid_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY centroid_id
+      ORDER BY (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 1073741824) ASC, vec_id ASC) AS rn
+  FROM best
+)
+SELECT centroid_id, vec_id FROM s WHERE rn <= 8
+"""
+
+
 def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """X3 scale path — random-hyperplane LSH ANN (8 planes × 4 tables).
     Plane signs derive from seeded PCG64 Gaussians → Spark-only; driver
@@ -3391,6 +3443,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "overlap_chunks": QuerySpec(_q_overlap_chunks, _O_OVERLAP_CHUNKS, "corpus: sliding-window chunk spans with overlap"),
     "winnow": QuerySpec(_q_winnow, _O_WINNOW, "X4 winnowing (MOSS) k-gram fingerprint sets"),
     "winnow_pairs": QuerySpec(_q_winnow_pairs, _O_WINNOW_PAIRS, "X4×X2 winnow-fingerprint near-dup candidate pairs"),
+    "cluster_sample": QuerySpec(_q_cluster_sample, _O_CLUSTER_SAMPLE, "corpus×X3: cluster-balanced sampling (k per embedding cluster)"),
     "order_priority": QuerySpec(_q_order_priority, _O_ORDER_PRIORITY, "EXISTS semi-join (Q4 shape)"),
     "top_customers": QuerySpec(_q_top_customers, _O_TOP_CUSTOMERS, "join+agg+top-k"),
     "shipping_priority": QuerySpec(_q_shipping_priority, _O_SHIPPING_PRIORITY, "two-side filtered join (Q3 shape)"),
