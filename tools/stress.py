@@ -85,6 +85,7 @@ STRESS_QUERIES = [
     "ann_recall",
     "token_budget",
     "overlap_chunks",
+    "cluster_sample",
 ]
 
 
