@@ -1041,12 +1041,76 @@ FROM documents
 
 def _q_approx_stats(spark: SparkSession, sf: str) -> DataFrame:
     """X6 — sketch aggregates (HLL++ / quantile sketch). Approximate by
-    construction → no SQL oracle; driver does a rows-only check."""
+    construction → no SQL oracle; driver does a rows-only check.
+
+    Outputs are SCALAR columns (``element_at`` over the quantile array):
+    the driver's rows-only canonicalizer sorts the pandas frame, and an
+    ``array<double>`` cell is unhashable (r3 TypeError) — same numbers,
+    flat shape."""
     ev = load_table(spark, sf, "events")
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return ev.agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        F.element_at(q, 1).alias("value_q50"),
+        F.element_at(q, 2).alias("value_q95"),
+        F.element_at(q, 3).alias("value_q99"),
     )
+
+
+def _q_sketch_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """X6 — sketch-vs-exact accuracy contract, oracle-checkable.
+
+    The sketches themselves (HLL++ via ``approx_count_distinct``, GK
+    quantiles via ``percentile_approx``) are approximate by construction,
+    so their raw estimates can never value-match a DuckDB oracle.  What CAN
+    be pinned cross-engine is the *accuracy contract*: this query computes
+    both the exact values (exact distinct count, exact discrete quantile
+    bounds) and the sketch estimates, and emits the exact values plus
+    boolean ``*_ok`` columns asserting the estimate lands within the
+    documented tolerance (HLL++ rsd=0.01 → ±5% comfortably covers the
+    99.7% confidence band; percentile_approx accuracy=10000 → rank error
+    ≤ N/10000, widened to the p±1% exact value bounds).  The oracle
+    computes the same exact values and literal TRUEs — if a sketch ever
+    drifts outside tolerance the booleans flip and the value-hash breaks.
+    This is the same technique as the md5-twin ANN queries: re-express the
+    nondeterministic surface as a deterministic, falsifiable contract.
+    Exact twins of the reference's promised-but-unbuilt profiling layer
+    (reference README 'analytics'; SURVEY §2 X6)."""
+    ev = load_table(spark, sf, "events")
+    q = F.percentile_approx("value", [0.5], 10000)
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_est_users"),
+        F.element_at(q, 1).alias("_est_q50"),
+        F.expr(
+            "percentile_disc(0.49) WITHIN GROUP (ORDER BY value)"
+        ).alias("_q49"),
+        F.expr(
+            "percentile_disc(0.51) WITHIN GROUP (ORDER BY value)"
+        ).alias("_q51"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("_est_users") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        ).alias("hll_ok"),
+        (
+            (F.col("_est_q50") >= F.col("_q49"))
+            & (F.col("_est_q50") <= F.col("_q51"))
+        ).alias("q50_ok"),
+    )
+
+
+_O_SKETCH_ACCURACY = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  TRUE AS hll_ok,
+  TRUE AS q50_ok
+FROM events
+"""
 
 
 def _q_above_brand_avg_parts(spark: SparkSession, sf: str) -> DataFrame:
@@ -1963,7 +2027,17 @@ def _q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     p = load_table(spark, sf, "part").filter(F.col("p_size") >= 20)
     s = load_table(spark, sf, "supplier")
-    pa = li.groupBy("l_partkey", "l_suppkey").agg(
+    # Broadcast-semi-join the qualifying part keys into lineitem BEFORE the
+    # (partkey, suppkey) aggregate: the p_size filter prunes the fact-table
+    # shuffle to qualifying parts only, instead of aggregating ALL of
+    # lineitem and discarding most groups at the join (r3 judge note — at
+    # 100× the unpruned aggregate shuffles the full fact table).
+    qualifying = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    pa = qualifying.groupBy("l_partkey", "l_suppkey").agg(
         (_dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price")
     )
     w = Window.partitionBy("l_partkey").orderBy(F.asc("avg_price"), F.asc("l_suppkey"))
@@ -3359,9 +3433,13 @@ def _q_approx_group_stats(spark: SparkSession, sf: str) -> DataFrame:
     enriched = docs.select(
         "lang", "n_chars", dedup.fingerprint("text").alias("fp")
     )
+    q = F.percentile_approx("n_chars", [0.5, 0.9], 10000)
+    # Scalar projections (element_at), not the raw array<double>: list cells
+    # break the driver's rows-only canonicalizer (unhashable in pandas sort).
     return enriched.groupBy("lang").agg(
         F.approx_count_distinct("fp", rsd=0.01).alias("approx_distinct_docs"),
-        F.percentile_approx("n_chars", [0.5, 0.9], 10000).alias("chars_q50_q90"),
+        F.element_at(q, 1).alias("chars_q50"),
+        F.element_at(q, 2).alias("chars_q90"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 
@@ -3372,35 +3450,42 @@ def _q_approx_group_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 # Ordering contract: the driver's correctness harness checks only the FIRST 50
 # entries (insertion order).  Positions 1-50 therefore carry exactly one proving
-# query per operator family — every §2d/corpus/multimodal/sketch query plus one
-# representative per relational/pipeline/gold row.  Surplus relational shapes
-# (all green in CORRECTNESS_r02.json) live past position 50.  When adding a
-# query: new operator families go INSIDE the window (displacing a surplus
-# relational shape), variants of already-proven shapes go at the end.
+# query per operator family, and (round-4 tightening) EVERY window entry must
+# have oracle SQL — rows-only fast-path twins (simhash, ann_lsh, image_phash,
+# media_features, approx sketches) sit past 50, where their oracle-checked md5
+# twins or pytest accuracy pins carry the evidence instead.  Surplus relational
+# shapes (green in r02 + re-verified by tools/oracle_check.py full sweeps, see
+# SELFCHECK_r04.json) also live past 50.  When adding a query: new operator
+# families go INSIDE the window (displacing a surplus shape), variants of
+# already-proven shapes and no-oracle entries go at the end.
+# tests/test_registry_window.py pins both invariants.
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
     "minhash_signature": QuerySpec(_q_minhash_signature, _ora_minhash(8, 3), "X2 MinHash signatures"),
     "jaccard_topk": QuerySpec(_q_jaccard_topk, _O_JACCARD_TOPK, "X2 exact n-gram Jaccard top-k"),
-    "simhash": QuerySpec(_q_simhash, None, "X2 SimHash (rows-only: xxhash64 fast path)"),
     "simhash_md5": QuerySpec(_q_simhash_md5, _ora_simhash_md5(32), "X2 SimHash, md5-derived (oracle-checked)"),
     "similarity_topk": QuerySpec(_q_similarity_topk, _O_SIMILARITY_TOPK, "X3 brute-force cosine top-k"),
     "embedding_near_dup": QuerySpec(_q_embedding_near_dup, _O_EMBEDDING_NEAR_DUP, "X2 embedding near-dup pairs"),
     "lsh_dedup_pairs": QuerySpec(_q_lsh_dedup_pairs, _ora_lsh_pairs(16, 4, 3), "X2 MinHash+LSH banded pairs"),
     "dedup_clusters": QuerySpec(_q_dedup_clusters, _ora_dedup_clusters(16, 4, 3), "X2 connected-components clustering (default: alternating large/small-star)"),
-    "dedup_clusters_alt": QuerySpec(_q_dedup_clusters_alt, _ora_dedup_clusters(16, 4, 3), "X2 clustering via explicit min-label-propagation option"),
     "ann_ivf": QuerySpec(_q_ann_ivf, _O_ANN_IVF, "X3 IVF-routed ANN top-k"),
     "ann_ivf_indexed": QuerySpec(_q_ann_ivf_indexed, _O_ANN_IVF, "X3 ANN from persisted IVF index (same oracle)"),
     "embedding_quantize": QuerySpec(_q_embedding_quantize, _O_EMBEDDING_QUANTIZE, "X3 int8 scalar quantization profile"),
-    "ann_lsh": QuerySpec(_q_ann_lsh, None, "X3 RP-LSH ANN top-k (rows-only: PCG64 planes fast path)"),
     "ann_lsh_md5": QuerySpec(_q_ann_lsh_md5, _ora_ann_lsh_md5(), "X3 RP-LSH ANN, md5-derived planes (oracle-checked)"),
+    "ann_pq": QuerySpec(_q_ann_pq, _O_ANN_PQ, "X3 product-quantization ANN (ADC, deterministic codebooks)"),
+    "ann_recall": QuerySpec(_q_ann_recall, _O_ANN_RECALL, "X3 measured recall@5 of IVF vs brute force"),
+    "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid)"),
+    # -- checked window: sketches (X6) ----------------------------------------
+    "sketch_accuracy": QuerySpec(_q_sketch_accuracy, _O_SKETCH_ACCURACY, "X6 sketch-vs-exact accuracy contract (HLL++ / GK quantile, falsifiable booleans)"),
     # -- checked window: text analysis (X4) -----------------------------------
-    "word_count": QuerySpec(_q_word_count, _O_WORD_COUNT, "explode/unnest + agg + top-k"),
     "text_stats": QuerySpec(_q_text_stats, _O_TEXT_STATS, "X4 corpus token stats"),
     "text_fingerprints": QuerySpec(_q_text_fingerprints, _O_TEXT_FINGERPRINTS, "X4 fingerprint + token counts"),
     "text_profile": QuerySpec(_q_text_profile, _O_TEXT_PROFILE, "X4 lang-ID + quality scoring"),
     "text_repetition": QuerySpec(_q_text_repetition, _O_TEXT_REPETITION, "corpus: C4/Gopher repetition quality signals"),
     "lm_quality": QuerySpec(_q_lm_quality, _O_LM_QUALITY, "X4/corpus: unigram-LM typicality + OOV scoring (perplexity proxy)"),
+    "winnow": QuerySpec(_q_winnow, _O_WINNOW, "X4 winnowing (MOSS) k-gram fingerprint sets"),
+    "winnow_pairs": QuerySpec(_q_winnow_pairs, _O_WINNOW_PAIRS, "X4×X2 winnow-fingerprint near-dup candidate pairs"),
     # -- checked window: corpus shaping (LLM training-data pipeline) ----------
     "stratified_sample": QuerySpec(_q_stratified_sample, _O_STRATIFIED_SAMPLE, "corpus: deterministic per-stratum hash sampling"),
     "fixed_size_sample": QuerySpec(_q_fixed_size_sample, _O_FIXED_SIZE_SAMPLE, "corpus: exactly-k-per-stratum bottom-k-hash sample"),
@@ -3412,15 +3497,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "pii_redact": QuerySpec(_q_pii_redact, _O_PII_REDACT, "corpus: email/phone redaction audit"),
     "corpus_ingest": QuerySpec(_q_corpus_ingest, _O_CORPUS_INGEST, "corpus: end-to-end enrich+gate+dedup pipeline (stream twin)"),
     "semantic_only_dups": QuerySpec(_q_semantic_only_dups, _O_SEMANTIC_ONLY_DUPS, "corpus: embedding near-dups missed by lexical LSH"),
+    "token_budget": QuerySpec(_q_token_budget, _O_TOKEN_BUDGET, "corpus: token-budget mix selection (N tokens per group)"),
+    "overlap_chunks": QuerySpec(_q_overlap_chunks, _O_OVERLAP_CHUNKS, "corpus: sliding-window chunk spans with overlap"),
+    "cluster_sample": QuerySpec(_q_cluster_sample, _O_CLUSTER_SAMPLE, "corpus×X3: cluster-balanced sampling (k per embedding cluster)"),
     # -- checked window: multimodal (X5) + sketches (X6) ----------------------
     "multimodal_meta": QuerySpec(_q_multimodal_meta, _O_MULTIMODAL_META, "X5 media metadata/digest projection"),
-    "image_phash": QuerySpec(_q_image_phash, None, "X5 perceptual hashes (rows-only: stub pixels)"),
-    "image_near_dup": QuerySpec(_q_image_near_dup, None, "X5 pHash hamming-bucket near-dup (rows-only)"),
     "frame_sample": QuerySpec(_q_frame_sample, _O_FRAME_SAMPLE, "X5 video frame sampling"),
     "audio_windows": QuerySpec(_q_audio_windows, _O_AUDIO_WINDOWS, "X5 overlapping audio windows"),
-    "media_features": QuerySpec(_q_media_features, None, "X5 feature extraction (rows-only: digest stub)"),
-    "approx_stats": QuerySpec(_q_approx_stats, None, "X6 sketches (rows-only: approximate)"),
-    "approx_group_stats": QuerySpec(_q_approx_group_stats, None, "X6 per-group sketches (rows-only: approximate)"),
     # -- checked window: one representative per relational/pipeline/gold row --
     "pricing_summary": QuerySpec(_q_pricing_summary, _O_PRICING_SUMMARY, "R2/R4/R7 agg sweep (Q1 shape)"),
     "top_revenue_nations": QuerySpec(_q_top_revenue_nations, _O_TOP_REVENUE_NATIONS, "5-way broadcast star join (Q5 shape)"),
@@ -3433,17 +3516,19 @@ REGISTRY: dict[str, QuerySpec] = {
     "cohort_retention": QuerySpec(_q_cohort_retention, _O_COHORT_RETENTION, "G5 weekly cohorts"),
     "param_extract": QuerySpec(_q_param_extract, _O_PARAM_EXTRACT, "G6 JSON param extraction"),
     "streaming_daily_counts": QuerySpec(_q_streaming_daily_counts, _O_STREAMING_DAILY_COUNTS, "streaming tumbling-window agg (batch parity)"),
-    # ======== position 51+ : surplus relational shapes, all green in r02 =====
+    # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
+    # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "session_windows": QuerySpec(_q_session_windows, _O_SESSION_WINDOWS, "streaming session_window (batch parity)"),
     "sort_topk_lineitems": QuerySpec(_q_sort_topk_lineitems, _O_SORT_TOPK_LINEITEMS, "R5 global sort / top-k with rank"),
-    "ann_pq": QuerySpec(_q_ann_pq, _O_ANN_PQ, "X3 product-quantization ANN (ADC, deterministic codebooks)"),
-    "ann_recall": QuerySpec(_q_ann_recall, _O_ANN_RECALL, "X3 measured recall@5 of IVF vs brute force"),
-    "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid)"),
-    "token_budget": QuerySpec(_q_token_budget, _O_TOKEN_BUDGET, "corpus: token-budget mix selection (N tokens per group)"),
-    "overlap_chunks": QuerySpec(_q_overlap_chunks, _O_OVERLAP_CHUNKS, "corpus: sliding-window chunk spans with overlap"),
-    "winnow": QuerySpec(_q_winnow, _O_WINNOW, "X4 winnowing (MOSS) k-gram fingerprint sets"),
-    "winnow_pairs": QuerySpec(_q_winnow_pairs, _O_WINNOW_PAIRS, "X4×X2 winnow-fingerprint near-dup candidate pairs"),
-    "cluster_sample": QuerySpec(_q_cluster_sample, _O_CLUSTER_SAMPLE, "corpus×X3: cluster-balanced sampling (k per embedding cluster)"),
+    "dedup_clusters_alt": QuerySpec(_q_dedup_clusters_alt, _ora_dedup_clusters(16, 4, 3), "X2 clustering via explicit min-label-propagation option"),
+    "simhash": QuerySpec(_q_simhash, None, "X2 SimHash (rows-only: xxhash64 fast path; oracle twin simhash_md5 in window)"),
+    "ann_lsh": QuerySpec(_q_ann_lsh, None, "X3 RP-LSH ANN top-k (rows-only: PCG64 planes fast path; oracle twin ann_lsh_md5 in window)"),
+    "image_phash": QuerySpec(_q_image_phash, None, "X5 perceptual hashes (rows-only: stub pixels)"),
+    "image_near_dup": QuerySpec(_q_image_near_dup, None, "X5 pHash hamming-bucket near-dup (rows-only)"),
+    "media_features": QuerySpec(_q_media_features, None, "X5 feature extraction (rows-only: digest stub)"),
+    "approx_stats": QuerySpec(_q_approx_stats, None, "X6 sketches (rows-only: approximate)"),
+    "approx_group_stats": QuerySpec(_q_approx_group_stats, None, "X6 per-group sketches (rows-only: approximate)"),
+    "word_count": QuerySpec(_q_word_count, _O_WORD_COUNT, "explode/unnest + agg + top-k"),
     "order_priority": QuerySpec(_q_order_priority, _O_ORDER_PRIORITY, "EXISTS semi-join (Q4 shape)"),
     "top_customers": QuerySpec(_q_top_customers, _O_TOP_CUSTOMERS, "join+agg+top-k"),
     "shipping_priority": QuerySpec(_q_shipping_priority, _O_SHIPPING_PRIORITY, "two-side filtered join (Q3 shape)"),
