@@ -35,18 +35,42 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 
 
+def _events_ts_unit(path: str) -> str | None:
+    """Sniff the physical time unit of `events.ts` from the parquet footer.
+
+    The generator has shipped the column as both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across dataset revisions, and the two need different
+    read plans (Spark only reads NANOS as INT64, via nanosAsLong). One
+    driver-side footer read per load keeps the catalog correct under either
+    without a config knob the caller would have to know about.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            with os.scandir(path) as it:
+                target = next(
+                    (e.path for e in it if e.name.endswith(".parquet")), path
+                )
+        return getattr(pq.read_schema(target).field("ts").type, "unit", None)
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table with its declared schema (no inference pass).
 
-    `events.ts` is stored as parquet TIMESTAMP(NANOS); Spark reads it as
-    INT64 (spark.sql.legacy.parquet.nanosAsLong) and we convert to a µs
-    TimestampType here — the same ns→µs truncation DuckDB applies, so
-    oracle comparisons see identical instants.
+    `events.ts` lands as either parquet TIMESTAMP(MICROS) — read natively
+    as TimestampType — or TIMESTAMP(NANOS), which Spark reads as INT64
+    (spark.sql.legacy.parquet.nanosAsLong) and we convert with the same
+    ns→µs truncation DuckDB applies, so oracle comparisons see identical
+    instants either way.
     """
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _events_ts_unit(path) == "ns":
         raw = spark.read.schema(EVENTS_RAW).parquet(path)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
