@@ -435,6 +435,75 @@ def decode_and_phash(
     return src.mapInPandas(run, "media_id long, phash long")
 
 
+def _binarized_dct_basis(size: int):
+    """±1 sign matrix of the DCT-II basis (binarized-DCT pHash variant).
+
+    sign(cos(π·(n+0.5)·k/size)) is well-defined for every (k, n) with
+    k < size: the argument sits at least π/(2·size) away from any odd
+    multiple of π/2, so |cos| ≥ sin(π/(2·size)) ≈ 0.049 at size=32 —
+    far outside float rounding, and any engine's cos() agrees on the sign.
+    That makes the transform integer-exact and cross-engine reproducible.
+    """
+    import numpy as np
+
+    n = np.arange(size)
+    c = np.cos(np.pi * (n[None, :] + 0.5) * n[:, None] / size)
+    return np.where(c >= 0, 1, -1).astype("int64")
+
+
+def decode_and_phash_int(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Oracle-reproducible pHash twin: fused decode→binarized-DCT hash,
+    ALL-INTEGER after the fixed ±1 basis (see `_binarized_dct_basis`).
+
+    Same construction as `decode_and_phash` — stub-decode, downscale to
+    (4·hash_size)², 2-D transform, keep the low-frequency block minus DC,
+    threshold at the median, pack 63 bits — but the cosine basis is
+    binarized to ±1, so every intermediate is an int64 and a SQL engine
+    reproduces the hash bit-for-bit (the float-DCT production path stays
+    rows-only checked). Pixels are the stub decoder's values BEFORE the
+    /255 normalization: `(md5_seed[idx%16]·2654435761 + idx·97) mod 256`,
+    identical to `_fake_pixels`·255 (mod-256 commutes with the uint32
+    wraparound because 256 divides 2^32). Binarized-DCT keeps the
+    perceptual property that matters for dedup: identical payloads hash
+    identically; near-identical pixel blocks land within a few bits.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        size = hash_size * 4
+        bsub = _binarized_dct_basis(size)[:hash_size]  # hash_size × size
+        weights = 1 << np.arange(hash_size * hash_size - 1, dtype="int64")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hashes = []
+            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                seed = np.frombuffer(
+                    hashlib.md5(bytes(p) if p is not None else b"").digest(),
+                    dtype="uint8",
+                ).astype("int64")
+                yi = (np.arange(size, dtype="int64") * h) // size
+                xi = (np.arange(size, dtype="int64") * w) // size
+                idx = yi[:, None] * w + xi[None, :]
+                small = (seed[idx % 16] * 2654435761 + idx * 97) % 256
+                d = bsub @ small @ bsub.T
+                block = d.ravel()[1:]  # drop DC
+                bits = block > np.median(block)
+                hashes.append(int(bits.astype("int64") @ weights))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": pd.Series(hashes, dtype="int64")}
+            )
+
+    src = media.filter(F.col("media_type") == "image").select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return src.mapInPandas(run, "media_id long, phash long")
+
+
 def _block_bounds(total_bits: int, blocks: int) -> list[tuple[int, int]]:
     """Split `total_bits` into `blocks` contiguous (offset, width) spans,
     widths differing by at most one (first `total_bits % blocks` spans get

@@ -3348,6 +3348,104 @@ def _q_image_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.phash_pairs(base.unionAll(copies), max_hamming=4)
 
 
+def _q_image_phash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """X5×X2 — ORACLE-CHECKED pHash twin: fused decode→binarized-DCT
+    integer hash (multimodal.decode_and_phash_int). Every intermediate is
+    an int64 — md5-seeded stub pixels, ±1 cosine-sign basis, integer
+    median threshold — so DuckDB reproduces the 63-bit hash exactly
+    (same md5-derived-constants technique as ann_lsh_md5/simhash_md5).
+    The float-DCT production path (image_phash) stays rows-only; fused
+    equality with its two-stage form is pinned in test_multimodal."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synthesize_media(docs)
+    return multimodal.decode_and_phash_int(media)
+
+
+# The oracle recomputes the full chain: md5(text) → 16 seed bytes → 32×32
+# downscaled integer pixels → factored binarized-DCT (t = B[:8]·P, then
+# d = t·B[:8]ᵀ) → median threshold → 63-bit pack. All-integer, so every
+# engine lands on identical bits; the basis sign is safe because |cos| ≥
+# sin(π/64) ≈ 0.049 at every (k, n) — see _binarized_dct_basis.
+_O_IMAGE_PHASH_MD5_BODY = """
+WITH imgs AS (
+  SELECT doc_id AS media_id,
+         md5(COALESCE(text, '')) AS hx,
+         CAST(64 + (doc_id % 16) * 8 AS BIGINT) AS w,
+         CAST(64 + (doc_id % 9) * 8 AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 = 0
+), seeds AS (
+  SELECT media_id,
+         CAST(j AS BIGINT) AS j,
+         CAST(strpos('0123456789abcdef', substr(hx, 2*j + 1, 1)) * 16
+              + strpos('0123456789abcdef', substr(hx, 2*j + 2, 1)) - 17 AS BIGINT) AS sv
+  FROM imgs, LATERAL unnest(generate_series(0, 15)) AS tj(j)
+), cells AS (
+  SELECT media_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         ((a * h) // 32) * w + ((b * w) // 32) AS idx
+  FROM imgs,
+       LATERAL unnest(generate_series(0, 31)) AS ta(a),
+       LATERAL unnest(generate_series(0, 31)) AS tb(b)
+), px AS (
+  SELECT c.media_id, c.a, c.b,
+         (s.sv * 2654435761 + c.idx * 97) % 256 AS v
+  FROM cells c JOIN seeds s ON s.media_id = c.media_id AND s.j = c.idx % 16
+), tstage AS (
+  SELECT p.media_id, CAST(k1 AS BIGINT) AS k1, p.b,
+         SUM(CASE WHEN cos(pi() * (p.a + 0.5) * k1 / 32.0) >= 0
+             THEN p.v ELSE -p.v END) AS tv
+  FROM px p, LATERAL unnest(generate_series(0, 7)) AS tk(k1)
+  GROUP BY p.media_id, k1, p.b
+), dstage AS (
+  SELECT t.media_id, t.k1, CAST(k2 AS BIGINT) AS k2,
+         SUM(CASE WHEN cos(pi() * (t.b + 0.5) * k2 / 32.0) >= 0
+             THEN t.tv ELSE -t.tv END) AS dv
+  FROM tstage t, LATERAL unnest(generate_series(0, 7)) AS tk2(k2)
+  GROUP BY t.media_id, t.k1, k2
+), bits AS (
+  SELECT media_id, k1 * 8 + k2 - 1 AS bit_pos, dv
+  FROM dstage WHERE NOT (k1 = 0 AND k2 = 0)
+), meds AS (
+  SELECT media_id, median(dv) AS med FROM bits GROUP BY media_id
+)
+SELECT b.media_id,
+       CAST(SUM(CASE WHEN b.dv > m.med
+            THEN (CAST(1 AS BIGINT) << CAST(b.bit_pos AS INT)) ELSE 0 END) AS BIGINT) AS phash
+FROM bits b JOIN meds m USING (media_id)
+GROUP BY b.media_id
+"""
+
+_O_IMAGE_PHASH_MD5 = _O_IMAGE_PHASH_MD5_BODY
+
+
+def _q_image_near_dup_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """X5×X2 — ORACLE-CHECKED image near-dup pairs: binarized-DCT integer
+    hashes on the doubled corpus (copies at id+1,000,080 share payload and
+    dims → guaranteed hamming-0 pairs), pigeonhole-blocked candidates
+    (blocks=9 > max_hamming=8 → exact recall) + bit_count verify. The
+    all-pairs SQL oracle is exact for the same reason, so a full
+    value-hash check covers the entire bucketing/verify path the
+    production pHash family uses."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    media = multimodal.synthesize_media(docs)
+    base = multimodal.decode_and_phash_int(media).localCheckpoint()
+    copies = base.withColumn("media_id", F.col("media_id") + F.lit(1_000_080))
+    return multimodal.phash_pairs(base.unionAll(copies), max_hamming=8)
+
+
+_O_IMAGE_NEAR_DUP_MD5 = f"""
+WITH hashes AS ({_O_IMAGE_PHASH_MD5_BODY}
+), doubled AS (
+  SELECT media_id, phash FROM hashes
+  UNION ALL
+  SELECT media_id + 1000080 AS media_id, phash FROM hashes
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM doubled a JOIN doubled b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 8
+"""
+
+
 def _q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """X4/corpus — C4/Gopher-style repetition quality signals: within-doc
     3-gram repetition ratio (scan-side HOFs) and most-frequent-token
@@ -3470,7 +3568,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "lsh_dedup_pairs": QuerySpec(_q_lsh_dedup_pairs, _ora_lsh_pairs(16, 4, 3), "X2 MinHash+LSH banded pairs"),
     "dedup_clusters": QuerySpec(_q_dedup_clusters, _ora_dedup_clusters(16, 4, 3), "X2 connected-components clustering (default: alternating large/small-star)"),
     "ann_ivf": QuerySpec(_q_ann_ivf, _O_ANN_IVF, "X3 IVF-routed ANN top-k"),
-    "ann_ivf_indexed": QuerySpec(_q_ann_ivf_indexed, _O_ANN_IVF, "X3 ANN from persisted IVF index (same oracle)"),
     "embedding_quantize": QuerySpec(_q_embedding_quantize, _O_EMBEDDING_QUANTIZE, "X3 int8 scalar quantization profile"),
     "ann_lsh_md5": QuerySpec(_q_ann_lsh_md5, _ora_ann_lsh_md5(), "X3 RP-LSH ANN, md5-derived planes (oracle-checked)"),
     "ann_pq": QuerySpec(_q_ann_pq, _O_ANN_PQ, "X3 product-quantization ANN (ADC, deterministic codebooks)"),
@@ -3503,7 +3600,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: multimodal (X5) + sketches (X6) ----------------------
     "multimodal_meta": QuerySpec(_q_multimodal_meta, _O_MULTIMODAL_META, "X5 media metadata/digest projection"),
     "frame_sample": QuerySpec(_q_frame_sample, _O_FRAME_SAMPLE, "X5 video frame sampling"),
-    "audio_windows": QuerySpec(_q_audio_windows, _O_AUDIO_WINDOWS, "X5 overlapping audio windows"),
+    "image_phash_md5": QuerySpec(_q_image_phash_md5, _O_IMAGE_PHASH_MD5, "X5×X2 pHash, binarized-DCT integer twin (oracle-checked)"),
+    "image_near_dup_md5": QuerySpec(_q_image_near_dup_md5, _O_IMAGE_NEAR_DUP_MD5, "X5×X2 pHash hamming near-dup pairs (oracle-checked)"),
     # -- checked window: one representative per relational/pipeline/gold row --
     "pricing_summary": QuerySpec(_q_pricing_summary, _O_PRICING_SUMMARY, "R2/R4/R7 agg sweep (Q1 shape)"),
     "top_revenue_nations": QuerySpec(_q_top_revenue_nations, _O_TOP_REVENUE_NATIONS, "5-way broadcast star join (Q5 shape)"),
@@ -3519,6 +3617,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "session_windows": QuerySpec(_q_session_windows, _O_SESSION_WINDOWS, "streaming session_window (batch parity)"),
+    "ann_ivf_indexed": QuerySpec(_q_ann_ivf_indexed, _O_ANN_IVF, "X3 ANN from persisted IVF index (same oracle as in-window ann_ivf)"),
+    "audio_windows": QuerySpec(_q_audio_windows, _O_AUDIO_WINDOWS, "X5 overlapping audio windows (same sequence+explode shape as in-window frame_sample)"),
     "sort_topk_lineitems": QuerySpec(_q_sort_topk_lineitems, _O_SORT_TOPK_LINEITEMS, "R5 global sort / top-k with rank"),
     "dedup_clusters_alt": QuerySpec(_q_dedup_clusters_alt, _ora_dedup_clusters(16, 4, 3), "X2 clustering via explicit min-label-propagation option"),
     "simhash": QuerySpec(_q_simhash, None, "X2 SimHash (rows-only: xxhash64 fast path; oracle twin simhash_md5 in window)"),

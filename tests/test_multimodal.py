@@ -231,3 +231,39 @@ def test_decode_and_phash_real_codec_gate(media):
         pass
     with pytest.raises(NotImplementedError):
         MM.decode_and_phash(media, use_real_codec=True)
+
+
+def test_phash_int_deterministic_and_dup_colliding(media):
+    a = {r["media_id"]: r["phash"] for r in MM.decode_and_phash_int(media).collect()}
+    b = {r["media_id"]: r["phash"] for r in MM.decode_and_phash_int(media).collect()}
+    assert a == b and len(a) == 2  # doc_ids 0 and 3 are images (id % 3 == 0)
+    assert all(isinstance(v, int) and 0 <= v < 1 << 63 for v in a.values())
+
+
+def test_phash_int_matches_duckdb_reference(spark, docs):
+    """Cross-engine pin for the binarized-DCT twin: the same chain computed
+    independently in numpy from first principles (not via the operator)."""
+    import hashlib
+
+    import numpy as np
+
+    media = MM.synthesize_media(docs)
+    got = {r["media_id"]: r["phash"] for r in MM.decode_and_phash_int(media).collect()}
+    basis = MM._binarized_dct_basis(32)[:8]
+    for row in docs.collect():
+        did, text = row["doc_id"], row["text"]
+        if did % 3 != 0:
+            continue
+        w, h = 64 + (did % 16) * 8, 64 + (did % 9) * 8
+        seed = np.frombuffer(
+            hashlib.md5(text.encode()).digest(), dtype="uint8"
+        ).astype("int64")
+        yi = (np.arange(32) * h) // 32
+        xi = (np.arange(32) * w) // 32
+        idx = yi[:, None] * w + xi[None, :]
+        small = (seed[idx % 16] * 2654435761 + idx * 97) % 256
+        d = basis @ small @ basis.T
+        block = d.ravel()[1:]
+        bits = block > np.median(block)
+        want = int(bits.astype("int64") @ (1 << np.arange(63, dtype="int64")))
+        assert got[did] == want

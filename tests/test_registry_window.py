@@ -24,7 +24,6 @@ FAMILY_PROOFS = {
     # X3 similarity / ANN
     "similarity_topk",
     "ann_ivf",
-    "ann_ivf_indexed",
     "embedding_quantize",
     "ann_lsh_md5",
     "ann_pq",
@@ -55,11 +54,14 @@ FAMILY_PROOFS = {
     "token_budget",
     "overlap_chunks",
     "cluster_sample",
-    # X5 multimodal (rows-only pHash family sits past 50; these are the
-    # oracle-bearing proofs)
+    # X5 multimodal (rows-only float-DCT pHash family sits past 50; these
+    # are the oracle-bearing proofs — incl. the binarized-DCT integer pHash
+    # twins added in r4. audio_windows moved past 50: same sequence+explode
+    # shape as frame_sample, still covered by the full self-check sweep.
     "multimodal_meta",
     "frame_sample",
-    "audio_windows",
+    "image_phash_md5",
+    "image_near_dup_md5",
     # relational / pipeline / gold representatives (surplus relational
     # shapes — e.g. the R5 sort, r02-green and unchanged — live past 50)
     "pricing_summary",
