@@ -2863,7 +2863,7 @@ def _q_winnow(spark: SparkSession, sf: str) -> DataFrame:
     oracle row count bounded while still pinning the exact fingerprint
     SET (count + extremes over 60-bit md5-prefix ints)."""
     docs = load_table(spark, sf, "documents")
-    fps = text.winnow_fingerprints(docs, k=5, w=4)
+    fps = text.winnow_fingerprints(docs, k=5, w=4, hash_fn="md5")
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fps"),
         F.min("fp").alias("min_fp"),
@@ -2905,7 +2905,7 @@ def _q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
     doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
-    return text.winnow_pairs(doubled, k=8, w=4, min_shared=4, max_fp_freq=16)
+    return text.winnow_pairs(doubled, k=8, w=4, min_shared=4, max_fp_freq=16, hash_fn="md5")
 
 
 _O_WINNOW_PAIRS = """
