@@ -82,3 +82,52 @@ def test_band_ledger_stores_no_text(spark, tmp_path):
     led.ingest(_docs(spark, [(0, "some document body here with words")]))
     stored = spark.read.parquet(str(tmp_path / "bands"))
     assert set(stored.columns) == {"doc_id", "band", "bkey", "bkey_prefix"}
+
+
+def test_band_ledger_history_10x_one_join_no_reminhash(spark, tmp_path):
+    """Scale contract: with ledger history 10x a batch, the next run's
+    match is ONE equi-join against a digest-only parquet scan — history
+    is never re-minhashed (it can't be: the ledger stores no text), and
+    the plan reads exactly one history scan with only (band, bkey,
+    doc_id)."""
+    from commerce_data_pipeline_spark.sources.ledger import BandLedger
+
+    path = str(tmp_path / "bands")
+    led = BandLedger(spark, path, num_hashes=16, bands=4, shingle_n=2)
+    history = _docs(
+        spark,
+        [(i, f"historical document number {i} with distinct content body") for i in range(100)],
+    )
+    led.ingest(history)
+    assert led.known().count() == 4 * 100
+
+    batch = _docs(
+        spark,
+        [(1000 + j, f"historical document number {j} with distinct content body") for j in range(5)]
+        + [(2000 + j, f"brand new never seen content item {j} for this run") for j in range(5)],
+    )
+    # history rows = 400, batch band rows = 40 → 10x
+    matched = led.match_history(batch)
+    plan = matched._jdf.queryExecution().executedPlan().toString()
+    # exactly one scan of the ledger path (history read once, one equi-join)
+    scan_lines = [
+        ln for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan" in ln
+    ]
+    ledger_scans = [ln for ln in scan_lines if "bands" in ln]
+    assert len(ledger_scans) == 1, plan
+    # the history scan reads digests only — no text column exists to re-minhash
+    assert "text" not in ledger_scans[0], ledger_scans[0]
+    # one join in the whole plan
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, plan
+    # and the answer is right: every exact-copy doc matches its original
+    # (near-identical history texts legitimately add more candidates — the
+    # 1000-range docs differ from most of history by one token, which word
+    # 2-shingle minhash treats as near-dup; the contract here is recall of
+    # the true copies and zero matches for genuinely fresh content)
+    got = {(r["new_id"], r["old_id"]) for r in matched.collect()}
+    assert got >= {(1000 + j, j) for j in range(5)}
+    assert all(new_id < 2000 for new_id, _ in got)
+
+    admitted = led.filter_unmatched(batch)
+    assert {r["doc_id"] for r in admitted.collect()} == {2000 + j for j in range(5)}
