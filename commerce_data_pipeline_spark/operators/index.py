@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from commerce_data_pipeline_spark.operators.similarity import (
+    auto_n_centroids,
     ivf_centroids,
     ivf_invert,
     ivf_probe_score,
@@ -39,7 +40,7 @@ from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_count: int | None = None,
@@ -64,6 +65,8 @@ def build_ivf_index(
       approximate (recall pinned in tests)."""
     u = with_unit_vector(corpus, vec_col, "unit")
     total = corpus_count if corpus_count is not None else corpus.count()
+    if n_centroids is None:  # √N rule — see similarity.auto_n_centroids
+        n_centroids = auto_n_centroids(total)
     step = max(1, total // n_centroids)
     centroids = require_centroids(ivf_centroids(u, step, n_centroids, id_col), id_col)
     inverted = ivf_invert(u, centroids, id_col)

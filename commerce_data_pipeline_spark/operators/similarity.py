@@ -543,6 +543,26 @@ def ivf_centroids(
     )
 
 
+def auto_n_centroids(n: int, floor: int = 16) -> int:
+    """√N-scaled centroid count: the smallest power of two `c >= floor`
+    with c² ≥ n, so inverted lists hold ~√n vectors.
+
+    Fixed n_centroids is the IVF scaling cliff: list size grows ∝ N, so
+    per-query candidate scoring grows ∝ N and (with a query set that also
+    grows) total probe work goes quadratic — profiled on the 8× stress
+    corpus as a 49.6k → 6.39M candidate blow-up (129×) with score+topk
+    28× slower. With c ≈ √N per-query work grows as √N — the standard
+    IVF operating point (FAISS guideline: nlist ≈ √N to 4√N).
+
+    Power of two + integer comparison keeps the rule engine-exact so the
+    SQL oracle replays the same centroid set at any corpus size.
+    """
+    c = floor
+    while c * c < n:
+        c *= 2
+    return c
+
+
 def require_centroids(centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Guard the `ivf_centroids` dense-id precondition in code: on a sparse
     or offset id space the `id % step` sample can yield zero rows, and an
@@ -797,7 +817,7 @@ def pq_topk(
 
 def ivf_assignment_profile(
     corpus: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_count: int | None = None,
@@ -815,6 +835,8 @@ def ivf_assignment_profile(
     """
     u = with_unit_vector(corpus, vec_col, "unit")
     total = corpus_count if corpus_count is not None else corpus.count()
+    if n_centroids is None:  # √N rule — see auto_n_centroids
+        n_centroids = auto_n_centroids(total)
     step = max(1, total // n_centroids)
     centroids = require_centroids(
         ivf_centroids(u, step, n_centroids, id_col), id_col=id_col
@@ -849,7 +871,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -861,11 +883,17 @@ def ivf_topk(
     persisted-index variant in operators/index.py composes the same
     helpers, so results are bit-identical).
 
+    `n_centroids=None` (default) applies the √N rule (`auto_n_centroids`)
+    so inverted lists — and with them per-query probe work — grow as √N
+    instead of N; pass an explicit value to pin an index layout.
+
     `corpus_count`: pass a known/cached |C| to avoid the count job — at
     scale this is a catalog statistic, not an action per query.
     """
     u = with_unit_vector(corpus, vec_col, "unit")
     total = corpus_count if corpus_count is not None else corpus.count()
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(total)
     step = max(1, total // n_centroids)
     centroids = require_centroids(
         ivf_centroids(u, step, n_centroids, id_col), id_col=id_col

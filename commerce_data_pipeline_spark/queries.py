@@ -1485,12 +1485,16 @@ def _q_dedup_clusters_alt(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """X3 scale path — IVF-routed ANN top-5 (16 deterministic centroids,
-    4 probes). Fully deterministic → oracle-checkable, unlike LSH whose
-    xxhash64 buckets have no DuckDB equivalent."""
+    """X3 scale path — IVF-routed ANN top-5 with √N-scaled centroids
+    (auto_n_centroids: lists hold ~√N vectors, so per-query probe work
+    grows as √N instead of N — the fix for the 8× stress super-linearity,
+    where fixed 16 centroids blew candidates up 129×). Fully
+    deterministic → oracle-checkable, unlike LSH whose xxhash64 buckets
+    have no DuckDB equivalent; the oracle replays the same power-of-two
+    rule in integer SQL."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
-    out = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    out = similarity.ivf_topk(emb, queries, k=5, n_probe=4)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
     )
@@ -1507,13 +1511,15 @@ def _q_ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
     from commerce_data_pipeline_spark.operators import index as ivf_index
 
     emb = load_table(spark, sf, "embeddings")
+    # cache dir versioned by layout rule: "ivf_sqrt" = √N auto centroids
+    # (a stale fixed-16 index under the old "ivf" dir must not serve this)
     path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", ".cache", "ivf",
+        os.path.dirname(os.path.abspath(__file__)), "..", ".cache", "ivf_sqrt",
         os.path.basename(os.path.normpath(sf)),
     )
     path = os.path.normpath(path)
     if not ivf_index.index_exists(spark, path):
-        ivf_index.build_ivf_index(emb, path, n_centroids=16)
+        ivf_index.build_ivf_index(emb, path)
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     out = ivf_index.ivf_query(spark, path, queries, k=5, n_probe=4)
     return out.select(
@@ -1528,10 +1534,18 @@ WITH unit AS (
       sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
   FROM embeddings
 ), par AS (
-  SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM embeddings
+  -- √N centroid rule (similarity.auto_n_centroids): smallest power of two
+  -- nc >= 16 with nc² >= n — integer-exact in every engine
+  SELECT n, nc, GREATEST(n // nc, 1) AS step
+  FROM (SELECT COUNT(*) AS n FROM embeddings) t,
+       LATERAL (
+         SELECT MIN(CAST(1 AS BIGINT) << k) AS nc
+         FROM unnest(generate_series(4, 31)) AS tk(k)
+         WHERE ((CAST(1 AS BIGINT) << k) * (CAST(1 AS BIGINT) << k)) >= t.n
+       ) l
 ), cent AS (
   SELECT CAST(vec_id // step AS INT) AS centroid_id, u AS c_vec
-  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * 16
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * nc
 ), assign AS (
   SELECT c.vec_id AS neighbor_id, cent.centroid_id, c.u AS c_unit,
     ROW_NUMBER() OVER (PARTITION BY c.vec_id
@@ -1569,7 +1583,7 @@ def _q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     ivf = (
-        similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+        similarity.ivf_topk(emb, queries, k=5, n_probe=4)
         .select("query_id", "neighbor_id")
         .withColumn("_hit", F.lit(1))
     )
@@ -1593,10 +1607,18 @@ WITH unit AS (
       sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
   FROM embeddings
 ), par AS (
-  SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM embeddings
+  -- √N centroid rule (similarity.auto_n_centroids): smallest power of two
+  -- nc >= 16 with nc² >= n — integer-exact in every engine
+  SELECT n, nc, GREATEST(n // nc, 1) AS step
+  FROM (SELECT COUNT(*) AS n FROM embeddings) t,
+       LATERAL (
+         SELECT MIN(CAST(1 AS BIGINT) << k) AS nc
+         FROM unnest(generate_series(4, 31)) AS tk(k)
+         WHERE ((CAST(1 AS BIGINT) << k) * (CAST(1 AS BIGINT) << k)) >= t.n
+       ) l
 ), cent AS (
   SELECT CAST(vec_id // step AS INT) AS centroid_id, u AS c_vec
-  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * 16
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * nc
 ), assign AS (
   SELECT c.vec_id AS neighbor_id, cent.centroid_id, c.u AS c_unit,
     ROW_NUMBER() OVER (PARTITION BY c.vec_id
@@ -1649,7 +1671,7 @@ def _q_ivf_profile(spark: SparkSession, sf: str) -> DataFrame:
     index). Per-vector sims floor to integers before the centroid-level
     aggregation, so the oracle reproduces the means exactly."""
     emb = load_table(spark, sf, "embeddings")
-    return similarity.ivf_assignment_profile(emb, n_centroids=16)
+    return similarity.ivf_assignment_profile(emb)
 
 
 _O_IVF_PROFILE = """
@@ -1659,10 +1681,18 @@ WITH unit AS (
       sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
   FROM embeddings
 ), par AS (
-  SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM embeddings
+  -- √N centroid rule (similarity.auto_n_centroids): smallest power of two
+  -- nc >= 16 with nc² >= n — integer-exact in every engine
+  SELECT n, nc, GREATEST(n // nc, 1) AS step
+  FROM (SELECT COUNT(*) AS n FROM embeddings) t,
+       LATERAL (
+         SELECT MIN(CAST(1 AS BIGINT) << k) AS nc
+         FROM unnest(generate_series(4, 31)) AS tk(k)
+         WHERE ((CAST(1 AS BIGINT) << k) * (CAST(1 AS BIGINT) << k)) >= t.n
+       ) l
 ), cent AS (
   SELECT CAST(vec_id // step AS INT) AS centroid_id, u AS c_vec
-  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * 16
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * nc
 ), assign AS (
   SELECT c.vec_id, cent.centroid_id,
     list_dot_product(c.u, cent.c_vec) AS s,
@@ -1770,10 +1800,18 @@ WITH unit AS (
       sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
   FROM embeddings
 ), par AS (
-  SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM embeddings
+  -- √N centroid rule (similarity.auto_n_centroids): smallest power of two
+  -- nc >= 16 with nc² >= n — integer-exact in every engine
+  SELECT n, nc, GREATEST(n // nc, 1) AS step
+  FROM (SELECT COUNT(*) AS n FROM embeddings) t,
+       LATERAL (
+         SELECT MIN(CAST(1 AS BIGINT) << k) AS nc
+         FROM unnest(generate_series(4, 31)) AS tk(k)
+         WHERE ((CAST(1 AS BIGINT) << k) * (CAST(1 AS BIGINT) << k)) >= t.n
+       ) l
 ), cent AS (
   SELECT CAST(vec_id // step AS INT) AS centroid_id, u AS c_vec
-  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * 16
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * nc
 ), assign AS (
   SELECT c.vec_id, cent.centroid_id,
     ROW_NUMBER() OVER (PARTITION BY c.vec_id
