@@ -1776,13 +1776,15 @@ def _q_cluster_sample(spark: SparkSession, sf: str) -> DataFrame:
     then take exactly 8 per cluster via bottom-k-of-hash — semantic
     rebalancing of a training corpus (uniform coverage across embedding
     clusters instead of raw frequency). Pure composition of existing
-    operators: ivf_invert ∘ fixed_size_sample."""
+    operators: ivf_invert ∘ fixed_size_sample; cluster count follows the
+    √N rule (auto_n_centroids), same as the ANN family."""
     emb = load_table(spark, sf, "embeddings")
     u = similarity.with_unit_vector(emb, "embedding", "unit")
     total = emb.count()
-    step = max(1, total // 16)
+    n_c = similarity.auto_n_centroids(total)
+    step = max(1, total // n_c)
     centroids = similarity.require_centroids(
-        similarity.ivf_centroids(u, step, 16)
+        similarity.ivf_centroids(u, step, n_c)
     )
     assigned = similarity.ivf_invert(u, centroids).select(
         F.col("neighbor_id").alias("vec_id"), "centroid_id"
