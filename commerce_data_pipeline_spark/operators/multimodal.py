@@ -518,7 +518,10 @@ def _block_bounds(total_bits: int, blocks: int) -> list[tuple[int, int]]:
 
 
 def phash_pairs(
-    hashes: DataFrame, max_hamming: int = 4, blocks: int | None = None
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    blocks: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs from perceptual hashes, without an
     all-pairs join: split each 64-bit hash into `blocks` contiguous bit
@@ -531,6 +534,16 @@ def phash_pairs(
     Candidate pairs come from per-(block, value) buckets via the same
     in-bucket expansion the LSH/banding path uses (one aggregation
     shuffle, no self-join), verified by bit_count(xor) ≤ max_hamming.
+
+    SCALE WARNING — block width bounds bucket count: a (64//blocks)-bit
+    block has at most 2^(64//blocks) distinct values, so with many blocks
+    (large max_hamming) bucket sizes grow linearly with the corpus and the
+    in-bucket pair array goes quadratic (an 8×-stress OOM found exactly
+    this at blocks=9 → 7-bit blocks → ≤128 buckets/block). Keep blocks ≤ 5
+    (12-bit blocks) for large corpora, or set `max_bucket` to drop
+    oversize buckets — that bounds memory but makes recall approximate
+    (dropped buckets lose their pairs), like the freq caps on the
+    LSH/banding paths.
     """
     if blocks is None:
         blocks = max_hamming + 1
@@ -559,6 +572,8 @@ def phash_pairs(
         .agg(F.sort_array(F.collect_set(F.struct("media_id", "phash"))).alias("_m"))
         .filter(F.size("_m") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_m") <= max_bucket)
     pair_structs = F.flatten(
         F.transform(
             F.col("_m"),

@@ -3461,15 +3461,17 @@ def _q_image_near_dup_md5(spark: SparkSession, sf: str) -> DataFrame:
     """X5×X2 — ORACLE-CHECKED image near-dup pairs: binarized-DCT integer
     hashes on the doubled corpus (copies at id+1,000,080 share payload and
     dims → guaranteed hamming-0 pairs), pigeonhole-blocked candidates
-    (blocks=9 > max_hamming=8 → exact recall) + bit_count verify. The
-    all-pairs SQL oracle is exact for the same reason, so a full
+    (blocks=5 > max_hamming=4 → exact recall, 12/13-bit blocks so bucket
+    count scales with the value space — max_hamming=8's 7-bit blocks cap
+    at 128 buckets/block and OOM'd the 8× stress) + bit_count verify.
+    The all-pairs SQL oracle is exact for the same reason, so a full
     value-hash check covers the entire bucketing/verify path the
     production pHash family uses."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     media = multimodal.synthesize_media(docs)
     base = multimodal.decode_and_phash_int(media).localCheckpoint()
     copies = base.withColumn("media_id", F.col("media_id") + F.lit(1_000_080))
-    return multimodal.phash_pairs(base.unionAll(copies), max_hamming=8)
+    return multimodal.phash_pairs(base.unionAll(copies), max_hamming=4)
 
 
 _O_IMAGE_NEAR_DUP_MD5 = f"""
@@ -3482,7 +3484,7 @@ WITH hashes AS ({_O_IMAGE_PHASH_MD5_BODY}
 SELECT a.media_id AS id_a, b.media_id AS id_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
 FROM doubled a JOIN doubled b ON a.media_id < b.media_id
-WHERE bit_count(xor(a.phash, b.phash)) <= 8
+WHERE bit_count(xor(a.phash, b.phash)) <= 4
 """
 
 

@@ -86,6 +86,9 @@ STRESS_QUERIES = [
     "token_budget",
     "overlap_chunks",
     "cluster_sample",
+    # round 4: oracle-checked binarized-DCT pHash twins
+    "image_phash_md5",
+    "image_near_dup_md5",
 ]
 
 
