@@ -267,3 +267,13 @@ def test_phash_int_matches_duckdb_reference(spark, docs):
         bits = block > np.median(block)
         want = int(bits.astype("int64") @ (1 << np.arange(63, dtype="int64")))
         assert got[did] == want
+
+
+def test_phash_pairs_max_bucket_drops_oversize_buckets(spark):
+    # ten identical hashes: every block bucket holds all ten; max_bucket=5
+    # drops them all (approximate-recall cost knob), None keeps all pairs
+    hashes = spark.createDataFrame(
+        [(i, 0b1010) for i in range(10)], "media_id long, phash long"
+    )
+    assert MM.phash_pairs(hashes, max_hamming=1).count() == 45
+    assert MM.phash_pairs(hashes, max_hamming=1, max_bucket=5).count() == 0

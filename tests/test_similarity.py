@@ -280,3 +280,17 @@ def test_ivf_pq_index_recall(spark, tmp_path):
     # PQ with 8 codes/subspace on gaussians is lossy; demand 1/3 overlap
     total_hits = sum(len(g[qid] & e[qid]) for qid in e)
     assert total_hits >= 5, (total_hits, g, e)
+
+
+def test_auto_n_centroids_sqrt_rule():
+    from commerce_data_pipeline_spark.operators.similarity import auto_n_centroids
+
+    assert auto_n_centroids(0) == 16
+    assert auto_n_centroids(256) == 16
+    assert auto_n_centroids(257) == 32
+    assert auto_n_centroids(500) == 32      # sf0.01 embeddings
+    assert auto_n_centroids(2000) == 64     # sf0.1 embeddings
+    assert auto_n_centroids(16000) == 128   # 8x stress corpus
+    for n in (1, 100, 10**6, 10**9):
+        c = auto_n_centroids(n)
+        assert c * c >= n and (c == 16 or (c // 2) ** 2 < n)
