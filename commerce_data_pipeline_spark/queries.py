@@ -3457,6 +3457,61 @@ GROUP BY b.media_id
 _O_IMAGE_PHASH_MD5 = _O_IMAGE_PHASH_MD5_BODY
 
 
+def _q_media_features_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """X5 — ORACLE-CHECKED twin of the feature-extraction stage: the same
+    `multimodal.extract_features` mapInPandas path (md5-digest-chain stub
+    model), with the float features mapped back to their exact underlying
+    digest BYTES (v = float32(b/255 − 0.5) recovers b exactly via
+    floor((v+0.5)·255 + 0.5) — float32 has 2^-25 slack on values this
+    small). At dim=16 the chain is a single md5 of payload[:64], so DuckDB
+    replays the whole computation with integer outputs (byte sum + the
+    first/last byte), pinning the Arrow-stage plumbing end-to-end where
+    `media_features` itself is rows-only."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synthesize_media(docs)
+    feats = multimodal.extract_features(media, dim=16)
+    bytes_ = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor((v.cast("double") + F.lit(0.5)) * 255 + F.lit(0.5)).cast("long"),
+    )
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.aggregate(bytes_, F.lit(0).cast("long"), lambda s, x: s + x).alias("byte_sum"),
+        F.element_at(bytes_, 1).alias("b_first"),
+        F.element_at(bytes_, 16).alias("b_last"),
+    )
+
+
+# DuckDB md5() only takes VARCHAR (hashing its UTF-8 bytes) and BLOBs
+# can't be sliced, so the [:64]-byte truncation is done as a CHARACTER
+# substr — byte-identical because the corpus is pure ASCII (asserted:
+# octet_length(encode(text)) = length(text) for every row at every sf).
+_O_MEDIA_FEATURES_MD5 = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         ELSE 'video' END AS media_type,
+    COALESCE(text, '') AS t
+  FROM documents
+), hx AS (
+  SELECT media_id, media_type,
+    md5(CASE WHEN length(t) = 0 THEN chr(0) ELSE substr(t, 1, 64) END) AS h
+  FROM media
+), bytes AS (
+  SELECT media_id, media_type, j,
+    CAST(16 * strpos('0123456789abcdef', substr(h, 2*j + 1, 1))
+         + strpos('0123456789abcdef', substr(h, 2*j + 2, 1)) - 17 AS BIGINT) AS b
+  FROM hx, LATERAL unnest(generate_series(0, 15)) AS tj(j)
+)
+SELECT media_id, media_type,
+  CAST(SUM(b) AS BIGINT) AS byte_sum,
+  CAST(SUM(CASE WHEN j = 0 THEN b END) AS BIGINT) AS b_first,
+  CAST(SUM(CASE WHEN j = 15 THEN b END) AS BIGINT) AS b_last
+FROM bytes GROUP BY media_id, media_type
+"""
+
+
 def _q_image_near_dup_md5(spark: SparkSession, sf: str) -> DataFrame:
     """X5×X2 — ORACLE-CHECKED image near-dup pairs: binarized-DCT integer
     hashes on the doubled corpus (copies at id+1,000,080 share payload and
@@ -3667,7 +3722,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_lsh": QuerySpec(_q_ann_lsh, None, "X3 RP-LSH ANN top-k (rows-only: PCG64 planes fast path; oracle twin ann_lsh_md5 in window)"),
     "image_phash": QuerySpec(_q_image_phash, None, "X5 perceptual hashes (rows-only: stub pixels)"),
     "image_near_dup": QuerySpec(_q_image_near_dup, None, "X5 pHash hamming-bucket near-dup (rows-only)"),
-    "media_features": QuerySpec(_q_media_features, None, "X5 feature extraction (rows-only: digest stub)"),
+    "media_features": QuerySpec(_q_media_features, None, "X5 feature extraction (rows-only: float digest stub; oracle twin media_features_md5)"),
+    "media_features_md5": QuerySpec(_q_media_features_md5, _O_MEDIA_FEATURES_MD5, "X5 feature extraction, integer digest-byte twin (oracle-checked)"),
     "approx_stats": QuerySpec(_q_approx_stats, None, "X6 sketches (rows-only: approximate)"),
     "approx_group_stats": QuerySpec(_q_approx_group_stats, None, "X6 per-group sketches (rows-only: approximate)"),
     "word_count": QuerySpec(_q_word_count, _O_WORD_COUNT, "explode/unnest + agg + top-k"),
