@@ -370,3 +370,41 @@ def redact_pii(
         F.regexp_count(t, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
         redacted.alias("redacted_text"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch-wise GLOBAL shuffle — the data-ordering step of
+    an LLM training run: every epoch must present the corpus in a fresh
+    pseudo-random order, reproducibly (same epoch → same order on any
+    cluster size, resumable mid-epoch).
+
+    Shuffle key = md5(epoch ":" id); global order = (bucket, key, id)
+    where bucket = first key byte mod `n_buckets`. The scale story is the
+    point: a naive `ORDER BY rand(seed)` funnels the corpus through one
+    task's sort and isn't reproducible across partitionings, whereas here
+    the total order is realized as a hash-partitioned bucket column + a
+    per-bucket window — each bucket sorts independently (one shuffle, no
+    global sort), and writers emit bucket-numbered files whose
+    concatenation IS the epoch order. Every value is md5-derived, so the
+    SQL oracle replays positions exactly.
+
+    Returns (id, bucket, pos_in_bucket) — the (file, offset) layout of
+    the shuffled epoch.
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(epoch).cast("string"), F.col(id_col).cast("string"))
+    )
+    keyed = df.select(
+        F.col(id_col),
+        key.alias("_skey"),
+        (F.conv(F.substring(key, 1, 2), 16, 10).cast("int") % n_buckets).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("_skey", id_col)
+    return keyed.withColumn(
+        "pos_in_bucket", F.row_number().over(w).cast("long")
+    ).select(id_col, "bucket", "pos_in_bucket")

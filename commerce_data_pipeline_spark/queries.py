@@ -3457,6 +3457,33 @@ GROUP BY b.media_id
 _O_IMAGE_PHASH_MD5 = _O_IMAGE_PHASH_MD5_BODY
 
 
+def _q_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — deterministic epoch-wise global shuffle (training-data
+    ordering): md5(epoch:id) keys, hash-bucketed total order realized as
+    one shuffle + per-bucket windows (no single-task global sort; see
+    corpus.epoch_shuffle). Epoch 3 of the documents corpus."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    return corpus.epoch_shuffle(docs, epoch=3, n_buckets=16)
+
+
+_O_EPOCH_SHUFFLE = """
+WITH keyed AS (
+  SELECT doc_id,
+    md5(concat('3', ':', CAST(doc_id AS VARCHAR))) AS skey
+  FROM documents
+), bucketed AS (
+  SELECT doc_id, skey,
+    CAST((16 * strpos('0123456789abcdef', substr(skey, 1, 1))
+          + strpos('0123456789abcdef', substr(skey, 2, 1)) - 17) % 16 AS INT) AS bucket
+  FROM keyed
+)
+SELECT doc_id, bucket,
+  CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY skey, doc_id) AS BIGINT)
+    AS pos_in_bucket
+FROM bucketed
+"""
+
+
 def _q_media_features_md5(spark: SparkSession, sf: str) -> DataFrame:
     """X5 — ORACLE-CHECKED twin of the feature-extraction stage: the same
     `multimodal.extract_features` mapInPandas path (md5-digest-chain stub
@@ -3724,6 +3751,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "image_near_dup": QuerySpec(_q_image_near_dup, None, "X5 pHash hamming-bucket near-dup (rows-only)"),
     "media_features": QuerySpec(_q_media_features, None, "X5 feature extraction (rows-only: float digest stub; oracle twin media_features_md5)"),
     "media_features_md5": QuerySpec(_q_media_features_md5, _O_MEDIA_FEATURES_MD5, "X5 feature extraction, integer digest-byte twin (oracle-checked)"),
+    "epoch_shuffle": QuerySpec(_q_epoch_shuffle, _O_EPOCH_SHUFFLE, "corpus: deterministic epoch-wise global shuffle (training-data ordering)"),
     "approx_stats": QuerySpec(_q_approx_stats, None, "X6 sketches (rows-only: approximate)"),
     "approx_group_stats": QuerySpec(_q_approx_group_stats, None, "X6 per-group sketches (rows-only: approximate)"),
     "word_count": QuerySpec(_q_word_count, _O_WORD_COUNT, "explode/unnest + agg + top-k"),

@@ -252,3 +252,24 @@ def test_overlap_chunks_spans(spark):
     for _, _, start, span in doc2:
         covered |= set(range(start, start + span))
     assert covered == set(range(300))
+
+
+def test_epoch_shuffle_deterministic_and_epoch_dependent(spark):
+    from commerce_data_pipeline_spark.operators import corpus as C
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = C.epoch_shuffle(docs, epoch=1, n_buckets=8).collect()
+    # same epoch, different partitioning → identical (file, offset) layout
+    b = C.epoch_shuffle(docs.repartition(7), epoch=1, n_buckets=8).collect()
+    key = lambda rows: sorted((r["doc_id"], r["bucket"], r["pos_in_bucket"]) for r in rows)
+    assert key(a) == key(b)
+    # every doc appears exactly once; positions are gapless per bucket
+    assert len({r["doc_id"] for r in a}) == 200
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in a:
+        per[r["bucket"]].append(r["pos_in_bucket"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    # a different epoch produces a different order
+    c = C.epoch_shuffle(docs, epoch=2, n_buckets=8).collect()
+    assert key(a) != key(c)
