@@ -86,9 +86,12 @@ STRESS_QUERIES = [
     "token_budget",
     "overlap_chunks",
     "cluster_sample",
-    # round 4: oracle-checked binarized-DCT pHash twins
+    # round 4: oracle-checked binarized-DCT pHash twins + digest-byte
+    # feature twin + epoch shuffle
     "image_phash_md5",
     "image_near_dup_md5",
+    "media_features_md5",
+    "epoch_shuffle",
 ]
 
 
