@@ -183,8 +183,16 @@ def main() -> None:
         r = big[name] / base[name] if base[name] > 0 else float("nan")
         lines.append(f"| {name} | {base[name]:.2f} | {big[name]:.2f} | {r:.1f}× |")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md")
+    # preserve hand-written sections (anything from the first "## " heading
+    # after the table) across regenerations, like tools/plan_audit.py
+    extra = ""
+    if os.path.exists(out):
+        prev = open(out).read()
+        cut = prev.find("\n## ")
+        if cut != -1:
+            extra = prev[cut:]
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + extra)
     print(f"wrote {out}")
 
 
