@@ -1500,17 +1500,16 @@ def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q_ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
-    """X3 production shape — the SAME IVF search served from a PERSISTED
-    index (parquet inverted file partitioned by centroid_id + centroid
-    table): built once per sf under .cache/, reused by every later call.
-    Bit-identical to `ann_ivf` by construction (same helpers), so it
-    shares its oracle. Probes prune to the probed centroids' partitions."""
+def _ensure_ivf_index(spark: SparkSession, sf: str) -> str:
+    """Build-once handle for the persisted √N IVF index of the embeddings
+    table at this sf. Every query that needs the (vec_id → centroid_id)
+    assignment or the inverted lists goes through here instead of
+    re-counting + re-sampling centroids per call — at 100 TB the index is
+    built once and probed millions of times (operators/index.py)."""
     import os
 
     from commerce_data_pipeline_spark.operators import index as ivf_index
 
-    emb = load_table(spark, sf, "embeddings")
     # cache dir versioned by layout rule: "ivf_sqrt" = √N auto centroids
     # (a stale fixed-16 index under the old "ivf" dir must not serve this)
     path = os.path.join(
@@ -1519,7 +1518,20 @@ def _q_ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
     )
     path = os.path.normpath(path)
     if not ivf_index.index_exists(spark, path):
-        ivf_index.build_ivf_index(emb, path)
+        ivf_index.build_ivf_index(load_table(spark, sf, "embeddings"), path)
+    return path
+
+
+def _q_ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 production shape — the SAME IVF search served from a PERSISTED
+    index (parquet inverted file partitioned by centroid_id + centroid
+    table): built once per sf under .cache/, reused by every later call.
+    Bit-identical to `ann_ivf` by construction (same helpers), so it
+    shares its oracle. Probes prune to the probed centroids' partitions."""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+
+    path = _ensure_ivf_index(spark, sf)
+    emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     out = ivf_index.ivf_query(spark, path, queries, k=5, n_probe=4)
     return out.select(
@@ -1777,17 +1789,21 @@ def _q_cluster_sample(spark: SparkSession, sf: str) -> DataFrame:
     rebalancing of a training corpus (uniform coverage across embedding
     clusters instead of raw frequency). Pure composition of existing
     operators: ivf_invert ∘ fixed_size_sample; cluster count follows the
-    √N rule (auto_n_centroids), same as the ANN family."""
-    emb = load_table(spark, sf, "embeddings")
-    u = similarity.with_unit_vector(emb, "embedding", "unit")
-    total = emb.count()
-    n_c = similarity.auto_n_centroids(total)
-    step = max(1, total // n_c)
-    centroids = similarity.require_centroids(
-        similarity.ivf_centroids(u, step, n_c)
-    )
-    assigned = similarity.ivf_invert(u, centroids).select(
-        F.col("neighbor_id").alias("vec_id"), "centroid_id"
+    √N rule (auto_n_centroids), same as the ANN family.
+
+    The nearest-centroid assignment is served from the persisted IVF
+    index (`_ensure_ivf_index`): the inverted file IS the
+    (vec_id, centroid_id) table, already materialized, partitioned by
+    centroid_id — no per-call corpus count(), no centroid rebuild, no
+    assignment GEMM. Bit-identical to the inline build by construction
+    (the index is built with the same √N helpers), so the oracle is
+    unchanged."""
+    from commerce_data_pipeline_spark.sources.hadoopfs import join_path
+
+    path = _ensure_ivf_index(spark, sf)
+    assigned = spark.read.parquet(join_path(path, "inverted")).select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("centroid_id").cast("int").alias("centroid_id"),
     )
     sample = corpus.fixed_size_sample(
         assigned, k=8, stratum_col="centroid_id", id_col="vec_id"
