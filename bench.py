@@ -52,17 +52,40 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query record → BENCH_FULL.json beside this script. The
+    # driver stores only the last 2000 chars of stdout, so a 100-query
+    # dict in the printed line overflows the window and its `parsed`
+    # field comes back null (it did in rounds 1-4, losing per-query
+    # history). The file keeps every timing; the stdout line below is
+    # budgeted to fit the window so the driver can parse it.
+    full = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+
+    # stdout line: failures first (always visible), then slowest-first
+    # until the 1900-char budget is spent; the rest are in BENCH_FULL.json.
+    budget = 1900
+    ordered = sorted(timings, key=lambda n: (timings[n] >= 0, -timings[n]))
+    line_q: dict[str, float] = {}
+    for name in ordered:
+        line_q[name] = timings[name]
+        obj = dict(full, queries=line_q,
+                   n_queries=len(timings), full="BENCH_FULL.json")
+        if len(json.dumps(obj, separators=(",", ":"))) > budget:
+            del line_q[name]
+            break
+    obj = dict(full, queries=line_q,
+               n_queries=len(timings), full="BENCH_FULL.json")
+    print(json.dumps(obj, separators=(",", ":")))
 
 
 if __name__ == "__main__":
