@@ -517,11 +517,36 @@ def _block_bounds(total_bits: int, blocks: int) -> list[tuple[int, int]]:
     return out
 
 
+def _phash_block_rows(hashes: DataFrame, blocks: int) -> DataFrame:
+    """One row per (media_id, block) with the block's bit value — the
+    shared blocking step of `phash_pairs` and `phash_bucket_stats`."""
+    if not 1 <= blocks <= 64:
+        raise ValueError("blocks must be in [1, 64]")
+    bounds = _block_bounds(64, blocks)
+
+    def _bval(off: int, w: int):
+        # a 64-bit-wide block is the whole hash; (1<<64)-1 overflows a long
+        if w == 64:
+            return F.col("phash")
+        return F.shiftrightunsigned(F.col("phash"), off).bitwiseAND(F.lit((1 << w) - 1))
+
+    return hashes.select(
+        F.col("media_id"),
+        F.col("phash"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("blk"), _bval(off, w).alias("bval"))
+                for b, (off, w) in enumerate(bounds)
+            ])
+        ).alias("bb"),
+    ).select("media_id", "phash", F.col("bb.blk").alias("blk"), F.col("bb.bval").alias("bval"))
+
+
 def phash_pairs(
     hashes: DataFrame,
     max_hamming: int = 4,
     blocks: int | None = None,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 512,
 ) -> DataFrame:
     """Near-duplicate image pairs from perceptual hashes, without an
     all-pairs join: split each 64-bit hash into `blocks` contiguous bit
@@ -540,40 +565,39 @@ def phash_pairs(
     (large max_hamming) bucket sizes grow linearly with the corpus and the
     in-bucket pair array goes quadratic (an 8×-stress OOM found exactly
     this at blocks=9 → 7-bit blocks → ≤128 buckets/block). Keep blocks ≤ 5
-    (12-bit blocks) for large corpora, or set `max_bucket` to drop
-    oversize buckets — that bounds memory but makes recall approximate
-    (dropped buckets lose their pairs), like the freq caps on the
-    LSH/banding paths.
+    (12-bit blocks) for large corpora.
+
+    TRUNCATION CONTRACT — `max_bucket` (default 512, ON) bounds the pair
+    stage: each (block, value) bucket is deterministically truncated to
+    its first `max_bucket` members in ascending (media_id, phash) order
+    BEFORE pair expansion, so per-bucket memory is ≤ C(max_bucket, 2)
+    pair structs no matter how adversarial or duplicate-heavy the corpus
+    is (an all-identical-hash corpus cannot OOM the stage — pinned in
+    tests). The truncation is replayable by any SQL engine
+    (ROW_NUMBER() OVER (PARTITION BY blk, bval ORDER BY media_id) ≤ K —
+    the `image_near_dup_md5` oracle does exactly that), unlike a silent
+    whole-bucket drop. When the cap binds, recall over hashes that share
+    a saturated bucket becomes approximate (pairs among the first K
+    members per bucket survive; later members only pair via their other,
+    unsaturated blocks); audit the loss with `phash_bucket_stats`, which
+    reports saturated buckets and members past the cap per block. Pass
+    `max_bucket=None` to disable (exact, unbounded — small corpora only).
     """
     if blocks is None:
         blocks = max_hamming + 1
-    if not 1 <= blocks <= 64:
-        raise ValueError("blocks must be in [1, 64]")
-    bounds = _block_bounds(64, blocks)
-
-    def _bval(off: int, w: int):
-        # a 64-bit-wide block is the whole hash; (1<<64)-1 overflows a long
-        if w == 64:
-            return F.col("phash")
-        return F.shiftrightunsigned(F.col("phash"), off).bitwiseAND(F.lit((1 << w) - 1))
-
-    block_rows = hashes.select(
-        F.col("media_id"),
-        F.col("phash"),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("blk"), _bval(off, w).alias("bval"))
-                for b, (off, w) in enumerate(bounds)
-            ])
-        ).alias("bb"),
-    ).select("media_id", "phash", F.col("bb.blk").alias("blk"), F.col("bb.bval").alias("bval"))
+    block_rows = _phash_block_rows(hashes, blocks)
     buckets = (
         block_rows.groupBy("blk", "bval")
         .agg(F.sort_array(F.collect_set(F.struct("media_id", "phash"))).alias("_m"))
         .filter(F.size("_m") >= 2)
     )
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("_m") <= max_bucket)
+        if max_bucket < 2:
+            raise ValueError("max_bucket must be >= 2 (or None to disable)")
+        # deterministic truncation: keep the first max_bucket members in
+        # (media_id, phash) order — sort_array already ordered the struct
+        # array, so this is a pure slice (see TRUNCATION CONTRACT above)
+        buckets = buckets.withColumn("_m", F.slice(F.col("_m"), 1, max_bucket))
     pair_structs = F.flatten(
         F.transform(
             F.col("_m"),
@@ -595,3 +619,39 @@ def phash_pairs(
     return cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def phash_bucket_stats(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    blocks: int | None = None,
+    max_bucket: int | None = 512,
+) -> DataFrame:
+    """Audit companion to `phash_pairs` truncation: per block, how many
+    (block, value) buckets exist, how many are saturated (size >
+    max_bucket), and how many members sit past the cap (the ones whose
+    pairs in THIS block are dropped by the truncation contract). Run it
+    with the same (max_hamming, blocks, max_bucket) as the pairs call to
+    quantify approximate-recall exposure before trusting a dedup sweep —
+    `n_saturated = 0` everywhere means the pair output was exact.
+
+    One aggregation shuffle over the same block rows as `phash_pairs`;
+    output is `blocks` rows (driver-safe to collect)."""
+    if blocks is None:
+        blocks = max_hamming + 1
+    cap = F.lit(max_bucket if max_bucket is not None else (1 << 62))
+    sizes = (
+        _phash_block_rows(hashes, blocks)
+        .groupBy("blk", "bval")
+        .agg(F.count_distinct("media_id", "phash").alias("sz"))
+    )
+    return (
+        sizes.groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("sz").alias("max_bucket_size"),
+            F.sum((F.col("sz") > cap).cast("long")).alias("n_saturated"),
+            F.sum(F.greatest(F.col("sz") - cap, F.lit(0))).alias("members_past_cap"),
+        )
+        .orderBy("blk")
+    )

@@ -3561,10 +3561,12 @@ def _q_image_near_dup_md5(spark: SparkSession, sf: str) -> DataFrame:
     dims → guaranteed hamming-0 pairs), pigeonhole-blocked candidates
     (blocks=5 > max_hamming=4 → exact recall, 12/13-bit blocks so bucket
     count scales with the value space — max_hamming=8's 7-bit blocks cap
-    at 128 buckets/block and OOM'd the 8× stress) + bit_count verify.
-    The all-pairs SQL oracle is exact for the same reason, so a full
-    value-hash check covers the entire bucketing/verify path the
-    production pHash family uses."""
+    at 128 buckets/block and OOM'd the 8× stress) + bit_count verify,
+    under the default max_bucket=512 deterministic truncation. The SQL
+    oracle replays the SAME blocking + ROW_NUMBER truncation + verify, so
+    the value-hash check covers the entire bucketing/truncation/verify
+    path the production pHash family uses — including which pairs are
+    dropped when a bucket saturates."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     media = multimodal.synthesize_media(docs)
     base = multimodal.decode_and_phash_int(media).localCheckpoint()
@@ -3572,17 +3574,43 @@ def _q_image_near_dup_md5(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.phash_pairs(base.unionAll(copies), max_hamming=4)
 
 
+# The oracle replays the OPERATOR'S algorithm, not just its ideal result:
+# pigeonhole blocking (5 blocks of widths 13,13,13,13,12 = _block_bounds(64,5)),
+# the deterministic max_bucket=512 truncation (ROW_NUMBER over (blk, bval)
+# ordered by media_id — phash_pairs' sort_array slice), candidate dedup, and
+# the bit_count verify. When no bucket saturates this reduces to the exact
+# all-pairs answer; when one does, both engines drop the SAME pairs, so the
+# truncation contract itself is value-hash-checked.
 _O_IMAGE_NEAR_DUP_MD5 = f"""
 WITH hashes AS ({_O_IMAGE_PHASH_MD5_BODY}
 ), doubled AS (
   SELECT media_id, phash FROM hashes
   UNION ALL
   SELECT media_id + 1000080 AS media_id, phash FROM hashes
+), bvals AS (
+  SELECT media_id, phash, blk,
+    CASE blk
+      WHEN 0 THEN (phash >> 0)  & 8191
+      WHEN 1 THEN (phash >> 13) & 8191
+      WHEN 2 THEN (phash >> 26) & 8191
+      WHEN 3 THEN (phash >> 39) & 8191
+      ELSE        (phash >> 52) & 4095
+    END AS bval
+  FROM doubled, (SELECT unnest(generate_series(0, 4)) AS blk)
+), kept AS (
+  SELECT media_id, phash, blk, bval FROM (
+    SELECT media_id, phash, blk, bval,
+      ROW_NUMBER() OVER (PARTITION BY blk, bval ORDER BY media_id, phash) AS rn
+    FROM bvals
+  ) WHERE rn <= 512
+), cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                  a.phash AS ha, b.phash AS hb
+  FROM kept a JOIN kept b
+    ON a.blk = b.blk AND a.bval = b.bval AND b.media_id > a.media_id
 )
-SELECT a.media_id AS id_a, b.media_id AS id_b,
-       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-FROM doubled a JOIN doubled b ON a.media_id < b.media_id
-WHERE bit_count(xor(a.phash, b.phash)) <= 4
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 4
 """
 
 

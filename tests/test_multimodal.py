@@ -269,11 +269,51 @@ def test_phash_int_matches_duckdb_reference(spark, docs):
         assert got[did] == want
 
 
-def test_phash_pairs_max_bucket_drops_oversize_buckets(spark):
-    # ten identical hashes: every block bucket holds all ten; max_bucket=5
-    # drops them all (approximate-recall cost knob), None keeps all pairs
+def test_phash_pairs_max_bucket_truncates_deterministically(spark):
+    # ten identical hashes: every block bucket holds all ten. max_bucket=5
+    # keeps the FIRST five members per bucket in (media_id, phash) order —
+    # C(5,2)=10 pairs among media_ids 0..4 — instead of silently zeroing
+    # the output the way whole-bucket dropping would.
     hashes = spark.createDataFrame(
         [(i, 0b1010) for i in range(10)], "media_id long, phash long"
     )
-    assert MM.phash_pairs(hashes, max_hamming=1).count() == 45
-    assert MM.phash_pairs(hashes, max_hamming=1, max_bucket=5).count() == 0
+    assert MM.phash_pairs(hashes, max_hamming=1, max_bucket=None).count() == 45
+    got = MM.phash_pairs(hashes, max_hamming=1, max_bucket=5).collect()
+    assert len(got) == 10
+    assert {(r["id_a"], r["id_b"]) for r in got} == {
+        (a, b) for a in range(5) for b in range(5) if a < b
+    }
+    with pytest.raises(ValueError):
+        MM.phash_pairs(hashes, max_hamming=1, max_bucket=1)
+
+
+def test_phash_pairs_pathological_corpus_is_bounded(spark):
+    # adversarial all-identical-hash corpus: unbounded expansion would
+    # materialize C(4000,2) ≈ 8M pair structs per block; the default
+    # max_bucket=512 bounds it to C(512,2) among the lowest 512 ids.
+    n = 4000
+    hashes = spark.range(n).select(
+        F.col("id").alias("media_id"), F.lit(0x5A5A5A5A).alias("phash")
+    )
+    pairs = MM.phash_pairs(hashes, max_hamming=4)
+    assert pairs.count() == 512 * 511 // 2
+    assert pairs.agg(F.max("id_b")).first()[0] == 511
+
+    stats = MM.phash_bucket_stats(hashes, max_hamming=4).collect()
+    assert len(stats) == 5
+    for r in stats:
+        assert r["n_buckets"] == 1
+        assert r["max_bucket_size"] == n
+        assert r["n_saturated"] == 1
+        assert r["members_past_cap"] == n - 512
+
+
+def test_phash_bucket_stats_clean_corpus(spark):
+    # distinct well-spread hashes: no saturation, stats witness exactness
+    hashes = spark.createDataFrame(
+        [(i, (i * 2654435761) % (1 << 63)) for i in range(50)],
+        "media_id long, phash long",
+    )
+    stats = MM.phash_bucket_stats(hashes, max_hamming=4)
+    assert stats.agg(F.sum("n_saturated")).first()[0] == 0
+    assert stats.agg(F.sum("members_past_cap")).first()[0] == 0
