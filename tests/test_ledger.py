@@ -108,18 +108,42 @@ def test_band_ledger_history_10x_one_join_no_reminhash(spark, tmp_path):
     )
     # history rows = 400, batch band rows = 40 → 10x
     matched = led.match_history(batch)
-    plan = matched._jdf.queryExecution().executedPlan().toString()
+    # inspect the physical plan TREE (pre-AQE sparkPlan: real children, no
+    # query-stage wrappers), not its rendered string — node classes and
+    # scan root paths are stable across Spark versions, whereas substring
+    # checks break on renderer changes and can match incidental tmp-path
+    # contents (e.g. any path containing "bands").
+    nodes = []
+    stack = [matched._jdf.queryExecution().sparkPlan()]
+    while stack:
+        n = stack.pop()
+        nodes.append(n)
+        children = n.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+    def _is_scan(n):
+        return n.getClass().getSimpleName() == "FileSourceScanExec"
+
+    def _root_paths(n):
+        rp = n.relation().location().rootPaths()
+        return [rp.apply(i).toString() for i in range(rp.size())]
+
     # exactly one scan of the ledger path (history read once, one equi-join)
-    scan_lines = [
-        ln for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan" in ln
+    ledger_scans = [
+        n for n in nodes if _is_scan(n) and any(path in p for p in _root_paths(n))
     ]
-    ledger_scans = [ln for ln in scan_lines if "bands" in ln]
-    assert len(ledger_scans) == 1, plan
+    assert len(ledger_scans) == 1, [n.nodeName() for n in nodes]
     # the history scan reads digests only — no text column exists to re-minhash
-    assert "text" not in ledger_scans[0], ledger_scans[0]
+    read_cols = list(ledger_scans[0].schema().fieldNames())
+    assert "text" not in read_cols, read_cols
     # one join in the whole plan
-    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
-    assert n_joins == 1, plan
+    joins = [
+        n for n in nodes
+        if n.getClass().getSimpleName()
+        in ("SortMergeJoinExec", "ShuffledHashJoinExec", "BroadcastHashJoinExec")
+    ]
+    assert len(joins) == 1, [n.nodeName() for n in nodes]
     # and the answer is right: every exact-copy doc matches its original
     # (near-identical history texts legitimately add more candidates — the
     # 1000-range docs differ from most of history by one token, which word

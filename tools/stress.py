@@ -140,19 +140,61 @@ def scaled_loader(k: int):
     return load
 
 
+REPS = 3  # min-of-N warm runs: this VM swings 3-4× run-to-run (cold JIT,
+# noisy neighbors — r4's product_profit 17.3× was a single-run artifact);
+# the min is the least-contended observation and the right scaling signal
+
+
+def _timed_min(fn, reps: int = REPS) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def run_at_scale(spark, sf_dir: str, k: int) -> dict[str, float]:
     original = Q.load_table
     Q.load_table = scaled_loader(k)
     try:
         out: dict[str, float] = {}
         for name in STRESS_QUERIES:
-            t0 = time.perf_counter()
-            Q.REGISTRY[name].spark(spark, sf_dir).count()
-            out[name] = time.perf_counter() - t0
-            spark.catalog.clearCache()
+
+            def run(name=name):
+                Q.REGISTRY[name].spark(spark, sf_dir).count()
+                spark.catalog.clearCache()
+
+            out[name] = _timed_min(run)
         return out
     finally:
         Q.load_table = original
+
+
+def ledger_match_time(spark, sf_dir: str, k: int) -> float:
+    """Witness the BandLedger scale contract end-to-end: ingest a k×
+    history (untimed — index build), then time match_history on a FIXED
+    1× batch. The contract (one equi-join per run, history never
+    re-minhashed, digest-only history scan — sources/ledger.py, pinned
+    structurally in tests/test_ledger.py) predicts near-flat wall time in
+    history size: only the history fingerprint scan grows, never the
+    minhash work. Batch texts equal copy-0 history texts, so match output
+    is identical at every k (salted copies share no shingles with it)."""
+    import shutil
+    import tempfile
+
+    from commerce_data_pipeline_spark.sources.ledger import BandLedger
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = scaled_loader(k)(spark, sf_dir, "documents")
+    batch = docs.withColumn("doc_id", F.col("doc_id") + F.lit(900_000_000))
+    tmp = tempfile.mkdtemp(prefix=f"stress_ledger_{k}x_")
+    try:
+        led = BandLedger(spark, os.path.join(tmp, "bands"))
+        led.ingest(history)
+        return _timed_min(lambda: led.match_history(batch).count())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -164,6 +206,8 @@ def main() -> None:
     run_at_scale(spark, sf_dir, 1)  # untimed warm pass: codegen + readers
     base = run_at_scale(spark, sf_dir, 1)
     big = run_at_scale(spark, sf_dir, k)
+    led_base = ledger_match_time(spark, sf_dir, 1)
+    led_big = ledger_match_time(spark, sf_dir, k)
 
     lines = [
         "# STRESS — wall-time scaling at K× data",
@@ -173,6 +217,8 @@ def main() -> None:
         "document text / embedding directions are decorrelated per copy so the",
         f"{k}× corpus keeps the base dup-rate — without that, pair counts grow",
         "K² for data reasons and hide/invent operator cliffs).",
+        f"Every cell is the MIN of {REPS} warm runs (this VM's single-run",
+        "noise is 3-4×, enough to manufacture fake cliffs).",
         f"`ratio` ≈ {k} means linear scaling in input size; sub-{k} means fixed",
         "costs still dominate at this size; far above K would flag a cliff.",
         "",
@@ -182,6 +228,18 @@ def main() -> None:
     for name in STRESS_QUERIES:
         r = big[name] / base[name] if base[name] > 0 else float("nan")
         lines.append(f"| {name} | {base[name]:.2f} | {big[name]:.2f} | {r:.1f}× |")
+    led_r = led_big / led_base if led_base > 0 else float("nan")
+    lines.append(
+        f"| ledger_match_history (fixed batch, {k}× HISTORY) "
+        f"| {led_base:.2f} | {led_big:.2f} | {led_r:.1f}× |"
+    )
+    lines.append("")
+    lines.append(
+        f"The ledger row scales the HISTORY {k}× while the incoming batch is "
+        "fixed: its contract (one equi-join, digest-only history scan, no "
+        "re-minhash of history — sources/ledger.py) predicts a near-flat "
+        f"ratio, NOT ≈{k} like the rows above."
+    )
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md")
     # preserve hand-written sections (anything from the first "## " heading
     # after the table) across regenerations, like tools/plan_audit.py
