@@ -10,6 +10,7 @@ partitions of a single DataFrame (SURVEY.md §1.1).
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -46,7 +47,15 @@ def _events_ts_unit(path: str) -> str | None:
     """
     try:
         import pyarrow.parquet as pq
-
+    except ImportError:
+        warnings.warn(
+            "pyarrow unavailable: cannot sniff events.ts time unit from the "
+            "parquet footer; assuming MICROS — an ns-unit dataset will fail "
+            "to read (this warning, not the query, is the cause)",
+            stacklevel=2,
+        )
+        return None
+    try:
         target = path
         if os.path.isdir(path):
             with os.scandir(path) as it:
@@ -54,7 +63,16 @@ def _events_ts_unit(path: str) -> str | None:
                     (e.path for e in it if e.name.endswith(".parquet")), path
                 )
         return getattr(pq.read_schema(target).field("ts").type, "unit", None)
-    except Exception:
+    except Exception as e:
+        # distinguish "sniff unavailable" from "unit is µs": a swallowed
+        # footer failure silently selects the µs read plan and surfaces
+        # later as a confusing type-conversion error far from the cause
+        warnings.warn(
+            f"could not sniff events.ts time unit from {path!r} ({e!r}); "
+            "assuming MICROS — if the dataset is ns-unit the read will "
+            "fail downstream, and this footer sniff is the real cause",
+            stacklevel=2,
+        )
         return None
 
 
