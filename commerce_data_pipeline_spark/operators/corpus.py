@@ -384,7 +384,10 @@ def epoch_shuffle(
     cluster size, resumable mid-epoch).
 
     Shuffle key = md5(epoch ":" id); global order = (bucket, key, id)
-    where bucket = first key byte mod `n_buckets`. The scale story is the
+    where bucket = (first 32 key bits) mod `n_buckets` — 32 bits, not one
+    byte, so any practical bucket count stays uniform (residual bias ≤
+    n_buckets/2^32) and n_buckets beyond 256 actually populate; the
+    count is validated to [1, 2^20]. The scale story is the
     point: a naive `ORDER BY rand(seed)` funnels the corpus through one
     task's sort and isn't reproducible across partitionings, whereas here
     the total order is realized as a hash-partitioned bucket column + a
@@ -396,13 +399,17 @@ def epoch_shuffle(
     Returns (id, bucket, pos_in_bucket) — the (file, offset) layout of
     the shuffled epoch.
     """
+    if not 1 <= n_buckets <= 1 << 20:
+        raise ValueError(f"n_buckets must be in [1, 2^20], got {n_buckets}")
     key = F.md5(
         F.concat_ws(":", F.lit(epoch).cast("string"), F.col(id_col).cast("string"))
     )
     keyed = df.select(
         F.col(id_col),
         key.alias("_skey"),
-        (F.conv(F.substring(key, 1, 2), 16, 10).cast("int") % n_buckets).alias("bucket"),
+        (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_buckets)
+        .cast("int")
+        .alias("bucket"),
     )
     w = Window.partitionBy("bucket").orderBy("_skey", id_col)
     return keyed.withColumn(

@@ -243,7 +243,9 @@ def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
     def _embed(payload: bytes) -> list:
         import numpy as np
 
-        out, block = [], payload[:64] or b"\x00"
+        # None (null payload) and b"" both seed the chain with a single
+        # NUL byte — the SQL oracle's chr(0) branch replays exactly this
+        out, block = [], (payload or b"")[:64] or b"\x00"
         while len(out) * 16 < dim:
             block = hashlib.md5(block).digest()
             out.append(np.frombuffer(block, dtype="uint8"))

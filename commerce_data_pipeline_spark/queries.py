@@ -3488,9 +3488,10 @@ WITH keyed AS (
     md5(concat('3', ':', CAST(doc_id AS VARCHAR))) AS skey
   FROM documents
 ), bucketed AS (
+  -- first 32 key bits mod n_buckets, matching corpus.epoch_shuffle's
+  -- conv(substr(key,1,8),16,10) % 16
   SELECT doc_id, skey,
-    CAST((16 * strpos('0123456789abcdef', substr(skey, 1, 1))
-          + strpos('0123456789abcdef', substr(skey, 2, 1)) - 17) % 16 AS INT) AS bucket
+    CAST(CAST(('0x' || substr(skey, 1, 8)) AS BIGINT) % 16 AS INT) AS bucket
   FROM keyed
 )
 SELECT doc_id, bucket,

@@ -90,3 +90,24 @@ def test_sniff_failure_warns_instead_of_silently_assuming_us(tmp_path):
         warnings.simplefilter("always")
         assert catalog._events_ts_unit(str(bad)) is None
     assert any("time unit" in str(x.message) for x in w)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_documents_corpus_is_pure_ascii(sf):
+    """The media_features_md5 oracle truncates text by CHARACTER
+    (substr(t,1,64)) while the operator truncates the UTF-8 payload by
+    BYTE — byte-identical only while the corpus is pure ASCII. This is
+    the guard the oracle's comment cites: a future non-ASCII
+    regeneration fails HERE, not as an inscrutable value-hash mismatch."""
+    import duckdb
+
+    path = f"/root/testdata/{sf}/documents.parquet"
+    bad, total = duckdb.sql(
+        "SELECT COUNT(*) FILTER (octet_length(encode(text)) <> length(text)), "
+        f"COUNT(*) FROM read_parquet('{path}') WHERE text IS NOT NULL"
+    ).fetchone()
+    assert total > 0
+    assert bad == 0, (
+        f"{bad} non-ASCII documents in {sf}: the character-based substr in "
+        "_O_MEDIA_FEATURES_MD5 no longer matches the operator's byte slice"
+    )

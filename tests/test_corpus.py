@@ -273,3 +273,21 @@ def test_epoch_shuffle_deterministic_and_epoch_dependent(spark):
     # a different epoch produces a different order
     c = C.epoch_shuffle(docs, epoch=2, n_buckets=8).collect()
     assert key(a) != key(c)
+
+
+def test_epoch_shuffle_populates_past_256_buckets(spark):
+    # bucket now derives from 32 key bits: counts above the old one-byte
+    # ceiling must actually populate (256+ distinct buckets on 4000 docs)
+    from commerce_data_pipeline_spark.operators import corpus as C
+
+    docs = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    out = C.epoch_shuffle(docs, epoch=1, n_buckets=1000)
+    n_distinct = out.select("bucket").distinct().count()
+    assert n_distinct > 256
+    assert out.agg(F.max("bucket")).first()[0] <= 999
+    assert out.agg(F.min("bucket")).first()[0] >= 0
+
+    with pytest.raises(ValueError):
+        C.epoch_shuffle(docs, epoch=1, n_buckets=0)
+    with pytest.raises(ValueError):
+        C.epoch_shuffle(docs, epoch=1, n_buckets=(1 << 20) + 1)

@@ -317,3 +317,26 @@ def test_phash_bucket_stats_clean_corpus(spark):
     stats = MM.phash_bucket_stats(hashes, max_hamming=4)
     assert stats.agg(F.sum("n_saturated")).first()[0] == 0
     assert stats.agg(F.sum("members_past_cap")).first()[0] == 0
+
+
+def test_extract_features_empty_and_null_payload(spark):
+    """Empty and NULL payloads must both take the chr(0) seed branch the
+    media_features_md5 oracle replays (md5 of a single NUL byte), and
+    all three rows must produce the full fixed-width vector."""
+    import hashlib
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b""), None),
+            (2, "audio", None, None),
+            (3, "video", bytearray(b"xyz"), None),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in MM.extract_features(media, dim=16).collect()}
+    assert all(len(rows[i]["embedding"]) == 16 for i in (1, 2, 3))
+    want = [b / 255.0 - 0.5 for b in hashlib.md5(b"\x00").digest()]
+    for mid in (1, 2):
+        got = rows[mid]["embedding"]
+        assert got == [pytest.approx(v, abs=1e-6) for v in want]
+    assert rows[3]["embedding"] != rows[1]["embedding"]
