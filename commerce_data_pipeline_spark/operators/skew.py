@@ -25,12 +25,17 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def key_skew_profile(df: DataFrame, key: str | Column, top: int = 20) -> DataFrame:
-    """Top-N heaviest keys with absolute counts and share of total rows."""
+    """Top-N heaviest keys with absolute counts and share of total rows.
+
+    The total is a composed 1-row aggregate broadcast into the plan — one
+    job, no separate count() action scanning the input twice."""
     k = F.col(key) if isinstance(key, str) else key
     counts = df.groupBy(k.alias("key")).agg(F.count(F.lit(1)).alias("n"))
-    total = df.count()
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("_total"))
     return (
-        counts.withColumn("share", F.col("n") / F.lit(float(total)))
+        counts.join(F.broadcast(total))
+        .withColumn("share", F.col("n") / F.col("_total"))
+        .drop("_total")
         .orderBy(F.desc("n"), F.asc("key"))
         .limit(top)
     )
