@@ -50,10 +50,15 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (
-        set(sys.argv[1:2]) - {sf_dir} or None
-    )
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
+    only = set(argv[1:]) if len(argv) > 1 else (set(argv[:1]) - {sf_dir} or None)
+    results: dict[str, dict] = {}
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
@@ -73,11 +78,16 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "fail", "err": f"spark: {e}"[:300]}
             failures += 1
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"ok?  {name}: rows-only check, {len(srows)} rows ({t_spark:.1f}s)")
+            results[name] = {
+                "status": "rows_only", "rows": len(srows),
+                "spark_sec": round(t_spark, 1),
+            }
             continue
         try:
             rel = con.sql(oracles[name])
@@ -85,6 +95,7 @@ def main() -> int:
             orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"status": "fail", "err": f"duckdb: {e}"[:300]}
             failures += 1
             continue
         problems = []
@@ -107,10 +118,33 @@ def main() -> int:
                     print(f"  oracle-only: {d}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} ({t_spark:.1f}s)")
+            results[name] = {"status": "fail", "err": "; ".join(problems)[:300]}
             failures += 1
         else:
             print(f"PASS {name}: {len(srows)} rows ({t_spark:.1f}s)")
+            results[name] = {
+                "status": "pass", "rows": len(srows), "spark_sec": round(t_spark, 1),
+            }
     print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+    if json_out:
+        import json
+
+        by_status = lambda s: sum(1 for r in results.values() if r["status"] == s)
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "summary": {
+                        "sf_dir": sf_dir,
+                        "total": len(results),
+                        "pass": by_status("pass"),
+                        "rows_only": by_status("rows_only"),
+                        "fail": by_status("fail"),
+                    },
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
     return 1 if failures else 0
 
 
