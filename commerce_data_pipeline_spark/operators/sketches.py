@@ -11,9 +11,10 @@ these (documented in __spark_entry__.oracle_sql).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def approx_distinct(df: DataFrame, col: str, rsd: float = 0.01, group_by: Sequence[str] = ()) -> DataFrame:
@@ -34,6 +35,83 @@ def approx_quantiles(
     if group_by:
         return df.groupBy(*group_by).agg(agg)
     return df.agg(agg)
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame, col: str, k: int = 30, capacity: int | None = None
+) -> DataFrame:
+    """EXACT φ=1/k heavy hitters (keys with count > N/k) over a
+    high-cardinality key, without ever shuffling the full distinct-key
+    space: a bounded-memory Misra–Gries candidate pass followed by an
+    exact verification pass over the candidates only.
+
+    `frequent_items` is the right default for moderate-cardinality keys —
+    its groupBy-count shuffles one row per DISTINCT key. At 100 TB with
+    billions of distinct keys (URLs, user ids, n-grams) that shuffle IS
+    the cost; this operator replaces it with:
+
+      1. CANDIDATES — per-partition Misra–Gries with `capacity` counters
+         (default 4k), batch-decrement form, via one `mapInPandas` pass:
+         per Arrow batch, vectorized value_counts are merged into the
+         counter table; when it exceeds `capacity` the (capacity+1)-th
+         largest count is subtracted from every counter and non-positive
+         counters dropped. MG summaries are mergeable with exactly this
+         batch decrement (Agarwal et al., "Mergeable Summaries", PODS'12)
+         and guarantee every key with partition count > n_p/(capacity+1)
+         survives. Pigeonhole over partitions: a key with GLOBAL count
+         > N/k must have count > n_p/k in at least one partition (else
+         summing the per-partition bounds gives ≤ N/k), and capacity ≥ k
+         makes n_p/k ≥ n_p/(capacity+1) — so the union of partition
+         survivors is a SUPERSET of the true heavy hitters. At most
+         `partitions × capacity` candidate rows leave the executors.
+      2. VERIFY — exact counts of the candidate keys only: broadcast
+         semi-join (candidates are small by construction) + one keyed
+         groupBy whose map-side partial aggregation collapses each heavy
+         key before the shuffle. The N/k threshold is a cross-joined
+         scalar aggregate composed into the plan (no eager count action).
+
+    Because step 1 yields a superset and step 2 is exact, the output is
+    EXACTLY the true heavy-hitter set with exact counts — deterministic
+    and SQL-oracle-checkable (`GROUP BY ... HAVING count(*) > N/k`),
+    unlike raw sketch outputs. NULL keys are excluded (both engines,
+    documented contract). Returns (col, cnt), cnt exact.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cap = capacity if capacity is not None else 4 * k
+    if cap < k:
+        raise ValueError("capacity must be >= k for the superset guarantee")
+    rows = df.select(F.col(col)).filter(F.col(col).isNotNull())
+    field = rows.schema[col]
+    cand_schema = StructType([StructField(col, field.dataType, False)])
+
+    def _mg(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counters = pd.Series(dtype="float64")
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > cap:
+                dec = counters.nlargest(cap + 1).iloc[-1]
+                counters = counters[counters > dec] - dec
+        if len(counters):  # empty partitions yield nothing (an empty
+            # Series carries a RangeIndex whose int64 dtype would clash
+            # with non-numeric key schemas at the Arrow boundary)
+            yield pd.DataFrame({col: counters.index})
+
+    candidates = rows.mapInPandas(_mg, schema=cand_schema).distinct()
+    verified = (
+        rows.join(F.broadcast(candidates), on=col, how="leftsemi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = rows.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        verified.crossJoin(total)
+        .filter(F.col("cnt") * k > F.col("_total"))
+        .select(col, "cnt")
+    )
 
 
 def frequent_items(df: DataFrame, col: str, min_share: float = 0.01, k: int = 20) -> DataFrame:

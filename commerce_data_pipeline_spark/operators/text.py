@@ -357,6 +357,100 @@ def winnow_pairs(
     )
 
 
+def dup_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated n-gram SPAN detection — the exact-substring
+    dedup shape from Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022): find every position where a run of
+    `n` consecutive tokens also occurs in at least `min_docs - 1` OTHER
+    documents, then merge overlapping/adjacent duplicated windows into
+    maximal per-document spans. Winnowing (`winnow_fingerprints`) answers
+    "which documents overlap"; this answers "WHICH TOKEN RANGES are
+    duplicated" — the spans a training pipeline actually cuts out.
+
+    Pipeline (all built-ins):
+      1. tokenize (whitespace over normalized text, the repo-wide
+         convention shared with every text oracle);
+      2. hash each n-token window with one codegen'd xxhash64 — windows
+         never shuffle as strings, only as (id, pos, 8-byte hash) rows;
+      3. duplicated window values = hashes seen in ≥ `min_docs` distinct
+         docs (one keyed count-distinct aggregation);
+      4. mark positions via a hash-keyed semi-join;
+      5. gaps-and-islands merge per document (window function partitioned
+         by doc — no global sort): span = [min_pos, max_pos + n - 1].
+
+    Returns (doc_id, start_tok, end_tok, n_dup_windows); positions are
+    1-based token indices, end inclusive.
+
+    Scale: every stage is linear in total token count — unlike pair
+    expansion there is NO quadratic step, so no frequency cap is needed:
+    an all-duplicate corpus marks every position and the output stays
+    linear. The two shuffles (hash agg, islands agg) are keyed on the
+    window hash / doc id. Cross-engine note: the SQL oracle groups on the
+    literal window TEXT; xxhash64 grouping is identical up to 64-bit hash
+    collisions (~2^-64 per window pair — deterministic data, so a
+    collision would be stable and visible, never flaky).
+
+    Docs with fewer than `n` tokens emit no windows. Within-doc repeats
+    alone do not qualify a window (`count(DISTINCT doc)` — boilerplate
+    repeated inside ONE doc is `text_repetition`'s job), but once a window
+    qualifies, ALL its positions in every member doc are marked.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    # Staged projection with a nondeterministic barrier: without it
+    # CollapseProject inlines the normalize-regex + split into every
+    # window's slice — O(len·n) regex evaluations per doc (same trap and
+    # fix as winnow_fingerprints / minhash_signature).
+    toks = df.select(
+        F.col(id_col),
+        F.split(normalized_text(text_col), " ").alias("_tk"),
+        F.monotonically_increasing_id().alias("_mb0"),
+    )
+    tk = F.col("_tk")
+    n_win = F.greatest(F.size(tk) - (n - 1), F.lit(0))
+    win_idx = F.when(n_win > 0, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                win_idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(F.array_join(F.slice(tk, i, n), " ")).alias("h"),
+                ),
+            )
+        ).alias("_w"),
+    ).select(F.col(id_col), F.col("_w.pos").alias("pos"), F.col("_w.h").alias("h"))
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    marked = wins.join(dup_h, "h", "leftsemi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = marked.withColumn("_g", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("end_tok"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+        .select(F.col(id_col), "start_tok", "end_tok", "n_dup_windows")
+    )
+
+
 def profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Full text-analysis profile: one map-only pass over the corpus."""
     return df.select(

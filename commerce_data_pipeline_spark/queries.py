@@ -30,7 +30,16 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from commerce_data_pipeline_spark.catalog import load_table
-from commerce_data_pipeline_spark.operators import corpus, dedup, multimodal, similarity, temporal, text
+from commerce_data_pipeline_spark.operators import (
+    corpus,
+    dedup,
+    linkage,
+    multimodal,
+    similarity,
+    sketches,
+    temporal,
+    text,
+)
 from commerce_data_pipeline_spark.operators.analytics import (
     attribution,
     funnel,
@@ -2999,6 +3008,96 @@ FROM p GROUP BY id_a, id_b HAVING COUNT(*) >= 4
 """
 
 
+def _q_dup_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """X4×X1 — cross-document repeated 8-gram SPANS (exact-substring dedup,
+    Lee et al. ACL 2022 shape): maximal token ranges whose every 8-token
+    window also occurs in ≥ 2 distinct documents. The corpus has natural
+    cross-doc repetition (small vocabulary), so this runs on the RAW
+    documents table — no doubling needed. Spark groups window hashes
+    (xxhash64, 8-byte shuffle rows); the oracle groups the window text
+    itself — identical equivalence classes barring 64-bit collisions."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return text.dup_ngram_spans(docs, n=8, min_docs=2)
+
+
+_O_DUP_NGRAM_SPANS = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+  FROM documents
+), wins AS (
+  SELECT doc_id, u.pos AS pos, array_to_string(tk[u.pos:u.pos+7], ' ') AS w
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS pos
+  ) u
+), dup AS (
+  SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM marked
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS start_tok,
+       CAST(MAX(pos) + 7 AS BIGINT) AS end_tok,
+       COUNT(*) AS n_dup_windows
+FROM isl GROUP BY doc_id, g
+"""
+
+
+def _q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """X6 — exact φ=1/30 heavy hitters over the corpus token stream via
+    the Misra–Gries candidate pass + exact verification (bounded-memory
+    candidate generation is the 100 TB path; the verified output is exact,
+    so the oracle is a plain GROUP BY ... HAVING count > N/30)."""
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(F.explode(text.words("text")).alias("word"))
+    return sketches.misra_gries_heavy_hitters(toks, "word", k=30)
+
+
+_O_HEAVY_HITTERS = """
+WITH w AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
+HAVING COUNT(*) * 30 > (SELECT COUNT(*) FROM w)
+"""
+
+
+def _q_fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Linkage — blocked fuzzy (Levenshtein ≤ 2) matching over part names,
+    blocked on (first token, token count); aggregated to (dist, n_pairs)
+    so the result stays scale-independent while the full pair table is
+    computed (pair-level semantics pinned in tests/test_linkage.py). The
+    oracle replays the identical blocking, the ≤1024 deterministic
+    truncation contract, and ANSI levenshtein."""
+    part = load_table(spark, sf, "part").select("p_partkey", "p_name")
+    pairs = linkage.blocked_edit_pairs(part, "p_partkey", "p_name", max_dist=2)
+    return pairs.groupBy("dist").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+_O_FUZZY_NAME_PAIRS = """
+WITH named AS (
+  SELECT p_partkey AS id, trim(regexp_replace(lower(p_name), '\\s+', ' ', 'g')) AS nm
+  FROM part
+), blocked AS (
+  SELECT id, nm, string_split(nm, ' ')[1] AS b1, len(string_split(nm, ' ')) AS b2
+  FROM named
+), kept AS (
+  SELECT id, nm, b1, b2 FROM blocked
+  QUALIFY row_number() OVER (PARTITION BY b1, b2 ORDER BY id, nm) <= 1024
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.nm, b.nm) AS dist
+  FROM kept a JOIN kept b ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.id < b.id
+)
+SELECT CAST(dist AS INTEGER) AS dist, COUNT(*) AS n_pairs
+FROM pairs WHERE dist <= 2 GROUP BY dist
+"""
+
+
 def _q_chunk_pack(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus — concat-then-chunk sequence packing into 512-token context
     windows per language stream: one running-sum window partitioned by
@@ -3741,20 +3840,21 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_lsh_md5": QuerySpec(_q_ann_lsh_md5, _ora_ann_lsh_md5(), "X3 RP-LSH ANN, md5-derived planes (oracle-checked)"),
     "ann_pq": QuerySpec(_q_ann_pq, _O_ANN_PQ, "X3 product-quantization ANN (ADC, deterministic codebooks)"),
     "ann_recall": QuerySpec(_q_ann_recall, _O_ANN_RECALL, "X3 measured recall@5 of IVF vs brute force"),
-    "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid)"),
     # -- checked window: sketches (X6) ----------------------------------------
     "sketch_accuracy": QuerySpec(_q_sketch_accuracy, _O_SKETCH_ACCURACY, "X6 sketch-vs-exact accuracy contract (HLL++ / GK quantile, falsifiable booleans)"),
+    "heavy_hitters": QuerySpec(_q_heavy_hitters, _O_HEAVY_HITTERS, "X6 exact heavy hitters via Misra-Gries candidates + exact verify"),
+    # -- checked window: record linkage ---------------------------------------
+    "fuzzy_name_pairs": QuerySpec(_q_fuzzy_name_pairs, _O_FUZZY_NAME_PAIRS, "linkage: blocked Levenshtein fuzzy matching (dist histogram)"),
     # -- checked window: text analysis (X4) -----------------------------------
     "text_stats": QuerySpec(_q_text_stats, _O_TEXT_STATS, "X4 corpus token stats"),
-    "text_fingerprints": QuerySpec(_q_text_fingerprints, _O_TEXT_FINGERPRINTS, "X4 fingerprint + token counts"),
     "text_profile": QuerySpec(_q_text_profile, _O_TEXT_PROFILE, "X4 lang-ID + quality scoring"),
     "text_repetition": QuerySpec(_q_text_repetition, _O_TEXT_REPETITION, "corpus: C4/Gopher repetition quality signals"),
     "lm_quality": QuerySpec(_q_lm_quality, _O_LM_QUALITY, "X4/corpus: unigram-LM typicality + OOV scoring (perplexity proxy)"),
     "winnow": QuerySpec(_q_winnow, _O_WINNOW, "X4 winnowing (MOSS) k-gram fingerprint sets"),
     "winnow_pairs": QuerySpec(_q_winnow_pairs, _O_WINNOW_PAIRS, "X4×X2 winnow-fingerprint near-dup candidate pairs"),
+    "dup_ngram_spans": QuerySpec(_q_dup_ngram_spans, _O_DUP_NGRAM_SPANS, "X4×X1 repeated n-gram spans (exact-substring dedup, Lee et al. shape)"),
     # -- checked window: corpus shaping (LLM training-data pipeline) ----------
     "stratified_sample": QuerySpec(_q_stratified_sample, _O_STRATIFIED_SAMPLE, "corpus: deterministic per-stratum hash sampling"),
-    "fixed_size_sample": QuerySpec(_q_fixed_size_sample, _O_FIXED_SIZE_SAMPLE, "corpus: exactly-k-per-stratum bottom-k-hash sample"),
     "corpus_split": QuerySpec(_q_corpus_split, _O_CORPUS_SPLIT, "corpus: deterministic train/val/test split summary"),
     "contamination": QuerySpec(_q_contamination, _O_CONTAMINATION, "corpus: benchmark n-gram contamination scan"),
     "corpus_mix": QuerySpec(_q_corpus_mix, _O_CORPUS_MIX, "corpus: quality-quota mixing (top-k per group)"),
@@ -3785,6 +3885,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "streaming_daily_counts": QuerySpec(_q_streaming_daily_counts, _O_STREAMING_DAILY_COUNTS, "streaming tumbling-window agg (batch parity)"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
+    "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),
+    "text_fingerprints": QuerySpec(_q_text_fingerprints, _O_TEXT_FINGERPRINTS, "X4 fingerprint + token counts (rotated past 50 in r5, oracle unchanged)"),
+    "fixed_size_sample": QuerySpec(_q_fixed_size_sample, _O_FIXED_SIZE_SAMPLE, "corpus: exactly-k-per-stratum bottom-k-hash sample (rotated past 50 in r5, oracle unchanged)"),
     "session_windows": QuerySpec(_q_session_windows, _O_SESSION_WINDOWS, "streaming session_window (batch parity)"),
     "ann_ivf_indexed": QuerySpec(_q_ann_ivf_indexed, _O_ANN_IVF, "X3 ANN from persisted IVF index (same oracle as in-window ann_ivf)"),
     "audio_windows": QuerySpec(_q_audio_windows, _O_AUDIO_WINDOWS, "X5 overlapping audio windows (same sequence+explode shape as in-window frame_sample)"),

@@ -28,21 +28,24 @@ FAMILY_PROOFS = {
     "ann_lsh_md5",
     "ann_pq",
     "ann_recall",
-    "ivf_profile",
     # X6 sketches (oracle-bearing accuracy contract; raw approx_* queries are
     # rows-only and live past 50, accuracy pinned by tests/test_sketches.py)
     "sketch_accuracy",
-    # X4 text
+    "heavy_hitters",
+    # record linkage (r5)
+    "fuzzy_name_pairs",
+    # X4 text (r5: ivf_profile/text_fingerprints/fixed_size_sample rotated
+    # past 50 — oracle-green in selfcheck, families still proven in-window —
+    # to make room for the three new-family proofs)
     "text_stats",
-    "text_fingerprints",
     "text_profile",
     "text_repetition",
     "lm_quality",
     "winnow",
     "winnow_pairs",
+    "dup_ngram_spans",
     # corpus shaping
     "stratified_sample",
-    "fixed_size_sample",
     "corpus_split",
     "contamination",
     "corpus_mix",

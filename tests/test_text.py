@@ -155,3 +155,55 @@ def test_winnow_xxhash_fast_path_same_shape(spark):
     a = X.winnow_fingerprints(df, k=5, w=4, hash_fn="xxhash64").collect()
     b = X.winnow_fingerprints(df, k=5, w=4, hash_fn="xxhash64").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+
+
+# ---- dup_ngram_spans (cross-document repeated n-gram spans, r5) ----------
+
+def _spans(spark, texts, **kw):
+    rows = X.dup_ngram_spans(_docs(spark, texts), **kw).collect()
+    return {(r.doc_id, r.start_tok, r.end_tok): r.n_dup_windows for r in rows}
+
+
+def test_dup_spans_shared_run_merges_adjacent_windows(spark):
+    # docs share the 5-token run "a b c d e" → three 3-gram windows each,
+    # merged into ONE maximal span per doc
+    got = _spans(
+        spark,
+        ["a b c d e x y z", "q q a b c d e q"],
+        n=3,
+    )
+    assert got == {(0, 1, 5): 3, (1, 3, 7): 3}
+
+
+def test_dup_spans_two_separate_runs_stay_separate(spark):
+    # shared runs at the start and end of doc 0, gap in the middle
+    got = _spans(
+        spark,
+        ["a b c GAP1 GAP2 x y z", "a b c OTHER x y z"],
+        n=3,
+    )
+    assert got == {
+        (0, 1, 3): 1, (0, 6, 8): 1,
+        (1, 1, 3): 1, (1, 5, 7): 1,
+    }
+
+
+def test_dup_spans_within_doc_repeats_do_not_qualify(spark):
+    # "m n o" repeats inside ONE doc only → count(DISTINCT doc) = 1 → no rows
+    assert _spans(spark, ["m n o p m n o p", "totally different words here"], n=3) == {}
+
+
+def test_dup_spans_short_docs_emit_nothing(spark):
+    assert _spans(spark, ["a b", "a b"], n=3) == {}
+
+
+def test_dup_spans_exact_dup_docs_whole_doc_span(spark):
+    got = _spans(spark, ["one two three four five", "one two three four five"], n=3)
+    assert got == {(0, 1, 5): 3, (1, 1, 5): 3}
+
+
+def test_dup_spans_n_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        X.dup_ngram_spans(_docs(spark, ["x"]), n=0)
