@@ -3068,33 +3068,42 @@ HAVING COUNT(*) * 30 > (SELECT COUNT(*) FROM w)
 
 
 def _q_fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Linkage — blocked fuzzy (Levenshtein ≤ 2) matching over part names,
-    blocked on (first token, token count); aggregated to (dist, n_pairs)
-    so the result stays scale-independent while the full pair table is
-    computed (pair-level semantics pinned in tests/test_linkage.py). The
-    oracle replays the identical blocking, the ≤1024 deterministic
-    truncation contract, and ANSI levenshtein."""
-    part = load_table(spark, sf, "part").select("p_partkey", "p_name")
-    pairs = linkage.blocked_edit_pairs(part, "p_partkey", "p_name", max_dist=2)
-    return pairs.groupBy("dist").agg(F.count(F.lit(1)).alias("n_pairs"))
+    """Linkage — fuzzy (Levenshtein ≤ 2) entity resolution over part
+    names via the canonicalize-first form: exact duplicates collapse to
+    (name, n) BEFORE any comparison, blocked matching runs over the
+    distinct names only (64 at sf0.1, vs 20k records — a 10⁵× pair
+    reduction), and record-pair multiplicities are recovered
+    arithmetically. Aggregated to (dist, n_pairs) over RECORD pairs;
+    pair-level semantics pinned in tests/test_linkage.py. The oracle
+    replays the identical normalization, blocking, ≤4096 truncation
+    contract, ANSI levenshtein, and the C(n,2)/n_a·n_b arithmetic."""
+    part = load_table(spark, sf, "part").select("p_name")
+    matches = linkage.fuzzy_name_match(part, "p_name", max_dist=2)
+    return matches.groupBy("dist").agg(
+        F.sum("n_record_pairs").alias("n_pairs")
+    )
 
 
 _O_FUZZY_NAME_PAIRS = """
-WITH named AS (
-  SELECT p_partkey AS id, trim(regexp_replace(lower(p_name), '\\s+', ' ', 'g')) AS nm
-  FROM part
+WITH grp AS (
+  SELECT trim(regexp_replace(lower(p_name), '\\s+', ' ', 'g')) AS nm, COUNT(*) AS n
+  FROM part GROUP BY 1
 ), blocked AS (
-  SELECT id, nm, string_split(nm, ' ')[1] AS b1, len(string_split(nm, ' ')) AS b2
-  FROM named
+  SELECT nm, n, string_split(nm, ' ')[1] AS b1, len(string_split(nm, ' ')) AS b2
+  FROM grp
 ), kept AS (
-  SELECT id, nm, b1, b2 FROM blocked
-  QUALIFY row_number() OVER (PARTITION BY b1, b2 ORDER BY id, nm) <= 1024
-), pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.nm, b.nm) AS dist
-  FROM kept a JOIN kept b ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.id < b.id
+  SELECT nm, n, b1, b2 FROM blocked
+  QUALIFY row_number() OVER (PARTITION BY b1, b2 ORDER BY nm) <= 4096
+), cross_p AS (
+  SELECT levenshtein(a.nm, b.nm) AS dist, a.n * b.n AS np
+  FROM kept a JOIN kept b ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.nm < b.nm
+), allp AS (
+  SELECT dist, np FROM cross_p WHERE dist <= 2
+  UNION ALL
+  SELECT 0 AS dist, n * (n - 1) // 2 AS np FROM grp WHERE n >= 2
 )
-SELECT CAST(dist AS INTEGER) AS dist, COUNT(*) AS n_pairs
-FROM pairs WHERE dist <= 2 GROUP BY dist
+SELECT CAST(dist AS INTEGER) AS dist, CAST(SUM(np) AS BIGINT) AS n_pairs
+FROM allp GROUP BY dist
 """
 
 

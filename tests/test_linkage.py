@@ -85,3 +85,60 @@ def test_levenshtein_matches_duckdb_reference(spark):
         for a, b in cases
     ]
     assert spark_d == duck_d
+
+
+# ---- fuzzy_name_match: canonicalize-first entity resolution --------------
+
+def _matches(spark, names, **kw):
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    rows = linkage.fuzzy_name_match(df, "name", **kw).collect()
+    return {(r.name_a, r.name_b): (r.dist, r.n_record_pairs) for r in rows}
+
+
+def test_fuzzy_match_within_group_pair_arithmetic(spark):
+    # 4 identical records → C(4,2) = 6 record pairs at dist 0
+    got = _matches(spark, ["red widget"] * 4)
+    assert got == {("red widget", "red widget"): (0, 6)}
+
+
+def test_fuzzy_match_cross_group_multiplicity(spark):
+    # 3 × "red widget" and 2 × "red widgat" (dist 1) → 3·2 = 6 cross
+    # record pairs, plus C(3,2)=3 and C(2,2)=1 within-group pairs
+    got = _matches(spark, ["red widget"] * 3 + ["red widgat"] * 2)
+    assert got == {
+        ("red widgat", "red widget"): (1, 6),
+        ("red widget", "red widget"): (0, 3),
+        ("red widgat", "red widgat"): (0, 1),
+    }
+
+
+def test_fuzzy_match_singletons_emit_no_self_rows(spark):
+    got = _matches(spark, ["red widget", "blue bolt"])
+    assert got == {}  # different blocks, no duplicates
+
+
+def test_fuzzy_match_distance_filter(spark):
+    got = _matches(spark, ["red ring", "red rings", "red gizmo"], max_dist=1)
+    assert got == {("red ring", "red rings"): (1, 1)}
+
+
+def test_fuzzy_match_agrees_with_record_level_histogram(spark):
+    """The canonicalize-first histogram must equal the exhaustive
+    record-level histogram (blocked_edit_pairs with no truncation) when
+    blocks are identical — the arithmetic is a pure refactoring."""
+    names = (
+        ["red widget"] * 3 + ["red widgat"] * 2 + ["red ring"] * 2
+        + ["blue bolt"] * 2 + ["blue bolts"]
+    )
+    df = spark.createDataFrame(list(enumerate(names)), ["id", "name"])
+    rec = (
+        linkage.blocked_edit_pairs(df, "id", "name", max_dist=2, max_block=None)
+        .groupBy("dist").count()
+    )
+    rec_hist = {r.dist: r["count"] for r in rec.collect()}
+    agg = (
+        linkage.fuzzy_name_match(df.select("name"), "name", max_dist=2, max_block=None)
+        .groupBy("dist").sum("n_record_pairs")
+    )
+    name_hist = {r.dist: r["sum(n_record_pairs)"] for r in agg.collect()}
+    assert rec_hist == name_hist and rec_hist
