@@ -64,11 +64,15 @@ def misra_gries_heavy_hitters(
          makes n_p/k ≥ n_p/(capacity+1) — so the union of partition
          survivors is a SUPERSET of the true heavy hitters. At most
          `partitions × capacity` candidate rows leave the executors.
-      2. VERIFY — exact counts of the candidate keys only: broadcast
-         semi-join (candidates are small by construction) + one keyed
-         groupBy whose map-side partial aggregation collapses each heavy
-         key before the shuffle. The N/k threshold is a cross-joined
-         scalar aggregate composed into the plan (no eager count action).
+      2. VERIFY — exact counts of the candidate keys AND the total N in
+         the same pass: a broadcast left-join marks candidate rows, and
+         one keyed groupBy on `candidate ? key : NULL` counts every
+         candidate exactly while all non-candidate rows collapse into the
+         NULL group (map-side partial aggregation reduces them to one row
+         per partition before the shuffle). N = sum over that tiny counts
+         table — a second aggregation over ≤ partitions×capacity+1 rows,
+         not a third pass over the data. The N/k threshold is composed
+         into the plan (no eager count action).
 
     Because step 1 yields a superset and step 2 is exact, the output is
     EXACTLY the true heavy-hitter set with exact counts — deterministic
@@ -101,16 +105,20 @@ def misra_gries_heavy_hitters(
             yield pd.DataFrame({col: counters.index})
 
     candidates = rows.mapInPandas(_mg, schema=cand_schema).distinct()
-    verified = (
-        rows.join(F.broadcast(candidates), on=col, how="leftsemi")
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    flagged = rows.join(
+        F.broadcast(candidates.withColumn("_is_cand", F.lit(True))),
+        on=col,
+        how="left",
     )
-    total = rows.agg(F.count(F.lit(1)).alias("_total"))
+    counts = flagged.groupBy(
+        F.when(F.col("_is_cand"), F.col(col)).alias("_k")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
     return (
-        verified.crossJoin(total)
+        counts.filter(F.col("_k").isNotNull())
+        .crossJoin(total)
         .filter(F.col("cnt") * k > F.col("_total"))
-        .select(col, "cnt")
+        .select(F.col("_k").alias(col), "cnt")
     )
 
 

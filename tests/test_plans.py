@@ -156,3 +156,36 @@ def test_ivf_profile_broadcasts_centroids(spark):
     df = REGISTRY["ivf_profile"].spark(spark, SF)
     plan = plans.formatted_plan(df)
     assert "BroadcastExchange" in plan  # centroid set never shuffle-joins
+
+
+def test_dup_ngram_spans_bounded_shuffles_and_pruned_scan(spark):
+    df = REGISTRY["dup_ngram_spans"].spark(spark, SF)
+    # window-hash agg, islands window, span agg — never more; every scan
+    # reads only (doc_id, text)
+    assert plans.num_shuffles(df) <= 3
+    for cols in plans.read_schema_columns(df):
+        assert set(cols) == {"doc_id", "text"}
+
+
+def test_heavy_hitters_broadcast_candidates_and_pruned_scan(spark):
+    df = REGISTRY["heavy_hitters"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    # the candidate set joins broadcast (bounded by partitions×capacity),
+    # never as a shuffle join; scans read only the key column
+    assert "BroadcastExchange" in plan
+    for cols in plans.read_schema_columns(df):
+        assert cols == ["text"]
+
+
+def test_fuzzy_name_pairs_distinct_name_space(spark):
+    df = REGISTRY["fuzzy_name_pairs"].spark(spark, SF)
+    # canonicalize-first: scans read only p_name; the duplicated
+    # groupBy(name) branches collapse to one exchange at runtime (AQE
+    # ReusedExchange — asserted post-execution)
+    for cols in plans.read_schema_columns(df):
+        assert cols == ["p_name"]
+    df.collect()
+    executed = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ReusedExchange" in executed

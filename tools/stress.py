@@ -37,6 +37,7 @@ SHIFT_COLS = {
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
+    "part": ["p_partkey"],
 }
 
 # linear-scaling candidates: keyed shuffles/windows/aggs (quadratic pair
@@ -92,6 +93,12 @@ STRESS_QUERIES = [
     "image_near_dup_md5",
     "media_features_md5",
     "epoch_shuffle",
+    # round 5: repeated-span dedup, MG heavy hitters, canonicalize-first
+    # fuzzy matching (all linear by design — spans have no pair stage,
+    # HH shuffles candidates only, fuzzy compares distinct names only)
+    "dup_ngram_spans",
+    "heavy_hitters",
+    "fuzzy_name_pairs",
 ]
 
 
@@ -109,6 +116,12 @@ def _salt_copy(name: str, df: DataFrame, i: int) -> DataFrame:
         return df.withColumn(
             "text", F.regexp_replace(F.col("text"), r"(\S+)", rf"$1x{i}")
         )
+    if name == "part" and "p_name" in df.columns:
+        # suffix the name per copy: distinct-name space grows K× (the
+        # canonicalize-first fuzzy matcher's real scale axis) while the
+        # within-copy duplicate structure is preserved; the extra token
+        # also makes cross-copy blocks disjoint
+        return df.withColumn("p_name", F.concat(F.col("p_name"), F.lit(f" x{i}")))
     if name == "embeddings" and "embedding" in df.columns:
         # circular-shift coordinates: norm and within-copy geometry are
         # invariant; cross-copy cosine drops to noise
