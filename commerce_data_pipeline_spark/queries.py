@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from commerce_data_pipeline_spark.catalog import load_table
 from commerce_data_pipeline_spark.operators import (
+    bloom,
     corpus,
     dedup,
     linkage,
@@ -2797,6 +2798,68 @@ FROM sh t LEFT JOIN hits h USING (doc_id)
 """
 
 
+def _q_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — Bloom-filter decontamination (the broadcast-bitmap variant
+    of `contamination`): benchmark shingles (doc_id % 37 = 0) are folded
+    into a fixed 16 KiB bit array whose membership test runs SCAN-SIDE as
+    higher-order functions over a literal array — the corpus side has zero
+    joins and zero shuffles, the shape that survives 100 TB vs a
+    multi-GB eval suite (exact string broadcast would not). The md5-derived
+    bit positions make the false positives themselves reproducible, so the
+    oracle replays the filter bit-for-bit (pos IN set-bits ≡ bit test).
+
+    Eager-action note (PLANS.md audit): `bloom_pack` collects the ≤ 2048
+    (word, bits) rows once per call — a fixed-size codebook collect, same
+    budget class as index.py's PQ codebook load."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    bits = bloom.bloom_pack(bloom.bloom_build(bench, shingle_n=3))
+    return bloom.bloom_contamination(docs, bits, shingle_n=3, threshold=0.5)
+
+
+_O_BLOOM_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, {_WS_SPLIT_SQL} AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct(list_transform(generate_series(1, len(words) - 2),
+             i -> array_to_string(words[i:i+2], ' ')))
+      ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 37 = 0
+), setbits AS (
+  -- the filter's set bits: k=3 md5-derived positions per benchmark shingle
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || b.s), 1, 15)) AS BIGINT)
+      % 131072 AS pos
+  FROM bench b, LATERAL unnest(generate_series(0, 2)) t(j)
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), shhit AS (
+  -- a shingle is a Bloom hit iff ALL k of its positions are set
+  SELECT e.doc_id, e.s,
+    SUM(CASE WHEN
+      CAST(('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || e.s), 1, 15)) AS BIGINT)
+        % 131072 IN (SELECT pos FROM setbits) THEN 1 ELSE 0 END) = 3 AS inb
+  FROM ex e, LATERAL unnest(generate_series(0, 2)) t(j)
+  GROUP BY e.doc_id, e.s
+), agg AS (
+  SELECT doc_id, SUM(CASE WHEN inb THEN 1 ELSE 0 END) AS n_hits
+  FROM shhit GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(len(t.shingles) AS BIGINT) AS n_shingles,
+  CAST(COALESCE(a.n_hits, 0) AS BIGINT) AS n_bloom_hits,
+  CAST(FLOOR(CAST(COALESCE(a.n_hits, 0) AS DOUBLE)
+       / GREATEST(len(t.shingles), 1) * 1000000) AS BIGINT) AS hit_e6,
+  (CAST(COALESCE(a.n_hits, 0) AS DOUBLE) / GREATEST(len(t.shingles), 1)) >= 0.5
+    AS flagged
+FROM sh t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus — quality-quota mixing: at most 3 docs per (lang, source),
     best quality first (tie-break doc_id). Ordering uses the e4-floored
@@ -3947,6 +4010,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "price_percentiles": QuerySpec(_q_price_percentiles, _O_PRICE_PERCENTILES, "exact interpolated percentiles"),
     "journey_transitions": QuerySpec(_q_journey_transitions, _O_JOURNEY_TRANSITIONS, "G2 journey transition matrix"),
     "time_to_convert": QuerySpec(_q_time_to_convert, _O_TIME_TO_CONVERT, "G1/G3 conversion latency histogram"),
+    "bloom_decontaminate": QuerySpec(_q_bloom_decontaminate, _O_BLOOM_DECONTAMINATE, "corpus: Bloom-filter decontamination (broadcast bitmap, scan-side membership)"),
 }
 
 
