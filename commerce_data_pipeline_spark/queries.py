@@ -36,6 +36,7 @@ from commerce_data_pipeline_spark.operators import (
     dedup,
     linkage,
     multimodal,
+    search,
     similarity,
     sketches,
     temporal,
@@ -2860,6 +2861,56 @@ FROM sh t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Search — BM25 top-25 for query terms (dup, vector, spark): the
+    lexical-relevance ranking a data-selection / decontamination-review
+    pass runs against a benchmark's terms. Corpus-sized work is one thin
+    (doc_id, term) shuffle AFTER a map-side isin filter to the 3 query
+    terms; df and the (N, total-token) scalars broadcast; top-k lowers to
+    TakeOrderedAndProject. Per-term scores are e6-floored BEFORE the
+    per-doc sum, so the hash-compared score is an order-independent
+    integer sum (see operators/search.py determinism contract)."""
+    docs = load_table(spark, sf, "documents")
+    return search.bm25_topk(docs, ["dup", "vector", "spark"], k=25)
+
+
+_O_BM25_SEARCH = f"""
+WITH base AS (
+  SELECT doc_id, {_WS_SPLIT_SQL} AS words FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM base
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) AS total_tokens FROM dl
+), tok AS (
+  SELECT b.doc_id, unnest(b.words) AS term FROM base b
+), tf AS (
+  SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok t WHERE t.term IN ('dup', 'vector', 'spark')
+  GROUP BY t.doc_id, t.term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  -- fixed expression tree, identical association to search.bm25_scores:
+  -- floor(1e6 · idf · tf_sat) per (doc, term) — integer before the sum
+  SELECT f.doc_id,
+    CAST(FLOOR(
+      ln(1.0 + ((s.n_docs - d.df + 0.5) / (d.df + 0.5)))
+      * ((f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75
+           * (CAST(l.dl AS DOUBLE) / (s.total_tokens / s.n_docs)))))
+      * 1000000.0) AS BIGINT) AS term_score_e6
+  FROM tf f JOIN dfreq d USING (term) JOIN dl l ON l.doc_id = f.doc_id, stats s
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(term_score_e6) AS BIGINT) AS score_e6
+  FROM scored GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_terms, l.dl, a.score_e6
+FROM agg a JOIN dl l USING (doc_id)
+ORDER BY a.score_e6 DESC, a.doc_id ASC LIMIT 25
+"""
+
+
 def _q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus — quality-quota mixing: at most 3 docs per (lang, source),
     best quality first (tie-break doc_id). Ordering uses the e4-floored
@@ -4011,6 +4062,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "journey_transitions": QuerySpec(_q_journey_transitions, _O_JOURNEY_TRANSITIONS, "G2 journey transition matrix"),
     "time_to_convert": QuerySpec(_q_time_to_convert, _O_TIME_TO_CONVERT, "G1/G3 conversion latency histogram"),
     "bloom_decontaminate": QuerySpec(_q_bloom_decontaminate, _O_BLOOM_DECONTAMINATE, "corpus: Bloom-filter decontamination (broadcast bitmap, scan-side membership)"),
+    "bm25_search": QuerySpec(_q_bm25_search, _O_BM25_SEARCH, "search: BM25 keyword top-k retrieval"),
 }
 
 
