@@ -141,3 +141,90 @@ def band_join(
         <= band_us
     )
     return l.join(r, on=[on, "_cell"]).filter(within).drop("_cell")
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "hour",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-series resampling with forward fill (last observation carried
+    forward): one row per (key, bucket) for EVERY `unit` bucket in the
+    corpus's global [min, max] time span — gaps included — carrying the
+    most recent observed value at or before that bucket.
+
+    The gap-filling shape every metrics/feature store needs (downsampling
+    an event stream into a dense per-key series) and one Spark has no
+    built-in for (pandas .resample().ffill() — but distributed).
+
+    Semantics (deterministic, oracle-replayable):
+    - bucket = date_trunc(unit, ts); per (key, bucket) the picked
+      observation is the row with max (ts, id) — a total order, so ties
+      cannot flip the pick. n_obs counts the bucket's rows.
+    - The grid is the GLOBAL bucket span (one scalar min/max aggregate,
+      broadcast) crossed with the distinct key set, so every key gets the
+      same dense time axis; buckets before a key's first observation stay
+      NULL (no backfill), `is_observed` distinguishes filled from real.
+    - Forward fill = last(value, ignorenulls) over a per-key window
+      ordered by bucket.
+
+    Scale shape: the corpus-sized work is ONE shuffle — the (key, bucket)
+    window that picks the last observation (count + row_number share the
+    same window spec, so Spark runs them in one pass). The grid is
+    |keys| × |buckets| rows (tiny next to the raw events: that ratio IS
+    the downsampling), built executor-side via sequence+explode from the
+    broadcast scalar span, joined to the picked observations on
+    (key, bucket), then forward-filled per key. Nothing global sorts; the
+    per-key window is bounded by the bucket count, not the event count.
+
+    Output: key, bucket_s (epoch seconds BIGINT — the repo-wide
+    timestamp-output rule), value_ffill, n_obs, is_observed.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    w_pick = Window.partitionBy(key_col, "_bucket").orderBy(
+        F.desc(ts_col), F.desc(id_col)
+    )
+    obs = (
+        df.select(F.col(key_col), bucket.alias("_bucket"), F.col(ts_col), F.col(id_col), F.col(value_col))
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .withColumn("_n_obs", F.count(F.lit(1)).over(w_pick.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(key_col),
+            "_bucket",
+            F.col(value_col).alias("_v"),
+            F.col("_n_obs").cast("long").alias("n_obs"),
+        )
+    )
+    span = df.agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("_lo"),
+        F.date_trunc(unit, F.max(ts_col)).alias("_hi"),
+    )
+    keys = df.select(key_col).distinct()
+    grid = (
+        keys.crossJoin(F.broadcast(span))
+        .select(
+            F.col(key_col),
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"interval 1 {unit}"))
+            ).alias("_bucket"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy(key_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, on=[key_col, "_bucket"], how="left")
+        .select(
+            F.col(key_col),
+            F.unix_timestamp(F.col("_bucket")).cast("long").alias("bucket_s"),
+            F.last("_v", ignorenulls=True).over(w_fill).alias("value_ffill"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.col("_v").isNotNull().alias("is_observed"),
+        )
+    )

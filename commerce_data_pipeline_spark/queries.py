@@ -2861,6 +2861,47 @@ FROM sh t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _q_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal — hourly resample + forward fill of the event stream per
+    event_type: a dense (key × hour) series over the corpus's global span,
+    gaps carrying the last observed value (see temporal.resample_ffill for
+    the single-shuffle scale shape). The downsampling every metrics store
+    runs; 5 keys × ~720 hourly buckets regardless of event volume."""
+    ev = load_table(spark, sf, "events")
+    return temporal.resample_ffill(
+        ev, key_col="event_type", ts_col="ts", value_col="value", unit="hour"
+    )
+
+
+_O_RESAMPLE_FFILL = """
+WITH obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type, date_trunc('hour', ts)) AS n_obs
+  FROM events
+), picked AS (
+  SELECT event_type, bucket, value AS v, n_obs FROM obs WHERE rn = 1
+), span AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+), grid AS (
+  SELECT k.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) k, span s,
+       LATERAL unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS g(bucket)
+)
+SELECT g.event_type,
+  CAST(epoch(g.bucket) AS BIGINT) AS bucket_s,
+  LAST_VALUE(p.v IGNORE NULLS) OVER (
+    PARTITION BY g.event_type ORDER BY g.bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+  CAST(COALESCE(p.n_obs, 0) AS BIGINT) AS n_obs,
+  (p.v IS NOT NULL) AS is_observed
+FROM grid g LEFT JOIN picked p
+  ON p.event_type = g.event_type AND p.bucket = g.bucket
+"""
+
+
 def _q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     """Search — BM25 top-25 for query terms (dup, vector, spark): the
     lexical-relevance ranking a data-selection / decontamination-review
@@ -4063,6 +4104,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "time_to_convert": QuerySpec(_q_time_to_convert, _O_TIME_TO_CONVERT, "G1/G3 conversion latency histogram"),
     "bloom_decontaminate": QuerySpec(_q_bloom_decontaminate, _O_BLOOM_DECONTAMINATE, "corpus: Bloom-filter decontamination (broadcast bitmap, scan-side membership)"),
     "bm25_search": QuerySpec(_q_bm25_search, _O_BM25_SEARCH, "search: BM25 keyword top-k retrieval"),
+    "resample_ffill": QuerySpec(_q_resample_ffill, _O_RESAMPLE_FFILL, "temporal: hourly resample + forward fill (dense per-key series)"),
 }
 
 

@@ -87,3 +87,65 @@ def test_band_join_boundary_inclusive(spark):
     assert got == 1  # exactly 60 s apart → included
     got2 = temporal.band_join(a, b, on="k", band_seconds=59).count()
     assert got2 == 0
+
+
+# ---------------------------------------------------------------------------
+# resample_ffill
+# ---------------------------------------------------------------------------
+
+def _h(h, m=0, s=0):
+    return datetime(2024, 1, 1, h, m, s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, ["event_id", "event_type", "ts", "value"])
+
+
+def test_resample_ffill_fills_gaps(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "a", _h(10, 5), 1.0),
+            (2, "a", _h(13, 30), 4.0),  # hours 11,12 are gaps
+            (3, "b", _h(11, 0), 9.0),
+        ],
+    )
+    out = temporal.resample_ffill(ev, unit="hour")
+    rows = {(r["event_type"], r["bucket_s"]): r for r in out.collect()}
+    # global span 10:00..13:00 → 4 buckets × 2 keys
+    assert len(rows) == 8
+    h10 = int(_h(10).timestamp())
+    a = [rows[("a", h10 + 3600 * i)] for i in range(4)]
+    assert [r["value_ffill"] for r in a] == [1.0, 1.0, 1.0, 4.0]
+    assert [r["is_observed"] for r in a] == [True, False, False, True]
+    assert [r["n_obs"] for r in a] == [1, 0, 0, 1]
+    # key b: null before its first observation (no backfill), then carried
+    b = [rows[("b", h10 + 3600 * i)] for i in range(4)]
+    assert [r["value_ffill"] for r in b] == [None, 9.0, 9.0, 9.0]
+
+
+def test_resample_pick_is_last_by_ts_then_id(spark):
+    ev = _events(
+        spark,
+        [
+            (5, "a", _h(10, 0), 1.0),
+            (7, "a", _h(10, 59), 2.0),   # latest ts wins
+            (6, "a", _h(10, 59), 3.0),   # same ts, lower id loses
+        ],
+    )
+    row = temporal.resample_ffill(ev, unit="hour").collect()[0]
+    assert row["value_ffill"] == 2.0
+    assert row["n_obs"] == 3
+
+
+def test_resample_single_shuffle_for_observations(spark):
+    ev = _events(spark, [(1, "a", _h(10), 1.0), (2, "b", _h(11), 2.0)])
+    plan = (
+        temporal.resample_ffill(ev, unit="hour")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the count + row_number pick must share one window (no second
+    # corpus-sized exchange for n_obs)
+    assert plan.count("Window") <= 3  # pick window, fill window (+AQE reuse)
