@@ -415,3 +415,60 @@ def epoch_shuffle(
     return keyed.withColumn(
         "pos_in_bucket", F.row_number().over(w).cast("long")
     ).select(id_col, "bucket", "pos_in_bucket")
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target: int = 300,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source mixing (the T5 / Pile sampling rule):
+    sample each source s at a rate ∝ n_s^alpha / n_s, so low-resource
+    sources are up-weighted relative to proportional sampling (alpha=1 ≡
+    proportional, alpha=0 ≡ uniform across sources). `target` is the
+    expected total sample size.
+
+    Determinism contract: per-source weights are e6-floored integers
+    (w_e6 = floor(1e6·n_s^alpha)); the per-source keep-threshold is pure
+    BIGINT arithmetic — thr_e4 = min(10000, (target·w_e6·10000) div
+    (Σw_e6·n_s)) — and membership is the repo-wide md5 hash_bucket of the
+    doc id. No float sums anywhere, so an ANSI-SQL oracle lands on the
+    identical row set. alpha=0.5 computes n^alpha via sqrt (correctly
+    rounded IEEE in both engines); other alphas use pow and are
+    documented ±1ulp (harmless behind the e6 floor except adversarially).
+
+    Scale shape: source counts are one tiny groupBy (|sources| rows); the
+    thresholds broadcast-join back; the sample itself is a map-side
+    filter. The corpus never shuffles. BIGINT headroom: target·w_e6·1e4
+    overflows int64 only past n_s ≈ 1.7e9 docs per source at target 1e6 —
+    cast the numerator to DECIMAL(38,0) if a deployment exceeds that.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    if target < 1:
+        raise ValueError("target must be >= 1")
+    n = F.col("_n").cast("double")
+    n_alpha = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
+    w = (
+        docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .withColumn("_w_e6", F.floor(n_alpha * F.lit(1000000.0)).cast("long"))
+    )
+    tot = w.agg(F.sum("_w_e6").alias("_totw"))
+    thr = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            F.least(
+                F.lit(10000).cast("long"),
+                F.expr(f"({target} * _w_e6 * 10000) div (_totw * _n)"),
+            ).alias("thr_e4"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(thr), on=source_col)
+        .filter(hash_bucket(F.col(id_col), 10_000) < F.col("thr_e4"))
+        .select(F.col(id_col), F.col(source_col), F.col("thr_e4"))
+    )

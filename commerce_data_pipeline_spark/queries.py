@@ -2861,6 +2861,39 @@ FROM sh t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — temperature-based source mixing (T5/Pile rule, alpha=0.5):
+    per-source keep-rates ∝ sqrt(n_s)/n_s as pure BIGINT thresholds over
+    the md5 hash bucket — low-resource sources up-weighted, the corpus
+    never shuffles (counts groupBy + broadcast threshold join + map-side
+    filter). Expected total ≈ 300 docs at every scale factor's source
+    skew."""
+    docs = load_table(spark, sf, "documents")
+    return corpus.temperature_mix(docs, alpha=0.5, target=300)
+
+
+_O_TEMPERATURE_MIX = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+), w AS (
+  SELECT source, n,
+    CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_e6
+  FROM counts
+), tot AS (
+  SELECT SUM(w_e6) AS totw FROM w
+), thr AS (
+  SELECT w.source,
+    LEAST(CAST(10000 AS BIGINT),
+          CAST((300 * w.w_e6 * 10000) // (t.totw * w.n) AS BIGINT)) AS thr_e4
+  FROM w, tot t
+)
+SELECT d.doc_id, d.source, th.thr_e4
+FROM documents d JOIN thr th USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 10000 < th.thr_e4
+"""
+
+
 def _q_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
     """Temporal — hourly resample + forward fill of the event stream per
     event_type: a dense (key × hour) series over the corpus's global span,
@@ -4105,6 +4138,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "bloom_decontaminate": QuerySpec(_q_bloom_decontaminate, _O_BLOOM_DECONTAMINATE, "corpus: Bloom-filter decontamination (broadcast bitmap, scan-side membership)"),
     "bm25_search": QuerySpec(_q_bm25_search, _O_BM25_SEARCH, "search: BM25 keyword top-k retrieval"),
     "resample_ffill": QuerySpec(_q_resample_ffill, _O_RESAMPLE_FFILL, "temporal: hourly resample + forward fill (dense per-key series)"),
+    "temperature_mix": QuerySpec(_q_temperature_mix, _O_TEMPERATURE_MIX, "corpus: temperature-based source mixing (integer-exact keep rates)"),
 }
 
 

@@ -291,3 +291,44 @@ def test_epoch_shuffle_populates_past_256_buckets(spark):
         C.epoch_shuffle(docs, epoch=1, n_buckets=0)
     with pytest.raises(ValueError):
         C.epoch_shuffle(docs, epoch=1, n_buckets=(1 << 20) + 1)
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix
+# ---------------------------------------------------------------------------
+
+def test_temperature_mix_upweights_small_sources(spark):
+    from commerce_data_pipeline_spark.operators.corpus import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mix(docs, alpha=0.5, target=200)
+    thr = {r["source"]: r["thr_e4"] for r in out.select("source", "thr_e4").distinct().collect()}
+    # sqrt weighting: per-DOC keep rate for the small source must exceed
+    # the big source's by ~3x (sqrt(900)/900 = 1/30 vs sqrt(100)/100 = 1/10)
+    assert thr["small"] > 2 * thr["big"]
+    # expected total ≈ target (hash sampling: loose band)
+    n = out.count()
+    assert 120 <= n <= 280
+
+
+def test_temperature_mix_alpha1_is_proportional(spark):
+    from commerce_data_pipeline_spark.operators.corpus import temperature_mix
+
+    rows = [(i, "a") for i in range(400)] + [(400 + i, "b") for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mix(docs, alpha=1.0, target=100)
+    thr = {r["source"]: r["thr_e4"] for r in out.select("source", "thr_e4").distinct().collect()}
+    # alpha=1: every source keeps the same per-doc rate = target/N
+    assert thr["a"] == thr["b"] == 100 * 10000 // 500
+
+
+def test_temperature_mix_validation(spark):
+    import pytest
+    from commerce_data_pipeline_spark.operators.corpus import temperature_mix
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(docs, alpha=1.5)
+    with pytest.raises(ValueError, match="target"):
+        temperature_mix(docs, target=0)
