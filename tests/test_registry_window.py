@@ -13,10 +13,10 @@ CHECK_WINDOW = 50
 
 # One proving query per operator family that MUST sit inside the checked window.
 FAMILY_PROOFS = {
-    # X1/X2 dedup
+    # X1/X2 dedup (r5b: jaccard_topk rotated past 50 — X2's n-gram family
+    # keeps minhash/lsh/dedup_clusters in-window, jaccard stays selfcheck-green)
     "dedup_exact",
     "minhash_signature",
-    "jaccard_topk",
     "simhash_md5",
     "lsh_dedup_pairs",
     "dedup_clusters",
@@ -44,7 +44,10 @@ FAMILY_PROOFS = {
     "winnow",
     "winnow_pairs",
     "dup_ngram_spans",
-    # corpus shaping
+    # corpus shaping (r5b: corpus_ingest / semantic_only_dups /
+    # overlap_chunks rotated past 50 — packing keeps chunk_pack/greedy_pack,
+    # embedding near-dup keeps embedding_near_dup, ingestion keeps the
+    # corpus_stream pytest twin; all three stay selfcheck-green)
     "stratified_sample",
     "corpus_split",
     "contamination",
@@ -52,11 +55,13 @@ FAMILY_PROOFS = {
     "chunk_pack",
     "greedy_pack",
     "pii_redact",
-    "corpus_ingest",
-    "semantic_only_dups",
     "token_budget",
-    "overlap_chunks",
     "cluster_sample",
+    # r5b new-family proofs (X7-X10)
+    "bm25_search",
+    "bloom_decontaminate",
+    "temperature_mix",
+    "resample_ffill",
     # X5 multimodal (rows-only float-DCT pHash family sits past 50; these
     # are the oracle-bearing proofs — incl. the binarized-DCT integer pHash
     # twins added in r4. audio_windows moved past 50: same sequence+explode

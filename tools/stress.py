@@ -99,6 +99,14 @@ STRESS_QUERIES = [
     "dup_ngram_spans",
     "heavy_hitters",
     "fuzzy_name_pairs",
+    # round 5b: scan-side bloom membership (must stay flat — zero corpus
+    # shuffle), BM25 (thin post-filter shuffles), dense-grid resample
+    # (grid size is span-bound, not event-bound), temperature mixing
+    # (map-side filter)
+    "bloom_decontaminate",
+    "bm25_search",
+    "resample_ffill",
+    "temperature_mix",
 ]
 
 
