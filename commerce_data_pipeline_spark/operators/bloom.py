@@ -23,7 +23,10 @@ Plan shape for 100 TB corpus vs any benchmark size:
 
 Every hash is md5-prefix arithmetic (the repo-wide determinism idiom), so
 the ANSI-SQL oracle replays bit-for-bit INCLUDING the false positives —
-approximation with an exactly-specified answer, like sketches.py.
+approximation with an exactly-specified answer, like sketches.py. The k
+positions use Kirsch-Mitzenmacher double hashing — h1/h2 carved from one
+md5 digest, pos_j = (h1 + j·h2) mod m — so membership costs ONE digest per
+shingle, not k (md5 dominates; the arithmetic probes are free).
 
 Reference scope: the reference repo has no decontamination at all; this
 extends §2d (X-ops) alongside corpus.benchmark_contamination, which mirrors
@@ -42,13 +45,25 @@ DEFAULT_M_BITS = 1 << 17  # 131072 bits = 2048 longs = 16 KiB
 DEFAULT_K = 3
 
 
+def _h1h2(key: Column) -> tuple[Column, Column]:
+    """Split one md5 hex digest into two independent 60-bit longs (chars
+    1-15 and 16-30). 15 hex chars keep each value positive in a signed
+    64-bit long; the oracle replays them as
+    CAST(('0x' || substr(md5(s), off, 15)) AS BIGINT)."""
+    h1 = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(key, 16, 15), 16, 10).cast("long")
+    return h1, h2
+
+
 def _position(shingle: Column, j: int, m_bits: int) -> Column:
-    """Bit position of hash function j for a shingle: first 60 bits of
-    md5(j ':' shingle) mod m_bits. 15 hex chars keep the value positive in
-    a signed 64-bit long; the oracle replays it as
-    CAST(('0x' || substr(md5(j || ':' || s), 1, 15)) AS BIGINT) % m."""
-    key = F.md5(F.concat_ws(":", F.lit(str(j)), shingle))
-    return F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % F.lit(m_bits)
+    """Bit position of hash function j for a shingle, Kirsch-Mitzenmacher
+    double hashing: pos_j = (h1 + j·h2) mod m with h1/h2 both carved from
+    ONE md5(shingle) — k positions cost one digest instead of k (the
+    standard Bloom construction; the two-hash scheme preserves the
+    asymptotic false-positive rate). h1 + (k-1)·h2 < k·2^60 stays well
+    inside int64 for any sane k."""
+    h1, h2 = _h1h2(F.md5(shingle))
+    return (h1 + F.lit(j) * h2) % F.lit(m_bits)
 
 
 def bloom_build(
@@ -74,9 +89,10 @@ def bloom_build(
         benchmark.select(F.explode(word_shingles(text_col, shingle_n)).alias("_sh"))
         .distinct()
     )
+    h1, h2 = _h1h2(F.md5(F.col("_sh")))
     pos = sh.select(
         F.explode(
-            F.array(*[_position(F.col("_sh"), j, m_bits) for j in range(k)])
+            F.array(*[(h1 + F.lit(j) * h2) % F.lit(m_bits) for j in range(k)])
         ).alias("_pos")
     )
     return pos.groupBy((F.col("_pos") / 64).cast("long").alias("word_idx")).agg(
@@ -100,6 +116,22 @@ def bloom_pack(bitmap: DataFrame, m_bits: int = DEFAULT_M_BITS) -> list[int]:
     return words
 
 
+_MIN_LONG = -(1 << 63)
+
+
+def _bits_literal(bits: list[int]) -> Column:
+    """The packed bitmap as ONE array literal built from a single SQL
+    expression string. `F.lit(list)` would marshal every element through
+    py4j individually — ~1-2 s of driver time per plan at 2048 words,
+    dwarfing the query itself. One parsed string costs milliseconds.
+    MIN_LONG is spelled arithmetically (the parser rejects its absolute
+    value as a long literal)."""
+    parts = [
+        "(-9223372036854775807L - 1L)" if v == _MIN_LONG else f"{v}L" for v in bits
+    ]
+    return F.expr(f"array({','.join(parts)})")
+
+
 def bloom_contamination(
     docs: DataFrame,
     bits: list[int],
@@ -109,40 +141,95 @@ def bloom_contamination(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "scan",
 ) -> DataFrame:
     """Flag documents whose distinct shingles hit the Bloom filter.
 
-    Entirely scan-side: shingling, k-hash positions, and the bit tests are
-    higher-order functions over the literal bitmap array — the corpus is
-    read once, map-only, nothing shuffles and nothing joins. Output per
-    doc: n_shingles, n_bloom_hits (upper bound on true overlap — Bloom
-    never misses, may over-count), hit_e6 = floor(1e6·hits/shingles), and
-    `flagged` (ratio >= threshold). floor not round: half-even vs
-    half-away rounding differs across engines.
+    Two physically different plans, identical output:
+    - `method="scan"` (default contract): shingling, positions, and bit
+      tests are higher-order functions over the literal bitmap array —
+      the corpus is read once, map-only, ZERO shuffles and zero joins.
+      HOFs are CodegenFallback (interpreted), so per-row CPU is higher.
+    - `method="explode"`: explode the shingle set, test bits in plain
+      scalar expressions (whole-stage codegen), count per doc, join back
+      for empty-shingle docs. Two thin (id, count) shuffles — bytes/doc,
+      not text — in exchange for codegen-speed probes. Faster wall-clock
+      wherever shuffle is not the binding constraint.
+
+    Output per doc: n_shingles, n_bloom_hits (upper bound on true
+    overlap — Bloom never misses, may over-count), hit_e6 =
+    floor(1e6·hits/shingles), and `flagged` (ratio >= threshold). floor
+    not round: half-even vs half-away rounding differs across engines.
     """
     if len(bits) != m_bits // 64:
         raise ValueError(f"bits must have exactly {m_bits // 64} words")
-    lit_bits = F.lit(bits).cast("array<bigint>")
+    if method not in ("scan", "explode"):
+        raise ValueError("method must be 'scan' or 'explode'")
+    lit_bits = _bits_literal(bits)
     sh = word_shingles(text_col, shingle_n)
 
-    def _in_bloom(s: Column) -> Column:
-        # AND of the k single-bit tests; each reads one word of the literal
-        # array and masks one bit — pure codegen, no data movement.
+    def _finalize(counted: DataFrame) -> DataFrame:
+        ratio = F.col("n_bloom_hits").cast("double") / F.greatest(
+            F.col("n_shingles"), F.lit(1)
+        ).cast("double")
+        return counted.select(
+            F.col(id_col),
+            "n_shingles",
+            "n_bloom_hits",
+            F.floor(ratio * 1_000_000).cast("long").alias("hit_e6"),
+            (ratio >= F.lit(threshold)).alias("flagged"),
+        )
+
+    if method == "explode":
+        ex = docs.select(F.col(id_col), F.explode(sh).alias("_sh"))
+        h1, h2 = _h1h2(F.md5(F.col("_sh")))
         cond = None
         for j in range(k):
-            pos = _position(s, j, m_bits)
+            pos = (h1 + F.lit(j) * h2) % F.lit(m_bits)
+            word = F.element_at(lit_bits, (pos / 64).cast("int") + F.lit(1))
+            bit_set = F.getbit(word, (pos % 64).cast("int")) == F.lit(1)
+            cond = bit_set if cond is None else (cond & bit_set)
+        hits = ex.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(cond.cast("long")).cast("long").alias("n_bloom_hits"),
+        )
+        totals = docs.select(F.col(id_col))
+        counted = (
+            totals.join(hits, on=id_col, how="left")
+            .na.fill({"n_shingles": 0, "n_bloom_hits": 0})
+        )
+        return _finalize(counted)
+
+    def _digest_in_bloom(key: Column) -> Column:
+        # AND of the k single-bit tests over ONE precomputed digest; each
+        # test reads one word of the literal array and masks one bit —
+        # pure codegen, no data movement.
+        h1, h2 = _h1h2(key)
+        cond = None
+        for j in range(k):
+            pos = (h1 + F.lit(j) * h2) % F.lit(m_bits)
             word = F.element_at(lit_bits, (pos / 64).cast("int") + F.lit(1))
             bit_set = F.getbit(word, (pos % 64).cast("int")) == F.lit(1)
             cond = bit_set if cond is None else (cond & bit_set)
         return cond
 
-    hits = F.size(F.filter(sh, _in_bloom))
-    n_sh = F.size(sh)
-    ratio = hits.cast("double") / F.greatest(n_sh, F.lit(1)).cast("double")
-    return docs.select(
+    # Staged projections with nondeterministic barriers: without them
+    # CollapseProject inlines the shingle array into both consumers and the
+    # whole HOF membership chain into every derived output column — HOFs
+    # are CodegenFallback, so each copy re-evaluates interpreted (same trap
+    # and same fix as winnow_fingerprints/minhash_signature).
+    staged_sh = docs.select(
         F.col(id_col),
-        n_sh.cast("long").alias("n_shingles"),
-        hits.cast("long").alias("n_bloom_hits"),
-        F.floor(ratio * 1_000_000).cast("long").alias("hit_e6"),
-        (ratio >= F.lit(threshold)).alias("flagged"),
+        sh.alias("_sh"),
+        F.monotonically_increasing_id().alias("_mb0"),
     )
+    # one md5 per shingle (transform), then k arithmetic bit probes
+    counted = staged_sh.select(
+        F.col(id_col),
+        F.size("_sh").cast("long").alias("n_shingles"),
+        F.size(
+            F.filter(F.transform("_sh", lambda s: F.md5(s)), _digest_in_bloom)
+        ).cast("long").alias("n_bloom_hits"),
+        F.monotonically_increasing_id().alias("_mb1"),
+    )
+    return _finalize(counted)

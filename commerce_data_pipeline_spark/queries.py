@@ -2815,6 +2815,10 @@ def _q_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     bench = docs.filter(F.col("doc_id") % 37 == 0)
     bits = bloom.bloom_pack(bloom.bloom_build(bench, shingle_n=3))
+    # single-file input → 1 split; scatter before the CPU-bound scan-side
+    # k·md5-per-shingle membership test (real inputs bring their own
+    # splits — the OPERATOR itself stays zero-shuffle on multi-split data)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return bloom.bloom_contamination(docs, bits, shingle_n=3, threshold=0.5)
 
 
@@ -2831,10 +2835,11 @@ WITH toks AS (
 ), bench AS (
   SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 37 = 0
 ), setbits AS (
-  -- the filter's set bits: k=3 md5-derived positions per benchmark shingle
+  -- the filter's set bits: k=3 Kirsch-Mitzenmacher positions per
+  -- benchmark shingle — (h1 + j*h2) mod m with h1/h2 carved from ONE md5
   SELECT DISTINCT
-    CAST(('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || b.s), 1, 15)) AS BIGINT)
-      % 131072 AS pos
+    (CAST(('0x' || substr(md5(b.s), 1, 15)) AS BIGINT)
+     + t.j * CAST(('0x' || substr(md5(b.s), 16, 15)) AS BIGINT)) % 131072 AS pos
   FROM bench b, LATERAL unnest(generate_series(0, 2)) t(j)
 ), ex AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh
@@ -2842,8 +2847,9 @@ WITH toks AS (
   -- a shingle is a Bloom hit iff ALL k of its positions are set
   SELECT e.doc_id, e.s,
     SUM(CASE WHEN
-      CAST(('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || e.s), 1, 15)) AS BIGINT)
-        % 131072 IN (SELECT pos FROM setbits) THEN 1 ELSE 0 END) = 3 AS inb
+      (CAST(('0x' || substr(md5(e.s), 1, 15)) AS BIGINT)
+       + t.j * CAST(('0x' || substr(md5(e.s), 16, 15)) AS BIGINT)) % 131072
+        IN (SELECT pos FROM setbits) THEN 1 ELSE 0 END) = 3 AS inb
   FROM ex e, LATERAL unnest(generate_series(0, 2)) t(j)
   GROUP BY e.doc_id, e.s
 ), agg AS (

@@ -96,3 +96,27 @@ def test_check_stage_is_map_only(spark):
     plan = bloom.bloom_contamination(corpus, bits)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_scan_and_explode_methods_agree(spark, sf_dir):
+    from commerce_data_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    bits = bloom.bloom_pack(bloom.bloom_build(bench))
+    a = bloom.bloom_contamination(docs, bits, method="scan")
+    b = bloom.bloom_contamination(docs, bits, method="explode")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    with pytest.raises(ValueError, match="method"):
+        bloom.bloom_contamination(docs, bits, method="nope")
+
+
+def test_min_long_bitmap_word_roundtrips(spark):
+    # a word with only bit 63 set is MIN_LONG — the SQL literal path must
+    # spell it arithmetically (the parser rejects the bare literal)
+    corpus = _docs(spark, [(1, "alpha beta gamma")])
+    bits = [0] * (bloom.DEFAULT_M_BITS // 64)
+    bits[0] = -(1 << 63)
+    out = bloom.bloom_contamination(corpus, bits)
+    assert out.count() == 1  # plan builds and runs
