@@ -55,17 +55,6 @@ def _h1h2(key: Column) -> tuple[Column, Column]:
     return h1, h2
 
 
-def _position(shingle: Column, j: int, m_bits: int) -> Column:
-    """Bit position of hash function j for a shingle, Kirsch-Mitzenmacher
-    double hashing: pos_j = (h1 + j·h2) mod m with h1/h2 both carved from
-    ONE md5(shingle) — k positions cost one digest instead of k (the
-    standard Bloom construction; the two-hash scheme preserves the
-    asymptotic false-positive rate). h1 + (k-1)·h2 < k·2^60 stays well
-    inside int64 for any sane k."""
-    h1, h2 = _h1h2(F.md5(shingle))
-    return (h1 + F.lit(j) * h2) % F.lit(m_bits)
-
-
 def bloom_build(
     benchmark: DataFrame,
     shingle_n: int = 3,

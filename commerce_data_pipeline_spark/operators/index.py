@@ -159,9 +159,16 @@ def ivf_query(
         # reconstruction as a LITERAL nested-array expression: the codebook
         # is m·ksub·d_sub floats (tiny), so it inlines into codegen — no
         # join, no broadcast variable, pure scan-side concat of the m
-        # looked-up subvectors
+        # looked-up subvectors. Built from ONE parsed SQL string per
+        # subspace: per-element F.lit()/F.array() marshals every float
+        # through py4j individually (~1 s of driver time per thousand
+        # elements — same lesson as bloom._bits_literal); repr() floats
+        # round-trip exactly through the SQL double parser.
+        def _arr_sql(vals: list[float]) -> str:
+            return "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+
         sub_lits = [
-            F.array(*[F.array(*[F.lit(v) for v in code_vec]) for code_vec in table[s]])
+            F.expr("array(" + ",".join(_arr_sql(cv) for cv in table[s]) + ")")
             for s in range(m)
         ]
         reconstructed = F.flatten(
