@@ -228,3 +228,58 @@ def resample_ffill(
             F.col("_v").isNotNull().alias("is_observed"),
         )
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Build slowly-changing-dimension (SCD type 2) validity intervals from
+    an event/change stream: per key, consecutive rows with the SAME state
+    collapse into one row carrying [valid_from, valid_to) — the standard
+    warehouse dimension-versioning shape (and the inverse of a CDC feed).
+
+    Semantics (deterministic): rows order by (ts, id) within each key — a
+    total order, so equal timestamps cannot flip versions. A version
+    starts wherever the state differs from the previous row
+    (gaps-and-islands via lag + running sum); `valid_to` is the next
+    version's start (NULL on the current version, flagged `is_current`);
+    `n_events` counts the collapsed rows.
+
+    Scale shape: ONE hash shuffle on the key feeds all three steps — the
+    change-flag window, the run-id running sum (same window spec → same
+    exchange), and the per-(key, run) groupBy + the valid_to lead window
+    (key-partitioned again). Nothing global, no joins. Timestamps are
+    emitted as epoch microseconds BIGINT (the repo-wide rule).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    flagged = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(state_col),
+        F.when(
+            F.lag(state_col).over(w).isNull()
+            | (F.lag(state_col).over(w) != F.col(state_col)),
+            1,
+        )
+        .otherwise(0)
+        .alias("_chg"),
+    ).withColumn("_run", F.sum("_chg").over(w))
+    runs = flagged.groupBy(key_col, "_run").agg(
+        F.first(state_col).alias(state_col),
+        F.min(ts_col).alias("_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w_runs = Window.partitionBy(key_col).orderBy("_run")
+    return runs.select(
+        F.col(key_col),
+        F.col(state_col),
+        F.unix_micros(F.col("_from")).alias("valid_from_us"),
+        F.unix_micros(F.lead("_from").over(w_runs)).alias("valid_to_us"),
+        F.lead("_from").over(w_runs).isNull().alias("is_current"),
+        "n_events",
+    )

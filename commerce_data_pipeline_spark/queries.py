@@ -2867,6 +2867,45 @@ FROM sh t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal — SCD type-2 dimension build from the event stream: per
+    user, consecutive same-event_type rows collapse into validity
+    intervals [valid_from, valid_to) with the open version flagged
+    current (gaps-and-islands; one key shuffle feeds every step — see
+    temporal.scd2_intervals)."""
+    ev = load_table(spark, sf, "events")
+    return temporal.scd2_intervals(
+        ev, key_col="user_id", ts_col="ts", state_col="event_type", id_col="event_id"
+    )
+
+
+_O_SCD2_INTERVALS = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+           OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_type,
+    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run
+  FROM ordered
+), runs AS (
+  SELECT user_id, run, MIN(event_type) AS event_type, MIN(ts) AS f,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY user_id, run
+)
+SELECT user_id, event_type,
+  CAST(epoch_us(f) AS BIGINT) AS valid_from_us,
+  CAST(epoch_us(LEAD(f) OVER w2) AS BIGINT) AS valid_to_us,
+  (LEAD(f) OVER w2 IS NULL) AS is_current,
+  n_events
+FROM runs
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
+"""
+
+
 def _q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus — temperature-based source mixing (T5/Pile rule, alpha=0.5):
     per-source keep-rates ∝ sqrt(n_s)/n_s as pure BIGINT thresholds over
@@ -4095,6 +4134,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "corpus_ingest": QuerySpec(_q_corpus_ingest, _O_CORPUS_INGEST, "corpus: end-to-end enrich+gate+dedup pipeline (stream twin)"),
     "semantic_only_dups": QuerySpec(_q_semantic_only_dups, _O_SEMANTIC_ONLY_DUPS, "corpus: embedding near-dups missed by lexical LSH"),
     "overlap_chunks": QuerySpec(_q_overlap_chunks, _O_OVERLAP_CHUNKS, "corpus: sliding-window chunk spans with overlap"),
+    "scd2_intervals": QuerySpec(_q_scd2_intervals, _O_SCD2_INTERVALS, "temporal: SCD type-2 validity intervals (gaps-and-islands)"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

@@ -149,3 +149,60 @@ def test_resample_single_shuffle_for_observations(spark):
     # the count + row_number pick must share one window (no second
     # corpus-sized exchange for n_obs)
     assert plan.count("Window") <= 3  # pick window, fill window (+AQE reuse)
+
+
+# ---------------------------------------------------------------------------
+# scd2_intervals
+# ---------------------------------------------------------------------------
+
+def test_scd2_collapses_runs_and_links_intervals(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "u1", _h(10, 0), "view"),
+            (2, "u1", _h(10, 5), "view"),     # same state → same version
+            (3, "u1", _h(10, 9), "cart"),     # change
+            (4, "u1", _h(11, 0), "view"),     # change back → NEW version
+            (5, "u2", _h(10, 0), "buy"),
+        ],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    from commerce_data_pipeline_spark.operators.temporal import scd2_intervals
+
+    out = scd2_intervals(ev).collect()
+    u1 = sorted(
+        [r for r in out if r["user_id"] == "u1"], key=lambda r: r["valid_from_us"]
+    )
+    assert [r["event_type"] for r in u1] == ["view", "cart", "view"]
+    assert [r["n_events"] for r in u1] == [2, 1, 1]
+    # intervals chain: each valid_to equals the next valid_from
+    assert u1[0]["valid_to_us"] == u1[1]["valid_from_us"]
+    assert u1[1]["valid_to_us"] == u1[2]["valid_from_us"]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    u2 = [r for r in out if r["user_id"] == "u2"]
+    assert len(u2) == 1 and u2[0]["is_current"] and u2[0]["valid_to_us"] is None
+
+
+def test_scd2_tie_on_ts_breaks_by_id(spark):
+    ev = spark.createDataFrame(
+        [
+            (2, "u1", _h(10), "b"),
+            (1, "u1", _h(10), "a"),  # same ts: id order decides a → b
+        ],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    from commerce_data_pipeline_spark.operators.temporal import scd2_intervals
+
+    out = sorted(scd2_intervals(ev).collect(), key=lambda r: not r["is_current"])
+    assert [r["event_type"] for r in out] == ["b", "a"]
+
+
+def test_scd2_single_key_shuffle(spark):
+    ev = spark.createDataFrame(
+        [(1, "u1", _h(10), "a")], ["event_id", "user_id", "ts", "event_type"]
+    )
+    from commerce_data_pipeline_spark.operators.temporal import scd2_intervals
+
+    plan = scd2_intervals(ev)._jdf.queryExecution().executedPlan().toString()
+    import re
+    # all exchanges hash-partition on the key — nothing global, no joins
+    assert "Join" not in plan
