@@ -107,6 +107,7 @@ STRESS_QUERIES = [
     "bm25_search",
     "resample_ffill",
     "temperature_mix",
+    "scd2_intervals",
 ]
 
 
