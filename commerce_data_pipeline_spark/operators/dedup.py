@@ -231,11 +231,54 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+# Edge budget under which connected components runs as a driver-side
+# union-find instead of distributed label rounds. Rationale: each
+# distributed round is 2 keyed shuffles + a checkpoint + a convergence
+# action — ~0.5-1 s of pure scheduling even on a 6 k-edge graph — while
+# union-find over ≤2 M collected (src, dst) longs is O(E α(E)) and
+# ~32 MB of driver heap. LSH banding contracts a corpus by orders of
+# magnitude before this step (near-dup EDGES, not documents), so at
+# 100 TB the edge list is usually far smaller than the corpus; when it
+# genuinely isn't, the count guard routes to the O(log n) alternating
+# rounds and nothing ever materializes on the driver. Same budget-guard
+# philosophy as similarity.py's broadcast-GEMM path.
+SMALL_GRAPH_EDGES = 2_000_000
+
+
+def _driver_unionfind(edges: DataFrame) -> DataFrame:
+    """Union-find (union-by-min + path compression) over a collected edge
+    list. Root of every set is its minimum member, so labels match the
+    distributed algorithms' contract exactly: (id, component = min
+    reachable id), one row per edge endpoint."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    nodes = {r[0] for r in rows} | {r[1] for r in rows}
+    labels = [(n, find(n)) for n in sorted(nodes)]
+    return edges.sparkSession.createDataFrame(labels, schema="id long, component long")
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 25,
     a_col: str = "id_a",
     b_col: str = "id_b",
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Connected components over a candidate-pair edge list: the step that
     turns near-dup PAIRS into dedup CLUSTERS (keep min-id per component,
@@ -257,11 +300,22 @@ def connected_components(
     The driver loop only inspects a scalar convergence flag every
     `check_every` iterations, over checkpointed data (no recompute);
     labels themselves never leave the executors.
+
+    Small-graph fast path: when the deduped edge list is within
+    `small_graph_edges`, the component structure fits trivially in driver
+    memory and a union-find over the collected edges replaces the round
+    loop (see SMALL_GRAPH_EDGES for the budget rationale).
     """
     check_every = 2
-    edges = (
+    und = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if und.count() <= small_graph_edges:
+        return _driver_unionfind(und)
+    edges = (
+        und.unionAll(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint()
     )
@@ -300,6 +354,7 @@ def connected_components_alternating(
     max_iter: int = 20,
     a_col: str = "id_a",
     b_col: str = "id_b",
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Connected components via the ALTERNATING algorithm (large-star /
     small-star; Kiveris et al., "Connected Components in MapReduce and
@@ -319,6 +374,10 @@ def connected_components_alternating(
     Both preserve connectivity and strictly reduce edge "potential";
     convergence = edge multiset is a fixed point (checked via a count +
     min-sum checksum — one tiny action per round over checkpointed data).
+
+    Small-graph fast path: edge lists within `small_graph_edges` skip the
+    round loop for a driver union-find (see SMALL_GRAPH_EDGES); the
+    distributed rounds engage exactly when the graph could not fit.
     """
     # Work on the symmetric closure with self-loops dropped; orient each
     # undirected edge both ways so groupBy(src) sees the full neighborhood.
@@ -326,14 +385,17 @@ def connected_components_alternating(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint()
     )
+    if und.count() <= small_graph_edges:
+        return _driver_unionfind(und)
     nodes = (
         und.select(F.col("src").alias("id"))
         .unionAll(und.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint()
     )
-    edges = und.localCheckpoint()
+    edges = und
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -106,7 +106,7 @@ def test_connected_components_chain_and_clique(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
         "id_a long, id_b long",
     )
-    comp = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
+    comp = {r["id"]: r["component"] for r in D.connected_components(pairs, small_graph_edges=0).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
@@ -115,7 +115,7 @@ def test_alternating_cc_matches_label_propagation(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
         "id_a long, id_b long",
     )
-    got = {r["id"]: r["component"] for r in D.connected_components_alternating(pairs).collect()}
+    got = {r["id"]: r["component"] for r in D.connected_components_alternating(pairs, small_graph_edges=0).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
@@ -125,7 +125,7 @@ def test_alternating_cc_long_chain_converges_in_log_rounds(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "id_a long, id_b long"
     )
-    out = D.connected_components_alternating(pairs, max_iter=10)
+    out = D.connected_components_alternating(pairs, max_iter=10, small_graph_edges=0)
     comp = {r["id"]: r["component"] for r in out.collect()}
     assert comp == {i: 0 for i in range(64)}
 
@@ -139,10 +139,10 @@ def test_alternating_cc_random_graphs_match_reference_impl(spark):
         edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
         edges = [(a, b) for a, b in edges if a != b]
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-        ref = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
+        ref = {r["id"]: r["component"] for r in D.connected_components(pairs, small_graph_edges=0).collect()}
         alt = {
             r["id"]: r["component"]
-            for r in D.connected_components_alternating(pairs).collect()
+            for r in D.connected_components_alternating(pairs, small_graph_edges=0).collect()
         }
         assert alt == ref, f"trial {trial}"
 
@@ -153,3 +153,22 @@ def test_dedup_by_components_keeps_representatives(spark):
     kept = sorted(r["doc_id"] for r in D.dedup_by_components(df, pairs).collect())
     # component {0,2,4} → keep 0; 1 and 3 untouched
     assert kept == [0, 1, 3]
+
+
+def test_small_graph_unionfind_matches_distributed(spark):
+    """The driver union-find fast path (edges <= SMALL_GRAPH_EDGES) must
+    produce exactly the labels of the distributed alternating rounds."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(70)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {r["id"]: r["component"] for r in D.connected_components_alternating(pairs).collect()}
+    dist = {
+        r["id"]: r["component"]
+        for r in D.connected_components_alternating(pairs, small_graph_edges=0).collect()
+    }
+    assert fast == dist
+    prop = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
+    assert prop == dist
