@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .text import words
 
-__all__ = ["bm25_topk", "bm25_scores"]
+__all__ = ["bm25_topk", "bm25_scores", "tfidf_keywords"]
 
 
 def bm25_scores(
@@ -108,6 +108,65 @@ def bm25_scores(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
         F.max("dl").cast("long").alias("dl"),
         F.sum("term_score_e6").cast("long").alias("score_e6"),
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    group_col: str = "source",
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group TF-IDF keyword extraction: the k most characteristic
+    terms of each document group (source/domain profiling — "what is
+    this slice of the corpus about" — the standard corpus-audit view).
+
+    tf = term occurrences within the group; df = number of groups
+    containing the term; idf = ln((1+N)/(1+df)) + 1 (sklearn's smooth
+    idf, always positive); score_e6 = floor(1e6·tf·idf) BIGINT.
+
+    Plan shape for 100 TB: the ONLY corpus-sized shuffle is the
+    (group, term) count aggregation, which combines map-side; df/N
+    derive from that already-aggregated frame (≤ groups·terms rows) via
+    a term-keyed agg broadcast back, N composes as a broadcast 1-row
+    aggregate; the per-group top-k window runs over aggregated rows
+    only. Total order inside each group: (score_e6 desc, term asc).
+
+    Columns: group, term, tf, df, score_e6, rank (1..k).
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(group_col).alias("grp"), F.explode(words(text_col)).alias("term")
+    )
+    tf = tok.groupBy("grp", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_groups = tf.select("grp").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("_n_groups")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn(
+            "score_e6",
+            F.floor(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("_n_groups"))
+                        / (F.lit(1.0) + F.col("df").cast("double"))
+                    )
+                    + F.lit(1.0)
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score_e6"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "tf", "df", "score_e6", "rank")
     )
 
 

@@ -1,0 +1,232 @@
+"""Training-data selection operators: model-based quality filtering and
+importance resampling (SURVEY.md §2d extension; X4/X7 adjacent).
+
+Two selection methods every large-scale LLM data pipeline runs and the
+reference repo never built:
+
+- `classifier_scores` / `classifier_filter`: a fastText-style linear
+  classifier over hashed bag-of-words features (the "quality classifier"
+  of the GPT-3 / LLaMA data recipes: score = Σ_tokens w[h(token)], keep
+  docs above a margin). The weight table here is a deterministic md5
+  stub standing in for trained parameters — the Spark plumbing (feature
+  hashing, weight lookup, margin, filter) is the real, tested surface,
+  and a trained model drops in by swapping the weight expression for a
+  broadcast weight table.
+
+- `dsir_bucket_weights` / `dsir_scores`: Data Selection via Importance
+  Resampling (Xie et al., NeurIPS 2023): hashed word-bigram features,
+  per-bucket log-likelihood-ratio weights between a target corpus and
+  the raw corpus, per-document importance = Σ_features λ[bucket]. Docs
+  scoring highest are the ones most "target-like".
+
+Plan shapes for 100 TB:
+- classifier: weights are PURE ARITHMETIC of the bucket id (md5-prefix),
+  so scoring is scan-side — explode + one thin (doc, partial-sum) row
+  per document through a single keyed shuffle (map-side partial agg;
+  the text never shuffles). Filtering composes as a map-side predicate.
+- DSIR pass 1 (weights): feature rows reduce map-side onto ≤ n_buckets
+  groups — the shuffle carries at most n_buckets rows per task; corpus
+  scalars compose via broadcast crossJoin of 1-row aggregates.
+- DSIR pass 2 (scoring): the λ table is a FIXED-SIZE (n_buckets ≤ 1024)
+  codebook collected into a literal array (the bloom.py codebook idiom,
+  built from one SQL string — not py4j element literals), so scoring is
+  map-only: zero joins, zero shuffles on the corpus side; top-k lowers
+  to TakeOrderedAndProject.
+
+Determinism contract: every hash is md5-prefix arithmetic; per-bucket
+λ_e6 is floored to BIGINT before any per-document sum, so document
+scores are order-independent integer sums (the bm25_scores contract —
+the one transcendental, ln, runs on identical double operands in both
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import word_shingles
+from .text import words
+
+__all__ = [
+    "classifier_scores",
+    "classifier_filter",
+    "dsir_bucket_weights",
+    "dsir_scores",
+    "dsir_topk",
+]
+
+
+def _bucket(col, n_buckets: int):
+    """md5-prefix feature hashing: first 8 hex chars → 32-bit int → mod.
+    SQL twin: CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % n."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets)
+
+
+def classifier_scores(
+    docs: DataFrame,
+    n_buckets: int = 1024,
+    w_range: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document linear-classifier margin over hashed token features.
+
+    score = Σ_tokens w[bucket(token)] with the stub weight
+    w[b] = (md5-prefix(b) mod (2·w_range+1)) − w_range ∈ [−w_range, w_range]
+    — a deterministic stand-in for trained logistic-regression weights.
+
+    Columns: id, n_tokens, score (BIGINT), margin_e4 (BIGINT,
+    floor(1e4·score/n_tokens)), keep (score ≥ 0).
+
+    Weight lookup is arithmetic on the bucket id (no weight-table join);
+    the exploded (doc, weight) rows reduce map-side so the one shuffle
+    carries a single partial-sum row per document.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(words(text_col)).alias("_tok")
+    )
+    b = _bucket(F.col("_tok"), n_buckets)
+    w = (
+        F.conv(F.substring(F.md5(b.cast("string")), 1, 4), 16, 10).cast("long")
+        % (2 * w_range + 1)
+        - w_range
+    )
+    agg = tok.select(F.col(id_col), w.alias("_w")).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("_w").cast("long").alias("score"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_tokens",
+        "score",
+        F.floor(F.col("score") * F.lit(10000.0) / F.col("n_tokens"))
+        .cast("long")
+        .alias("margin_e4"),
+        (F.col("score") >= 0).alias("keep"),
+    )
+
+
+def classifier_filter(
+    docs: DataFrame,
+    n_buckets: int = 1024,
+    w_range: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-filter the corpus: keep documents the classifier accepts.
+    Semi-join on the (doc, keep) frame — document text never re-shuffles."""
+    keep = classifier_scores(
+        docs, n_buckets=n_buckets, w_range=w_range, id_col=id_col, text_col=text_col
+    ).filter(F.col("keep")).select(id_col)
+    return docs.join(keep, on=id_col, how="left_semi")
+
+
+def _bigram_features(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, feature) rows: one per DISTINCT word bigram per document —
+    DSIR's hashed n-gram features (distinct matches the paper's
+    bag-of-features presence semantics and bounds per-doc fan-out).
+    Reuses the dedup family's shingle construction (normalized split,
+    pure HOFs)."""
+    return docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, 2)).alias("_feat")
+    )
+
+
+def dsir_bucket_weights(
+    docs: DataFrame,
+    target_col,
+    n_buckets: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pass 1 of DSIR: per-bucket importance weights λ between the target
+    slice (rows where `target_col` is true) and the full raw corpus.
+
+    λ(b) = ln((n_target(b)+1)/(T_target+B)) − ln((n_raw(b)+1)/(T_raw+B))
+    (add-one smoothed log-likelihood ratio), emitted as λ_e6 =
+    floor(1e6·λ) BIGINT. Output: (bucket, n_target, n_raw, lambda_e6) —
+    ≤ n_buckets rows; the feature shuffle reduces map-side onto those
+    buckets, so exchange volume is O(n_buckets · tasks), not O(corpus).
+    """
+    feats = docs.select(
+        target_col.alias("_is_target"),
+        F.explode(word_shingles(text_col, 2)).alias("_feat"),
+    )
+    counts = feats.select(
+        _bucket(F.col("_feat"), n_buckets).alias("bucket"), "_is_target"
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.count_if(F.col("_is_target")).cast("long").alias("n_target"),
+    )
+    totals = counts.agg(
+        F.sum("n_raw").cast("double").alias("_t_raw"),
+        F.sum("n_target").cast("double").alias("_t_target"),
+    )
+    bb = float(n_buckets)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_target",
+            "n_raw",
+            F.floor(
+                (
+                    F.log((F.col("n_target") + F.lit(1.0)) / (F.col("_t_target") + F.lit(bb)))
+                    - F.log((F.col("n_raw") + F.lit(1.0)) / (F.col("_t_raw") + F.lit(bb)))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("lambda_e6"),
+        )
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pass 2 of DSIR: per-document importance = Σ_features λ_e6[bucket].
+
+    The weight table is a fixed-size codebook: collect ≤ n_buckets
+    (bucket, λ_e6) rows and inline them as ONE literal array expression
+    (empty buckets → λ of a zero-count bucket is still defined by the
+    smoothing, but absent buckets simply can't occur in scoring since
+    both passes hash identically — they get 0). Scoring is then map-only
+    over the corpus: zero joins, zero shuffles before the final 1-row-
+    per-doc aggregate.
+
+    Columns: id, n_feats, score_e6.
+    """
+    lam = {r["bucket"]: r["lambda_e6"] for r in weights.collect()}
+    arr_sql = "array(" + ",".join(
+        str(int(lam.get(b, 0))) + "L" for b in range(n_buckets)
+    ) + ")"
+    lam_arr = F.expr(arr_sql)
+    feats = _bigram_features(docs, id_col, text_col)
+    scored = feats.select(
+        F.col(id_col),
+        F.element_at(lam_arr, (_bucket(F.col("_feat"), n_buckets) + 1).cast("int")).alias("_lam"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.sum("_lam").cast("long").alias("score_e6"),
+    )
+
+
+def dsir_topk(
+    docs: DataFrame,
+    target_col,
+    k: int = 200,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end DSIR selection: weights from the target slice, score the
+    corpus, keep the k most target-like documents (score_e6 desc, id asc
+    — deterministic cut; lowers to TakeOrderedAndProject)."""
+    w = dsir_bucket_weights(docs, target_col, n_buckets=n_buckets, text_col=text_col)
+    s = dsir_scores(docs, w, n_buckets=n_buckets, id_col=id_col, text_col=text_col)
+    return s.orderBy(F.desc("score_e6"), F.asc(id_col)).limit(k)

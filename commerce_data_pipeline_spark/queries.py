@@ -37,6 +37,7 @@ from commerce_data_pipeline_spark.operators import (
     linkage,
     multimodal,
     search,
+    selection,
     similarity,
     sketches,
     temporal,
@@ -3030,6 +3031,129 @@ ORDER BY a.score_e6 DESC, a.doc_id ASC LIMIT 25
 """
 
 
+def _q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Selection — model-based quality filtering (the GPT-3/LLaMA-recipe
+    "quality classifier" stage): linear margin over hashed bag-of-words
+    features, deterministic md5 stub weights standing in for trained
+    parameters. Weight lookup is pure arithmetic of the bucket id, so
+    scoring is scan-side; the one shuffle carries a single partial-sum
+    row per document (map-side combine)."""
+    docs = load_table(spark, sf, "documents")
+    return selection.classifier_scores(docs)
+
+
+_O_QUALITY_CLASSIFIER = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WS_SPLIT_SQL}) AS tok FROM documents
+), wtok AS (
+  -- bucket = 32-bit md5 prefix of the token mod 1024; weight = 16-bit md5
+  -- prefix of the bucket id mod 2001, shifted to [-1000, 1000]
+  SELECT doc_id,
+    (CAST(('0x' || substr(md5(CAST(
+       CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024
+     AS VARCHAR)), 1, 4)) AS BIGINT) % 2001) - 1000 AS w
+  FROM tok
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w) AS BIGINT) AS score
+  FROM wtok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, score,
+  CAST(FLOOR(score * 10000.0 / n_tokens) AS BIGINT) AS margin_e4,
+  score >= 0 AS keep
+FROM agg
+"""
+
+
+def _q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Selection — DSIR importance resampling (Xie et al., NeurIPS 2023):
+    hashed word-bigram features, per-bucket add-one-smoothed
+    log-likelihood-ratio weights between the target slice (lang='en',
+    the stand-in for a quality target corpus) and the raw corpus; keep
+    the 200 most target-like documents. Pass 1 reduces features
+    map-side onto ≤256 buckets; pass 2 scores map-only against the
+    collected λ codebook literal (zero corpus joins); the cut lowers to
+    TakeOrderedAndProject. λ_e6 floors to BIGINT before the per-doc sum
+    (order-independent integer score, the bm25 determinism contract)."""
+    docs = load_table(spark, sf, "documents")
+    return selection.dsir_topk(docs, F.col("lang") == F.lit("en"), k=200)
+
+
+_O_DSIR_SELECT = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_WS_SPLIT_SQL} AS words FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(words) >= 2
+      THEN list_distinct(list_transform(generate_series(1, len(words) - 1),
+             i -> array_to_string(words[i:i+1], ' ')))
+      ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM base
+), bf AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+    CAST(('0x' || substr(md5(unnest(grams)), 1, 8)) AS BIGINT) % 256 AS bucket
+  FROM sh
+), counts AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_raw,
+         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_target
+  FROM bf GROUP BY bucket
+), totals AS (
+  SELECT CAST(SUM(n_raw) AS DOUBLE) AS t_raw,
+         CAST(SUM(n_target) AS DOUBLE) AS t_target FROM counts
+), lam AS (
+  -- identical association to selection.dsir_bucket_weights:
+  -- floor(1e6 · (ln((nt+1)/(Tt+B)) − ln((nr+1)/(Tr+B))))
+  SELECT bucket,
+    CAST(FLOOR((ln((n_target + 1.0) / (t_target + 256.0))
+              - ln((n_raw + 1.0) / (t_raw + 256.0))) * 1000000.0) AS BIGINT)
+      AS lambda_e6
+  FROM counts, totals
+), scored AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(l.lambda_e6) AS BIGINT) AS score_e6
+  FROM bf b JOIN lam l USING (bucket) GROUP BY b.doc_id
+)
+SELECT doc_id, n_feats, score_e6 FROM scored
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 200
+"""
+
+
+def _q_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Search — per-source TF-IDF keyword extraction (corpus-audit view:
+    the 5 most characteristic terms of every source). One corpus-sized
+    (group, term) count shuffle with map-side combine; df broadcast from
+    the aggregated frame; N composes as a broadcast 1-row aggregate; the
+    top-k window runs over aggregated rows only."""
+    docs = load_table(spark, sf, "documents")
+    return search.tfidf_keywords(docs, group_col="source", k=5)
+
+
+_O_TFIDF_KEYWORDS = f"""
+WITH tok AS (
+  SELECT source AS grp, unnest({_WS_SPLIT_SQL}) AS term FROM documents
+), tf AS (
+  SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY grp, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), ng AS (
+  SELECT CAST(COUNT(DISTINCT grp) AS DOUBLE) AS n_groups FROM tf
+), scored AS (
+  -- sklearn smooth idf, fixed association: floor(1e6 · tf · (ln((1+N)/(1+df)) + 1))
+  SELECT f.grp, f.term, f.tf, d.df,
+    CAST(FLOOR(CAST(f.tf AS DOUBLE)
+      * (ln((1.0 + g.n_groups) / (1.0 + CAST(d.df AS DOUBLE))) + 1.0)
+      * 1000000.0) AS BIGINT) AS score_e6
+  FROM tf f JOIN dfreq d USING (term), ng g
+), ranked AS (
+  SELECT grp AS source, term, tf, df, score_e6,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY grp ORDER BY score_e6 DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT source, term, tf, df, score_e6, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def _q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus — quality-quota mixing: at most 3 docs per (lang, source),
     best quality first (tie-break doc_id). Ordering uses the e4-floored
@@ -4072,16 +4196,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
     "minhash_signature": QuerySpec(_q_minhash_signature, _ora_minhash(8, 3), "X2 MinHash signatures"),
     "bm25_search": QuerySpec(_q_bm25_search, _O_BM25_SEARCH, "X7 search: BM25 keyword top-k retrieval"),
+    "tfidf_keywords": QuerySpec(_q_tfidf_keywords, _O_TFIDF_KEYWORDS, "X7 search: per-source TF-IDF keyword extraction"),
+    "quality_classifier": QuerySpec(_q_quality_classifier, _O_QUALITY_CLASSIFIER, "X11 selection: hashed-linear quality-classifier margins"),
+    "dsir_select": QuerySpec(_q_dsir_select, _O_DSIR_SELECT, "X11 selection: DSIR importance resampling (top-200 target-like docs)"),
     "simhash_md5": QuerySpec(_q_simhash_md5, _ora_simhash_md5(32), "X2 SimHash, md5-derived (oracle-checked)"),
     "similarity_topk": QuerySpec(_q_similarity_topk, _O_SIMILARITY_TOPK, "X3 brute-force cosine top-k"),
     "embedding_near_dup": QuerySpec(_q_embedding_near_dup, _O_EMBEDDING_NEAR_DUP, "X2 embedding near-dup pairs"),
     "lsh_dedup_pairs": QuerySpec(_q_lsh_dedup_pairs, _ora_lsh_pairs(16, 4, 3), "X2 MinHash+LSH banded pairs"),
     "dedup_clusters": QuerySpec(_q_dedup_clusters, _ora_dedup_clusters(16, 4, 3), "X2 connected-components clustering (default: alternating large/small-star)"),
     "ann_ivf": QuerySpec(_q_ann_ivf, _O_ANN_IVF, "X3 IVF-routed ANN top-k"),
-    "embedding_quantize": QuerySpec(_q_embedding_quantize, _O_EMBEDDING_QUANTIZE, "X3 int8 scalar quantization profile"),
     "ann_lsh_md5": QuerySpec(_q_ann_lsh_md5, _ora_ann_lsh_md5(), "X3 RP-LSH ANN, md5-derived planes (oracle-checked)"),
     "ann_pq": QuerySpec(_q_ann_pq, _O_ANN_PQ, "X3 product-quantization ANN (ADC, deterministic codebooks)"),
-    "ann_recall": QuerySpec(_q_ann_recall, _O_ANN_RECALL, "X3 measured recall@5 of IVF vs brute force"),
     # -- checked window: sketches (X6) ----------------------------------------
     "sketch_accuracy": QuerySpec(_q_sketch_accuracy, _O_SKETCH_ACCURACY, "X6 sketch-vs-exact accuracy contract (HLL++ / GK quantile, falsifiable booleans)"),
     "heavy_hitters": QuerySpec(_q_heavy_hitters, _O_HEAVY_HITTERS, "X6 exact heavy hitters via Misra-Gries candidates + exact verify"),
@@ -4093,7 +4218,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_repetition": QuerySpec(_q_text_repetition, _O_TEXT_REPETITION, "corpus: C4/Gopher repetition quality signals"),
     "lm_quality": QuerySpec(_q_lm_quality, _O_LM_QUALITY, "X4/corpus: unigram-LM typicality + OOV scoring (perplexity proxy)"),
     "winnow": QuerySpec(_q_winnow, _O_WINNOW, "X4 winnowing (MOSS) k-gram fingerprint sets"),
-    "winnow_pairs": QuerySpec(_q_winnow_pairs, _O_WINNOW_PAIRS, "X4×X2 winnow-fingerprint near-dup candidate pairs"),
     "dup_ngram_spans": QuerySpec(_q_dup_ngram_spans, _O_DUP_NGRAM_SPANS, "X4×X1 repeated n-gram spans (exact-substring dedup, Lee et al. shape)"),
     # -- checked window: corpus shaping (LLM training-data pipeline) ----------
     "stratified_sample": QuerySpec(_q_stratified_sample, _O_STRATIFIED_SAMPLE, "corpus: deterministic per-stratum hash sampling"),
@@ -4125,11 +4249,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "cohort_retention": QuerySpec(_q_cohort_retention, _O_COHORT_RETENTION, "G5 weekly cohorts"),
     "param_extract": QuerySpec(_q_param_extract, _O_PARAM_EXTRACT, "G6 JSON param extraction"),
     "streaming_daily_counts": QuerySpec(_q_streaming_daily_counts, _O_STREAMING_DAILY_COUNTS, "streaming tumbling-window agg (batch parity)"),
-    # -- past the 50-entry window: r5 rotation — these four stay oracle-green
+    # -- past the 50-entry window: r5 rotation — these stay oracle-green
     # in the full self-check; their families keep other in-window proofs
     # (minhash/lsh/dedup_clusters for X2-lexical, embedding_near_dup for
     # X2-embedding, chunk_pack/greedy_pack for packing, corpus_stream pytest
-    # for ingestion) ---------------------------------------------------------
+    # for ingestion; r5c: embedding_quantize/ann_recall/winnow_pairs rotated
+    # here — X3 keeps ann_ivf/ann_lsh_md5/ann_pq/similarity_topk in-window,
+    # winnowing keeps winnow — to make room for the selection-family proofs
+    # (quality_classifier, dsir_select) and tfidf_keywords -------------------
+    "embedding_quantize": QuerySpec(_q_embedding_quantize, _O_EMBEDDING_QUANTIZE, "X3 int8 scalar quantization profile (rotated past 50 in r5c, oracle unchanged)"),
+    "ann_recall": QuerySpec(_q_ann_recall, _O_ANN_RECALL, "X3 measured recall@5 of IVF vs brute force (rotated past 50 in r5c, oracle unchanged)"),
+    "winnow_pairs": QuerySpec(_q_winnow_pairs, _O_WINNOW_PAIRS, "X4×X2 winnow-fingerprint near-dup candidate pairs (rotated past 50 in r5c, oracle unchanged)"),
     "jaccard_topk": QuerySpec(_q_jaccard_topk, _O_JACCARD_TOPK, "X2 exact n-gram Jaccard top-k"),
     "corpus_ingest": QuerySpec(_q_corpus_ingest, _O_CORPUS_INGEST, "corpus: end-to-end enrich+gate+dedup pipeline (stream twin)"),
     "semantic_only_dups": QuerySpec(_q_semantic_only_dups, _O_SEMANTIC_ONLY_DUPS, "corpus: embedding near-dups missed by lexical LSH"),

@@ -21,13 +21,13 @@ FAMILY_PROOFS = {
     "lsh_dedup_pairs",
     "dedup_clusters",
     "embedding_near_dup",
-    # X3 similarity / ANN
+    # X3 similarity / ANN (r5c: embedding_quantize / ann_recall rotated past
+    # 50 — second proofs of an already-proven family, selfcheck-green — to
+    # make room for the X11 selection family)
     "similarity_topk",
     "ann_ivf",
-    "embedding_quantize",
     "ann_lsh_md5",
     "ann_pq",
-    "ann_recall",
     # X6 sketches (oracle-bearing accuracy contract; raw approx_* queries are
     # rows-only and live past 50, accuracy pinned by tests/test_sketches.py)
     "sketch_accuracy",
@@ -42,7 +42,6 @@ FAMILY_PROOFS = {
     "text_repetition",
     "lm_quality",
     "winnow",
-    "winnow_pairs",
     "dup_ngram_spans",
     # corpus shaping (r5b: corpus_ingest / semantic_only_dups /
     # overlap_chunks rotated past 50 — packing keeps chunk_pack/greedy_pack,
@@ -62,6 +61,10 @@ FAMILY_PROOFS = {
     "bloom_decontaminate",
     "temperature_mix",
     "resample_ffill",
+    # r5c new-family proofs: X7 keyword extraction + X11 data selection
+    "tfidf_keywords",
+    "quality_classifier",
+    "dsir_select",
     # X5 multimodal (rows-only float-DCT pHash family sits past 50; these
     # are the oracle-bearing proofs — incl. the binarized-DCT integer pHash
     # twins added in r4. audio_windows moved past 50: same sequence+explode

@@ -1,0 +1,93 @@
+"""Unit tests for training-data selection operators (operators/selection.py):
+the hashed-linear quality classifier and DSIR importance resampling."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from commerce_data_pipeline_spark.operators import selection as S
+
+
+def _docs(spark, texts, langs=None):
+    langs = langs or ["en"] * len(texts)
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=lang) for i, (t, lang) in enumerate(zip(texts, langs))]
+    )
+
+
+def test_classifier_scores_deterministic_and_additive(spark):
+    df = _docs(spark, ["alpha beta", "alpha beta", "alpha", "beta"])
+    rows = {r["doc_id"]: r for r in S.classifier_scores(df).collect()}
+    # identical text → identical score
+    assert rows[0]["score"] == rows[1]["score"]
+    # bag-of-words linearity: score("alpha beta") = score("alpha") + score("beta")
+    assert rows[0]["score"] == rows[2]["score"] + rows[3]["score"]
+    assert rows[0]["n_tokens"] == 2
+    assert rows[2]["keep"] == (rows[2]["score"] >= 0)
+
+
+def test_classifier_margin_floor_semantics(spark):
+    df = _docs(spark, ["alpha beta gamma"])
+    r = S.classifier_scores(df).collect()[0]
+    import math
+
+    assert r["margin_e4"] == math.floor(r["score"] * 10000.0 / r["n_tokens"])
+
+
+def test_classifier_filter_keeps_only_nonnegative(spark):
+    df = _docs(spark, [f"word{i} tail{i * 7} mid{i * 13}" for i in range(40)])
+    scored = {r["doc_id"]: r["keep"] for r in S.classifier_scores(df).collect()}
+    kept = {r["doc_id"] for r in S.classifier_filter(df).collect()}
+    assert kept == {i for i, k in scored.items() if k}
+    assert 0 < len(kept) < 40  # stub weights split the corpus both ways
+
+
+def test_dsir_weights_favor_target_features(spark):
+    # target docs share the bigram "good stuff"; raw-only docs share "bad junk"
+    texts = ["good stuff here"] * 6 + ["bad junk there"] * 6
+    langs = ["en"] * 6 + ["de"] * 6
+    df = _docs(spark, texts, langs)
+    w = S.dsir_bucket_weights(df, F.col("lang") == "en", n_buckets=64)
+    lam = {r["bucket"]: r["lambda_e6"] for r in w.collect()}
+    # bucket of a target-only bigram must outweigh a raw-only bigram's
+    import hashlib
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 64
+
+    assert lam[bucket("good stuff")] > lam[bucket("bad junk")]
+
+
+def test_dsir_topk_selects_target_like_docs(spark):
+    texts = ["the quick brown fox jumps over the lazy dog"] * 5 + [
+        "der schnelle braune fuchs springt faul"
+    ] * 5
+    langs = ["en"] * 5 + ["de"] * 5
+    df = _docs(spark, texts, langs)
+    top = S.dsir_topk(df, F.col("lang") == "en", k=5)
+    ids = {r["doc_id"] for r in top.collect()}
+    assert ids == {0, 1, 2, 3, 4}
+
+
+def test_dsir_scores_match_manual_codebook(spark):
+    df = _docs(spark, ["a b c", "b c d"])
+    w = S.dsir_bucket_weights(df, F.col("lang") == "en", n_buckets=32)
+    lam = {r["bucket"]: r["lambda_e6"] for r in w.collect()}
+    out = {r["doc_id"]: r for r in S.dsir_scores(df, w, n_buckets=32).collect()}
+    import hashlib
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 32
+
+    for doc_id, text in ((0, "a b c"), (1, "b c d")):
+        ws = text.split()
+        grams = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+        expect = sum(lam[bucket(g)] for g in grams)
+        assert out[doc_id]["score_e6"] == expect
+        assert out[doc_id]["n_feats"] == len(grams)
+
+
+def test_dsir_empty_and_short_docs_drop_out(spark):
+    df = _docs(spark, ["single", "two words", ""])
+    w = S.dsir_bucket_weights(df, F.col("lang") == "en", n_buckets=16)
+    scored = {r["doc_id"] for r in S.dsir_scores(df, w, n_buckets=16).collect()}
+    assert scored == {1}  # only the doc with >= 2 words has bigram features
