@@ -37,19 +37,31 @@ def main() -> None:
     warm.join(warm.select(F.col("r_regionkey")), on="r_regionkey").groupBy("r_name").count().count()
     spark.range(100).mapInPandas(lambda it: it, "id long").count()
 
+    # Min-of-N timing (default 2): this VM shows 3-4× run-to-run swings
+    # (cold JIT, noisy neighbors — STRESS.md documents dedup_clusters at
+    # both 3 s and 25 s for identical code), so a single sample makes
+    # round-over-round per-query comparison mostly noise. The min of two
+    # samples is a far better estimator of the query's true cost.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
-        t0 = time.perf_counter()
-        try:
-            df = spec.spark(spark, sf_dir)
-            df.count()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # record the failure; never break the bench line
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-        # drop persisted blocks (e.g. the LSH bucket index) so queries are
-        # timed independently, not under accumulated memory pressure
-        spark.catalog.clearCache()
+        best = -1.0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            try:
+                df = spec.spark(spark, sf_dir)
+                df.count()
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            except Exception as e:  # record the failure; never break the bench line
+                best = -1.0
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                break
+            finally:
+                # drop persisted blocks (e.g. the LSH bucket index) so queries
+                # are timed independently, not under accumulated memory pressure
+                spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

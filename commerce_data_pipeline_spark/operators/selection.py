@@ -62,6 +62,18 @@ def _bucket(col, n_buckets: int):
     return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets)
 
 
+def _token_weight(tok_col, n_buckets: int, w_range: int):
+    """Stub classifier weight of one token: w[b] = (16-bit md5 prefix of
+    the bucket id mod (2·w_range+1)) − w_range ∈ [−w_range, w_range] —
+    pure arithmetic of the bucket, no weight-table lookup."""
+    b = _bucket(tok_col, n_buckets)
+    return (
+        F.conv(F.substring(F.md5(b.cast("string")), 1, 4), 16, 10).cast("long")
+        % (2 * w_range + 1)
+        - w_range
+    )
+
+
 def classifier_scores(
     docs: DataFrame,
     n_buckets: int = 1024,
@@ -85,12 +97,7 @@ def classifier_scores(
     tok = docs.select(
         F.col(id_col), F.explode(words(text_col)).alias("_tok")
     )
-    b = _bucket(F.col("_tok"), n_buckets)
-    w = (
-        F.conv(F.substring(F.md5(b.cast("string")), 1, 4), 16, 10).cast("long")
-        % (2 * w_range + 1)
-        - w_range
-    )
+    w = _token_weight(F.col("_tok"), n_buckets, w_range)
     agg = tok.select(F.col(id_col), w.alias("_w")).groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum("_w").cast("long").alias("score"),
@@ -110,15 +117,22 @@ def classifier_filter(
     docs: DataFrame,
     n_buckets: int = 1024,
     w_range: int = 1000,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Quality-filter the corpus: keep documents the classifier accepts.
-    Semi-join on the (doc, keep) frame — document text never re-shuffles."""
-    keep = classifier_scores(
-        docs, n_buckets=n_buckets, w_range=w_range, id_col=id_col, text_col=text_col
-    ).filter(F.col("keep")).select(id_col)
-    return docs.join(keep, on=id_col, how="left_semi")
+    """Quality-filter the corpus: keep documents the classifier accepts
+    (score ≥ 0). The margin is recomputed as a SCAN-SIDE aggregate HOF
+    predicate — zero shuffles, zero joins: at 100 TB this pipelines into
+    whatever write or transform follows, which is why the filter does
+    not reuse `classifier_scores`' explode+groupBy shape (that one
+    exists to emit the per-doc score frame). NULL-text docs are dropped
+    (no tokens to accept on), matching the scores frame's absence
+    semantics."""
+    score = F.aggregate(
+        words(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + _token_weight(t, n_buckets, w_range),
+    )
+    return docs.filter(score >= 0)
 
 
 def _bigram_features(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -3037,8 +3037,11 @@ def _q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     features, deterministic md5 stub weights standing in for trained
     parameters. Weight lookup is pure arithmetic of the bucket id, so
     scoring is scan-side; the one shuffle carries a single partial-sum
-    row per document (map-side combine)."""
+    row per document (map-side combine). Single-file parquet input = one
+    split, so the scan repartitions first (tokenize+hash is the CPU-bound
+    stage; at 100 TB the source arrives pre-split)."""
     docs = load_table(spark, sf, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return selection.classifier_scores(docs)
 
 
@@ -3074,8 +3077,11 @@ def _q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     map-side onto ≤256 buckets; pass 2 scores map-only against the
     collected λ codebook literal (zero corpus joins); the cut lowers to
     TakeOrderedAndProject. λ_e6 floors to BIGINT before the per-doc sum
-    (order-independent integer score, the bm25 determinism contract)."""
+    (order-independent integer score, the bm25 determinism contract).
+    Single-file parquet input = one split: repartition ahead of the two
+    CPU-bound shingling passes (at 100 TB the source arrives pre-split)."""
     docs = load_table(spark, sf, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return selection.dsir_topk(docs, F.col("lang") == F.lit("en"), k=200)
 
 
@@ -3123,8 +3129,10 @@ def _q_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
     the 5 most characteristic terms of every source). One corpus-sized
     (group, term) count shuffle with map-side combine; df broadcast from
     the aggregated frame; N composes as a broadcast 1-row aggregate; the
-    top-k window runs over aggregated rows only."""
+    top-k window runs over aggregated rows only. Repartition ahead of the
+    tokenize stage (single-file parquet = one split)."""
     docs = load_table(spark, sf, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return search.tfidf_keywords(docs, group_col="source", k=5)
 
 

@@ -108,6 +108,13 @@ STRESS_QUERIES = [
     "resample_ffill",
     "temperature_mix",
     "scd2_intervals",
+    # round 5c: selection family (classifier is map-side + thin per-doc
+    # shuffle; DSIR is two linear passes over bigram features with a
+    # 256-bucket reduce; tfidf's only corpus shuffle is the (group, term)
+    # count with map-side combine)
+    "quality_classifier",
+    "dsir_select",
+    "tfidf_keywords",
 ]
 
 
