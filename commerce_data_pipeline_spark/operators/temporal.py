@@ -77,18 +77,30 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        *[F.col(c) for c in u.columns],
-        F.last(F.when(F.col("_side") == 1, F.col("_ts")), ignorenulls=True)
-        .over(w)
-        .alias(matched_ts),
-        *[
-            F.last(F.when(F.col("_side") == 1, F.col(f"_r_{c}")), ignorenulls=True)
+    # Carry the right payload as ONE struct, not per-column last():
+    # last(ignorenulls) on an individual payload column would skip a
+    # right row whose value is legitimately NULL and resurrect the
+    # PREVIOUS row's value (bit scd2_lookup: the open version's NULL
+    # valid_to inherited the prior version's bound). The struct is
+    # non-null for every right row regardless of field nullness, so the
+    # whole payload advances atomically.
+    payload = F.struct(
+        F.col("_ts").alias("__ts"), *[F.col(f"_r_{c}").alias(c) for c in rc]
+    )
+    carried = (
+        u.select(
+            *[F.col(c) for c in u.columns],
+            F.last(F.when(F.col("_side") == 1, payload), ignorenulls=True)
             .over(w)
-            .alias(f"{c}{suffix}")
-            for c in rc
-        ],
-    ).filter(F.col("_side") == 0)
+            .alias("_m"),
+        )
+        .filter(F.col("_side") == 0)
+        .select(
+            *[F.col(c) for c in u.columns],
+            F.col("_m.__ts").alias(matched_ts),
+            *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in rc],
+        )
+    )
 
     if tolerance_seconds is not None:
         stale = (
@@ -228,6 +240,62 @@ def resample_ffill(
             F.col("_v").isNotNull().alias("is_observed"),
         )
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from_us",
+    valid_to: str = "valid_to_us",
+    dim_cols: list[str] | None = None,
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Point-in-time dimension lookup against SCD2 validity intervals:
+    each fact row picks the dimension version valid at its timestamp
+    (valid_from ≤ ts < valid_to; NULL valid_to = open/current version).
+    The complement of `scd2_intervals` — build the versioned dimension
+    once, then join facts to the version that was true WHEN the fact
+    happened (the warehouse "repeatable report" contract).
+
+    NOT a range join: a `BETWEEN` theta-join degenerates to
+    per-key-cartesian at scale. Because validity intervals are ordered
+    and non-overlapping per key, the version valid at ts is exactly the
+    LAST version with valid_from ≤ ts — an as-of join — so this reuses
+    the union+window merge (ONE key shuffle, O(n log n) per key group,
+    no pair blow-up). Versions already closed at the fact timestamp
+    (possible only in gapped/deleted histories) are nulled out rather
+    than returned stale.
+
+    Fact timestamps may be TIMESTAMP (converted to epoch micros to match
+    the `scd2_intervals` BIGINT convention, exposed as `ts_us`) or
+    already-BIGINT micros. Dimension payload columns arrive suffixed.
+    """
+    ft = dict(facts.dtypes)[fact_ts]
+    fact_us = (
+        F.unix_micros(F.col(fact_ts)) if ft.startswith("timestamp") else F.col(fact_ts)
+    )
+    facts_us = facts.withColumn("ts_us", fact_us)
+    rc = dim_cols if dim_cols is not None else [
+        c for c in dim.columns if c not in (on, valid_from)
+    ]
+    out = asof_join(
+        facts_us, dim, on, left_ts="ts_us", right_ts=valid_from,
+        right_cols=rc, suffix=suffix,
+    )
+    matched = [f"{valid_from}{suffix}", *[f"{c}{suffix}" for c in rc]]
+    vt = f"{valid_to}{suffix}"
+    if valid_to in rc:
+        closed = F.col(vt).isNotNull() & (F.col(vt) <= F.col("ts_us"))
+        out = out.select(
+            *[c for c in out.columns if c not in matched],
+            *[
+                F.when(closed, F.lit(None)).otherwise(F.col(c)).alias(c)
+                for c in matched
+            ],
+        )
+    return out
 
 
 def scd2_intervals(

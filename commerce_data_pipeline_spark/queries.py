@@ -2880,6 +2880,69 @@ def _q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_scd2_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal — point-in-time (SCD2) dimension lookup: every purchase
+    event joins the behavioural-state version (from `scd2_intervals`
+    over the same stream) that was valid AT its timestamp. As-of
+    union+window merge, ONE user_id shuffle — never a BETWEEN range
+    join (per-key cartesian at scale)."""
+    ev = load_table(spark, sf, "events")
+    dim = temporal.scd2_intervals(
+        ev, key_col="user_id", ts_col="ts", state_col="event_type", id_col="event_id"
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = temporal.scd2_lookup(
+        facts, dim, on="user_id",
+        dim_cols=["event_type", "valid_to_us", "n_events"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("event_type_dim").alias("state"),
+        F.col("valid_from_us_dim").alias("valid_from_us"),
+        F.col("valid_to_us_dim").alias("valid_to_us"),
+        F.col("n_events_dim").alias("n_events"),
+    )
+
+
+_O_SCD2_LOOKUP = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+           OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_type,
+    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run
+  FROM ordered
+), runs AS (
+  SELECT user_id, run, MIN(event_type) AS event_type, MIN(ts) AS f,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY user_id, run
+), iv AS (
+  SELECT user_id, event_type,
+    CAST(epoch_us(f) AS BIGINT) AS valid_from_us,
+    CAST(epoch_us(LEAD(f) OVER w2) AS BIGINT) AS valid_to_us,
+    n_events
+  FROM runs
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
+), facts AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts_us, iv.event_type AS state,
+       iv.valid_from_us, iv.valid_to_us, iv.n_events
+FROM facts f JOIN iv ON f.user_id = iv.user_id
+  AND f.ts_us >= iv.valid_from_us
+  AND (iv.valid_to_us IS NULL OR f.ts_us < iv.valid_to_us)
+"""
+
+
 _O_SCD2_INTERVALS = """
 WITH ordered AS (
   SELECT user_id, ts, event_id, event_type,
@@ -4277,6 +4340,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "semantic_only_dups": QuerySpec(_q_semantic_only_dups, _O_SEMANTIC_ONLY_DUPS, "corpus: embedding near-dups missed by lexical LSH"),
     "overlap_chunks": QuerySpec(_q_overlap_chunks, _O_OVERLAP_CHUNKS, "corpus: sliding-window chunk spans with overlap"),
     "scd2_intervals": QuerySpec(_q_scd2_intervals, _O_SCD2_INTERVALS, "temporal: SCD type-2 validity intervals (gaps-and-islands)"),
+    "scd2_lookup": QuerySpec(_q_scd2_lookup, _O_SCD2_LOOKUP, "temporal: point-in-time SCD2 dimension lookup (as-of merge, no range join)"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

@@ -206,3 +206,70 @@ def test_scd2_single_key_shuffle(spark):
     import re
     # all exchanges hash-partition on the key — nothing global, no joins
     assert "Join" not in plan
+
+
+def test_asof_carries_legit_null_payload(spark):
+    """A right row whose payload value is legitimately NULL must carry that
+    NULL forward — not resurrect the previous row's value (the per-column
+    last(ignorenulls) trap the struct-carry fixes)."""
+    right = spark.createDataFrame(
+        [(1, _t(0), 100.0), (1, _t(10), None)], "sym long, ts timestamp, px double"
+    )
+    left = spark.createDataFrame([(1, _t(20), 7)], "sym long, ts timestamp, qty long")
+    out = temporal.asof_join(left, right, on="sym", right_cols=["px"]).collect()
+    assert out[0]["ts_matched"] == _t(10)
+    assert out[0]["px_matched"] is None  # NOT 100.0
+
+
+def test_scd2_lookup_point_in_time(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "u1", _h(10), "a"),
+            (2, "u1", _h(11), "b"),
+            (3, "u1", _h(12), "b"),
+            (4, "u1", _h(13), "c"),
+        ],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    dim = temporal.scd2_intervals(ev)
+    facts = spark.createDataFrame(
+        [
+            (100, "u1", _h(10, 30)),  # inside version a
+            (101, "u1", _h(11)),      # exactly at version b's start
+            (102, "u1", _h(23)),      # inside the open (current) version c
+            (103, "u1", _h(9)),       # before any version: no match
+        ],
+        ["fact_id", "user_id", "ts"],
+    )
+    out = {
+        r["fact_id"]: r
+        for r in temporal.scd2_lookup(
+            facts, dim, on="user_id",
+            dim_cols=["event_type", "valid_to_us", "n_events"],
+        ).collect()
+    }
+    assert out[100]["event_type_dim"] == "a"
+    assert out[101]["event_type_dim"] == "b" and out[101]["n_events_dim"] == 2
+    # current version: state c, open valid_to stays NULL (struct-carry fix)
+    assert out[102]["event_type_dim"] == "c"
+    assert out[102]["valid_to_us_dim"] is None
+    assert out[103]["event_type_dim"] is None
+
+
+def test_scd2_lookup_gapped_history_nulls_stale_version(spark):
+    """A fact after a version's end but with no successor version (gapped /
+    deleted history) must get NULL, not the stale closed version."""
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(1, "u1", _h(10), "a"), (2, "u1", _h(11), "b")],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    # keep only the CLOSED version 'a' → its valid_to is h(11)
+    dim = temporal.scd2_intervals(ev).filter(F.col("event_type") == "a")
+    facts = spark.createDataFrame([(100, "u1", _h(12))], ["fact_id", "user_id", "ts"])
+    out = temporal.scd2_lookup(
+        facts, dim, on="user_id", dim_cols=["event_type", "valid_to_us", "n_events"]
+    ).collect()
+    assert out[0]["event_type_dim"] is None
+    assert out[0]["valid_from_us_dim"] is None
