@@ -136,9 +136,11 @@ def test_lm_quality_broadcasts_vocab_no_global_sort(spark):
 
 def test_winnow_is_map_side_until_explode(spark):
     df = REGISTRY["winnow"].spark(spark, SF)
-    # fingerprint generation is scan-side HOFs; only the per-doc aggregate
-    # shuffles
-    assert plans.num_shuffles(df) <= 1
+    # fingerprint generation is scan-side HOFs; the per-doc aggregate
+    # shuffles, plus one deliberate round-robin repartition ahead of the
+    # interpreted md5 k-gram stage (single-file parquet = one split — see
+    # the query docstring; measured 3.9 -> 1.2 s warm at sf0.1)
+    assert plans.num_shuffles(df) <= 2
 
 
 def test_overlap_chunks_zero_shuffle(spark):

@@ -115,6 +115,8 @@ STRESS_QUERIES = [
     "quality_classifier",
     "dsir_select",
     "tfidf_keywords",
+    # point-in-time lookup: one key shuffle (as-of merge), linear by design
+    "scd2_lookup",
 ]
 
 
