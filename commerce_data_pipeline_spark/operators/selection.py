@@ -53,6 +53,7 @@ __all__ = [
     "dsir_bucket_weights",
     "dsir_scores",
     "dsir_topk",
+    "mmr_rerank",
 ]
 
 
@@ -227,6 +228,112 @@ def dsir_scores(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_feats"),
         F.sum("_lam").cast("long").alias("score_e6"),
+    )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_id: int = 0,
+    pool: int = 200,
+    k: int = 20,
+    lam_num: int = 7,
+    lam_den: int = 3,
+    q_scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-aware selection: Maximal Marginal Relevance (Carbonell &
+    Goldstein, SIGIR'98) over the embedding corpus — greedily pick k
+    items maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    picked (λ = lam_num/(lam_num+lam_den)). The standard rerank stage of
+    retrieval pipelines and the diversity pass of data-selection runs
+    (don't fill the budget with near-identical samples).
+
+    Scale shape: the DISTRIBUTED part is what touches the corpus — int
+    quantization + relevance scoring scan-side, then the pool cut as
+    TakeOrderedAndProject. MMR itself is inherently sequential, so it
+    greedily reranks the top-`pool` candidates on the driver — a
+    bounded, contractually small set (the similarity.py broadcast-query
+    philosophy; production rerankers work on exactly such pools).
+
+    Determinism (cross-engine exact): coordinates quantize to
+    q_i = floor(1e3·x_i) BIGINT, so every dot product is an EXACT
+    integer in any summation order; cosine_e6 = floor(1e6·dot /
+    (sqrt(Σa²)·sqrt(Σb²))) uses only IEEE-correctly-rounded ops (sqrt
+    is, unlike ln, exactly rounded), so Spark, Python, and the SQL
+    oracle replay identical scores; selection ties break on id asc.
+    Zero-norm vectors are excluded (cosine undefined).
+
+    Output (k rows): rank, id, rel_e6, max_sim_e6 (to the already-picked
+    set at selection time; 0 for rank 1), mmr_score
+    (= lam_num·rel_e6 − lam_den·max_sim_e6).
+    """
+    import math
+
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(q_scale))).cast("long"),
+    )
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        qv.alias("_qv"),
+    ).select(
+        "_id",
+        "_qv",
+        F.aggregate(
+            "_qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("_na2"),
+    ).filter(F.col("_na2") > 0)
+
+    qrow = base.filter(F.col("_id") == query_id).collect()
+    if not qrow:
+        raise ValueError(f"query vector {id_col}={query_id} not found (or zero-norm)")
+    q0, n0 = list(qrow[0]["_qv"]), qrow[0]["_na2"]
+    lit_q0 = F.expr("array(" + ",".join(f"{int(v)}L" for v in q0) + ")")
+    dot0 = F.aggregate(
+        F.zip_with("_qv", lit_q0, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rel = F.floor(
+        (F.lit(1000000.0) * dot0.cast("double"))
+        / (F.sqrt(F.col("_na2").cast("double")) * F.sqrt(F.lit(float(n0))))
+    ).cast("long")
+    pool_rows = (
+        base.filter(F.col("_id") != query_id)
+        .select("_id", "_qv", "_na2", rel.alias("_rel"))
+        .orderBy(F.desc("_rel"), F.asc("_id"))
+        .limit(pool)
+        .collect()
+    )
+
+    cand = {
+        r["_id"]: (list(r["_qv"]), int(r["_na2"]), int(r["_rel"])) for r in pool_rows
+    }
+
+    def sim_e6(a, b):
+        va, na2, _ = cand[a]
+        vb, nb2, _ = cand[b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        return math.floor((1000000.0 * dot) / (math.sqrt(na2) * math.sqrt(nb2)))
+
+    picked: list[tuple[int, int, int, int, int]] = []  # rank, id, rel, max_sim, score
+    remaining = set(cand)
+    for rank in range(1, min(k, len(cand)) + 1):
+        best = None
+        for cid in remaining:
+            rel_c = cand[cid][2]
+            ms = max((sim_e6(cid, p[1]) for p in picked), default=0)
+            score = lam_num * rel_c - lam_den * ms
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, rel_c, ms, score)
+        _, cid, rel_c, ms, score = best
+        picked.append((rank, cid, rel_c, ms, score))
+        remaining.discard(cid)
+
+    return emb.sparkSession.createDataFrame(
+        picked, schema=f"rank int, {id_col} long, rel_e6 long, max_sim_e6 long, mmr_score long"
     )
 
 

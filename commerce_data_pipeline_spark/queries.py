@@ -3186,6 +3186,77 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 200
 """
 
 
+def _q_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Selection — MMR diversity rerank (X11): top-20 of the 200 most
+    query-relevant embeddings, greedily re-ranked by
+    7·relevance − 3·max-sim-to-picked. Corpus work is distributed
+    (int-quantized coords scan-side, relevance vs the broadcast query
+    literal, pool cut = TakeOrderedAndProject); the greedy loop runs on
+    the bounded pool driver-side. All dot products are exact integers
+    and cosine_e6 uses only correctly-rounded IEEE ops (sqrt, ×, ÷,
+    floor), so the SQL oracle replays the identical selection sequence
+    via a recursive CTE."""
+    emb = load_table(spark, sf, "embeddings")
+    return selection.mmr_rerank(emb, query_id=0, pool=200, k=20)
+
+
+_O_MMR_RERANK = """
+WITH RECURSIVE q AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS na2
+  FROM q
+), nz AS (
+  SELECT * FROM n WHERE na2 > 0
+), q0 AS (
+  SELECT qv AS q0v, na2 AS n0 FROM nz WHERE vec_id = 0
+), rel AS (
+  SELECT nz.vec_id, nz.qv, nz.na2,
+    CAST(FLOOR((1000000.0 * CAST(list_sum(list_transform(
+           generate_series(1, len(nz.qv)), i -> nz.qv[i] * q0.q0v[i])) AS DOUBLE))
+         / (sqrt(CAST(nz.na2 AS DOUBLE)) * sqrt(CAST(q0.n0 AS DOUBLE)))) AS BIGINT)
+      AS rel_e6
+  FROM nz, q0 WHERE nz.vec_id <> 0
+), pool AS (
+  SELECT vec_id, qv, na2, rel_e6 FROM rel
+  ORDER BY rel_e6 DESC, vec_id ASC LIMIT 200
+), sims AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+    CAST(FLOOR((1000000.0 * CAST(list_sum(list_transform(
+           generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS DOUBLE))
+         / (sqrt(CAST(a.na2 AS DOUBLE)) * sqrt(CAST(b.na2 AS DOUBLE)))) AS BIGINT)
+      AS sim_e6
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+), sel AS (
+  SELECT CAST(1 AS INT) AS rank, c.vec_id, c.rel_e6,
+         CAST(0 AS BIGINT) AS max_sim_e6,
+         CAST(7 * c.rel_e6 AS BIGINT) AS mmr_score,
+         [c.vec_id] AS picked
+  FROM (SELECT vec_id, rel_e6 FROM pool ORDER BY rel_e6 DESC, vec_id ASC LIMIT 1) c
+  UNION ALL
+  SELECT s.rank + 1, c.vec_id, c.rel_e6, c.ms, c.score,
+         list_append(s.picked, c.vec_id)
+  FROM sel s, LATERAL (
+    SELECT p.vec_id, p.rel_e6,
+      (SELECT MAX(sim_e6) FROM sims
+        WHERE sims.ia = p.vec_id AND list_contains(s.picked, sims.ib)) AS ms,
+      7 * p.rel_e6 - 3 * (SELECT MAX(sim_e6) FROM sims
+        WHERE sims.ia = p.vec_id AND list_contains(s.picked, sims.ib)) AS score
+    FROM pool p
+    WHERE NOT list_contains(s.picked, p.vec_id)
+    ORDER BY score DESC, p.vec_id ASC
+    LIMIT 1
+  ) c
+  WHERE s.rank < 20
+)
+SELECT rank, vec_id, rel_e6, max_sim_e6, CAST(mmr_score AS BIGINT) AS mmr_score
+FROM sel
+"""
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
     """Search — per-source TF-IDF keyword extraction (corpus-audit view:
     the 5 most characteristic terms of every source). One corpus-sized
@@ -4341,6 +4412,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "overlap_chunks": QuerySpec(_q_overlap_chunks, _O_OVERLAP_CHUNKS, "corpus: sliding-window chunk spans with overlap"),
     "scd2_intervals": QuerySpec(_q_scd2_intervals, _O_SCD2_INTERVALS, "temporal: SCD type-2 validity intervals (gaps-and-islands)"),
     "scd2_lookup": QuerySpec(_q_scd2_lookup, _O_SCD2_LOOKUP, "temporal: point-in-time SCD2 dimension lookup (as-of merge, no range join)"),
+    "mmr_rerank": QuerySpec(_q_mmr_rerank, _O_MMR_RERANK, "X11 selection: MMR diversity rerank (integer-exact greedy, recursive-CTE oracle)"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

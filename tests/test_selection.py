@@ -91,3 +91,59 @@ def test_dsir_empty_and_short_docs_drop_out(spark):
     w = S.dsir_bucket_weights(df, F.col("lang") == "en", n_buckets=16)
     scored = {r["doc_id"] for r in S.dsir_scores(df, w, n_buckets=16).collect()}
     assert scored == {1}  # only the doc with >= 2 words has bigram features
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+
+
+def test_mmr_rank1_is_most_relevant(spark):
+    # id 0 = query; id 1 is a scaled copy of the query (cosine 1), id 2 orthogonal
+    df = _emb(spark, [[1, 0, 0], [2, 0, 0], [0, 1, 0], [1, 1, 0]])
+    out = {r["rank"]: r for r in S.mmr_rerank(df, k=3).collect()}
+    assert out[1]["vec_id"] == 1
+    assert out[1]["rel_e6"] == 1_000_000
+    assert out[1]["max_sim_e6"] == 0  # nothing picked yet
+    assert out[1]["mmr_score"] == 7 * 1_000_000
+
+
+def test_mmr_diversity_beats_pure_relevance(spark):
+    # q at 0°, candidates at −5° (id1), −4° (id2), +10° (id3). Pure
+    # relevance orders 2, 1, 3; after picking id2, id1 is a near-twin
+    # (sim cos1° ≈ .9998) so MMR's second pick is the farther id3:
+    # 7·984894 − 3·970347 = 3983217 > 7·996119 − 3·999837 = 3973322
+    # (exact integer scores under the q_scale=1000 contract).
+    import math as m
+
+    def at(deg):
+        return [m.cos(m.radians(deg)), m.sin(m.radians(deg))]
+
+    df = _emb(spark, [at(0), at(-5), at(-4), at(10)])
+    picked = [r["vec_id"] for r in sorted(S.mmr_rerank(df, k=3).collect(), key=lambda r: r["rank"])]
+    assert picked == [2, 3, 1]
+
+
+def test_mmr_score_arithmetic_and_ordering(spark):
+    df = _emb(spark, [[1, 0], [3, 1], [1, 3], [2, 2], [0, 1]])
+    rows = sorted(S.mmr_rerank(df, k=4, pool=10).collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 4 and 0 not in ids
+    for r in rows:
+        assert r["mmr_score"] == 7 * r["rel_e6"] - 3 * r["max_sim_e6"]
+    # determinism: bit-identical on re-run
+    again = sorted(S.mmr_rerank(df, k=4, pool=10).collect(), key=lambda r: r["rank"])
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_mmr_zero_norm_and_missing_query(spark):
+    # zero-norm candidates are excluded (cosine undefined)
+    df = _emb(spark, [[1, 0], [0, 0], [0, 1]])
+    ids = {r["vec_id"] for r in S.mmr_rerank(df, k=5).collect()}
+    assert ids == {2}
+    with pytest.raises(ValueError):
+        S.mmr_rerank(df, query_id=99)
+    with pytest.raises(ValueError):
+        S.mmr_rerank(df, query_id=1)  # zero-norm query
