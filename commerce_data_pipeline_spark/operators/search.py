@@ -34,11 +34,11 @@ integer tf/df/dl columns emitted alongside pin the inputs exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import words
 
-__all__ = ["bm25_topk", "bm25_scores", "tfidf_keywords"]
+__all__ = ["bm25_topk", "bm25_scores", "tfidf_keywords", "hybrid_rrf"]
 
 
 def bm25_scores(
@@ -192,4 +192,84 @@ def bm25_topk(
             "dl",
             "score_e6",
         )
+    )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_id: int = 0,
+    pool: int = 100,
+    k_rrf: int = 60,
+    k: int = 25,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher, SIGIR'09): fuse a BM25 keyword ranking with a semantic
+    embedding-cosine ranking — the standard hybrid-search shape of RAG /
+    retrieval data pipelines (lexical recall + semantic recall, ranks
+    fused without score calibration).
+
+    rrf = Σ_lists floor(1e9 / (k_rrf + rank)), ranks 1-based within each
+    list's top-`pool`, 0 contribution when absent from a list — pure
+    integer arithmetic, so Spark and the SQL oracle agree bit-for-bit.
+
+    Scale shape: the corpus-sized work is the two scorers, each already
+    scale-safe (BM25: thin (doc, term) shuffle after a map-side isin
+    filter; semantic: map-only quantized fold vs a broadcast query
+    literal — see bm25_scores / similarity.quantized_rel_frame). Both
+    lists then cut to `pool` rows via TakeOrderedAndProject; ranking,
+    the full-outer fuse, and the final top-k all operate on ≤ 2·pool
+    rows (single-partition windows are contractually bounded — never
+    corpus-sized).
+
+    Output (k rows): id, kw_rank, sem_rank (NULL when outside that
+    list's pool), kw_score_e6, rel_e6, rrf_score; ordered rrf_score
+    desc, id asc.
+    """
+    from .similarity import quantized_rel_frame
+
+    kw_w = Window.orderBy(F.desc("score_e6"), F.asc(id_col))
+    kw = (
+        bm25_scores(docs, query_terms, id_col=id_col, text_col=text_col)
+        .orderBy(F.desc("score_e6"), F.asc(id_col))
+        .limit(pool)
+        .select(
+            F.col(id_col).alias("_kid"),
+            F.col("score_e6").alias("kw_score_e6"),
+            F.row_number().over(kw_w).alias("kw_rank"),
+        )
+    )
+    sem_w = Window.orderBy(F.desc("rel_e6"), F.asc(vec_id_col))
+    sem = (
+        quantized_rel_frame(emb, query_id, id_col=vec_id_col, vec_col=vec_col)
+        .orderBy(F.desc("rel_e6"), F.asc(vec_id_col))
+        .limit(pool)
+        .select(
+            F.col(vec_id_col).alias("_sid"),
+            "rel_e6",
+            F.row_number().over(sem_w).alias("sem_rank"),
+        )
+    )
+    fused = kw.join(sem, kw["_kid"] == sem["_sid"], "full_outer")
+    contrib = lambda rank: F.when(  # noqa: E731 — local fold helper
+        rank.isNotNull(), F.lit(1000000000).cast("long") / (F.lit(k_rrf) + rank)
+    ).otherwise(F.lit(0))
+    return (
+        fused.select(
+            F.coalesce(F.col("_kid"), F.col("_sid")).alias(id_col),
+            "kw_rank",
+            "sem_rank",
+            "kw_score_e6",
+            "rel_e6",
+            (
+                F.floor(contrib(F.col("kw_rank"))) + F.floor(contrib(F.col("sem_rank")))
+            ).cast("long").alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
     )

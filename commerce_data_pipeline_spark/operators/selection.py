@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import word_shingles
+from .similarity import quantized_rel_frame
 from .text import words
 
 __all__ = [
@@ -270,45 +271,16 @@ def mmr_rerank(
     """
     import math
 
-    qv = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(float(q_scale))).cast("long"),
-    )
-    base = emb.select(
-        F.col(id_col).alias("_id"),
-        qv.alias("_qv"),
-    ).select(
-        "_id",
-        "_qv",
-        F.aggregate(
-            "_qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x
-        ).alias("_na2"),
-    ).filter(F.col("_na2") > 0)
-
-    qrow = base.filter(F.col("_id") == query_id).collect()
-    if not qrow:
-        raise ValueError(f"query vector {id_col}={query_id} not found (or zero-norm)")
-    q0, n0 = list(qrow[0]["_qv"]), qrow[0]["_na2"]
-    lit_q0 = F.expr("array(" + ",".join(f"{int(v)}L" for v in q0) + ")")
-    dot0 = F.aggregate(
-        F.zip_with("_qv", lit_q0, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    rel = F.floor(
-        (F.lit(1000000.0) * dot0.cast("double"))
-        / (F.sqrt(F.col("_na2").cast("double")) * F.sqrt(F.lit(float(n0))))
-    ).cast("long")
     pool_rows = (
-        base.filter(F.col("_id") != query_id)
-        .select("_id", "_qv", "_na2", rel.alias("_rel"))
-        .orderBy(F.desc("_rel"), F.asc("_id"))
+        quantized_rel_frame(emb, query_id, q_scale, id_col, vec_col)
+        .orderBy(F.desc("rel_e6"), F.asc(id_col))
         .limit(pool)
         .collect()
     )
 
     cand = {
-        r["_id"]: (list(r["_qv"]), int(r["_na2"]), int(r["_rel"])) for r in pool_rows
+        r[id_col]: (list(r["_qv"]), int(r["_na2"]), int(r["rel_e6"]))
+        for r in pool_rows
     }
 
     def sim_e6(a, b):

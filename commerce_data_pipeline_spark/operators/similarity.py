@@ -55,6 +55,59 @@ def cosine_similarity(a_col, b_col):
     return _dot(a_col, b_col) / (_norm(a_col) * _norm(b_col))
 
 
+def quantized_rel_frame(
+    emb: DataFrame,
+    query_id: int,
+    q_scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Engine-exact cosine relevance of every corpus vector to one query
+    vector, on the integer-quantization contract shared by `mmr_rerank`,
+    `hybrid_rrf` and `semantic_dedup`:
+
+    coordinates quantize to q_i = floor(q_scale·x_i) BIGINT, so every dot
+    product is an EXACT integer in any summation order; rel_e6 =
+    floor(1e6·dot / (sqrt(Σa²)·sqrt(Σb²))) uses only IEEE
+    correctly-rounded ops (sqrt is, unlike ln), so Spark, driver Python,
+    and the SQL oracle replay identical scores. Zero-norm vectors (cosine
+    undefined) and the query row itself are excluded.
+
+    Output: (id_col, _qv array<long>, _na2 long, rel_e6 long). The scan
+    side is map-only (quantize + fold vs a broadcast query literal); no
+    shuffle is introduced — downstream top-k lowers to
+    TakeOrderedAndProject. Raises ValueError if the query vector is
+    missing or zero-norm (one tiny collect of a single row)."""
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(q_scale))).cast("long"),
+    )
+    base = emb.select(F.col(id_col).alias("_id"), qv.alias("_qv")).select(
+        "_id",
+        "_qv",
+        F.aggregate("_qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x).alias(
+            "_na2"
+        ),
+    ).filter(F.col("_na2") > 0)
+    qrow = base.filter(F.col("_id") == query_id).collect()
+    if not qrow:
+        raise ValueError(f"query vector {id_col}={query_id} not found (or zero-norm)")
+    q0, n0 = list(qrow[0]["_qv"]), qrow[0]["_na2"]
+    lit_q0 = F.expr("array(" + ",".join(f"{int(v)}L" for v in q0) + ")")
+    dot0 = F.aggregate(
+        F.zip_with("_qv", lit_q0, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rel = F.floor(
+        (F.lit(1000000.0) * dot0.cast("double"))
+        / (F.sqrt(F.col("_na2").cast("double")) * F.sqrt(F.lit(float(n0))))
+    ).cast("long")
+    return base.filter(F.col("_id") != query_id).select(
+        F.col("_id").alias(id_col), "_qv", "_na2", rel.alias("rel_e6")
+    )
+
+
 def _normalized_matrix(rows: list) -> tuple:
     """(ids int64 array, row-normalized float64 matrix) from collected rows."""
     import numpy as np

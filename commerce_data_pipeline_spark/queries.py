@@ -3257,6 +3257,87 @@ FROM sel
 """
 
 
+def _q_hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Search — hybrid retrieval via Reciprocal Rank Fusion (X7): BM25
+    keyword ranks (terms dup/vector/spark) fused with embedding-cosine
+    ranks (query vec_id=0) as Σ floor(1e9/(60+rank)) — the standard RAG
+    hybrid-search shape. Corpus-sized work is the two scale-safe scorers;
+    ranking/fusing/top-k run on two bounded 100-row pools (see
+    operators/search.py:hybrid_rrf)."""
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    return search.hybrid_rrf(
+        docs, emb, ["dup", "vector", "spark"], query_id=0, pool=100, k=25
+    )
+
+
+_O_HYBRID_SEARCH_RRF = f"""
+WITH base AS (
+  SELECT doc_id, {_WS_SPLIT_SQL} AS words FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM base
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) AS total_tokens FROM dl
+), tok AS (
+  SELECT b.doc_id, unnest(b.words) AS term FROM base b
+), tf AS (
+  SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok t WHERE t.term IN ('dup', 'vector', 'spark')
+  GROUP BY t.doc_id, t.term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT f.doc_id,
+    CAST(FLOOR(
+      ln(1.0 + ((s.n_docs - d.df + 0.5) / (d.df + 0.5)))
+      * ((f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75
+           * (CAST(l.dl AS DOUBLE) / (s.total_tokens / s.n_docs)))))
+      * 1000000.0) AS BIGINT) AS term_score_e6
+  FROM tf f JOIN dfreq d USING (term) JOIN dl l ON l.doc_id = f.doc_id, stats s
+), kwagg AS (
+  SELECT doc_id, CAST(SUM(term_score_e6) AS BIGINT) AS kw_score_e6
+  FROM scored GROUP BY doc_id
+), kw AS (
+  SELECT doc_id AS kid, kw_score_e6,
+    CAST(ROW_NUMBER() OVER (ORDER BY kw_score_e6 DESC, doc_id ASC) AS INT) AS kw_rank
+  FROM kwagg ORDER BY kw_score_e6 DESC, doc_id ASC LIMIT 100
+), q AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS na2
+  FROM q
+), nz AS (
+  SELECT * FROM n WHERE na2 > 0
+), q0 AS (
+  SELECT qv AS q0v, na2 AS n0 FROM nz WHERE vec_id = 0
+), rel AS (
+  SELECT nz.vec_id,
+    CAST(FLOOR((1000000.0 * CAST(list_sum(list_transform(
+           generate_series(1, len(nz.qv)), i -> nz.qv[i] * q0.q0v[i])) AS DOUBLE))
+         / (sqrt(CAST(nz.na2 AS DOUBLE)) * sqrt(CAST(q0.n0 AS DOUBLE)))) AS BIGINT)
+      AS rel_e6
+  FROM nz, q0 WHERE nz.vec_id <> 0
+), sem AS (
+  SELECT vec_id AS sid, rel_e6,
+    CAST(ROW_NUMBER() OVER (ORDER BY rel_e6 DESC, vec_id ASC) AS INT) AS sem_rank
+  FROM rel ORDER BY rel_e6 DESC, vec_id ASC LIMIT 100
+), fused AS (
+  SELECT COALESCE(k.kid, s.sid) AS doc_id, k.kw_rank, s.sem_rank,
+         k.kw_score_e6, s.rel_e6,
+    CAST(COALESCE(CAST(FLOOR(1000000000.0 / (60 + k.kw_rank)) AS BIGINT), 0)
+       + COALESCE(CAST(FLOOR(1000000000.0 / (60 + s.sem_rank)) AS BIGINT), 0)
+       AS BIGINT) AS rrf_score
+  FROM kw k FULL OUTER JOIN sem s ON k.kid = s.sid
+)
+SELECT doc_id, kw_rank, sem_rank, kw_score_e6, rel_e6, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 25
+"""
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
     """Search — per-source TF-IDF keyword extraction (corpus-audit view:
     the 5 most characteristic terms of every source). One corpus-sized
@@ -4413,6 +4494,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "scd2_intervals": QuerySpec(_q_scd2_intervals, _O_SCD2_INTERVALS, "temporal: SCD type-2 validity intervals (gaps-and-islands)"),
     "scd2_lookup": QuerySpec(_q_scd2_lookup, _O_SCD2_LOOKUP, "temporal: point-in-time SCD2 dimension lookup (as-of merge, no range join)"),
     "mmr_rerank": QuerySpec(_q_mmr_rerank, _O_MMR_RERANK, "X11 selection: MMR diversity rerank (integer-exact greedy, recursive-CTE oracle)"),
+    "hybrid_search_rrf": QuerySpec(_q_hybrid_search_rrf, _O_HYBRID_SEARCH_RRF, "X7 search: hybrid BM25 + semantic retrieval fused by reciprocal-rank fusion"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

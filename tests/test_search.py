@@ -73,3 +73,46 @@ def test_topk_plan_shape(spark, corpus):
     assert "TakeOrderedAndProject" in plan
     # df + corpus scalars join back as broadcasts, never shuffled joins
     assert "SortMergeJoin" not in plan
+
+
+@pytest.fixture(scope="module")
+def emb5(spark):
+    # vec 0 = query; 1-2 near the query, 3 orthogonal, 4 zero-norm, 9 has
+    # no document twin (tests the full-outer side)
+    from pyspark.sql import Row
+
+    vecs = {0: [1.0, 0.0], 1: [0.9, 0.1], 2: [0.8, 0.2], 3: [0.0, 1.0],
+            4: [0.0, 0.0], 9: [1.0, 0.1]}
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs.items()]
+    )
+
+
+def test_hybrid_rrf_fuses_both_lists(spark, corpus, emb5):
+    out = {r["doc_id"]: r for r in search.hybrid_rrf(
+        corpus, emb5, ["rare", "common"], query_id=0, pool=3, k=10
+    ).collect()}
+    # doc 9: semantic-only (no keyword match) — kw side NULL, contributes 0
+    assert out[9]["kw_rank"] is None and out[9]["sem_rank"] is not None
+    assert out[9]["rrf_score"] == 1000000000 // (60 + out[9]["sem_rank"])
+    # doc 5 matches neither list; doc 3 is outside both pool-3 cuts;
+    # the query vec 0 never appears; zero-norm vec 4 is excluded from
+    # the semantic list (doc 4 enters on keywords alone)
+    assert 5 not in out and 3 not in out and 0 not in out
+    assert out[4]["kw_rank"] == 3 and out[4]["sem_rank"] is None
+    # a doc in both lists sums both reciprocal contributions
+    both = [r for r in out.values() if r["kw_rank"] and r["sem_rank"]]
+    assert both
+    for r in both:
+        assert r["rrf_score"] == (
+            1000000000 // (60 + r["kw_rank"]) + 1000000000 // (60 + r["sem_rank"])
+        )
+
+
+def test_hybrid_rrf_rank_order_and_determinism(spark, corpus, emb5):
+    rows = search.hybrid_rrf(corpus, emb5, ["rare"], query_id=0, pool=5, k=10)
+    a = [tuple(r) for r in rows.collect()]
+    b = [tuple(r) for r in rows.collect()]
+    assert a == b
+    scores = [r[-1] for r in a]
+    assert scores == sorted(scores, reverse=True)
