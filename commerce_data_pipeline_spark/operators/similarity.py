@@ -955,3 +955,96 @@ def ivf_topk(
     return ivf_probe_score(
         inverted, centroids, queries, k, n_probe, vec_col, query_id_col
     )
+
+
+def auto_dedup_centroids(n: int, target: int = 64, floor: int = 16) -> int:
+    """Centroid count for cluster-then-prune dedup: the smallest power of
+    two c ≥ floor with c·target ≥ n, so clusters average ≤ `target`
+    members. Unlike ANN's √N rule (`auto_n_centroids`, which balances
+    probe cost), dedup does ALL-PAIRS work inside each cluster — √N
+    clusters of √N members would make total pair work N^1.5. With
+    bounded cluster size the pair stage is N·target — linear in the
+    corpus (SemDeDup's published operating point: cluster count ∝ N).
+    Power of two + integer comparison keeps the rule engine-exact so the
+    SQL oracle replays the identical clustering at any corpus size."""
+    c = floor
+    while c * target < n:
+        c *= 2
+    return c
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.92,
+    n_centroids: int | None = None,
+    cluster_target: int = 64,
+    corpus_count: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): cluster-then-prune
+    semantic deduplication — assign every embedding to its nearest
+    centroid, compare pairs ONLY within a cluster, and drop the
+    higher-id member of every pair with cosine ≥ threshold. The
+    embedding-space complement of the lexical MinHash/LSH family: it
+    catches paraphrases and re-encodings that share no shingles, at
+    cluster-local cost instead of corpus-quadratic.
+
+    Deterministic keep rule (engine-exact): a vector is dropped iff some
+    LOWER-id vector in its cluster is ≥τ-similar — no iterative
+    clustering, no float accumulation across rows; each cosine is one
+    fixed-order fold of the two unit vectors, identical in the SQL
+    oracle. (SemDeDup keeps the member farthest from the centroid; the
+    lowest-id rule is the same one-per-near-clique contract with a
+    total-order tie-break both engines share.)
+
+    Plan shape for 100 TB:
+    - centroid sample broadcasts (`ivf_centroids`, shuffle-free);
+      assignment is the map-side argmax aggregation of `ivf_invert`.
+    - the pair stage is an equi-join on centroid_id: with
+      `auto_dedup_centroids` cluster size averages ≤ cluster_target, so
+      pair work is N·target (linear), never N² — and never N^1.5, the
+      trap of reusing ANN's √N centroid rule here.
+    - the keep verdict is a groupBy on the higher id (map-side combine)
+      joined back to the assignment — all shuffles are on id/centroid
+      keys.
+
+    Output: (id_col, centroid_id, keep, n_dups, dup_of) where n_dups =
+    count of lower-id ≥τ partners in-cluster and dup_of = the smallest
+    such id (NULL ⇒ keep=true).
+    """
+    u = with_unit_vector(corpus, vec_col, "unit")
+    total = corpus_count if corpus_count is not None else corpus.count()
+    if n_centroids is None:
+        n_centroids = auto_dedup_centroids(total, cluster_target)
+    step = max(1, total // n_centroids)
+    centroids = require_centroids(
+        ivf_centroids(u, step, n_centroids, id_col), id_col=id_col
+    )
+    inverted = ivf_invert(u, centroids, id_col)
+    a = inverted.select(
+        F.col("neighbor_id").alias("_ida"), "centroid_id", F.col("c_unit").alias("_ua")
+    )
+    b = inverted.select(
+        F.col("neighbor_id").alias("_idb"), "centroid_id", F.col("c_unit").alias("_ub")
+    )
+    marks = (
+        a.join(b, "centroid_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(_dot(F.col("_ua"), F.col("_ub")) >= F.lit(float(threshold)))
+        .groupBy("_idb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("_ida").alias("dup_of"),
+        )
+    )
+    return (
+        inverted.join(marks, inverted["neighbor_id"] == marks["_idb"], "left")
+        .select(
+            F.col("neighbor_id").alias(id_col),
+            "centroid_id",
+            F.col("dup_of").isNull().alias("keep"),
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+            "dup_of",
+        )
+    )

@@ -3257,6 +3257,61 @@ FROM sel
 """
 
 
+def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 (embedding family) — SemDeDup cluster-then-prune semantic
+    dedup (Abbas et al. 2023): nearest-centroid clusters (bounded ~64
+    members via auto_dedup_centroids — pair work N·64, linear, NOT the
+    ANN √N rule which would be N^1.5 here), in-cluster cosine ≥ τ pairs,
+    drop the higher id. τ=0.40 sits in this corpus's in-cluster tail so
+    both keep verdicts are exercised. One eager scalar (corpus count →
+    centroid rule; a catalog statistic at scale, see PLANS.md eager
+    inventory)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.40)
+
+
+_O_SEMANTIC_DEDUP = """
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), par AS (
+  -- bounded-cluster rule (similarity.auto_dedup_centroids): smallest power
+  -- of two nc >= 16 with nc*64 >= n — integer-exact in every engine
+  SELECT n, nc, GREATEST(n // nc, 1) AS step
+  FROM (SELECT COUNT(*) AS n FROM embeddings) t,
+       LATERAL (
+         SELECT MIN(CAST(1 AS BIGINT) << k) AS nc
+         FROM unnest(generate_series(4, 31)) AS tk(k)
+         WHERE ((CAST(1 AS BIGINT) << k) * 64) >= t.n
+       ) l
+), cent AS (
+  SELECT CAST(vec_id // step AS INT) AS centroid_id, u AS c_vec
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * nc
+), assign AS (
+  SELECT c.vec_id, cent.centroid_id, c.u,
+    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      ORDER BY list_dot_product(c.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit c CROSS JOIN cent
+), inv AS (
+  SELECT vec_id, centroid_id, u FROM assign WHERE r = 1
+), marks AS (
+  SELECT b.vec_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dups,
+         MIN(a.vec_id) AS dup_of
+  FROM inv a JOIN inv b USING (centroid_id)
+  WHERE a.vec_id < b.vec_id AND list_dot_product(a.u, b.u) >= 0.40
+  GROUP BY b.vec_id
+)
+SELECT i.vec_id, i.centroid_id,
+  (m.dup_of IS NULL) AS keep,
+  CAST(COALESCE(m.n_dups, 0) AS BIGINT) AS n_dups,
+  m.dup_of
+FROM inv i LEFT JOIN marks m USING (vec_id)
+"""
+
+
 def _q_hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
     """Search — hybrid retrieval via Reciprocal Rank Fusion (X7): BM25
     keyword ranks (terms dup/vector/spark) fused with embedding-cosine
@@ -4495,6 +4550,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "scd2_lookup": QuerySpec(_q_scd2_lookup, _O_SCD2_LOOKUP, "temporal: point-in-time SCD2 dimension lookup (as-of merge, no range join)"),
     "mmr_rerank": QuerySpec(_q_mmr_rerank, _O_MMR_RERANK, "X11 selection: MMR diversity rerank (integer-exact greedy, recursive-CTE oracle)"),
     "hybrid_search_rrf": QuerySpec(_q_hybrid_search_rrf, _O_HYBRID_SEARCH_RRF, "X7 search: hybrid BM25 + semantic retrieval fused by reciprocal-rank fusion"),
+    "semantic_dedup": QuerySpec(_q_semantic_dedup, _O_SEMANTIC_DEDUP, "X2 embedding dedup: SemDeDup cluster-then-prune (bounded clusters, keep/drop verdicts)"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

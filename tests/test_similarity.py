@@ -294,3 +294,49 @@ def test_auto_n_centroids_sqrt_rule():
     for n in (1, 100, 10**6, 10**9):
         c = auto_n_centroids(n)
         assert c * c >= n and (c == 16 or (c // 2) ** 2 < n)
+
+
+def test_auto_dedup_centroids_bounded_cluster_rule():
+    # smallest power of two c >= 16 with c*64 >= n
+    assert S.auto_dedup_centroids(500) == 16
+    assert S.auto_dedup_centroids(1024) == 16
+    assert S.auto_dedup_centroids(1025) == 32
+    assert S.auto_dedup_centroids(5000) == 128
+
+
+def _emb_frame(spark, vecs):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+
+
+def test_semantic_dedup_keep_drop_verdicts(spark):
+    # centroids sampled at ids 0 and 4 (n=8, n_centroids=2, step=4):
+    # cluster 0 ~ [1,0] holds {0,1,2,3,7}, cluster 1 ~ [0,1] holds {4,5,6}
+    emb = _emb_frame(spark, [
+        [1, 0], [0.999, 0.01], [0.9, 0.5], [0.87, 0.5],
+        [0, 1], [0.01, 1], [-0.5, 0.9], [0, -1],
+    ])
+    out = {r["vec_id"]: r for r in
+           S.semantic_dedup(emb, threshold=0.9, n_centroids=2).collect()}
+    assert len(out) == 8
+    assert {i for i, r in out.items() if r["keep"]} == {0, 2, 4, 6, 7}
+    # each dropped row names its smallest lower-id >=tau partner
+    assert (out[1]["dup_of"], out[3]["dup_of"], out[5]["dup_of"]) == (0, 2, 4)
+    assert all(out[i]["n_dups"] == 1 for i in (1, 3, 5))
+    assert all(out[i]["n_dups"] == 0 and out[i]["dup_of"] is None
+               for i in (0, 2, 4, 6, 7))
+    # v7 is anti-parallel to its whole cluster: kept
+    assert out[7]["keep"] and out[7]["centroid_id"] == out[0]["centroid_id"]
+
+
+def test_semantic_dedup_is_cluster_local(spark):
+    # 1 and 3 are near-dups (cos ~.999) but route to different centroids:
+    # both keep — the documented cluster-local recall contract of SemDeDup
+    emb = _emb_frame(spark, [[1, 0], [0.72, 0.69], [0, 1], [0.69, 0.72]])
+    out = {r["vec_id"]: r for r in
+           S.semantic_dedup(emb, threshold=0.9, n_centroids=2).collect()}
+    assert out[1]["centroid_id"] != out[3]["centroid_id"]
+    assert all(r["keep"] for r in out.values())
