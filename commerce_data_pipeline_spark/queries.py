@@ -34,6 +34,7 @@ from commerce_data_pipeline_spark.operators import (
     bloom,
     corpus,
     dedup,
+    graph,
     linkage,
     multimodal,
     search,
@@ -3257,6 +3258,66 @@ FROM sel
 """
 
 
+def _q_part_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph — weighted PageRank over the part co-purchase graph (X12):
+    baskets → symmetrized co-occurrence edges (scan-side pair expansion,
+    64-item basket cap) → 10 integer-exact power-iteration rounds (each
+    ONE src-key join + ONE dst-key aggregation over a checkpointed,
+    src-partitioned edge list) → top-100 parts. All rank arithmetic is
+    BIGINT multiply/floor-divide/sum, so the DuckDB recursive CTE
+    replays the identical trajectory (operators/graph.py contract)."""
+    li = load_table(spark, sf, "lineitem")
+    edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    pr = graph.pagerank(edges, iterations=10)
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        pr.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(100)
+        .select(
+            F.col("node").alias("part_id"),
+            F.col("rank").alias("rank_e9"),
+            F.row_number().over(w).alias("prank"),
+        )
+    )
+
+
+_O_PART_PAGERANK = """
+WITH RECURSIVE d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), capped AS (
+  -- the 64-item basket cap, ascending part order (= slice(sort_array(...)))
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+      ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM d)
+  WHERE rn <= 64
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS w
+  FROM capped a JOIN capped b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+), edges AS (
+  SELECT pa AS u, pb AS v, w FROM pairs
+  UNION ALL
+  SELECT pb AS u, pa AS v, w FROM pairs
+), outw AS (
+  SELECT u, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY u
+), pr(iter, node, r) AS (
+  SELECT 0, u, CAST(1000000000 AS BIGINT) FROM (SELECT DISTINCT u FROM edges) t
+  UNION ALL
+  SELECT p.iter + 1, e.v AS node,
+    CAST(150000000 + SUM((85 * p.r * e.w) // (100 * o.ow)) AS BIGINT) AS r
+  FROM pr p JOIN edges e ON e.u = p.node JOIN outw o ON o.u = p.node
+  WHERE p.iter < 10
+  GROUP BY p.iter + 1, e.v
+)
+SELECT node AS part_id, r AS rank_e9,
+  CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node ASC) AS INT) AS prank
+FROM pr WHERE iter = 10
+QUALIFY prank <= 100
+"""
+
+
 def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """X2 (embedding family) — SemDeDup cluster-then-prune semantic
     dedup (Abbas et al. 2023): nearest-centroid clusters (bounded ~64
@@ -4551,6 +4612,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "mmr_rerank": QuerySpec(_q_mmr_rerank, _O_MMR_RERANK, "X11 selection: MMR diversity rerank (integer-exact greedy, recursive-CTE oracle)"),
     "hybrid_search_rrf": QuerySpec(_q_hybrid_search_rrf, _O_HYBRID_SEARCH_RRF, "X7 search: hybrid BM25 + semantic retrieval fused by reciprocal-rank fusion"),
     "semantic_dedup": QuerySpec(_q_semantic_dedup, _O_SEMANTIC_DEDUP, "X2 embedding dedup: SemDeDup cluster-then-prune (bounded clusters, keep/drop verdicts)"),
+    "part_pagerank": QuerySpec(_q_part_pagerank, _O_PART_PAGERANK, "X12 graph: weighted PageRank over the co-purchase graph (integer-exact power iteration)"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

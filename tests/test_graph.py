@@ -1,0 +1,62 @@
+"""Unit tests for graph analytics (operators/graph.py): integer-exact
+PageRank and co-occurrence edge building."""
+
+from pyspark.sql import Row, functions as F
+
+from commerce_data_pipeline_spark.operators import graph
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, ["src", "dst", "weight"])
+
+
+def test_pagerank_matches_hand_computation(spark):
+    # 1→2, 2→{1,3}, 3→1 at weight 1; r0 = 1e9, teleport = 150e6.
+    # iter1 by hand: r(1) = 150e6 + 850e6 + 425e6 = 1_425_000_000,
+    # r(2) = 150e6 + 850e6 = 1_000_000_000, r(3) = 150e6 + 425e6 = 575_000_000
+    e = _edges(spark, [(1, 2, 1), (2, 3, 1), (3, 1, 1), (2, 1, 1)])
+    r1 = {r["node"]: r["rank"] for r in graph.pagerank(e, iterations=1).collect()}
+    assert r1 == {1: 1_425_000_000, 2: 1_000_000_000, 3: 575_000_000}
+    # 3 iterations: pinned against the DuckDB recursive-CTE replay
+    r3 = {r["node"]: r["rank"] for r in graph.pagerank(e, iterations=3).collect()}
+    assert r3 == {1: 1_217_281_250, 2: 1_054_187_500, 3: 728_531_250}
+
+
+def test_pagerank_mass_conserved_and_weighted(spark):
+    # weighted edges: contributions split by weight share, total mass is
+    # conserved up to the deterministic per-edge floors
+    e = _edges(spark, [(1, 2, 3), (1, 3, 1), (2, 1, 1), (3, 1, 1)])
+    rows = graph.pagerank(e, iterations=5).collect()
+    total = sum(r["rank"] for r in rows)
+    assert 3 * 10**9 - len(rows) * 5 * 10 <= total <= 3 * 10**9
+    r = {x["node"]: x["rank"] for x in rows}
+    assert r[2] > r[3]  # node 2 receives 3x node 3's share of node 1's mass
+
+
+def test_pagerank_no_in_edges_keeps_teleport(spark):
+    # 9→1 only: node 9 has no in-edges; it must survive every round at
+    # exactly the teleport mass, not vanish from the frame
+    e = _edges(spark, [(9, 1, 1), (1, 9, 0)])  # weight-0 back edge: no mass
+    e = e.filter(F.col("weight") > 0).unionByName(
+        _edges(spark, [(1, 1, 1)])  # self-loop keeps node 1 an out-node
+    )
+    r = {x["node"]: x["rank"] for x in graph.pagerank(e, iterations=2).collect()}
+    assert r[9] == 150_000_000
+
+
+def test_co_occurrence_edges_symmetry_and_cap(spark):
+    facts = spark.createDataFrame(
+        [Row(b=1, i=10), Row(b=1, i=20), Row(b=1, i=30), Row(b=1, i=10),
+         Row(b=2, i=10), Row(b=2, i=20), Row(b=3, i=99)]
+    )
+    out = graph.co_occurrence_edges(facts, "b", "i").collect()
+    ed = {(r["src"], r["dst"]): r["weight"] for r in out}
+    # both directions, dup fact rows collapse, singleton basket 3 drops out
+    assert ed[(10, 20)] == ed[(20, 10)] == 2
+    assert ed[(10, 30)] == ed[(30, 10)] == 1
+    assert not any(99 in k for k in ed)
+    # cap: a 5-item basket capped at 3 keeps only the 3 smallest items
+    big = spark.createDataFrame([Row(b=1, i=v) for v in (5, 4, 3, 2, 1)])
+    capped = graph.co_occurrence_edges(big, "b", "i", max_basket=3).collect()
+    nodes = {r["src"] for r in capped}
+    assert nodes == {1, 2, 3}
