@@ -4556,7 +4556,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: record linkage ---------------------------------------
     "fuzzy_name_pairs": QuerySpec(_q_fuzzy_name_pairs, _O_FUZZY_NAME_PAIRS, "linkage: blocked Levenshtein fuzzy matching (dist histogram)"),
     # -- checked window: text analysis (X4) -----------------------------------
-    "text_stats": QuerySpec(_q_text_stats, _O_TEXT_STATS, "X4 corpus token stats"),
     "text_profile": QuerySpec(_q_text_profile, _O_TEXT_PROFILE, "X4 lang-ID + quality scoring"),
     "text_repetition": QuerySpec(_q_text_repetition, _O_TEXT_REPETITION, "corpus: C4/Gopher repetition quality signals"),
     "lm_quality": QuerySpec(_q_lm_quality, _O_LM_QUALITY, "X4/corpus: unigram-LM typicality + OOV scoring (perplexity proxy)"),
@@ -4592,6 +4591,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "cohort_retention": QuerySpec(_q_cohort_retention, _O_COHORT_RETENTION, "G5 weekly cohorts"),
     "param_extract": QuerySpec(_q_param_extract, _O_PARAM_EXTRACT, "G6 JSON param extraction"),
     "streaming_daily_counts": QuerySpec(_q_streaming_daily_counts, _O_STREAMING_DAILY_COUNTS, "streaming tumbling-window agg (batch parity)"),
+    # r5d: the X12 graph family's proof rotates INTO the window; text_stats
+    # rotates out (X4 keeps text_profile/text_repetition/lm_quality/winnow/
+    # dup_ngram_spans in-window; text_stats stays oracle-green in self-check)
+    "part_pagerank": QuerySpec(_q_part_pagerank, _O_PART_PAGERANK, "X12 graph: weighted PageRank over the co-purchase graph (integer-exact power iteration)"),
     # -- past the 50-entry window: r5 rotation — these stay oracle-green
     # in the full self-check; their families keep other in-window proofs
     # (minhash/lsh/dedup_clusters for X2-lexical, embedding_near_dup for
@@ -4612,7 +4615,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "mmr_rerank": QuerySpec(_q_mmr_rerank, _O_MMR_RERANK, "X11 selection: MMR diversity rerank (integer-exact greedy, recursive-CTE oracle)"),
     "hybrid_search_rrf": QuerySpec(_q_hybrid_search_rrf, _O_HYBRID_SEARCH_RRF, "X7 search: hybrid BM25 + semantic retrieval fused by reciprocal-rank fusion"),
     "semantic_dedup": QuerySpec(_q_semantic_dedup, _O_SEMANTIC_DEDUP, "X2 embedding dedup: SemDeDup cluster-then-prune (bounded clusters, keep/drop verdicts)"),
-    "part_pagerank": QuerySpec(_q_part_pagerank, _O_PART_PAGERANK, "X12 graph: weighted PageRank over the co-purchase graph (integer-exact power iteration)"),
+    "text_stats": QuerySpec(_q_text_stats, _O_TEXT_STATS, "X4 corpus token stats (rotated past 50 in r5d for the part_pagerank proof, oracle unchanged)"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

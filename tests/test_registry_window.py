@@ -36,8 +36,8 @@ FAMILY_PROOFS = {
     "fuzzy_name_pairs",
     # X4 text (r5: ivf_profile/text_fingerprints/fixed_size_sample rotated
     # past 50 — oracle-green in selfcheck, families still proven in-window —
-    # to make room for the three new-family proofs)
-    "text_stats",
+    # to make room for the three new-family proofs; r5d: text_stats rotated
+    # past 50 for the X12 graph proof — X4 keeps five in-window proofs)
     "text_profile",
     "text_repetition",
     "lm_quality",
@@ -65,6 +65,8 @@ FAMILY_PROOFS = {
     "tfidf_keywords",
     "quality_classifier",
     "dsir_select",
+    # r5d new-family proof: X12 graph analytics
+    "part_pagerank",
     # X5 multimodal (rows-only float-DCT pHash family sits past 50; these
     # are the oracle-bearing proofs — incl. the binarized-DCT integer pHash
     # twins added in r4. audio_windows moved past 50: same sequence+explode
