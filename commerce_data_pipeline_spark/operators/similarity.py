@@ -1021,7 +1021,10 @@ def semantic_dedup(
     centroids = require_centroids(
         ivf_centroids(u, step, n_centroids, id_col), id_col=id_col
     )
-    inverted = ivf_invert(u, centroids, id_col)
+    # materialize the assignment ONCE: it feeds three consumers (both pair
+    # sides + the verdict join) and would otherwise recompute its
+    # crossJoin+argmax subtree — and re-scan the corpus — per consumer
+    inverted = ivf_invert(u, centroids, id_col).localCheckpoint()
     a = inverted.select(
         F.col("neighbor_id").alias("_ida"), "centroid_id", F.col("c_unit").alias("_ua")
     )

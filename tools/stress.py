@@ -117,6 +117,10 @@ STRESS_QUERIES = [
     "tfidf_keywords",
     # point-in-time lookup: one key shuffle (as-of merge), linear by design
     "scd2_lookup",
+    "mmr_rerank",
+    "hybrid_search_rrf",
+    "semantic_dedup",
+    "part_pagerank",
 ]
 
 
