@@ -1051,3 +1051,75 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    lo_e6: int = 150000,
+    hi_e6: int = 350000,
+    k: int = 5,
+    q_scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for every
+    anchor vector, the top-k corpus vectors whose cosine falls in the
+    band [lo_e6, hi_e6) — similar enough to be confusable, far enough to
+    be true negatives (the standard contrastive-training recipe; an
+    upper band edge also excludes near-duplicate false negatives).
+
+    Integer-exact on the `quantized_rel_frame` contract: coordinates
+    quantize to floor(q_scale·x) BIGINT, dots are exact integer folds,
+    sim_e6 = floor(1e6·dot/(sqrt·sqrt)) — engine-identical, so the SQL
+    oracle replays band membership and ranking bit-for-bit. Zero-norm
+    vectors and self-pairs are excluded.
+
+    Plan shape for 100 TB: the anchor set is contractually small and
+    BROADCASTS; quantization + the dot fold run scan-side on the corpus
+    (one pass, no corpus shuffle); the band predicate prunes candidates
+    before the only keyed exchange — the per-anchor top-k window over
+    band survivors. A pathologically wide band with few anchors would
+    skew that window; widen the anchor set or tighten the band rather
+    than raising k (the knobs the training recipe already owns).
+
+    Output: (anchor_id, {id_col}, sim_e6, rank), rank 1..k per anchor by
+    (sim_e6 desc, id asc).
+    """
+    def _q(df, out_id):
+        qv = F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(q_scale))).cast("long"),
+        )
+        return df.select(F.col(id_col).alias(out_id), qv.alias(f"_qv_{out_id}")).select(
+            out_id,
+            f"_qv_{out_id}",
+            F.aggregate(
+                f"_qv_{out_id}", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ).alias(f"_n2_{out_id}"),
+        ).filter(F.col(f"_n2_{out_id}") > 0)
+
+    c = _q(corpus, "cand_id")
+    a = _q(anchors, "anchor_id")
+    dot = F.aggregate(
+        F.zip_with("_qv_cand_id", "_qv_anchor_id", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = F.floor(
+        (F.lit(1000000.0) * dot.cast("double"))
+        / (
+            F.sqrt(F.col("_n2_cand_id").cast("double"))
+            * F.sqrt(F.col("_n2_anchor_id").cast("double"))
+        )
+    ).cast("long")
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim_e6"), F.asc("cand_id"))
+    return (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .select("anchor_id", "cand_id", sim.alias("sim_e6"))
+        .filter((F.col("sim_e6") >= int(lo_e6)) & (F.col("sim_e6") < int(hi_e6)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("anchor_id", F.col("cand_id").alias(id_col), "sim_e6", "rank")
+    )

@@ -465,3 +465,91 @@ def profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         language_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.9,
+    bak: float = 0.1,
+) -> DataFrame:
+    """CCNet-style LM perplexity filtering (Wenzek et al., LREC 2020),
+    trainer-free: score every document's negative log-likelihood under an
+    interpolated bigram LM estimated from the corpus itself —
+
+        p(w2|w1) = lam · c(w1,w2)/c(w1,·) + bak · (c(·,w2)+1)/(T+V)
+
+    (MLE bigram interpolated with an add-one unigram backoff over the T
+    bigram tokens / V distinct continuations). High avg-NLL ⇒ atypical
+    word sequences — the bigram upgrade of `unigram_typicality`, catching
+    shuffled/unnatural word ORDER that unigram stats cannot.
+
+    Determinism contract: counts are exact integers; each type's
+    term_e6 = floor(1e6·ln(p)) is computed once per bigram TYPE on a
+    fixed expression tree (the bm25 ln precedent — identical double
+    operands in both engines), floored to BIGINT before any sum, so the
+    per-doc aggregate is an order-independent integer sum. NLL is
+    positive, so the avg's integer division is floor in every engine
+    (negative `div` truncates toward zero in Spark but floors in others
+    — never divide a negative here).
+
+    Plan shape for 100 TB: bigram construction is scan-side (one
+    zip_with of the word array against its shifted self — the
+    word_shingles linearity pattern, minus the distinct); the corpus
+    shuffles once keyed by bigram for type counts, and once more to join
+    occurrences to the scored type table ((w1,w2)-co-keyed). c1/c2/T/V
+    all derive from the TYPE table (orders of magnitude smaller than the
+    corpus); T+V composes via a broadcast 1-row aggregate. Document text
+    never shuffles.
+
+    Output per doc (docs with ≥2 words): n_bigrams, nll_e6, avg_nll_e6.
+    """
+    ws_arr = F.split(normalized_text(text_col), " ")
+    shifted = F.slice(ws_arr, 2, F.greatest(F.size(ws_arr) - 1, F.lit(0)))
+    pairs = F.zip_with(
+        ws_arr, shifted, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+    )
+    grams = F.when(
+        F.size(ws_arr) >= 2, F.slice(pairs, 1, F.size(ws_arr) - 1)
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    occ = df.select(F.col(id_col), F.explode(grams).alias("_g")).select(
+        F.col(id_col), F.col("_g.w1").alias("_w1"), F.col("_g.w2").alias("_w2")
+    )
+    types = occ.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).cast("long").alias("_c12"))
+    c1 = types.groupBy("_w1").agg(F.sum("_c12").cast("long").alias("_c1"))
+    c2 = types.groupBy("_w2").agg(F.sum("_c12").cast("long").alias("_c2"))
+    tv = types.agg(
+        F.sum("_c12").cast("long").alias("_t"),
+        F.count_distinct("_w2").cast("long").alias("_v"),
+    )
+    p = F.lit(float(lam)) * (
+        F.col("_c12").cast("double") / F.col("_c1").cast("double")
+    ) + F.lit(float(bak)) * (
+        (F.col("_c2").cast("double") + F.lit(1.0))
+        / (F.col("_t").cast("double") + F.col("_v").cast("double"))
+    )
+    scored = (
+        types.join(c1, "_w1")
+        .join(c2, "_w2")
+        .crossJoin(F.broadcast(tv))
+        .select(
+            "_w1",
+            "_w2",
+            F.floor(F.lit(1000000.0) * F.log(p)).cast("long").alias("_term_e6"),
+        )
+    )
+    return (
+        occ.join(scored, ["_w1", "_w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("_term_e6").cast("long").alias("_ll"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            (-F.col("_ll")).cast("long").alias("nll_e6"),
+            F.expr("(-_ll) div n_bigrams").cast("long").alias("avg_nll_e6"),
+        )
+    )

@@ -3258,6 +3258,96 @@ FROM sel
 """
 
 
+def _q_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 — CCNet-style bigram-LM perplexity scoring: per-doc NLL under
+    the corpus's own interpolated bigram model (0.9·MLE + 0.1·add-one
+    unigram backoff). Bigram construction is scan-side zip_with; the
+    corpus shuffles once for type counts and once to join occurrences to
+    the scored types; term_e6 floors BEFORE the per-doc sum so the
+    aggregate is an order-independent integer (bm25 ln precedent)."""
+    docs = load_table(spark, sf, "documents")
+    return text.bigram_lm_scores(docs)
+
+
+_O_BIGRAM_LM = f"""
+WITH base AS (
+  SELECT doc_id, {_WS_SPLIT_SQL} AS words FROM documents
+), occ AS (
+  SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+  FROM base, LATERAL unnest(generate_series(1, len(words) - 1)) AS g(i)
+  WHERE len(words) >= 2
+), types AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM occ GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM types GROUP BY w1
+), c2t AS (
+  SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM types GROUP BY w2
+), tv AS (
+  SELECT CAST(SUM(c12) AS BIGINT) AS t, CAST(COUNT(DISTINCT w2) AS BIGINT) AS v
+  FROM types
+), scored AS (
+  -- fixed expression tree, identical association to text.bigram_lm_scores
+  SELECT ty.w1, ty.w2,
+    CAST(FLOOR(1000000.0 * ln(
+      0.9 * (CAST(ty.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+      + 0.1 * ((CAST(c2t.c2 AS DOUBLE) + 1.0)
+               / (CAST(tv.t AS DOUBLE) + CAST(tv.v AS DOUBLE)))
+    )) AS BIGINT) AS term_e6
+  FROM types ty JOIN c1 USING (w1) JOIN c2t USING (w2), tv
+), agg AS (
+  SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(s.term_e6) AS BIGINT) AS ll
+  FROM occ o JOIN scored s ON o.w1 = s.w1 AND o.w2 = s.w2
+  GROUP BY o.doc_id
+)
+SELECT doc_id, n_bigrams, CAST(-ll AS BIGINT) AS nll_e6,
+  CAST((-ll) // n_bigrams AS BIGINT) AS avg_nll_e6
+FROM agg
+"""
+
+
+def _q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """X3/X11 — hard-negative mining for contrastive retrieval training:
+    for each of the 20 anchor vectors (vec_id % 25 == 5), the top-5
+    corpus vectors with cosine in [0.15, 0.35) — confusable but not
+    near-duplicate. Anchors broadcast; quantized integer dots run
+    scan-side; the band predicate prunes before the only keyed exchange
+    (the per-anchor top-k window)."""
+    emb = load_table(spark, sf, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 25 == 5)
+    return similarity.hard_negatives(emb, anchors, lo_e6=150000, hi_e6=350000, k=5)
+
+
+_O_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM q
+), nz AS (
+  SELECT * FROM n WHERE n2 > 0
+), anch AS (
+  SELECT vec_id AS anchor_id, qv AS aqv, n2 AS an2 FROM nz WHERE vec_id % 25 = 5
+), sims AS (
+  SELECT a.anchor_id, c.vec_id,
+    CAST(FLOOR((1000000.0 * CAST(list_sum(list_transform(
+           generate_series(1, len(c.qv)), i -> c.qv[i] * a.aqv[i])) AS DOUBLE))
+         / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(a.an2 AS DOUBLE)))) AS BIGINT)
+      AS sim_e6
+  FROM nz c CROSS JOIN anch a WHERE c.vec_id <> a.anchor_id
+)
+SELECT anchor_id, vec_id, sim_e6,
+  CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+    ORDER BY sim_e6 DESC, vec_id ASC) AS INT) AS rank
+FROM sims
+WHERE sim_e6 >= 150000 AND sim_e6 < 350000
+QUALIFY rank <= 5
+"""
+
+
 def _q_part_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Graph — weighted PageRank over the part co-purchase graph (X12):
     baskets → symmetrized co-occurrence edges (scan-side pair expansion,
@@ -4616,6 +4706,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "hybrid_search_rrf": QuerySpec(_q_hybrid_search_rrf, _O_HYBRID_SEARCH_RRF, "X7 search: hybrid BM25 + semantic retrieval fused by reciprocal-rank fusion"),
     "semantic_dedup": QuerySpec(_q_semantic_dedup, _O_SEMANTIC_DEDUP, "X2 embedding dedup: SemDeDup cluster-then-prune (bounded clusters, keep/drop verdicts)"),
     "text_stats": QuerySpec(_q_text_stats, _O_TEXT_STATS, "X4 corpus token stats (rotated past 50 in r5d for the part_pagerank proof, oracle unchanged)"),
+    "bigram_lm": QuerySpec(_q_bigram_lm, _O_BIGRAM_LM, "X4 CCNet-style interpolated bigram-LM perplexity scoring"),
+    "hard_negatives": QuerySpec(_q_hard_negatives, _O_HARD_NEGATIVES, "X3/X11 banded hard-negative mining for contrastive training"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

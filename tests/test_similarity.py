@@ -340,3 +340,29 @@ def test_semantic_dedup_is_cluster_local(spark):
            S.semantic_dedup(emb, threshold=0.9, n_centroids=2).collect()}
     assert out[1]["centroid_id"] != out[3]["centroid_id"]
     assert all(r["keep"] for r in out.values())
+
+
+def test_hard_negatives_band_and_rank(spark):
+    # anchor [1,0]; candidates at known integer-exact cosines:
+    # id1 ~0.995 (above band), id2 ~0.316, id3 ~0.2418, id4 0.0 (below),
+    # id5 zero-norm (excluded)
+    emb = _emb_frame(spark, [
+        [1.0, 0.0], [1.0, 0.1], [1.0, 3.0], [1.0, 4.0], [0.0, 1.0], [0.0, 0.0],
+    ])
+    anchors = emb.filter(F.col("vec_id") == 0)
+    out = S.hard_negatives(emb, anchors, lo_e6=150000, hi_e6=350000, k=5).collect()
+    got = [(r["anchor_id"], r["vec_id"], r["rank"]) for r in
+           sorted(out, key=lambda r: r["rank"])]
+    assert got == [(0, 2, 1), (0, 3, 2)]
+    sims = {r["vec_id"]: r["sim_e6"] for r in out}
+    assert 150000 <= sims[3] < sims[2] < 350000
+
+
+def test_hard_negatives_k_cut_and_self_exclusion(spark):
+    # all candidates equidistant: ranks break ties by id asc; self excluded
+    emb = _emb_frame(spark, [[1.0, 1.0]] + [[1.0, 3.0]] * 4)
+    anchors = emb.filter(F.col("vec_id") == 0)
+    out = sorted(S.hard_negatives(emb, anchors, lo_e6=0, hi_e6=1000000, k=3).collect(),
+                 key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert len({r["sim_e6"] for r in out}) == 1

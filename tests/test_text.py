@@ -207,3 +207,41 @@ def test_dup_spans_n_validation(spark):
 
     with pytest.raises(ValueError):
         X.dup_ngram_spans(_docs(spark, ["x"]), n=0)
+
+
+def test_bigram_lm_matches_manual_model(spark):
+    import math
+
+    from commerce_data_pipeline_spark.operators.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "solo"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    # corpus model: types (a,b):3 (b,a):1 (b,c):1; c1 a:3 b:2; c2 b:3 a:1 c:1
+    # T=5, V=3 — replay the exact term formula in plain Python
+    def term(c12, c1, c2):
+        return math.floor(1e6 * math.log(0.9 * (c12 / c1) + 0.1 * ((c2 + 1.0) / (5.0 + 3.0))))
+
+    t_ab, t_ba, t_bc = term(3, 3, 3), term(1, 2, 1), term(1, 2, 1)
+    assert out[0]["n_bigrams"] == 3 and out[0]["nll_e6"] == -(2 * t_ab + t_ba)
+    assert out[1]["n_bigrams"] == 2 and out[1]["nll_e6"] == -(t_ab + t_bc)
+    for r in out.values():
+        assert r["avg_nll_e6"] == r["nll_e6"] // r["n_bigrams"]
+    # docs with < 2 words emit no row
+    assert 2 not in out and 3 not in out
+
+
+def test_bigram_lm_flags_shuffled_word_order(spark):
+    from commerce_data_pipeline_spark.operators.text import bigram_lm_scores
+
+    base = "the quick brown fox jumps over the lazy dog"
+    shuf = "dog the over quick lazy fox jumps brown the"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(8)] + [(100, shuf)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    # the common word ORDER scores far more likely than the shuffled one,
+    # even though both share the identical unigram distribution
+    assert out[100]["avg_nll_e6"] > out[0]["avg_nll_e6"]

@@ -121,6 +121,8 @@ STRESS_QUERIES = [
     "hybrid_search_rrf",
     "semantic_dedup",
     "part_pagerank",
+    "bigram_lm",
+    "hard_negatives",
 ]
 
 
