@@ -37,6 +37,7 @@ from commerce_data_pipeline_spark.operators import (
     graph,
     linkage,
     multimodal,
+    profiling,
     search,
     selection,
     similarity,
@@ -3258,6 +3259,56 @@ FROM sel
 """
 
 
+def _q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """P-family — deequ/TFDV-style one-pass data-quality profile of
+    lineitem: per-column null count, exact distinct count, numeric
+    min/max (timestamps as epoch micros), string-length min/max. All
+    statistics are exact integers or values copied from the data, so
+    the SQL oracle reproduces the profile bit-for-bit; the unpivot
+    happens on the single aggregated row (operators/profiling.py)."""
+    li = load_table(spark, sf, "lineitem")
+    return profiling.table_profile(li)
+
+
+def _profile_oracle(table: str, cols: list[tuple[str, str]]) -> str:
+    """UNION ALL oracle generator for table_profile: one SELECT per
+    column, mirroring operators/profiling.py's dtype_class mapping."""
+    parts = []
+    for c, cls in cols:
+        if cls in ("int", "double"):
+            num = f"CAST({c} AS DOUBLE)"
+        elif cls == "timestamp":
+            num = f"CAST(epoch_us({c}) AS DOUBLE)"
+        else:
+            num = None
+        mn = f"MIN({num})" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"MAX({num})" if num else "CAST(NULL AS DOUBLE)"
+        ml = f"CAST(MIN(length({c})) AS BIGINT)" if cls == "string" else "CAST(NULL AS BIGINT)"
+        xl = f"CAST(MAX(length({c})) AS BIGINT)" if cls == "string" else "CAST(NULL AS BIGINT)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, '{cls}' AS dtype_class,\n"
+            f"  CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+            f"  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,\n"
+            f"  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,\n"
+            f"  {mn} AS min_num, {mx} AS max_num,\n"
+            f"  {ml} AS min_len, {xl} AS max_len\n"
+            f"FROM {table}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_O_TABLE_PROFILE = _profile_oracle(
+    "lineitem",
+    [
+        ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+        ("l_linenumber", "int"), ("l_quantity", "double"),
+        ("l_extendedprice", "double"), ("l_discount", "double"),
+        ("l_tax", "double"), ("l_returnflag", "string"),
+        ("l_linestatus", "string"), ("l_shipdate", "timestamp"),
+    ],
+)
+
+
 def _q_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
     """X4 — CCNet-style bigram-LM perplexity scoring: per-doc NLL under
     the corpus's own interpolated bigram model (0.9·MLE + 0.1·add-one
@@ -4708,6 +4759,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(_q_text_stats, _O_TEXT_STATS, "X4 corpus token stats (rotated past 50 in r5d for the part_pagerank proof, oracle unchanged)"),
     "bigram_lm": QuerySpec(_q_bigram_lm, _O_BIGRAM_LM, "X4 CCNet-style interpolated bigram-LM perplexity scoring"),
     "hard_negatives": QuerySpec(_q_hard_negatives, _O_HARD_NEGATIVES, "X3/X11 banded hard-negative mining for contrastive training"),
+    "table_profile": QuerySpec(_q_table_profile, _O_TABLE_PROFILE, "P-family data-quality profile: one-pass per-column nulls/distincts/ranges"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

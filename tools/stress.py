@@ -123,6 +123,7 @@ STRESS_QUERIES = [
     "part_pagerank",
     "bigram_lm",
     "hard_negatives",
+    "table_profile",
 ]
 
 
