@@ -516,7 +516,17 @@ def bigram_lm_scores(
     occ = df.select(F.col(id_col), F.explode(grams).alias("_g")).select(
         F.col(id_col), F.col("_g.w1").alias("_w1"), F.col("_g.w2").alias("_w2")
     )
-    types = occ.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).cast("long").alias("_c12"))
+    # aggregate straight to per-doc gram counts and materialize ONCE: the
+    # frame feeds both the model-estimation side (types → c1/c2/T/V) and
+    # the scoring join — without the checkpoint every derived frame
+    # re-scans and re-explodes the corpus (witnessed as 5 parquet scans
+    # and 9 exchanges in the pre-fix plan audit)
+    occ_doc = (
+        occ.groupBy(id_col, "_w1", "_w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .localCheckpoint()
+    )
+    types = occ_doc.groupBy("_w1", "_w2").agg(F.sum("_n").cast("long").alias("_c12"))
     c1 = types.groupBy("_w1").agg(F.sum("_c12").cast("long").alias("_c1"))
     c2 = types.groupBy("_w2").agg(F.sum("_c12").cast("long").alias("_c2"))
     tv = types.agg(
@@ -540,11 +550,11 @@ def bigram_lm_scores(
         )
     )
     return (
-        occ.join(scored, ["_w1", "_w2"])
+        occ_doc.join(scored, ["_w1", "_w2"])
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.sum("_term_e6").cast("long").alias("_ll"),
+            F.sum("_n").cast("long").alias("n_bigrams"),
+            F.sum(F.col("_n") * F.col("_term_e6")).cast("long").alias("_ll"),
         )
         .select(
             F.col(id_col),
