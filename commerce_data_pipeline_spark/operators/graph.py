@@ -107,38 +107,40 @@ def pagerank(
     """
     sp = edges.sparkSession
     n_shuffle = int(sp.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = (
-        edges.select(
-            F.col(src).alias("_src"),
-            F.col(dst).alias("_dst"),
-            F.col(weight).cast("long").alias("_w"),
-        )
-        .repartition(n_shuffle, "_src")
+    e = edges.select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        F.col(weight).cast("long").alias("_w"),
+    ).repartition(n_shuffle, "_src")
+    # out-weights join ONCE, outside the loop: the (edge, ow) frame is
+    # loop-invariant, so re-joining it per round would redo the same
+    # co-partitioned merge `iterations` times
+    ew = (
+        e.join(e.groupBy("_src").agg(F.sum("_w").alias("_ow")), "_src")
         .localCheckpoint()
     )
-    outw = e.groupBy("_src").agg(F.sum("_w").alias("_ow")).localCheckpoint()
-    nodes = e.select(F.col("_src").alias("node")).distinct().localCheckpoint()
+    nodes = ew.select(F.col("_src").alias("node")).distinct().localCheckpoint()
     teleport = 15 * scale // 100
     ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
     contrib_expr = F.expr(f"({damp_num} * rank * _w) div ({damp_den} * _ow)")
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
-            e.join(outw, "_src")
-            .join(ranks, e["_src"] == ranks["node"])
+            ew.join(ranks, ew["_src"] == ranks["node"])
             .select(F.col("_dst").alias("node"), contrib_expr.alias("_c"))
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
         # left join on the full node set: nodes with no in-edges keep
         # receiving the teleport mass instead of silently vanishing
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (F.lit(int(teleport)) + F.coalesce(F.col("_in"), F.lit(0)))
-                .cast("long")
-                .alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(int(teleport)) + F.coalesce(F.col("_in"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
         )
+        # truncate lineage every SECOND round: a 2-round plan is still
+        # shallow, and halving the eager materializations halves the
+        # per-round job overhead that dominates at modest graph sizes
+        if i % 2 == 1 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()
     return ranks

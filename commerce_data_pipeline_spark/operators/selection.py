@@ -291,11 +291,18 @@ def mmr_rerank(
 
     picked: list[tuple[int, int, int, int, int]] = []  # rank, id, rel, max_sim, score
     remaining = set(cand)
+    # incremental max-sim: after a pick, each candidate's max-sim can only
+    # change via the ONE new member, so one sim per candidate per round —
+    # O(k·pool) dots total, not O(k²·pool) (same argmax, bit-identical).
+    # Sentinel is None, NOT 0: cosines can be negative, and a 0 floor
+    # would silently replace a negative true maximum (ms = 0 only while
+    # nothing is picked, matching max(..., default=0) in the spec).
+    best_sim: dict[int, int | None] = {cid: None for cid in cand}
     for rank in range(1, min(k, len(cand)) + 1):
         best = None
         for cid in remaining:
             rel_c = cand[cid][2]
-            ms = max((sim_e6(cid, p[1]) for p in picked), default=0)
+            ms = best_sim[cid] if best_sim[cid] is not None else 0
             score = lam_num * rel_c - lam_den * ms
             key = (-score, cid)
             if best is None or key < best[0]:
@@ -303,6 +310,10 @@ def mmr_rerank(
         _, cid, rel_c, ms, score = best
         picked.append((rank, cid, rel_c, ms, score))
         remaining.discard(cid)
+        for other in remaining:
+            s = sim_e6(other, cid)
+            if best_sim[other] is None or s > best_sim[other]:
+                best_sim[other] = s
 
     return emb.sparkSession.createDataFrame(
         picked, schema=f"rank int, {id_col} long, rel_e6 long, max_sim_e6 long, mmr_score long"
