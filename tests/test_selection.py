@@ -147,3 +147,56 @@ def test_mmr_zero_norm_and_missing_query(spark):
         S.mmr_rerank(df, query_id=99)
     with pytest.raises(ValueError):
         S.mmr_rerank(df, query_id=1)  # zero-norm query
+
+
+def test_mmr_incremental_matches_naive_spec(spark):
+    # regression pin for the incremental max-sim bookkeeping: on vectors
+    # engineered to have NEGATIVE pairwise cosines (the case a 0-floored
+    # sentinel silently breaks), the operator must equal a naive
+    # recompute-everything reference run in plain Python
+    import math
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(30)]
+    vecs[0] = [1.0] + [0.0] * 7  # query
+    df = _emb(spark, vecs)
+    out = sorted(S.mmr_rerank(df, k=10, pool=25).collect(), key=lambda r: r["rank"])
+
+    def q(v):
+        return [math.floor(x * 1000.0) for x in v]
+
+    cand_rows = []
+    q0 = q(vecs[0])
+    n0 = sum(x * x for x in q0)
+    for i, v in enumerate(vecs[1:], start=1):
+        qv = q(v)
+        n2 = sum(x * x for x in qv)
+        if n2 <= 0:
+            continue
+        dot = sum(a * b for a, b in zip(qv, q0))
+        rel = math.floor(1000000.0 * dot / (math.sqrt(n2) * math.sqrt(n0)))
+        cand_rows.append((i, qv, n2, rel))
+    cand_rows.sort(key=lambda r: (-r[3], r[0]))
+    cand = {r[0]: (r[1], r[2], r[3]) for r in cand_rows[:25]}
+
+    def sim(a, b):
+        va, na2, _ = cand[a]
+        vb, nb2, _ = cand[b]
+        d = sum(x * y for x, y in zip(va, vb))
+        return math.floor(1000000.0 * d / (math.sqrt(na2) * math.sqrt(nb2)))
+
+    picked, rem = [], set(cand)
+    for rank in range(1, 11):
+        best = None
+        for cid in rem:
+            ms = max((sim(cid, p[1]) for p in picked), default=0)
+            sc = 7 * cand[cid][2] - 3 * ms
+            if best is None or (-sc, cid) < best[0]:
+                best = ((-sc, cid), cid, cand[cid][2], ms, sc)
+        _, cid, rc, ms, sc = best
+        picked.append((rank, cid, rc, ms, sc))
+        rem.discard(cid)
+    assert [tuple(r) for r in out] == picked
+    # the scenario actually exercises negative maxima
+    assert any(p[3] < 0 for p in picked)
