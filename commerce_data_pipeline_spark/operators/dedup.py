@@ -607,3 +607,40 @@ def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         )
         .distinct()
     )
+
+
+def pair_group_matrix(
+    pairs: DataFrame,
+    meta: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Duplication audit matrix: annotate a candidate-pair list with each
+    side's group label (source, domain, shard, snapshot …) and count
+    pairs per UNORDERED group pair — the standard corpus-audit view
+    ("which sources duplicate which", cross-snapshot leakage, mirror
+    detection). Works over any pair list (LSH candidates, phash pairs,
+    embedding near-dups).
+
+    Scale shape: two equi-joins of the (already contracted) pair list
+    against a thin (id, group) projection, then a groupBy on at most
+    |groups|² keys with map-side combine — the corpus itself is never
+    touched here. Unordered normalization via least/greatest keeps one
+    row per group pair with a deterministic (lo ≤ hi) orientation.
+
+    Output: (source_a, source_b, n_pairs) with source_a ≤ source_b.
+    """
+    ma = meta.select(F.col(id_col).alias("_ia"), F.col(group_col).alias("_ga"))
+    mb = meta.select(F.col(id_col).alias("_ib"), F.col(group_col).alias("_gb"))
+    return (
+        pairs.join(ma, pairs[id_a] == ma["_ia"])
+        .join(mb, pairs[id_b] == mb["_ib"])
+        .select(
+            F.least("_ga", "_gb").alias("source_a"),
+            F.greatest("_ga", "_gb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -1452,6 +1452,39 @@ def _ora_lsh_pairs(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
     return f"WITH {_ora_lsh_ctes(num_hashes, bands, n)}\nSELECT id_a, id_b FROM pairs"
 
 
+def _q_dup_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 audit — cross-source duplication matrix: the LSH candidate
+    pairs (same doubled-corpus setup as `lsh_dedup_pairs`) annotated
+    with each side's source and counted per unordered source pair —
+    'which sources duplicate which' (mirror/leakage detection). Two
+    thin joins + a ≤|sources|² groupBy; the corpus is never re-touched
+    past the pair stage (operators/dedup.py:pair_group_matrix)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    doubled = docs.unionAll(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
+    pairs = dedup.minhash_lsh_pairs(
+        doubled.select("doc_id", "text"), num_hashes=16, bands=4, shingle_n=3
+    )
+    return dedup.pair_group_matrix(pairs, doubled.select("doc_id", "source"))
+
+
+def _ora_dup_source_matrix() -> str:
+    return f"""WITH {_ora_lsh_ctes()},
+meta AS (
+  SELECT doc_id, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, source FROM documents
+)
+SELECT LEAST(a.source, b.source) AS source_a,
+       GREATEST(a.source, b.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs p JOIN meta a ON p.id_a = a.doc_id JOIN meta b ON p.id_b = b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def _ora_dedup_clusters(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
     """Transitive closure of the candidate-pair graph via recursive CTE:
     each node's component = min reachable id — the oracle for the Spark
@@ -4760,6 +4793,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "bigram_lm": QuerySpec(_q_bigram_lm, _O_BIGRAM_LM, "X4 CCNet-style interpolated bigram-LM perplexity scoring"),
     "hard_negatives": QuerySpec(_q_hard_negatives, _O_HARD_NEGATIVES, "X3/X11 banded hard-negative mining for contrastive training"),
     "table_profile": QuerySpec(_q_table_profile, _O_TABLE_PROFILE, "P-family data-quality profile: one-pass per-column nulls/distincts/ranges"),
+    "dup_source_matrix": QuerySpec(_q_dup_source_matrix, _ora_dup_source_matrix(), "X2 audit: cross-source duplication matrix over LSH candidate pairs"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

@@ -172,3 +172,22 @@ def test_small_graph_unionfind_matches_distributed(spark):
     assert fast == dist
     prop = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
     assert prop == dist
+
+
+def test_pair_group_matrix_unordered_counts(spark):
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=1, id_b=3), Row(id_a=2, id_b=3),
+         Row(id_a=4, id_b=5)]
+    )
+    meta = spark.createDataFrame(
+        [Row(doc_id=1, source="s1"), Row(doc_id=2, source="s2"),
+         Row(doc_id=3, source="s1"), Row(doc_id=4, source="s3"),
+         Row(doc_id=5, source="s1")]
+    )
+    out = {(r["source_a"], r["source_b"]): r["n_pairs"]
+           for r in D.pair_group_matrix(pairs, meta).collect()}
+    # (1,2)->s1/s2, (1,3)->s1/s1, (2,3)->s2/s1 normalized to (s1,s2),
+    # (4,5)->s3/s1 normalized to (s1,s3)
+    assert out == {("s1", "s2"): 2, ("s1", "s1"): 1, ("s1", "s3"): 1}

@@ -124,6 +124,7 @@ STRESS_QUERIES = [
     "bigram_lm",
     "hard_negatives",
     "table_profile",
+    "dup_source_matrix",
 ]
 
 
