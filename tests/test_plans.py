@@ -191,3 +191,36 @@ def test_fuzzy_name_pairs_distinct_name_space(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "ReusedExchange" in executed
+
+
+def test_hard_negatives_broadcast_anchors_single_shuffle(spark):
+    df = REGISTRY["hard_negatives"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    # anchors broadcast into the scan-side cross join; the only keyed
+    # exchange is the per-anchor top-k window
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plans.num_shuffles(df) <= 2
+
+
+def test_table_profile_one_pass_all_columns(spark):
+    df = REGISTRY["table_profile"].spark(spark, SF)
+    # one partial/final aggregation pair over ONE scan of all 11 columns
+    assert plans.num_shuffles(df) <= 2
+    scans = plans.read_schema_columns(df)
+    assert len(scans) == 1 and len(scans[0]) == 11
+
+
+def test_hybrid_rrf_pools_take_ordered(spark):
+    df = REGISTRY["hybrid_search_rrf"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    # both pool cuts lower to distributed top-k, never a global sort
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_semantic_dedup_bounded_shuffles(spark):
+    df = REGISTRY["semantic_dedup"].spark(spark, SF)
+    # pair join + verdict groupBy + output join over the checkpointed
+    # assignment — a regression to per-consumer recompute would push
+    # this up and re-add parquet scans
+    assert plans.num_shuffles(df) <= 5
+    assert not plans.read_schema_columns(df)  # scan lives in the checkpoint
