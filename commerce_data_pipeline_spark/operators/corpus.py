@@ -472,3 +472,43 @@ def temperature_mix(
         .filter(hash_bucket(F.col(id_col), 10_000) < F.col("thr_e4"))
         .select(F.col(id_col), F.col(source_col), F.col("thr_e4"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis 2006, the A-ES scheme): every row draws
+    key = u^(1/w) and the k largest keys win — equivalently the k
+    SMALLEST r = −ln(u)/w, which is what this computes (inclusion
+    probability ∝ weight, one pass, no sequential reservoir). The
+    standard "sample documents proportional to quality/length" stage of
+    corpus construction.
+
+    Determinism (oracle-exact): u derives from the row's md5 — a 32-bit
+    integer v mapped to u = (v+1)/(2³²+1) ∈ (0,1) — so both engines
+    compute −ln on IDENTICAL double operands (the bm25 ln precedent),
+    floor to r_e9 BIGINT, and tie-break on id. Non-positive weights are
+    excluded (undefined inclusion probability).
+
+    Scale shape: the key is a scan-side expression; the cut lowers to
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver) —
+    no global sort, no shuffle of the corpus.
+
+    Output: (id_col, weight_col, key_e9), the k winners by key asc.
+    """
+    v = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (v + F.lit(1)).cast("double") / F.lit(4294967297.0)
+    w = F.col(weight_col).cast("double")
+    r = F.floor(F.lit(1000000000.0) * (-F.log(u)) / w).cast("long")
+    return (
+        df.filter(w > 0)
+        .select(F.col(id_col), F.col(weight_col), r.alias("key_e9"))
+        .orderBy(F.asc("key_e9"), F.asc(id_col))
+        .limit(k)
+    )

@@ -42,7 +42,7 @@ engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import word_shingles
 from .similarity import quantized_rel_frame
@@ -55,6 +55,7 @@ __all__ = [
     "dsir_scores",
     "dsir_topk",
     "mmr_rerank",
+    "calibrate_scores",
 ]
 
 
@@ -334,3 +335,39 @@ def dsir_topk(
     w = dsir_bucket_weights(docs, target_col, n_buckets=n_buckets, text_col=text_col)
     s = dsir_scores(docs, w, n_buckets=n_buckets, id_col=id_col, text_col=text_col)
     return s.orderBy(F.desc("score_e6"), F.asc(id_col)).limit(k)
+
+
+def calibrate_scores(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group score calibration: replace each row's raw score with its
+    percentile rank WITHIN its group (source/domain/language), so one
+    global threshold means the same thing across heterogeneously-scored
+    sources — the standard pre-filter normalization step when quality
+    scores are not comparable across domains (a 0.6 from web-crawl text
+    and a 0.6 from curated text are different animals).
+
+    calib_e6 = floor(1e6 · percent_rank) with percent_rank =
+    (rank−1)/(n_group−1) over the total order (score asc, id asc) —
+    unique ranks, a single exact integer division per row, identical in
+    any engine; a 1-row group calibrates to 0.
+
+    Scale shape: ONE window shuffle keyed by the group column; groups
+    are independent so skew is bounded by the largest group (salt or
+    sub-split a pathological mega-group upstream). No joins, no second
+    pass.
+
+    Output: (id_col, group_col, score_col, calib_e6).
+    """
+    w = Window.partitionBy(group_col).orderBy(F.asc(score_col), F.asc(id_col))
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.floor(F.percent_rank().over(w) * F.lit(1000000.0))
+        .cast("long")
+        .alias("calib_e6"),
+    )

@@ -3292,6 +3292,80 @@ FROM sel
 """
 
 
+def _q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus — weighted sampling without replacement (Efraimidis-
+    Spirakis exponential keys): 100 documents with inclusion probability
+    ∝ n_chars. Key is a scan-side expression over md5-derived uniforms
+    (−ln on identical double operands in both engines, floored to e9);
+    the cut is TakeOrderedAndProject — no shuffle, no global sort."""
+    docs = load_table(spark, sf, "documents")
+    return corpus.weighted_sample(docs, "n_chars", k=100)
+
+
+_O_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+    CAST(FLOOR(1000000000.0
+      * (-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+             / 4294967297.0))
+      / CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_e9
+  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+)
+SELECT doc_id, n_chars, key_e9 FROM keyed
+ORDER BY key_e9 ASC, doc_id ASC LIMIT 100
+"""
+
+
+def _q_quality_calibrate(spark: SparkSession, sf: str) -> DataFrame:
+    """Selection — per-source quality-score calibration: each document's
+    quality_e4 (the text_profile composite) replaced by its percentile
+    rank WITHIN its source, so one global threshold is comparable across
+    heterogeneously-scored sources. One window shuffle keyed by source;
+    percent_rank over the unique total order (score, id) is a single
+    exact integer division per row."""
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.floor(text.quality_score("text") * F.lit(10000.0))
+        .cast("long")
+        .alias("quality_e4"),
+    )
+    return selection.calibrate_scores(scored, "quality_e4")
+
+
+_O_QUALITY_CALIBRATE = """
+WITH t AS (
+  SELECT doc_id, source, text,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id, source,
+    len(ws) AS n_tokens,
+    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+      / GREATEST(len(ws), 1) AS wl,
+    CAST(len(list_filter(ws, w -> list_contains(
+      ['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+      / GREATEST(len(ws), 1) AS sw,
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+      / GREATEST(length(text), 1) AS pr
+  FROM t
+), q AS (
+  SELECT doc_id, source,
+    CAST(FLOOR((0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+              + 0.2 * (CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END)
+              + 0.2 * LEAST(sw * 5.0, 1.0)
+              + 0.2 * (1.0 - LEAST(pr * 2.0, 1.0))) * 10000) AS BIGINT) AS quality_e4
+  FROM m
+)
+SELECT doc_id, source, quality_e4,
+  CAST(FLOOR(PERCENT_RANK() OVER (
+    PARTITION BY source ORDER BY quality_e4 ASC, doc_id ASC) * 1000000.0) AS BIGINT)
+    AS calib_e6
+FROM q
+"""
+
+
 def _q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
     """P-family — deequ/TFDV-style one-pass data-quality profile of
     lineitem: per-column null count, exact distinct count, numeric
@@ -4794,6 +4868,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "hard_negatives": QuerySpec(_q_hard_negatives, _O_HARD_NEGATIVES, "X3/X11 banded hard-negative mining for contrastive training"),
     "table_profile": QuerySpec(_q_table_profile, _O_TABLE_PROFILE, "P-family data-quality profile: one-pass per-column nulls/distincts/ranges"),
     "dup_source_matrix": QuerySpec(_q_dup_source_matrix, _ora_dup_source_matrix(), "X2 audit: cross-source duplication matrix over LSH candidate pairs"),
+    "weighted_sample": QuerySpec(_q_weighted_sample, _O_WEIGHTED_SAMPLE, "corpus: Efraimidis-Spirakis weighted sampling without replacement"),
+    "quality_calibrate": QuerySpec(_q_quality_calibrate, _O_QUALITY_CALIBRATE, "X11 selection: per-source percentile calibration of quality scores"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

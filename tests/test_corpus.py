@@ -332,3 +332,38 @@ def test_temperature_mix_validation(spark):
         temperature_mix(docs, alpha=1.5)
     with pytest.raises(ValueError, match="target"):
         temperature_mix(docs, target=0)
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    import hashlib
+    import math
+
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=i, w=(i % 7) * 10 + (1 if i % 7 else 0) * 0) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    out = C.weighted_sample(df, "w", k=8, id_col="doc_id").collect()
+
+    def key(i, w):
+        v = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (v + 1) / 4294967297.0
+        return math.floor(1000000000.0 * (-math.log(u)) / float(w))
+
+    expect = sorted(
+        ((key(i, (i % 7) * 10), i) for i in range(40) if (i % 7) * 10 > 0)
+    )[:8]
+    assert [(r["key_e9"], r["doc_id"]) for r in out] == expect
+    # zero-weight rows (i % 7 == 0) can never appear
+    assert all(r["doc_id"] % 7 != 0 for r in out)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from pyspark.sql import Row
+
+    # weights 1 vs 1000: the heavy half should dominate the sample
+    df = spark.createDataFrame(
+        [Row(doc_id=i, w=1000 if i < 50 else 1) for i in range(100)]
+    )
+    got = C.weighted_sample(df, "w", k=20).collect()
+    heavy = sum(1 for r in got if r["doc_id"] < 50)
+    assert heavy >= 16

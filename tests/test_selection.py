@@ -200,3 +200,22 @@ def test_mmr_incremental_matches_naive_spec(spark):
     assert [tuple(r) for r in out] == picked
     # the scenario actually exercises negative maxima
     assert any(p[3] < 0 for p in picked)
+
+
+def test_calibrate_scores_percentile_semantics(spark):
+    rows = [
+        Row(doc_id=1, source="a", s=10),
+        Row(doc_id=2, source="a", s=20),
+        Row(doc_id=3, source="a", s=20),  # tie broken by id
+        Row(doc_id=4, source="a", s=99),
+        Row(doc_id=5, source="b", s=7),   # singleton group -> 0
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r["calib_e6"] for r in
+           S.calibrate_scores(df, "s", group_col="source").collect()}
+    # group a: ranks 1..4 over (s, id) -> percent_rank 0, 1/3, 2/3, 1
+    assert out[1] == 0
+    assert out[2] == 333333
+    assert out[3] == 666666
+    assert out[4] == 1000000
+    assert out[5] == 0

@@ -125,6 +125,8 @@ STRESS_QUERIES = [
     "hard_negatives",
     "table_profile",
     "dup_source_matrix",
+    "weighted_sample",
+    "quality_calibrate",
 ]
 
 
