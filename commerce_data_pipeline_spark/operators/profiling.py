@@ -25,10 +25,10 @@ Plan shape for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["table_profile"]
+__all__ = ["table_profile", "group_outliers"]
 
 _NUM_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -109,3 +109,69 @@ def table_profile(df: DataFrame, columns: list[str] | None = None,
         for f in fields
     ]
     return row.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+
+
+def group_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier detection via median absolute deviation
+    (the Hampel / x84 rule): flag rows with |x − median| > k·MAD, both
+    statistics computed within the row's group. Medians beat means here
+    because the statistic itself must not be dragged by the outliers it
+    hunts — the data-quality companion to `table_profile` (profile says
+    "this column has a range"; this says "these rows are the anomalies").
+
+    Engine-exact: both medians are LOWER medians — the value at
+    row_number (n+1) div 2 under the unique total order (value, id) — so
+    they are values COPIED from the data, not interpolated floats; dev =
+    |x − med| and the k·MAD compare are single correctly-rounded ops on
+    identical operands. A group whose majority value is constant has
+    MAD = 0: every deviating row flags (documented degenerate case —
+    widen k or pre-filter constants if unwanted).
+
+    Scale shape: two group-keyed window passes (rank for the median,
+    rank for the MAD) plus two joins against 1-row-per-group frames
+    (broadcastable). Parallelism is bounded by the number of groups —
+    for few huge groups prefer the approx twin (percentile_approx
+    bounds) or sub-split groups; this exact form is the oracle-checkable
+    contract.
+
+    Output: (id_col, group_col, value_col, med, dev, mad, is_outlier).
+    """
+    base = df.select(
+        F.col(id_col), F.col(group_col), F.col(value_col).cast("double").alias("_v")
+    )
+    w1 = Window.partitionBy(group_col).orderBy(F.asc("_v"), F.asc(id_col))
+    g = Window.partitionBy(group_col)
+    ranked = base.withColumn("_rn", F.row_number().over(w1)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(g)
+    )
+    med = ranked.filter(F.col("_rn") == F.expr("(_cnt + 1) div 2")).select(
+        F.col(group_col).alias("_g1"), F.col("_v").alias("med")
+    )
+    dev = base.join(F.broadcast(med), base[group_col] == med["_g1"]).select(
+        id_col, group_col, "_v", "med", F.abs(F.col("_v") - F.col("med")).alias("dev")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(F.asc("dev"), F.asc(id_col))
+    ranked2 = dev.withColumn("_rn2", F.row_number().over(w2)).withColumn(
+        "_cnt2", F.count(F.lit(1)).over(g)
+    )
+    mad = ranked2.filter(F.col("_rn2") == F.expr("(_cnt2 + 1) div 2")).select(
+        F.col(group_col).alias("_g2"), F.col("dev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), dev[group_col] == mad["_g2"])
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("_v").alias(value_col),
+            "med",
+            "dev",
+            "mad",
+            (F.col("dev") > F.lit(float(k)) * F.col("mad")).alias("is_outlier"),
+        )
+    )

@@ -3292,6 +3292,53 @@ FROM sel
 """
 
 
+def _q_price_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """P-family — MAD-based anomaly detection (Hampel rule): orders whose
+    total price deviates from their priority-group median by more than
+    2 MADs (k=2 because the synthetic near-uniform price distribution
+    tops out at 2.07 MADs — the operator default stays at the classic
+    Hampel k=3). Both statistics are LOWER medians (values copied from
+    the data under a unique (value, id) order — no float interpolation),
+    so the oracle replays every flag exactly. Outlier rows only, bounded
+    by a deterministic top-500 cut (profiling.group_outliers)."""
+    orders = load_table(spark, sf, "orders")
+    out = profiling.group_outliers(
+        orders, "o_totalprice", "o_orderpriority", "o_orderkey", k=2.0
+    )
+    return (
+        out.filter(F.col("is_outlier"))
+        .orderBy(F.desc("dev"), F.asc("o_orderkey"))
+        .limit(500)
+    )
+
+
+_O_PRICE_OUTLIERS = """
+WITH n AS (
+  SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v FROM orders
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY v, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM n
+), med AS (
+  SELECT o_orderpriority, v AS med FROM r WHERE rn = (cnt + 1) // 2
+), d AS (
+  SELECT n.o_orderkey, n.o_orderpriority, n.v, m.med, ABS(n.v - m.med) AS dev
+  FROM n JOIN med m USING (o_orderpriority)
+), r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY dev, o_orderkey) AS rn2,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt2
+  FROM d
+), mad AS (
+  SELECT o_orderpriority, dev AS mad FROM r2 WHERE rn2 = (cnt2 + 1) // 2
+)
+SELECT d.o_orderkey, d.o_orderpriority, d.v AS o_totalprice, d.med, d.dev, m2.mad,
+       (d.dev > 2.0 * m2.mad) AS is_outlier
+FROM d JOIN mad m2 USING (o_orderpriority)
+WHERE d.dev > 2.0 * m2.mad
+ORDER BY d.dev DESC, d.o_orderkey ASC LIMIT 500
+"""
+
+
 def _q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus — weighted sampling without replacement (Efraimidis-
     Spirakis exponential keys): 100 documents with inclusion probability
@@ -4870,6 +4917,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dup_source_matrix": QuerySpec(_q_dup_source_matrix, _ora_dup_source_matrix(), "X2 audit: cross-source duplication matrix over LSH candidate pairs"),
     "weighted_sample": QuerySpec(_q_weighted_sample, _O_WEIGHTED_SAMPLE, "corpus: Efraimidis-Spirakis weighted sampling without replacement"),
     "quality_calibrate": QuerySpec(_q_quality_calibrate, _O_QUALITY_CALIBRATE, "X11 selection: per-source percentile calibration of quality scores"),
+    "price_outliers": QuerySpec(_q_price_outliers, _O_PRICE_OUTLIERS, "P-family anomaly detection: MAD/Hampel outliers per priority group"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

@@ -52,3 +52,34 @@ def test_profile_column_subset_and_approx(spark, frame):
     assert ap["i"]["n_distinct"] > 0
     with pytest.raises(ValueError, match="no columns"):
         profiling.table_profile(frame, columns=["nope"])
+
+
+def test_group_outliers_hampel_semantics(spark):
+    rows = (
+        [Row(k=i, g="a", v=10.0) for i in range(5)]
+        + [Row(k=10, g="a", v=11.0), Row(k=11, g="a", v=9.0), Row(k=12, g="a", v=100.0)]
+        + [Row(k=20, g="b", v=1.0), Row(k=21, g="b", v=2.0), Row(k=22, g="b", v=3.0)]
+    )
+    df = spark.createDataFrame(rows)
+    out = {r["k"]: r for r in
+           profiling.group_outliers(df, "v", "g", "k", k=3.0).collect()}
+    # group a: 8 rows, lower median = 10.0; devs sorted = [0x5, 1, 1, 90],
+    # lower median of devs (rank (8+1)//2 = 4) -> 0.0 MAD: every deviating
+    # row flags (documented degenerate case)
+    a = {k: r for k, r in out.items() if r["g"] == "a"}
+    assert all(r["med"] == 10.0 and r["mad"] == 0.0 for r in a.values())
+    assert {k for k, r in a.items() if r["is_outlier"]} == {10, 11, 12}
+    # group b: median 2.0, devs [0, 1, 1] -> MAD (rank 2) = 1.0; no dev > 3
+    b = {k: r for k, r in out.items() if r["g"] == "b"}
+    assert all(r["med"] == 2.0 and r["mad"] == 1.0 for r in b.values())
+    assert not any(r["is_outlier"] for r in b.values())
+
+
+def test_group_outliers_flags_clear_anomaly(spark):
+    rows = [Row(k=i, g="x", v=float(100 + (i % 3))) for i in range(20)]
+    rows.append(Row(k=99, g="x", v=10000.0))
+    df = spark.createDataFrame(rows)
+    out = {r["k"]: r["is_outlier"] for r in
+           profiling.group_outliers(df, "v", "g", "k").collect()}
+    assert out[99] is True
+    assert sum(out.values()) == 1

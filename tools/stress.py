@@ -127,6 +127,7 @@ STRESS_QUERIES = [
     "dup_source_matrix",
     "weighted_sample",
     "quality_calibrate",
+    "price_outliers",
 ]
 
 
