@@ -90,3 +90,52 @@ def salted_count_distinct(
         .agg(F.countDistinct(distinct_col).alias("_pc"))
     )
     return partial.groupBy(group_col).agg(F.sum("_pc").alias("n_distinct"))
+
+
+def join_profile(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Pre-join audit: before committing cluster time to a large join,
+    measure what the join will actually do — key overlap (how much of
+    each side even matches), orphan rates (anti-join volume), maximum
+    key multiplicity per side (the skew signal `salted_join` acts on),
+    and the EXACT output cardinality Σ_shared cnt_l·cnt_r (the
+    explosion check: a many-to-many hot key shows up here as a huge
+    est_join_rows long before it OOMs a shuffle partition).
+
+    All statistics are exact integer aggregates of the two per-key count
+    tables — corpus rows reduce map-side onto their keys (two keyed
+    shuffles), the count tables full-outer join co-keyed, and ONE row
+    comes out. Nothing about the payload columns is touched or moved.
+
+    Output (1 row): n_keys_left, n_keys_right, n_shared, orphans_left,
+    orphans_right, max_mult_left, max_mult_right, est_join_rows.
+    """
+    lc = left.groupBy(F.col(key).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cl")
+    )
+    rc = right.groupBy(F.col(key).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cr")
+    )
+    both = lc.join(rc, "_k", "full_outer")
+    return both.agg(
+        F.count(F.col("_cl")).cast("long").alias("n_keys_left"),
+        F.count(F.col("_cr")).cast("long").alias("n_keys_right"),
+        F.count(F.when(F.col("_cl").isNotNull() & F.col("_cr").isNotNull(), 1))
+        .cast("long")
+        .alias("n_shared"),
+        F.count(F.when(F.col("_cr").isNull(), 1)).cast("long").alias("orphans_left"),
+        F.count(F.when(F.col("_cl").isNull(), 1)).cast("long").alias("orphans_right"),
+        F.max("_cl").cast("long").alias("max_mult_left"),
+        F.max("_cr").cast("long").alias("max_mult_right"),
+        F.sum(
+            F.when(
+                F.col("_cl").isNotNull() & F.col("_cr").isNotNull(),
+                F.col("_cl") * F.col("_cr"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("est_join_rows"),
+    )

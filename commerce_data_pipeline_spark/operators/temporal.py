@@ -351,3 +351,49 @@ def scd2_intervals(
         F.lead("_from").over(w_runs).isNull().alias("is_current"),
         "n_events",
     )
+
+
+def time_decayed_sum(
+    df: DataFrame,
+    value_col: str,
+    date_col: str,
+    group_col: str,
+    anchor_date: str,
+    half_life_days: float = 365.0,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Recency-weighted aggregation: Σ_rows value · 0.5^(age/half_life),
+    the exponential-decay scoring every recency-sensitive metric uses
+    (customer value, trending items, freshness-weighted corpus stats).
+    `anchor_date` is an explicit literal — "now" must be pinned by the
+    caller or the metric is irreproducible.
+
+    Determinism contract: the decay factor exp(ln(0.5)·age/half_life)
+    is computed per row on identical double operands in both engines
+    (age is an exact integer datediff), the weighted value floors to e4
+    BEFORE the group sum, so the aggregate is an order-independent
+    integer sum (the bm25 transcendental precedent). Rows dated after
+    the anchor are excluded (negative age = future data leaking in).
+
+    Scale shape: decay is a scan-side expression; ONE group-keyed
+    shuffle with map-side partial sums. Output: (group_col, n_rows,
+    decayed_e4), one row per group.
+    """
+    age = F.datediff(F.lit(anchor_date).cast("date"), F.col(date_col).cast("date"))
+    factor = F.exp(
+        F.lit(float(__import__("math").log(0.5)))
+        * age.cast("double")
+        / F.lit(float(half_life_days))
+    )
+    v_e4 = F.floor(F.col(value_col).cast("double") * factor * F.lit(10000.0)).cast(
+        "long"
+    )
+    return (
+        df.filter(age >= 0)
+        .select(F.col(group_col), v_e4.alias("_v"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_v").cast("long").alias("decayed_e4"),
+        )
+    )

@@ -42,6 +42,7 @@ from commerce_data_pipeline_spark.operators import (
     selection,
     similarity,
     sketches,
+    skew,
     temporal,
     text,
 )
@@ -3292,6 +3293,71 @@ FROM sel
 """
 
 
+def _q_join_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """P-family — pre-join audit of orders ⋈ lineitem on orderkey: key
+    overlap, orphan rates, per-side max multiplicity (the skew signal),
+    and the EXACT output cardinality Σ cnt_l·cnt_r — the explosion check
+    run before committing cluster time to a 100 TB join. Corpus rows
+    reduce map-side onto keys; one co-keyed full-outer join of the two
+    count tables; ONE row out (operators/skew.py:join_profile)."""
+    orders = load_table(spark, sf, "orders").select(F.col("o_orderkey").alias("k"))
+    li = load_table(spark, sf, "lineitem").select(F.col("l_orderkey").alias("k"))
+    return skew.join_profile(orders, li, "k")
+
+
+_O_JOIN_PROFILE = """
+WITH lc AS (
+  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cl FROM orders GROUP BY 1
+), rc AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cr FROM lineitem GROUP BY 1
+), b AS (
+  SELECT lc.cl, rc.cr FROM lc FULL OUTER JOIN rc USING (k)
+)
+SELECT
+  CAST(COUNT(cl) AS BIGINT) AS n_keys_left,
+  CAST(COUNT(cr) AS BIGINT) AS n_keys_right,
+  CAST(COUNT(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1 END) AS BIGINT) AS n_shared,
+  CAST(COUNT(CASE WHEN cr IS NULL THEN 1 END) AS BIGINT) AS orphans_left,
+  CAST(COUNT(CASE WHEN cl IS NULL THEN 1 END) AS BIGINT) AS orphans_right,
+  CAST(MAX(cl) AS BIGINT) AS max_mult_left,
+  CAST(MAX(cr) AS BIGINT) AS max_mult_right,
+  CAST(SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN cl * cr ELSE 0 END) AS BIGINT)
+    AS est_join_rows
+FROM b
+"""
+
+
+def _q_decayed_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal — recency-weighted customer value: per-customer
+    Σ o_totalprice · 0.5^(age/365d) anchored at 2001-09-01 (explicitly
+    pinned "now" — reproducible). Decay is a scan-side expression on
+    identical double operands in both engines; each weighted value
+    floors to e4 BEFORE the one group-keyed sum, so the aggregate is an
+    order-independent integer (operators/temporal.py:time_decayed_sum)."""
+    orders = load_table(spark, sf, "orders")
+    return temporal.time_decayed_sum(
+        orders, "o_totalprice", "o_orderdate", "o_custkey",
+        anchor_date="2001-09-01", half_life_days=365.0,
+    )
+
+
+_O_DECAYED_REVENUE = """
+WITH f AS (
+  SELECT o_custkey,
+    CAST(FLOOR(CAST(o_totalprice AS DOUBLE)
+      * exp(-0.6931471805599453
+            * CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01') AS DOUBLE)
+            / 365.0)
+      * 10000.0) AS BIGINT) AS v
+  FROM orders
+  WHERE datediff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01') >= 0
+)
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(v) AS BIGINT) AS decayed_e4
+FROM f GROUP BY o_custkey
+"""
+
+
 def _q_price_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """P-family — MAD-based anomaly detection (Hampel rule): orders whose
     total price deviates from their priority-group median by more than
@@ -4918,6 +4984,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "weighted_sample": QuerySpec(_q_weighted_sample, _O_WEIGHTED_SAMPLE, "corpus: Efraimidis-Spirakis weighted sampling without replacement"),
     "quality_calibrate": QuerySpec(_q_quality_calibrate, _O_QUALITY_CALIBRATE, "X11 selection: per-source percentile calibration of quality scores"),
     "price_outliers": QuerySpec(_q_price_outliers, _O_PRICE_OUTLIERS, "P-family anomaly detection: MAD/Hampel outliers per priority group"),
+    "join_profile": QuerySpec(_q_join_profile, _O_JOIN_PROFILE, "P-family pre-join audit: key overlap, orphans, skew, exact output cardinality"),
+    "decayed_revenue": QuerySpec(_q_decayed_revenue, _O_DECAYED_REVENUE, "temporal: recency-weighted customer value (pinned-anchor exponential decay)"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

@@ -115,3 +115,16 @@ def test_stateful_streaming_sessions(spark, tmp_path):
     assert open1["n_events"] == 1
     open2 = by[(2, "open", t3)]
     assert open2["n_events"] == 1
+
+
+def test_join_profile_overlap_orphans_cardinality(spark):
+    from commerce_data_pipeline_spark.operators.skew import join_profile
+
+    left = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 3]], ["k"])
+    right = spark.createDataFrame([(k,) for k in [1, 2, 2, 4]], ["k"])
+    r = join_profile(left, right, "k").collect()[0]
+    assert (r["n_keys_left"], r["n_keys_right"], r["n_shared"]) == (3, 3, 2)
+    assert (r["orphans_left"], r["orphans_right"]) == (1, 1)
+    assert (r["max_mult_left"], r["max_mult_right"]) == (3, 2)
+    # shared keys: 1 -> 3*1, 2 -> 1*2
+    assert r["est_join_rows"] == 5

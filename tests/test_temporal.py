@@ -273,3 +273,30 @@ def test_scd2_lookup_gapped_history_nulls_stale_version(spark):
     ).collect()
     assert out[0]["event_type_dim"] is None
     assert out[0]["valid_from_us_dim"] is None
+
+
+def test_time_decayed_sum_halving_and_future_exclusion(spark):
+    import math
+
+    from commerce_data_pipeline_spark.operators.temporal import time_decayed_sum
+
+    df = spark.createDataFrame(
+        [
+            (1, 100.0, "2020-01-01"),   # age 365 at anchor -> factor 0.5
+            (1, 100.0, "2020-12-31"),   # age 0 -> factor 1.0
+            (2, 100.0, "2021-06-01"),   # future -> excluded
+            (2, 50.0, "2019-01-01"),
+        ],
+        ["g", "v", "d"],
+    )
+    out = {r["g"]: r for r in time_decayed_sum(
+        df, "v", "d", "g", anchor_date="2020-12-31", half_life_days=365.0
+    ).collect()}
+    # group 1: floor(1e4*100*0.5) + floor(1e4*100*1.0); 2020 is a leap
+    # year so age is exactly 365 days -> factor exactly 0.5
+    assert out[1]["n_rows"] == 2
+    assert out[1]["decayed_e4"] == 500000 + 1000000
+    # group 2: the future row is excluded; remaining age = 730 days
+    assert out[2]["n_rows"] == 1
+    expect = math.floor(50.0 * math.exp(math.log(0.5) * 730.0 / 365.0) * 10000.0)
+    assert out[2]["decayed_e4"] == expect

@@ -128,6 +128,8 @@ STRESS_QUERIES = [
     "weighted_sample",
     "quality_calibrate",
     "price_outliers",
+    "join_profile",
+    "decayed_revenue",
 ]
 
 
