@@ -3579,13 +3579,16 @@ FROM agg
 
 def _q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """X3/X11 — hard-negative mining for contrastive retrieval training:
-    for each of the 20 anchor vectors (vec_id % 25 == 5), the top-5
+    for each of the 20 anchor vectors (vec_id % 25 == 5, vec_id < 500 —
+    a FIXED bounded anchor set, the production contract: anchors are an
+    input list, not a slice that grows with the corpus), the top-5
     corpus vectors with cosine in [0.15, 0.35) — confusable but not
     near-duplicate. Anchors broadcast; quantized integer dots run
     scan-side; the band predicate prunes before the only keyed exchange
-    (the per-anchor top-k window)."""
+    (the per-anchor top-k window). With anchors fixed the operator is
+    linear in corpus size (see STRESS.md)."""
     emb = load_table(spark, sf, "embeddings")
-    anchors = emb.filter(F.col("vec_id") % 25 == 5)
+    anchors = emb.filter((F.col("vec_id") % 25 == 5) & (F.col("vec_id") < 500))
     return similarity.hard_negatives(emb, anchors, lo_e6=150000, hi_e6=350000, k=5)
 
 
@@ -3601,7 +3604,8 @@ WITH q AS (
 ), nz AS (
   SELECT * FROM n WHERE n2 > 0
 ), anch AS (
-  SELECT vec_id AS anchor_id, qv AS aqv, n2 AS an2 FROM nz WHERE vec_id % 25 = 5
+  SELECT vec_id AS anchor_id, qv AS aqv, n2 AS an2 FROM nz
+  WHERE vec_id % 25 = 5 AND vec_id < 500
 ), sims AS (
   SELECT a.anchor_id, c.vec_id,
     CAST(FLOOR((1000000.0 * CAST(list_sum(list_transform(
