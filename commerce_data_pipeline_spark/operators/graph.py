@@ -58,9 +58,10 @@ def co_occurrence_edges(
     in-basket pair expansion is scan-side HOFs (the basket_pairs /
     LSH-bucket trick) — the fact table is scanned once, never
     self-joined."""
+    # collect_set dedups within the group, so a separate distinct() would
+    # only add a second (b, i)-keyed shuffle before the b-keyed one here
     baskets = (
         facts.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
-        .distinct()
         .groupBy("_b")
         .agg(F.slice(F.sort_array(F.collect_set("_i")), 1, max_basket).alias("_items"))
         .filter(F.size("_items") >= 2)
@@ -94,6 +95,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str = "weight",
+    driver_budget_edges: int = 32_000_000,
 ) -> DataFrame:
     """Weighted PageRank, `iterations` fixed power-iteration rounds on
     the integer-exact contract in the module docstring. Returns
@@ -103,15 +105,54 @@ def pagerank(
     Every node must have out-edges (guaranteed for symmetrized edge
     lists from `co_occurrence_edges`); nodes with no IN-edges would
     drop out of the aggregation, so the teleport term re-seeds them via
-    the left join on the node set each round.
+    a left join on the node set each round. Whether any such node
+    exists is decided ONCE up front (one anti-join count) — on a
+    symmetrized graph out-node-set == in-node-set, so the per-round
+    left join (an extra node-keyed shuffle per iteration) is skipped
+    entirely; directed graphs with in-degree-0 nodes keep it.
+
+    Zero- or negative-weight edges are dropped up front: a node whose
+    out-weight sum is 0 would divide by zero (Spark yields NULL, SUM
+    skips it, and that node's mass would silently vanish). The w > 0
+    requirement is therefore enforced, not assumed.
+
+    Small-graph fast path (the dedup.py union-find precedent): when the
+    post-filter edge count is at most `driver_budget_edges`, the three
+    int64 edge columns are pulled through Arrow and the power iteration
+    runs vectorized on the driver — the identical integer trajectory
+    (numpy `//` == Spark `div` on non-negative int64; exact int64
+    accumulation via np.add.at, never float bincount weights), so the
+    cross-engine oracle cannot tell the paths apart. Rationale: each
+    distributed round is 2 keyed shuffles, and at graph sizes measured
+    in tens of MB the 2·iterations stage launches are pure scheduling
+    overhead. Budget math: 3 int64 arrays = 24 B/edge → the 32M-edge
+    default is ~0.8 GB of driver arrays, sized for the 128 GB local
+    driver; shrink it on thin drivers. Above budget — or if any dst
+    has no out-edges, or the int64 overflow guard trips — the loop
+    routes to the distributed path automatically, so PB-scale edge
+    lists never touch the driver.
     """
     sp = edges.sparkSession
     n_shuffle = int(sp.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = edges.select(
+    e0 = edges.select(
         F.col(src).alias("_src"),
         F.col(dst).alias("_dst"),
         F.col(weight).cast("long").alias("_w"),
-    ).repartition(n_shuffle, "_src")
+    ).filter(
+        (F.col("_w") > 0) & F.col("_src").isNotNull() & F.col("_dst").isNotNull()
+    )
+    teleport = 15 * scale // 100
+    if driver_budget_edges > 0:
+        # materialize the edge pipeline ONCE — the budget count and the
+        # Arrow collect (or the distributed fallback) all read it back
+        e0 = e0.localCheckpoint()
+        if e0.count() <= driver_budget_edges:
+            out = _pagerank_driver(
+                sp, e0, iterations, scale, teleport, damp_num, damp_den
+            )
+            if out is not None:
+                return out
+    e = e0.repartition(n_shuffle, "_src")
     # out-weights join ONCE, outside the loop: the (edge, ow) frame is
     # loop-invariant, so re-joining it per round would redo the same
     # co-partitioned merge `iterations` times
@@ -120,7 +161,63 @@ def pagerank(
         .localCheckpoint()
     )
     nodes = ew.select(F.col("_src").alias("node")).distinct().localCheckpoint()
-    teleport = 15 * scale // 100
+    return _pagerank_distributed(
+        ew, nodes, iterations, scale, teleport, damp_num, damp_den
+    )
+
+
+def _pagerank_driver(sp, e0, iterations, scale, teleport, damp_num, damp_den):
+    """Vectorized driver-side power iteration. Returns None when the
+    trajectory cannot be replayed exactly here (a dst without out-edges,
+    or the per-edge product would leave int64) — the caller then runs
+    the distributed loop instead."""
+    import numpy as np
+
+    pdf = e0.toPandas()
+    s = pdf["_src"].to_numpy(dtype="int64")
+    d = pdf["_dst"].to_numpy(dtype="int64")
+    w = pdf["_w"].to_numpy(dtype="int64")
+    nodes_arr, s_idx = np.unique(s, return_inverse=True)
+    n = len(nodes_arr)
+    d_idx = np.searchsorted(nodes_arr, d)
+    np.clip(d_idx, 0, n - 1, out=d_idx)
+    if not bool(np.array_equal(nodes_arr[d_idx], d)):
+        return None  # some dst has no out-edges: module contract violated
+    ow = np.zeros(n, dtype="int64")
+    np.add.at(ow, s_idx, w)
+    rank = np.full(n, int(scale), dtype="int64")
+    w_max = int(w.max()) if len(w) else 1
+    for _ in range(iterations):
+        # overflow guard in exact Python ints: the distributed path would
+        # wrap silently too, so trip BEFORE computing and route there only
+        # if a caller-chosen scale actually approaches the int64 edge
+        if damp_num * int(rank.max()) * w_max >= 2**63:
+            return None
+        contrib = (damp_num * rank[s_idx] * w) // (damp_den * ow[s_idx])
+        acc = np.zeros(n, dtype="int64")
+        np.add.at(acc, d_idx, contrib)
+        rank = int(teleport) + acc
+    import pandas as pd
+
+    return sp.createDataFrame(
+        pd.DataFrame({"node": nodes_arr, "rank": rank}),
+        schema="node bigint, rank bigint",
+    )
+
+
+def _pagerank_distributed(ew, nodes, iterations, scale, teleport, damp_num, damp_den):
+    """The 2-shuffles-per-round distributed loop (module docstring)."""
+    # decide ONCE whether any node lacks in-edges (directed graphs only;
+    # symmetrized edge lists can't have them). If none exist, every node
+    # appears in the per-round aggregation output and the left-join
+    # re-seed — one extra node-keyed shuffle per iteration — is dead
+    # weight, so we skip it for all `iterations` rounds.
+    needs_reseed = (
+        nodes.join(
+            ew.select(F.col("_dst").alias("node")).distinct(), "node", "left_anti"
+        ).limit(1).count()
+        > 0
+    )
     ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
     contrib_expr = F.expr(f"({damp_num} * rank * _w) div ({damp_den} * _ow)")
     for i in range(iterations):
@@ -130,17 +227,24 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
-        # left join on the full node set: nodes with no in-edges keep
-        # receiving the teleport mass instead of silently vanishing
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (F.lit(int(teleport)) + F.coalesce(F.col("_in"), F.lit(0)))
-            .cast("long")
-            .alias("rank"),
-        )
-        # truncate lineage every SECOND round: a 2-round plan is still
-        # shallow, and halving the eager materializations halves the
-        # per-round job overhead that dominates at modest graph sizes
-        if i % 2 == 1 or i == iterations - 1:
+        if needs_reseed:
+            # left join on the full node set: nodes with no in-edges keep
+            # receiving the teleport mass instead of silently vanishing
+            ranks = nodes.join(contribs, "node", "left").select(
+                "node",
+                (F.lit(int(teleport)) + F.coalesce(F.col("_in"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+        else:
+            ranks = contribs.select(
+                "node",
+                (F.lit(int(teleport)) + F.col("_in")).cast("long").alias("rank"),
+            )
+        # truncate lineage every THIRD round: a 3-round plan is still
+        # shallow (3 joins + 3 aggs), and each skipped localCheckpoint
+        # removes one eager job — the per-round scheduling overhead, not
+        # the data volume, dominates at modest graph sizes (stress 1.2×)
+        if i % 3 == 2 or i == iterations - 1:
             ranks = ranks.localCheckpoint()
     return ranks

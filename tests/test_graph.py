@@ -44,6 +44,46 @@ def test_pagerank_no_in_edges_keeps_teleport(spark):
     assert r[9] == 150_000_000
 
 
+def test_pagerank_driver_and_distributed_paths_agree(spark):
+    # the driver fast path (numpy, default budget) and the distributed
+    # loop (budget=0 forces it) must replay the identical integer
+    # trajectory — same floors, same sums, bit-for-bit
+    e = _edges(
+        spark,
+        [(1, 2, 3), (1, 3, 1), (2, 1, 1), (3, 1, 2), (2, 3, 5), (3, 2, 1)],
+    )
+    fast = {r["node"]: r["rank"] for r in graph.pagerank(e, iterations=4).collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(e, iterations=4, driver_budget_edges=0).collect()
+    }
+    assert fast == dist
+
+
+def test_pagerank_distributed_no_in_edges_keeps_teleport(spark):
+    # the reseed branch of the distributed loop (skipped on symmetrized
+    # graphs) still re-seeds in-degree-0 nodes with the teleport mass
+    e = _edges(spark, [(9, 1, 1), (1, 1, 1)])
+    r = {
+        x["node"]: x["rank"]
+        for x in graph.pagerank(e, iterations=2, driver_budget_edges=0).collect()
+    }
+    assert r[9] == 150_000_000
+
+
+def test_pagerank_drops_nonpositive_weights(spark):
+    # weight-0 edges are dropped up front (they would divide by zero and
+    # silently vanish mass); both paths must agree on the filtered graph
+    e = _edges(spark, [(1, 2, 1), (2, 1, 1), (1, 3, 0), (3, 1, 1), (3, 2, -4)])
+    fast = graph.pagerank(e, iterations=2).collect()
+    dist = graph.pagerank(e, iterations=2, driver_budget_edges=0).collect()
+    assert {(r["node"], r["rank"]) for r in fast} == {
+        (r["node"], r["rank"]) for r in dist
+    }
+    r = {x["node"]: x["rank"] for x in fast}
+    assert 3 in r  # node 3 keeps its positive-weight out-edge
+
+
 def test_co_occurrence_edges_symmetry_and_cap(spark):
     facts = spark.createDataFrame(
         [Row(b=1, i=10), Row(b=1, i=20), Row(b=1, i=30), Row(b=1, i=10),
