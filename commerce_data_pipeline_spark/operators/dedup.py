@@ -247,21 +247,29 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 # union-find instead of distributed label rounds. Rationale: each
 # distributed round is 2 keyed shuffles + a checkpoint + a convergence
 # action — ~0.5-1 s of pure scheduling even on a 6 k-edge graph — while
-# union-find over ≤2 M collected (src, dst) longs is O(E α(E)) and
-# ~32 MB of driver heap. LSH banding contracts a corpus by orders of
-# magnitude before this step (near-dup EDGES, not documents), so at
-# 100 TB the edge list is usually far smaller than the corpus; when it
-# genuinely isn't, the count guard routes to the O(log n) alternating
-# rounds and nothing ever materializes on the driver. Same budget-guard
-# philosophy as similarity.py's broadcast-GEMM path.
-SMALL_GRAPH_EDGES = 2_000_000
+# union-find over ≤500 k (src, dst) longs pulled through Arrow is
+# O(E α(E)). Honest memory math: the Arrow transfer is 16 B/edge
+# (~8 MB of numpy arrays at the cap), and the parent dict holds at most
+# one entry per non-root node — ≤1 M entries ≈ 100 MB of CPython dict
+# worst case, the real budget this cap is sized against (the previous
+# 2 M cap with Row-object collect() cost several hundred MB of Row +
+# py4j overhead; Arrow removes the Row tax, the lower cap bounds the
+# dict). LSH banding contracts a corpus by orders of magnitude before
+# this step (near-dup EDGES, not documents), so at 100 TB the edge list
+# is usually far smaller than the corpus; when it genuinely isn't, the
+# count guard routes to the O(log n) alternating rounds and nothing
+# ever materializes on the driver. Same budget-guard philosophy as
+# similarity.py's broadcast-GEMM path.
+SMALL_GRAPH_EDGES = 500_000
 
 
 def _driver_unionfind(edges: DataFrame) -> DataFrame:
-    """Union-find (union-by-min + path compression) over a collected edge
-    list. Root of every set is its minimum member, so labels match the
-    distributed algorithms' contract exactly: (id, component = min
-    reachable id), one row per edge endpoint."""
+    """Union-find (union-by-min + path compression) over an
+    Arrow-collected edge list (plain int64 numpy columns — never Row
+    objects, whose per-row Python overhead dwarfs the data). Root of
+    every set is its minimum member, so labels match the distributed
+    algorithms' contract exactly: (id, component = min reachable id),
+    one row per edge endpoint."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -272,15 +280,17 @@ def _driver_unionfind(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    rows = edges.collect()
-    for r in rows:
-        ra, rb = find(r[0]), find(r[1])
+    pdf = edges.toPandas()
+    a_vals = pdf.iloc[:, 0].astype("int64").tolist()
+    b_vals = pdf.iloc[:, 1].astype("int64").tolist()
+    for a, b in zip(a_vals, b_vals):
+        ra, rb = find(a), find(b)
         if ra != rb:
             if ra < rb:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
-    nodes = {r[0] for r in rows} | {r[1] for r in rows}
+    nodes = set(a_vals) | set(b_vals)
     labels = [(n, find(n)) for n in sorted(nodes)]
     return edges.sparkSession.createDataFrame(labels, schema="id long, component long")
 

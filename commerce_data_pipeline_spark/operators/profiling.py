@@ -141,6 +141,10 @@ def group_outliers(
     contract.
 
     Output: (id_col, group_col, value_col, med, dev, mad, is_outlier).
+
+    NULL groups are a real group, not dropped: the window passes already
+    treat NULL as one partition, and the two stat joins use eqNullSafe
+    (<=>) so NULL-group anomalies surface like any other group's.
     """
     base = df.select(
         F.col(id_col), F.col(group_col), F.col(value_col).cast("double").alias("_v")
@@ -153,7 +157,7 @@ def group_outliers(
     med = ranked.filter(F.col("_rn") == F.expr("(_cnt + 1) div 2")).select(
         F.col(group_col).alias("_g1"), F.col("_v").alias("med")
     )
-    dev = base.join(F.broadcast(med), base[group_col] == med["_g1"]).select(
+    dev = base.join(F.broadcast(med), base[group_col].eqNullSafe(med["_g1"])).select(
         id_col, group_col, "_v", "med", F.abs(F.col("_v") - F.col("med")).alias("dev")
     )
     w2 = Window.partitionBy(group_col).orderBy(F.asc("dev"), F.asc(id_col))
@@ -164,7 +168,7 @@ def group_outliers(
         F.col(group_col).alias("_g2"), F.col("dev").alias("mad")
     )
     return (
-        dev.join(F.broadcast(mad), dev[group_col] == mad["_g2"])
+        dev.join(F.broadcast(mad), dev[group_col].eqNullSafe(mad["_g2"]))
         .select(
             F.col(id_col),
             F.col(group_col),

@@ -208,18 +208,31 @@ def dsir_scores(
     """Pass 2 of DSIR: per-document importance = Σ_features λ_e6[bucket].
 
     The weight table is a fixed-size codebook: collect ≤ n_buckets
-    (bucket, λ_e6) rows and inline them as ONE literal array expression
-    (empty buckets → λ of a zero-count bucket is still defined by the
-    smoothing, but absent buckets simply can't occur in scoring since
-    both passes hash identically — they get 0). Scoring is then map-only
-    over the corpus: zero joins, zero shuffles before the final 1-row-
-    per-doc aggregate.
+    (bucket, λ_e6) rows and inline them as ONE literal array expression.
+    Buckets ABSENT from the weights frame (possible whenever the scored
+    corpus differs from the corpus the weights were estimated on — e.g.
+    weights from a reference slice applied to the full raw corpus) are
+    filled with the add-one-smoothed ZERO-COUNT lambda,
+    floor((ln(1/(Tt+B)) − ln(1/(Tr+B)))·1e6) with Tt/Tr the feature
+    totals recovered from the weights rows — exactly what dsir_weights
+    would have emitted for a bucket both corpora missed, not a silent 0.
+    Scoring is then map-only over the corpus: zero joins, zero shuffles
+    before the final 1-row-per-doc aggregate.
 
     Columns: id, n_feats, score_e6.
     """
-    lam = {r["bucket"]: r["lambda_e6"] for r in weights.collect()}
+    import math
+
+    rows = weights.collect()
+    lam = {r["bucket"]: r["lambda_e6"] for r in rows}
+    bb = float(n_buckets)
+    t_target = float(sum(int(r["n_target"]) for r in rows))
+    t_raw = float(sum(int(r["n_raw"]) for r in rows))
+    lam_zero = int(math.floor(
+        (math.log(1.0 / (t_target + bb)) - math.log(1.0 / (t_raw + bb))) * 1000000.0
+    ))
     arr_sql = "array(" + ",".join(
-        str(int(lam.get(b, 0))) + "L" for b in range(n_buckets)
+        str(int(lam.get(b, lam_zero))) + "L" for b in range(n_buckets)
     ) + ")"
     lam_arr = F.expr(arr_sql)
     feats = _bigram_features(docs, id_col, text_col)

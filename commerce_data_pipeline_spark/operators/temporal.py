@@ -360,7 +360,6 @@ def time_decayed_sum(
     group_col: str,
     anchor_date: str,
     half_life_days: float = 365.0,
-    id_col: str | None = None,
 ) -> DataFrame:
     """Recency-weighted aggregation: Σ_rows value · 0.5^(age/half_life),
     the exponential-decay scoring every recency-sensitive metric uses

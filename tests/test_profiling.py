@@ -83,3 +83,18 @@ def test_group_outliers_flags_clear_anomaly(spark):
            profiling.group_outliers(df, "v", "g", "k").collect()}
     assert out[99] is True
     assert sum(out.values()) == 1
+
+
+def test_group_outliers_null_group_is_a_real_group(spark):
+    # NULL groups must surface like any other group (eqNullSafe joins),
+    # not silently vanish from the output
+    rows = [Row(k=i, g=None, v=float(10 + (i % 2))) for i in range(9)]
+    rows.append(Row(k=99, g=None, v=5000.0))
+    rows.append(Row(k=200, g="y", v=1.0))
+    rows.append(Row(k=201, g="y", v=2.0))
+    rows.append(Row(k=202, g="y", v=3.0))
+    df = spark.createDataFrame(rows, schema="k long, g string, v double")
+    out = {r["k"]: r for r in profiling.group_outliers(df, "v", "g", "k").collect()}
+    assert len(out) == 13  # every input row present, NULL group included
+    assert out[99]["is_outlier"] is True
+    assert not any(out[k]["is_outlier"] for k in (200, 201, 202))

@@ -86,6 +86,35 @@ def test_dsir_scores_match_manual_codebook(spark):
         assert out[doc_id]["n_feats"] == len(grams)
 
 
+def test_dsir_scores_absent_bucket_gets_smoothed_zero_lambda(spark):
+    # weights estimated on one corpus, scoring a DIFFERENT corpus whose
+    # bigrams land in buckets the weights never saw: those buckets take
+    # the add-one-smoothed zero-count lambda, not a silent 0
+    import math
+
+    ref = _docs(spark, ["a b", "a b"])
+    w = S.dsir_bucket_weights(ref, F.col("lang") == "en", n_buckets=8)
+    rows = w.collect()
+    t_t = sum(int(r["n_target"]) for r in rows)
+    t_r = sum(int(r["n_raw"]) for r in rows)
+    lam_zero = int(math.floor(
+        (math.log(1.0 / (t_t + 8.0)) - math.log(1.0 / (t_r + 8.0))) * 1e6))
+    # pick a probe corpus whose single bigram hashes OUTSIDE the seen bucket
+    import hashlib
+
+    seen = {r["bucket"] for r in rows}
+    probe = None
+    for cand in ("x y", "p q", "m n", "u v", "c d", "e f", "g h"):
+        a, b = cand.split()
+        bkt = int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8], 16) % 8
+        if bkt not in seen:
+            probe = cand
+            break
+    assert probe is not None, "all candidate bigrams landed in seen buckets"
+    out = S.dsir_scores(_docs(spark, [probe]), w, n_buckets=8).collect()
+    assert out[0]["score_e6"] == lam_zero
+
+
 def test_dsir_empty_and_short_docs_drop_out(spark):
     df = _docs(spark, ["single", "two words", ""])
     w = S.dsir_bucket_weights(df, F.col("lang") == "en", n_buckets=16)
