@@ -784,6 +784,8 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     corpus_count: int | None = None,
+    codebooks: DataFrame | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """ANN via product quantization with asymmetric distance computation
     (ADC; Jégou/Douze/Schmid, TPAMI 2011): queries stay exact, corpus
@@ -807,9 +809,17 @@ def pq_topk(
     recall vs exact pinned in tests.
     """
     spark = corpus.sparkSession
-    u = with_unit_vector(corpus, vec_col, "unit")
-    cb = pq_codebooks(u, m, ksub, dim, id_col, corpus_count)
-    enc = pq_encode(u, cb, m, dim, id_col)
+    if (codebooks is None) != (encoded is None):
+        raise ValueError("pass both codebooks and encoded, or neither")
+    if codebooks is None:
+        u = with_unit_vector(corpus, vec_col, "unit")
+        cb = pq_codebooks(u, m, ksub, dim, id_col, corpus_count)
+        enc = pq_encode(u, cb, m, dim, id_col)
+    else:
+        # prebuilt PQ layout (persisted codebooks + codes): sub_vec float64
+        # arrays and int codes roundtrip parquet exactly, so ADC scoring is
+        # bit-identical to the inline build (pinned in tests)
+        cb, enc = codebooks, encoded
     d_sub = dim // m
 
     q_rows = with_unit_vector(queries, vec_col, "q_unit").select(
@@ -874,6 +884,8 @@ def ivf_assignment_profile(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_count: int | None = None,
+    centroids: DataFrame | None = None,
+    inverted: DataFrame | None = None,
 ) -> DataFrame:
     """IVF index health profile — the rebuild-cadence signal: per centroid,
     the inverted-list size and the floored-e6 min/mean/max cosine of its
@@ -884,8 +896,25 @@ def ivf_assignment_profile(
     per-vector sims floor to integers BEFORE the centroid-level
     aggregation so mean = floor(sum/size) is engine-exact.
 
+    `centroids`/`inverted`: pass BOTH to profile a prebuilt assignment
+    (a persisted index's frames) instead of re-running the argmax over
+    the corpus: each vector's sim to its ASSIGNED centroid is recomputed
+    scan-side (one broadcast join) — the same _dot on the same float64
+    operands the argmax would have won with, so the floored e6 values
+    are bit-identical to the inline path (pinned in tests).
+
     Returns (centroid_id, list_size, mean_sim_e6, min_sim_e6, max_sim_e6).
     """
+    if (centroids is None) != (inverted is None):
+        raise ValueError("pass both centroids and inverted, or neither")
+    if centroids is not None:
+        best = inverted.join(F.broadcast(centroids), on="centroid_id").select(
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            F.floor(_dot(F.col("c_unit"), F.col("c_vec")) * 1_000_000)
+            .cast("long")
+            .alias("sim_e6"),
+        )
+        return _centroid_list_stats(best)
     u = with_unit_vector(corpus, vec_col, "unit")
     total = corpus_count if corpus_count is not None else corpus.count()
     if n_centroids is None:  # √N rule — see auto_n_centroids
@@ -910,6 +939,12 @@ def ivf_assignment_profile(
             F.floor(F.col("_best.c_sim") * 1_000_000).cast("long").alias("sim_e6"),
         )
     )
+    return _centroid_list_stats(best)
+
+
+def _centroid_list_stats(best: DataFrame) -> DataFrame:
+    """Shared aggregation tail of ivf_assignment_profile: (centroid_id,
+    sim_e6) rows → per-centroid list size + floored-mean/min/max sims."""
     return best.groupBy("centroid_id").agg(
         F.count(F.lit(1)).cast("long").alias("list_size"),
         F.floor(F.sum("sim_e6").cast("double") / F.count(F.lit(1)))
@@ -930,6 +965,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     corpus_count: int | None = None,
+    centroids: DataFrame | None = None,
+    inverted: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN, built inline: centroid sample → inverted file →
     probe/score (see the three helpers for the plan rationale; the
@@ -942,16 +979,26 @@ def ivf_topk(
 
     `corpus_count`: pass a known/cached |C| to avoid the count job — at
     scale this is a catalog statistic, not an action per query.
+
+    `centroids`/`inverted`: pass BOTH to probe a prebuilt assignment
+    (e.g. the frames of a persisted index) instead of rebuilding it —
+    the materialize-once rule for a family of queries sharing one
+    layout. Unit vectors roundtrip parquet exactly (float64), so the
+    probe result is bit-identical to the inline build (pinned in
+    tests/test_similarity.py).
     """
-    u = with_unit_vector(corpus, vec_col, "unit")
-    total = corpus_count if corpus_count is not None else corpus.count()
-    if n_centroids is None:
-        n_centroids = auto_n_centroids(total)
-    step = max(1, total // n_centroids)
-    centroids = require_centroids(
-        ivf_centroids(u, step, n_centroids, id_col), id_col=id_col
-    )
-    inverted = ivf_invert(u, centroids, id_col)
+    if (centroids is None) != (inverted is None):
+        raise ValueError("pass both centroids and inverted, or neither")
+    if centroids is None:
+        u = with_unit_vector(corpus, vec_col, "unit")
+        total = corpus_count if corpus_count is not None else corpus.count()
+        if n_centroids is None:
+            n_centroids = auto_n_centroids(total)
+        step = max(1, total // n_centroids)
+        centroids = require_centroids(
+            ivf_centroids(u, step, n_centroids, id_col), id_col=id_col
+        )
+        inverted = ivf_invert(u, centroids, id_col)
     return ivf_probe_score(
         inverted, centroids, queries, k, n_probe, vec_col, query_id_col
     )

@@ -366,3 +366,62 @@ def test_hard_negatives_k_cut_and_self_exclusion(spark):
                  key=lambda r: r["rank"])
     assert [r["vec_id"] for r in out] == [1, 2, 3]
     assert len({r["sim_e6"] for r in out}) == 1
+
+
+def test_prebuilt_frames_paths_bit_identical(spark, tmp_path):
+    # the materialize-once family paths: ivf_topk / ivf_assignment_profile
+    # fed a persisted index's frames, and pq_topk fed persisted codebooks +
+    # codes, must be bit-identical to their inline builds
+    from commerce_data_pipeline_spark.operators import index as I
+
+    emb = _vecs(spark, n=60)
+    q = emb.filter(F.col("vec_id") < 3)
+    path = f"file://{tmp_path}/ivf"
+    I.build_ivf_index(emb, path, n_centroids=6)
+    inv = spark.read.parquet(f"{path}/inverted")
+    cen = spark.read.parquet(f"{path}/centroids")
+
+    key = lambda r: (r["query_id"], r["rank"])
+    inline = sorted(S.ivf_topk(emb, q, k=3, n_centroids=6, n_probe=3).collect(), key=key)
+    fed = sorted(
+        S.ivf_topk(emb, q, k=3, n_probe=3, centroids=cen, inverted=inv).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in inline] == [tuple(r) for r in fed]
+
+    pkey = lambda r: r["centroid_id"]
+    prof_inline = sorted(S.ivf_assignment_profile(emb, n_centroids=6).collect(), key=pkey)
+    prof_fed = sorted(
+        S.ivf_assignment_profile(emb, centroids=cen, inverted=inv).collect(), key=pkey
+    )
+    assert [tuple(r) for r in prof_inline] == [tuple(r) for r in prof_fed]
+
+    u = S.with_unit_vector(emb, "embedding", "unit")
+    cb = S.pq_codebooks(u, m=4, ksub=4, dim=8)
+    cb.write.parquet(f"file://{tmp_path}/cb")
+    S.pq_encode(u, cb, m=4, dim=8).write.parquet(f"file://{tmp_path}/enc")
+    pq_inline = sorted(
+        S.pq_topk(emb, q, k=3, m=4, ksub=4, dim=8).collect(), key=key
+    )
+    pq_fed = sorted(
+        S.pq_topk(
+            emb, q, k=3, m=4, ksub=4, dim=8,
+            codebooks=spark.read.parquet(f"file://{tmp_path}/cb"),
+            encoded=spark.read.parquet(f"file://{tmp_path}/enc"),
+        ).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in pq_inline] == [tuple(r) for r in pq_fed]
+
+
+def test_prebuilt_frames_require_both(spark):
+    emb = _vecs(spark, n=20)
+    q = emb.filter(F.col("vec_id") < 2)
+    import pytest
+
+    with pytest.raises(ValueError):
+        S.ivf_topk(emb, q, centroids=emb)
+    with pytest.raises(ValueError):
+        S.ivf_assignment_profile(emb, inverted=emb)
+    with pytest.raises(ValueError):
+        S.pq_topk(emb, q, codebooks=emb)
