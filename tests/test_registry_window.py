@@ -13,70 +13,71 @@ CHECK_WINDOW = 50
 
 # One proving query per operator family that MUST sit inside the checked window.
 FAMILY_PROOFS = {
-    # X1/X2 dedup (r5b: jaccard_topk rotated past 50 — X2's n-gram family
-    # keeps minhash/lsh/dedup_clusters in-window, jaccard stays selfcheck-green)
+    # X1/X2 dedup — dedup_clusters runs the minhash+LSH banded pair stage
+    # upstream, so one in-window query attests the whole lexical chain
+    # (r6: minhash_signature/simhash_md5/lsh_dedup_pairs rotated past 50,
+    # selfcheck-green; simhash also has pytest bit-pins)
     "dedup_exact",
-    "minhash_signature",
-    "simhash_md5",
-    "lsh_dedup_pairs",
     "dedup_clusters",
-    "embedding_near_dup",
-    # X3 similarity / ANN (r5c: embedding_quantize / ann_recall rotated past
-    # 50 — second proofs of an already-proven family, selfcheck-green — to
-    # make room for the X11 selection family)
-    "similarity_topk",
+    # X2 embedding dedup (r6: embedding_near_dup rotated out; SemDeDup is
+    # the bounded-cluster scale shape and was never driver-checked before)
+    "semantic_dedup",
+    # X3 similarity / ANN (r6: similarity_topk/ann_lsh_md5 rotated out —
+    # ann_ivf + ann_pq cover probe scoring incl. the r6 shared-index path,
+    # hard_negatives adds the banded-mining shape)
     "ann_ivf",
-    "ann_lsh_md5",
     "ann_pq",
-    # X6 sketches (oracle-bearing accuracy contract; raw approx_* queries are
-    # rows-only and live past 50, accuracy pinned by tests/test_sketches.py)
+    "hard_negatives",
+    # X6 sketches
     "sketch_accuracy",
     "heavy_hitters",
-    # record linkage (r5)
+    # record linkage (the family's only query — must stay driver-attested)
     "fuzzy_name_pairs",
-    # X4 text (r5: ivf_profile/text_fingerprints/fixed_size_sample rotated
-    # past 50 — oracle-green in selfcheck, families still proven in-window —
-    # to make room for the three new-family proofs; r5d: text_stats rotated
-    # past 50 for the X12 graph proof — X4 keeps five in-window proofs)
+    # X4 text (r6: text_repetition/lm_quality/winnow rotated out — profile
+    # covers the scan-side quality stack, spans the shuffle shape,
+    # bigram_lm the LM-scoring family)
     "text_profile",
-    "text_repetition",
-    "lm_quality",
-    "winnow",
     "dup_ngram_spans",
-    # corpus shaping (r5b: corpus_ingest / semantic_only_dups /
-    # overlap_chunks rotated past 50 — packing keeps chunk_pack/greedy_pack,
-    # embedding near-dup keeps embedding_near_dup, ingestion keeps the
-    # corpus_stream pytest twin; all three stay selfcheck-green)
-    "stratified_sample",
-    "corpus_split",
+    "bigram_lm",
+    # corpus shaping (r6: stratified_sample/corpus_split/corpus_mix/
+    # chunk_pack/token_budget rotated out — each is a hash-gate or
+    # pack/quota variant of a retained proof; weighted_sample and
+    # epoch_shuffle come in never-driver-checked)
     "contamination",
-    "corpus_mix",
-    "chunk_pack",
     "greedy_pack",
     "pii_redact",
-    "token_budget",
+    "temperature_mix",
     "cluster_sample",
-    # r5b new-family proofs (X7-X10)
+    "weighted_sample",
+    "epoch_shuffle",
+    # X7-X10 + selection
     "bm25_search",
     "bloom_decontaminate",
-    "temperature_mix",
     "resample_ffill",
-    # r5c new-family proofs: X7 keyword extraction + X11 data selection
     "tfidf_keywords",
     "quality_classifier",
     "dsir_select",
-    # r5d new-family proof: X12 graph analytics
+    "hybrid_search_rrf",
+    "mmr_rerank",
+    "quality_calibrate",
+    # temporal (r6 in: SCD2 + decay aggregation)
+    "scd2_intervals",
+    "scd2_lookup",
+    "decayed_revenue",
+    # profiling / audits (r6 in: all three never driver-checked)
+    "table_profile",
+    "price_outliers",
+    "join_profile",
+    "dup_source_matrix",
+    # X12 graph
     "part_pagerank",
-    # X5 multimodal (rows-only float-DCT pHash family sits past 50; these
-    # are the oracle-bearing proofs — incl. the binarized-DCT integer pHash
-    # twins added in r4. audio_windows moved past 50: same sequence+explode
-    # shape as frame_sample, still covered by the full self-check sweep.
-    "multimodal_meta",
-    "frame_sample",
+    # X5 multimodal (r6: multimodal_meta/frame_sample rotated out — the
+    # pHash twins carry the oracle-bearing decode→hash→near-dup chain,
+    # media_features_md5 the feature-twin, all md5-integer contracts)
     "image_phash_md5",
     "image_near_dup_md5",
-    # relational / pipeline / gold representatives (surplus relational
-    # shapes — e.g. the R5 sort, r02-green and unchanged — live past 50)
+    "media_features_md5",
+    # relational / pipeline / gold representatives
     "pricing_summary",
     "top_revenue_nations",
     "distinct_ship_dates",
