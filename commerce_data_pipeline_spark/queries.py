@@ -1055,21 +1055,50 @@ FROM documents
 
 
 def _q_approx_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """X6 — sketch aggregates (HLL++ / quantile sketch). Approximate by
-    construction → no SQL oracle; driver does a rows-only check.
-
-    Outputs are SCALAR columns (``element_at`` over the quantile array):
-    the driver's rows-only canonicalizer sorts the pandas frame, and an
-    ``array<double>`` cell is unhashable (r3 TypeError) — same numbers,
-    flat shape."""
+    """X6 — multi-quantile + HLL sketch surface, promoted (r6, VERDICT r5
+    #5) from a rows-only check to the `sketch_accuracy` contract: raw
+    sketch estimates can never value-match a DuckDB oracle, but the exact
+    values CAN, plus booleans asserting each estimate lands within its
+    documented tolerance (HLL rsd=0.01 → ±5%; percentile_approx
+    accuracy=10000 → rank error ≤ n/1e4, widened to the p±0.02 exact
+    discrete bounds, which a drifting sketch would escape). Covers the
+    three-quantile tail (q50/q95/q99) where `sketch_accuracy` pins q50."""
     ev = load_table(spark, sf, "events")
     q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
-    return ev.agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.element_at(q, 1).alias("value_q50"),
-        F.element_at(q, 2).alias("value_q95"),
-        F.element_at(q, 3).alias("value_q99"),
+
+    def disc(p: float) -> F.Column:
+        return F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY value)")
+
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_est_users"),
+        F.element_at(q, 1).alias("_q50"),
+        F.element_at(q, 2).alias("_q95"),
+        F.element_at(q, 3).alias("_q99"),
+        disc(0.48).alias("_b48"), disc(0.52).alias("_b52"),
+        disc(0.93).alias("_b93"), disc(0.97).alias("_b97"),
+        disc(0.98).alias("_b98"), disc(1.00).alias("_b100"),
+        F.count(F.lit(1)).alias("n_events"),
     )
+    return agg.select(
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("_est_users") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        ).alias("hll_ok"),
+        ((F.col("_q50") >= F.col("_b48")) & (F.col("_q50") <= F.col("_b52"))).alias("q50_ok"),
+        ((F.col("_q95") >= F.col("_b93")) & (F.col("_q95") <= F.col("_b97"))).alias("q95_ok"),
+        ((F.col("_q99") >= F.col("_b98")) & (F.col("_q99") <= F.col("_b100"))).alias("q99_ok"),
+    )
+
+
+_O_APPROX_STATS = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  TRUE AS hll_ok, TRUE AS q50_ok, TRUE AS q95_ok, TRUE AS q99_ok
+FROM events
+"""
 
 
 def _q_sketch_accuracy(spark: SparkSession, sf: str) -> DataFrame:
@@ -1960,10 +1989,16 @@ SELECT centroid_id, vec_id FROM s WHERE rn <= 8
 
 
 def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """X3 scale path — random-hyperplane LSH ANN (8 planes × 4 tables).
-    Plane signs derive from seeded PCG64 Gaussians → Spark-only; driver
-    does a rows-only check, recall-vs-brute-force is pinned in
-    tests/test_similarity.py. `ann_lsh_md5` is the oracle-checked twin."""
+    """X3 scale path — random-hyperplane LSH ANN (8 planes × 4 tables),
+    Gaussian plane family (seeded PCG64). Promoted (r6, VERDICT r5 #5)
+    from rows-only to a full value-hash oracle: the planes are
+    deterministic CONSTANTS, so `_ora_ann_lsh` regenerates the identical
+    matrix at oracle-construction time and inlines every float as a
+    DOUBLE literal — DuckDB then reproduces each bucket bit (sign of a
+    dot against the same float64 constants) and every cosine (same
+    fold on identical unit vectors), the `ann_lsh_md5` technique with
+    full-precision literals instead of ±1. Recall-vs-brute-force stays
+    pinned in tests/test_similarity.py."""
     emb = load_table(spark, sf, "embeddings")
     # single small parquet file → 1 input split; scatter before the
     # CPU-bound Python bucketing stage (real inputs bring their own splits)
@@ -2019,6 +2054,52 @@ def _ora_ann_lsh_md5(dim: int = 64, n_planes: int = _ANN_LSH_MD5_PLANES,
     for t in range(n_tables):
         terms = " + ".join(
             f"(CASE WHEN list_dot_product(u, {lit(planes[t * n_planes + p])}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        buckets.append(f"({terms}) AS b{t}")
+    bucket_match = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), b AS (
+  SELECT vec_id, u, {", ".join(buckets)} FROM unit
+), cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.u, c.u) AS sim
+  FROM b q JOIN b c ON c.vec_id <> q.vec_id AND ({bucket_match})
+  WHERE q.vec_id % 20 = 0
+)
+SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+FROM cand QUALIFY rank <= 5
+"""
+
+
+def _ora_ann_lsh(dim: int = 64, n_planes: int = 8, n_tables: int = 4,
+                 seed0: int = 1000) -> str:
+    """Oracle for `ann_lsh`: regenerate the seeded PCG64 Gaussian plane
+    matrix (the same one `_bucketize_np` builds per task) and inline each
+    plane as full-precision DOUBLE literals; bucket bits and cosines then
+    replay exactly in DuckDB (see `_ora_ann_lsh_md5` for the technique —
+    only the plane family differs)."""
+    import numpy as np
+
+    tables = [
+        np.random.default_rng(seed0 + t).standard_normal((dim, n_planes))
+        for t in range(n_tables)
+    ]
+
+    def lit(col) -> str:
+        return "[" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in col) + "]"
+
+    buckets = []
+    for t in range(n_tables):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(u, {lit(tables[t][:, p])}) >= 0 "
             f"THEN {1 << p} ELSE 0 END)"
             for p in range(n_planes)
         )
@@ -4927,24 +5008,49 @@ FROM g LEFT JOIN topw USING (doc_id)
 
 
 def _q_approx_group_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """X6 — per-group sketch aggregates: HLL++ distinct fingerprints and
-    the KLL/GK quantile sketch of document length, grouped by language.
-    Fixed-size mergeable state per group — the 100 TB profile report.
-    Approximate by construction → rows-only driver check; accuracy is
-    pinned against exact values in tests/test_sketches.py."""
+    """X6 — per-group sketch aggregates (HLL++ distinct docs + quantile
+    sketch of document length per language): fixed-size mergeable state
+    per group — the 100 TB profile report. Promoted (r6, VERDICT r5 #5)
+    from rows-only to the `sketch_accuracy` contract: exact per-group
+    values + in-tolerance booleans (HLL ±(5% + 2 abs slack for the
+    ~70-doc language groups); quantile estimates inside the p±0.05
+    exact discrete bounds — groups here are ≥64 docs so the bound is
+    ≥3 rank positions wide, far above the sketch's ≤1-rank error).
+    Accuracy against exact values also pinned in tests/test_sketches.py."""
     docs = load_table(spark, sf, "documents")
-    enriched = docs.select(
-        "lang", "n_chars", dedup.fingerprint("text").alias("fp")
-    )
     q = F.percentile_approx("n_chars", [0.5, 0.9], 10000)
-    # Scalar projections (element_at), not the raw array<double>: list cells
-    # break the driver's rows-only canonicalizer (unhashable in pandas sort).
-    return enriched.groupBy("lang").agg(
-        F.approx_count_distinct("fp", rsd=0.01).alias("approx_distinct_docs"),
-        F.element_at(q, 1).alias("chars_q50"),
-        F.element_at(q, 2).alias("chars_q90"),
+
+    def disc(p: float) -> F.Column:
+        return F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY n_chars)")
+
+    agg = docs.groupBy("lang").agg(
+        F.countDistinct("text").alias("exact_distinct_docs"),
+        F.approx_count_distinct("text", rsd=0.01).alias("_est_docs"),
+        F.element_at(q, 1).alias("_q50"),
+        F.element_at(q, 2).alias("_q90"),
+        disc(0.45).alias("_b45"), disc(0.55).alias("_b55"),
+        disc(0.85).alias("_b85"), disc(0.95).alias("_b95"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "exact_distinct_docs",
+        (
+            F.abs(F.col("_est_docs") - F.col("exact_distinct_docs"))
+            <= F.col("exact_distinct_docs") * F.lit(0.05) + F.lit(2.0)
+        ).alias("hll_ok"),
+        ((F.col("_q50") >= F.col("_b45")) & (F.col("_q50") <= F.col("_b55"))).alias("q50_ok"),
+        ((F.col("_q90") >= F.col("_b85")) & (F.col("_q90") <= F.col("_b95"))).alias("q90_ok"),
+    )
+
+
+_O_APPROX_GROUP_STATS = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct_docs,
+  TRUE AS hll_ok, TRUE AS q50_ok, TRUE AS q90_ok
+FROM documents GROUP BY lang
+"""
 
 
 # --------------------------------------------------------------------------
@@ -5064,14 +5170,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "sort_topk_lineitems": QuerySpec(_q_sort_topk_lineitems, _O_SORT_TOPK_LINEITEMS, "R5 global sort / top-k with rank"),
     "dedup_clusters_alt": QuerySpec(_q_dedup_clusters_alt, _ora_dedup_clusters(16, 4, 3), "X2 clustering via explicit min-label-propagation option"),
     "simhash": QuerySpec(_q_simhash, None, "X2 SimHash (rows-only: xxhash64 fast path; oracle twin simhash_md5 in window)"),
-    "ann_lsh": QuerySpec(_q_ann_lsh, None, "X3 RP-LSH ANN top-k (rows-only: PCG64 planes fast path; oracle twin ann_lsh_md5 in window)"),
+    "ann_lsh": QuerySpec(_q_ann_lsh, _ora_ann_lsh(), "X3 RP-LSH ANN top-k, Gaussian planes (r6: promoted to a full oracle via inlined DOUBLE plane literals)"),
     "image_phash": QuerySpec(_q_image_phash, None, "X5 perceptual hashes (rows-only: stub pixels)"),
     "image_near_dup": QuerySpec(_q_image_near_dup, None, "X5 pHash hamming-bucket near-dup (rows-only)"),
     "media_features": QuerySpec(_q_media_features, None, "X5 feature extraction (rows-only: float digest stub; oracle twin media_features_md5)"),
     "media_features_md5": QuerySpec(_q_media_features_md5, _O_MEDIA_FEATURES_MD5, "X5 feature extraction, integer digest-byte twin (oracle-checked)"),
     "epoch_shuffle": QuerySpec(_q_epoch_shuffle, _O_EPOCH_SHUFFLE, "corpus: deterministic epoch-wise global shuffle (training-data ordering)"),
-    "approx_stats": QuerySpec(_q_approx_stats, None, "X6 sketches (rows-only: approximate)"),
-    "approx_group_stats": QuerySpec(_q_approx_group_stats, None, "X6 per-group sketches (rows-only: approximate)"),
+    "approx_stats": QuerySpec(_q_approx_stats, _O_APPROX_STATS, "X6 sketches: q50/q95/q99 + HLL accuracy contract (r6: promoted from rows-only)"),
+    "approx_group_stats": QuerySpec(_q_approx_group_stats, _O_APPROX_GROUP_STATS, "X6 per-group sketches: per-lang accuracy contract (r6: promoted from rows-only)"),
     "word_count": QuerySpec(_q_word_count, _O_WORD_COUNT, "explode/unnest + agg + top-k"),
     "order_priority": QuerySpec(_q_order_priority, _O_ORDER_PRIORITY, "EXISTS semi-join (Q4 shape)"),
     "top_customers": QuerySpec(_q_top_customers, _O_TOP_CUSTOMERS, "join+agg+top-k"),
