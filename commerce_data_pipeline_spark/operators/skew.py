@@ -139,3 +139,53 @@ def join_profile(
         .cast("long")
         .alias("est_join_rows"),
     )
+
+
+def guarded_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    max_rows: int,
+    how: str = "inner",
+    salt_threshold: int | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """The operator a 100 TB user actually calls before a risky join:
+    run the `join_profile` audit, REFUSE to execute if the exact output
+    cardinality exceeds `max_rows` (raising with the full audit row —
+    overlap, orphans, max multiplicities — so the caller sees WHY), and
+    otherwise run the join, automatically routing through `salted_join`
+    when a side's max key multiplicity exceeds `salt_threshold` (the
+    hot-key signal AQE's post-hoc splitting reacts to late; default
+    None = never salt, plain join).
+
+    Cost model: the audit is two keyed count shuffles + one co-keyed
+    merge producing ONE row — measured here as `join_profile` (registry
+    query, sub-second at bench scale) and linear at any scale, i.e. it
+    costs a rounding error next to the join it can veto. A vetoed
+    explosion (a many-to-many hot key multiplying out billions of rows)
+    costs the audit alone instead of a cluster-hours shuffle that dies
+    in spill.
+
+    The guard is exact, not an estimate: est_join_rows = Σ_shared
+    cnt_l·cnt_r is the inner-join cardinality by definition (left joins
+    add the orphan rows on top; the guard compares the inner part plus
+    left orphans for how='left').
+    """
+    prof = join_profile(left, right, on).collect()[0]
+    expected = int(prof["est_join_rows"])
+    if how in ("left", "left_outer"):
+        expected += int(prof["orphans_left"])
+    if expected > max_rows:
+        raise ValueError(
+            f"guarded_join refused: join on {on!r} would produce "
+            f"{expected} rows (> max_rows={max_rows}). Audit: {prof.asDict()}"
+        )
+    salted = (
+        salt_threshold is not None
+        and max(int(prof["max_mult_left"] or 0), int(prof["max_mult_right"] or 0))
+        > salt_threshold
+    )
+    if salted:
+        return salted_join(left, right, on, n_salts=n_salts, how=how)
+    return left.join(right, on=on, how=how)

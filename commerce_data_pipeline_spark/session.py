@@ -12,6 +12,12 @@ the right knobs for a large cluster:
 - Arrow on: any Pandas-UDF path moves data in columnar batches.
 - shuffle.partitions matched to local cores here; on a real cluster this is
   overridden (or left to AQE's coalescing with a high initial count).
+
+CLUSTER.md (repo root) maps every knob that changes on a real
+1000-executor deployment — shuffle sizing, broadcast budget, AQE skew
+thresholds, reliable checkpoints for the iterative operators, Arrow batch
+sizing — all reachable through `extra_conf` / `SPARK_GRAFT_MASTER` /
+spark-submit without code changes.
 """
 
 from __future__ import annotations

@@ -128,3 +128,43 @@ def test_join_profile_overlap_orphans_cardinality(spark):
     assert (r["max_mult_left"], r["max_mult_right"]) == (3, 2)
     # shared keys: 1 -> 3*1, 2 -> 1*2
     assert r["est_join_rows"] == 5
+
+
+def test_guarded_join_passes_and_matches_plain_join(spark):
+    l = spark.createDataFrame([(1, "a"), (2, "b"), (2, "c")], ["k", "lv"])
+    r = spark.createDataFrame([(2, "x"), (3, "y")], ["k", "rv"])
+    out = skew.guarded_join(l, r, "k", max_rows=10)
+    plain = l.join(r, on="k")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_guarded_join_refuses_explosion_with_audit(spark):
+    import pytest
+
+    # 100 x 100 on one hot key = 10,000 output rows
+    l = spark.createDataFrame([(1, i) for i in range(100)], ["k", "lv"])
+    r = spark.createDataFrame([(1, i) for i in range(100)], ["k", "rv"])
+    with pytest.raises(ValueError) as e:
+        skew.guarded_join(l, r, "k", max_rows=5000)
+    msg = str(e.value)
+    assert "10000" in msg and "est_join_rows" in msg  # the audit row is shown
+
+
+def test_guarded_join_left_counts_orphans(spark):
+    import pytest
+
+    l = spark.createDataFrame([(1, "a"), (9, "orphan")], ["k", "lv"])
+    r = spark.createDataFrame([(1, "x")], ["k", "rv"])
+    # inner part = 1 row, left orphans = 1 -> expected 2 > max_rows 1
+    with pytest.raises(ValueError):
+        skew.guarded_join(l, r, "k", max_rows=1, how="left")
+    out = skew.guarded_join(l, r, "k", max_rows=2, how="left")
+    assert out.count() == 2
+
+
+def test_guarded_join_routes_through_salting(spark):
+    l = spark.createDataFrame([(1, i) for i in range(50)] + [(2, 99)], ["k", "lv"])
+    r = spark.createDataFrame([(1, "hot"), (2, "cold")], ["k", "rv"])
+    out = skew.guarded_join(l, r, "k", max_rows=1000, salt_threshold=10, n_salts=4)
+    plain = l.join(r, on="k")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
