@@ -221,6 +221,80 @@ def attribution(
     )
 
 
+def position_attribution(
+    df: DataFrame,
+    convert_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """G4 extension — position-based (U-shaped) MULTI-touch attribution:
+    every conversion splits 10,000 basis points across ALL its preceding
+    touches (since the user's previous conversion), instead of crediting
+    only the first or last one. Credit contract (integer-exact, so the
+    SQL oracle replays it):
+
+        n = 1  → 10000 to the single touch
+        n = 2  → 5000 / 5000
+        n ≥ 3  → 4000 first, 4000 last, middles share 2000 via
+                 2000 div (n-2) each; the integer remainder
+                 2000 - (n-2)·(2000 div (n-2)) goes to the FIRST touch
+                 (documented tie-in so credits always sum to 10000)
+
+    Assignment shape: ONE pass — a reverse-cumulative count of
+    conversions per user ((ts, tiebreak)-ordered window) gives every
+    event the id of the conversion it precedes; touches grouped by that
+    id get positions from a second window. Both windows partition by
+    user — no self-join, no range join, scales with the user key like
+    `sessionize`.
+
+    Returns one row per credited touch: (user, conv_group, touch_type,
+    position, n_touches, credit_bp).
+    """
+    is_conv = F.col(type_col) == convert_type
+    w_rev = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = df.withColumn(
+        "_cg", F.sum(F.when(is_conv, 1).otherwise(0)).over(w_rev)
+    )
+    touches = marked.filter(~is_conv & (F.col("_cg") >= 1))
+    # conversions exist for a group iff a purchase row carries that _cg
+    conv_groups = (
+        marked.filter(is_conv).select(F.col(user_col), F.col("_cg")).distinct()
+    )
+    touches = touches.join(conv_groups, on=[user_col, "_cg"])
+    w_pos = Window.partitionBy(user_col, "_cg").orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    w_grp = Window.partitionBy(user_col, "_cg")
+    pos = touches.withColumn("position", F.row_number().over(w_pos)).withColumn(
+        "n_touches", F.count(F.lit(1)).over(w_grp)
+    )
+    n = F.col("n_touches")
+    p = F.col("position")
+    mid_each = F.expr("2000 div (n_touches - 2)")
+    mid_rem = F.lit(2000) - (n - 2) * mid_each
+    credit = (
+        F.when(n == 1, 10000)
+        .when(n == 2, 5000)
+        .when(p == 1, F.lit(4000) + mid_rem)
+        .when(p == n, 4000)
+        .otherwise(mid_each)
+    )
+    return pos.select(
+        F.col(user_col),
+        F.col("_cg").alias("conv_group"),
+        F.col(type_col).alias("touch_type"),
+        "position",
+        "n_touches",
+        credit.cast("long").alias("credit_bp"),
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     user_col: str = "user_id",

@@ -654,3 +654,41 @@ def pair_group_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def canonical_records(
+    clusters: DataFrame,
+    records: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-record selection — the step AFTER clustering that every
+    production dedup actually ships: each near-dup cluster keeps its
+    best-quality member (ties → lowest id), everything else is dropped.
+    `clusters` is (id, component) from any of this module's
+    connected-components paths; `records` carries the quality signal.
+
+    Plan: one equi-join (clusters ⋈ records on id) + one component-keyed
+    argmax AGGREGATION (max_by over the lexicographic (quality, -id)
+    struct — the ivf_invert tie-break trick, no window, map-side
+    partials). Nothing beyond the cluster table is shuffled.
+
+    Returns (component, canonical_id, canonical_quality, n_members) —
+    one row per cluster; n_members - 1 is the dedup win per cluster.
+    """
+    joined = clusters.join(
+        records.select(F.col(id_col).alias("id"), F.col(quality_col).alias("_q")),
+        on="id",
+    )
+    return (
+        joined.groupBy("component")
+        .agg(
+            F.max_by(
+                "id", F.struct(F.col("_q"), (-F.col("id")).alias("_ni"))
+            ).alias("canonical_id"),
+            F.max(F.struct(F.col("_q"), (-F.col("id")).alias("_ni")))["_q"].alias(
+                "canonical_quality"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+    )

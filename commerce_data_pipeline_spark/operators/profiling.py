@@ -179,3 +179,62 @@ def group_outliers(
             (F.col("dev") > F.lit(float(k)) * F.col("mad")).alias("is_outlier"),
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Privacy audit — k-anonymity over a quasi-identifier combination:
+    every row whose (quasi_cols) equivalence class holds fewer than `k`
+    records is re-identifiable by linking those attributes to an external
+    dataset (Sweeney's attack model). Returns the RISKY classes —
+    (quasi_cols..., class_size, deficit) — the worklist a release
+    pipeline must generalize or suppress before publishing.
+
+    Plan: ONE keyed count aggregation over the quasi-identifier tuple
+    (map-side partials) + a filter; nothing else moves. NULL attribute
+    values form their own class (groupBy semantics), which is correct —
+    "field withheld" is itself an identifying pattern.
+    """
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .filter(F.col("class_size") < k)
+        .withColumn("deficit", (F.lit(k) - F.col("class_size")).cast("long"))
+    )
+
+
+def fd_violations(
+    df: DataFrame,
+    determinant: list[str],
+    dependent: str,
+    label: str | None = None,
+) -> DataFrame:
+    """Functional-dependency audit (the deequ `hasUniqueness`/FD-check
+    shape): does `determinant → dependent` hold in the data? Returns ONE
+    summary row — class counts, how many determinant classes see more
+    than one dependent value, the worst multiplicity, and how many ROWS
+    sit in violating classes (the repair worklist size). A held FD is
+    n_violating_classes = 0; a "PK check" is the special case
+    dependent = any non-key column with determinant = the key.
+
+    Plan: one determinant-keyed aggregation (count + countDistinct with
+    map-side partials) + a 1-row rollup. Nothing else moves — auditing
+    an FD over 100 TB costs one thin shuffle of (det, dep) pairs.
+    """
+    name = label or f"{','.join(determinant)}->{dependent}"
+    per_class = df.groupBy(*[F.col(c) for c in determinant]).agg(
+        F.countDistinct(dependent).alias("_nd"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return per_class.agg(
+        F.lit(name).alias("fd"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.count(F.when(F.col("_nd") > 1, 1)).cast("long").alias("n_violating_classes"),
+        F.max("_nd").cast("long").alias("max_dependents"),
+        F.sum(F.when(F.col("_nd") > 1, F.col("_n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_in_violating"),
+    )

@@ -49,6 +49,7 @@ from commerce_data_pipeline_spark.operators import (
 from commerce_data_pipeline_spark.operators.analytics import (
     attribution,
     funnel,
+    position_attribution,
     sessionize,
 )
 from commerce_data_pipeline_spark.streaming import events as streaming_events
@@ -585,6 +586,59 @@ WITH marked AS (
 )
 SELECT user_id, epoch_us(ts) AS conv_ts_us, touch_type, epoch_us(touch_ts) AS touch_ts_us
 FROM marked WHERE event_type = 'purchase'
+"""
+
+
+def _q_attribution_position(spark: SparkSession, sf: str) -> DataFrame:
+    """G4 — position-based (U-shaped) multi-touch attribution of
+    purchases: every conversion splits 10,000 bp across all touches
+    since the user's previous conversion (4000/2000-shared/4000;
+    integer-exact contract in operators/analytics.position_attribution).
+    Aggregated to credit share per touch type."""
+    ev = load_table(spark, sf, "events")
+    per_touch = position_attribution(
+        ev, convert_type="purchase", tiebreak_cols=("event_id",)
+    )
+    return (
+        per_touch.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("credit_bp").cast("long").alias("credit_bp_total"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+_O_ATTRIBUTION_POSITION = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS cg
+  FROM events
+), conv_groups AS (
+  SELECT DISTINCT user_id, cg FROM marked WHERE event_type = 'purchase'
+), touches AS (
+  SELECT m.user_id, m.cg, m.event_type, m.ts, m.event_id
+  FROM marked m JOIN conv_groups c ON m.user_id = c.user_id AND m.cg = c.cg
+  WHERE m.event_type <> 'purchase'
+), pos AS (
+  SELECT user_id, cg, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id, cg ORDER BY ts, event_id) AS p,
+    COUNT(*) OVER (PARTITION BY user_id, cg) AS n
+  FROM touches
+), credited AS (
+  SELECT event_type AS touch_type,
+    CASE WHEN n = 1 THEN 10000
+         WHEN n = 2 THEN 5000
+         WHEN p = 1 THEN 4000 + (2000 - (n - 2) * (2000 // (n - 2)))
+         WHEN p = n THEN 4000
+         ELSE 2000 // (n - 2) END AS credit_bp
+  FROM pos
+)
+SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+  CAST(SUM(credit_bp) AS BIGINT) AS credit_bp_total
+FROM credited GROUP BY touch_type ORDER BY touch_type
 """
 
 
@@ -1559,6 +1613,138 @@ def _q_dedup_clusters_alt(spark: SparkSession, sf: str) -> DataFrame:
     doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
     pairs = dedup.minhash_lsh_pairs(doubled, num_hashes=16, bands=4, shingle_n=3)
     return dedup.connected_components(pairs)
+
+
+def _q_fd_check(spark: SparkSession, sf: str) -> DataFrame:
+    """P-family data-quality — functional-dependency audit (deequ shape):
+    four hypothesized FDs checked in one output, two that hold (key →
+    attribute) and two that don't (the violation counts are the signal).
+    Each FD costs one thin (det, dep) aggregation
+    (operators/profiling.fd_violations)."""
+    orders = load_table(spark, sf, "orders")
+    docs = load_table(spark, sf, "documents")
+    fds = [
+        profiling.fd_violations(orders, ["o_orderkey"], "o_orderdate"),
+        profiling.fd_violations(orders, ["o_custkey"], "o_orderpriority"),
+        profiling.fd_violations(docs, ["doc_id"], "lang"),
+        profiling.fd_violations(docs, ["lang"], "source"),
+    ]
+    out = fds[0]
+    for f_ in fds[1:]:
+        out = out.unionByName(f_)
+    return out.orderBy("fd")
+
+
+_O_FD_CHECK = """
+WITH fd AS (
+  SELECT 'o_orderkey->o_orderdate' AS fd, o_orderkey AS det,
+         CAST(o_orderdate AS VARCHAR) AS dep FROM orders
+), c1 AS (
+  SELECT fd, det, COUNT(DISTINCT dep) AS nd, COUNT(*) AS n FROM fd GROUP BY fd, det
+), fd2 AS (
+  SELECT 'o_custkey->o_orderpriority' AS fd, o_custkey AS det, o_orderpriority AS dep FROM orders
+), c2 AS (
+  SELECT fd, det, COUNT(DISTINCT dep) AS nd, COUNT(*) AS n FROM fd2 GROUP BY fd, det
+), fd3 AS (
+  SELECT 'doc_id->lang' AS fd, doc_id AS det, lang AS dep FROM documents
+), c3 AS (
+  SELECT fd, det, COUNT(DISTINCT dep) AS nd, COUNT(*) AS n FROM fd3 GROUP BY fd, det
+), fd4 AS (
+  SELECT 'lang->source' AS fd, lang AS det, source AS dep FROM documents
+), c4 AS (
+  SELECT fd, det, COUNT(DISTINCT dep) AS nd, COUNT(*) AS n FROM fd4 GROUP BY fd, det
+), allc AS (
+  SELECT fd, nd, n FROM c1 UNION ALL SELECT fd, nd, n FROM c2
+  UNION ALL SELECT fd, CAST(nd AS BIGINT), n FROM c3
+  UNION ALL SELECT fd, CAST(nd AS BIGINT), n FROM c4
+)
+SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes,
+  CAST(MAX(nd) AS BIGINT) AS max_dependents,
+  CAST(SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT) AS rows_in_violating
+FROM allc GROUP BY fd ORDER BY fd
+"""
+
+
+def _q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """P-family privacy audit — k-anonymity (k=5) of customers over the
+    quasi-identifier (nation, market segment, account-balance bucket):
+    equivalence classes smaller than k are the re-identification
+    worklist. One keyed count + filter (operators/profiling.k_anonymity);
+    the balance bucket floors to 1000s so both engines bin identically."""
+    cust = load_table(spark, sf, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    )
+    return profiling.k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5
+    ).orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
+
+
+_O_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment,
+  CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+  CAST(COUNT(*) AS BIGINT) AS class_size,
+  CAST(5 - COUNT(*) AS BIGINT) AS deficit
+FROM customer
+GROUP BY c_nationkey, c_mktsegment, FLOOR(c_acctbal / 1000.0)
+HAVING COUNT(*) < 5
+ORDER BY c_nationkey, c_mktsegment, bal_bucket
+"""
+
+
+def _q_canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """X2×X11 — canonical-record selection: the step after clustering
+    that a production dedup actually ships. Clusters come from the same
+    doubled-corpus LSH + connected-components chain as `dedup_clusters`;
+    each cluster keeps its best-quality member (quality = n_chars here,
+    ties → lowest doc_id — the shifted copy always loses to its
+    original). One join + one component-keyed argmax aggregation on top
+    of the cluster table (operators/dedup.canonical_records)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    doubled = docs.unionAll(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
+    pairs = dedup.minhash_lsh_pairs(doubled, num_hashes=16, bands=4, shingle_n=3)
+    clusters = dedup.connected_components_alternating(pairs)
+    return dedup.canonical_records(clusters, doubled, "doc_id", "n_chars").orderBy(
+        "component"
+    )
+
+
+def _ora_canonical_docs(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    """`_ora_dedup_clusters`'s transitive closure extended with the
+    argmax: per component, the member with (max n_chars, min doc_id)."""
+    return f"""
+WITH RECURSIVE {_ora_lsh_ctes(num_hashes, bands, n)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+), doubled_q AS (
+  SELECT doc_id, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, n_chars FROM documents
+), members AS (
+  SELECT c.component, c.id, d.n_chars,
+    ROW_NUMBER() OVER (PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.id ASC) AS rn
+  FROM comp c JOIN doubled_q d ON d.doc_id = c.id
+)
+SELECT component,
+  MAX(CASE WHEN rn = 1 THEN id END) AS canonical_id,
+  MAX(CASE WHEN rn = 1 THEN n_chars END) AS canonical_quality,
+  CAST(COUNT(*) AS BIGINT) AS n_members
+FROM members GROUP BY component ORDER BY component
+"""
 
 
 def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
@@ -4932,6 +5118,68 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 4
 """
 
 
+def _q_image_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """X5×X2 — image near-dup CLUSTERS: the pHash hamming pairs (same
+    blocked/truncated/verified chain as `image_near_dup_md5`) contracted
+    to components by the alternating-star connected-components operator —
+    what an image-dedup pipeline actually keys its keep/drop decisions
+    on. Oracle = recursive-CTE transitive closure over the identically
+    replayed pair stage."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    media = multimodal.synthesize_media(docs)
+    base = multimodal.decode_and_phash_int(media).localCheckpoint()
+    copies = base.withColumn("media_id", F.col("media_id") + F.lit(1_000_080))
+    pairs = multimodal.phash_pairs(base.unionAll(copies), max_hamming=4)
+    comp = dedup.connected_components_alternating(
+        pairs.select("id_a", "id_b")
+    )
+    return comp.select(F.col("id").alias("media_id"), "component")
+
+
+_O_IMAGE_DUP_CLUSTERS = f"""
+WITH RECURSIVE hashes AS ({_O_IMAGE_PHASH_MD5_BODY}
+), doubled AS (
+  SELECT media_id, phash FROM hashes
+  UNION ALL
+  SELECT media_id + 1000080 AS media_id, phash FROM hashes
+), bvals AS (
+  SELECT media_id, phash, blk,
+    CASE blk
+      WHEN 0 THEN (phash >> 0)  & 8191
+      WHEN 1 THEN (phash >> 13) & 8191
+      WHEN 2 THEN (phash >> 26) & 8191
+      WHEN 3 THEN (phash >> 39) & 8191
+      ELSE        (phash >> 52) & 4095
+    END AS bval
+  FROM doubled, (SELECT unnest(generate_series(0, 4)) AS blk)
+), kept AS (
+  SELECT media_id, phash, blk, bval FROM (
+    SELECT media_id, phash, blk, bval,
+      ROW_NUMBER() OVER (PARTITION BY blk, bval ORDER BY media_id, phash) AS rn
+    FROM bvals
+  ) WHERE rn <= 512
+), cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                  a.phash AS ha, b.phash AS hb
+  FROM kept a JOIN kept b
+    ON a.blk = b.blk AND a.bval = b.bval AND b.media_id > a.media_id
+), vpairs AS (
+  SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM vpairs
+), gnodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM gnodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS media_id, MIN(r) AS component FROM reach GROUP BY id
+"""
+
+
 def _q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """X4/corpus — C4/Gopher-style repetition quality signals: within-doc
     3-gram repetition ratio (scan-side HOFs) and most-frequent-token
@@ -5159,6 +5407,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "price_outliers": QuerySpec(_q_price_outliers, _O_PRICE_OUTLIERS, "P-family anomaly detection: MAD/Hampel outliers per priority group"),
     "join_profile": QuerySpec(_q_join_profile, _O_JOIN_PROFILE, "P-family pre-join audit: key overlap, orphans, skew, exact output cardinality"),
     "decayed_revenue": QuerySpec(_q_decayed_revenue, _O_DECAYED_REVENUE, "temporal: recency-weighted customer value (pinned-anchor exponential decay)"),
+    # -- r6 additions (past the window; rotate in next round) ---------------
+    "attribution_position": QuerySpec(_q_attribution_position, _O_ATTRIBUTION_POSITION, "G4 position-based (U-shaped) multi-touch attribution, integer-bp credit"),
+    "canonical_docs": QuerySpec(_q_canonical_docs, _ora_canonical_docs(), "X2×X11 canonical-record selection per dedup cluster (best quality, min-id ties)"),
+    "image_dup_clusters": QuerySpec(_q_image_dup_clusters, _O_IMAGE_DUP_CLUSTERS, "X5×X2 image near-dup clusters (pHash pairs → connected components)"),
+    "k_anonymity": QuerySpec(_q_k_anonymity, _O_K_ANONYMITY, "P privacy audit: k-anonymity equivalence classes under k over quasi-identifiers"),
+    "fd_check": QuerySpec(_q_fd_check, _O_FD_CHECK, "P data-quality: functional-dependency audit (4 FDs, violation class/row counts)"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),
