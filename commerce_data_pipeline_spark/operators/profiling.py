@@ -238,3 +238,47 @@ def fd_violations(
         .cast("long")
         .alias("rows_in_violating"),
     )
+
+
+def winsorize_summary(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p_low: float = 0.05,
+    p_high: float = 0.95,
+    scale: int = 100,
+) -> DataFrame:
+    """Robust aggregation — per-group winsorization: clamp each value to
+    the group's exact discrete [p_low, p_high] percentiles before
+    summing, so a handful of corrupt extremes can't drag the aggregate
+    (the standard robust-mean companion to `group_outliers`, which FLAGS
+    the extremes; this one neutralizes them).
+
+    Engine-exact: bounds are percentile_disc (values COPIED from the
+    data, no interpolation), each clamped value floors to `scale`
+    BEFORE the sum → order-independent integer aggregate. One
+    group-keyed window-free aggregation pass for the bounds + one for
+    the sums (both map-side-combining; bounds frame is
+    1-row-per-group → broadcast join).
+
+    Returns (group_col, n_rows, n_capped_low, n_capped_high,
+    winsorized_sum_e{scale}).
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile_disc({p_low}) WITHIN GROUP (ORDER BY {value_col})").alias("_lo"),
+        F.expr(f"percentile_disc({p_high}) WITHIN GROUP (ORDER BY {value_col})").alias("_hi"),
+    )
+    v = F.col(value_col).cast("double")
+    clamped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return (
+        df.join(F.broadcast(bounds), on=group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(F.when(v < F.col("_lo"), 1)).cast("long").alias("n_capped_low"),
+            F.count(F.when(v > F.col("_hi"), 1)).cast("long").alias("n_capped_high"),
+            F.sum(F.floor(clamped * F.lit(float(scale))).cast("long"))
+            .cast("long")
+            .alias("winsorized_sum_e2"),
+        )
+    )

@@ -563,3 +563,97 @@ def bigram_lm_scores(
             F.expr("(-_ll) div n_bigrams").cast("long").alias("avg_nll_e6"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top: int = 20,
+) -> DataFrame:
+    """Tokenizer bootstrap — the FIRST byte-pair-encoding merge decision:
+    count adjacent character pairs across every word occurrence in the
+    corpus and rank them (Sennrich et al., 2016 — each BPE iteration
+    merges the most frequent pair; this operator computes exactly that
+    frequency table, the statistic a vocabulary build loops on).
+
+    Plan shape: words explode scan-side, each word emits its len-1
+    character bigrams via a sequence transform (no Python), then ONE
+    pair-keyed count with map-side partials — linear in corpus bytes,
+    the same cost class as word_count. Ties rank by pair lexicographic
+    (deterministic top).
+
+    Returns (left_ch, right_ch, pair_count, rnk) — top `top` pairs.
+    """
+    from pyspark.sql import Window
+
+    w = df.select(F.explode(F.split(normalized_text(text_col), " ")).alias("_w"))
+    # the pair construction lives in one expr because substring's position
+    # argument must be the sequence element (F.substring takes literals)
+    pairs = w.filter(F.length("_w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(_w) - 1), "
+                "i -> struct(substring(_w, i, 1) AS l, substring(_w, i + 1, 1) AS r))"
+            )
+        ).alias("_p")
+    )
+    counted = (
+        pairs.groupBy(
+            F.col("_p.l").alias("left_ch"), F.col("_p.r").alias("right_ch")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+    )
+    w_rank = Window.orderBy(
+        F.desc("pair_count"), F.asc("left_ch"), F.asc("right_ch")
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= top)
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Curriculum / dedup-adjacent novelty scoring: per document, the
+    fraction of its distinct word n-grams whose FIRST corpus occurrence
+    (minimum id over all documents containing the gram) is this
+    document. Near-1 → fresh content; near-0 → the document restates
+    earlier material (the doc-level complement of dup_ngram_spans'
+    span-level view).
+
+    Plan: distinct grams explode scan-side → one gram-keyed MIN
+    aggregation (map-side partials; the only corpus-wide shuffle) →
+    one id-keyed count. Grams shuffle as (hash-sized) strings once;
+    documents with < n words drop out (no gram set to score).
+
+    novelty_e6 floors BEFORE emit so the ratio is integer-exact
+    cross-engine. Returns (id, n_grams, n_novel, novelty_e6).
+    """
+    from commerce_data_pipeline_spark.operators.dedup import word_shingles
+
+    grams = df.select(
+        F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, n)).alias("_g")
+    )
+    first = grams.groupBy("_g").agg(F.min("_id").alias("_first"))
+    per_doc = (
+        grams.join(first, on="_g")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count(F.when(F.col("_first") == F.col("_id"), 1))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        "n_novel",
+        F.floor(F.col("n_novel") * F.lit(1_000_000) / F.col("n_grams"))
+        .cast("long")
+        .alias("novelty_e6"),
+    )

@@ -1615,6 +1615,141 @@ def _q_dedup_clusters_alt(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def _q_bpe_first_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 tokenizer bootstrap — the first BPE merge decision: corpus-wide
+    adjacent character-pair frequencies (Sennrich et al. 2016), top-20
+    with lexicographic tie-break. Scan-side pair explosion + ONE
+    pair-keyed count (operators/text.bpe_pair_counts)."""
+    docs = load_table(spark, sf, "documents")
+    return text.bpe_pair_counts(docs, top=20)
+
+
+_O_BPE_FIRST_MERGE = """
+WITH w AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), pairs AS (
+  SELECT substr(w, i, 1) AS left_ch, substr(w, i + 1, 1) AS right_ch
+  FROM w, LATERAL unnest(generate_series(1, length(w) - 1)) AS t(i)
+  WHERE length(w) >= 2
+), counted AS (
+  SELECT left_ch, right_ch, CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY left_ch, right_ch
+)
+SELECT left_ch, right_ch, pair_count,
+  CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, left_ch ASC, right_ch ASC) AS INT) AS rnk
+FROM counted QUALIFY rnk <= 20
+"""
+
+
+def _q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """X4×X1 — per-document n-gram novelty: fraction of a doc's distinct
+    3-grams first seen (min doc_id) in that doc. One gram-keyed MIN
+    shuffle + one doc-keyed count; ratio floors to e6 before emit
+    (operators/text.ngram_novelty)."""
+    docs = load_table(spark, sf, "documents")
+    return text.ngram_novelty(docs, n=3)
+
+
+_O_NGRAM_NOVELTY = """
+WITH toks AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct(list_transform(generate_series(1, len(words) - 2),
+             i -> array_to_string(words[i:i+2], ' ')))
+      ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks
+), grams AS (
+  SELECT doc_id, unnest(shingles) AS g FROM sh
+), first AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+), per_doc AS (
+  SELECT gr.doc_id, COUNT(*) AS n_grams,
+    SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM grams gr JOIN first f ON f.g = gr.g
+  GROUP BY gr.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(n_novel AS BIGINT) AS n_novel,
+  CAST(FLOOR(n_novel * 1000000.0 / n_grams) AS BIGINT) AS novelty_e6
+FROM per_doc
+"""
+
+
+def _q_winsorized_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """P/X9 robust stats — per-priority winsorized order revenue: values
+    clamp to the group's exact discrete [p5, p95] before an e2-floored
+    integer sum, so corrupt extremes can't drag the aggregate
+    (operators/profiling.winsorize_summary). Bounds = percentile_disc,
+    i.e. the value at rank ceil(p·n) — the oracle replays that rank
+    arithmetic directly rather than trusting any quantile builtin."""
+    orders = load_table(spark, sf, "orders")
+    return profiling.winsorize_summary(
+        orders, "o_totalprice", "o_orderpriority"
+    ).orderBy("o_orderpriority")
+
+
+_O_WINSORIZED_REVENUE = """
+WITH ranked AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+), bounds AS (
+  SELECT g,
+    MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT) THEN v END) AS lo,
+    MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN v END) AS hi,
+    MAX(n) AS n
+  FROM ranked GROUP BY g
+)
+SELECT r.g AS o_orderpriority,
+  CAST(MAX(b.n) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN r.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_low,
+  CAST(SUM(CASE WHEN r.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_high,
+  CAST(SUM(CAST(FLOOR(LEAST(GREATEST(r.v, b.lo), b.hi) * 100.0) AS BIGINT)) AS BIGINT)
+    AS winsorized_sum_e2
+FROM ranked r JOIN bounds b ON b.g = r.g
+GROUP BY r.g ORDER BY r.g
+"""
+
+
+def _q_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """G/streaming twin — 1-hour sliding windows at a 30-minute slide
+    over events (each event lands in exactly 2 windows): the batch twin
+    of a `window(ts, '1 hour', '30 minutes')` streaming aggregation,
+    with epoch-aligned starts both engines derive by integer division."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_start_us")
+    )
+
+
+_O_SLIDING_COUNTS = """
+WITH assigned AS (
+  SELECT user_id,
+    ((epoch_us(ts) // 1800000000) * 1800000000 - offs) AS window_start_us
+  FROM events, LATERAL unnest([CAST(0 AS BIGINT), CAST(1800000000 AS BIGINT)]) AS t(offs)
+)
+SELECT window_start_us, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM assigned GROUP BY window_start_us ORDER BY window_start_us
+"""
+
+
 def _q_fd_check(spark: SparkSession, sf: str) -> DataFrame:
     """P-family data-quality — functional-dependency audit (deequ shape):
     four hypothesized FDs checked in one output, two that hold (key →
@@ -5413,6 +5548,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "image_dup_clusters": QuerySpec(_q_image_dup_clusters, _O_IMAGE_DUP_CLUSTERS, "X5×X2 image near-dup clusters (pHash pairs → connected components)"),
     "k_anonymity": QuerySpec(_q_k_anonymity, _O_K_ANONYMITY, "P privacy audit: k-anonymity equivalence classes under k over quasi-identifiers"),
     "fd_check": QuerySpec(_q_fd_check, _O_FD_CHECK, "P data-quality: functional-dependency audit (4 FDs, violation class/row counts)"),
+    "bpe_first_merge": QuerySpec(_q_bpe_first_merge, _O_BPE_FIRST_MERGE, "X4 tokenizer: first BPE merge pair frequencies (top-20)"),
+    "ngram_novelty": QuerySpec(_q_ngram_novelty, _O_NGRAM_NOVELTY, "X4×X1 per-doc n-gram novelty vs earlier corpus (first-occurrence fractions)"),
+    "winsorized_revenue": QuerySpec(_q_winsorized_revenue, _O_WINSORIZED_REVENUE, "P robust stats: per-group winsorized sums with exact disc-percentile bounds"),
+    "sliding_counts": QuerySpec(_q_sliding_counts, _O_SLIDING_COUNTS, "G streaming twin: 1h/30min sliding-window event+user counts"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),
