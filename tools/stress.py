@@ -130,6 +130,19 @@ STRESS_QUERIES = [
     "price_outliers",
     "join_profile",
     "decayed_revenue",
+    # round 6: multi-touch attribution (two user-keyed windows), canonical
+    # records (join + argmax over the CC chain), privacy/FD audits (one
+    # keyed count each), BPE pairs + n-gram novelty (scan-side explode +
+    # one keyed count/min), winsorize (two group aggs), sliding windows
+    "attribution_position",
+    "canonical_docs",
+    "image_dup_clusters",
+    "k_anonymity",
+    "fd_check",
+    "bpe_first_merge",
+    "ngram_novelty",
+    "winsorized_revenue",
+    "sliding_counts",
 ]
 
 
