@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "co_occurrence_edges"]
+__all__ = ["pagerank", "co_occurrence_edges", "label_propagation", "triangle_stats"]
 
 
 def co_occurrence_edges(
@@ -248,3 +248,121 @@ def _pagerank_distributed(ew, nodes, iterations, scale, teleport, damp_num, damp
         if i % 3 == 2 or i == iterations - 1:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation (community detection):
+    labels start as node ids; each round every node adopts the label with
+    the greatest total incident edge weight among its neighbors' current
+    labels (ties → smallest label). `rounds` is fixed — asynchronous LPA
+    (GraphFrames et al.) is run-order-dependent; the synchronous fixed-
+    round variant is reproducible to the bit, so a SQL oracle can replay
+    it by unrolling the rounds.
+
+    Per round: ONE dst-keyed join (edges ⋈ labels) + ONE (src, label)
+    aggregation + ONE src-keyed argmax aggregation — all keyed shuffles
+    with map-side partials, nothing driver-side, same cost class as one
+    PageRank round. Undirected graphs pass the symmetrized edge list
+    (both directions), exactly as `co_occurrence_edges` emits.
+
+    Returns (node, label) — nodes = every src endpoint.
+    """
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"),
+        F.col(weight).cast("long").alias("_w"),
+    ).filter(F.col("_w") > 0).localCheckpoint()
+    labels = e.select(F.col("_s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(labels, e["_d"] == labels["node"])
+            .select(F.col("_s"), F.col("label"), F.col("_w"))
+            .groupBy("_s", "label")
+            .agg(F.sum("_w").alias("_tw"))
+        )
+        labels = (
+            votes.groupBy("_s")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("_tw"), (-F.col("label")).alias("_nl"))
+                ).alias("label")
+            )
+            .select(F.col("_s").alias("node"), "label")
+            .localCheckpoint()
+        )
+    return labels
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global triangle census over an undirected graph: triangle count,
+    wedge (open-triad) count, and the floored-e6 global clustering
+    coefficient 3·triangles / wedges — the graph-health number that says
+    whether co-occurrence structure is clique-like or hub-and-spoke.
+
+    Input may carry both edge directions (symmetrized lists); pairs are
+    canonicalized to a < b first. The count enumerates each triangle
+    once via the a < b < c orientation: wedge join on the shared middle
+    vertex + one closure semi-check — two equi-join shuffles. Wedge
+    volume is Σ deg² — feed a weight-thresholded edge list (the
+    `co_occurrence_edges(min_weight=...)` knob) or pre-cap hub degrees;
+    at production scale swap id-orientation for degree-orientation
+    (smaller-degree endpoint first), which provably bounds per-key join
+    fan-out at O(sqrt(|E|)) — identical output, same plan shape.
+
+    Returns ONE row: (n_nodes, n_edges, n_wedges, n_triangles,
+    global_cc_e6).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("k"))
+        .unionAll(und.select(F.col("b").alias("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    wedges = deg.agg(
+        (F.sum(F.col("_d") * (F.col("_d") - 1)) / F.lit(2)).cast("long").alias("n_wedges"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+    )
+    e1 = und.select(F.col("a"), F.col("b"))
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        e1.join(e2, on="b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        wedges.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") > 0,
+                   F.floor(F.col("n_triangles") * F.lit(3_000_000) / F.col("n_wedges")))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("global_cc_e6"),
+        )
+    )

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import words
 
-__all__ = ["bm25_topk", "bm25_scores", "tfidf_keywords", "hybrid_rrf"]
+__all__ = ["bm25_topk", "bm25_scores", "tfidf_keywords", "hybrid_rrf", "build_text_index", "bm25_query_index"]
 
 
 def bm25_scores(
@@ -73,8 +73,16 @@ def bm25_scores(
     tf = tok.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf"), F.max("dl").alias("dl")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    return _bm25_score_tail(tf, stats, k1, b, id_col)
 
+
+def _bm25_score_tail(tf: DataFrame, stats: DataFrame, k1: float, b: float,
+                     id_col: str) -> DataFrame:
+    """Shared BM25 scoring tail: (id, term, tf, dl) postings + the 1-row
+    corpus stats frame → per-doc (n_terms, dl, score_e6). ONE expression
+    tree used by both the inline scorer and the persisted-index query, so
+    the two paths produce bit-identical floats by construction."""
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), on="term")
         .crossJoin(F.broadcast(stats))
@@ -272,4 +280,92 @@ def hybrid_rrf(
         )
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+N_TERM_BUCKETS = 64
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the inverted text index: `postings/` = one row per
+    (doc, term) — (term, id, tf, dl) — PARTITIONED BY term_bucket
+    (xxhash64(term) mod 64), plus `stats/` (1 row: corpus N + total
+    tokens). The BM25 sibling of operators/index.py's IVF layout: a
+    100 TB corpus is tokenized ONCE; every later query prunes to its
+    query terms' bucket directories instead of re-tokenizing the corpus
+    (term_bucket is a pruning key only — results never depend on it,
+    so the Spark-only xxhash64 is fine here).
+
+    Postings store tf as BIGINT and dl per row; reading them back and
+    scoring through `_bm25_score_tail` is bit-identical to the inline
+    scorer (same integer inputs, same expression tree)."""
+    from commerce_data_pipeline_spark.sources.hadoopfs import join_path
+
+    ws = words(text_col)
+    base = docs.select(
+        F.col(id_col), F.size(ws).cast("long").alias("dl"), ws.alias("_ws")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.sum("dl").cast("double").alias("_total_tokens"),
+    )
+    postings = (
+        base.select(F.col(id_col), "dl", F.explode("_ws").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.max("dl").alias("dl"))
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int"),
+        )
+    )
+    (
+        postings.repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(join_path(path, "postings"))
+    )
+    stats.write.mode("overwrite").parquet(join_path(path, "stats"))
+
+
+def bm25_query_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k served from a persisted text index: prune to the query
+    terms' bucket partitions (≤ |Q| directories of the 64), filter to
+    the exact terms, score through the SAME `_bm25_score_tail` as the
+    inline path — bit-identical results without touching the corpus
+    (pinned in tests/test_search.py)."""
+    import pyspark.sql.functions as _F
+
+    from commerce_data_pipeline_spark.sources.hadoopfs import join_path
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    postings = spark.read.parquet(join_path(path, "postings"))
+    stats = spark.read.parquet(join_path(path, "stats"))
+    buckets = postings.sparkSession.createDataFrame(
+        [(t,) for t in query_terms], "term string"
+    ).select(_F.pmod(_F.xxhash64("term"), _F.lit(N_TERM_BUCKETS)).cast("int").alias("b"))
+    bucket_vals = sorted({r["b"] for r in buckets.collect()})
+    tf = (
+        postings.filter(_F.col("term_bucket").isin(bucket_vals))
+        .filter(_F.col("term").isin(list(query_terms)))
+        .select(id_col, "term", _F.col("tf").cast("double").alias("tf"), "dl")
+    )
+    scores = _bm25_score_tail(tf, stats, k1, b, id_col)
+    return (
+        scores.orderBy(_F.desc("score_e6"), _F.asc(id_col))
+        .limit(k)
+        .select(_F.col(id_col), "n_terms", "dl", "score_e6")
     )

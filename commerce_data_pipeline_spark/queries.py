@@ -1615,6 +1615,128 @@ def _q_dedup_clusters_alt(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+_PAIRS_SQL_MW = """d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), capped AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+      ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM d)
+  WHERE rn <= 64
+), upairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS w
+  FROM capped a JOIN capped b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {mw}
+), edges AS (
+  SELECT pa AS src, pb AS dst, w FROM upairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst, w FROM upairs
+)"""
+
+
+def _ensure_text_index(spark: SparkSession, sf: str) -> str:
+    """Build-once handle for the persisted inverted text index of the
+    documents table at this sf (operators/search.build_text_index):
+    postings partitioned by term_bucket + the 1-row stats frame. The
+    production shape — tokenize 100 TB once, prune per query."""
+    import os
+
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".cache", "text_idx",
+        os.path.basename(os.path.normpath(sf)),
+    )
+    path = os.path.normpath(path)
+    fs = HadoopFS(spark, path)
+    if not fs.exists(join_path(path, "stats", "_SUCCESS")):
+        search.build_text_index(load_table(spark, sf, "documents"), path)
+    return path
+
+
+def _q_bm25_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """X7 — the SAME BM25 top-25 served from the PERSISTED inverted text
+    index (postings partitioned by term_bucket → the probe prunes to the
+    query terms' directories; `_bm25_score_tail` is the one scoring
+    expression both paths share). Bit-identical to `bm25_search` by
+    construction, so it shares its oracle — the IVF
+    ann_ivf/ann_ivf_indexed pattern applied to lexical search."""
+    path = _ensure_text_index(spark, sf)
+    return search.bm25_query_index(spark, path, ["dup", "vector", "spark"], k=25)
+
+
+def _q_part_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """X12 graph — deterministic synchronous label propagation (3 fixed
+    rounds, weighted-majority labels, min-label ties) over the part
+    co-purchase graph: reproducible community detection, the rounds
+    unrolled identically by the SQL oracle
+    (operators/graph.label_propagation)."""
+    li = load_table(spark, sf, "lineitem")
+    edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.label_propagation(edges, rounds=3).orderBy("node")
+
+
+def _ora_part_communities(rounds: int = 3) -> str:
+    base = _PAIRS_SQL_MW.format(mw=1)
+    prev = "l0"
+    stages = [f"l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"]
+    for i in range(1, rounds + 1):
+        stages.append(f"""v{i} AS (
+  SELECT e.src, p.label, SUM(e.w) AS tw
+  FROM edges e JOIN {prev} p ON p.node = e.dst
+  GROUP BY e.src, p.label
+), l{i} AS (
+  SELECT src AS node, label FROM (
+    SELECT src, label,
+      ROW_NUMBER() OVER (PARTITION BY src ORDER BY tw DESC, label ASC) AS rn
+    FROM v{i}) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return (
+        "WITH " + base + ",\n" + ",\n".join(stages)
+        + f"\nSELECT node, label FROM {prev} ORDER BY node"
+    )
+
+
+def _q_part_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """X12 graph — triangle census of the weight-thresholded co-purchase
+    graph (min_weight=2 keeps wedge volume Σ deg² bounded; the unfiltered
+    graph's hubs would wedge-explode — exactly the knob the operator
+    documents): triangles, wedges, global clustering coefficient
+    (operators/graph.triangle_stats)."""
+    li = load_table(spark, sf, "lineitem")
+    edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey", min_weight=2)
+    return graph.triangle_stats(edges)
+
+
+_O_PART_TRIANGLES = f"""
+WITH {_PAIRS_SQL_MW.format(mw=2)},
+und AS (
+  SELECT pa AS a, pb AS b FROM upairs
+), deg AS (
+  SELECT k, COUNT(*) AS d FROM (
+    SELECT a AS k FROM und UNION ALL SELECT b AS k FROM und) t(k) GROUP BY k
+), wed AS (
+  SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+       JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), ne AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+  CASE WHEN n_wedges > 0
+    THEN CAST(FLOOR(n_triangles * 3000000.0 / n_wedges) AS BIGINT)
+    ELSE CAST(0 AS BIGINT) END AS global_cc_e6
+FROM wed, ne, tri
+"""
+
+
 def _q_bpe_first_merge(spark: SparkSession, sf: str) -> DataFrame:
     """X4 tokenizer bootstrap — the first BPE merge decision: corpus-wide
     adjacent character-pair frequencies (Sennrich et al. 2016), top-20
@@ -5552,6 +5674,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ngram_novelty": QuerySpec(_q_ngram_novelty, _O_NGRAM_NOVELTY, "X4×X1 per-doc n-gram novelty vs earlier corpus (first-occurrence fractions)"),
     "winsorized_revenue": QuerySpec(_q_winsorized_revenue, _O_WINSORIZED_REVENUE, "P robust stats: per-group winsorized sums with exact disc-percentile bounds"),
     "sliding_counts": QuerySpec(_q_sliding_counts, _O_SLIDING_COUNTS, "G streaming twin: 1h/30min sliding-window event+user counts"),
+    "part_communities": QuerySpec(_q_part_communities, _ora_part_communities(), "X12 graph: deterministic synchronous label propagation (3 rounds, weighted majority)"),
+    "part_triangles": QuerySpec(_q_part_triangles, _O_PART_TRIANGLES, "X12 graph: triangle census + global clustering coefficient (thresholded co-purchase graph)"),
+    "bm25_indexed": QuerySpec(_q_bm25_indexed, _O_BM25_SEARCH, "X7 BM25 from the persisted inverted text index (same oracle as bm25_search)"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

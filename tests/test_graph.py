@@ -100,3 +100,37 @@ def test_co_occurrence_edges_symmetry_and_cap(spark):
     capped = graph.co_occurrence_edges(big, "b", "i", max_basket=3).collect()
     nodes = {r["src"] for r in capped}
     assert nodes == {1, 2, 3}
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles bridged by one weak edge: LPA labels each clique by
+    # its min member; the weak bridge (weight 1 vs in-clique 10) never
+    # flips a label
+    tri1 = [(a, b, 10) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
+    tri2 = [(a, b, 10) for a in (7, 8, 9) for b in (7, 8, 9) if a != b]
+    bridge = [(3, 7, 1), (7, 3, 1)]
+    e = _edges(spark, tri1 + tri2 + bridge)
+    out = {r["node"]: r["label"] for r in graph.label_propagation(e, rounds=3).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[7] == out[8] == out[9] == 7
+
+
+def test_label_propagation_tie_breaks_to_min_label(spark):
+    # node 5 sees equal weight from labels 1 and 2 -> adopts 1
+    e = _edges(spark, [(5, 1, 3), (5, 2, 3), (1, 5, 3), (2, 5, 3)])
+    out = {r["node"]: r["label"] for r in graph.label_propagation(e, rounds=1).collect()}
+    assert out[5] == 1
+
+
+def test_triangle_stats_counts_known_graph(spark):
+    # K4 has 4 triangles, 12 wedges (4 nodes of degree 3), cc = 1.0
+    k4 = [(a, b, 1) for a in range(4) for b in range(4) if a != b]
+    out = graph.triangle_stats(_edges(spark, k4)).collect()[0]
+    assert out["n_nodes"] == 4 and out["n_edges"] == 6
+    assert out["n_triangles"] == 4 and out["n_wedges"] == 12
+    assert out["global_cc_e6"] == 1_000_000
+    # a path graph has wedges but no triangles
+    path = [(0, 1, 1), (1, 0, 1), (1, 2, 1), (2, 1, 1)]
+    out2 = graph.triangle_stats(_edges(spark, path)).collect()[0]
+    assert out2["n_triangles"] == 0 and out2["n_wedges"] == 1
+    assert out2["global_cc_e6"] == 0

@@ -116,3 +116,30 @@ def test_hybrid_rrf_rank_order_and_determinism(spark, corpus, emb5):
     assert a == b
     scores = [r[-1] for r in a]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_persisted_text_index_matches_inline(spark, tmp_path):
+    from commerce_data_pipeline_spark.operators.search import (
+        bm25_query_index, bm25_topk, build_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["spark dedup engine", "vector search spark", "dup dup dup",
+             "nothing relevant here", "spark spark vector dup"])],
+        ["doc_id", "text"],
+    )
+    terms = ["dup", "vector", "spark"]
+    inline = bm25_topk(docs, terms, k=5).collect()
+    path = f"file://{tmp_path}/tidx"
+    build_text_index(docs, path)
+    indexed = bm25_query_index(spark, path, terms, k=5).collect()
+    key = lambda r: r["doc_id"]
+    assert sorted(map(tuple, inline), key=lambda t: t[0]) == sorted(
+        map(tuple, indexed), key=lambda t: t[0]
+    )
+    # the postings layout is one directory per term bucket
+    import os
+
+    names = os.listdir(tmp_path / "tidx" / "postings")
+    assert any(n.startswith("term_bucket=") for n in names)
