@@ -332,3 +332,40 @@ def extract_param(df: DataFrame, json_col: str, key: str, out_col: str, cast_to:
     if cast_to:
         c = c.cast(cast_to)
     return df.withColumn(out_col, c)
+
+
+def sequence_violations(
+    df: DataFrame,
+    allowed: list[tuple[str, str]],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Event-order audit — the state-machine check a tracking pipeline
+    runs before trusting its funnels: count consecutive per-user
+    transitions that are NOT in the `allowed` set (e.g. a purchase with
+    no preceding view = instrumentation loss or bot traffic). One
+    user-keyed window (lag) + one (prev, next)-keyed count; the allowed
+    set joins as a broadcast literal frame.
+
+    Returns the violating transition pairs: (prev_type, next_type, n),
+    ordered by frequency — the triage list.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    trans = (
+        df.withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("prev_type"), F.col(type_col).alias("next_type"))
+    )
+    allowed_df = df.sparkSession.createDataFrame(
+        list(allowed), "prev_type string, next_type string"
+    )
+    return (
+        trans.join(F.broadcast(allowed_df), on=["prev_type", "next_type"], how="left_anti")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("prev_type"), F.asc("next_type"))
+    )

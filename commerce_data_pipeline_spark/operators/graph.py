@@ -37,9 +37,9 @@ Plan shape for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["pagerank", "co_occurrence_edges", "label_propagation", "triangle_stats"]
+__all__ = ["pagerank", "co_occurrence_edges", "label_propagation", "triangle_stats", "top_co_occurrences"]
 
 
 def co_occurrence_edges(
@@ -364,5 +364,32 @@ def triangle_stats(
             .otherwise(F.lit(0))
             .cast("long")
             .alias("global_cc_e6"),
+        )
+    )
+
+
+def top_co_occurrences(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """The "customers who bought X also bought Y" surface: per source
+    item, the top-k co-occurring items by (weight desc, item asc). One
+    src-keyed window over the already-aggregated edge list — the edge
+    build (`co_occurrence_edges`) did all the corpus work; this is a
+    per-key top-k on (items × avg-degree) rows, never on facts.
+
+    Returns (item, reco, weight, rnk)."""
+    w = Window.partitionBy(src).orderBy(F.desc(weight), F.asc(dst))
+    return (
+        edges.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col(src).alias("item"),
+            F.col(dst).alias("reco"),
+            F.col(weight).cast("long").alias("weight"),
+            "rnk",
         )
     )

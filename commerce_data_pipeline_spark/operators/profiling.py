@@ -282,3 +282,29 @@ def winsorize_summary(
             .alias("winsorized_sum_e2"),
         )
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    bin_width: float,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Equi-width histogram — the distribution companion to
+    `table_profile`'s min/max: bin = floor(value / bin_width), one keyed
+    count with map-side partials (NULLs excluded — they are
+    `table_profile`'s n_null, not a bin). Deterministic binning: the
+    floor of an exact division on identical double operands, so both
+    engines land every value in the same bin.
+
+    Returns (group_col?, bin, bin_lo, n) — bin_lo = bin · bin_width
+    (the bin's inclusive lower edge, for plotting)."""
+    v = F.col(value_col).cast("double")
+    b = F.floor(v / F.lit(float(bin_width))).cast("long")
+    keys = ([F.col(group_col)] if group_col else []) + [b.alias("bin")]
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("bin_lo", (F.col("bin") * F.lit(float(bin_width))).cast("double"))
+    )

@@ -396,3 +396,63 @@ def time_decayed_sum(
             F.sum("_v").cast("long").alias("decayed_e4"),
         )
     )
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_us: int = 3_600_000_000,
+    max_buckets_per_interval: int = 10_000,
+) -> DataFrame:
+    """Generic interval join — facts whose timestamp falls inside
+    [start, end) of any interval row — WITHOUT a range-predicate join
+    (which Spark executes as a per-key cartesian: the classic scale
+    trap this module's as-of merge already avoids for the 1-version
+    case; this operator covers the overlapping-intervals case as-of
+    can't express).
+
+    Plan: both sides map to coarse time buckets — facts to ONE bucket
+    (floor(ts/W)), each interval to its covered bucket RANGE via a
+    bounded sequence explode — then an EQUI-join on bucket + the exact
+    [start, end) filter. Shuffle volume: |facts| + Σ interval spans/W
+    rows, join fan-out bounded by intervals-per-bucket (pick `bucket_us`
+    near the typical interval length; a hot bucket is `salted_join`
+    territory). `max_buckets_per_interval` guards the explode — a
+    mis-entered decade-long interval raises instead of exploding 90k
+    rows silently.
+
+    Timestamps are BIGINT microseconds on both sides (cast upstream) —
+    integer bucket arithmetic is engine-exact. Returns every fact column
+    plus the matched interval's columns.
+    """
+    b = F.lit(int(bucket_us))
+    span = ((F.col(end_col) - F.lit(1)) / b).cast("long") - (
+        F.col(start_col) / b
+    ).cast("long")
+    iv = intervals.filter(F.col(end_col) > F.col(start_col))
+    oversize = iv.filter(span >= max_buckets_per_interval).limit(1).count()
+    if oversize:
+        raise ValueError(
+            f"interval_join: an interval spans >= {max_buckets_per_interval} "
+            f"buckets of {bucket_us}us — raise bucket_us or split the interval"
+        )
+    iv_b = iv.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / b).cast("long"),
+                ((F.col(end_col) - F.lit(1)) / b).cast("long"),
+            )
+        ),
+    )
+    f_b = facts.withColumn("_bucket", (F.col(ts_col) / b).cast("long"))
+    return (
+        f_b.join(iv_b, on="_bucket")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_bucket")
+    )

@@ -52,6 +52,9 @@ from commerce_data_pipeline_spark.operators.analytics import (
     position_attribution,
     sessionize,
 )
+from commerce_data_pipeline_spark.operators.analytics import (
+    sequence_violations as analytics_sequence_violations,
+)
 from commerce_data_pipeline_spark.streaming import events as streaming_events
 
 # exact, order-independent sum of a double expression: see module docstring
@@ -1734,6 +1737,142 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
     THEN CAST(FLOOR(n_triangles * 3000000.0 / n_wedges) AS BIGINT)
     ELSE CAST(0 AS BIGINT) END AS global_cc_e6
 FROM wed, ne, tri
+"""
+
+
+def _q_also_bought(spark: SparkSession, sf: str) -> DataFrame:
+    """X12/commerce — "bought X, also bought Y": per item, top-3
+    co-purchased items by (weight desc, item asc) over the thresholded
+    co-purchase graph; one per-key window over the aggregated edge list
+    (operators/graph.top_co_occurrences)."""
+    li = load_table(spark, sf, "lineitem")
+    edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey", min_weight=2)
+    return graph.top_co_occurrences(edges, k=3).orderBy("item", "rnk")
+
+
+_O_ALSO_BOUGHT = f"""
+WITH {_PAIRS_SQL_MW.format(mw=2)}
+SELECT src AS item, dst AS reco, w AS weight, rnk FROM (
+  SELECT src, dst, w,
+    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS INT) AS rnk
+  FROM edges)
+WHERE rnk <= 3 ORDER BY item, rnk
+"""
+
+
+def _q_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """P profiling — equi-width histogram of order value per priority
+    (bin = floor(price/25000)): the distribution companion to
+    table_profile's min/max (operators/profiling.value_histogram)."""
+    orders = load_table(spark, sf, "orders")
+    return profiling.value_histogram(
+        orders, "o_totalprice", 25000.0, group_col="o_orderpriority"
+    ).orderBy("o_orderpriority", "bin")
+
+
+_O_PRICE_HISTOGRAM = """
+SELECT o_orderpriority,
+  CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bin_lo
+FROM orders WHERE o_totalprice IS NOT NULL
+GROUP BY o_orderpriority, FLOOR(o_totalprice / 25000.0)
+ORDER BY o_orderpriority, bin
+"""
+
+
+def _q_burst_window_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal — generic interval join (overlapping windows, which the
+    as-of merge can't express): the 10 busiest hours become 2-hour burst
+    windows [hour, hour+2h), and every event inside any window joins via
+    the bucketed equi-join plan (operators/temporal.interval_join —
+    coarse-bucket explode + exact range filter, never a per-key
+    cartesian). Output: per burst window, event + user counts."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    hour = 3_600_000_000
+    busiest = (
+        ev.groupBy(F.expr(f"ts_us div {hour}").alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("_h"))
+        .limit(10)
+        .select(
+            (F.col("_h") * F.lit(hour)).alias("start_us"),
+            (F.col("_h") * F.lit(hour) + F.lit(2 * hour)).alias("end_us"),
+        )
+    )
+    joined = temporal.interval_join(
+        ev.select("ts_us", "user_id"), busiest, "ts_us",
+        bucket_us=1_800_000_000,
+    )
+    return (
+        joined.groupBy("start_us")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("start_us")
+    )
+
+
+_O_BURST_WINDOW_EVENTS = """
+WITH ev AS (
+  SELECT epoch_us(ts) AS ts_us, user_id FROM events
+), busiest AS (
+  SELECT h * 3600000000 AS start_us, h * 3600000000 + 7200000000 AS end_us
+  FROM (
+    SELECT ts_us // 3600000000 AS h, COUNT(*) AS n FROM ev GROUP BY 1
+    ORDER BY n DESC, h ASC LIMIT 10)
+)
+SELECT b.start_us, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM ev e JOIN busiest b ON e.ts_us >= b.start_us AND e.ts_us < b.end_us
+GROUP BY b.start_us ORDER BY b.start_us
+"""
+
+
+_ALLOWED_TRANSITIONS = [
+    ("signup", "view"), ("signup", "click"),
+    ("view", "view"), ("view", "click"), ("view", "purchase"),
+    ("click", "view"), ("click", "click"), ("click", "purchase"),
+    ("purchase", "view"), ("purchase", "click"),
+    ("error", "view"),
+]
+
+
+def _q_sequence_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """G/P audit — event-order state machine check: per-user consecutive
+    transitions not in the allowed set (purchase with no preceding
+    view/click, error loops, re-signups…) counted per (prev, next) pair
+    — the triage list instrumentation QA works from
+    (operators/analytics.sequence_violations)."""
+    ev = load_table(spark, sf, "events")
+    return analytics_sequence_violations(
+        ev, _ALLOWED_TRANSITIONS, tiebreak_cols=("event_id",)
+    )
+
+
+_O_SEQUENCE_VIOLATIONS = """
+WITH trans AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+  QUALIFY prev_type IS NOT NULL
+), allowed(prev_type, next_type) AS (
+  VALUES ('signup','view'), ('signup','click'),
+         ('view','view'), ('view','click'), ('view','purchase'),
+         ('click','view'), ('click','click'), ('click','purchase'),
+         ('purchase','view'), ('purchase','click'),
+         ('error','view')
+)
+SELECT t.prev_type, t.next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM trans t LEFT JOIN allowed a
+  ON a.prev_type = t.prev_type AND a.next_type = t.next_type
+WHERE a.prev_type IS NULL
+GROUP BY t.prev_type, t.next_type
+ORDER BY n DESC, t.prev_type ASC, t.next_type ASC
 """
 
 
@@ -5677,6 +5816,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "part_communities": QuerySpec(_q_part_communities, _ora_part_communities(), "X12 graph: deterministic synchronous label propagation (3 rounds, weighted majority)"),
     "part_triangles": QuerySpec(_q_part_triangles, _O_PART_TRIANGLES, "X12 graph: triangle census + global clustering coefficient (thresholded co-purchase graph)"),
     "bm25_indexed": QuerySpec(_q_bm25_indexed, _O_BM25_SEARCH, "X7 BM25 from the persisted inverted text index (same oracle as bm25_search)"),
+    "also_bought": QuerySpec(_q_also_bought, _O_ALSO_BOUGHT, "X12/commerce: top-3 co-purchase recommendations per item"),
+    "price_histogram": QuerySpec(_q_price_histogram, _O_PRICE_HISTOGRAM, "P profiling: per-group equi-width value histogram"),
+    "burst_window_events": QuerySpec(_q_burst_window_events, _O_BURST_WINDOW_EVENTS, "temporal: bucketed interval join of events into burst windows"),
+    "sequence_violations": QuerySpec(_q_sequence_violations, _O_SEQUENCE_VIOLATIONS, "G/P audit: per-user event-order state-machine violations"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

@@ -126,3 +126,66 @@ def test_ngram_novelty_first_doc_wins(spark):
     assert out[1]["n_grams"] == 2 and out[1]["n_novel"] == 1
     assert out[1]["novelty_e6"] == 500_000
     assert 2 not in out                            # < 3 words -> no grams
+
+
+def test_interval_join_boundaries_and_overlap(spark):
+    from commerce_data_pipeline_spark.operators.temporal import interval_join
+
+    facts = spark.createDataFrame(
+        [(0,), (999,), (1000,), (1500,), (2999,), (3000,)], "ts long")
+    iv = spark.createDataFrame(
+        [(1000, 3000, "a"), (2000, 4000, "b")], "start_us long, end_us long, tag string")
+    out = interval_join(facts, iv, "ts", bucket_us=500)
+    got = sorted((r["ts"], r["tag"]) for r in out.collect())
+    # [start, end): 1000 in a; 2999 in a AND b (overlap); 3000 only in b
+    assert got == [(1000, "a"), (1500, "a"), (2999, "a"), (2999, "b"), (3000, "b")]
+
+
+def test_interval_join_oversize_guard(spark):
+    import pytest
+
+    from commerce_data_pipeline_spark.operators.temporal import interval_join
+
+    facts = spark.createDataFrame([(0,)], "ts long")
+    iv = spark.createDataFrame([(0, 10**12, "huge")],
+                               "start_us long, end_us long, tag string")
+    with pytest.raises(ValueError):
+        interval_join(facts, iv, "ts", bucket_us=1000, max_buckets_per_interval=100)
+
+
+def test_sequence_violations_counts_disallowed_only(spark):
+    from datetime import datetime
+
+    from commerce_data_pipeline_spark.operators.analytics import sequence_violations
+
+    rows = [(1, 0, "view"), (1, 1, "purchase"), (1, 2, "purchase"),  # p->p bad
+            (2, 0, "view"), (2, 1, "view"),                          # ok
+            (3, 0, "error"), (3, 1, "error")]                        # e->e bad
+    df = spark.createDataFrame(
+        [Row(user_id=u, ts=datetime(2024, 1, 1, 0, m), event_id=i, event_type=t)
+         for i, (u, m, t) in enumerate(rows)])
+    allowed = [("view", "view"), ("view", "purchase")]
+    out = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in sequence_violations(df, allowed, tiebreak_cols=("event_id",)).collect()}
+    assert out == {("purchase", "purchase"): 1, ("error", "error"): 1}
+
+
+def test_top_co_occurrences_k_cut_and_ties(spark):
+    from commerce_data_pipeline_spark.operators.graph import top_co_occurrences
+
+    e = spark.createDataFrame(
+        [(1, 2, 5), (1, 3, 5), (1, 4, 9), (1, 5, 1), (2, 1, 5)],
+        ["src", "dst", "weight"])
+    out = [(r["reco"], r["rnk"]) for r in
+           top_co_occurrences(e, k=3).filter("item = 1").orderBy("rnk").collect()]
+    assert out == [(4, 1), (2, 2), (3, 3)]  # weight desc, then reco asc
+
+
+def test_value_histogram_bins_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (24999.0,), (25000.0,), (74999.0,), (None,)], "v double")
+    out = {r["bin"]: r for r in
+           profiling.value_histogram(df, "v", 25000.0).collect()}
+    assert out[0]["n"] == 2 and out[1]["n"] == 1 and out[2]["n"] == 1
+    assert out[2]["bin_lo"] == 50000.0
+    assert sum(r["n"] for r in out.values()) == 4  # NULL excluded
