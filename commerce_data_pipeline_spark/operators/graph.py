@@ -256,6 +256,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     weight: str = "weight",
+    driver_budget_edges: int = 32_000_000,
 ) -> DataFrame:
     """Deterministic SYNCHRONOUS label propagation (community detection):
     labels start as node ids; each round every node adopts the label with
@@ -267,16 +268,31 @@ def label_propagation(
 
     Per round: ONE dst-keyed join (edges ⋈ labels) + ONE (src, label)
     aggregation + ONE src-keyed argmax aggregation — all keyed shuffles
-    with map-side partials, nothing driver-side, same cost class as one
-    PageRank round. Undirected graphs pass the symmetrized edge list
-    (both directions), exactly as `co_occurrence_edges` emits.
+    with map-side partials, same cost class as one PageRank round.
+    Undirected graphs pass the symmetrized edge list (both directions),
+    exactly as `co_occurrence_edges` emits. Edges whose dst carries no
+    label (a dst with no out-edges, possible only on directed inputs)
+    cast no vote in either path.
+
+    Small-graph fast path (the pagerank precedent): at most
+    `driver_budget_edges` post-filter edges → Arrow-collect the three
+    int64 columns and run the rounds vectorized on the driver —
+    identical votes, identical (max weight, min label) winners, so the
+    SQL oracle cannot tell the paths apart; larger graphs (or int
+    overflow in the vote keys) route to the distributed loop.
 
     Returns (node, label) — nodes = every src endpoint.
     """
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d"),
         F.col(weight).cast("long").alias("_w"),
-    ).filter(F.col("_w") > 0).localCheckpoint()
+    ).filter(
+        (F.col("_w") > 0) & F.col("_s").isNotNull() & F.col("_d").isNotNull()
+    ).localCheckpoint()
+    if driver_budget_edges > 0 and e.count() <= driver_budget_edges:
+        out = _label_propagation_driver(e, rounds)
+        if out is not None:
+            return out
     labels = e.select(F.col("_s").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -298,6 +314,48 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def _label_propagation_driver(e: DataFrame, rounds: int):
+    """Vectorized driver-side LPA rounds over Arrow-collected int64 edge
+    columns. Votes group on a packed (src_idx, label_idx) key — returns
+    None if that key would overflow int64 (routes distributed)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toPandas()
+    s_v = pdf["_s"].to_numpy(dtype="int64")
+    d_v = pdf["_d"].to_numpy(dtype="int64")
+    w = pdf["_w"].to_numpy(dtype="int64")
+    nodes_arr, s_idx = np.unique(s_v, return_inverse=True)
+    n = len(nodes_arr)
+    if n == 0 or n * n >= 2**63:
+        return None
+    # a dst without out-edges has no label: it casts no vote (matches the
+    # distributed join semantics exactly)
+    d_pos = np.searchsorted(nodes_arr, d_v)
+    np.clip(d_pos, 0, n - 1, out=d_pos)
+    valid = nodes_arr[d_pos] == d_v
+    s_idx, d_pos, w = s_idx[valid], d_pos[valid], w[valid]
+    label_idx = np.arange(n, dtype="int64")  # label = index into nodes_arr
+    for _ in range(rounds):
+        key = s_idx * n + label_idx[d_pos]
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uk), dtype="int64")
+        np.add.at(sums, inv, w)
+        su, lu = uk // n, uk % n
+        # per src: max total weight, ties -> min label (nodes_arr is
+        # sorted, so min index == min label value)
+        order = np.lexsort((lu, -sums, su))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = su[order][1:] != su[order][:-1]
+        new_label = label_idx.copy()
+        new_label[su[order][first]] = lu[order][first]
+        label_idx = new_label
+    return e.sparkSession.createDataFrame(
+        pd.DataFrame({"node": nodes_arr, "label": nodes_arr[label_idx]}),
+        schema="node bigint, label bigint",
+    )
 
 
 def triangle_stats(

@@ -134,3 +134,18 @@ def test_triangle_stats_counts_known_graph(spark):
     out2 = graph.triangle_stats(_edges(spark, path)).collect()[0]
     assert out2["n_triangles"] == 0 and out2["n_wedges"] == 1
     assert out2["global_cc_e6"] == 0
+
+
+def test_label_propagation_driver_and_distributed_agree(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(12), rng.randrange(12), rng.randrange(1, 6))
+            for _ in range(60)]
+    rows = [(a, b, w) for a, b, w in rows if a != b]
+    e = _edges(spark, rows + [(b, a, w) for a, b, w in rows])
+    fast = {r["node"]: r["label"]
+            for r in graph.label_propagation(e, rounds=3).collect()}
+    dist = {r["node"]: r["label"]
+            for r in graph.label_propagation(e, rounds=3, driver_budget_edges=0).collect()}
+    assert fast == dist
