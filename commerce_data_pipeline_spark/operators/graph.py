@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["pagerank", "co_occurrence_edges", "label_propagation", "triangle_stats", "top_co_occurrences"]
+__all__ = ["pagerank", "co_occurrence_edges", "co_occurrence_pairs", "symmetrize_pairs", "label_propagation", "triangle_stats", "top_co_occurrences"]
 
 
 def co_occurrence_edges(
@@ -58,8 +58,24 @@ def co_occurrence_edges(
     in-basket pair expansion is scan-side HOFs (the basket_pairs /
     LSH-bucket trick) — the fact table is scanned once, never
     self-joined."""
-    # collect_set dedups within the group, so a separate distinct() would
-    # only add a second (b, i)-keyed shuffle before the b-keyed one here
+    return symmetrize_pairs(
+        co_occurrence_pairs(facts, basket_col, item_col, max_basket), min_weight
+    )
+
+
+def co_occurrence_pairs(
+    facts: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int = 64,
+) -> DataFrame:
+    """The UNDIRECTED half of `co_occurrence_edges`: one (a < b, weight)
+    row per co-occurring pair, no direction expansion, no weight filter.
+    This is the frame worth persisting — the whole graph family
+    (PageRank, LPA, triangles, recommendations) derives from it by a
+    filter + symmetrize, so a 100 TB fact table is pair-expanded ONCE
+    (the IVF-index materialize-once rule applied to graphs). Integer
+    weights roundtrip parquet exactly."""
     baskets = (
         facts.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
         .groupBy("_b")
@@ -75,14 +91,21 @@ def co_occurrence_edges(
             ),
         )
     )
-    pairs = (
+    return (
         baskets.select(F.explode(pair_structs).alias("_p"))
         .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
-        .filter(F.col("weight") >= min_weight)
     )
-    fwd = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"), "weight")
-    rev = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "weight")
+
+
+def symmetrize_pairs(pairs: DataFrame, min_weight: int = 1) -> DataFrame:
+    """(a < b, weight) pairs → both-direction (src, dst, weight) edges at
+    the given weight threshold (threshold-on-aggregate == the HAVING the
+    inline build applies, so filtered persisted pairs are bit-identical
+    to a fresh min_weight build)."""
+    p = pairs.filter(F.col("weight") >= min_weight)
+    fwd = p.select(F.col("a").alias("src"), F.col("b").alias("dst"), "weight")
+    rev = p.select(F.col("b").alias("src"), F.col("a").alias("dst"), "weight")
     return fwd.unionByName(rev)
 
 

