@@ -369,3 +369,125 @@ def sequence_violations(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy(F.desc("n"), F.asc("prev_type"), F.asc("next_type"))
     )
+
+
+def session_funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """G1×G2 — the funnel computed WITHIN sessions instead of across a
+    user's whole history: a session completes step k iff it contains the
+    step-k event type strictly after its step-(k-1) completion time.
+    Cross-history funnels overstate intent (a view in January "converts"
+    with a purchase in June); the in-session variant is the number
+    product teams actually report.
+
+    Plan: sessionize (one user-keyed shuffle), then ONE aggregation per
+    step over the (user, session) groups — step k's completion time is
+    min(ts of step-k events after t_{k-1}), computed by iterating the
+    conditional-min joins on the 1-row-per-session frames (each join is
+    session-keyed on already-aggregated data, broadcast-sized relative
+    to events).
+
+    Returns one row per step: (step, step_name, n_sessions).
+    """
+    s = sessionize(df, user_col, ts_col, gap_minutes, tiebreak_cols)
+    ev = s.select(
+        F.col(user_col).alias("_u"), F.col("session_seq").alias("_ss"),
+        F.col("event_type").alias("_t"), F.unix_micros(F.col(ts_col)).alias("_us"),
+    )
+    counts = []
+    prev = None  # frame (_u, _ss, _done_us) of sessions that completed prior steps
+    for i, step in enumerate(steps):
+        matches = ev.filter(F.col("_t") == step)
+        if prev is not None:
+            matches = matches.join(prev, on=["_u", "_ss"]).filter(
+                F.col("_us") > F.col("_done_us")
+            )
+        done = matches.groupBy("_u", "_ss").agg(F.min("_us").alias("_done_us"))
+        counts.append(
+            done.agg(
+                F.lit(i + 1).alias("step"),
+                F.lit(step).alias("step_name"),
+                F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            )
+        )
+        prev = done
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def association_rules(
+    facts: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_weight: int = 2,
+    max_basket: int = 64,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Market-basket association rules over the co-occurrence pairs:
+    for each directed rule a→b with pair support w ≥ min_weight,
+    confidence = w / baskets(a) and lift = w·B / (baskets(a)·baskets(b))
+    — the "is this co-occurrence more than chance" score that turns the
+    `top_co_occurrences` list into a ranked rule set.
+
+    Item supports and B (total capped baskets) come from ONE extra
+    basket scan (explode + keyed count) over the ≥2-item capped baskets
+    — the same population the pairs are counted on, so support and
+    co-occurrence share a denominator contract. Pair supports reuse the
+    `co_occurrence_pairs` aggregate (pass a persisted one via `pairs`
+    at scale — see queries._ensure_copurchase_pairs). All ratios floor
+    to e6 on integer operands, so both engines emit identical BIGINTs.
+
+    Returns (antecedent, consequent, w, conf_e6, lift_e6).
+    """
+    from commerce_data_pipeline_spark.operators.graph import (
+        co_occurrence_pairs, symmetrize_pairs,
+    )
+
+    baskets = (
+        facts.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .groupBy("_b")
+        .agg(F.slice(F.sort_array(F.collect_set("_i")), 1, max_basket).alias("_items"))
+        .filter(F.size("_items") >= 2)
+    )
+    item_counts = (
+        baskets.select(F.explode("_items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    )
+    total = baskets.agg(F.count(F.lit(1)).cast("long").alias("_B"))
+    if pairs is None:
+        pairs = co_occurrence_pairs(facts, basket_col, item_col, max_basket)
+    rules = symmetrize_pairs(pairs, min_weight=min_weight)
+    return (
+        rules.join(
+            F.broadcast(item_counts.withColumnRenamed("item", "src").withColumnRenamed("n_b", "_na")),
+            on="src",
+        )
+        .join(
+            F.broadcast(item_counts.withColumnRenamed("item", "dst").withColumnRenamed("n_b", "_nb")),
+            on="dst",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("src").alias("antecedent"),
+            F.col("dst").alias("consequent"),
+            F.col("weight").alias("w"),
+            F.floor(F.col("weight") * F.lit(1_000_000) / F.col("_na"))
+            .cast("long")
+            .alias("conf_e6"),
+            F.floor(
+                F.col("weight") * F.col("_B") * F.lit(1_000_000)
+                / (F.col("_na") * F.col("_nb"))
+            )
+            .cast("long")
+            .alias("lift_e6"),
+        )
+    )

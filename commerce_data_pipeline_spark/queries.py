@@ -53,7 +53,9 @@ from commerce_data_pipeline_spark.operators.analytics import (
     sessionize,
 )
 from commerce_data_pipeline_spark.operators.analytics import (
+    association_rules as analytics_association_rules,
     sequence_violations as analytics_sequence_violations,
+    session_funnel as analytics_session_funnel,
 )
 from commerce_data_pipeline_spark.streaming import events as streaming_events
 
@@ -1870,6 +1872,85 @@ FROM trans t LEFT JOIN allowed a
 WHERE a.prev_type IS NULL
 GROUP BY t.prev_type, t.next_type
 ORDER BY n DESC, t.prev_type ASC, t.next_type ASC
+"""
+
+
+def _q_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """G1×G2 — the funnel measured WITHIN 30-minute sessions: a session
+    completes view→click→purchase only with the steps in order inside
+    the session (operators/analytics.session_funnel); the honest
+    conversion number vs the cross-history funnel's June-purchase-
+    credits-January-view overstatement."""
+    ev = load_table(spark, sf, "events")
+    return analytics_session_funnel(
+        ev, ["view", "click", "purchase"], tiebreak_cols=("event_id",)
+    )
+
+
+_O_SESSION_FUNNEL = """
+WITH marked AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+    CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type, us,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ss
+  FROM marked
+), s1 AS (
+  SELECT user_id, ss, MIN(us) AS done FROM sess
+  WHERE event_type = 'view' GROUP BY user_id, ss
+), s2 AS (
+  SELECT e.user_id, e.ss, MIN(e.us) AS done
+  FROM sess e JOIN s1 ON s1.user_id = e.user_id AND s1.ss = e.ss
+  WHERE e.event_type = 'click' AND e.us > s1.done GROUP BY e.user_id, e.ss
+), s3 AS (
+  SELECT e.user_id, e.ss, MIN(e.us) AS done
+  FROM sess e JOIN s2 ON s2.user_id = e.user_id AND s2.ss = e.ss
+  WHERE e.event_type = 'purchase' AND e.us > s2.done GROUP BY e.user_id, e.ss
+)
+SELECT 1 AS step, 'view' AS step_name, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_sessions
+UNION ALL
+SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+"""
+
+
+def _q_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """X12/commerce — association rules over the co-purchase pairs
+    (support ≥ 2): confidence and lift per directed rule, e6-floored on
+    integer operands (operators/analytics.association_rules; pair
+    supports come from the family's persisted aggregate)."""
+    li = load_table(spark, sf, "lineitem")
+    return analytics_association_rules(
+        li, "l_orderkey", "l_partkey",
+        pairs=_ensure_copurchase_pairs(spark, sf),
+    ).orderBy("antecedent", "consequent")
+
+
+_O_ASSOCIATION_RULES = f"""
+WITH {_PAIRS_SQL_MW.format(mw=2)},
+baskets AS (
+  SELECT l_orderkey AS b, COUNT(*) AS sz FROM capped GROUP BY l_orderkey HAVING COUNT(*) >= 2
+), item_counts AS (
+  SELECT c.l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM capped c JOIN baskets k ON k.b = c.l_orderkey
+  GROUP BY c.l_partkey
+), total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS B FROM baskets
+)
+SELECT e.src AS antecedent, e.dst AS consequent, e.w,
+  CAST(FLOOR(e.w * 1000000.0 / na.n_b) AS BIGINT) AS conf_e6,
+  CAST(FLOOR(e.w * t.B * 1000000.0 / (na.n_b * nb.n_b)) AS BIGINT) AS lift_e6
+FROM edges e
+JOIN item_counts na ON na.item = e.src
+JOIN item_counts nb ON nb.item = e.dst
+CROSS JOIN total t
+ORDER BY antecedent, consequent
 """
 
 
@@ -5843,6 +5924,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "price_histogram": QuerySpec(_q_price_histogram, _O_PRICE_HISTOGRAM, "P profiling: per-group equi-width value histogram"),
     "burst_window_events": QuerySpec(_q_burst_window_events, _O_BURST_WINDOW_EVENTS, "temporal: bucketed interval join of events into burst windows"),
     "sequence_violations": QuerySpec(_q_sequence_violations, _O_SEQUENCE_VIOLATIONS, "G/P audit: per-user event-order state-machine violations"),
+    "session_funnel": QuerySpec(_q_session_funnel, _O_SESSION_FUNNEL, "G1×G2: in-session ordered funnel (view→click→purchase within 30min sessions)"),
+    "association_rules": QuerySpec(_q_association_rules, _O_ASSOCIATION_RULES, "X12/commerce: association rules with e6-floored confidence and lift"),
     # ======== position 51+ : surplus shapes (oracle-green in r02/r04 self-
     # check) and no-oracle fast-path twins of in-window oracle-checked queries =
     "ivf_profile": QuerySpec(_q_ivf_profile, _O_IVF_PROFILE, "X3 IVF index health/drift profile (per-centroid; rotated past 50 in r5 for the new-family proofs, oracle unchanged)"),

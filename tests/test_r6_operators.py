@@ -189,3 +189,41 @@ def test_value_histogram_bins_and_nulls(spark):
     assert out[0]["n"] == 2 and out[1]["n"] == 1 and out[2]["n"] == 1
     assert out[2]["bin_lo"] == 50000.0
     assert sum(r["n"] for r in out.values()) == 4  # NULL excluded
+
+
+def test_session_funnel_requires_in_session_order(spark):
+    from commerce_data_pipeline_spark.operators.analytics import session_funnel
+
+    # user 1: full ordered funnel in one session; user 2: purchase BEFORE
+    # click (order broken); user 3: view, then a purchase 2h later (new
+    # session -> no step-1 there, purchase doesn't count)
+    rows = [(1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+            (2, 0, "view"), (2, 1, "purchase"), (2, 2, "click"),
+            (3, 0, "view"), (3, 180, "purchase")]
+    df = spark.createDataFrame(
+        [Row(user_id=u, ts=datetime(2024, 1, 1, m // 60, m % 60), event_id=i,
+             event_type=t) for i, (u, m, t) in enumerate(rows)])
+    out = {r["step"]: r["n_sessions"] for r in session_funnel(
+        df, ["view", "click", "purchase"], tiebreak_cols=("event_id",)).collect()}
+    # 3 sessions contain a view (u3's 2h-later purchase opens a viewless
+    # session); u1+u2 click after the view; only u1 purchases after the click
+    assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_association_rules_confidence_and_lift(spark):
+    from commerce_data_pipeline_spark.operators.analytics import association_rules
+
+    # baskets: {1,2} x3, {1,3} x1 -> pair (1,2) w=3, (1,3) w=1
+    rows = []
+    for b, items in enumerate([(1, 2), (1, 2), (1, 2), (1, 3)]):
+        rows += [(b, i) for i in items]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    out = {(r["antecedent"], r["consequent"]): r for r in
+           association_rules(df, "b", "i", min_weight=2).collect()}
+    # only (1,2)/(2,1) survive min_weight=2
+    assert set(out) == {(1, 2), (2, 1)}
+    r12 = out[(1, 2)]
+    # n(1)=4 baskets, n(2)=3, B=4: conf(1->2)=3/4, lift=3*4/(4*3)=1.0
+    assert r12["conf_e6"] == 750_000 and r12["lift_e6"] == 1_000_000
+    r21 = out[(2, 1)]
+    assert r21["conf_e6"] == 1_000_000 and r21["lift_e6"] == 1_000_000
