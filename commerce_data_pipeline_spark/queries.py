@@ -1650,11 +1650,7 @@ def _ensure_text_index(spark: SparkSession, sf: str) -> str:
 
     from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
 
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", ".cache", "text_idx",
-        os.path.basename(os.path.normpath(sf)),
-    )
-    path = os.path.normpath(path)
+    path = _cache_dir("text_idx", sf)
     fs = HadoopFS(spark, path)
     if not fs.exists(join_path(path, "stats", "_SUCCESS")):
         search.build_text_index(load_table(spark, sf, "documents"), path)
@@ -2242,12 +2238,36 @@ def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     inverted = spark.read.parquet(join_path(path, "inverted"))
     centroids = spark.read.parquet(join_path(path, "centroids"))
     emb = load_table(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    # bounded query workload (the hard_negatives anchor contract): the
+    # query set is a fixed input, not a slice that grows with the corpus
+    # — covers every sf0.01 vector, so the oracle hash is unchanged
+    queries = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2500))
     out = similarity.ivf_topk(
         emb, queries, k=5, n_probe=4, centroids=centroids, inverted=inverted
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
+    )
+
+
+# Suffix appended to every persisted-layout cache key. Default "" (plain
+# per-sf caches). The stress harness sets this to "x{k}" while it rebinds
+# load_table to k×-scaled tables — without it, a scaled run would silently
+# read the UNSCALED persisted index built by the 1× pass (caught in r6: the
+# first part_pagerank/bm25_indexed 8× rows measured stale 1× indexes).
+CACHE_TAG = ""
+
+
+def _cache_dir(kind: str, sf: str) -> str:
+    import os
+
+    leaf = os.path.basename(os.path.normpath(sf)) + (
+        f"_{CACHE_TAG}" if CACHE_TAG else ""
+    )
+    return os.path.normpath(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", ".cache", kind, leaf
+        )
     )
 
 
@@ -2263,11 +2283,7 @@ def _ensure_ivf_index(spark: SparkSession, sf: str) -> str:
 
     # cache dir versioned by layout rule: "ivf_sqrt" = √N auto centroids
     # (a stale fixed-16 index under the old "ivf" dir must not serve this)
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", ".cache", "ivf_sqrt",
-        os.path.basename(os.path.normpath(sf)),
-    )
-    path = os.path.normpath(path)
+    path = _cache_dir("ivf_sqrt", sf)
     if not ivf_index.index_exists(spark, path):
         ivf_index.build_ivf_index(load_table(spark, sf, "embeddings"), path)
     return path
@@ -2286,11 +2302,7 @@ def _ensure_pq_index(spark: SparkSession, sf: str) -> tuple:
     from commerce_data_pipeline_spark.operators import similarity as _sim
     from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
 
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", ".cache", "pq_m4k16",
-        os.path.basename(os.path.normpath(sf)),
-    )
-    path = os.path.normpath(path)
+    path = _cache_dir("pq_m4k16", sf)
     fs = HadoopFS(spark, path)
     if not fs.exists(join_path(path, "encoded", "_SUCCESS")):
         emb = load_table(spark, sf, "embeddings")
@@ -2317,7 +2329,7 @@ def _q_ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
 
     path = _ensure_ivf_index(spark, sf)
     emb = load_table(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    queries = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2500))
     out = ivf_index.ivf_query(spark, path, queries, k=5, n_probe=4)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
@@ -2354,7 +2366,7 @@ WITH unit AS (
   SELECT q.vec_id AS query_id, cent.centroid_id, q.u AS q_unit,
     ROW_NUMBER() OVER (PARTITION BY q.vec_id
       ORDER BY list_dot_product(q.u, cent.c_vec) DESC, cent.centroid_id) AS r
-  FROM unit q CROSS JOIN cent WHERE q.vec_id % 20 = 0
+  FROM unit q CROSS JOIN cent WHERE q.vec_id % 20 = 0 AND q.vec_id < 2500
 ), pr AS (
   SELECT query_id, centroid_id, q_unit FROM probes WHERE r <= 4
 ), sims AS (
@@ -4440,11 +4452,7 @@ def _ensure_copurchase_pairs(spark: SparkSession, sf: str):
 
     from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
 
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", ".cache", "copurchase",
-        os.path.basename(os.path.normpath(sf)),
-    )
-    path = os.path.normpath(path)
+    path = _cache_dir("copurchase", sf)
     fs = HadoopFS(spark, path)
     if not fs.exists(join_path(path, "pairs", "_SUCCESS")):
         li = load_table(spark, sf, "lineitem")

@@ -214,6 +214,11 @@ def _timed_min(fn, reps: int = REPS) -> float:
 def run_at_scale(spark, sf_dir: str, k: int) -> dict[str, float]:
     original = Q.load_table
     Q.load_table = scaled_loader(k)
+    # persisted-layout caches (_ensure_* helpers) must key on the scale too:
+    # without the tag, the k× pass reads the 1× index built earlier and the
+    # ratio measures a stale probe, not the operator (r6 bug, fixed here)
+    original_tag = Q.CACHE_TAG
+    Q.CACHE_TAG = f"x{k}" if k != 1 else ""
     try:
         out: dict[str, float] = {}
         for name in STRESS_QUERIES:
@@ -226,6 +231,7 @@ def run_at_scale(spark, sf_dir: str, k: int) -> dict[str, float]:
         return out
     finally:
         Q.load_table = original
+        Q.CACHE_TAG = original_tag
 
 
 def ledger_match_time(spark, sf_dir: str, k: int) -> float:
