@@ -119,6 +119,7 @@ def pagerank(
     dst: str = "dst",
     weight: str = "weight",
     driver_budget_edges: int = 32_000_000,
+    undirected_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank, `iterations` fixed power-iteration rounds on
     the integer-exact contract in the module docstring. Returns
@@ -155,6 +156,16 @@ def pagerank(
     routes to the distributed path automatically, so PB-scale edge
     lists never touch the driver.
     """
+    if undirected_pairs is not None:
+        # (a < b, weight) pairs: the driver fast path mirrors them in
+        # numpy (half the Arrow bytes of a pre-symmetrized list); the
+        # distributed path symmetrizes in-plan
+        if edges is not None:
+            raise ValueError("pass edges or undirected_pairs, not both")
+        return _pagerank_pairs(
+            undirected_pairs, iterations, scale, damp_num, damp_den,
+            driver_budget_edges,
+        )
     sp = edges.sparkSession
     n_shuffle = int(sp.conf.get("spark.sql.shuffle.partitions", "32"))
     e0 = edges.select(
@@ -189,14 +200,58 @@ def pagerank(
     )
 
 
+def _pagerank_pairs(pairs, iterations, scale, damp_num, damp_den, budget):
+    """pagerank over (a, b, weight) undirected pairs: Arrow-collect the
+    HALF-size pair list and mirror it in numpy when within budget (each
+    pair = 2 directed edges), else symmetrize in-plan and run the
+    distributed loop. Bit-identical to pagerank(symmetrize_pairs(pairs))."""
+    import numpy as np
+    import pandas as pd
+
+    sp = pairs.sparkSession
+    p0 = pairs.select(
+        F.col("a").alias("_src"), F.col("b").alias("_dst"),
+        F.col("weight").cast("long").alias("_w"),
+    ).filter(
+        (F.col("_w") > 0) & F.col("_src").isNotNull() & F.col("_dst").isNotNull()
+    )
+    teleport = 15 * scale // 100
+    if budget > 0:
+        p0 = p0.localCheckpoint()
+        if 2 * p0.count() <= budget:
+            pdf = p0.toPandas()
+            a = pdf["_src"].to_numpy(dtype="int64")
+            b = pdf["_dst"].to_numpy(dtype="int64")
+            w = pdf["_w"].to_numpy(dtype="int64")
+            mirrored = pd.DataFrame({
+                "_src": np.concatenate([a, b]),
+                "_dst": np.concatenate([b, a]),
+                "_w": np.concatenate([w, w]),
+            })
+            out = _pagerank_driver_arrays(sp, mirrored, iterations, scale,
+                                          teleport, damp_num, damp_den)
+            if out is not None:
+                return out
+    sym = symmetrize_pairs(p0.select(F.col("_src").alias("a"),
+                                     F.col("_dst").alias("b"),
+                                     F.col("_w").alias("weight")))
+    return pagerank(sym, iterations, scale, damp_num, damp_den,
+                    driver_budget_edges=0)
+
+
 def _pagerank_driver(sp, e0, iterations, scale, teleport, damp_num, damp_den):
     """Vectorized driver-side power iteration. Returns None when the
     trajectory cannot be replayed exactly here (a dst without out-edges,
     or the per-edge product would leave int64) — the caller then runs
     the distributed loop instead."""
+    return _pagerank_driver_arrays(
+        sp, e0.toPandas(), iterations, scale, teleport, damp_num, damp_den
+    )
+
+
+def _pagerank_driver_arrays(sp, pdf, iterations, scale, teleport, damp_num, damp_den):
     import numpy as np
 
-    pdf = e0.toPandas()
     s = pdf["_src"].to_numpy(dtype="int64")
     d = pdf["_dst"].to_numpy(dtype="int64")
     w = pdf["_w"].to_numpy(dtype="int64")
@@ -280,6 +335,7 @@ def label_propagation(
     dst: str = "dst",
     weight: str = "weight",
     driver_budget_edges: int = 32_000_000,
+    undirected_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic SYNCHRONOUS label propagation (community detection):
     labels start as node ids; each round every node adopts the label with
@@ -306,6 +362,25 @@ def label_propagation(
 
     Returns (node, label) — nodes = every src endpoint.
     """
+    if undirected_pairs is not None:
+        if edges is not None:
+            raise ValueError("pass edges or undirected_pairs, not both")
+        p0 = undirected_pairs.select(
+            F.col("a").alias("_s"), F.col("b").alias("_d"),
+            F.col("weight").cast("long").alias("_w"),
+        ).filter(
+            (F.col("_w") > 0) & F.col("_s").isNotNull() & F.col("_d").isNotNull()
+        )
+        if driver_budget_edges > 0:
+            p0 = p0.localCheckpoint()
+            if 2 * p0.count() <= driver_budget_edges:
+                out = _label_propagation_driver(p0, rounds, mirror=True)
+                if out is not None:
+                    return out
+        edges = symmetrize_pairs(
+            p0.select(F.col("_s").alias("a"), F.col("_d").alias("b"),
+                      F.col("_w").alias("weight"))
+        )
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d"),
         F.col(weight).cast("long").alias("_w"),
@@ -339,10 +414,12 @@ def label_propagation(
     return labels
 
 
-def _label_propagation_driver(e: DataFrame, rounds: int):
+def _label_propagation_driver(e: DataFrame, rounds: int, mirror: bool = False):
     """Vectorized driver-side LPA rounds over Arrow-collected int64 edge
-    columns. Votes group on a packed (src_idx, label_idx) key — returns
-    None if that key would overflow int64 (routes distributed)."""
+    columns (`mirror=True`: input is the undirected half — both
+    directions are reconstructed in numpy at half the Arrow bytes).
+    Votes group on a packed (src_idx, label_idx) key — returns None if
+    that key would overflow int64 (routes distributed)."""
     import numpy as np
     import pandas as pd
 
@@ -350,6 +427,12 @@ def _label_propagation_driver(e: DataFrame, rounds: int):
     s_v = pdf["_s"].to_numpy(dtype="int64")
     d_v = pdf["_d"].to_numpy(dtype="int64")
     w = pdf["_w"].to_numpy(dtype="int64")
+    if mirror:
+        s_v, d_v, w = (
+            np.concatenate([s_v, d_v]),
+            np.concatenate([d_v, s_v]),
+            np.concatenate([w, w]),
+        )
     nodes_arr, s_idx = np.unique(s_v, return_inverse=True)
     n = len(nodes_arr)
     if n == 0 or n * n >= 2**63:

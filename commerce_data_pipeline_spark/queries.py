@@ -1674,8 +1674,9 @@ def _q_part_communities(spark: SparkSession, sf: str) -> DataFrame:
     co-purchase graph: reproducible community detection, the rounds
     unrolled identically by the SQL oracle
     (operators/graph.label_propagation)."""
-    edges = graph.symmetrize_pairs(_ensure_copurchase_pairs(spark, sf))
-    return graph.label_propagation(edges, rounds=3).orderBy("node")
+    return graph.label_propagation(
+        None, rounds=3, undirected_pairs=_ensure_copurchase_pairs(spark, sf)
+    ).orderBy("node")
 
 
 def _ora_part_communities(rounds: int = 3) -> str:
@@ -4470,8 +4471,10 @@ def _q_part_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     src-partitioned edge list) → top-100 parts. All rank arithmetic is
     BIGINT multiply/floor-divide/sum, so the DuckDB recursive CTE
     replays the identical trajectory (operators/graph.py contract)."""
-    edges = graph.symmetrize_pairs(_ensure_copurchase_pairs(spark, sf))
-    pr = graph.pagerank(edges, iterations=10)
+    pr = graph.pagerank(
+        None, iterations=10,
+        undirected_pairs=_ensure_copurchase_pairs(spark, sf),
+    )
     w = Window.orderBy(F.desc("rank"), F.asc("node"))
     return (
         pr.orderBy(F.desc("rank"), F.asc("node"))

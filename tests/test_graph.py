@@ -149,3 +149,18 @@ def test_label_propagation_driver_and_distributed_agree(spark):
     dist = {r["node"]: r["label"]
             for r in graph.label_propagation(e, rounds=3, driver_budget_edges=0).collect()}
     assert fast == dist
+
+
+def test_pairs_native_paths_match_symmetrized(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1), (2, 3, 5), (3, 4, 2)], ["a", "b", "weight"])
+    sym = graph.symmetrize_pairs(pairs)
+    pr_a = {r["node"]: r["rank"] for r in graph.pagerank(sym, iterations=4).collect()}
+    pr_b = {r["node"]: r["rank"] for r in
+            graph.pagerank(None, iterations=4, undirected_pairs=pairs).collect()}
+    assert pr_a == pr_b
+    lp_a = {r["node"]: r["label"] for r in
+            graph.label_propagation(sym, rounds=3).collect()}
+    lp_b = {r["node"]: r["label"] for r in
+            graph.label_propagation(None, rounds=3, undirected_pairs=pairs).collect()}
+    assert lp_a == lp_b
