@@ -76,6 +76,15 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # r6 hygiene: drop persisted blocks (incl. localCheckpoint
+            # storage) between queries — iterative operators' blocks
+            # otherwise accumulate across the 143-query sweep
+            spark.catalog.clearCache()
+            try:
+                for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                    jrdd.unpersist(False)
+            except Exception:
+                pass
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             results[name] = {"status": "fail", "err": f"spark: {e}"[:300]}

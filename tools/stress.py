@@ -180,6 +180,23 @@ def _salt_copy(name: str, df: DataFrame, i: int) -> DataFrame:
     return df
 
 
+
+def unpersist_all_rdds(spark) -> None:
+    """Drop every persisted RDD block (incl. localCheckpoint storage) so
+    long multi-query runs don't accumulate block-manager pressure — the
+    r6 bench finding: iterative operators' checkpoint blocks piled up
+    across the suite and late queries measured memory churn (3.5 s
+    isolated vs 14-21 s late-suite) until this hygiene step."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            try:
+                jrdd.unpersist(False)
+            except Exception:
+                pass
+    except Exception:
+        pass
+
 def scaled_loader(k: int):
     def load(spark, sf_dir, name):
         base = load_table(spark, sf_dir, name)
@@ -226,6 +243,7 @@ def run_at_scale(spark, sf_dir: str, k: int) -> dict[str, float]:
             def run(name=name):
                 Q.REGISTRY[name].spark(spark, sf_dir).count()
                 spark.catalog.clearCache()
+                unpersist_all_rdds(spark)
 
             out[name] = _timed_min(run)
         return out
