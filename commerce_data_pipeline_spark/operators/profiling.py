@@ -308,3 +308,68 @@ def value_histogram(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .withColumn("bin_lo", (F.col("bin") * F.lit(float(bin_width))).cast("double"))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC-style snapshot diff — the audit a pipeline runs before
+    publishing a refreshed table: classify every key as added (new
+    only), removed (old only), changed (both, any compare column
+    differs) or unchanged, and report the four counts. Row content is
+    compared as an md5 over the null-tagged concat of `compare_cols`
+    (default: every non-key column both frames share, in name order) —
+    so only (key, 16-byte digest) pairs shuffle into the one full-outer
+    merge, never the payloads.
+
+    Keys must be unique per snapshot (it's a snapshot, not a log);
+    duplicate keys raise rather than silently miscount.
+
+    Returns ONE row: (n_added, n_removed, n_changed, n_unchanged).
+    """
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = sorted(c for c in shared if c not in set(key_cols))
+    if not compare_cols:
+        raise ValueError("no compare columns")
+
+    def digest(df: DataFrame) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in compare_cols
+                ],
+            )
+        )
+        return df.select(*[F.col(k) for k in key_cols], h.alias("_h"))
+
+    o = digest(old)
+    n = digest(new)
+    for side, frame in (("old", o), ("new", n)):
+        dup = (
+            frame.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(f"snapshot_diff: duplicate keys in {side} snapshot")
+    both = o.withColumnRenamed("_h", "_ho").join(
+        n.withColumnRenamed("_h", "_hn"), on=key_cols, how="full_outer"
+    )
+    return both.agg(
+        F.count(F.when(F.col("_ho").isNull(), 1)).cast("long").alias("n_added"),
+        F.count(F.when(F.col("_hn").isNull(), 1)).cast("long").alias("n_removed"),
+        F.count(
+            F.when(
+                F.col("_ho").isNotNull()
+                & F.col("_hn").isNotNull()
+                & (F.col("_ho") != F.col("_hn")),
+                1,
+            )
+        ).cast("long").alias("n_changed"),
+        F.count(F.when(F.col("_ho") == F.col("_hn"), 1)).cast("long").alias("n_unchanged"),
+    )

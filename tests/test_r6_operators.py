@@ -227,3 +227,19 @@ def test_association_rules_confidence_and_lift(spark):
     assert r12["conf_e6"] == 750_000 and r12["lift_e6"] == 1_000_000
     r21 = out[(2, 1)]
     assert r21["conf_e6"] == 1_000_000 and r21["lift_e6"] == 1_000_000
+
+
+def test_snapshot_diff_classifies_and_guards_duplicates(spark):
+    import pytest
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double")
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)], "k long, s string, v double")
+    out = profiling.snapshot_diff(old, new, ["k"]).collect()[0]
+    assert (out["n_added"], out["n_removed"], out["n_changed"],
+            out["n_unchanged"]) == (1, 1, 1, 1)
+    dup = spark.createDataFrame([(1, "a", 1.0), (1, "a", 2.0)],
+                                "k long, s string, v double")
+    with pytest.raises(ValueError):
+        profiling.snapshot_diff(dup, new, ["k"])
