@@ -1482,7 +1482,9 @@ FROM m
 def _q_lsh_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """X2 — MinHash+LSH banded candidate pairs. The corpus is doubled
     (id+10⁶, identical text) so every document provably pairs with its
-    twin: an exact duplicate agrees on all bands. 16 hashes × 4 bands."""
+    twin: an exact duplicate agrees on all bands. 16 hashes × 4 bands.
+    Served from the family's build-once persisted pair frame
+    (`_ensure_lsh_pairs` — bit-identical by md5/integer determinism)."""
     return _ensure_lsh_pairs(spark, sf)
 
 
