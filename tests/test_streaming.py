@@ -152,3 +152,38 @@ def test_streaming_bronze_sink(spark, tmp_path):
         for r in back.select(F.col("event_day").cast("string").alias("d")).distinct().collect()
     }
     assert days == {"2024-01-01", "2024-01-02"}
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    """The sliding_counts registry shape as a REAL stream: 1h windows at a
+    30min slide over a file source must produce the same per-window
+    counts as the batch groupBy(window(...)) twin — each event lands in
+    exactly two epoch-aligned windows in both modes."""
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "in")
+    df = _events_df(spark)
+    df.write.parquet(src_dir)
+
+    def agg(frame):
+        return (
+            frame.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.unix_micros(F.col("w.start")).alias("ws"), "n_events")
+        )
+
+    batch = {(r["ws"]): r["n_events"] for r in agg(df).collect()}
+    stream = SE.read_events_stream(spark, src_dir)
+    q = (
+        agg(stream)
+        .writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sliding"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["ws"]: r["n_events"] for r in spark.sql("SELECT * FROM sliding_test").collect()}
+    assert got == batch
+    assert sum(got.values()) == 2 * df.count()  # every event in exactly 2 windows
