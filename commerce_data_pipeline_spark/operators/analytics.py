@@ -442,8 +442,11 @@ def association_rules(
     — the same population the pairs are counted on, so support and
     co-occurrence share a denominator contract. Pair supports reuse the
     `co_occurrence_pairs` aggregate (pass a persisted one via `pairs`
-    at scale — see queries._ensure_copurchase_pairs). All ratios floor
-    to e6 on integer operands, so both engines emit identical BIGINTs.
+    at scale — see queries._ensure_copurchase_pairs). Ratios floor to
+    e6 over DOUBLE arithmetic in the exact operand order the DuckDB
+    oracle uses (w·B·1e6 as int64 wraps silently in Spark once pair
+    weights ~1e5 meet ~1e8 baskets — r6 ADVICE; IEEE doubles in a fixed
+    op order round identically in both engines instead).
 
     Returns (antecedent, consequent, w, conf_e6, lift_e6).
     """
@@ -480,12 +483,12 @@ def association_rules(
             F.col("src").alias("antecedent"),
             F.col("dst").alias("consequent"),
             F.col("weight").alias("w"),
-            F.floor(F.col("weight") * F.lit(1_000_000) / F.col("_na"))
+            F.floor(F.col("weight") * F.lit(1_000_000.0) / F.col("_na"))
             .cast("long")
             .alias("conf_e6"),
             F.floor(
-                F.col("weight") * F.col("_B") * F.lit(1_000_000)
-                / (F.col("_na") * F.col("_nb"))
+                F.col("weight").cast("double") * F.col("_B") * F.lit(1_000_000.0)
+                / (F.col("_na").cast("double") * F.col("_nb"))
             )
             .cast("long")
             .alias("lift_e6"),

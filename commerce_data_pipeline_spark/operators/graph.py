@@ -285,16 +285,20 @@ def _pagerank_driver_arrays(sp, pdf, iterations, scale, teleport, damp_num, damp
 
 def _pagerank_distributed(ew, nodes, iterations, scale, teleport, damp_num, damp_den):
     """The 2-shuffles-per-round distributed loop (module docstring)."""
-    # decide ONCE whether any node lacks in-edges (directed graphs only;
-    # symmetrized edge lists can't have them). If none exist, every node
-    # appears in the per-round aggregation output and the left-join
-    # re-seed — one extra node-keyed shuffle per iteration — is dead
-    # weight, so we skip it for all `iterations` rounds.
+    # decide ONCE whether the in-node set differs from the out-node set
+    # (directed graphs only; symmetrized edge lists are identical on both
+    # sides). The fast branch below substitutes the per-round aggregation
+    # output for the node frame, which is only sound when dst-distinct ==
+    # nodes EXACTLY: a node with no in-edges would silently vanish, and a
+    # dst with no out-edges would silently APPEAR (it has no out-weight,
+    # so the driver fast path refuses such graphs too — r6 ADVICE). When
+    # the sets match, the left-join re-seed — one extra node-keyed
+    # shuffle per iteration — is dead weight, so we skip it for all
+    # `iterations` rounds; either mismatch direction keeps it.
+    dsts = ew.select(F.col("_dst").alias("node")).distinct().localCheckpoint()
     needs_reseed = (
-        nodes.join(
-            ew.select(F.col("_dst").alias("node")).distinct(), "node", "left_anti"
-        ).limit(1).count()
-        > 0
+        nodes.join(dsts, "node", "left_anti").limit(1).count() > 0
+        or dsts.join(nodes, "node", "left_anti").limit(1).count() > 0
     )
     ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
     contrib_expr = F.expr(f"({damp_num} * rank * _w) div ({damp_den} * _ow)")
@@ -401,14 +405,26 @@ def label_propagation(
             .groupBy("_s", "label")
             .agg(F.sum("_w").alias("_tw"))
         )
-        labels = (
+        winners = (
             votes.groupBy("_s")
             .agg(
                 F.max_by(
                     "label", F.struct(F.col("_tw"), (-F.col("label")).alias("_nl"))
-                ).alias("label")
+                ).alias("_wl")
             )
-            .select(F.col("_s").alias("node"), "label")
+            .select(F.col("_s").alias("node"), "_wl")
+        )
+        # left-join the winners back onto the FULL node set: a src whose
+        # every dst carries no label (possible only on directed inputs)
+        # keeps its previous label instead of dropping out — mirroring the
+        # driver path's `new_label = label_idx.copy()` exactly, so both
+        # paths return the same node set on any input (r6 ADVICE). On
+        # symmetrized graphs every src gets >= 1 vote and the coalesce is
+        # a no-op; the extra node-keyed join is co-partitioned with the
+        # argmax output.
+        labels = (
+            labels.join(winners, "node", "left")
+            .select("node", F.coalesce(F.col("_wl"), F.col("label")).alias("label"))
             .localCheckpoint()
         )
     return labels
@@ -468,6 +484,7 @@ def triangle_stats(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    orient: str = "degree",
 ) -> DataFrame:
     """Global triangle census over an undirected graph: triangle count,
     wedge (open-triad) count, and the floored-e6 global clustering
@@ -475,18 +492,27 @@ def triangle_stats(
     whether co-occurrence structure is clique-like or hub-and-spoke.
 
     Input may carry both edge directions (symmetrized lists); pairs are
-    canonicalized to a < b first. The count enumerates each triangle
-    once via the a < b < c orientation: wedge join on the shared middle
-    vertex + one closure semi-check — two equi-join shuffles. Wedge
-    volume is Σ deg² — feed a weight-thresholded edge list (the
-    `co_occurrence_edges(min_weight=...)` knob) or pre-cap hub degrees;
-    at production scale swap id-orientation for degree-orientation
-    (smaller-degree endpoint first), which provably bounds per-key join
-    fan-out at O(sqrt(|E|)) — identical output, same plan shape.
+    canonicalized to a < b first. Each triangle is enumerated exactly
+    once by orienting every edge low→high under a total order and
+    wedge-joining on the low endpoint + one closure semi-check — two
+    equi-join shuffles either way. The DEFAULT order is
+    degree-orientation, rank(v) = (deg(v), v): every wedge pivots at its
+    minimum-degree vertex, which provably bounds per-key join fan-out at
+    O(sqrt(|E|)) — on a power-law graph the hubs (whose deg² id-oriented
+    fan-out explodes) become wedge *endpoints*, never pivots. Costs one
+    extra degree join against the node-sized degree table. `orient="id"`
+    keeps the plain a < b < c enumeration — output-identical (each
+    triangle has exactly one minimal vertex under either total order),
+    retained as the test cross-check (tests/test_r7_operators.py) and
+    for graphs already known hub-free. Wedge volume is Σ deg(deg-1)/2
+    regardless — feed a weight-thresholded edge list (the
+    `co_occurrence_edges(min_weight=...)` knob) to control it.
 
     Returns ONE row: (n_nodes, n_edges, n_wedges, n_triangles,
     global_cc_e6).
     """
+    if orient not in ("degree", "id"):
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -506,14 +532,43 @@ def triangle_stats(
         (F.sum(F.col("_d") * (F.col("_d") - 1)) / F.lit(2)).cast("long").alias("n_wedges"),
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
     )
-    e1 = und.select(F.col("a"), F.col("b"))
-    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
-    tri = (
-        e1.join(e2, on="b")
-        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    )
+    if orient == "degree":
+        # orient each canonical edge from its (degree, id)-smaller endpoint
+        # to the larger: two keyed joins against the node-sized degree
+        # table, then carry the high endpoint's rank so the wedge pair
+        # (x, y) below can be ordered under the SAME total order.
+        ranked = (
+            und.join(deg.select(F.col("k").alias("a"), F.col("_d").alias("_da")), "a")
+            .join(deg.select(F.col("k").alias("b"), F.col("_d").alias("_db")), "b")
+        )
+        lo_first = (F.col("_da") < F.col("_db")) | (
+            (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+        )
+        oriented = ranked.select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lo_first, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
+        ).localCheckpoint()
+        w1 = oriented.select("u", F.col("v").alias("x"), F.col("_dv").alias("_dx"))
+        w2 = oriented.select("u", F.col("v").alias("y"), F.col("_dv").alias("_dy"))
+        wedge_pairs = w1.join(w2, on="u").filter(
+            (F.col("_dx") < F.col("_dy"))
+            | ((F.col("_dx") == F.col("_dy")) & (F.col("x") < F.col("y")))
+        )
+        closure = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        tri = (
+            wedge_pairs.join(closure, on=["x", "y"], how="left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        )
+    else:
+        e1 = und.select(F.col("a"), F.col("b"))
+        e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        e3 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+        tri = (
+            e1.join(e2, on="b")
+            .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        )
     n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (
         wedges.crossJoin(F.broadcast(n_edges))

@@ -170,11 +170,21 @@ def guarded_join(
     The guard is exact, not an estimate: est_join_rows = Σ_shared
     cnt_l·cnt_r is the inner-join cardinality by definition (left joins
     add the orphan rows on top; the guard compares the inner part plus
-    left orphans for how='left').
+    left orphans for how='left'). `how` is validated UP FRONT and
+    restricted to inner/left — a right or full join would make the
+    cardinality formula undercount (right/full orphans missing from
+    `expected`), and a late failure inside `salted_join` after the
+    audit already ran would waste the audit (r6 ADVICE).
     """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"guarded_join supports how='inner'/'left' (the cardinality "
+            f"guard does not model right/full orphan rows), got {how!r}"
+        )
+    how = "left" if how == "left_outer" else how
     prof = join_profile(left, right, on).collect()[0]
     expected = int(prof["est_join_rows"])
-    if how in ("left", "left_outer"):
+    if how == "left":
         expected += int(prof["orphans_left"])
     if expected > max_rows:
         raise ValueError(

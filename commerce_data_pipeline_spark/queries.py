@@ -1953,7 +1953,8 @@ baskets AS (
 )
 SELECT e.src AS antecedent, e.dst AS consequent, e.w,
   CAST(FLOOR(e.w * 1000000.0 / na.n_b) AS BIGINT) AS conf_e6,
-  CAST(FLOOR(e.w * t.B * 1000000.0 / (na.n_b * nb.n_b)) AS BIGINT) AS lift_e6
+  CAST(FLOOR(CAST(e.w AS DOUBLE) * t.B * 1000000.0
+             / (CAST(na.n_b AS DOUBLE) * nb.n_b)) AS BIGINT) AS lift_e6
 FROM edges e
 JOIN item_counts na ON na.item = e.src
 JOIN item_counts nb ON nb.item = e.dst

@@ -239,7 +239,10 @@ def test_snapshot_diff_classifies_and_guards_duplicates(spark):
     out = profiling.snapshot_diff(old, new, ["k"]).collect()[0]
     assert (out["n_added"], out["n_removed"], out["n_changed"],
             out["n_unchanged"]) == (1, 1, 1, 1)
+    # r7: the duplicate-key guard is folded into the merge (one scan per
+    # side) — it fires at ACTION time via assert_true, no longer as an
+    # eager ValueError with its own per-side counting pass
     dup = spark.createDataFrame([(1, "a", 1.0), (1, "a", 2.0)],
                                 "k long, s string, v double")
-    with pytest.raises(ValueError):
-        profiling.snapshot_diff(dup, new, ["k"])
+    with pytest.raises(Exception, match="duplicate keys"):
+        profiling.snapshot_diff(dup, new, ["k"]).collect()
