@@ -4202,6 +4202,61 @@ FROM b
 """
 
 
+def _q_salted_hot_join(spark: SparkSession, sf: str) -> DataFrame:
+    """P-family skew mitigation — the 100 TB hot-key join, driver-attested:
+    events ⋈ per-type stats on `event_type`, a deliberately pathological
+    key (a handful of distinct values over the whole fact table, so EVERY
+    key is a hot key and a plain shuffle join lands each type on one
+    task). Routed through `guarded_join` (operators/skew.py): the exact
+    cardinality audit runs first, then the max-multiplicity signal trips
+    `salt_threshold` and the join executes via `salted_join` — large side
+    salted into 16 deterministic sub-keys, 5-row stats side replicated
+    ×16 (the explode(sequence(0,15)) visible in the plan;
+    tests/test_plans.py pins it). Semantics are join-identical, so the
+    oracle is the plain SQL join.
+
+    The enrichment itself is integer-exact: per-type mean comparison done
+    as v_e2·n > Σv_e2 on floored-e2 longs (no float mean crosses
+    engines). Returns per-type (n_events, n_above_mean)."""
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.floor(F.col("value") * F.lit(100)).cast("long").alias("_v2")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.sum("_v2").cast("long").alias("_s2"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    joined = skew.guarded_join(
+        ev, stats, on="event_type", max_rows=2_000_000_000,
+        salt_threshold=100, n_salts=16,
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count(F.when(F.col("_v2") * F.col("_n") > F.col("_s2"), 1))
+            .cast("long")
+            .alias("n_above_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_O_SALTED_HOT_JOIN = """
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v2 FROM events
+), st AS (
+  SELECT event_type, CAST(SUM(v2) AS BIGINT) AS s2, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY event_type
+)
+SELECT e.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(CASE WHEN e.v2 * st.n > st.s2 THEN 1 END) AS BIGINT) AS n_above_mean
+FROM ev e JOIN st USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 def _q_decayed_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Temporal — recency-weighted customer value: per-customer
     Σ o_totalprice · 0.5^(age/365d) anchored at 2001-09-01 (explicitly
@@ -5975,6 +6030,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "quality_calibrate": QuerySpec(_q_quality_calibrate, _O_QUALITY_CALIBRATE, "X11 selection: per-source percentile calibration of quality scores"),
     "price_outliers": QuerySpec(_q_price_outliers, _O_PRICE_OUTLIERS, "P-family anomaly detection: MAD/Hampel outliers per priority group"),
     "join_profile": QuerySpec(_q_join_profile, _O_JOIN_PROFILE, "P-family pre-join audit: key overlap, orphans, skew, exact output cardinality"),
+    "salted_hot_join": QuerySpec(_q_salted_hot_join, _O_SALTED_HOT_JOIN, "P skew mitigation: hot-key join routed through guarded_join's salted path (16 sub-keys)"),
     "decayed_revenue": QuerySpec(_q_decayed_revenue, _O_DECAYED_REVENUE, "temporal: recency-weighted customer value (pinned-anchor exponential decay)"),
     # -- r6 additions (past the window; rotate in next round) ---------------
     "attribution_position": QuerySpec(_q_attribution_position, _O_ATTRIBUTION_POSITION, "G4 position-based (U-shaped) multi-touch attribution, integer-bp credit"),
@@ -6053,38 +6109,44 @@ REGISTRY: dict[str, QuerySpec] = {
     "time_to_convert": QuerySpec(_q_time_to_convert, _O_TIME_TO_CONVERT, "G1/G3 conversion latency histogram"),
 }
 
-# --- r6 window rotation (VERDICT r5 directive #4) ------------------------
+# --- r7 window rotation (VERDICT r6 directive #1) ------------------------
 # The driver's correctness harness oracle-checks the FIRST 50 registry
 # entries. To convert self-attested rows into driver-attested ones, each
 # round rotates second-string queries through the window while keeping one
-# proof per family pinned (tests/test_registry_window.py). r6 rotates IN
-# the 16 queries never driver-checked before (all oracle-green in
-# SELFCHECK_r05); rotated-out entries keep their oracles and stay green in
-# the full self-check — their families remain proven in-window
-# (dedup_clusters runs the minhash+LSH pair stage upstream, semantic_dedup
-# is the embedding-dedup proof, bigram_lm the text-LM proof, and so on).
-_WINDOW_R6 = [
-    # retained family proofs (driver-attested in r5 or earlier; the five
-    # operators changed in r6 — pagerank, union-find, IVF family, dsir,
-    # outliers — all keep their proving query in-window)
-    "dedup_exact", "bm25_search", "tfidf_keywords", "quality_classifier",
-    "dsir_select", "dedup_clusters", "ann_ivf", "ann_pq", "sketch_accuracy",
-    "heavy_hitters", "fuzzy_name_pairs", "text_profile", "dup_ngram_spans",
+# proof per family pinned (tests/test_registry_window.py). r7 rotates IN
+# the 19 queries never driver-checked before (exactly the r6 additions,
+# all oracle-green in SELFCHECK_r06) plus the NEW salted_hot_join skew
+# proof — after this round every registry query has a driver-attested
+# CORRECTNESS row (union of CORRECTNESS_r01-r07). Rotated-out entries
+# keep their oracles and stay green in the full self-check; their
+# families remain proven in-window (bm25_indexed scores through the same
+# expression tree as bm25_search, attribution_position covers G4,
+# image_dup_clusters consumes the pHash near-dup pair stage, and the
+# operators touched this round — graph, profiling, analytics rules,
+# skew — all have their proving queries inside the window).
+_WINDOW_R7 = [
+    # retained family proofs (driver-attested in r6 or earlier)
+    "dedup_exact", "dedup_clusters", "semantic_dedup", "ann_ivf",
+    "hard_negatives", "sketch_accuracy", "fuzzy_name_pairs", "text_profile",
     "contamination", "greedy_pack", "pii_redact", "bloom_decontaminate",
-    "temperature_mix", "resample_ffill", "cluster_sample", "image_phash_md5",
-    "image_near_dup_md5", "pricing_summary", "top_revenue_nations",
-    "distinct_ship_dates", "date_gaps", "funnel", "sessionization",
-    "conversion_daily", "attribution_last_touch", "cohort_retention",
-    "param_extract", "streaming_daily_counts", "part_pagerank",
-    # rotated IN: never driver-checked before r6
-    "scd2_intervals", "scd2_lookup", "mmr_rerank", "hybrid_search_rrf",
-    "semantic_dedup", "bigram_lm", "hard_negatives", "table_profile",
-    "dup_source_matrix", "weighted_sample", "quality_calibrate",
-    "price_outliers", "join_profile", "decayed_revenue",
-    "media_features_md5", "epoch_shuffle",
+    "temperature_mix", "resample_ffill", "cluster_sample",
+    "quality_classifier", "dsir_select", "image_phash_md5",
+    "media_features_md5", "part_pagerank", "pricing_summary",
+    "top_revenue_nations", "distinct_ship_dates", "date_gaps", "funnel",
+    "sessionization", "conversion_daily", "cohort_retention",
+    "param_extract", "streaming_daily_counts",
+    # rotated IN: the 19 r6 additions, never driver-checked before r7
+    "also_bought", "association_rules", "attribution_position",
+    "bm25_indexed", "bpe_first_merge", "burst_window_events",
+    "canonical_docs", "fd_check", "image_dup_clusters", "k_anonymity",
+    "ngram_novelty", "part_communities", "part_triangles",
+    "price_histogram", "sequence_violations", "session_funnel",
+    "sliding_counts", "snapshot_diff", "winsorized_revenue",
+    # new in r7: the skew-mitigation proof (guarded_join salted route)
+    "salted_hot_join",
 ]
-REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R6} | {
-    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R6)
+REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R7} | {
+    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R7)
 }
 
 

@@ -224,3 +224,17 @@ def test_semantic_dedup_bounded_shuffles(spark):
     # this up and re-add parquet scans
     assert plans.num_shuffles(df) <= 5
     assert not plans.read_schema_columns(df)  # scan lives in the checkpoint
+
+
+def test_salted_hot_join_plan_shows_salt_expansion(spark):
+    df = REGISTRY["salted_hot_join"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    # the small side replicates via explode (Catalyst constant-folds the
+    # sequence(0, 15) literal into an UnsafeArrayData) and the join key
+    # carries the deterministic row-hash salt — the signature of the
+    # salted route (a plain equi-join on event_type alone would be the
+    # skew bug coming back)
+    assert "explode(" in plan
+    assert "pmod(xxhash64" in plan
+    # both join sides key on (event_type, _salt)
+    assert "Left keys [2]" in plan and "_salt" in plan

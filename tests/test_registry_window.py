@@ -14,78 +14,79 @@ CHECK_WINDOW = 50
 # One proving query per operator family that MUST sit inside the checked window.
 FAMILY_PROOFS = {
     # X1/X2 dedup — dedup_clusters runs the minhash+LSH banded pair stage
-    # upstream, so one in-window query attests the whole lexical chain
-    # (r6: minhash_signature/simhash_md5/lsh_dedup_pairs rotated past 50,
-    # selfcheck-green; simhash also has pytest bit-pins)
+    # upstream, so one in-window query attests the whole lexical chain;
+    # canonical_docs (r7 in) adds the LSH→CC→argmax canonical-selection tail
     "dedup_exact",
     "dedup_clusters",
-    # X2 embedding dedup (r6: embedding_near_dup rotated out; SemDeDup is
-    # the bounded-cluster scale shape and was never driver-checked before)
+    "canonical_docs",
+    # X2 embedding dedup: SemDeDup is the bounded-cluster scale shape
     "semantic_dedup",
-    # X3 similarity / ANN (r6: similarity_topk/ann_lsh_md5 rotated out —
-    # ann_ivf + ann_pq cover probe scoring incl. the r6 shared-index path,
-    # hard_negatives adds the banded-mining shape)
+    # X3 similarity / ANN (r7: ann_pq rotated out, driver-attested r5+r6 —
+    # ann_ivf covers probe scoring incl. the shared-index path,
+    # hard_negatives the banded-mining shape)
     "ann_ivf",
-    "ann_pq",
     "hard_negatives",
-    # X6 sketches
+    # X6 sketches (heavy_hitters rotated out, attested r4-r6)
     "sketch_accuracy",
-    "heavy_hitters",
     # record linkage (the family's only query — must stay driver-attested)
     "fuzzy_name_pairs",
-    # X4 text (r6: text_repetition/lm_quality/winnow rotated out — profile
-    # covers the scan-side quality stack, spans the shuffle shape,
-    # bigram_lm the LM-scoring family)
+    # X4 text (r7: dup_ngram_spans/bigram_lm rotated out, attested r5/r6 —
+    # profile covers the scan-side quality stack; the two r7 rotate-ins
+    # cover the tokenizer-stats and cross-doc-novelty shuffle shapes)
     "text_profile",
-    "dup_ngram_spans",
-    "bigram_lm",
-    # corpus shaping (r6: stratified_sample/corpus_split/corpus_mix/
-    # chunk_pack/token_budget rotated out — each is a hash-gate or
-    # pack/quota variant of a retained proof; weighted_sample and
-    # epoch_shuffle come in never-driver-checked)
+    "bpe_first_merge",
+    "ngram_novelty",
+    # corpus shaping
     "contamination",
     "greedy_pack",
     "pii_redact",
     "temperature_mix",
     "cluster_sample",
-    "weighted_sample",
-    "epoch_shuffle",
-    # X7-X10 + selection
-    "bm25_search",
+    # X7-X10 + selection (r7: bm25_search→bm25_indexed — same oracle, and
+    # the indexed path additionally attests the persisted postings;
+    # tfidf/hybrid/mmr/calibrate rotated out, attested r6)
+    "bm25_indexed",
     "bloom_decontaminate",
     "resample_ffill",
-    "tfidf_keywords",
     "quality_classifier",
     "dsir_select",
-    "hybrid_search_rrf",
-    "mmr_rerank",
-    "quality_calibrate",
-    # temporal (r6 in: SCD2 + decay aggregation)
-    "scd2_intervals",
-    "scd2_lookup",
-    "decayed_revenue",
-    # profiling / audits (r6 in: all three never driver-checked)
-    "table_profile",
-    "price_outliers",
-    "join_profile",
-    "dup_source_matrix",
-    # X12 graph
+    # temporal (scd2/decay rotated out, attested r6; burst_window_events
+    # carries the interval-join shape in-window)
+    "burst_window_events",
+    # profiling / audits (r7 in: the five never-driver-checked audits;
+    # table_profile/price_outliers/join_profile rotated out, attested r6)
+    "k_anonymity",
+    "fd_check",
+    "winsorized_revenue",
+    "price_histogram",
+    "snapshot_diff",
+    # skew mitigation (new r7: guarded_join's salted route under oracle)
+    "salted_hot_join",
+    # X12 graph (r7 in: LPA + degree-oriented triangle census + recos)
     "part_pagerank",
-    # X5 multimodal (r6: multimodal_meta/frame_sample rotated out — the
-    # pHash twins carry the oracle-bearing decode→hash→near-dup chain,
-    # media_features_md5 the feature-twin, all md5-integer contracts)
+    "part_communities",
+    "part_triangles",
+    "also_bought",
+    "association_rules",
+    # X5 multimodal (r7: image_near_dup_md5 rotated out, attested r4-r6 —
+    # image_dup_clusters consumes the same pHash pair stage and adds CC)
     "image_phash_md5",
-    "image_near_dup_md5",
+    "image_dup_clusters",
     "media_features_md5",
-    # relational / pipeline / gold representatives
+    # relational / pipeline / gold representatives (r7: attribution's G4
+    # proof switches to the position-based variant, last_touch attested
+    # r1-r6; session_funnel/sequence_violations/sliding_counts rotate in)
     "pricing_summary",
     "top_revenue_nations",
     "distinct_ship_dates",
     "date_gaps",
     "funnel",
     "sessionization",
+    "session_funnel",
+    "sequence_violations",
+    "sliding_counts",
     "conversion_daily",
-    "attribution_last_touch",
+    "attribution_position",
     "cohort_retention",
     "param_extract",
     "streaming_daily_counts",
