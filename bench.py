@@ -100,6 +100,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # each per-query number is the MIN of `runs` full materializations
+        # (r6 VERDICT #6: single samples absorb ±7%+ VM contention and
+        # round-over-round deltas become noise); caches/persisted RDDs are
+        # dropped between samples so every run re-executes the full plan
+        "runs_per_query": runs,
+        "timing": f"min_of_{runs}_runs",
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from commerce_data_pipeline_spark.operators.analytics import sessionize
 from commerce_data_pipeline_spark.schemas import EVENTS
+from commerce_data_pipeline_spark.operators import profiling as PR
 from commerce_data_pipeline_spark.streaming import events as SE
 
 
@@ -187,3 +188,87 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path):
     got = {r["ws"]: r["n_events"] for r in spark.sql("SELECT * FROM sliding_test").collect()}
     assert got == batch
     assert sum(got.values()) == 2 * df.count()  # every event in exactly 2 windows
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """burst_window_events' interval-join shape under the streaming
+    runner (r6 VERDICT #7): events stream through foreachBatch into
+    `temporal.interval_join` against a STATIC window table — the
+    bucket-explode + equi-join + exact-range-filter plan is stateless,
+    so the per-batch result over one availableNow batch must equal the
+    batch twin row-for-row."""
+    from pyspark.sql import functions as F
+
+    from commerce_data_pipeline_spark.operators import temporal
+
+    src_dir = str(tmp_path / "in_ij")
+    df = _events_df(spark)
+    df.coalesce(1).write.parquet(src_dir)  # one file → one micro-batch
+    hour = 3_600_000_000
+    base = int(df.agg(F.min(F.unix_micros("ts"))).collect()[0][0]) // hour * hour
+    intervals = spark.createDataFrame(
+        [(base, base + 2 * hour), (base + hour, base + 3 * hour)],
+        "start_us long, end_us long",
+    )
+
+    def classify(frame):
+        j = temporal.interval_join(
+            frame.withColumn("ts_us", F.unix_micros("ts")).select("ts_us", "user_id"),
+            intervals, "ts_us", bucket_us=1_800_000_000,
+        )
+        return (
+            j.groupBy("start_us")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"))
+        )
+
+    batch = {r["start_us"]: (r["n_events"], r["n_users"])
+             for r in classify(df).collect()}
+    got: dict[int, tuple[int, int]] = {}
+
+    def sink(bdf, _bid):
+        for r in classify(bdf).collect():
+            got[r["start_us"]] = (r["n_events"], r["n_users"])
+
+    q = (
+        SE.read_events_stream(spark, src_dir)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == batch and len(got) == 2
+
+
+def test_snapshot_diff_cdc_stream_matches_batch(spark, tmp_path):
+    """snapshot_diff as a CDC step (r6 VERDICT #7): a refreshed snapshot
+    arrives as a stream and foreachBatch diffs it against the static
+    published snapshot — the one-pass merge (per-key pre-aggregates,
+    assert_true duplicate guard) runs identically under the streaming
+    runner, so the four counts must match the batch call."""
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double")
+    new_rows = [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)]
+    new_df = spark.createDataFrame(new_rows, "k long, s string, v double")
+    src_dir = str(tmp_path / "in_cdc")
+    new_df.coalesce(1).write.parquet(src_dir)
+
+    expected = PR.snapshot_diff(old, new_df, ["k"]).collect()[0].asDict()
+    seen: list[dict] = []
+
+    def sink(bdf, _bid):
+        seen.append(PR.snapshot_diff(old, bdf, ["k"]).collect()[0].asDict())
+
+    q = (
+        spark.readStream.schema("k long, s string, v double").parquet(src_dir)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert seen == [expected]
+    assert expected == {"n_added": 1, "n_removed": 1, "n_changed": 1,
+                        "n_unchanged": 1}
