@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["pagerank", "co_occurrence_edges", "co_occurrence_pairs", "symmetrize_pairs", "label_propagation", "triangle_stats", "top_co_occurrences"]
+__all__ = ["pagerank", "co_occurrence_edges", "co_occurrence_pairs", "symmetrize_pairs", "label_propagation", "triangle_stats", "top_co_occurrences", "kcore", "neighbor_jaccard"]
 
 
 def co_occurrence_edges(
@@ -610,5 +610,144 @@ def top_co_occurrences(
             F.col(dst).alias("reco"),
             F.col(weight).cast("long").alias("weight"),
             "rnk",
+        )
+    )
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    until_stable: bool = False,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core peeling: iteratively delete nodes of degree < k (and their
+    edges) — the standard "dense backbone" extractor that strips the
+    long tail of weakly-attached items before community/embedding work
+    (no reference counterpart; the co-purchase analog of corpus quality
+    filtering).
+
+    Contract: runs EXACTLY `rounds` peel passes (deterministic, so a
+    DuckDB oracle replays it as `rounds` nested CTE levels — the same
+    fixed-trajectory trick as pagerank's integer rounds). Production
+    callers set `until_stable=True` to peel to the true k-core: the
+    loop then stops when a pass deletes nothing (one COUNT scalar per
+    pass over checkpointed data — the connected_components convergence
+    pattern), bounded by `max_rounds`.
+
+    Plan shape per pass: one degree aggregation (groupBy node, map-side
+    combine) + two left-semi joins of the edge list against the ~node-
+    sized survivor set — all shuffles on node keys, nothing collected.
+    Edge frames are localCheckpoint-ed per pass to truncate lineage
+    (CLUSTER.md: swap for reliable checkpoint on preemptible fleets).
+
+    Returns (node, degree) for nodes alive after the final pass, with
+    degree measured in the surviving subgraph.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _deg(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        )
+
+    n_pass = max_rounds if until_stable else rounds
+    cur = und
+    for _ in range(n_pass):
+        if until_stable and cur.isEmpty():
+            break
+        keep = _deg(cur).filter(F.col("degree") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        if until_stable and nxt.count() == cur.count():
+            cur = nxt
+            break
+        cur = nxt
+    return _deg(cur).filter(F.col("degree") >= k)
+
+
+def neighbor_jaccard(
+    pairs: DataFrame,
+    min_common: int = 2,
+    max_center_degree: int | None = None,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Structural node similarity: Jaccard overlap of two items'
+    co-purchase NEIGHBOR SETS — "substitutes look alike to the graph
+    even if never bought together" (the complement of `also_bought`,
+    which only sees direct edges).
+
+    Every unordered node pair (x < y) sharing >= `min_common` neighbors
+    gets jaccard_e6 = floor(1e6 · |N(x)∩N(y)| / |N(x)∪N(y)|) — integer
+    output, so the oracle is exact. Common-neighbor counting is the
+    wedge expansion: each center w emits its neighbor pairs via the
+    scan-side HOF trick (`co_occurrence_pairs` on the adjacency lists —
+    the graph is never self-joined on facts). Per-center fan-out is
+    C(deg(w), 2): at 100 TB the knobs are (1) the weight threshold on
+    the input pair frame and (2) `max_center_degree` — centers keep only
+    their `max_center_degree` smallest neighbor ids (deterministic
+    truncation; common counts become a documented lower bound through
+    hub centers, the same audited-truncation trade as multimodal's
+    hamming blocking). The registry query runs uncapped at min_weight=2
+    where the exact wedge volume is linear in the pair frame.
+
+    Returns (item_x, item_y, common, degree_x, degree_y, jaccard_e6).
+    """
+    fwd = pairs.select(F.col(a_col).alias("n"), F.col(b_col).alias("m"))
+    rev = pairs.select(F.col(b_col).alias("n"), F.col(a_col).alias("m"))
+    adj = (
+        fwd.unionAll(rev)
+        .groupBy("n")
+        .agg(F.sort_array(F.collect_set("m")).alias("_nb"))
+    )
+    deg = adj.select("n", F.size("_nb").cast("long").alias("_deg"))
+    if max_center_degree is not None:
+        adj = adj.withColumn("_nb", F.slice(F.col("_nb"), 1, max_center_degree))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_nb"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_nb"), i + 2, F.size(F.col("_nb"))),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    common = (
+        adj.filter(F.size("_nb") >= 2)
+        .select(F.explode(pair_structs).alias("_p"))
+        .groupBy(F.col("_p.x").alias("item_x"), F.col("_p.y").alias("item_y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    return (
+        common.join(deg.select(F.col("n").alias("item_x"), F.col("_deg").alias("degree_x")), "item_x")
+        .join(deg.select(F.col("n").alias("item_y"), F.col("_deg").alias("degree_y")), "item_y")
+        .select(
+            "item_x",
+            "item_y",
+            "common",
+            "degree_x",
+            "degree_y",
+            F.floor(
+                F.col("common") * F.lit(1_000_000)
+                / (F.col("degree_x") + F.col("degree_y") - F.col("common"))
+            ).cast("long").alias("jaccard_e6"),
         )
     )

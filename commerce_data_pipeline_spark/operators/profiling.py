@@ -406,3 +406,111 @@ def snapshot_diff(
             for c in ("n_added", "n_removed", "n_changed", "n_unchanged")
         ]
     )
+
+
+# floor(log10(1 + 1/d) · 1e6) for d = 1..9, precomputed once so both
+# engines compare against the SAME integer expectation (no runtime log)
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_profile(df: DataFrame, value_col: str, scale: int = 100) -> DataFrame:
+    """Fraud/corruption smell test: distribution of FIRST SIGNIFICANT
+    DIGITS of a positive measure vs Benford's law — fabricated or
+    unit-mangled financial columns drift from it long before range
+    checks fire (the audit companion to `group_outliers`, which needs a
+    grouping; Benford needs only the column).
+
+    Digit extraction is integer-exact and engine-portable: the value is
+    fixed-pointed (floor(value·scale), the repo-wide contract) and the
+    first digit is the leading character of the integer's decimal
+    string — no log10 on doubles, whose boundary rounding differs
+    between engines. Rows with floor(value·scale) <= 0 are excluded
+    (zero/negative have no Benford digit). Expected shares are the
+    precomputed BENFORD_PPM integer literals.
+
+    One map-only scan → 9-group aggregate → broadcast total join.
+    Returns (digit, n, observed_ppm, expected_ppm, abs_dev_ppm) with
+    observed_ppm = floor(n · 1e6 / total).
+    """
+    cents = F.floor(F.col(value_col).cast("double") * F.lit(float(scale))).cast("long")
+    per = (
+        df.select(cents.alias("_c"))
+        .filter(F.col("_c") > 0)
+        .select(F.substring(F.col("_c").cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = per.agg(F.sum("n").alias("_total"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
+    )[F.col("digit")]
+    return per.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.floor(F.col("n") * F.lit(1_000_000) / F.col("_total")).cast("long").alias("observed_ppm"),
+        expected.cast("long").alias("expected_ppm"),
+        F.abs(
+            F.floor(F.col("n") * F.lit(1_000_000) / F.col("_total"))
+            - expected
+        ).cast("long").alias("abs_dev_ppm"),
+    )
+
+
+def pearson_moments(
+    df: DataFrame, pairs: list[tuple[str, str]], scale: int = 100
+) -> DataFrame:
+    """Exact-arithmetic Pearson correlation for column pairs — the
+    numeric-drift audit ("did discount stop tracking price this
+    week?"). Engine-portable where corr() is not: both engines floor
+    each value to fixed-point ints (floor(x·scale)), accumulate the
+    five moments Σx Σy Σx² Σy² Σxy as EXACT decimals (order-independent
+    integer addition — a plain double corr differs in final ulps per
+    partition order), then evaluate the textbook formula once per pair
+    in IEEE double on identical operands → identical corr, identical
+    floor(corr·1e6).
+
+    ONE map-only scan computes every pair's moments in a single
+    aggregate row (no per-pair passes); the output explodes that row to
+    (col_x, col_y, n, corr_e6). Overflow math: per-row x² at decimal(18)
+    ≤ 1e36 summed into decimal(38) — raises on genuine overflow rather
+    than wrapping (the association_rules lesson).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, (x, y) in enumerate(pairs):
+        xi = F.floor(F.col(x).cast("double") * F.lit(float(scale))).cast("decimal(18,0)")
+        yi = F.floor(F.col(y).cast("double") * F.lit(float(scale))).cast("decimal(18,0)")
+        aggs += [
+            F.sum(xi).alias(f"_sx{i}"),
+            F.sum(yi).alias(f"_sy{i}"),
+            F.sum(xi * xi).alias(f"_sxx{i}"),
+            F.sum(yi * yi).alias(f"_syy{i}"),
+            F.sum(xi * yi).alias(f"_sxy{i}"),
+        ]
+    m = df.agg(*aggs)
+    rows = []
+    for i, (x, y) in enumerate(pairs):
+        n = F.col("_n").cast("double")
+        sx = F.col(f"_sx{i}").cast("double")
+        sy = F.col(f"_sy{i}").cast("double")
+        sxx = F.col(f"_sxx{i}").cast("double")
+        syy = F.col(f"_syy{i}").cast("double")
+        sxy = F.col(f"_sxy{i}").cast("double")
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        corr = cov / (F.sqrt(vx) * F.sqrt(vy))
+        rows.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.col("_n").alias("n"),
+                F.when((vx > 0) & (vy > 0), F.floor(corr * F.lit(1_000_000)))
+                .otherwise(F.lit(None))
+                .cast("long")
+                .alias("corr_e6"),
+            )
+        )
+    return m.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")

@@ -1170,3 +1170,98 @@ def hard_negatives(
         .filter(F.col("rank") <= int(k))
         .select("anchor_id", F.col("cand_id").alias(id_col), "sim_e6", "rank")
     )
+
+
+def kmeans_step(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """One Lloyd iteration of k-means over an embedding column: assign
+    every vector to its nearest seed centroid, then emit the exact
+    per-(cluster, dimension) update statistics — the building block the
+    IVF index's centroid refinement and any embedding-space clustering
+    loop repeat (X3's training half; `ivf_centroids` is the inference
+    half that CONSUMES a centroid set).
+
+    The whole step is INTEGER-EXACT end to end (the repo's fixed-point
+    contract, pushed into the assignment itself): every vector is
+    fixed-pointed ONCE scan-side (xi = floor(x·scale) as BIGINT), and
+    nearest-centroid is the integer argmax of 2·(xi·ci) − |ci|² (≡
+    argmin squared L2 over the fixed-point grid — the float argmin's
+    engine-portability hazard is a near-tie flipping on a final ulp;
+    integer scores cannot tie-break differently anywhere). Seeds are
+    the vectors with id < k (deterministic; the caller remaps ids or
+    pre-samples to choose differently), collected AS ALREADY-FLOORED
+    INTS — k rows, k·dim longs, well under the repo's ≤256-entry
+    collect budget — and inlined into one scan-side expression; ties
+    break to the smallest centroid id. Overflow bound: |xi|≤|x|·scale,
+    so dim·(max|x|·scale)² must stay below 2⁶³ — 64 dims at |x|≤10,
+    scale=1e6 is ~6e15, three decimal orders of headroom.
+
+    The corpus is scanned ONCE, map-only, then one (cluster, dim)-keyed
+    aggregation — at 100 TB this is a broadcast-free narrow scan plus a
+    k·dim-group shuffle, the canonical distributed-kmeans shape.
+
+    Update statistics: sum_e6 = Σ xi per (cluster, dim), and
+    centroid_e6 = floor(sum_e6 / n) — the next-iteration centroid at
+    fixed point, reproducible bit-for-bit by any engine.
+
+    Returns (cluster_id, dim, n_members, sum_e6, centroid_e6),
+    k·dim rows.
+    """
+    v_int = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    seeds = (
+        emb.filter(F.col(id_col) < k)
+        .select(F.col(id_col).cast("long").alias("_cid"), v_int.alias("_c"))
+        .collect()
+    )
+    if len(seeds) != k:
+        raise ValueError(f"kmeans_step: need seed ids 0..{k-1}, found {len(seeds)}")
+    scored = []
+    for r in sorted(seeds, key=lambda r: r["_cid"]):
+        c = [int(ci) for ci in r["_c"]]
+        norm = sum(ci * ci for ci in c)  # exact python int
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("_xi"),
+                F.array(*[F.lit(ci).cast("long") for ci in c]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+        score = F.lit(2).cast("long") * dot - F.lit(norm).cast("long")
+        # struct sort key: ascending (−score, cid) ≡ best score, tie → min id
+        scored.append(F.struct((-score).alias("ns"), F.lit(int(r["_cid"])).cast("long").alias("cid")))
+    best = F.array_sort(F.array(*scored))[0]["cid"]
+    # the struct-field access and the posexplode generator must live in
+    # SEPARATE selects: Spark 4.1's single-pass resolver strips struct
+    # field names when a lambda-built named struct and a generator share
+    # one projection (FIELD_NOT_FOUND col1/col2 otherwise)
+    assigned = (
+        emb.select(v_int.alias("_xi"))
+        .select(best.alias("cluster_id"), F.col("_xi"))
+        .select("cluster_id", F.posexplode(F.col("_xi")).alias("dim", "_x"))
+    )
+    return (
+        assigned.groupBy("cluster_id", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("_x").alias("sum_e6"),
+        )
+        .select(
+            "cluster_id",
+            "dim",
+            "n_members",
+            "sum_e6",
+            F.floor(F.col("sum_e6").cast("double") / F.col("n_members"))
+            .cast("long")
+            .alias("centroid_e6"),
+        )
+    )

@@ -5940,6 +5940,324 @@ FROM documents GROUP BY lang
 # families go INSIDE the window (displacing a surplus shape), variants of
 # already-proven shapes and no-oracle entries go at the end.
 # tests/test_registry_window.py pins both invariants.
+# --------------------------------------------------------------------------
+# r7 additions: graph backbone (k-core, components, structural similarity),
+# relational semi/anti (Q21 shape), audit statistics (Benford, exact-moment
+# Pearson), distributed k-means step, mergeable-sketch union.
+# --------------------------------------------------------------------------
+
+
+def _q_part_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """X12 graph — 3-core of the part co-purchase graph (min_weight=2
+    edges from the shared persisted pair frame), 3 fixed peel passes
+    (operators/graph.kcore): the dense-backbone extractor that strips
+    weakly-attached items before community/embedding work. Oracle =
+    the same 3 peel levels as nested CTEs."""
+    pairs = _ensure_copurchase_pairs(spark, sf).filter(F.col("weight") >= 2)
+    return graph.kcore(pairs, k=3, rounds=3, src="a", dst="b").select(
+        F.col("node").alias("part_id"), "degree"
+    )
+
+
+def _ora_part_kcore(k: int = 3, rounds: int = 3) -> str:
+    """`rounds` peel levels unrolled: degree → keep(deg>=k) → semi-filter
+    the edge list, exactly the trajectory graph.kcore runs."""
+    ctes = [_PAIRS_SQL_MW.format(mw=2), "e0 AS (SELECT pa AS a, pb AS b FROM upairs)"]
+    for i in range(rounds):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS n FROM e{i} UNION ALL SELECT b FROM e{i}) GROUP BY n
+)"""
+        )
+        ctes.append(f"k{i} AS (SELECT n FROM d{i} WHERE deg >= {k})")
+        ctes.append(
+            f"""e{i + 1} AS (
+  SELECT a, b FROM e{i}
+  WHERE a IN (SELECT n FROM k{i}) AND b IN (SELECT n FROM k{i})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n AS part_id, deg AS degree FROM (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) GROUP BY n)
+WHERE deg >= {k}"""
+    )
+
+
+def _q_part_components(spark: SparkSession, sf: str) -> DataFrame:
+    """X12 graph — connected components of the strong (min_weight=3)
+    co-purchase graph via min-label propagation with convergence check
+    (operators/dedup.connected_components — the SAME operator that turns
+    LSH pairs into dedup clusters, witnessed here on a graph whose edges
+    come from facts, not fingerprints). Oracle = recursive-CTE
+    transitive closure (component = min reachable id)."""
+    pairs = _ensure_copurchase_pairs(spark, sf).filter(F.col("weight") >= 3)
+    return dedup.connected_components(pairs, a_col="a", b_col="b").select(
+        F.col("id").alias("part_id"), "component"
+    )
+
+
+_O_PART_COMPONENTS = f"""
+WITH RECURSIVE {_PAIRS_SQL_MW.format(mw=3)},
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS part_id, MIN(r) AS component FROM reach GROUP BY id
+"""
+
+
+def _q_similar_parts_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """X12 graph — structural similarity: Jaccard overlap of co-purchase
+    NEIGHBOR SETS (operators/graph.neighbor_jaccard) — substitutes look
+    alike to the graph even when never bought together, the complement
+    of `also_bought`'s direct edges. Integer jaccard_e6 output; wedge
+    expansion is the scan-side HOF pair trick over adjacency lists."""
+    pairs = _ensure_copurchase_pairs(spark, sf).filter(F.col("weight") >= 2)
+    return graph.neighbor_jaccard(pairs, min_common=2)
+
+
+_O_SIMILAR_PARTS_JACCARD = f"""
+WITH {_PAIRS_SQL_MW.format(mw=2)},
+adj AS (SELECT src AS n, dst AS m FROM edges),
+deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY n),
+common AS (
+  SELECT a1.n AS item_x, a2.n AS item_y, CAST(COUNT(*) AS BIGINT) AS common
+  FROM adj a1 JOIN adj a2 ON a1.m = a2.m AND a1.n < a2.n
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT c.item_x, c.item_y, c.common, dx.d AS degree_x, dy.d AS degree_y,
+  CAST(FLOOR(c.common * 1000000.0 / (dx.d + dy.d - c.common)) AS BIGINT) AS jaccard_e6
+FROM common c
+JOIN deg dx ON dx.n = c.item_x
+JOIN deg dy ON dy.n = c.item_y
+"""
+
+
+def _q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """R relational — TPC-H Q21 shape (suppliers who kept orders waiting)
+    re-keyed to this schema's columns: for finalized orders
+    (o_orderstatus='F'), count per supplier the returned lineitems
+    (l_returnflag='R') in MULTI-SUPPLIER orders where no OTHER supplier
+    also had a return — the classic correlated EXISTS + NOT EXISTS pair,
+    expressed as one left-semi and one left-anti self-join on
+    (orderkey, suppkey≠). The fault-flag frame is built once and reused
+    by both sides; supplier is a broadcast dim. Top 100 by numwait."""
+    li = load_table(spark, sf, "lineitem")
+    f_orders = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    others = li.select(
+        F.col("l_orderkey").alias("_ok"),
+        F.col("l_suppkey").alias("_sk"),
+        F.col("l_returnflag").alias("_rf"),
+    )
+    cond = (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk"))
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(f_orders, "l_orderkey", "left_semi")
+        .join(others.select("_ok", "_sk"), cond, "left_semi")
+        .join(others.filter(F.col("_rf") == "R").select("_ok", "_sk"), cond, "left_anti")
+    )
+    agg = l1.groupBy("l_suppkey").agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    w = Window.orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+    return (
+        agg.join(F.broadcast(sup), agg["l_suppkey"] == sup["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+        .withColumn("wrank", F.row_number().over(w))
+        .filter(F.col("wrank") <= 100)
+    )
+
+
+_O_WAITING_SUPPLIERS = """
+WITH l1 AS (
+  SELECT l.l_orderkey, l.l_suppkey FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+  WHERE l.l_returnflag = 'R'
+), waits AS (
+  SELECT l1.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM l1
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+  GROUP BY l1.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, w.numwait,
+  CAST(ROW_NUMBER() OVER (ORDER BY w.numwait DESC, s.s_suppkey ASC) AS INT) AS wrank
+FROM waits w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+QUALIFY wrank <= 100
+"""
+
+
+def _q_benford_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """X13 audit — Benford first-significant-digit profile of
+    l_extendedprice (operators/profiling.benford_profile): fabricated or
+    unit-mangled financial columns drift from Benford long before range
+    checks fire. Digit extraction is integer-exact (leading char of
+    floor(price·100)'s decimal string — no cross-engine log10); expected
+    shares are precomputed ppm literals shared by both engines."""
+    return profiling.benford_profile(
+        load_table(spark, sf, "lineitem"), "l_extendedprice"
+    )
+
+
+def _ora_benford(col: str = "l_extendedprice", table: str = "lineitem", scale: int = 100) -> str:
+    case = " ".join(f"WHEN {d} THEN {ppm}" for d, ppm in profiling.BENFORD_PPM.items())
+    return f"""
+WITH per AS (
+  SELECT CAST(SUBSTR(CAST(_c AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT CAST(FLOOR(CAST({col} AS DOUBLE) * {scale}.0) AS BIGINT) AS _c FROM {table})
+  WHERE _c > 0 GROUP BY 1
+), tot AS (SELECT SUM(n) AS t FROM per)
+SELECT digit, n,
+  CAST(FLOOR(n * 1000000 / t) AS BIGINT) AS observed_ppm,
+  CAST(CASE digit {case} END AS BIGINT) AS expected_ppm,
+  CAST(ABS(FLOOR(n * 1000000 / t) - (CASE digit {case} END)) AS BIGINT) AS abs_dev_ppm
+FROM per, tot
+"""
+
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_extendedprice", "l_discount"),
+    ("l_quantity", "l_discount"),
+]
+
+
+def _q_numeric_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """X13 audit — exact-arithmetic Pearson correlation for three
+    lineitem column pairs in ONE map-only scan
+    (operators/profiling.pearson_moments): values fixed-pointed, the
+    five moments accumulated as exact decimals (order-independent), the
+    textbook formula evaluated once per pair on identical operands →
+    both engines floor the identical double. The numeric-drift audit."""
+    return profiling.pearson_moments(load_table(spark, sf, "lineitem"), _CORR_PAIRS)
+
+
+def _ora_numeric_corr(pairs: list[tuple[str, str]], scale: int = 100) -> str:
+    fp = lambda c, a: f"CAST(FLOOR(CAST({c} AS DOUBLE) * {scale}.0) AS BIGINT) AS {a}"
+    inner = ", ".join(
+        f"{fp(x, f'x{i}')}, {fp(y, f'y{i}')}" for i, (x, y) in enumerate(pairs)
+    )
+    moments = ", ".join(
+        f"SUM(x{i}) AS sx{i}, SUM(y{i}) AS sy{i}, SUM(x{i}*x{i}) AS sxx{i}, "
+        f"SUM(y{i}*y{i}) AS syy{i}, SUM(x{i}*y{i}) AS sxy{i}"
+        for i in range(len(pairs))
+    )
+    outs = []
+    for i, (x, y) in enumerate(pairs):
+        nd = "CAST(n AS DOUBLE)"
+        sx, sy = f"CAST(sx{i} AS DOUBLE)", f"CAST(sy{i} AS DOUBLE)"
+        sxx, syy, sxy = (
+            f"CAST(sxx{i} AS DOUBLE)",
+            f"CAST(syy{i} AS DOUBLE)",
+            f"CAST(sxy{i} AS DOUBLE)",
+        )
+        vx, vy = f"({nd}*{sxx} - {sx}*{sx})", f"({nd}*{syy} - {sy}*{sy})"
+        corr = f"(({nd}*{sxy} - {sx}*{sy}) / (SQRT{vx} * SQRT{vy}))"
+        outs.append(
+            f"""SELECT '{x}' AS col_x, '{y}' AS col_y, n,
+  CASE WHEN {vx} > 0 AND {vy} > 0
+       THEN CAST(FLOOR({corr} * 1000000.0) AS BIGINT) ELSE NULL END AS corr_e6
+FROM m"""
+        )
+    return (
+        f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {moments}
+  FROM (SELECT {inner} FROM lineitem)
+)
+"""
+        + "\nUNION ALL\n".join(outs)
+    )
+
+
+def _q_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 (training half) — one integer-exact Lloyd iteration over the
+    embeddings table (operators/similarity.kmeans_step): nearest-seed
+    assignment via the fixed-point argmax 2·(x·c) − |c|² (no float
+    boundary anywhere), then the per-(cluster, dim) update statistics
+    the next iteration consumes. One map-only scan + one k·dim-group
+    shuffle — the canonical distributed-kmeans shape."""
+    return similarity.kmeans_step(load_table(spark, sf, "embeddings"), k=8)
+
+
+_O_KMEANS_STEP = """
+WITH xe AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS xi
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, xi AS c, CAST(list_dot_product(xi, xi) AS BIGINT) AS nrm
+  FROM xe WHERE vec_id < 8
+), best AS (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        ORDER BY (2 * CAST(list_dot_product(x.xi, c.c) AS BIGINT) - c.nrm) DESC,
+                 c.cid ASC) AS rn
+    FROM xe x CROSS JOIN cent c) WHERE rn = 1
+), ex AS (
+  SELECT b.cid AS cluster_id,
+    CAST(generate_subscripts(x.xi, 1) - 1 AS INT) AS dim,
+    UNNEST(x.xi) AS val
+  FROM best b JOIN xe x ON x.vec_id = b.vec_id
+)
+SELECT cluster_id, dim, CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(SUM(val) AS BIGINT) AS sum_e6,
+  CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS centroid_e6
+FROM ex GROUP BY cluster_id, dim
+"""
+
+
+def _q_sketch_union(spark: SparkSession, sf: str) -> DataFrame:
+    """X6 — sketch MERGEABILITY contract: per-priority HLL sketches of
+    o_custkey (Datasketches hll_sketch_agg, lgConfigK=12) are unioned
+    with hll_union_agg and the merged estimate must land within ±5% of
+    the exact global distinct — the property that makes sketches the
+    100 TB shape (partial per partition, one sketch-bytes shuffle, no
+    re-scan to combine). Same falsifiable-boolean technique as
+    `sketch_accuracy`: the oracle pins the exact values and literal
+    TRUE; a drifting union flips the boolean and breaks the hash."""
+    o = load_table(spark, sf, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg(F.col("o_custkey"), F.lit(12)).alias("_sk")
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk"), F.lit(False))).alias("_est"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").cast("long").alias("exact_customers"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_customers",
+        "n_groups",
+        (
+            F.abs(F.col("_est") - F.col("exact_customers"))
+            <= F.col("exact_customers") * F.lit(0.05)
+        ).alias("union_ok"),
+    )
+
+
+_O_SKETCH_UNION = """
+WITH ex AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers FROM orders),
+g AS (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_groups FROM orders)
+SELECT ex.exact_customers, g.n_groups, TRUE AS union_ok FROM ex, g
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -6107,6 +6425,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "price_percentiles": QuerySpec(_q_price_percentiles, _O_PRICE_PERCENTILES, "exact interpolated percentiles"),
     "journey_transitions": QuerySpec(_q_journey_transitions, _O_JOURNEY_TRANSITIONS, "G2 journey transition matrix"),
     "time_to_convert": QuerySpec(_q_time_to_convert, _O_TIME_TO_CONVERT, "G1/G3 conversion latency histogram"),
+    # -- r7 additions (registered past the checked window; rotate into the
+    # -- CORRECTNESS window next round per the standing protocol) ------------
+    "part_kcore": QuerySpec(_q_part_kcore, _ora_part_kcore(3, 3), "X12 graph: 3-core dense-backbone peeling (3 fixed passes)"),
+    "part_components": QuerySpec(_q_part_components, _O_PART_COMPONENTS, "X12 graph: connected components of the strong co-purchase graph"),
+    "similar_parts_jaccard": QuerySpec(_q_similar_parts_jaccard, _O_SIMILAR_PARTS_JACCARD, "X12 graph: neighbor-set Jaccard structural similarity"),
+    "waiting_suppliers": QuerySpec(_q_waiting_suppliers, _O_WAITING_SUPPLIERS, "R semi+anti correlated self-join (Q21 shape)"),
+    "benford_prices": QuerySpec(_q_benford_prices, _ora_benford(), "X13 audit: Benford first-digit profile of extendedprice"),
+    "numeric_corr": QuerySpec(_q_numeric_corr, _ora_numeric_corr(_CORR_PAIRS), "X13 audit: exact-moment Pearson correlation, one scan"),
+    "kmeans_step": QuerySpec(_q_kmeans_step, _O_KMEANS_STEP, "X3 training: integer-exact Lloyd iteration (assign + update stats)"),
+    "sketch_union": QuerySpec(_q_sketch_union, _O_SKETCH_UNION, "X6 sketch mergeability: HLL union estimate within ±5% of exact"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

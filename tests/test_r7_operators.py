@@ -160,3 +160,154 @@ def test_snapshot_diff_single_scan_per_side(spark, tmp_path):
     # old 0..9, new 2..11 with s shifted where k%3==0 -> changed {3,6,9}
     assert (out["n_added"], out["n_removed"]) == (2, 2)
     assert (out["n_changed"], out["n_unchanged"]) == (3, 5)
+
+
+# --- kcore: fixed-rounds peeling + until_stable -------------------------
+
+
+def _k4_with_tail(spark):
+    """K4 on {0,1,2,3} plus the pendant chain 3-4, 4-5."""
+    und = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 4), (4, 5)]
+    return spark.createDataFrame([(a, b, 1) for a, b in und], ["a", "b", "w"])
+
+
+def test_kcore_peels_chain_and_keeps_clique(spark):
+    pairs = _k4_with_tail(spark)
+    out = {r["node"]: r["degree"]
+           for r in graph.kcore(pairs, k=2, rounds=3, src="a", dst="b").collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_round_count_is_visible_in_degrees(spark):
+    # after ONE peel pass only node 5 is gone: edge 3-4 survives, so
+    # deg(3)=4; a second pass removes the now-degree-1 node 4
+    pairs = _k4_with_tail(spark)
+    out = {r["node"]: r["degree"]
+           for r in graph.kcore(pairs, k=2, rounds=1, src="a", dst="b").collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 4}
+
+
+def test_kcore_until_stable_matches_fixed_rounds_here(spark):
+    pairs = _k4_with_tail(spark)
+    stable = {(r["node"], r["degree"]) for r in graph.kcore(
+        pairs, k=2, until_stable=True, src="a", dst="b").collect()}
+    fixed = {(r["node"], r["degree"]) for r in graph.kcore(
+        pairs, k=2, rounds=3, src="a", dst="b").collect()}
+    assert stable == fixed
+
+
+def test_kcore_empties_when_k_exceeds_max_degree(spark):
+    pairs = _k4_with_tail(spark)
+    assert graph.kcore(pairs, k=4, until_stable=True, src="a", dst="b").count() == 0
+
+
+# --- neighbor_jaccard ----------------------------------------------------
+
+
+def test_neighbor_jaccard_hand_counts(spark):
+    # N(1)={10,11}, N(2)={10,11,12}, N(3)={12}
+    pairs = spark.createDataFrame(
+        [(1, 10), (2, 10), (1, 11), (2, 11), (2, 12), (3, 12)], ["a", "b"])
+    rows = {(r["item_x"], r["item_y"]): r
+            for r in graph.neighbor_jaccard(pairs, min_common=2).collect()}
+    assert set(rows) == {(1, 2), (10, 11)}
+    r12 = rows[(1, 2)]
+    assert (r12["common"], r12["degree_x"], r12["degree_y"]) == (2, 2, 3)
+    assert r12["jaccard_e6"] == 666666  # floor(2e6 / 3)
+    r1011 = rows[(10, 11)]
+    assert (r1011["common"], r1011["jaccard_e6"]) == (2, 1_000_000)
+
+
+def test_neighbor_jaccard_center_degree_cap(spark):
+    pairs = spark.createDataFrame(
+        [(1, 10), (2, 10), (1, 11), (2, 11), (2, 12), (3, 12)], ["a", "b"])
+    # capping every center to 1 neighbor leaves no wedges at all
+    assert graph.neighbor_jaccard(pairs, min_common=1, max_center_degree=1).count() == 0
+
+
+# --- benford_profile ------------------------------------------------------
+
+
+def test_benford_profile_hand_digits(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (1.5,), (2.0,), (9.99,), (0.0,), (-3.0,)], ["v"])
+    rows = {r["digit"]: r for r in profiling.benford_profile(df, "v").collect()}
+    # 0 and negative values carry no Benford digit
+    assert {d: rows[d]["n"] for d in rows} == {1: 2, 2: 1, 9: 1}
+    assert rows[1]["observed_ppm"] == 500_000
+    assert rows[1]["expected_ppm"] == 301_029
+    assert rows[1]["abs_dev_ppm"] == 198_971
+    assert rows[9]["observed_ppm"] == 250_000
+    assert rows[9]["abs_dev_ppm"] == 250_000 - 45_757
+
+
+# --- pearson_moments ------------------------------------------------------
+
+
+def test_pearson_moments_matches_exact_formula(spark):
+    import math
+
+    data = [(1.0, 2.5), (2.0, 1.5), (3.0, 4.0), (4.0, 3.25), (5.0, 6.0)]
+    df = spark.createDataFrame(data, ["x", "y"])
+    out = profiling.pearson_moments(df, [("x", "y")]).collect()[0]
+    xs = [math.floor(x * 100.0) for x, _ in data]
+    ys = [math.floor(y * 100.0) for _, y in data]
+    n = float(len(data))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxx = float(sum(v * v for v in xs))
+    syy = float(sum(v * v for v in ys))
+    sxy = float(sum(a * b for a, b in zip(xs, ys)))
+    corr = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert out["n"] == 5
+    assert out["corr_e6"] == math.floor(corr * 1_000_000)
+
+
+def test_pearson_moments_null_on_zero_variance(spark):
+    df = spark.createDataFrame([(1.0, 7.0), (2.0, 7.0)], ["x", "y"])
+    out = profiling.pearson_moments(df, [("x", "y")]).collect()[0]
+    assert out["corr_e6"] is None
+    assert out["n"] == 2
+
+
+def test_pearson_moments_one_row_per_pair_single_scan(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], ["x", "y", "z"])
+    out = profiling.pearson_moments(df, [("x", "y"), ("y", "z"), ("x", "z")])
+    assert [(r["col_x"], r["col_y"]) for r in out.collect()] == [
+        ("x", "y"), ("y", "z"), ("x", "z")]
+
+
+# --- kmeans_step ----------------------------------------------------------
+
+
+def _toy_embeddings(spark):
+    from commerce_data_pipeline_spark.operators import similarity  # noqa: F401
+
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1]),
+         (3, [0.1, 0.9]), (4, [0.5, 0.5])],
+        "vec_id long, embedding array<float>")
+
+
+def test_kmeans_step_assignment_and_update_stats(spark):
+    from commerce_data_pipeline_spark.operators.similarity import kmeans_step
+
+    out = {(r["cluster_id"], r["dim"]): r
+           for r in kmeans_step(_toy_embeddings(spark), k=2).collect()}
+    # v2 joins seed 0, v3 joins seed 1, the equidistant v4 ties to the
+    # SMALLER centroid id (integer scores tie exactly, no float fuzz)
+    assert out[(0, 0)]["n_members"] == 3
+    assert out[(1, 0)]["n_members"] == 2
+    # float32 0.9 widens to 0.899999..., so floor(x*1e6) = 899999
+    assert out[(0, 0)]["sum_e6"] == 1_000_000 + 899_999 + 500_000
+    assert out[(0, 0)]["centroid_e6"] == (1_000_000 + 899_999 + 500_000) // 3
+    assert out[(1, 1)]["sum_e6"] == 1_000_000 + 899_999
+
+
+def test_kmeans_step_requires_contiguous_seed_ids(spark):
+    from commerce_data_pipeline_spark.operators.similarity import kmeans_step
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (5, [0.0, 1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="seed ids"):
+        kmeans_step(emb, k=2)
