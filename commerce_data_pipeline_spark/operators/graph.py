@@ -621,6 +621,7 @@ def kcore(
     dst: str = "dst",
     until_stable: bool = False,
     max_rounds: int = 50,
+    canonical: bool = False,
 ) -> DataFrame:
     """k-core peeling: iteratively delete nodes of degree < k (and their
     edges) — the standard "dense backbone" extractor that strips the
@@ -644,16 +645,24 @@ def kcore(
 
     Returns (node, degree) for nodes alive after the final pass, with
     degree measured in the surviving subgraph.
+
+    `canonical=True` declares the input already holds DISTINCT undirected
+    pairs with src < dst (true for `co_occurrence_pairs` output — it's a
+    groupBy aggregate) and skips the normalize+distinct shuffle over the
+    full edge list; the first peel pass then reads the input directly.
     """
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    if canonical:
+        und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        und = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
 
     def _deg(e: DataFrame) -> DataFrame:
         return (

@@ -5948,21 +5948,27 @@ FROM documents GROUP BY lang
 
 
 def _q_part_kcore(spark: SparkSession, sf: str) -> DataFrame:
-    """X12 graph — 3-core of the part co-purchase graph (min_weight=2
-    edges from the shared persisted pair frame), 3 fixed peel passes
-    (operators/graph.kcore): the dense-backbone extractor that strips
-    weakly-attached items before community/embedding work. Oracle =
-    the same 3 peel levels as nested CTEs."""
-    pairs = _ensure_copurchase_pairs(spark, sf).filter(F.col("weight") >= 2)
-    return graph.kcore(pairs, k=3, rounds=3, src="a", dst="b").select(
-        F.col("node").alias("part_id"), "degree"
-    )
+    """X12 graph — 64-core of the FULL (min_weight=1) part co-purchase
+    graph, 3 fixed peel passes (operators/graph.kcore): the
+    dense-backbone extractor that strips weakly-attached items before
+    community/embedding work. The unthresholded graph is the real
+    workload (1.2M edges at sf0.1 vs 3.6k at min_weight=2 — co-purchase
+    weights do NOT concentrate as the catalog grows, so weight-thresholded
+    graphs degenerate with scale; degree thresholds don't). k=64 sits
+    below the degree distribution's p10, so the peel removes the genuine
+    tail instead of collapsing (k-cores have a sharp threshold — at
+    k≈median the cascade empties the graph). Oracle = the same 3 peel
+    levels as nested CTEs."""
+    pairs = _ensure_copurchase_pairs(spark, sf)
+    return graph.kcore(
+        pairs, k=64, rounds=3, src="a", dst="b", canonical=True
+    ).select(F.col("node").alias("part_id"), "degree")
 
 
-def _ora_part_kcore(k: int = 3, rounds: int = 3) -> str:
+def _ora_part_kcore(k: int = 64, rounds: int = 3) -> str:
     """`rounds` peel levels unrolled: degree → keep(deg>=k) → semi-filter
     the edge list, exactly the trajectory graph.kcore runs."""
-    ctes = [_PAIRS_SQL_MW.format(mw=2), "e0 AS (SELECT pa AS a, pb AS b FROM upairs)"]
+    ctes = [_PAIRS_SQL_MW.format(mw=1), "e0 AS (SELECT pa AS a, pb AS b FROM upairs)"]
     for i in range(rounds):
         ctes.append(
             f"""d{i} AS (
@@ -6017,20 +6023,37 @@ def _q_similar_parts_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """X12 graph — structural similarity: Jaccard overlap of co-purchase
     NEIGHBOR SETS (operators/graph.neighbor_jaccard) — substitutes look
     alike to the graph even when never bought together, the complement
-    of `also_bought`'s direct edges. Integer jaccard_e6 output; wedge
-    expansion is the scan-side HOF pair trick over adjacency lists."""
-    pairs = _ensure_copurchase_pairs(spark, sf).filter(F.col("weight") >= 2)
-    return graph.neighbor_jaccard(pairs, min_common=2)
+    of `also_bought`'s direct edges. Runs on the FULL min_weight=1 graph
+    (the thresholded graph degenerates with scale — see part_kcore) with
+    the production knob engaged: max_center_degree=16 bounds per-center
+    wedge fan-out at C(16,2)=120 regardless of hub degree (deterministic
+    smallest-id truncation; common counts become a documented lower
+    bound), min_common=5 keeps only strongly-overlapping pairs. Integer
+    jaccard_e6 output; wedge expansion is the scan-side HOF pair trick
+    over adjacency lists — the graph is never self-joined on facts."""
+    pairs = _ensure_copurchase_pairs(spark, sf)
+    return graph.neighbor_jaccard(pairs, min_common=5, max_center_degree=16)
 
 
 _O_SIMILAR_PARTS_JACCARD = f"""
-WITH {_PAIRS_SQL_MW.format(mw=2)},
+WITH {_PAIRS_SQL_MW.format(mw=1)},
 adj AS (SELECT src AS n, dst AS m FROM edges),
 deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY n),
+-- max_center_degree=16: each center keeps its 16 smallest neighbor ids
+-- (= F.slice(sort_array(collect_set), 1, 16) on the Spark side)
+adj16 AS (
+  SELECT n, m FROM (
+    SELECT n, m, ROW_NUMBER() OVER (PARTITION BY n ORDER BY m) AS rn FROM adj)
+  WHERE rn <= 16
+),
 common AS (
-  SELECT a1.n AS item_x, a2.n AS item_y, CAST(COUNT(*) AS BIGINT) AS common
-  FROM adj a1 JOIN adj a2 ON a1.m = a2.m AND a1.n < a2.n
-  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+  -- the operator expands pairs from each CENTER's truncated list, so
+  -- common(x,y) = #centers whose capped list holds both x and y: join
+  -- on the center, pair the neighbors (NOT centers sharing a neighbor —
+  -- only equivalent when uncapped)
+  SELECT a1.m AS item_x, a2.m AS item_y, CAST(COUNT(*) AS BIGINT) AS common
+  FROM adj16 a1 JOIN adj16 a2 ON a1.n = a2.n AND a1.m < a2.m
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
 )
 SELECT c.item_x, c.item_y, c.common, dx.d AS degree_x, dy.d AS degree_y,
   CAST(FLOOR(c.common * 1000000.0 / (dx.d + dy.d - c.common)) AS BIGINT) AS jaccard_e6
@@ -6427,7 +6450,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "time_to_convert": QuerySpec(_q_time_to_convert, _O_TIME_TO_CONVERT, "G1/G3 conversion latency histogram"),
     # -- r7 additions (registered past the checked window; rotate into the
     # -- CORRECTNESS window next round per the standing protocol) ------------
-    "part_kcore": QuerySpec(_q_part_kcore, _ora_part_kcore(3, 3), "X12 graph: 3-core dense-backbone peeling (3 fixed passes)"),
+    "part_kcore": QuerySpec(_q_part_kcore, _ora_part_kcore(64, 3), "X12 graph: 64-core dense-backbone peeling (3 fixed passes, full graph)"),
     "part_components": QuerySpec(_q_part_components, _O_PART_COMPONENTS, "X12 graph: connected components of the strong co-purchase graph"),
     "similar_parts_jaccard": QuerySpec(_q_similar_parts_jaccard, _O_SIMILAR_PARTS_JACCARD, "X12 graph: neighbor-set Jaccard structural similarity"),
     "waiting_suppliers": QuerySpec(_q_waiting_suppliers, _O_WAITING_SUPPLIERS, "R semi+anti correlated self-join (Q21 shape)"),
