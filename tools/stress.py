@@ -143,6 +143,20 @@ STRESS_QUERIES = [
     "ngram_novelty",
     "winsorized_revenue",
     "sliding_counts",
+    # round 7: Q21 semi+anti (orderkey-keyed), one-scan audits, integer
+    # kmeans step (fixed seed collect), HLL union, k-core peel (3 linear
+    # passes), capped wedge jaccard, facts-derived CC (note: the key-shift
+    # harness multiplies pair WEIGHTS ×k, so part_components crosses its
+    # weight threshold at 8× and measures full-graph CC — a regime shift
+    # documented in STRESS.md, not a cliff)
+    "waiting_suppliers",
+    "benford_prices",
+    "numeric_corr",
+    "kmeans_step",
+    "sketch_union",
+    "part_kcore",
+    "similar_parts_jaccard",
+    "part_components",
 ]
 
 
