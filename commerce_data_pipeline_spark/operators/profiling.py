@@ -514,3 +514,52 @@ def pearson_moments(
             )
         )
     return m.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+
+
+def chi_square_drift(
+    df_a: DataFrame, df_b: DataFrame, col: str, out_col: str = "category"
+) -> DataFrame:
+    """Categorical distribution drift between two snapshots — the
+    corpus-shift audit ("did the source mix / event mix move between
+    crawls?"). Emits each category's chi-square homogeneity contribution:
+    with o = observed count and e = row_total·side_total/grand the
+    expected one, chi2 = (o_a−e_a)²/e_a + (o_b−e_b)²/e_b. Large
+    contributions localize WHICH category drifted — the actionable form
+    (a single global statistic says only "something moved").
+
+    Engine-portable by construction: counts are exact ints; the float
+    part is one fixed expression tree per row ((r·t_a)/g etc., identical
+    operand order in the SQL oracle) evaluated on identical operands →
+    identical floor(chi2·1e6). Categories missing from one side count 0
+    there (full-outer merge), so appearing/vanishing categories surface
+    as their own rows instead of silently dropping.
+
+    Plan: one keyed count per side + a category-keyed full-outer merge +
+    a broadcast 1-row totals join — two scans total, no per-category
+    work on the driver. At 100 TB both counts are map-side-combining
+    aggregates over however many categories exist (bounded output).
+    """
+    a = df_a.groupBy(F.col(col).alias(out_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    b = df_b.groupBy(F.col(col).alias(out_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    j = (
+        a.join(b, out_col, "full_outer")
+        .fillna(0, subset=["n_a", "n_b"])
+        .localCheckpoint()  # consumed twice: totals + per-row math
+    )
+    t = j.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
+    na_d, nb_d = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    r_d = (F.col("n_a") + F.col("n_b")).cast("double")
+    g_d = (F.col("_ta") + F.col("_tb")).cast("double")
+    ea = r_d * F.col("_ta").cast("double") / g_d
+    eb = r_d * F.col("_tb").cast("double") / g_d
+    chi2 = (na_d - ea) * (na_d - ea) / ea + (nb_d - eb) * (nb_d - eb) / eb
+    return j.crossJoin(F.broadcast(t)).select(
+        out_col,
+        "n_a",
+        "n_b",
+        F.floor(chi2 * F.lit(1_000_000.0)).cast("long").alias("chi2_e6"),
+    )

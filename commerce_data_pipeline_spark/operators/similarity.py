@@ -1212,20 +1212,39 @@ def kmeans_step(
     Returns (cluster_id, dim, n_members, sum_e6, centroid_e6),
     k·dim rows.
     """
-    v_int = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
-    )
+    xi = _fixed_point_frame(emb, vec_col, scale)
     seeds = (
         emb.filter(F.col(id_col) < k)
-        .select(F.col(id_col).cast("long").alias("_cid"), v_int.alias("_c"))
+        .select(
+            F.col(id_col).cast("long").alias("_cid"),
+            _v_int(vec_col, scale).alias("_c"),
+        )
         .collect()
     )
     if len(seeds) != k:
         raise ValueError(f"kmeans_step: need seed ids 0..{k-1}, found {len(seeds)}")
+    cents = [(int(r["_cid"]), [int(ci) for ci in r["_c"]]) for r in seeds]
+    return _assign_stats(xi, cents)
+
+
+def _v_int(vec_col: str, scale: int):
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+
+
+def _fixed_point_frame(emb: DataFrame, vec_col: str, scale: int) -> DataFrame:
+    return emb.select(_v_int(vec_col, scale).alias("_xi"))
+
+
+def _assign_stats(xi: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest-centroid assignment + per-(cluster, dim) update stats over
+    a fixed-point frame (_xi: array<long>). `cents` are already-floored
+    integer centroids; scoring is the integer argmax of 2·(x·c) − |c|²,
+    ties to the smallest centroid id."""
     scored = []
-    for r in sorted(seeds, key=lambda r: r["_cid"]):
-        c = [int(ci) for ci in r["_c"]]
+    for cid, c in sorted(cents):
         norm = sum(ci * ci for ci in c)  # exact python int
         dot = F.aggregate(
             F.zip_with(
@@ -1238,16 +1257,14 @@ def kmeans_step(
         )
         score = F.lit(2).cast("long") * dot - F.lit(norm).cast("long")
         # struct sort key: ascending (−score, cid) ≡ best score, tie → min id
-        scored.append(F.struct((-score).alias("ns"), F.lit(int(r["_cid"])).cast("long").alias("cid")))
+        scored.append(F.struct((-score).alias("ns"), F.lit(int(cid)).cast("long").alias("cid")))
     best = F.array_sort(F.array(*scored))[0]["cid"]
     # the struct-field access and the posexplode generator must live in
     # SEPARATE selects: Spark 4.1's single-pass resolver strips struct
     # field names when a lambda-built named struct and a generator share
     # one projection (FIELD_NOT_FOUND col1/col2 otherwise)
-    assigned = (
-        emb.select(v_int.alias("_xi"))
-        .select(best.alias("cluster_id"), F.col("_xi"))
-        .select("cluster_id", F.posexplode(F.col("_xi")).alias("dim", "_x"))
+    assigned = xi.select(best.alias("cluster_id"), F.col("_xi")).select(
+        "cluster_id", F.posexplode(F.col("_xi")).alias("dim", "_x")
     )
     return (
         assigned.groupBy("cluster_id", "dim")
@@ -1265,3 +1282,67 @@ def kmeans_step(
             .alias("centroid_e6"),
         )
     )
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    max_codebook: int = 8192,
+) -> DataFrame:
+    """`rounds` Lloyd iterations — the training LOOP built from
+    `kmeans_step`'s integer-exact assignment: round r+1's centroids are
+    round r's floored means (centroid_e6), so the whole trajectory lives
+    on the fixed-point grid and a SQL oracle replays it as `rounds`
+    unrolled CTE levels (the pagerank/LPA fixed-trajectory contract,
+    applied to embedding-space training).
+
+    Per round: ONE narrow scan of the fixed-pointed corpus (cached once
+    via localCheckpoint — vectors are fixed-pointed once, not per round)
+    + one k·dim-group aggregation, then a k·dim-row collect (the next
+    codebook — bounded by `max_codebook`, default 8192 entries ≈ 64 KB;
+    raises above it rather than collecting unbounded state). That is the
+    canonical distributed-kmeans loop: broadcast codebook down,
+    aggregate statistics up, driver holds nothing but the codebook.
+
+    A cluster that loses all members vanishes from the stats and from
+    every later round's codebook (documented — standard Lloyd behavior;
+    reseed strategies are a caller policy). Returns the final round's
+    (cluster_id, dim, n_members, sum_e6, centroid_e6).
+    """
+    if rounds < 1:
+        raise ValueError("kmeans_train: rounds must be >= 1")
+    dim_probe = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if dim_probe and int(dim_probe[0]["d"]) * k > max_codebook:
+        raise ValueError(
+            f"kmeans_train: k·dim = {int(dim_probe[0]['d']) * k} exceeds the "
+            f"{max_codebook}-entry codebook collect budget"
+        )
+    xi = _fixed_point_frame(emb, vec_col, scale).localCheckpoint()
+    seeds = (
+        emb.filter(F.col(id_col) < k)
+        .select(
+            F.col(id_col).cast("long").alias("_cid"),
+            _v_int(vec_col, scale).alias("_c"),
+        )
+        .collect()
+    )
+    if len(seeds) != k:
+        raise ValueError(f"kmeans_train: need seed ids 0..{k-1}, found {len(seeds)}")
+    cents = [(int(r["_cid"]), [int(ci) for ci in r["_c"]]) for r in seeds]
+    stats = _assign_stats(xi, cents)
+    for _ in range(rounds - 1):
+        rows = stats.select("cluster_id", "dim", "centroid_e6").collect()
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["cluster_id"]), {})[int(r["dim"])] = int(
+                r["centroid_e6"]
+            )
+        cents = [
+            (cid, [dims[d] for d in sorted(dims)]) for cid, dims in sorted(by_cid.items())
+        ]
+        stats = _assign_stats(xi, cents)
+    return stats

@@ -6246,6 +6246,110 @@ FROM ex GROUP BY cluster_id, dim
 """
 
 
+def _q_event_type_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """X13 audit — categorical drift between two event snapshots
+    (operators/profiling.chi_square_drift): per-event-type chi-square
+    homogeneity contribution, first half of the month vs the rest. The
+    corpus-shift detector a training pipeline runs between crawls —
+    large per-category contributions localize WHICH slice moved."""
+    ev = load_table(spark, sf, "events")
+    return profiling.chi_square_drift(
+        ev.filter(F.col("ts") < F.lit("2024-01-16")),
+        ev.filter(F.col("ts") >= F.lit("2024-01-16")),
+        "event_type",
+    )
+
+
+_O_EVENT_TYPE_DRIFT = """
+WITH a AS (
+  SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_a
+  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1
+), b AS (
+  SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1
+), j AS (
+  SELECT COALESCE(a.category, b.category) AS category,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM a FULL OUTER JOIN b ON a.category = b.category
+), t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j)
+SELECT category, n_a, n_b,
+  CAST(FLOOR((
+    (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+      * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+      / (CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+    + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+      * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+      / (CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+  ) * 1000000.0) AS BIGINT) AS chi2_e6
+FROM j, t
+"""
+
+
+def _q_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 (training loop) — TWO Lloyd iterations over the embeddings
+    table (operators/similarity.kmeans_train): round 2's codebook is
+    round 1's floored means, so the whole trajectory lives on the
+    fixed-point grid and the oracle replays it as two unrolled CTE
+    levels — the pagerank fixed-trajectory contract applied to
+    embedding-space training. Per round: one scan of the checkpointed
+    fixed-point frame + one k·dim-group shuffle + a bounded codebook
+    collect."""
+    return similarity.kmeans_train(load_table(spark, sf, "embeddings"), k=8, rounds=2)
+
+
+def _ora_kmeans_train(k: int = 8, rounds: int = 2) -> str:
+    """`rounds` Lloyd levels unrolled: centN -> bestN -> statsN, each
+    exactly the trajectory kmeans_train runs (integer scores, min-cid
+    ties, floored means)."""
+    ctes = [
+        """xe AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS xi
+  FROM embeddings
+)""",
+        f"""cent1 AS (
+  SELECT vec_id AS cid, xi AS c, CAST(list_dot_product(xi, xi) AS BIGINT) AS nrm
+  FROM xe WHERE vec_id < {k}
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""best{r} AS (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        ORDER BY (2 * CAST(list_dot_product(x.xi, c.c) AS BIGINT) - c.nrm) DESC,
+                 c.cid ASC) AS rn
+    FROM xe x CROSS JOIN cent{r} c) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""ex{r} AS (
+  SELECT b.cid AS cluster_id,
+    CAST(generate_subscripts(x.xi, 1) - 1 AS INT) AS dim,
+    UNNEST(x.xi) AS val
+  FROM best{r} b JOIN xe x ON x.vec_id = b.vec_id
+)"""
+        )
+        ctes.append(
+            f"""stats{r} AS (
+  SELECT cluster_id, dim, CAST(COUNT(*) AS BIGINT) AS n_members,
+    CAST(SUM(val) AS BIGINT) AS sum_e6,
+    CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS centroid_e6
+  FROM ex{r} GROUP BY cluster_id, dim
+)"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""cent{r + 1} AS (
+  SELECT cid, c, CAST(list_dot_product(c, c) AS BIGINT) AS nrm FROM (
+    SELECT cluster_id AS cid, list(centroid_e6 ORDER BY dim) AS c
+    FROM stats{r} GROUP BY cluster_id)
+)"""
+            )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM stats{rounds}"
+
+
 def _q_sketch_union(spark: SparkSession, sf: str) -> DataFrame:
     """X6 — sketch MERGEABILITY contract: per-priority HLL sketches of
     o_custkey (Datasketches hll_sketch_agg, lgConfigK=12) are unioned
@@ -6458,6 +6562,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "numeric_corr": QuerySpec(_q_numeric_corr, _ora_numeric_corr(_CORR_PAIRS), "X13 audit: exact-moment Pearson correlation, one scan"),
     "kmeans_step": QuerySpec(_q_kmeans_step, _O_KMEANS_STEP, "X3 training: integer-exact Lloyd iteration (assign + update stats)"),
     "sketch_union": QuerySpec(_q_sketch_union, _O_SKETCH_UNION, "X6 sketch mergeability: HLL union estimate within ±5% of exact"),
+    "event_type_drift": QuerySpec(_q_event_type_drift, _O_EVENT_TYPE_DRIFT, "X13 audit: chi-square categorical drift between snapshots"),
+    "kmeans_train": QuerySpec(_q_kmeans_train, _ora_kmeans_train(8, 2), "X3 training loop: two Lloyd iterations on the fixed-point grid"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

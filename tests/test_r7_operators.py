@@ -311,3 +311,70 @@ def test_kmeans_step_requires_contiguous_seed_ids(spark):
         [(0, [1.0, 0.0]), (5, [0.0, 1.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="seed ids"):
         kmeans_step(emb, k=2)
+
+
+# --- chi_square_drift -----------------------------------------------------
+
+
+def test_chi_square_drift_hand_case(spark):
+    a = spark.createDataFrame([("x",)] * 30 + [("y",)] * 10, ["c"])
+    b = spark.createDataFrame([("x",)] * 10 + [("y",)] * 30, ["c"])
+    rows = {r["category"]: r
+            for r in profiling.chi_square_drift(a, b, "c").collect()}
+    # totals 40/40, row totals 40 each -> e = 20 everywhere,
+    # chi2 per category = (30-20)^2/20 + (10-20)^2/20 = 10.0
+    assert rows["x"]["n_a"] == 30 and rows["x"]["n_b"] == 10
+    assert rows["x"]["chi2_e6"] == 10_000_000
+    assert rows["y"]["chi2_e6"] == 10_000_000
+
+
+def test_chi_square_drift_vanishing_category(spark):
+    a = spark.createDataFrame([("x",), ("x",), ("gone",), ("gone",)], ["c"])
+    b = spark.createDataFrame([("x",), ("x",), ("x",), ("x",)], ["c"])
+    rows = {r["category"]: r
+            for r in profiling.chi_square_drift(a, b, "c").collect()}
+    # a category present on one side only still gets a row (count 0)
+    assert rows["gone"]["n_a"] == 2 and rows["gone"]["n_b"] == 0
+    assert rows["gone"]["chi2_e6"] > 0
+
+
+# --- kmeans_train ----------------------------------------------------------
+
+
+def test_kmeans_train_one_round_equals_step(spark):
+    from commerce_data_pipeline_spark.operators.similarity import (
+        kmeans_step,
+        kmeans_train,
+    )
+
+    emb = _toy_embeddings(spark)
+    step = sorted(map(tuple, kmeans_step(emb, k=2).collect()))
+    train = sorted(map(tuple, kmeans_train(emb, k=2, rounds=1).collect()))
+    assert step == train
+
+
+def test_kmeans_train_second_round_moves_centroids(spark):
+    from commerce_data_pipeline_spark.operators.similarity import kmeans_train
+
+    emb = _toy_embeddings(spark)
+    r1 = {(r["cluster_id"], r["dim"]): r["centroid_e6"]
+          for r in kmeans_train(emb, k=2, rounds=1).collect()}
+    r2 = kmeans_train(emb, k=2, rounds=2)
+    rows = {(r["cluster_id"], r["dim"]): r for r in r2.collect()}
+    # same membership at the fixed point of this toy set: round 2 assigns
+    # against the round-1 means and reproduces the same update stats
+    assert rows[(0, 0)]["n_members"] == 3
+    assert rows[(0, 0)]["centroid_e6"] == r1[(0, 0)]
+    # validation still applies through the loop
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rounds"):
+        kmeans_train(emb, k=2, rounds=0)
+
+
+def test_kmeans_train_codebook_budget(spark):
+    from commerce_data_pipeline_spark.operators.similarity import kmeans_train
+
+    emb = _toy_embeddings(spark)
+    with pytest.raises(ValueError, match="codebook"):
+        kmeans_train(emb, k=2, rounds=1, max_codebook=3)

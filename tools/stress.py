@@ -157,6 +157,8 @@ STRESS_QUERIES = [
     "part_kcore",
     "similar_parts_jaccard",
     "part_components",
+    "event_type_drift",
+    "kmeans_train",
 ]
 
 
