@@ -714,21 +714,28 @@ def neighbor_jaccard(
     their `max_center_degree` smallest neighbor ids (deterministic
     truncation; common counts become a documented lower bound through
     hub centers, the same audited-truncation trade as multimodal's
-    hamming blocking). The registry query runs uncapped at min_weight=2
-    where the exact wedge volume is linear in the pair frame.
+    hamming blocking). The cap is applied BEFORE the adjacency-list
+    aggregation (row_number over the same shuffle key), so no executor
+    ever materializes a hub's full neighbor array — degrees come from a
+    plain count over the untruncated edges (map-side combining, no
+    array). Uncapped calls are for graphs whose wedge volume is known
+    linear (weight-thresholded inputs).
 
     Returns (item_x, item_y, common, degree_x, degree_y, jaccard_e6).
     """
     fwd = pairs.select(F.col(a_col).alias("n"), F.col(b_col).alias("m"))
     rev = pairs.select(F.col(b_col).alias("n"), F.col(a_col).alias("m"))
-    adj = (
-        fwd.unionAll(rev)
-        .groupBy("n")
-        .agg(F.sort_array(F.collect_set("m")).alias("_nb"))
-    )
-    deg = adj.select("n", F.size("_nb").cast("long").alias("_deg"))
+    und = fwd.unionAll(rev)
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    kept = und
     if max_center_degree is not None:
-        adj = adj.withColumn("_nb", F.slice(F.col("_nb"), 1, max_center_degree))
+        w = Window.partitionBy("n").orderBy(F.asc("m"))
+        kept = (
+            und.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_center_degree)
+            .drop("_rn")
+        )
+    adj = kept.groupBy("n").agg(F.sort_array(F.collect_set("m")).alias("_nb"))
     pair_structs = F.flatten(
         F.transform(
             F.col("_nb"),

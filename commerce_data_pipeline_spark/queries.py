@@ -6068,10 +6068,18 @@ def _q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     re-keyed to this schema's columns: for finalized orders
     (o_orderstatus='F'), count per supplier the returned lineitems
     (l_returnflag='R') in MULTI-SUPPLIER orders where no OTHER supplier
-    also had a return — the classic correlated EXISTS + NOT EXISTS pair,
-    expressed as one left-semi and one left-anti self-join on
-    (orderkey, suppkey≠). The fault-flag frame is built once and reused
-    by both sides; supplier is a broadcast dim. Top 100 by numwait."""
+    also had a return.
+
+    The correlated EXISTS + NOT EXISTS pair is NOT expressed as
+    self-joins (which shuffle the fact table three times and fan out on
+    hot orders): aggregate once per (order, supplier) — carrying the
+    R-line count — then once per order (supplier count, suppliers-with-R
+    count), and the two predicates become row filters: EXISTS(other
+    supplier) ≡ n_supp ≥ 2, NOT EXISTS(other supplier with R) ≡
+    n_supp_r = 1 for a supplier who itself has R. One fact-table shuffle
+    total, every later stage order-of-magnitude smaller — the
+    basket_pairs "aggregate, don't self-join" rule applied to Q21.
+    Supplier is a broadcast dim. Top 100 by numwait."""
     li = load_table(spark, sf, "lineitem")
     f_orders = (
         load_table(spark, sf, "orders")
@@ -6079,20 +6087,28 @@ def _q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("l_orderkey"))
     )
     sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
-    others = li.select(
-        F.col("l_orderkey").alias("_ok"),
-        F.col("l_suppkey").alias("_sk"),
-        F.col("l_returnflag").alias("_rf"),
+    per_os = (
+        li.join(f_orders, "l_orderkey", "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_r_lines")
+        )
     )
-    cond = (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk"))
-    l1 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .join(f_orders, "l_orderkey", "left_semi")
-        .join(others.select("_ok", "_sk"), cond, "left_semi")
-        .join(others.filter(F.col("_rf") == "R").select("_ok", "_sk"), cond, "left_anti")
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("n_r_lines") > 0, 1).otherwise(0)).alias("n_supp_r"),
     )
-    agg = l1.groupBy("l_suppkey").agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    agg = (
+        per_os.filter(F.col("n_r_lines") > 0)
+        .join(
+            per_o.filter((F.col("n_supp") >= 2) & (F.col("n_supp_r") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("n_r_lines").cast("long").alias("numwait"))
+    )
     w = Window.orderBy(F.desc("numwait"), F.asc("s_suppkey"))
     return (
         agg.join(F.broadcast(sup), agg["l_suppkey"] == sup["s_suppkey"])
@@ -6243,6 +6259,54 @@ SELECT cluster_id, dim, CAST(COUNT(*) AS BIGINT) AS n_members,
   CAST(SUM(val) AS BIGINT) AS sum_e6,
   CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS centroid_e6
 FROM ex GROUP BY cluster_id, dim
+"""
+
+
+def _q_customer_value_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """§2e window-rank surface (NTILE) — RFM-style customer value
+    banding: per-customer lifetime revenue (fixed-point e2 sum, exact in
+    any engine) → NTILE(10) under the unique total order (revenue desc,
+    custkey asc) → per-decile size/sum/min/max. NTILE's split rule
+    (first n%k buckets get one extra row) is SQL-standard and identical
+    cross-engine, so the whole query value-hashes.
+
+    Scale: the global NTILE sorts the per-customer AGGREGATE (entity
+    count, not fact count) — fine to ~1e8 entities; past that, band by
+    approx-quantile boundaries instead (sketch family) and keep this as
+    the exact contract."""
+    o = load_table(spark, sf, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice").cast("double") * F.lit(100.0)).cast("long")
+        ).alias("revenue_e2")
+    )
+    w = Window.orderBy(F.desc("revenue_e2"), F.asc("o_custkey"))
+    return (
+        rev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("revenue_e2").alias("decile_revenue_e2"),
+            F.min("revenue_e2").alias("min_revenue_e2"),
+            F.max("revenue_e2").alias("max_revenue_e2"),
+        )
+    )
+
+
+_O_CUSTOMER_VALUE_DECILES = """
+WITH rev AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_e2
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT revenue_e2,
+    CAST(NTILE(10) OVER (ORDER BY revenue_e2 DESC, o_custkey ASC) AS INT) AS decile
+  FROM rev
+)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(revenue_e2) AS BIGINT) AS decile_revenue_e2,
+  MIN(revenue_e2) AS min_revenue_e2, MAX(revenue_e2) AS max_revenue_e2
+FROM d GROUP BY decile
 """
 
 
@@ -6564,6 +6628,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sketch_union": QuerySpec(_q_sketch_union, _O_SKETCH_UNION, "X6 sketch mergeability: HLL union estimate within ±5% of exact"),
     "event_type_drift": QuerySpec(_q_event_type_drift, _O_EVENT_TYPE_DRIFT, "X13 audit: chi-square categorical drift between snapshots"),
     "kmeans_train": QuerySpec(_q_kmeans_train, _ora_kmeans_train(8, 2), "X3 training loop: two Lloyd iterations on the fixed-point grid"),
+    "customer_value_deciles": QuerySpec(_q_customer_value_deciles, _O_CUSTOMER_VALUE_DECILES, "§2e NTILE window: RFM customer value banding (fixed-point revenue)"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------
