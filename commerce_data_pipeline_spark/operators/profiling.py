@@ -548,7 +548,9 @@ def chi_square_drift(
     j = (
         a.join(b, out_col, "full_outer")
         .fillna(0, subset=["n_a", "n_b"])
-        .localCheckpoint()  # consumed twice: totals + per-row math
+        # consumed twice (totals + per-row math): lazy checkpoint
+        # materializes the merged counts once, at first action
+        .localCheckpoint(eager=False)
     )
     t = j.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
     na_d, nb_d = F.col("n_a").cast("double"), F.col("n_b").cast("double")

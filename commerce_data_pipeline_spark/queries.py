@@ -6095,6 +6095,9 @@ def _q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
             .cast("long")
             .alias("n_r_lines")
         )
+        # consumed twice (per-order rollup + the numwait filter): lazy
+        # checkpoint keeps the fact scan single-pass
+        .localCheckpoint(eager=False)
     )
     per_o = per_os.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),

@@ -159,6 +159,7 @@ STRESS_QUERIES = [
     "part_components",
     "event_type_drift",
     "kmeans_train",
+    "customer_value_deciles",
 ]
 
 
