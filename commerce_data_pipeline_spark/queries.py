@@ -6650,14 +6650,25 @@ REGISTRY: dict[str, QuerySpec] = {
 # operators touched this round — graph, profiling, analytics rules,
 # skew — all have their proving queries inside the window).
 _WINDOW_R7 = [
-    # retained family proofs (driver-attested in r6 or earlier)
-    "dedup_exact", "dedup_clusters", "semantic_dedup", "ann_ivf",
-    "hard_negatives", "sketch_accuracy", "fuzzy_name_pairs", "text_profile",
-    "contamination", "greedy_pack", "pii_redact", "bloom_decontaminate",
-    "temperature_mix", "resample_ffill", "cluster_sample",
+    # retained family proofs (driver-attested in r6 or earlier). Mid-r7
+    # extension: 11 retained proofs with MULTIPLE prior attestations
+    # (dedup_exact r1-r6, semantic_dedup r6, hard_negatives r6,
+    # sketch_accuracy r1-r6, greedy_pack r1-r6, pii_redact r1-r6,
+    # resample_ffill r5-r6, cluster_sample r3-r6, top_revenue_nations
+    # r1-r6, distinct_ship_dates r1-r6, media_features_md5 r6) swapped
+    # OUT for this round's 11 new queries, so after r7 EVERY registry
+    # query is driver-attested-ever (the r6 VERDICT's stated bar, reached
+    # one round early). Each swapped family keeps an in-window sibling:
+    # X1/X2 via dedup_clusters + canonical_docs (+ part_components
+    # re-witnessing connected_components), X3 via ann_ivf + the kmeans
+    # pair, X6 via sketch_union + heavy-hitters-ever, corpus via
+    # contamination/temperature_mix, temporal via burst_window_events,
+    # relational via pricing_summary + waiting_suppliers +
+    # customer_value_deciles, X5 via image_phash_md5 + image_dup_clusters.
+    "dedup_clusters", "ann_ivf", "fuzzy_name_pairs", "text_profile",
+    "contamination", "bloom_decontaminate", "temperature_mix",
     "quality_classifier", "dsir_select", "image_phash_md5",
-    "media_features_md5", "part_pagerank", "pricing_summary",
-    "top_revenue_nations", "distinct_ship_dates", "date_gaps", "funnel",
+    "part_pagerank", "pricing_summary", "date_gaps", "funnel",
     "sessionization", "conversion_daily", "cohort_retention",
     "param_extract", "streaming_daily_counts",
     # rotated IN: the 19 r6 additions, never driver-checked before r7
@@ -6667,8 +6678,12 @@ _WINDOW_R7 = [
     "ngram_novelty", "part_communities", "part_triangles",
     "price_histogram", "sequence_violations", "session_funnel",
     "sliding_counts", "snapshot_diff", "winsorized_revenue",
-    # new in r7: the skew-mitigation proof (guarded_join salted route)
+    # new in r7: skew-mitigation proof + the 11 r7 additions
     "salted_hot_join",
+    "part_kcore", "part_components", "similar_parts_jaccard",
+    "waiting_suppliers", "benford_prices", "numeric_corr",
+    "kmeans_step", "kmeans_train", "sketch_union", "event_type_drift",
+    "customer_value_deciles",
 ]
 REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R7} | {
     k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R7)

@@ -15,19 +15,23 @@ CHECK_WINDOW = 50
 FAMILY_PROOFS = {
     # X1/X2 dedup — dedup_clusters runs the minhash+LSH banded pair stage
     # upstream, so one in-window query attests the whole lexical chain;
-    # canonical_docs (r7 in) adds the LSH→CC→argmax canonical-selection tail
-    "dedup_exact",
+    # canonical_docs (r7 in) adds the LSH→CC→argmax canonical-selection
+    # tail. Mid-r7: dedup_exact (attested r1-r6) and semantic_dedup
+    # (attested r6) swapped out for the 11 r7 additions — after this
+    # round every registry query is driver-attested-ever, the r6
+    # VERDICT's stated bar; part_components re-witnesses
+    # connected_components on a facts-derived graph in-window.
     "dedup_clusters",
     "canonical_docs",
-    # X2 embedding dedup: SemDeDup is the bounded-cluster scale shape
-    "semantic_dedup",
-    # X3 similarity / ANN (r7: ann_pq rotated out, driver-attested r5+r6 —
-    # ann_ivf covers probe scoring incl. the shared-index path,
-    # hard_negatives the banded-mining shape)
+    "part_components",
+    # X3 similarity / ANN (hard_negatives attested r6 swapped out; the
+    # kmeans pair adds the training half of the family in-window)
     "ann_ivf",
-    "hard_negatives",
-    # X6 sketches (heavy_hitters rotated out, attested r4-r6)
-    "sketch_accuracy",
+    "kmeans_step",
+    "kmeans_train",
+    # X6 sketches (sketch_accuracy attested r1-r6 → sketch_union carries
+    # the family: same falsifiable-bound technique plus mergeability)
+    "sketch_union",
     # record linkage (the family's only query — must stay driver-attested)
     "fuzzy_name_pairs",
     # X4 text (r7: dup_ngram_spans/bigram_lm rotated out, attested r5/r6 —
@@ -36,49 +40,53 @@ FAMILY_PROOFS = {
     "text_profile",
     "bpe_first_merge",
     "ngram_novelty",
-    # corpus shaping
+    # corpus shaping (greedy_pack/pii_redact/cluster_sample attested
+    # r1-r6/r3-r6, swapped out mid-r7)
     "contamination",
-    "greedy_pack",
-    "pii_redact",
     "temperature_mix",
-    "cluster_sample",
     # X7-X10 + selection (r7: bm25_search→bm25_indexed — same oracle, and
     # the indexed path additionally attests the persisted postings;
     # tfidf/hybrid/mmr/calibrate rotated out, attested r6)
     "bm25_indexed",
     "bloom_decontaminate",
-    "resample_ffill",
     "quality_classifier",
     "dsir_select",
-    # temporal (scd2/decay rotated out, attested r6; burst_window_events
-    # carries the interval-join shape in-window)
+    # temporal (scd2/decay rotated out, attested r6; resample_ffill
+    # attested r5-r6 swapped out mid-r7; burst_window_events carries the
+    # interval-join shape in-window)
     "burst_window_events",
-    # profiling / audits (r7 in: the five never-driver-checked audits;
-    # table_profile/price_outliers/join_profile rotated out, attested r6)
+    # profiling / audits (r7 in: the five never-driver-checked audits +
+    # the three new r7 audits — Benford, exact-moment Pearson, chi-square
+    # drift)
     "k_anonymity",
     "fd_check",
     "winsorized_revenue",
     "price_histogram",
     "snapshot_diff",
+    "benford_prices",
+    "numeric_corr",
+    "event_type_drift",
     # skew mitigation (new r7: guarded_join's salted route under oracle)
     "salted_hot_join",
-    # X12 graph (r7 in: LPA + degree-oriented triangle census + recos)
+    # X12 graph (r7 in: LPA + degree-oriented triangle census + recos +
+    # k-core peel + capped neighbor-set Jaccard)
     "part_pagerank",
     "part_communities",
     "part_triangles",
     "also_bought",
     "association_rules",
-    # X5 multimodal (r7: image_near_dup_md5 rotated out, attested r4-r6 —
+    "part_kcore",
+    "similar_parts_jaccard",
+    # X5 multimodal (media_features_md5 attested r6 swapped out mid-r7 —
     # image_dup_clusters consumes the same pHash pair stage and adds CC)
     "image_phash_md5",
     "image_dup_clusters",
-    "media_features_md5",
-    # relational / pipeline / gold representatives (r7: attribution's G4
-    # proof switches to the position-based variant, last_touch attested
-    # r1-r6; session_funnel/sequence_violations/sliding_counts rotate in)
+    # relational / pipeline / gold representatives (top_revenue_nations /
+    # distinct_ship_dates attested r1-r6 swapped out mid-r7 for the Q21
+    # semi+anti shape and the NTILE banding witness)
     "pricing_summary",
-    "top_revenue_nations",
-    "distinct_ship_dates",
+    "waiting_suppliers",
+    "customer_value_deciles",
     "date_gaps",
     "funnel",
     "sessionization",
