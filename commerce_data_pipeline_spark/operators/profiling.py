@@ -565,3 +565,71 @@ def chi_square_drift(
         "n_b",
         F.floor(chi2 * F.lit(1_000_000.0)).cast("long").alias("chi2_e6"),
     )
+
+
+def fk_orphans(
+    spark_pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit (the dbt `relationships` test, scaled):
+    for each declared (name, child, child_key, parent, parent_key)
+    relationship, count child rows and DISTINCT child keys with no
+    matching parent — the broken-FK signal that precedes every silent
+    join-loss bug (an inner join downstream would just drop these rows).
+
+    Plan per relationship: one distinct-key aggregation of the child's
+    key column (map-side combining — the fact table shrinks to its key
+    space before any join) + one left-anti join against the parent's
+    distinct keys + one 1-row count; n_child_rows rides along as a SUM
+    over the per-key counts, so the fact table is scanned ONCE per
+    relationship and nothing fact-sized is ever joined. NULL child keys
+    are counted separately (n_null_keys) — SQL FK semantics exempt NULLs
+    from the constraint, so lumping them into orphans would fake
+    violations.
+
+    Output: one row per relationship —
+    (relationship, n_child_rows, n_null_rows, n_orphan_rows, n_orphan_keys).
+    """
+    outs = []
+    for name, child, child_key, parent, parent_key in spark_pairs:
+        keys = (
+            child.select(F.col(child_key).alias("_k"))
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        )
+        nulls = keys.filter(F.col("_k").isNull())
+        orphans = (
+            keys.filter(F.col("_k").isNotNull())
+            .join(
+                parent.select(F.col(parent_key).alias("_k")).distinct(),
+                "_k",
+                "left_anti",
+            )
+        )
+        row = (
+            keys.agg(F.sum("_n").alias("_rows"))
+            .crossJoin(
+                F.broadcast(
+                    nulls.agg(F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("_nullrows"))
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(
+                        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("_orows"),
+                        F.count(F.lit(1)).cast("long").alias("_okeys"),
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("relationship"),
+                F.col("_rows").cast("long").alias("n_child_rows"),
+                F.col("_nullrows").alias("n_null_rows"),
+                F.col("_orows").alias("n_orphan_rows"),
+                F.col("_okeys").alias("n_orphan_keys"),
+            )
+        )
+        outs.append(row)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -6265,6 +6265,44 @@ FROM ex GROUP BY cluster_id, dim
 """
 
 
+_FK_RELATIONSHIPS = [
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("events.user_id->customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _q_referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """X13 audit — referential integrity over four declared relationships
+    (operators/profiling.fk_orphans, the dbt `relationships` test at
+    scale): child rows / NULL keys / orphan rows / distinct orphan keys
+    per FK. The fact table shrinks to its distinct key space BEFORE the
+    anti-join, so nothing fact-sized is joined; all-zero orphan columns
+    are the exact, falsifiable clean-data witness (a single broken key
+    flips the hash)."""
+    rels = [
+        (name, load_table(spark, sf, ct), ck, load_table(spark, sf, pt), pk)
+        for name, ct, ck, pt, pk in _FK_RELATIONSHIPS
+    ]
+    return profiling.fk_orphans(rels)
+
+
+def _ora_referential_integrity() -> str:
+    parts = []
+    for name, ct, ck, pt, pk in _FK_RELATIONSHIPS:
+        parts.append(
+            f"""SELECT '{name}' AS relationship,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct}) AS n_child_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct} WHERE {ck} IS NULL) AS n_null_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct} c WHERE c.{ck} IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck})) AS n_orphan_rows,
+  (SELECT CAST(COUNT(DISTINCT c.{ck}) AS BIGINT) FROM {ct} c WHERE c.{ck} IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck})) AS n_orphan_keys"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def _q_customer_value_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """§2e window-rank surface (NTILE) — RFM-style customer value
     banding: per-customer lifetime revenue (fixed-point e2 sum, exact in
@@ -6632,6 +6670,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_type_drift": QuerySpec(_q_event_type_drift, _O_EVENT_TYPE_DRIFT, "X13 audit: chi-square categorical drift between snapshots"),
     "kmeans_train": QuerySpec(_q_kmeans_train, _ora_kmeans_train(8, 2), "X3 training loop: two Lloyd iterations on the fixed-point grid"),
     "customer_value_deciles": QuerySpec(_q_customer_value_deciles, _O_CUSTOMER_VALUE_DECILES, "§2e NTILE window: RFM customer value banding (fixed-point revenue)"),
+    "referential_integrity": QuerySpec(_q_referential_integrity, _ora_referential_integrity(), "X13 audit: FK orphan counts over four declared relationships"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------
@@ -6669,7 +6708,7 @@ _WINDOW_R7 = [
     "contamination", "bloom_decontaminate", "temperature_mix",
     "quality_classifier", "dsir_select", "image_phash_md5",
     "part_pagerank", "pricing_summary", "date_gaps", "funnel",
-    "sessionization", "conversion_daily", "cohort_retention",
+    "sessionization", "conversion_daily",
     "param_extract", "streaming_daily_counts",
     # rotated IN: the 19 r6 additions, never driver-checked before r7
     "also_bought", "association_rules", "attribution_position",
@@ -6683,7 +6722,7 @@ _WINDOW_R7 = [
     "part_kcore", "part_components", "similar_parts_jaccard",
     "waiting_suppliers", "benford_prices", "numeric_corr",
     "kmeans_step", "kmeans_train", "sketch_union", "event_type_drift",
-    "customer_value_deciles",
+    "customer_value_deciles", "referential_integrity",
 ]
 REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R7} | {
     k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R7)

@@ -378,3 +378,36 @@ def test_kmeans_train_codebook_budget(spark):
     emb = _toy_embeddings(spark)
     with pytest.raises(ValueError, match="codebook"):
         kmeans_train(emb, k=2, rounds=1, max_codebook=3)
+
+
+# --- fk_orphans -----------------------------------------------------------
+
+
+def test_fk_orphans_counts_orphans_and_exempts_nulls(spark):
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (7,), (7,), (7,), (None,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "p long")
+    out = profiling.fk_orphans([("c->p", child, "k", parent, "p")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["relationship"] == "c->p"
+    assert r["n_child_rows"] == 7
+    assert r["n_null_rows"] == 1          # NULL FK is exempt, not an orphan
+    assert r["n_orphan_rows"] == 3        # the three k=7 rows
+    assert r["n_orphan_keys"] == 1
+
+
+def test_fk_orphans_clean_relationship_is_all_zero(spark):
+    child = spark.createDataFrame([(1,), (2,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,)], "p long")
+    r = profiling.fk_orphans([("ok", child, "k", parent, "p")]).collect()[0]
+    assert (r["n_orphan_rows"], r["n_orphan_keys"], r["n_null_rows"]) == (0, 0, 0)
+
+
+def test_fk_orphans_multiple_relationships_one_row_each(spark):
+    a = spark.createDataFrame([(1,)], "k long")
+    p = spark.createDataFrame([(9,)], "p long")
+    out = profiling.fk_orphans(
+        [("r1", a, "k", p, "p"), ("r2", p, "p", a, "k")]).collect()
+    assert [r["relationship"] for r in out] == ["r1", "r2"]
+    assert out[0]["n_orphan_keys"] == 1 and out[1]["n_orphan_keys"] == 1

@@ -66,6 +66,7 @@ FAMILY_PROOFS = {
     "benford_prices",
     "numeric_corr",
     "event_type_drift",
+    "referential_integrity",
     # skew mitigation (new r7: guarded_join's salted route under oracle)
     "salted_hot_join",
     # X12 graph (r7 in: LPA + degree-oriented triangle census + recos +
@@ -95,7 +96,6 @@ FAMILY_PROOFS = {
     "sliding_counts",
     "conversion_daily",
     "attribution_position",
-    "cohort_retention",
     "param_extract",
     "streaming_daily_counts",
 }

@@ -272,3 +272,38 @@ def test_snapshot_diff_cdc_stream_matches_batch(spark, tmp_path):
     assert seen == [expected]
     assert expected == {"n_added": 1, "n_removed": 1, "n_changed": 1,
                         "n_unchanged": 1}
+
+
+def test_chi_square_drift_stream_matches_batch(spark, tmp_path):
+    """chi_square_drift as a monitoring step: the CURRENT window's events
+    arrive as a stream and foreachBatch compares them against the static
+    reference snapshot — two keyed counts + a broadcast totals join run
+    identically under the streaming runner, so every per-category row
+    must match the batch call (the corpus-shift alarm a training
+    pipeline hangs on its ingest stream)."""
+    ref = spark.createDataFrame(
+        [("x",)] * 30 + [("y",)] * 10, "c string")
+    cur_rows = [("x",)] * 10 + [("y",)] * 30
+    cur_df = spark.createDataFrame(cur_rows, "c string")
+    src_dir = str(tmp_path / "in_drift")
+    cur_df.coalesce(1).write.parquet(src_dir)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    expected = rows(PR.chi_square_drift(ref, cur_df, "c"))
+    seen: list[list[tuple]] = []
+
+    def sink(bdf, _bid):
+        seen.append(rows(PR.chi_square_drift(ref, bdf, "c")))
+
+    q = (
+        spark.readStream.schema("c string").parquet(src_dir)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert seen == [expected]
+    assert expected[0][-1] == 10_000_000  # chi2_e6 column

@@ -160,6 +160,7 @@ STRESS_QUERIES = [
     "event_type_drift",
     "kmeans_train",
     "customer_value_deciles",
+    "referential_integrity",
 ]
 
 
