@@ -411,3 +411,14 @@ def test_fk_orphans_multiple_relationships_one_row_each(spark):
         [("r1", a, "k", p, "p"), ("r2", p, "p", a, "k")]).collect()
     assert [r["relationship"] for r in out] == ["r1", "r2"]
     assert out[0]["n_orphan_keys"] == 1 and out[1]["n_orphan_keys"] == 1
+
+
+def test_kcore_canonical_matches_normalized(spark):
+    # canonical=True (input already distinct a<b) must equal the
+    # normalizing path given such input — it only skips the shuffle
+    pairs = _k4_with_tail(spark)
+    a = sorted(map(tuple, graph.kcore(
+        pairs, k=2, rounds=2, src="a", dst="b").collect()))
+    b = sorted(map(tuple, graph.kcore(
+        pairs, k=2, rounds=2, src="a", dst="b", canonical=True).collect()))
+    assert a == b
