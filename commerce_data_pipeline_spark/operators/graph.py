@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["pagerank", "co_occurrence_edges", "co_occurrence_pairs", "symmetrize_pairs", "label_propagation", "triangle_stats", "top_co_occurrences", "kcore", "neighbor_jaccard"]
+__all__ = ["pagerank", "co_occurrence_edges", "co_occurrence_pairs", "symmetrize_pairs", "label_propagation", "triangle_stats", "top_co_occurrences", "kcore", "neighbor_jaccard", "deterministic_walks"]
 
 
 def co_occurrence_edges(
@@ -767,3 +767,100 @@ def neighbor_jaccard(
             ).cast("long").alias("jaccard_e6"),
         )
     )
+
+
+def deterministic_walks(
+    pairs: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 2,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """First-order random walks over an undirected pair graph — the
+    sampling stage of graph-embedding training (DeepWalk / node2vec with
+    p=q=1): every node starts `walks_per_node` walks, each step moves to
+    a uniformly-chosen neighbor. Walk corpora feed skip-gram training
+    exactly like text does; this emits them at fact scale.
+
+    "Random" is DETERMINISTIC and engine-portable (the repo's md5-twin
+    technique): step t from node v on walk (start, wid) picks neighbor
+    rank 1 + (md5_60bit(v:t:start:wid) mod deg(v)) in the ascending-id
+    adjacency order. Both engines derive the identical 60-bit integer
+    from the identical string, so a SQL oracle replays every step and
+    the whole walk corpus value-hashes. No seeds, no RNG state, no
+    driver involvement.
+
+    Plan shape per step: TWO 1:1 equi-joins — state ⋈ degree (node-keyed,
+    computes the pick rank scan-side) then state ⋈ adjacency on
+    (node, rank) — so hub degree never fans out an intermediate (the
+    rank is computed BEFORE touching the adjacency). State stays
+    (nodes × walks_per_node) rows for the whole walk; adjacency/degree
+    are built once. walk_len is a fixed unrolled trajectory (the
+    pagerank/kmeans_train contract).
+
+    Returns (start_node, walk_id, step, node): step 0 is the start
+    itself, rows = nodes × walks_per_node × (walk_len + 1).
+    """
+    und = pairs.select(F.col(a_col).alias("n"), F.col(b_col).alias("m")).unionAll(
+        pairs.select(F.col(b_col).alias("n"), F.col(a_col).alias("m"))
+    )
+    w = Window.partitionBy("n").orderBy(F.asc("m"))
+    adj = und.withColumn("rn", F.row_number().over(w)).localCheckpoint(eager=False)
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    nodes = deg.select("n")
+    state = nodes.crossJoin(
+        F.broadcast(
+            nodes.sparkSession.range(walks_per_node).select(
+                F.col("id").cast("long").alias("walk_id")
+            )
+        )
+    ).select(F.col("n").alias("start_node"), "walk_id", F.col("n").alias("cur"))
+    out = [
+        state.select(
+            "start_node", "walk_id", F.lit(0).alias("step"), F.col("cur").alias("node")
+        )
+    ]
+    for t in range(1, walk_len + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("cur").cast("string"),
+                        F.lit(str(t)),
+                        F.col("start_node").cast("string"),
+                        F.col("walk_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        picked = (
+            state.join(deg, state["cur"] == deg["n"])
+            .select(
+                "start_node",
+                "walk_id",
+                "cur",
+                (F.lit(1).cast("long") + h % F.col("deg")).alias("_pick"),
+            )
+        )
+        state = (
+            picked.join(
+                adj,
+                (picked["cur"] == adj["n"]) & (picked["_pick"] == adj["rn"]),
+            )
+            .select("start_node", "walk_id", F.col("m").alias("cur"))
+        )
+        out.append(
+            state.select(
+                "start_node", "walk_id", F.lit(t).alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

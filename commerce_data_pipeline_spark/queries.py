@@ -6265,6 +6265,52 @@ FROM ex GROUP BY cluster_id, dim
 """
 
 
+def _q_part_walks(spark: SparkSession, sf: str) -> DataFrame:
+    """X12 graph — deterministic first-order random walks over the full
+    co-purchase graph (operators/graph.deterministic_walks): the
+    DeepWalk/node2vec sampling stage that turns a graph into a training
+    corpus for skip-gram embeddings. Every step's neighbor choice is an
+    md5-derived rank (the md5-twin technique applied to walk sampling),
+    so the whole 2-walks × 3-steps corpus value-hashes cross-engine;
+    per step the plan is two 1:1 equi-joins (degree, then (node, rank)
+    adjacency) — hub degree never fans out an intermediate."""
+    pairs = _ensure_copurchase_pairs(spark, sf)
+    return graph.deterministic_walks(pairs, walk_len=3, walks_per_node=2)
+
+
+def _ora_part_walks(walk_len: int = 3, walks_per_node: int = 2) -> str:
+    ctes = [
+        _PAIRS_SQL_MW.format(mw=1),
+        "und AS (SELECT src AS n, dst AS m FROM edges)",
+        """adj AS (
+  SELECT n, m, ROW_NUMBER() OVER (PARTITION BY n ORDER BY m) AS rn FROM und
+)""",
+        "dg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY n)",
+        f"""s0 AS (
+  SELECT dg.n AS start_node, w.walk_id, dg.n AS cur
+  FROM dg CROSS JOIN (SELECT UNNEST(range({walks_per_node})) AS walk_id) w
+)""",
+    ]
+    for t in range(1, walk_len + 1):
+        h = (
+            f"CAST(('0x' || substr(md5(CAST(s.cur AS VARCHAR) || ':{t}:' || "
+            f"CAST(s.start_node AS VARCHAR) || ':' || CAST(s.walk_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        )
+        ctes.append(
+            f"""s{t} AS (
+  SELECT s.start_node, s.walk_id, a.m AS cur
+  FROM s{t - 1} s
+  JOIN dg d ON d.n = s.cur
+  JOIN adj a ON a.n = s.cur AND a.rn = 1 + ({h} % d.deg)
+)"""
+        )
+    selects = [
+        f"SELECT start_node, walk_id, CAST({t} AS INT) AS step, cur AS node FROM s{t}"
+        for t in range(walk_len + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 _FK_RELATIONSHIPS = [
     ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
@@ -6671,6 +6717,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "kmeans_train": QuerySpec(_q_kmeans_train, _ora_kmeans_train(8, 2), "X3 training loop: two Lloyd iterations on the fixed-point grid"),
     "customer_value_deciles": QuerySpec(_q_customer_value_deciles, _O_CUSTOMER_VALUE_DECILES, "§2e NTILE window: RFM customer value banding (fixed-point revenue)"),
     "referential_integrity": QuerySpec(_q_referential_integrity, _ora_referential_integrity(), "X13 audit: FK orphan counts over four declared relationships"),
+    "part_walks": QuerySpec(_q_part_walks, _ora_part_walks(3, 2), "X12 graph: deterministic DeepWalk sampling corpus (md5-chosen steps)"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------
@@ -6704,7 +6751,7 @@ _WINDOW_R7 = [
     # contamination/temperature_mix, temporal via burst_window_events,
     # relational via pricing_summary + waiting_suppliers +
     # customer_value_deciles, X5 via image_phash_md5 + image_dup_clusters.
-    "dedup_clusters", "ann_ivf", "fuzzy_name_pairs", "text_profile",
+    "dedup_clusters", "ann_ivf", "fuzzy_name_pairs",
     "contamination", "bloom_decontaminate", "temperature_mix",
     "quality_classifier", "dsir_select", "image_phash_md5",
     "part_pagerank", "pricing_summary", "date_gaps", "funnel",
@@ -6722,7 +6769,7 @@ _WINDOW_R7 = [
     "part_kcore", "part_components", "similar_parts_jaccard",
     "waiting_suppliers", "benford_prices", "numeric_corr",
     "kmeans_step", "kmeans_train", "sketch_union", "event_type_drift",
-    "customer_value_deciles", "referential_integrity",
+    "customer_value_deciles", "referential_integrity", "part_walks",
 ]
 REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R7} | {
     k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R7)

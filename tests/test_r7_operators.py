@@ -422,3 +422,41 @@ def test_kcore_canonical_matches_normalized(spark):
     b = sorted(map(tuple, graph.kcore(
         pairs, k=2, rounds=2, src="a", dst="b", canonical=True).collect()))
     assert a == b
+
+
+# --- deterministic_walks --------------------------------------------------
+
+
+def test_deterministic_walks_replays_md5_choices(spark):
+    import hashlib
+
+    # path graph 1-2-3: adjacency of 2 is [1,3]; 1 and 3 have one
+    # neighbor each, so their walks are forced
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+    out = {(r["start_node"], r["walk_id"], r["step"]): r["node"]
+           for r in graph.deterministic_walks(pairs, walk_len=2,
+                                              walks_per_node=1).collect()}
+    adj = {1: [2], 2: [1, 3], 3: [2]}
+
+    def h(cur, t, start, wid):
+        s = f"{cur}:{t}:{start}:{wid}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for start in (1, 2, 3):
+        cur = start
+        assert out[(start, 0, 0)] == start
+        for t in (1, 2):
+            nxt = adj[cur][h(cur, t, start, 0) % len(adj[cur])]
+            assert out[(start, 0, t)] == nxt, (start, t)
+            cur = nxt
+
+
+def test_deterministic_walks_row_count_and_determinism(spark):
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(a + 1, 5)], ["a", "b"])  # K5
+    w1 = sorted(map(tuple, graph.deterministic_walks(
+        pairs, walk_len=3, walks_per_node=2).collect()))
+    w2 = sorted(map(tuple, graph.deterministic_walks(
+        pairs, walk_len=3, walks_per_node=2).collect()))
+    assert w1 == w2
+    assert len(w1) == 5 * 2 * 4

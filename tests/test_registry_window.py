@@ -34,10 +34,10 @@ FAMILY_PROOFS = {
     "sketch_union",
     # record linkage (the family's only query — must stay driver-attested)
     "fuzzy_name_pairs",
-    # X4 text (r7: dup_ngram_spans/bigram_lm rotated out, attested r5/r6 —
-    # profile covers the scan-side quality stack; the two r7 rotate-ins
-    # cover the tokenizer-stats and cross-doc-novelty shuffle shapes)
-    "text_profile",
+    # X4 text (r7: dup_ngram_spans/bigram_lm rotated out, attested r5/r6;
+    # text_profile — five prior attestations — swapped out mid-r7 for
+    # part_walks; the two r6 rotate-ins cover the tokenizer-stats and
+    # cross-doc-novelty shuffle shapes)
     "bpe_first_merge",
     "ngram_novelty",
     # corpus shaping (greedy_pack/pii_redact/cluster_sample attested
@@ -78,6 +78,7 @@ FAMILY_PROOFS = {
     "association_rules",
     "part_kcore",
     "similar_parts_jaccard",
+    "part_walks",
     # X5 multimodal (media_features_md5 attested r6 swapped out mid-r7 —
     # image_dup_clusters consumes the same pHash pair stage and adds CC)
     "image_phash_md5",

@@ -161,6 +161,7 @@ STRESS_QUERIES = [
     "kmeans_train",
     "customer_value_deciles",
     "referential_integrity",
+    "part_walks",
 ]
 
 
