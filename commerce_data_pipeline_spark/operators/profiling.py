@@ -478,6 +478,8 @@ def pearson_moments(
     ≤ 1e36 summed into decimal(38) — raises on genuine overflow rather
     than wrapping (the association_rules lesson).
     """
+    if not pairs:
+        raise ValueError("pearson_moments: need at least one column pair")
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
     for i, (x, y) in enumerate(pairs):
         xi = F.floor(F.col(x).cast("double") * F.lit(float(scale))).cast("decimal(18,0)")
@@ -538,6 +540,12 @@ def chi_square_drift(
     a broadcast 1-row totals join — two scans total, no per-category
     work on the driver. At 100 TB both counts are map-side-combining
     aggregates over however many categories exist (bounded output).
+
+    Contract: BOTH snapshots must be non-empty — with an all-empty side
+    every expected count is 0 and chi-square is undefined (the division
+    yields engine-dependent inf/NaN); comparing against an empty
+    snapshot is a pipeline bug upstream of this audit, surfaced here as
+    NULL chi2_e6 rows rather than a crash.
     """
     a = df_a.groupBy(F.col(col).alias(out_col)).agg(
         F.count(F.lit(1)).cast("long").alias("n_a")
@@ -559,11 +567,20 @@ def chi_square_drift(
     ea = r_d * F.col("_ta").cast("double") / g_d
     eb = r_d * F.col("_tb").cast("double") / g_d
     chi2 = (na_d - ea) * (na_d - ea) / ea + (nb_d - eb) * (nb_d - eb) / eb
+    # expected counts are 0 only when a whole SIDE is empty (see the
+    # contract above): gate the division so ANSI mode yields NULL rows
+    # for that out-of-contract input instead of DIVIDE_BY_ZERO; with
+    # both sides populated the gate is pass-through (per-category e > 0
+    # whenever the category exists), so oracles are unaffected
+    guarded = F.when(
+        (F.col("_ta") > 0) & (F.col("_tb") > 0),
+        F.floor(chi2 * F.lit(1_000_000.0)),
+    )
     return j.crossJoin(F.broadcast(t)).select(
         out_col,
         "n_a",
         "n_b",
-        F.floor(chi2 * F.lit(1_000_000.0)).cast("long").alias("chi2_e6"),
+        guarded.cast("long").alias("chi2_e6"),
     )
 
 

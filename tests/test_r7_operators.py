@@ -460,3 +460,19 @@ def test_deterministic_walks_row_count_and_determinism(spark):
         pairs, walk_len=3, walks_per_node=2).collect()))
     assert w1 == w2
     assert len(w1) == 5 * 2 * 4
+
+
+def test_pearson_moments_rejects_empty_pairs(spark):
+    df = spark.createDataFrame([(1.0,)], ["x"])
+    with pytest.raises(ValueError, match="column pair"):
+        profiling.pearson_moments(df, [])
+
+
+def test_chi_square_drift_empty_side_yields_null_not_crash(spark):
+    a = spark.createDataFrame([("x",), ("y",)], "c string")
+    b = spark.createDataFrame([], "c string")
+    rows = profiling.chi_square_drift(a, b, "c").collect()
+    # out-of-contract input (empty snapshot): rows surface with NULL
+    # chi2 instead of crashing — the audit stays actionable
+    assert {r["category"] for r in rows} == {"x", "y"}
+    assert all(r["n_b"] == 0 for r in rows)
