@@ -657,3 +657,124 @@ def ngram_novelty(
         .cast("long")
         .alias("novelty_e6"),
     )
+
+
+def _bpe_match(syms: Column, l: Column, r: Column, i: Column) -> Column:
+    """True iff the adjacent pair at 1-based position i of `syms` is (l, r).
+    try_element_at keeps out-of-range probes NULL (ANSI-safe); the & with
+    the bounds check collapses NULL to false."""
+    n = F.size(syms)
+    return (
+        (i <= n - 1)
+        & (F.try_element_at(syms, i) == l)
+        & (F.try_element_at(syms, i + F.lit(1)) == r)
+    )
+
+
+def _bpe_merge_start(syms: Column, l: Column, r: Column, i: Column) -> Column:
+    """Greedy left-to-right BPE merge, order-free form: position i starts a
+    merge iff it matches (l, r) AND the count of consecutive immediately-
+    preceding matches is even. For l != r matches can never be adjacent, so
+    this is simply "every match"; for l == r it selects even offsets within
+    each run — exactly what a sequential left-to-right scan merges (fuzz-
+    checked against the sequential reference in tests)."""
+    prior_nonmatch = F.aggregate(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(i - 1, F.lit(1))),
+            lambda j: (j <= i - 1) & ~_bpe_match(syms, l, r, j),
+        ),
+        F.lit(0),
+        lambda a, j: F.greatest(a, j),
+    )
+    return _bpe_match(syms, l, r, i) & (((i - 1 - prior_nonmatch) % 2) == 0)
+
+
+def bpe_apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Apply ONE BPE merge (left, right) to a symbol array, scan-side: the
+    positional even-offset rule above picks the merge starts, then a single
+    flatten(transform(...)) rebuilds the array — merged positions emit the
+    fused symbol, consumed positions emit nothing. Pure higher-order
+    functions: no UDF, no shuffle, O(len^2) scalar work per word (words are
+    short; the pair-count aggregation dominates the round, not this map)."""
+    l, r = F.lit(left), F.lit(right)
+    # size < 2 → no merge possible; also keeps sequence(1, n) ascending
+    # (Spark's sequence(1, 0) DESCENDS to [1, 0], probing index 0)
+    return F.when(F.size(syms) < 2, syms).otherwise(F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms)),
+            lambda i: F.when(
+                _bpe_merge_start(syms, l, r, i), F.array(F.concat(l, r))
+            )
+            .when(
+                (i >= 2) & _bpe_merge_start(syms, l, r, i - 1),
+                F.array().cast("array<string>"),
+            )
+            .otherwise(F.array(F.try_element_at(syms, i))),
+        )
+    ))
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+) -> DataFrame:
+    """Tokenizer TRAINING loop (Sennrich et al., 2016) — `rounds` full BPE
+    iterations, each: (1) ONE corpus-wide pair-keyed count with map-side
+    partials picks the most frequent adjacent symbol pair (ties break
+    lexicographically, same contract as bpe_pair_counts), (2) the merge is
+    applied scan-side to every word via bpe_apply_merge. The kmeans_train
+    shape applied to vocabulary learning: aggregate statistics up, broadcast
+    the (one-pair) decision down, driver holds only the O(rounds) merge
+    table. The whole trajectory is count-exact, so a SQL oracle replays it
+    as `rounds` unrolled CTE levels.
+
+    The words frame is localCheckpoint-ed per round (two consumers: the
+    next round's count AND the next merge application) — at 100 TB this is
+    the standard iterative-refinement layout: one materialized relation per
+    round, lineage truncated, nothing driver-side but the merge decisions.
+
+    Returns the learned merge table (rnk, left_sym, right_sym, pair_count)
+    — rnk is the merge order, the trained artifact a BPE tokenizer ships.
+    """
+    if rounds < 1:
+        raise ValueError("bpe_train: rounds must be >= 1")
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(normalized_text(text_col), " ")).alias("_w"))
+        .filter(F.length("_w") >= 1)
+        .select(F.split("_w", "").alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        top1 = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.try_element_at("syms", i).alias("l"),
+                            F.try_element_at("syms", i + F.lit(1)).alias("r"),
+                        ),
+                    )
+                ).alias("_p")
+            )
+            .groupBy(F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top1:
+            break
+        l, r, c = top1[0]["l"], top1[0]["r"], int(top1[0]["c"])
+        merges.append((rnd, l, r, c))
+        if rnd < rounds:
+            words = words.select(
+                bpe_apply_merge(F.col("syms"), l, r).alias("syms")
+            ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rnk int, left_sym string, right_sym string, pair_count long"
+    )

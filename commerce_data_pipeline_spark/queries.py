@@ -6536,6 +6536,73 @@ SELECT ex.exact_customers, g.n_groups, TRUE AS union_ok FROM ex, g
 """
 
 
+def _q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 tokenizer TRAINING loop — three full BPE iterations over the
+    documents corpus (operators/text.bpe_train): each round one corpus-wide
+    pair-keyed count picks the most frequent adjacent symbol pair (ties
+    lexicographic), then the merge is applied scan-side via the order-free
+    even-offset rule (fuzz-pinned equal to sequential greedy BPE in
+    tests/test_bpe_train.py). kmeans_train's loop contract applied to
+    vocabulary learning: the trajectory is count-exact integers, so the
+    oracle replays all three rounds as unrolled CTE levels."""
+    docs = load_table(spark, sf, "documents")
+    return text.bpe_train(docs, rounds=3)
+
+
+def _bpe_ms_sql(i: str, syms: str = "syms") -> str:
+    """SQL merge_start predicate at 1-based position expr `i`: matches
+    (t.l, t.r) AND the count of consecutive immediately-preceding matches
+    is even — the same order-free greedy-BPE rule as text.bpe_apply_merge."""
+    m = (
+        f"(({i}) <= len({syms}) - 1 AND {syms}[({i})] = t.l "
+        f"AND {syms}[({i}) + 1] = t.r)"
+    )
+    prior = (
+        f"coalesce(list_max(list_filter(generate_series(1, ({i}) - 1), "
+        f"j -> NOT (j <= len({syms}) - 1 AND {syms}[j] = t.l AND {syms}[j + 1] = t.r))), 0)"
+    )
+    return f"({m} AND ((({i}) - 1 - {prior}) % 2 = 0))"
+
+
+def _ora_bpe_train(rounds: int = 3) -> str:
+    """`rounds` BPE levels unrolled: w0 -> t1 -> w1 -> t2 -> ... — each t is
+    the round's top pair (count desc, pair lexicographic), each w applies the
+    merge with the identical positional rule."""
+    ctes = [
+        """w0 AS (
+  SELECT string_split(w, '') AS syms FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents) WHERE length(w) >= 1
+)"""
+    ]
+    for rnd in range(1, rounds + 1):
+        prev = f"w{rnd - 1}"
+        ctes.append(
+            f"""t{rnd} AS (
+  SELECT l, r, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT syms[i] AS l, syms[i + 1] AS r
+    FROM {prev}, LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+    WHERE len(syms) >= 2)
+  GROUP BY l, r ORDER BY c DESC, l ASC, r ASC LIMIT 1
+)"""
+        )
+        if rnd < rounds:
+            ctes.append(
+                f"""w{rnd} AS (
+  SELECT flatten(list_transform(generate_series(1, len(syms)), i -> CASE
+    WHEN {_bpe_ms_sql('i')} THEN [t.l || t.r]
+    WHEN i >= 2 AND {_bpe_ms_sql('i - 1')} THEN []
+    ELSE [syms[i]] END)) AS syms
+  FROM {prev} CROSS JOIN t{rnd} t
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS rnk, l AS left_sym, r AS right_sym, c AS pair_count FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -6718,6 +6785,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "customer_value_deciles": QuerySpec(_q_customer_value_deciles, _O_CUSTOMER_VALUE_DECILES, "§2e NTILE window: RFM customer value banding (fixed-point revenue)"),
     "referential_integrity": QuerySpec(_q_referential_integrity, _ora_referential_integrity(), "X13 audit: FK orphan counts over four declared relationships"),
     "part_walks": QuerySpec(_q_part_walks, _ora_part_walks(3, 2), "X12 graph: deterministic DeepWalk sampling corpus (md5-chosen steps)"),
+    "bpe_train": QuerySpec(_q_bpe_train, _ora_bpe_train(3), "X4 tokenizer training loop: three full BPE merge iterations"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

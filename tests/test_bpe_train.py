@@ -1,0 +1,120 @@
+"""BPE training loop (operators/text.bpe_train).
+
+The load-bearing claim is the ORDER-FREE merge rule: position i starts a
+merge iff it matches the pair AND the count of consecutive immediately-
+preceding matches is even. That must equal sequential greedy left-to-right
+BPE (Sennrich et al. 2016) on every input — including the adversarial
+l == r runs where naive "replace all matches" over-merges. These tests pin
+the equivalence with a fuzz sweep plus hand-built run cases, and pin the
+training loop against a pure-Python reference trainer.
+"""
+
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from commerce_data_pipeline_spark.operators import text as T
+
+
+def _greedy(syms, l, r):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _apply(spark, cases, l, r):
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, syms array<string>"
+    )
+    rows = df.select(
+        "i", T.bpe_apply_merge(F.col("syms"), l, r).alias("m")
+    ).collect()
+    return [row["m"] for row in sorted(rows, key=lambda r_: r_["i"])]
+
+
+def test_merge_runs_match_sequential_greedy(spark):
+    # l == r runs of every parity: greedy pairs floor(run/2) from the left
+    cases = [["a"] * n for n in range(1, 8)]
+    got = _apply(spark, cases, "a", "a")
+    for syms, m in zip(cases, got):
+        assert m == _greedy(syms, "a", "a"), syms
+
+
+def test_merge_fuzz_matches_sequential_greedy(spark):
+    rng = random.Random(7)
+    alph = ["a", "b", "aa", "ab"]
+    cases, pairs = [], []
+    for _ in range(60):
+        cases.append([rng.choice(alph) for _ in range(rng.randint(0, 9))])
+        pairs.append((rng.choice(alph), rng.choice(alph)))
+    # group cases by pair so each pair is one scan
+    for (l, r) in set(pairs):
+        sub = [c for c, p in zip(cases, pairs) if p == (l, r)]
+        got = _apply(spark, sub, l, r)
+        for syms, m in zip(sub, got):
+            assert m == _greedy(syms, l, r), (syms, l, r)
+
+
+def _ref_train(texts, rounds):
+    import collections
+
+    words = []
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if w:
+                words.append(list(w))
+    merges = []
+    for rnd in range(1, rounds + 1):
+        c = collections.Counter()
+        for w in words:
+            for i in range(len(w) - 1):
+                c[(w[i], w[i + 1])] += 1
+        if not c:
+            break
+        (l, r), n = min(c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rnd, l, r, n))
+        if rnd < rounds:
+            words = [_greedy(w, l, r) for w in words]
+    return merges
+
+
+def test_train_matches_reference_on_run_heavy_corpus(spark):
+    # 'oo'/'ee' doubles force an l == r merge decision into the trajectory
+    texts = [
+        "boook seeen boook",
+        "foood coool foood seeen",
+        "boook boook coool",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["rnk"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in T.bpe_train(df, rounds=4).collect()
+    ]
+    assert got == _ref_train(texts, 4)
+    # the run-heavy corpus actually exercised an l == r merge
+    assert any(l == r for _, l, r, _ in got)
+
+
+def test_train_round1_equals_pair_count_top1(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = T.bpe_pair_counts(docs, top=1).collect()[0]
+    m1 = T.bpe_train(docs, rounds=1).collect()[0]
+    assert (m1["left_sym"], m1["right_sym"], m1["pair_count"]) == (
+        top["left_ch"],
+        top["right_ch"],
+        top["pair_count"],
+    )
+
+
+def test_train_validates_rounds(spark):
+    df = spark.createDataFrame([("ab",)], "text string")
+    with pytest.raises(ValueError, match="rounds"):
+        T.bpe_train(df, rounds=0)
