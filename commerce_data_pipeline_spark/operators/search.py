@@ -82,6 +82,19 @@ def _bm25_score_tail(tf: DataFrame, stats: DataFrame, k1: float, b: float,
     corpus stats frame → per-doc (n_terms, dl, score_e6). ONE expression
     tree used by both the inline scorer and the persisted-index query, so
     the two paths produce bit-identical floats by construction."""
+    scored = _bm25_term_scores(tf, stats, k1, b)
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.max("dl").cast("long").alias("dl"),
+        F.sum("term_score_e6").cast("long").alias("score_e6"),
+    )
+
+
+def _bm25_term_scores(tf: DataFrame, stats: DataFrame, k1: float, b: float) -> DataFrame:
+    """Per-(id, term) BM25 scoring stage shared by every BM25 consumer
+    (inline top-k, persisted index, NDCG evaluation): adds term_score_e6 =
+    floor(1e6·idf·tf_sat) to the postings frame. Splitting this out keeps
+    the float expression tree defined in exactly ONE place."""
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), on="term")
@@ -112,11 +125,7 @@ def _bm25_score_tail(tf: DataFrame, stats: DataFrame, k1: float, b: float,
             F.floor(F.col("_idf") * F.col("_tfs") * F.lit(1000000.0)).cast("long"),
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_terms"),
-        F.max("dl").cast("long").alias("dl"),
-        F.sum("term_score_e6").cast("long").alias("score_e6"),
-    )
+    return scored
 
 
 def tfidf_keywords(
@@ -368,4 +377,124 @@ def bm25_query_index(
         scores.orderBy(_F.desc("score_e6"), _F.asc(id_col))
         .limit(k)
         .select(_F.col(id_col), "n_terms", "dl", "score_e6")
+    )
+
+
+def ndcg_weights(k: int) -> list[float]:
+    """Rank-discount weights 1/log2(rank+1) for ranks 1..k, precomputed as
+    Python doubles so BOTH engines consume the identical literals (the
+    benford ppm-literal technique) — no cross-engine log2 anywhere."""
+    import math
+
+    return [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    pool: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Retrieval-quality evaluation — NDCG@k of the BM25 ranking for a
+    fixed query workload, the metric a search / RAG-retrieval pipeline
+    tracks release-over-release.
+
+    Relevance labels are deterministic: rel(doc, q) = number of distinct
+    terms of q the document contains (graded 1..|q| over retrieved docs).
+    Per query the candidate pool is the BM25 top-`pool` (score_e6 desc,
+    id asc — the bm25_topk total order); DCG@k discounts the pool's first
+    k ranks with precomputed 1/log2(rank+1) literal weights, and IDCG@k
+    re-ranks the SAME pool by (rel desc, id asc) — "local" NDCG over the
+    retrieval pool, the standard offline-eval setup when the full judgment
+    set is the retrieved set.
+
+    Scale shape: ONE corpus scan tokenizes against the union of all query
+    terms (map-side isin filter), per-(doc, term) scores come from the
+    shared _bm25_term_scores expression tree, the (query, term) map is a
+    broadcast literal, and every window runs over ≤ |queries|·pool
+    aggregated rows. DCG/IDCG terms are rel·weight doubles cast to
+    DECIMAL(18,12) before summing (order-independent addition); outputs
+    floor to e6 integers.
+
+    Returns (query_id, n_pool, dcg_e6, idcg_e6, ndcg_e6).
+    """
+    if not queries:
+        raise ValueError("ndcg_at_k: queries must be non-empty")
+    if k < 1 or pool < k:
+        raise ValueError("ndcg_at_k: need 1 <= k <= pool")
+    spark = docs.sparkSession
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in set(terms)],
+        "query_id int, term string",
+    )
+    ws = words(text_col)
+    base = docs.select(
+        F.col(id_col), F.size(ws).cast("long").alias("dl"), ws.alias("_ws")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.sum("dl").cast("double").alias("_total_tokens"),
+    )
+    tok = base.select(
+        F.col(id_col), "dl", F.explode("_ws").alias("term")
+    ).filter(F.col("term").isin(all_terms))
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"), F.max("dl").alias("dl")
+    )
+    scored = _bm25_term_scores(tf, stats, k1, b)
+    per_q = (
+        scored.join(F.broadcast(qmap), on="term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rel"),
+            F.sum("term_score_e6").cast("long").alias("score_e6"),
+        )
+    )
+    w_pool = Window.partitionBy("query_id").orderBy(F.desc("score_e6"), F.asc(id_col))
+    pooled = per_q.withColumn("rank", F.row_number().over(w_pool)).filter(
+        F.col("rank") <= pool
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc(id_col))
+    ranked = pooled.withColumn("ideal_rank", F.row_number().over(w_ideal))
+    warr = F.array(*[F.lit(w) for w in ndcg_weights(k)])
+    gain = ranked.select(
+        "query_id",
+        F.when(
+            F.col("rank") <= k,
+            (F.col("rel").cast("double") * F.element_at(warr, F.col("rank").cast("int")))
+            .cast("decimal(18,12)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,12)"))
+        .alias("_dcg_term"),
+        F.when(
+            F.col("ideal_rank") <= k,
+            (
+                F.col("rel").cast("double")
+                * F.element_at(warr, F.col("ideal_rank").cast("int"))
+            ).cast("decimal(18,12)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,12)"))
+        .alias("_idcg_term"),
+    )
+    agg = gain.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pool"),
+        F.sum("_dcg_term").alias("_dcg"),
+        F.sum("_idcg_term").alias("_idcg"),
+    )
+    return agg.select(
+        "query_id",
+        "n_pool",
+        F.floor(F.col("_dcg") * F.lit(1_000_000)).cast("long").alias("dcg_e6"),
+        F.floor(F.col("_idcg") * F.lit(1_000_000)).cast("long").alias("idcg_e6"),
+        F.floor(
+            (F.col("_dcg").cast("double") / F.col("_idcg").cast("double"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("ndcg_e6"),
     )

@@ -6603,6 +6603,102 @@ def _ora_bpe_train(rounds: int = 3) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+_NDCG_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["hash", "join"]),
+    (2, ["scan", "filter"]),
+    (3, ["stream", "window"]),
+]
+
+
+def _q_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """X7 retrieval EVALUATION — NDCG@10 of the BM25 ranking for a fixed
+    3-query workload over a 50-doc retrieval pool per query
+    (operators/search.ndcg_at_k): the offline search-quality metric a
+    retrieval pipeline tracks release-over-release. Relevance is the
+    deterministic distinct-terms-matched grade; rank-discount weights are
+    precomputed 1/log2(rank+1) literals consumed identically by both
+    engines (no cross-engine log2); DCG/IDCG sum as DECIMAL(18,12).
+    One corpus scan (union-of-terms isin filter), shared
+    _bm25_term_scores expression tree, all windows over ≤ 150 rows."""
+    docs = load_table(spark, sf, "documents")
+    return search.ndcg_at_k(docs, _NDCG_QUERIES, k=10, pool=50).orderBy("query_id")
+
+
+def _ora_ndcg_eval(queries_: list[tuple[int, list[str]]], k: int = 10, pool: int = 50) -> str:
+    from commerce_data_pipeline_spark.operators.search import ndcg_weights
+
+    all_terms = sorted({t for _, terms in queries_ for t in terms})
+    term_list = ", ".join(f"'{t}'" for t in all_terms)
+    qmap_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries_ for t in sorted(set(terms))
+    )
+    w_dcg = " ".join(
+        f"WHEN rank = {i + 1} THEN CAST(rel AS DOUBLE) * CAST({w!r} AS DOUBLE)"
+        for i, w in enumerate(ndcg_weights(k))
+    )
+    w_idcg = " ".join(
+        f"WHEN ideal_rank = {i + 1} THEN CAST(rel AS DOUBLE) * CAST({w!r} AS DOUBLE)"
+        for i, w in enumerate(ndcg_weights(k))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_WS_SPLIT_SQL} AS words FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM base
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) AS total_tokens FROM dl
+), tok AS (
+  SELECT b.doc_id, unnest(b.words) AS term FROM base b
+), tf AS (
+  SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok t WHERE t.term IN ({term_list})
+  GROUP BY t.doc_id, t.term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  -- the _bm25_term_scores expression tree, identical association
+  SELECT f.doc_id, f.term,
+    CAST(FLOOR(
+      ln(1.0 + ((s.n_docs - d.df + 0.5) / (d.df + 0.5)))
+      * ((f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75
+           * (CAST(l.dl AS DOUBLE) / (s.total_tokens / s.n_docs)))))
+      * 1000000.0) AS BIGINT) AS term_score_e6
+  FROM tf f JOIN dfreq d USING (term) JOIN dl l ON l.doc_id = f.doc_id, stats s
+), qmap AS (
+  SELECT * FROM (VALUES {qmap_vals}) AS q(query_id, term)
+), per_q AS (
+  SELECT q.query_id, s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS rel,
+         CAST(SUM(s.term_score_e6) AS BIGINT) AS score_e6
+  FROM scored s JOIN qmap q USING (term)
+  GROUP BY q.query_id, s.doc_id
+), pooled AS (
+  SELECT query_id, doc_id, rel,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS rank
+  FROM per_q QUALIFY rank <= {pool}
+), ranked AS (
+  SELECT query_id, rel, rank,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS ideal_rank
+  FROM pooled
+), gain AS (
+  SELECT query_id,
+    CAST(CASE {w_dcg} ELSE 0.0 END AS DECIMAL(18,12)) AS dcg_term,
+    CAST(CASE {w_idcg} ELSE 0.0 END AS DECIMAL(18,12)) AS idcg_term
+  FROM ranked
+), agg AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_pool,
+         SUM(dcg_term) AS dcg, SUM(idcg_term) AS idcg
+  FROM gain GROUP BY query_id
+)
+SELECT query_id, n_pool,
+  CAST(FLOOR(dcg * 1000000) AS BIGINT) AS dcg_e6,
+  CAST(FLOOR(idcg * 1000000) AS BIGINT) AS idcg_e6,
+  CAST(FLOOR((CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)) * 1000000.0) AS BIGINT) AS ndcg_e6
+FROM agg ORDER BY query_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -6786,6 +6882,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "referential_integrity": QuerySpec(_q_referential_integrity, _ora_referential_integrity(), "X13 audit: FK orphan counts over four declared relationships"),
     "part_walks": QuerySpec(_q_part_walks, _ora_part_walks(3, 2), "X12 graph: deterministic DeepWalk sampling corpus (md5-chosen steps)"),
     "bpe_train": QuerySpec(_q_bpe_train, _ora_bpe_train(3), "X4 tokenizer training loop: three full BPE merge iterations"),
+    "ndcg_eval": QuerySpec(_q_ndcg_eval, _ora_ndcg_eval(_NDCG_QUERIES, 10, 50), "X7 retrieval eval: NDCG@10 of BM25 over a fixed query workload"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

@@ -143,3 +143,78 @@ def test_persisted_text_index_matches_inline(spark, tmp_path):
 
     names = os.listdir(tmp_path / "tidx" / "postings")
     assert any(n.startswith("term_bucket=") for n in names)
+
+
+def test_ndcg_hand_computed(spark):
+    """4-doc corpus, one 2-term query: replicate the whole NDCG@k pipeline
+    by hand — BM25 pool order, graded relevance, literal discount weights."""
+    import math
+
+    from commerce_data_pipeline_spark.operators.search import ndcg_at_k, ndcg_weights
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha"),   # matches both terms, tf(alpha)=2
+            (1, "alpha gamma gamma"),  # matches alpha only
+            (2, "beta beta beta"),     # matches beta only
+            (3, "gamma gamma gamma"),  # matches nothing -> not retrieved
+        ],
+        ["doc_id", "text"],
+    )
+    out = ndcg_at_k(docs, [(7, ["alpha", "beta"])], k=2, pool=3).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["query_id"] == 7 and row["n_pool"] == 3
+    # doc 0 matches 2 distinct terms and has the highest score -> rank 1,
+    # and is also ideal rank 1; docs 1/2 have rel=1. DCG@2 uses ranks 1-2.
+    w = ndcg_weights(2)
+    # pool order = (score desc, id asc); doc0 first. Ideal = (rel desc, id asc)
+    # -> same first element, so ndcg < 1e6 only if pool rank 2 != ideal rank 2
+    # rel values at ranks 1,2 of both orders are (2, 1) regardless of which
+    # of docs 1/2 is second (both rel=1), so NDCG == 1.0 exactly.
+    assert row["ndcg_e6"] == 1_000_000
+    dcg = 2 * w[0] + 1 * w[1]
+    assert row["dcg_e6"] == math.floor(
+        (__import__("decimal").Decimal(2 * w[0]).quantize(__import__("decimal").Decimal("1e-12"))
+         + __import__("decimal").Decimal(1 * w[1]).quantize(__import__("decimal").Decimal("1e-12")))
+        * 10**6
+    )
+    assert abs(row["dcg_e6"] - math.floor(dcg * 1e6)) <= 1
+
+
+def test_ndcg_detects_imperfect_ranking(spark):
+    """A doc with many repeats of one term can out-score a two-term doc
+    (tf saturation notwithstanding) — then pool order != ideal order and
+    NDCG@k drops strictly below 1."""
+    from commerce_data_pipeline_spark.operators.search import ndcg_at_k
+
+    docs = spark.createDataFrame(
+        [
+            (0, "rare rare rare rare rare rare rare rare"),  # huge tf, rel=1
+            (1, "rare common pad pad pad pad pad pad"),      # rel=2
+            (2, "common pad pad pad pad pad pad pad"),       # rel=1
+            (3, "pad pad"),
+            (4, "common common pad pad pad pad pad pad"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["query_id"]: r for r in ndcg_at_k(
+        docs, [(1, ["rare", "common"])], k=3, pool=4
+    ).collect()}
+    r = rows[1]
+    # 'rare' is rarer (df=2 vs df=3) so doc 0's 8x tf gives it rank 1 with
+    # rel=1 while the ideal ranking puts rel=2 doc 1 first -> NDCG < 1
+    assert r["n_pool"] == 4
+    assert 0 < r["ndcg_e6"] < 1_000_000
+
+
+def test_ndcg_validates_args(spark):
+    from commerce_data_pipeline_spark.operators.search import ndcg_at_k
+
+    docs = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ndcg_at_k(docs, [])
+    with _pytest.raises(ValueError):
+        ndcg_at_k(docs, [(1, ["a"])], k=10, pool=5)
