@@ -512,3 +512,37 @@ def weighted_sample(
         .orderBy(F.asc("key_e9"), F.asc(id_col))
         .limit(k)
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    entity_col: str,
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/test split LEAKAGE audit: given a row-level split assignment,
+    count entities whose rows straddle more than one split — the
+    membership-leakage bug (eval rows correlated with training rows through
+    a shared customer/user/document) that silently inflates every offline
+    metric downstream. The audit is assignment-agnostic: feed it any
+    split column (hash split, date split, a column from upstream) and it
+    reports the violation mass instead of trusting the splitter.
+
+    Plan: ONE entity-keyed aggregation (map-side partial: per entity the
+    distinct-split count and row count), then a 1-row summary — the
+    dbt-style audit shape, nothing fact-sized shuffles twice. Returns one
+    row: (n_entities, n_rows, n_leaked_entities, n_leaked_rows).
+    """
+    per_entity = df.groupBy(entity_col).agg(
+        F.countDistinct(split_col).alias("_n_splits"),
+        F.count(F.lit(1)).cast("long").alias("_n_rows"),
+    )
+    return per_entity.agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum("_n_rows").cast("long").alias("n_rows"),
+        F.count(F.when(F.col("_n_splits") > 1, 1)).cast("long").alias(
+            "n_leaked_entities"
+        ),
+        F.sum(F.when(F.col("_n_splits") > 1, F.col("_n_rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_leaked_rows"),
+    )

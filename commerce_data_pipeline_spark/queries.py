@@ -6699,6 +6699,59 @@ FROM agg ORDER BY query_id
 """
 
 
+def _q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus/X13 governance — train/test split LEAKAGE audit
+    (operators/corpus.split_leakage): two split schemes over orders,
+    entity = customer. The 'entity_hash' scheme splits on o_custkey (the
+    correct grouped split — zero leaked customers, and the audit PROVES
+    it rather than assuming it); the 'row_hash' scheme splits on
+    o_orderkey, the classic leakage bug where one customer's orders
+    straddle train and eval — the audit surfaces the exact violation
+    mass. One entity-keyed aggregation per scheme, 1-row summaries."""
+    orders = load_table(spark, sf, "orders")
+    by_cust = corpus.train_val_test_split(orders, id_col="o_custkey")
+    by_order = corpus.train_val_test_split(orders, id_col="o_orderkey")
+    a = corpus.split_leakage(by_cust, "o_custkey").select(
+        F.lit("entity_hash").alias("scheme"), "*"
+    )
+    b = corpus.split_leakage(by_order, "o_custkey").select(
+        F.lit("row_hash").alias("scheme"), "*"
+    )
+    return a.unionByName(b).orderBy("scheme")
+
+
+_O_SPLIT_LEAKAGE = """
+WITH assign AS (
+  SELECT o_custkey,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 10000 < 1000 THEN 'val'
+         WHEN CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 10000 < 2000 THEN 'test'
+         ELSE 'train' END AS split_cust,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 10000 < 1000 THEN 'val'
+         WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 10000 < 2000 THEN 'test'
+         ELSE 'train' END AS split_order
+  FROM orders
+), per_cust AS (
+  SELECT 'entity_hash' AS scheme, o_custkey,
+         COUNT(DISTINCT split_cust) AS n_splits, COUNT(*) AS n_rows
+  FROM assign GROUP BY o_custkey
+  UNION ALL
+  SELECT 'row_hash' AS scheme, o_custkey,
+         COUNT(DISTINCT split_order) AS n_splits, COUNT(*) AS n_rows
+  FROM assign GROUP BY o_custkey
+)
+SELECT scheme,
+  CAST(COUNT(*) AS BIGINT) AS n_entities,
+  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+  CAST(COUNT(CASE WHEN n_splits > 1 THEN 1 END) AS BIGINT) AS n_leaked_entities,
+  CAST(SUM(CASE WHEN n_splits > 1 THEN n_rows ELSE 0 END) AS BIGINT) AS n_leaked_rows
+FROM per_cust GROUP BY scheme ORDER BY scheme
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -6883,6 +6936,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "part_walks": QuerySpec(_q_part_walks, _ora_part_walks(3, 2), "X12 graph: deterministic DeepWalk sampling corpus (md5-chosen steps)"),
     "bpe_train": QuerySpec(_q_bpe_train, _ora_bpe_train(3), "X4 tokenizer training loop: three full BPE merge iterations"),
     "ndcg_eval": QuerySpec(_q_ndcg_eval, _ora_ndcg_eval(_NDCG_QUERIES, 10, 50), "X7 retrieval eval: NDCG@10 of BM25 over a fixed query workload"),
+    "split_leakage": QuerySpec(_q_split_leakage, _O_SPLIT_LEAKAGE, "X13 governance: train/test split leakage audit (entity vs row hashing)"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

@@ -367,3 +367,37 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     got = C.weighted_sample(df, "w", k=20).collect()
     heavy = sum(1 for r in got if r["doc_id"] < 50)
     assert heavy >= 16
+
+
+def test_split_leakage_detects_row_level_splits(spark):
+    from commerce_data_pipeline_spark.operators.corpus import split_leakage
+
+    rows = [
+        # entity 1: rows split consistently
+        (1, "a", "train"), (1, "b", "train"),
+        # entity 2: straddles train/test -> leaked (3 rows)
+        (2, "c", "train"), (2, "d", "test"), (2, "e", "test"),
+        # entity 3: single row
+        (3, "f", "val"),
+    ]
+    df = spark.createDataFrame(rows, "ent int, rid string, split string")
+    out = split_leakage(df, "ent").collect()[0]
+    assert (
+        out["n_entities"], out["n_rows"], out["n_leaked_entities"], out["n_leaked_rows"]
+    ) == (3, 6, 1, 3)
+
+
+def test_split_leakage_clean_on_entity_hash(spark, sf_dir):
+    from commerce_data_pipeline_spark.operators.corpus import (
+        split_leakage, train_val_test_split,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    by_cust = train_val_test_split(orders, id_col="o_custkey")
+    clean = split_leakage(by_cust, "o_custkey").collect()[0]
+    assert clean["n_leaked_entities"] == 0 and clean["n_leaked_rows"] == 0
+    # the row-level split really does leak (the audit is falsifiable)
+    by_order = train_val_test_split(orders, id_col="o_orderkey")
+    dirty = split_leakage(by_order, "o_custkey").collect()[0]
+    assert dirty["n_leaked_entities"] > 0
+    assert dirty["n_leaked_rows"] > dirty["n_leaked_entities"]
