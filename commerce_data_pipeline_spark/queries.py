@@ -35,6 +35,7 @@ from commerce_data_pipeline_spark.operators import (
     corpus,
     dedup,
     graph,
+    layout as layout_ops,
     linkage,
     multimodal,
     profiling,
@@ -6752,6 +6753,73 @@ FROM per_cust GROUP BY scheme ORDER BY scheme
 """
 
 
+def _q_zorder_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """§4 layout — Z-order data-skipping effectiveness audit
+    (operators/layout.skipping_profile): simulates a linear
+    (sort-by-partkey) vs Z-ordered file layout over lineitem
+    (l_partkey, l_suppkey) with pure integer expressions and counts the
+    files min/max pruning touches for a suppkey band and a 2-D
+    rectangle. The falsifiable layout claim: the linear layout must
+    touch EVERY file for the suppkey-only band while the Z-order
+    quad-cells prune it — same matching row counts either way. Map-side
+    binning + one ≤ 32-group aggregation; no sort, no write."""
+    li = load_table(spark, sf, "lineitem")
+    return layout_ops.skipping_profile(li, "l_partkey", "l_suppkey", bits=4).orderBy(
+        "layout"
+    )
+
+
+def _ora_zorder_skipping(bits: int = 4, p1: int = 45, p2: int = 55) -> str:
+    nbins = 1 << bits
+    inter = " + ".join(
+        f"(((b{j + 1} >> {b}) & 1) << {b * 2 + j})"
+        for b in range(bits)
+        for j in range(2)
+    )
+    return f"""
+WITH bounds AS (
+  SELECT CAST(MIN(l_partkey) AS BIGINT) AS lo1, CAST(MAX(l_partkey) AS BIGINT) AS hi1,
+         CAST(MIN(l_suppkey) AS BIGINT) AS lo2, CAST(MAX(l_suppkey) AS BIGINT) AS hi2
+  FROM lineitem
+), b AS (
+  SELECT CAST(l_partkey AS BIGINT) AS c1, CAST(l_suppkey AS BIGINT) AS c2,
+         lo1, hi1, lo2, hi2,
+         (hi1 - lo1 + 1) AS span1, (hi2 - lo2 + 1) AS span2,
+         (((CAST(l_partkey AS BIGINT) - lo1) * {nbins}) // (hi1 - lo1 + 1)) AS b1,
+         (((CAST(l_suppkey AS BIGINT) - lo2) * {nbins}) // (hi2 - lo2 + 1)) AS b2
+  FROM lineitem, bounds
+), keyed AS (
+  SELECT c1, c2,
+         (({inter}) >> {bits}) AS file_z,
+         b1 AS file_l,
+         (lo1 + (span1 * {p1}) // 100) AS p_lo, (lo1 + (span1 * {p2}) // 100) AS p_hi,
+         (lo2 + (span2 * {p1}) // 100) AS s_lo, (lo2 + (span2 * {p2}) // 100) AS s_hi
+  FROM b
+), lay AS (
+  SELECT 'zorder' AS layout, file_z AS file_id, c1, c2, p_lo, p_hi, s_lo, s_hi FROM keyed
+  UNION ALL
+  SELECT 'linear' AS layout, file_l AS file_id, c1, c2, p_lo, p_hi, s_lo, s_hi FROM keyed
+), per_file AS (
+  SELECT layout, file_id, COUNT(*) AS n,
+         MIN(c1) AS min1, MAX(c1) AS max1, MIN(c2) AS min2, MAX(c2) AS max2,
+         COUNT(CASE WHEN c2 BETWEEN s_lo AND s_hi THEN 1 END) AS n_band,
+         COUNT(CASE WHEN c2 BETWEEN s_lo AND s_hi
+                     AND c1 BETWEEN p_lo AND p_hi THEN 1 END) AS n_rect,
+         MAX(p_lo) AS p_lo, MAX(p_hi) AS p_hi, MAX(s_lo) AS s_lo, MAX(s_hi) AS s_hi
+  FROM lay GROUP BY layout, file_id
+)
+SELECT layout,
+  CAST(COUNT(*) AS BIGINT) AS n_files,
+  CAST(SUM(n) AS BIGINT) AS n_rows,
+  CAST(COUNT(CASE WHEN max2 >= s_lo AND min2 <= s_hi THEN 1 END) AS BIGINT) AS files_hit_band,
+  CAST(COUNT(CASE WHEN max2 >= s_lo AND min2 <= s_hi
+                   AND max1 >= p_lo AND min1 <= p_hi THEN 1 END) AS BIGINT) AS files_hit_rect,
+  CAST(SUM(n_band) AS BIGINT) AS rows_band,
+  CAST(SUM(n_rect) AS BIGINT) AS rows_rect
+FROM per_file GROUP BY layout ORDER BY layout
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -6937,6 +7005,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "bpe_train": QuerySpec(_q_bpe_train, _ora_bpe_train(3), "X4 tokenizer training loop: three full BPE merge iterations"),
     "ndcg_eval": QuerySpec(_q_ndcg_eval, _ora_ndcg_eval(_NDCG_QUERIES, 10, 50), "X7 retrieval eval: NDCG@10 of BM25 over a fixed query workload"),
     "split_leakage": QuerySpec(_q_split_leakage, _O_SPLIT_LEAKAGE, "X13 governance: train/test split leakage audit (entity vs row hashing)"),
+    "zorder_skipping": QuerySpec(_q_zorder_skipping, _ora_zorder_skipping(4, 45, 55), "§4 layout: Z-order vs linear data-skipping effectiveness audit"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

@@ -64,3 +64,30 @@ def test_cluster_write_roundtrip(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 1000
     assert set(back.columns) == {"id", "x", "y"}  # helper key dropped
+
+
+def test_skipping_profile_grid(spark):
+    """Uniform 64x64 grid, bits=2 -> 16 files either way. A c2-only band
+    covering one c2 quad-bin: linear must touch ALL 16 files, z-order
+    touches exactly the 4 cells of that c2 stripe. Row counts identical."""
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    # band_pct (26, 49) -> lo + [span*26//100, span*49//100] = [16, 31]:
+    # exactly y-bin 1 of 4 (y in 16..31), and x-band [16, 31] likewise
+    rows = {
+        r["layout"]: r
+        for r in layout.skipping_profile(df, "x", "y", bits=2, band_pct=(26, 49)).collect()
+    }
+    lin, z = rows["linear"], rows["zorder"]
+    # zkey >> bits keeps the top `bits` bits -> 2^bits cells, same file
+    # count as the linear layout's 2^bits c1-bins (here: 4 each, a 2x2 grid)
+    assert lin["n_files"] == 4 and z["n_files"] == 4
+    # linear files = 4 x-bins, each spans all y -> every file hits the y band
+    assert lin["files_hit_band"] == 4
+    # z-order: the y band lies in y-half 0 -> only the 2 cells of that stripe
+    assert z["files_hit_band"] == 2
+    # rectangle: linear prunes to the single x-bin; z-order to 1 quad cell
+    assert lin["files_hit_rect"] == 1 and z["files_hit_rect"] == 1
+    assert lin["rows_band"] == z["rows_band"] == 64 * 16
+    assert lin["rows_rect"] == z["rows_rect"] == 16 * 16
