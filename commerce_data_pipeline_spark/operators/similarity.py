@@ -1366,3 +1366,59 @@ def kmeans_train(
         ]
         stats = _assign_stats(xi, cents)
     return stats
+
+
+def centroid_similarity(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Class/source CENTROID similarity matrix — the embedding-space audit
+    behind "which corpus slices / label classes are entangled": per group
+    the mean vector, then every pairwise (and self) dot product. High
+    cross-group dot relative to the self dots = overlapping clusters →
+    expect label noise, near-dup leakage across sources, or a collapsed
+    embedding model.
+
+    Integer-exact end to end: vectors fix to e3 ints scan-side, per-
+    (group, dim) SUMS are exact int64, and the centroid is the FLOORED
+    mean re-scaled to e6 (the kmeans centroid_e6 contract) — so the
+    centroid magnitude is bounded by the data range, never by row count,
+    and every product fits int64 at any corpus size. One (group, dim)
+    aggregation (map-side partials over the posexploded dims) is the only
+    corpus-sized shuffle; the pairwise join runs on the |groups|·dim
+    centroid matrix.
+
+    Returns (label_a, label_b, n_a, n_b, dot_e12) for a <= b — the (a, a)
+    rows are the squared centroid norms.
+    """
+    xe = emb.select(
+        F.col(group_col).alias("_g"),
+        F.posexplode(_v_int(vec_col, scale)).alias("_dim", "_v"),
+    )
+    sums = xe.groupBy("_g", "_dim").agg(
+        F.sum("_v").cast("long").alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    cent = sums.select(
+        "_g",
+        "_dim",
+        "_n",
+        F.floor(F.col("_s").cast("double") * F.lit(1000.0) / F.col("_n"))
+        .cast("long")
+        .alias("_m"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._dim") == F.col("b._dim")) & (F.col("a._g") <= F.col("b._g")),
+        )
+        .groupBy(F.col("a._g").alias("label_a"), F.col("b._g").alias("label_b"))
+        .agg(
+            F.max("a._n").cast("long").alias("n_a"),
+            F.max("b._n").cast("long").alias("n_b"),
+            F.sum(F.col("a._m") * F.col("b._m")).cast("long").alias("dot_e12"),
+        )
+    )

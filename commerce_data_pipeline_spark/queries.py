@@ -6820,6 +6820,39 @@ FROM per_file GROUP BY layout ORDER BY layout
 """
 
 
+def _q_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """X3/X13 embedding audit — pairwise label-centroid dot products
+    (operators/similarity.centroid_similarity): which embedding classes
+    are entangled. Fixed-point e3 vectors, exact per-(label, dim) sums,
+    FLOORED e6 means (magnitude bounded by data range, not row count —
+    every product int64 at any corpus size); the only corpus-sized
+    shuffle is the (label, dim) aggregation."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.centroid_similarity(emb, "label").orderBy("label_a", "label_b")
+
+
+_O_CENTROID_SIM = """
+WITH xe AS (
+  SELECT label AS g,
+    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+    CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS v
+  FROM embeddings
+), sums AS (
+  SELECT g, dim, CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM xe GROUP BY g, dim
+), cent AS (
+  SELECT g, dim, n,
+    CAST(FLOOR(CAST(s AS DOUBLE) * 1000.0 / n) AS BIGINT) AS m
+  FROM sums
+)
+SELECT a.g AS label_a, b.g AS label_b,
+  CAST(MAX(a.n) AS BIGINT) AS n_a, CAST(MAX(b.n) AS BIGINT) AS n_b,
+  CAST(SUM(a.m * b.m) AS BIGINT) AS dot_e12
+FROM cent a JOIN cent b ON a.dim = b.dim AND a.g <= b.g
+GROUP BY a.g, b.g ORDER BY label_a, label_b
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -7006,6 +7039,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ndcg_eval": QuerySpec(_q_ndcg_eval, _ora_ndcg_eval(_NDCG_QUERIES, 10, 50), "X7 retrieval eval: NDCG@10 of BM25 over a fixed query workload"),
     "split_leakage": QuerySpec(_q_split_leakage, _O_SPLIT_LEAKAGE, "X13 governance: train/test split leakage audit (entity vs row hashing)"),
     "zorder_skipping": QuerySpec(_q_zorder_skipping, _ora_zorder_skipping(4, 45, 55), "§4 layout: Z-order vs linear data-skipping effectiveness audit"),
+    "centroid_sim": QuerySpec(_q_centroid_sim, _O_CENTROID_SIM, "X3 embedding audit: pairwise label-centroid dot products (integer-exact)"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

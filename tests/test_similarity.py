@@ -425,3 +425,34 @@ def test_prebuilt_frames_require_both(spark):
         S.ivf_assignment_profile(emb, inverted=emb)
     with pytest.raises(ValueError):
         S.pq_topk(emb, q, codebooks=emb)
+
+
+def test_centroid_similarity_hand_computed(spark):
+    from commerce_data_pipeline_spark.operators.similarity import centroid_similarity
+
+    # two groups, dim 2: group 0 mean (1.0, 0.0), group 1 mean (0.0, -1.0)
+    rows = [
+        (0, [1.0, 0.0]), (0, [1.0, 0.0]),
+        (1, [0.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {(r["label_a"], r["label_b"]): r for r in centroid_similarity(df).collect()}
+    assert set(out) == {(0, 0), (0, 1), (1, 1)}
+    # e3 fix -> e6 floored means: (1e6, 0) and (0, -1e6); dots at e12
+    assert out[(0, 0)]["dot_e12"] == 10**12
+    assert out[(1, 1)]["dot_e12"] == 10**12
+    assert out[(0, 1)]["dot_e12"] == 0
+    assert out[(0, 1)]["n_a"] == 2 and out[(0, 1)]["n_b"] == 1
+
+
+def test_centroid_similarity_floor_is_data_bounded(spark):
+    from commerce_data_pipeline_spark.operators.similarity import centroid_similarity
+
+    # mean of (0.4, 0.5) = 0.45 -> e3 sums 400+500=900, n=2 ->
+    # floored e6 mean = floor(900*1000/2) = 450000 (bounded by the data
+    # range regardless of n — the no-overflow contract)
+    df = spark.createDataFrame(
+        [(7, [0.4]), (7, [0.5])], "label int, embedding array<float>"
+    )
+    r = centroid_similarity(df).collect()[0]
+    assert r["dot_e12"] == 450000 * 450000
