@@ -650,3 +650,63 @@ def fk_orphans(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def quantile_sketch_audit(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p: float = 0.5,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Per-group quantile-sketch ACCURACY contract — the grouped
+    complement of the global GK check in `sketch_accuracy` and the
+    quantile analog of `sketch_union`'s HLL mergeability witness:
+    percentile_approx's partial aggregation IS the sketch merge (map-side
+    GK summaries merged at the reducer), so a green row per group proves
+    the merged sketch honors its rank-error bound — the property that
+    makes quantiles computable in one pass at 100 TB.
+
+    The falsifiable boolean: GK guarantees rank error <= n/accuracy, so
+    the estimate must lie between the EXACT values at ranks
+    ceil(p·n) ∓ (2n/accuracy + 1) (doubled bound + 1 — slack against tie
+    runs, still sharp enough that a broken sketch flips it). Exact rank
+    values come from one per-group window pass — this is an audit query:
+    it deliberately pays the exact-order cost to certify the cheap path.
+
+    `value_col` must be integer-valued (fix the scale upstream) so both
+    engines compare identical values. Returns per group:
+    (group, n_rows, lo_bound, hi_bound, approx_ok).
+    """
+    v = F.col(value_col)
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.percentile_approx(v, p, accuracy).alias("_est"),
+    )
+    ranked = df.select(F.col(group_col), v.alias("_v")).withColumn(
+        "_rn", F.row_number().over(Window.partitionBy(group_col).orderBy("_v"))
+    )
+    joined = ranked.join(F.broadcast(stats), on=group_col)
+    target = F.ceil(F.lit(p) * F.col("n_rows")).cast("long")
+    # explicit FLOOR: double->int CASTs truncate in Spark but round in
+    # DuckDB, so the oracle must never rely on a bare cast here
+    tol = F.floor(F.col("n_rows") * 2 / F.lit(accuracy)).cast("long") + F.lit(1)
+    lo_rank = F.greatest(target - tol, F.lit(1))
+    hi_rank = F.least(target + tol, F.col("n_rows"))
+    bounds = (
+        joined.filter((F.col("_rn") == lo_rank) | (F.col("_rn") == hi_rank))
+        .groupBy(group_col)
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.min("_v").cast("long").alias("lo_bound"),
+            F.max("_v").cast("long").alias("hi_bound"),
+            F.max("_est").cast("long").alias("_est"),
+        )
+    )
+    return bounds.select(
+        group_col,
+        "n_rows",
+        "lo_bound",
+        "hi_bound",
+        F.col("_est").between(F.col("lo_bound"), F.col("hi_bound")).alias("approx_ok"),
+    )

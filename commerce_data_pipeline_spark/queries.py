@@ -6853,6 +6853,51 @@ GROUP BY a.g, b.g ORDER BY label_a, label_b
 """
 
 
+def _q_quantile_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """X6 — grouped quantile-sketch accuracy contract
+    (operators/profiling.quantile_sketch_audit): per-returnflag GK median
+    of extendedprice cents must land between the exact values at ranks
+    ceil(0.5n) ∓ (2n/1000 + 1). percentile_approx's partial aggregation
+    IS the sketch merge, so green booleans certify the one-pass quantile
+    path the full-scale pipeline uses; the exact-rank window is the
+    deliberate audit cost. Cents via DECIMAL(18,2) — integer-exact in
+    both engines."""
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "_cents",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+    )
+    return profiling.quantile_sketch_audit(
+        li, "_cents", "l_returnflag", p=0.5, accuracy=1000
+    ).orderBy("l_returnflag")
+
+
+_O_QUANTILE_GROUPS = """
+WITH vals AS (
+  SELECT l_returnflag AS g,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM lineitem
+), ranked AS (
+  SELECT g, v,
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+    COUNT(*) OVER (PARTITION BY g) AS n
+  FROM vals
+), marks AS (
+  SELECT g, v, rn, n,
+    CAST(CEIL(0.5 * n) AS BIGINT) AS target,
+    CAST(FLOOR(n * 2 / 1000.0) AS BIGINT) + 1 AS tol
+  FROM ranked
+)
+SELECT g AS l_returnflag,
+  CAST(MAX(n) AS BIGINT) AS n_rows,
+  CAST(MIN(CASE WHEN rn = GREATEST(target - tol, 1) OR rn = LEAST(target + tol, n)
+                THEN v END) AS BIGINT) AS lo_bound,
+  CAST(MAX(CASE WHEN rn = GREATEST(target - tol, 1) OR rn = LEAST(target + tol, n)
+                THEN v END) AS BIGINT) AS hi_bound,
+  TRUE AS approx_ok
+FROM marks GROUP BY g ORDER BY g
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -7040,6 +7085,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "split_leakage": QuerySpec(_q_split_leakage, _O_SPLIT_LEAKAGE, "X13 governance: train/test split leakage audit (entity vs row hashing)"),
     "zorder_skipping": QuerySpec(_q_zorder_skipping, _ora_zorder_skipping(4, 45, 55), "§4 layout: Z-order vs linear data-skipping effectiveness audit"),
     "centroid_sim": QuerySpec(_q_centroid_sim, _O_CENTROID_SIM, "X3 embedding audit: pairwise label-centroid dot products (integer-exact)"),
+    "quantile_groups": QuerySpec(_q_quantile_groups, _O_QUANTILE_GROUPS, "X6 grouped GK quantile-sketch accuracy contract (mergeable one-pass quantiles)"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------
