@@ -29,6 +29,7 @@ Scale notes (100 TB posture):
 from __future__ import annotations
 
 from collections.abc import Iterator
+from math import floor as math_floor
 
 import pandas as pd
 
@@ -1421,4 +1422,65 @@ def centroid_similarity(
             F.max("b._n").cast("long").alias("n_b"),
             F.sum(F.col("a._m") * F.col("b._m")).cast("long").alias("dot_e12"),
         )
+    )
+
+
+def pca_power_iteration(
+    emb: DataFrame,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    out_scale: int = 10**6,
+) -> DataFrame:
+    """Matrix-free distributed PCA power method — `rounds` iterations of
+    v ← normalize(Xᵀ(X·v)) over the (uncentered) second-moment operator,
+    the workhorse behind spectral embedding audits and low-rank
+    compression. The covariance matrix is NEVER materialized: each round
+    is (1) a scan-side integer dot s_r = x_r·v (map-only), (2) one
+    dim-keyed aggregation u_d = Σ_r floor(s_r/1e6)·x_rd, (3) a 64-entry
+    collect of the re-normalized v — the kmeans codebook loop applied to
+    an eigensolver. That is the 100 TB shape: per round one corpus scan,
+    one 64-group shuffle, O(dim) driver state.
+
+    The trajectory is integer-exact on the fixed-point grid: vectors fix
+    to e3 ints once (localCheckpoint), v is e6 ints, the s_r rescale is
+    an explicit FLOOR (floor ≠ toward-zero truncation for negatives —
+    div would diverge from the SQL oracle), and re-normalization floors
+    (u/max|u|)·1e6 on identical doubles. A SQL oracle replays all rounds
+    as unrolled CTE levels. Downscaling s_r bounds u_d by ~1e7·n — int64
+    through trillion-row corpora.
+
+    Returns the final direction estimate: (dim, v_e6), dim 0..d-1.
+    """
+    if rounds < 1:
+        raise ValueError("pca_power_iteration: rounds must be >= 1")
+    dim_row = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not dim_row:
+        raise ValueError("pca_power_iteration: empty input")
+    d = int(dim_row[0]["d"])
+    xi = _fixed_point_frame(emb, vec_col, scale).localCheckpoint()
+    v = [out_scale] * d
+    for _ in range(rounds):
+        lit_v = F.array(*[F.lit(int(c)).cast("long") for c in v])
+        s = F.aggregate(
+            F.zip_with(F.col("_xi"), lit_v, lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        scaled = F.floor(s.cast("double") / F.lit(float(out_scale))).cast("long")
+        u_rows = (
+            xi.select(scaled.alias("_s"), F.posexplode("_xi").alias("_dim", "_x"))
+            .groupBy("_dim")
+            .agg(F.sum(F.col("_s") * F.col("_x")).cast("long").alias("_u"))
+            .collect()
+        )
+        u = [0] * d
+        for r in u_rows:
+            u[int(r["_dim"])] = int(r["_u"])
+        m = max(max(abs(x) for x in u), 1)
+        # identical-expression-tree doubles: floor((u/m)·1e6) in both engines
+        v = [int(math_floor((x / m) * float(out_scale))) for x in u]
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i, v[i]) for i in range(d)], "dim int, v_e6 long"
     )

@@ -6898,6 +6898,61 @@ FROM marks GROUP BY g ORDER BY g
 """
 
 
+def _q_pca_power(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 spectral — matrix-free PCA power method, 3 iterations over the
+    embeddings' second-moment operator (operators/similarity.
+    pca_power_iteration): per round one scan-side integer dot, ONE
+    dim-keyed aggregation, a 64-entry collect — the covariance matrix is
+    never materialized. Fixed-point trajectory (e3 vectors, e6 direction,
+    explicit FLOOR rescales) so the oracle replays all three rounds as
+    unrolled CTE levels, like pagerank/kmeans/bpe before it."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.pca_power_iteration(emb, rounds=3).orderBy("dim")
+
+
+def _ora_pca_power(rounds: int = 3) -> str:
+    ctes = [
+        """xe AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS xi
+  FROM embeddings
+)""",
+        """ex AS (
+  SELECT vec_id, CAST(generate_subscripts(xi, 1) - 1 AS INT) AS dim, UNNEST(xi) AS x
+  FROM xe
+)""",
+        "v1 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS val FROM ex)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""s{r} AS (
+  SELECT e.vec_id,
+    CAST(FLOOR(CAST(SUM(e.x * v.val) AS DOUBLE) / 1000000.0) AS BIGINT) AS s
+  FROM ex e JOIN v{r} v USING (dim) GROUP BY e.vec_id
+)"""
+        )
+        ctes.append(
+            f"""u{r} AS (
+  SELECT e.dim, CAST(SUM(s.s * e.x) AS BIGINT) AS u
+  FROM ex e JOIN s{r} s USING (vec_id) GROUP BY e.dim
+)"""
+        )
+        ctes.append(
+            f"m{r} AS (SELECT GREATEST(MAX(ABS(u)), 1) AS m FROM u{r})"
+        )
+        ctes.append(
+            f"""v{r + 1} AS (
+  SELECT dim, CAST(FLOOR((CAST(u AS DOUBLE) / m) * 1000000.0) AS BIGINT) AS val
+  FROM u{r}, m{r}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT dim, val AS v_e6 FROM v{rounds + 1} ORDER BY dim"
+    )
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -7086,6 +7141,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "zorder_skipping": QuerySpec(_q_zorder_skipping, _ora_zorder_skipping(4, 45, 55), "§4 layout: Z-order vs linear data-skipping effectiveness audit"),
     "centroid_sim": QuerySpec(_q_centroid_sim, _O_CENTROID_SIM, "X3 embedding audit: pairwise label-centroid dot products (integer-exact)"),
     "quantile_groups": QuerySpec(_q_quantile_groups, _O_QUANTILE_GROUPS, "X6 grouped GK quantile-sketch accuracy contract (mergeable one-pass quantiles)"),
+    "pca_power": QuerySpec(_q_pca_power, _ora_pca_power(3), "X3 spectral: matrix-free PCA power method, 3 integer-exact iterations"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

@@ -456,3 +456,56 @@ def test_centroid_similarity_floor_is_data_bounded(spark):
     )
     r = centroid_similarity(df).collect()[0]
     assert r["dot_e12"] == 450000 * 450000
+
+
+def test_pca_power_matches_python_replay(spark):
+    """The fixed-point trajectory is replayable in plain Python: same e3
+    fix, same floor rescales, same normalization — bit-identical output."""
+    import math
+
+    from commerce_data_pipeline_spark.operators.similarity import pca_power_iteration
+
+    vecs = [
+        [0.9, 0.1, -0.2], [0.8, 0.05, -0.1], [1.0, -0.1, 0.0],
+        [-0.7, 0.2, 0.1], [0.85, 0.0, -0.3],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<float>"
+    )
+    got = {r["dim"]: r["v_e6"] for r in pca_power_iteration(df, rounds=3).collect()}
+
+    # replay: note the e3 fix floors the FLOAT32 value widened to double
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    xi = [[math.floor(f32(x) * 1000.0) for x in v] for v in vecs]
+    v = [10**6] * 3
+    for _ in range(3):
+        s = [math.floor(sum(x * c for x, c in zip(row, v)) / 1_000_000.0) for row in xi]
+        u = [sum(s[r] * xi[r][d] for r in range(len(xi))) for d in range(3)]
+        m = max(max(abs(x) for x in u), 1)
+        v = [math.floor((x / m) * 1_000_000.0) for x in u]
+    assert got == {d: v[d] for d in range(3)}
+
+
+def test_pca_power_finds_dominant_axis(spark):
+    from commerce_data_pipeline_spark.operators.similarity import pca_power_iteration
+
+    # variance concentrated on dim 1
+    rows = [(i, [0.01 * (i % 3), 0.5 if i % 2 else -0.5, 0.02]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    v = {r["dim"]: r["v_e6"] for r in pca_power_iteration(df, rounds=4).collect()}
+    assert abs(v[1]) == max(abs(x) for x in v.values())
+    assert abs(v[1]) == 10**6  # normalization pins the peak at ±1e6
+
+
+def test_pca_power_validates(spark):
+    import pytest as _pytest
+
+    from commerce_data_pipeline_spark.operators.similarity import pca_power_iteration
+
+    df = spark.createDataFrame([(0, [1.0])], "vec_id int, embedding array<float>")
+    with _pytest.raises(ValueError):
+        pca_power_iteration(df, rounds=0)
