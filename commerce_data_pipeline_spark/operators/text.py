@@ -729,10 +729,14 @@ def bpe_train(
     table. The whole trajectory is count-exact, so a SQL oracle replays it
     as `rounds` unrolled CTE levels.
 
-    The words frame is localCheckpoint-ed per round (two consumers: the
-    next round's count AND the next merge application) — at 100 TB this is
-    the standard iterative-refinement layout: one materialized relation per
-    round, lineage truncated, nothing driver-side but the merge decisions.
+    The corpus-sized work happens exactly ONCE: the initial word-frequency
+    aggregation (Sennrich's trainer operates on the word-count dict, and
+    that is also the 100 TB shape — one corpus shuffle up front, then every
+    round's pair count and merge application run over the DISTINCT-word
+    vocabulary weighted by `cnt`). Distinct words stay distinct under
+    merging (symbol sequences always concatenate back to the word), so the
+    vocabulary never needs re-aggregation. Each round's vocab frame is
+    localCheckpoint-ed (two consumers: the next count and the next merge).
 
     Returns the learned merge table (rnk, left_sym, right_sym, pair_count)
     — rnk is the merge order, the trained artifact a BPE tokenizer ships.
@@ -740,17 +744,23 @@ def bpe_train(
     if rounds < 1:
         raise ValueError("bpe_train: rounds must be >= 1")
     spark = df.sparkSession
-    words = (
-        df.select(F.explode(F.split(normalized_text(text_col), " ")).alias("_w"))
+    vocab = (
+        # single-file parquet scans as ONE split; spread the CPU-bound
+        # normalize/split/explode before the vocabulary aggregation
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.split(normalized_text(text_col), " ")).alias("_w"))
         .filter(F.length("_w") >= 1)
-        .select(F.split("_w", "").alias("syms"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.split("_w", "").alias("syms"), "cnt")
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, rounds + 1):
         top1 = (
-            words.filter(F.size("syms") >= 2)
+            vocab.filter(F.size("syms") >= 2)
             .select(
+                "cnt",
                 F.explode(
                     F.transform(
                         F.sequence(F.lit(1), F.size("syms") - 1),
@@ -759,10 +769,10 @@ def bpe_train(
                             F.try_element_at("syms", i + F.lit(1)).alias("r"),
                         ),
                     )
-                ).alias("_p")
+                ).alias("_p"),
             )
             .groupBy(F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .agg(F.sum("cnt").cast("long").alias("c"))
             .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
             .limit(1)
             .collect()
@@ -772,8 +782,8 @@ def bpe_train(
         l, r, c = top1[0]["l"], top1[0]["r"], int(top1[0]["c"])
         merges.append((rnd, l, r, c))
         if rnd < rounds:
-            words = words.select(
-                bpe_apply_merge(F.col("syms"), l, r).alias("syms")
+            vocab = vocab.select(
+                bpe_apply_merge(F.col("syms"), l, r).alias("syms"), "cnt"
             ).localCheckpoint()
     return spark.createDataFrame(
         merges, "rnk int, left_sym string, right_sym string, pair_count long"

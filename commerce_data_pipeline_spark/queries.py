@@ -6571,17 +6571,17 @@ def _ora_bpe_train(rounds: int = 3) -> str:
     merge with the identical positional rule."""
     ctes = [
         """w0 AS (
-  SELECT string_split(w, '') AS syms FROM (
+  SELECT string_split(w, '') AS syms, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
     SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
-    FROM documents) WHERE length(w) >= 1
+    FROM documents) WHERE length(w) >= 1 GROUP BY w
 )"""
     ]
     for rnd in range(1, rounds + 1):
         prev = f"w{rnd - 1}"
         ctes.append(
             f"""t{rnd} AS (
-  SELECT l, r, CAST(COUNT(*) AS BIGINT) AS c FROM (
-    SELECT syms[i] AS l, syms[i + 1] AS r
+  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, syms[i] AS l, syms[i + 1] AS r
     FROM {prev}, LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
     WHERE len(syms) >= 2)
   GROUP BY l, r ORDER BY c DESC, l ASC, r ASC LIMIT 1
@@ -6593,7 +6593,7 @@ def _ora_bpe_train(rounds: int = 3) -> str:
   SELECT flatten(list_transform(generate_series(1, len(syms)), i -> CASE
     WHEN {_bpe_ms_sql('i')} THEN [t.l || t.r]
     WHEN i >= 2 AND {_bpe_ms_sql('i - 1')} THEN []
-    ELSE [syms[i]] END)) AS syms
+    ELSE [syms[i]] END)) AS syms, cnt
   FROM {prev} CROSS JOIN t{rnd} t
 )"""
             )
