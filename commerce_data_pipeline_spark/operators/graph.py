@@ -864,3 +864,36 @@ def deterministic_walks(
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+def degree_histogram(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Power-law degree audit — the log2-bucketed degree distribution of
+    an undirected pair frame. THE pre-flight check before any wedge/join-
+    shaped graph op: a heavy top bucket predicts hub fan-out blowups
+    (triangle counting, neighbor-Jaccard), and its slope is the skew
+    input to salting decisions.
+
+    Bucket = MSB position of the degree (length of its binary
+    representation - 1) — integer-exact in both engines; floor(log2(x))
+    via floating log is NOT exact (log(8)/log(2) can evaluate below 3).
+
+    Plan: one node-keyed count over the pair endpoints (map-side
+    partials), then a ~30-group aggregation. Returns per bucket
+    (deg_bucket, n_nodes, min_deg, max_deg, sum_deg); degrees count
+    distinct neighbors (pair frames are distinct by construction).
+    """
+    nodes = pairs.select(F.col(a_col).alias("_n")).unionAll(
+        pairs.select(F.col(b_col).alias("_n"))
+    )
+    deg = nodes.groupBy("_n").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    bucket = (F.length(F.conv(F.col("_deg").cast("string"), 10, 2)) - 1).cast("int")
+    return deg.groupBy(bucket.alias("deg_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("_deg").cast("long").alias("min_deg"),
+        F.max("_deg").cast("long").alias("max_deg"),
+        F.sum("_deg").cast("long").alias("sum_deg"),
+    )

@@ -6953,6 +6953,30 @@ def _ora_pca_power(rounds: int = 3) -> str:
     )
 
 
+def _q_degree_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """X12/X13 — log2-bucketed degree distribution of the full co-purchase
+    graph (operators/graph.degree_histogram), from the shared persisted
+    pair frame: the pre-flight skew audit for every wedge/join-shaped
+    graph op. Buckets via the integer MSB position (floating log2 is not
+    floor-exact); one node-keyed count + a ~30-group aggregation."""
+    pairs = _ensure_copurchase_pairs(spark, sf)
+    return graph.degree_histogram(pairs).orderBy("deg_bucket")
+
+
+_O_DEGREE_HISTOGRAM = f"""
+WITH {_PAIRS_SQL_MW.format(mw=1)},
+deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+)
+SELECT CAST(LENGTH(BIN(d)) - 1 AS INT) AS deg_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+  CAST(MIN(d) AS BIGINT) AS min_deg,
+  CAST(MAX(d) AS BIGINT) AS max_deg,
+  CAST(SUM(d) AS BIGINT) AS sum_deg
+FROM deg GROUP BY deg_bucket ORDER BY deg_bucket
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -7142,6 +7166,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "centroid_sim": QuerySpec(_q_centroid_sim, _O_CENTROID_SIM, "X3 embedding audit: pairwise label-centroid dot products (integer-exact)"),
     "quantile_groups": QuerySpec(_q_quantile_groups, _O_QUANTILE_GROUPS, "X6 grouped GK quantile-sketch accuracy contract (mergeable one-pass quantiles)"),
     "pca_power": QuerySpec(_q_pca_power, _ora_pca_power(3), "X3 spectral: matrix-free PCA power method, 3 integer-exact iterations"),
+    "degree_histogram": QuerySpec(_q_degree_histogram, _O_DEGREE_HISTOGRAM, "X12 graph audit: log2-bucketed degree distribution (hub-skew pre-flight)"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

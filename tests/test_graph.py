@@ -164,3 +164,29 @@ def test_pairs_native_paths_match_symmetrized(spark):
     lp_b = {r["node"]: r["label"] for r in
             graph.label_propagation(None, rounds=3, undirected_pairs=pairs).collect()}
     assert lp_a == lp_b
+
+
+def test_degree_histogram_hand(spark):
+    from commerce_data_pipeline_spark.operators.graph import degree_histogram
+
+    # star: hub 0 with 5 leaves -> hub deg 5 (bucket 2), leaves deg 1 (bucket 0)
+    pairs = spark.createDataFrame(
+        [(0, i, 1) for i in range(1, 6)], "a long, b long, weight long"
+    )
+    out = {r["deg_bucket"]: r for r in degree_histogram(pairs).collect()}
+    assert out[0]["n_nodes"] == 5 and out[0]["min_deg"] == out[0]["max_deg"] == 1
+    assert out[2]["n_nodes"] == 1 and out[2]["max_deg"] == 5
+    assert set(out) == {0, 2}
+
+
+def test_degree_histogram_bucket_is_msb_exact(spark):
+    """Exact power-of-two degrees land in their own bucket — the case a
+    floating floor(log2) can get wrong (log(8)/log(2) < 3 in doubles)."""
+    from commerce_data_pipeline_spark.operators.graph import degree_histogram
+
+    # node 0 paired with 1..8 -> degree exactly 8 -> bucket 3
+    pairs = spark.createDataFrame(
+        [(0, i, 1) for i in range(1, 9)], "a long, b long, weight long"
+    )
+    out = {r["deg_bucket"]: r for r in degree_histogram(pairs).collect()}
+    assert out[3]["n_nodes"] == 1 and out[3]["min_deg"] == 8
