@@ -692,3 +692,39 @@ def canonical_records(
             F.count(F.lit(1)).cast("long").alias("n_members"),
         )
     )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH COST PLANNER — the audit you run BEFORE committing to a pair
+    expansion at 100 TB: per band, the bucket-size profile and the exact
+    candidate-pair volume the expansion would emit (Σ c·(c-1)/2 over
+    buckets). A heavy max_bucket or a candidate count out of budget means
+    re-tune bands/hashes or cap buckets — decided from one cheap
+    aggregation over the band rows, before any quadratic work exists.
+
+    Same band construction as minhash_lsh_pairs (shared minhash_band_rows),
+    so the plan numbers are exactly the pair stage's input: summed
+    candidate_pairs across bands upper-bounds the distinct pair count the
+    expansion produces. One (band, bkey) count + a `bands`-group rollup.
+
+    Returns per band: (band, n_buckets, n_rows, max_bucket,
+    n_collision_buckets, candidate_pairs).
+    """
+    band_rows = minhash_band_rows(df, id_col, text_col, num_hashes, bands, shingle_n)
+    buckets = band_rows.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.max("_c").cast("long").alias("max_bucket"),
+        F.count(F.when(F.col("_c") >= 2, 1)).cast("long").alias("n_collision_buckets"),
+        F.sum(F.expr("(_c * (_c - 1)) div 2")).cast("long").alias("candidate_pairs"),
+    )

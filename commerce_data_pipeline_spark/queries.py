@@ -6977,6 +6977,36 @@ FROM deg GROUP BY deg_bucket ORDER BY deg_bucket
 """
 
 
+def _q_lsh_cost_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 planning — LSH pair-expansion cost audit over the doubled corpus
+    (operators/dedup.lsh_bucket_stats, same 16×4 band construction as the
+    persisted pair stage): per band the bucket profile and the exact
+    candidate-pair volume Σ c·(c-1)/2 the expansion would emit. The
+    decide-before-you-shuffle step of a 100 TB dedup; summed across bands
+    it upper-bounds the distinct pair count lsh_dedup_pairs produces."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    doubled = docs.unionAll(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    return dedup.lsh_bucket_stats(doubled).orderBy("band")
+
+
+def _ora_lsh_cost_plan(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    return f"""WITH {_ora_lsh_ctes(num_hashes, bands, n)},
+buckets AS (
+  SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS c
+  FROM band_rows GROUP BY band, bkey
+)
+SELECT band,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+  CAST(SUM(c) AS BIGINT) AS n_rows,
+  CAST(MAX(c) AS BIGINT) AS max_bucket,
+  CAST(COUNT(CASE WHEN c >= 2 THEN 1 END) AS BIGINT) AS n_collision_buckets,
+  CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS candidate_pairs
+FROM buckets GROUP BY band ORDER BY band
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -7167,6 +7197,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "quantile_groups": QuerySpec(_q_quantile_groups, _O_QUANTILE_GROUPS, "X6 grouped GK quantile-sketch accuracy contract (mergeable one-pass quantiles)"),
     "pca_power": QuerySpec(_q_pca_power, _ora_pca_power(3), "X3 spectral: matrix-free PCA power method, 3 integer-exact iterations"),
     "degree_histogram": QuerySpec(_q_degree_histogram, _O_DEGREE_HISTOGRAM, "X12 graph audit: log2-bucketed degree distribution (hub-skew pre-flight)"),
+    "lsh_cost_plan": QuerySpec(_q_lsh_cost_plan, _ora_lsh_cost_plan(16, 4, 3), "X2 planning: LSH bucket profile + exact candidate-pair volume per band"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

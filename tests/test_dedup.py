@@ -191,3 +191,33 @@ def test_pair_group_matrix_unordered_counts(spark):
     # (1,2)->s1/s2, (1,3)->s1/s1, (2,3)->s2/s1 normalized to (s1,s2),
     # (4,5)->s3/s1 normalized to (s1,s3)
     assert out == {("s1", "s2"): 2, ("s1", "s1"): 1, ("s1", "s3"): 1}
+
+
+def test_lsh_bucket_stats_hand_and_bounds(spark):
+    from commerce_data_pipeline_spark.operators.dedup import (
+        lsh_bucket_stats, minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+            (2, "completely different text about spark and shuffles here"),
+            (3, "the quick brown fox jumps over a lazy dog today"),
+        ],
+        ["doc_id", "text"],
+    )
+    stats = lsh_bucket_stats(docs, num_hashes=16, bands=4).collect()
+    assert {r["band"] for r in stats} == {0, 1, 2, 3}
+    for r in stats:
+        # every doc lands in exactly one bucket per band
+        assert r["n_rows"] == 4
+        # candidate_pairs is exactly sum C(c,2) => consistent with counts
+        assert r["candidate_pairs"] >= r["n_collision_buckets"]
+        # docs 0 and 1 are identical -> every band has a >= 2 bucket
+        assert r["max_bucket"] >= 2 and r["n_collision_buckets"] >= 1
+    # planner upper-bounds the realized distinct pair count
+    total_candidates = sum(r["candidate_pairs"] for r in stats)
+    realized = minhash_lsh_pairs(docs, num_hashes=16, bands=4).count()
+    assert realized <= total_candidates
+    assert realized >= 1  # the exact-dup pair must be caught
