@@ -307,3 +307,75 @@ def test_chi_square_drift_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     assert seen == [expected]
     assert expected[0][-1] == 10_000_000  # chi2_e6 column
+
+
+def test_centroid_stats_stream_matches_batch(spark, tmp_path):
+    """centroid_similarity's (label, dim) sums are pure mergeable
+    statistics: stream the embeddings in two file-batches, accumulate
+    per-batch partial (sum, count) aggregates in a ledger, and the
+    centroid matrix rebuilt from the MERGED partials must reproduce the
+    batch operator's pairwise dots exactly — the one-pass streaming shape
+    of the embedding-drift audit."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from commerce_data_pipeline_spark.operators.similarity import centroid_similarity
+
+    rows_a = [(0, [0.5, -0.25]), (1, [0.125, 0.75])]
+    rows_b = [(0, [0.25, 0.5]), (1, [-0.5, 0.25]), (0, [0.75, -0.125])]
+    schema = "label int, embedding array<float>"
+    src = str(tmp_path / "in_cent")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    ledger: dict = defaultdict(lambda: [0, 0])  # (label, dim) -> [sum_e3, n]
+
+    def sink(bdf, _bid):
+        part = (
+            bdf.select(
+                "label",
+                F.posexplode(
+                    F.transform(
+                        "embedding",
+                        lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
+                    )
+                ).alias("dim", "v"),
+            )
+            .groupBy("label", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        for r in part.collect():
+            e = ledger[(r["label"], r["dim"])]
+            e[0] += int(r["s"])
+            e[1] += int(r["n"])
+
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cent"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # rebuild centroids from the merged ledger (same floor contract)
+    cents: dict = {}
+    ns: dict = {}
+    for (g, d), (s, n) in ledger.items():
+        cents.setdefault(g, {})[d] = math.floor(s * 1000.0 / n)
+        ns[g] = n
+    got = {}
+    for a in cents:
+        for b in cents:
+            if a <= b:
+                got[(a, b)] = sum(cents[a][d] * cents[b][d] for d in cents[a])
+
+    batch_df = spark.createDataFrame(rows_a + rows_b, schema)
+    expected = {
+        (r["label_a"], r["label_b"]): r["dot_e12"]
+        for r in centroid_similarity(batch_df).collect()
+    }
+    assert got == expected
+    assert len(ledger) == 4  # 2 labels x 2 dims, merged across 2 batches
