@@ -744,7 +744,22 @@ def bpe_train(
     if rounds < 1:
         raise ValueError("bpe_train: rounds must be >= 1")
     spark = df.sparkSession
-    vocab = (
+    merges = [
+        (rnd, l, r, c)
+        for rnd, l, r, c, _ in _bpe_loop(
+            _bpe_vocab(df, text_col), rounds, apply_last=False
+        )
+    ]
+    return spark.createDataFrame(
+        merges, "rnk int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def _bpe_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """The one corpus-sized stage of BPE training: word-frequency
+    aggregation to (syms array, cnt), localCheckpoint-ed."""
+    spark = df.sparkSession
+    return (
         # single-file parquet scans as ONE split; spread the CPU-bound
         # normalize/split/explode before the vocabulary aggregation
         df.repartition(spark.sparkContext.defaultParallelism)
@@ -755,36 +770,83 @@ def bpe_train(
         .select(F.split("_w", "").alias("syms"), "cnt")
         .localCheckpoint()
     )
-    merges: list[tuple[int, str, str, int]] = []
-    for rnd in range(1, rounds + 1):
-        top1 = (
-            vocab.filter(F.size("syms") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("syms") - 1),
-                        lambda i: F.struct(
-                            F.try_element_at("syms", i).alias("l"),
-                            F.try_element_at("syms", i + F.lit(1)).alias("r"),
-                        ),
-                    )
-                ).alias("_p"),
-            )
-            .groupBy(F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
-            .agg(F.sum("cnt").cast("long").alias("c"))
-            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()
+
+
+def _bpe_top_pair(vocab: DataFrame):
+    """The round's merge decision: cnt-weighted adjacent-pair count over
+    the vocabulary, top-1 by (count desc, pair lexicographic)."""
+    rows = (
+        vocab.filter(F.size("syms") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.try_element_at("syms", i).alias("l"),
+                        F.try_element_at("syms", i + F.lit(1)).alias("r"),
+                    ),
+                )
+            ).alias("_p"),
         )
-        if not top1:
+        .groupBy(F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return None
+    return rows[0]["l"], rows[0]["r"], int(rows[0]["c"])
+
+
+def _bpe_loop(vocab: DataFrame, rounds: int, apply_last: bool):
+    """Shared training loop over a prebuilt vocabulary: yields (rnd, l, r,
+    pair_count, vocab-AFTER-the-round's-merge-if-applied). bpe_train
+    consumes the decisions; bpe_compression also consumes the merged
+    vocab frames."""
+    for rnd in range(1, rounds + 1):
+        top = _bpe_top_pair(vocab)
+        if top is None:
             break
-        l, r, c = top1[0]["l"], top1[0]["r"], int(top1[0]["c"])
-        merges.append((rnd, l, r, c))
-        if rnd < rounds:
+        l, r, c = top
+        if rnd < rounds or apply_last:
             vocab = vocab.select(
                 bpe_apply_merge(F.col("syms"), l, r).alias("syms"), "cnt"
             ).localCheckpoint()
+        yield rnd, l, r, c, vocab
+
+
+def bpe_compression(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+) -> DataFrame:
+    """Tokenizer EVALUATION — the corpus compression each learned BPE merge
+    buys: total symbol count (Σ cnt·|syms| over the vocabulary) after 0, 1,
+    ..., `rounds` merges. THE release metric of a tokenizer build (tokens
+    per corpus = cost per training epoch); saved_vs_chars pins each stage's
+    win over the character baseline. Same shared loop as bpe_train — the
+    corpus is touched once, each stage adds one vocabulary-sized
+    aggregation. Returns (stage, total_syms, saved_vs_chars), stage 0 =
+    character baseline.
+    """
+    if rounds < 1:
+        raise ValueError("bpe_compression: rounds must be >= 1")
+    spark = df.sparkSession
+
+    def _total(v: DataFrame) -> int:
+        row = v.agg(
+            F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("t")
+        ).collect()[0]
+        return int(row["t"] or 0)
+
+    v0 = _bpe_vocab(df, text_col)
+    base = _total(v0)
+    stages = [(0, base, 0)]
+    for rnd, _l, _r, _c, vocab in _bpe_loop(v0, rounds, apply_last=True):
+        t = _total(vocab)
+        stages.append((rnd, t, base - t))
     return spark.createDataFrame(
-        merges, "rnk int, left_sym string, right_sym string, pair_count long"
+        stages, "stage int, total_syms long, saved_vs_chars long"
     )

@@ -7007,6 +7007,60 @@ FROM buckets GROUP BY band ORDER BY band
 """
 
 
+def _q_bpe_compression(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 tokenizer evaluation — corpus compression per learned BPE merge
+    (operators/text.bpe_compression): total symbol count after 0..3
+    merges plus the saving vs the character baseline, the release metric
+    (tokens per corpus = cost per epoch) of a tokenizer build. Shares
+    bpe_train's loop; one extra vocabulary-sized aggregation per stage."""
+    docs = load_table(spark, sf, "documents")
+    return text.bpe_compression(docs, rounds=3).orderBy("stage")
+
+
+def _ora_bpe_compression(rounds: int = 3) -> str:
+    ctes = [
+        """w0 AS (
+  SELECT string_split(w, '') AS syms, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents) WHERE length(w) >= 1 GROUP BY w
+)"""
+    ]
+    for rnd in range(1, rounds + 1):
+        prev = f"w{rnd - 1}"
+        ctes.append(
+            f"""t{rnd} AS (
+  SELECT l, r FROM (
+    SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+      SELECT cnt, syms[i] AS l, syms[i + 1] AS r
+      FROM {prev}, LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+      WHERE len(syms) >= 2)
+    GROUP BY l, r ORDER BY c DESC, l ASC, r ASC LIMIT 1)
+)"""
+        )
+        ctes.append(
+            f"""w{rnd} AS (
+  SELECT flatten(list_transform(generate_series(1, len(syms)), i -> CASE
+    WHEN {_bpe_ms_sql('i')} THEN [t.l || t.r]
+    WHEN i >= 2 AND {_bpe_ms_sql('i - 1')} THEN []
+    ELSE [syms[i]] END)) AS syms, cnt
+  FROM {prev} CROSS JOIN t{rnd} t
+)"""
+        )
+    totals = "\n  UNION ALL\n".join(
+        f"  SELECT {r} AS stage, CAST(SUM(cnt * len(syms)) AS BIGINT) AS total_syms FROM w{r}"
+        for r in range(0, rounds + 1)
+    )
+    ctes.append(f"tot AS (\n{totals}\n)")
+    ctes.append("base AS (SELECT total_syms AS b FROM tot WHERE stage = 0)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(stage AS INT) AS stage, total_syms,"
+        + " CAST(base.b - total_syms AS BIGINT) AS saved_vs_chars"
+        + " FROM tot, base ORDER BY stage"
+    )
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -7198,6 +7252,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pca_power": QuerySpec(_q_pca_power, _ora_pca_power(3), "X3 spectral: matrix-free PCA power method, 3 integer-exact iterations"),
     "degree_histogram": QuerySpec(_q_degree_histogram, _O_DEGREE_HISTOGRAM, "X12 graph audit: log2-bucketed degree distribution (hub-skew pre-flight)"),
     "lsh_cost_plan": QuerySpec(_q_lsh_cost_plan, _ora_lsh_cost_plan(16, 4, 3), "X2 planning: LSH bucket profile + exact candidate-pair volume per band"),
+    "bpe_compression": QuerySpec(_q_bpe_compression, _ora_bpe_compression(3), "X4 tokenizer eval: corpus compression per learned BPE merge"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

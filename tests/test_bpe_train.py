@@ -118,3 +118,29 @@ def test_train_validates_rounds(spark):
     df = spark.createDataFrame([("ab",)], "text string")
     with pytest.raises(ValueError, match="rounds"):
         T.bpe_train(df, rounds=0)
+
+
+def test_compression_stages_hand(spark):
+    from commerce_data_pipeline_spark.operators.text import bpe_compression
+
+    # corpus "aa ab aa": chars = 2+2+2 = 6. merge1 = (a,a) c=2 -> words
+    # (aa)(ab->a,b)(aa) total = 1+2+1 = 4. merge2 = (a,b) -> total 3.
+    df = spark.createDataFrame([("aa ab",), ("aa",)], "text string")
+    out = {r["stage"]: r for r in bpe_compression(df, rounds=2).collect()}
+    assert out[0]["total_syms"] == 6 and out[0]["saved_vs_chars"] == 0
+    assert out[1]["total_syms"] == 4 and out[1]["saved_vs_chars"] == 2
+    assert out[2]["total_syms"] == 3 and out[2]["saved_vs_chars"] == 3
+
+
+def test_compression_monotone_on_corpus(spark, sf_dir):
+    from commerce_data_pipeline_spark.operators.text import bpe_compression
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(
+        bpe_compression(docs, rounds=3).collect(), key=lambda r: r["stage"]
+    )
+    totals = [r["total_syms"] for r in rows]
+    # each merge strictly shrinks the corpus (the chosen pair has count > 0)
+    assert all(a > b for a, b in zip(totals, totals[1:]))
+    assert rows[0]["saved_vs_chars"] == 0
+    assert rows[-1]["saved_vs_chars"] == totals[0] - totals[-1]
