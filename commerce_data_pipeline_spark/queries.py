@@ -7286,12 +7286,26 @@ _WINDOW_R7 = [
     # contamination/temperature_mix, temporal via burst_window_events,
     # relational via pricing_summary + waiting_suppliers +
     # customer_value_deciles, X5 via image_phash_md5 + image_dup_clusters.
-    "dedup_clusters", "ann_ivf", "fuzzy_name_pairs",
-    "contamination", "bloom_decontaminate", "temperature_mix",
-    "quality_classifier", "dsir_select", "image_phash_md5",
-    "part_pagerank", "pricing_summary", "date_gaps", "funnel",
-    "sessionization", "conversion_daily",
-    "param_extract", "streaming_daily_counts",
+    # (late-r7 swap #2: ten more multi-attested proofs — dedup_clusters,
+    # ann_ivf, contamination, dsir_select, image_phash_md5, part_pagerank,
+    # pricing_summary, sessionization, conversion_daily,
+    # streaming_daily_counts, all driver-attested r1-r6 — swapped out for
+    # the ten third-batch queries, so THIS round's run also attests them.
+    # Family cover: X2 chain via canonical_docs + part_components +
+    # lsh_cost_plan; X3 via the kmeans pair + centroid_sim + pca_power;
+    # corpus via temperature_mix + split_leakage; X11 via
+    # quality_classifier; X5 via image_dup_clusters; X12 via the six
+    # in-window graph proofs + degree_histogram; R via waiting_suppliers +
+    # customer_value_deciles + quantile_groups; G via funnel +
+    # session_funnel + sequence_violations; streaming via sliding_counts.)
+    "fuzzy_name_pairs",
+    "bloom_decontaminate", "temperature_mix",
+    "quality_classifier",
+    "date_gaps", "funnel",
+    "param_extract",
+    "bpe_train", "bpe_compression", "ndcg_eval", "split_leakage",
+    "zorder_skipping", "centroid_sim", "quantile_groups", "pca_power",
+    "degree_histogram", "lsh_cost_plan",
     # rotated IN: the 19 r6 additions, never driver-checked before r7
     "also_bought", "association_rules", "attribution_position",
     "bm25_indexed", "bpe_first_merge", "burst_window_events",

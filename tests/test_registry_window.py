@@ -21,17 +21,23 @@ FAMILY_PROOFS = {
     # round every registry query is driver-attested-ever, the r6
     # VERDICT's stated bar; part_components re-witnesses
     # connected_components on a facts-derived graph in-window.
-    "dedup_clusters",
+    # (late-r7 swap #2: dedup_clusters — attested r1-r6 — out for
+    # lsh_cost_plan, the band-stage cost planner on the same pipeline)
+    "lsh_cost_plan",
     "canonical_docs",
     "part_components",
     # X3 similarity / ANN (hard_negatives attested r6 swapped out; the
     # kmeans pair adds the training half of the family in-window)
-    "ann_ivf",
+    # (ann_ivf attested r1-r6 out; centroid_sim + pca_power add the
+    # embedding-audit / spectral halves of X3 in-window)
     "kmeans_step",
     "kmeans_train",
+    "centroid_sim",
+    "pca_power",
     # X6 sketches (sketch_accuracy attested r1-r6 → sketch_union carries
     # the family: same falsifiable-bound technique plus mergeability)
     "sketch_union",
+    "quantile_groups",
     # record linkage (the family's only query — must stay driver-attested)
     "fuzzy_name_pairs",
     # X4 text (r7: dup_ngram_spans/bigram_lm rotated out, attested r5/r6;
@@ -39,18 +45,22 @@ FAMILY_PROOFS = {
     # part_walks; the two r6 rotate-ins cover the tokenizer-stats and
     # cross-doc-novelty shuffle shapes)
     "bpe_first_merge",
+    "bpe_train",
+    "bpe_compression",
     "ngram_novelty",
     # corpus shaping (greedy_pack/pii_redact/cluster_sample attested
     # r1-r6/r3-r6, swapped out mid-r7)
-    "contamination",
+    # (contamination attested r1-r6 out; split_leakage adds the
+    # governance half of corpus shaping)
     "temperature_mix",
+    "split_leakage",
     # X7-X10 + selection (r7: bm25_search→bm25_indexed — same oracle, and
     # the indexed path additionally attests the persisted postings;
     # tfidf/hybrid/mmr/calibrate rotated out, attested r6)
     "bm25_indexed",
+    "ndcg_eval",
     "bloom_decontaminate",
     "quality_classifier",
-    "dsir_select",
     # temporal (scd2/decay rotated out, attested r6; resample_ffill
     # attested r5-r6 swapped out mid-r7; burst_window_events carries the
     # interval-join shape in-window)
@@ -71,7 +81,9 @@ FAMILY_PROOFS = {
     "salted_hot_join",
     # X12 graph (r7 in: LPA + degree-oriented triangle census + recos +
     # k-core peel + capped neighbor-set Jaccard)
-    "part_pagerank",
+    # (part_pagerank attested r1-r6 out; degree_histogram is the
+    # family's skew pre-flight)
+    "degree_histogram",
     "part_communities",
     "part_triangles",
     "also_bought",
@@ -81,24 +93,22 @@ FAMILY_PROOFS = {
     "part_walks",
     # X5 multimodal (media_features_md5 attested r6 swapped out mid-r7 —
     # image_dup_clusters consumes the same pHash pair stage and adds CC)
-    "image_phash_md5",
     "image_dup_clusters",
     # relational / pipeline / gold representatives (top_revenue_nations /
     # distinct_ship_dates attested r1-r6 swapped out mid-r7 for the Q21
     # semi+anti shape and the NTILE banding witness)
-    "pricing_summary",
+    # (pricing_summary attested r1-r6 out; zorder_skipping registers
+    # the §4 layout family for the first time)
+    "zorder_skipping",
     "waiting_suppliers",
     "customer_value_deciles",
     "date_gaps",
     "funnel",
-    "sessionization",
     "session_funnel",
     "sequence_violations",
     "sliding_counts",
-    "conversion_daily",
     "attribution_position",
     "param_extract",
-    "streaming_daily_counts",
 }
 
 
