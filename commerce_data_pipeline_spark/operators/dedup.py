@@ -728,3 +728,66 @@ def lsh_bucket_stats(
         F.count(F.when(F.col("_c") >= 2, 1)).cast("long").alias("n_collision_buckets"),
         F.sum(F.expr("(_c * (_c - 1)) div 2")).cast("long").alias("candidate_pairs"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_containment: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """X2 — exact n-gram CONTAINMENT pairs: C(A in B) = |A ∩ B| / |A| over
+    distinct shingle sets (Broder's containment, the asymmetric sibling of
+    Jaccard). This is the near-dup case Jaccard structurally misses: a
+    document quoted or embedded inside a much larger one has tiny Jaccard
+    (size disparity dominates the union) but containment ≈ 1 — exactly the
+    quote/boilerplate/subset duplication a training-corpus dedup must see.
+
+    Same plan shape as ngram_jaccard_pairs (shingle-keyed equi-join over
+    distinct shingles, document-frequency cap bounds fan-out at scale);
+    both directions emit as e6-floored integers, and a pair survives if
+    EITHER direction reaches `min_containment`. Returns
+    (id_a, id_b, inter, n_a, n_b, cont_a_e6, cont_b_e6).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, on="shingle", how="left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    cut = int(min_containment * 1_000_000)
+    return (
+        inter.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+        )
+        .withColumn(
+            "cont_a_e6",
+            F.floor(F.col("inter") * F.lit(1_000_000) / F.col("n_a")).cast("long"),
+        )
+        .withColumn(
+            "cont_b_e6",
+            F.floor(F.col("inter") * F.lit(1_000_000) / F.col("n_b")).cast("long"),
+        )
+        .filter((F.col("cont_a_e6") >= cut) | (F.col("cont_b_e6") >= cut))
+        .select("id_a", "id_b", "inter", "n_a", "n_b", "cont_a_e6", "cont_b_e6")
+    )

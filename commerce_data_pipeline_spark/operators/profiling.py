@@ -710,3 +710,60 @@ def quantile_sketch_audit(
         "hi_bound",
         F.col("_est").between(F.col("lo_bound"), F.col("hi_bound")).alias("approx_ok"),
     )
+
+
+def label_agreement(
+    df: DataFrame,
+    actual_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Classifier/annotator AGREEMENT audit — Cohen's kappa between two
+    categorical columns: the standard "is this labeler better than chance"
+    check for weak labels, model-vs-gold evaluation, or inter-annotator
+    agreement on a labeling pipeline.
+
+    po = observed agreement, pe = chance agreement Σ_k p(actual=k)·p(pred=k),
+    kappa = (po − pe)/(1 − pe). Everything reduces over ONE (actual, pred)
+    count (map-side partials); marginal products are computed per label as
+    identical-double terms and summed through DECIMAL(18,12) (order-free),
+    so the result value-hashes cross-engine at any partitioning. kappa is
+    NULL when pe = 1 (a single label on both sides — agreement is
+    undefined, not perfect).
+
+    Returns one row: (n_rows, n_agree, po_e6, pe_e6, kappa_e6).
+    """
+    conf = df.groupBy(
+        F.col(actual_col).alias("_a"), F.col(pred_col).alias("_p")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    totals = conf.agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("_a") == F.col("_p"), F.col("_n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    rows_m = conf.groupBy("_a").agg(F.sum("_n").cast("long").alias("_ra"))
+    cols_m = conf.groupBy("_p").agg(F.sum("_n").cast("long").alias("_cb"))
+    pe_terms = (
+        rows_m.join(cols_m, rows_m["_a"] == cols_m["_p"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            (
+                (F.col("_ra").cast("double") / F.col("n_rows"))
+                * (F.col("_cb").cast("double") / F.col("n_rows"))
+            )
+            .cast("decimal(18,12)")
+            .alias("_t")
+        )
+    )
+    pe = pe_terms.agg(F.sum("_t").alias("_pe_dec"))
+    out = totals.crossJoin(F.broadcast(pe))
+    po_d = F.col("n_agree").cast("double") / F.col("n_rows")
+    pe_d = F.coalesce(F.col("_pe_dec").cast("double"), F.lit(0.0))
+    kappa = (po_d - pe_d) / F.nullif(F.lit(1.0) - pe_d, F.lit(0.0))
+    return out.select(
+        "n_rows",
+        "n_agree",
+        F.floor(po_d * F.lit(1_000_000.0)).cast("long").alias("po_e6"),
+        F.floor(pe_d * F.lit(1_000_000.0)).cast("long").alias("pe_e6"),
+        F.floor(kappa * F.lit(1_000_000.0)).cast("long").alias("kappa_e6"),
+    )

@@ -7061,6 +7061,112 @@ def _ora_bpe_compression(rounds: int = 3) -> str:
     )
 
 
+def _q_containment_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 — exact n-gram CONTAINMENT top-50 over the sampled corpus
+    (operators/dedup.ngram_containment_pairs): the asymmetric near-dup
+    view (|A∩B|/|A|) that catches a document quoted inside a larger one —
+    tiny Jaccard, containment ≈ 1. Same sampled pair space and plan shape
+    as jaccard_topk; ranking by (max containment desc, ids) is unique."""
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    pairs = dedup.ngram_containment_pairs(docs, shingle_n=1, min_containment=0.5)
+    order = [
+        F.desc(F.greatest(F.col("cont_a_e6"), F.col("cont_b_e6"))),
+        F.asc("id_a"),
+        F.asc("id_b"),
+    ]
+    top = pairs.orderBy(*order).limit(50)
+    return top.withColumn("crank", F.row_number().over(Window.orderBy(*order))).select(
+        "id_a", "id_b", "inter", "n_a", "n_b", "cont_a_e6", "cont_b_e6", "crank"
+    )
+
+
+_O_CONTAINMENT_TOPK = """
+WITH sample_docs AS (
+  SELECT doc_id, list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS ws
+  FROM documents WHERE doc_id % 5 = 0
+), sh AS (
+  SELECT doc_id, unnest(ws) AS shingle FROM sample_docs
+), sizes AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_sh FROM sample_docs
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), c AS (
+  SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+    CAST(FLOOR((inter * 1000000) / sa.n_sh) AS BIGINT) AS cont_a_e6,
+    CAST(FLOOR((inter * 1000000) / sb.n_sh) AS BIGINT) AS cont_b_e6
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, inter, n_a, n_b, cont_a_e6, cont_b_e6,
+  CAST(ROW_NUMBER() OVER (ORDER BY GREATEST(cont_a_e6, cont_b_e6) DESC, id_a, id_b) AS INT) AS crank
+FROM c WHERE cont_a_e6 >= 500000 OR cont_b_e6 >= 500000
+QUALIFY crank <= 50
+"""
+
+
+def _q_lang_id_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """X4/X13 evaluation — Cohen's kappa between the marker-word
+    language-ID prediction and the stored lang label
+    (operators/profiling.label_agreement): the better-than-chance check
+    for a weak labeler, run as one (actual, pred) count + marginal
+    products summed through DECIMAL(18,12). The heuristic's quality
+    becomes a pinned, falsifiable number instead of an assumption."""
+    docs = load_table(spark, sf, "documents")
+    pred = docs.select(
+        F.col("lang").alias("actual"), text.language_id("text").alias("pred")
+    )
+    return profiling.label_agreement(pred, "actual", "pred")
+
+
+_O_LANG_ID_AGREEMENT = """
+WITH t AS (
+  SELECT lang AS actual,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), scored AS (
+  SELECT actual,
+    len(list_filter(ws, w -> list_contains(['the','and','of','to','a'], w))) AS s_en,
+    len(list_filter(ws, w -> list_contains(['der','die','das','und','ist'], w))) AS s_de,
+    len(list_filter(ws, w -> list_contains(['el','la','de','que','y'], w))) AS s_es,
+    len(list_filter(ws, w -> list_contains(['le','la','et','les','des'], w))) AS s_fr
+  FROM t
+), pred AS (
+  SELECT actual,
+    CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr) THEN 'fr'
+         WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+         WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+         ELSE 'de' END AS pred
+  FROM scored
+), conf AS (
+  SELECT actual AS a, pred AS p, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY actual, pred
+), totals AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN a = p THEN n ELSE 0 END) AS BIGINT) AS n_agree
+  FROM conf
+), rm AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ra FROM conf GROUP BY a),
+cm AS (SELECT p, CAST(SUM(n) AS BIGINT) AS cb FROM conf GROUP BY p),
+pe AS (
+  SELECT SUM(CAST((CAST(ra AS DOUBLE) / t.n_rows) * (CAST(cb AS DOUBLE) / t.n_rows)
+             AS DECIMAL(18,12))) AS pe_dec
+  FROM rm JOIN cm ON rm.a = cm.p, totals t
+)
+SELECT t.n_rows, t.n_agree,
+  CAST(FLOOR((CAST(t.n_agree AS DOUBLE) / t.n_rows) * 1000000.0) AS BIGINT) AS po_e6,
+  CAST(FLOOR(COALESCE(CAST(pe.pe_dec AS DOUBLE), 0.0) * 1000000.0) AS BIGINT) AS pe_e6,
+  CAST(FLOOR(((CAST(t.n_agree AS DOUBLE) / t.n_rows)
+              - COALESCE(CAST(pe.pe_dec AS DOUBLE), 0.0))
+             / NULLIF(1.0 - COALESCE(CAST(pe.pe_dec AS DOUBLE), 0.0), 0.0)
+             * 1000000.0) AS BIGINT) AS kappa_e6
+FROM totals t, pe
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -7253,6 +7359,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "degree_histogram": QuerySpec(_q_degree_histogram, _O_DEGREE_HISTOGRAM, "X12 graph audit: log2-bucketed degree distribution (hub-skew pre-flight)"),
     "lsh_cost_plan": QuerySpec(_q_lsh_cost_plan, _ora_lsh_cost_plan(16, 4, 3), "X2 planning: LSH bucket profile + exact candidate-pair volume per band"),
     "bpe_compression": QuerySpec(_q_bpe_compression, _ora_bpe_compression(3), "X4 tokenizer eval: corpus compression per learned BPE merge"),
+    "containment_topk": QuerySpec(_q_containment_topk, _O_CONTAINMENT_TOPK, "X2 asymmetric near-dup: exact n-gram containment top-50 (quote/subset detection)"),
+    "lang_id_agreement": QuerySpec(_q_lang_id_agreement, _O_LANG_ID_AGREEMENT, "X4/X13 eval: Cohen's kappa of the language-ID heuristic vs stored labels"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

@@ -221,3 +221,35 @@ def test_lsh_bucket_stats_hand_and_bounds(spark):
     realized = minhash_lsh_pairs(docs, num_hashes=16, bands=4).count()
     assert realized <= total_candidates
     assert realized >= 1  # the exact-dup pair must be caught
+
+
+def test_containment_catches_quoted_subset(spark):
+    """A doc fully quoted inside a bigger one: Jaccard is small (union is
+    dominated by the big doc) but containment of the small doc is 1.0 —
+    the case this operator exists for."""
+    from commerce_data_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma"
+    big = small + " " + " ".join(f"w{i}" for i in range(27))  # 30 words
+    docs = spark.createDataFrame([(1, small), (2, big)], ["doc_id", "text"])
+    got = ngram_containment_pairs(docs, shingle_n=1, min_containment=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"], r["inter"], r["n_a"], r["n_b"]) == (1, 2, 3, 3, 30)
+    assert r["cont_a_e6"] == 1_000_000 and r["cont_b_e6"] == 100_000
+    # Jaccard at the same threshold misses it entirely
+    assert not ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.5).collect()
+
+
+def test_containment_threshold_either_direction(spark):
+    from commerce_data_pipeline_spark.operators.dedup import ngram_containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f"), (3, "x y z q")], ["doc_id", "text"]
+    )
+    # pair (1,2): inter=2, n=4 each -> 0.5 both directions -> kept at 0.5
+    rows = ngram_containment_pairs(docs, shingle_n=1, min_containment=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["cont_a_e6"] == rows[0]["cont_b_e6"] == 500_000

@@ -127,3 +127,43 @@ def test_quantile_sketch_audit_is_falsifiable(spark):
     df = spark.createDataFrame([("a", 5)] * 9, "g string, v long")
     r = quantile_sketch_audit(df, "v", "g").collect()[0]
     assert r["lo_bound"] == r["hi_bound"] == 5 and r["approx_ok"]
+
+
+def test_label_agreement_hand_kappa(spark):
+    """Textbook 2x2 kappa: po=0.7, pe=0.5, kappa=0.4 — floors to e6."""
+    from commerce_data_pipeline_spark.operators.profiling import label_agreement
+
+    rows = (
+        [("x", "x")] * 4 + [("x", "y")] * 2 + [("y", "x")] * 1 + [("y", "y")] * 3
+    )
+    df = spark.createDataFrame(rows, "actual string, pred string")
+    r = label_agreement(df, "actual", "pred").collect()[0]
+    assert (r["n_rows"], r["n_agree"]) == (10, 7)
+    assert r["po_e6"] == 700_000
+    # pe = (6/10)(5/10) + (4/10)(5/10) = 0.5
+    assert r["pe_e6"] == 500_000
+    # kappa = (0.7 - 0.5)/(1 - 0.5) = 0.4 (floor can land at 399999/400000
+    # depending on the double; pin the window)
+    assert r["kappa_e6"] in (399_999, 400_000)
+
+
+def test_label_agreement_degenerate_single_label(spark):
+    from commerce_data_pipeline_spark.operators.profiling import label_agreement
+
+    df = spark.createDataFrame([("a", "a")] * 5, "actual string, pred string")
+    r = label_agreement(df, "actual", "pred").collect()[0]
+    assert r["po_e6"] == 1_000_000 and r["pe_e6"] == 1_000_000
+    assert r["kappa_e6"] is None  # pe = 1 -> undefined, not perfect
+
+
+def test_label_agreement_disjoint_labels(spark):
+    """Pred never matches actual label space: agreement 0, pe 0 (no
+    matching label in the marginal join), kappa 0."""
+    from commerce_data_pipeline_spark.operators.profiling import label_agreement
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("c", "d")], "actual string, pred string"
+    )
+    r = label_agreement(df, "actual", "pred").collect()[0]
+    assert r["n_agree"] == 0 and r["po_e6"] == 0 and r["pe_e6"] == 0
+    assert r["kappa_e6"] == 0
