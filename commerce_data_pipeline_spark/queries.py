@@ -7406,11 +7406,15 @@ _WINDOW_R7 = [
     # in-window graph proofs + degree_histogram; R via waiting_suppliers +
     # customer_value_deciles + quantile_groups; G via funnel +
     # session_funnel + sequence_violations; streaming via sliding_counts.)
+    # (late-r7 swap #3: temperature_mix and param_extract — both attested
+    # r1-r6 — out for containment_topk and lang_id_agreement; corpus
+    # mixing keeps split_leakage in-window, G6 keeps its pytest +
+    # selfcheck + six prior attestations.)
     "fuzzy_name_pairs",
-    "bloom_decontaminate", "temperature_mix",
+    "bloom_decontaminate",
     "quality_classifier",
     "date_gaps", "funnel",
-    "param_extract",
+    "containment_topk", "lang_id_agreement",
     "bpe_train", "bpe_compression", "ndcg_eval", "split_leakage",
     "zorder_skipping", "centroid_sim", "quantile_groups", "pca_power",
     "degree_histogram", "lsh_cost_plan",

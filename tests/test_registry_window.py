@@ -52,8 +52,11 @@ FAMILY_PROOFS = {
     # r1-r6/r3-r6, swapped out mid-r7)
     # (contamination attested r1-r6 out; split_leakage adds the
     # governance half of corpus shaping)
-    "temperature_mix",
+    # (late-r7 swap #3: temperature_mix attested r1-r6 out;
+    # containment_topk joins X2, lang_id_agreement joins the eval audits)
     "split_leakage",
+    "containment_topk",
+    "lang_id_agreement",
     # X7-X10 + selection (r7: bm25_search→bm25_indexed — same oracle, and
     # the indexed path additionally attests the persisted postings;
     # tfidf/hybrid/mmr/calibrate rotated out, attested r6)
@@ -108,7 +111,6 @@ FAMILY_PROOFS = {
     "sequence_violations",
     "sliding_counts",
     "attribution_position",
-    "param_extract",
 }
 
 
