@@ -897,3 +897,82 @@ def degree_histogram(
         F.max("_deg").cast("long").alias("max_deg"),
         F.sum("_deg").cast("long").alias("sum_deg"),
     )
+
+
+def personalized_pagerank(
+    undirected_pairs: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    scale: int = 10**9,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    a_col: str = "a",
+    b_col: str = "b",
+    weight: str = "weight",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Personalized PageRank from a SEED SET — the seed-expansion
+    primitive of data selection (grow a small trusted set into a ranked
+    candidate pool along co-occurrence structure; the graph analog of
+    DSIR's importance weighting). Teleport mass goes ONLY to seeds:
+
+        r_{t+1}(v) = [v ∈ S]·(15·scale div 100)
+                   + Σ_{u→v} (85·r_t(u)·w_uv) div (100·ow_u)
+
+    — all integer arithmetic on non-negative values, so `div` (truncate)
+    == floor in both engines and a SQL oracle unrolls the rounds exactly
+    (the pagerank contract, restricted to seed teleport).
+
+    Unlike global pagerank there is NO driver fast path and no full-node
+    teleport join: the rank frame starts at |S| rows and only ever grows
+    to the seeds' r-hop neighborhood — PPR is localized, which is the
+    whole point at 100 TB (a few keyed joins over a sparse frontier, the
+    full graph never materializes a dense rank vector). Per round: one
+    src-keyed join of the sparse ranks against the loop-invariant
+    (edge, out-weight) frame + one dst-keyed sum; the frontier frame is
+    localCheckpoint-ed (two consumers: next round's join, final output).
+
+    `seeds` is deduplicated and intersected with the graph's node set
+    (teleporting to isolated nodes would inject mass the oracle's edge
+    scan never sees). Returns (node, rank) for every node with nonzero
+    rank after `rounds` rounds.
+    """
+    if rounds < 1:
+        raise ValueError("personalized_pagerank: rounds must be >= 1")
+    pairs = undirected_pairs.select(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b"),
+        F.col(weight).cast("long").alias("_w"),
+    ).filter(F.col("_w") > 0)
+    edges = pairs.select(
+        F.col("_a").alias("_src"), F.col("_b").alias("_dst"), "_w"
+    ).unionAll(pairs.select(F.col("_b").alias("_src"), F.col("_a").alias("_dst"), "_w"))
+    ew = (
+        edges.join(edges.groupBy("_src").agg(F.sum("_w").alias("_ow")), "_src")
+        .localCheckpoint()
+    )
+    s = (
+        seeds.select(F.col(seed_col).alias("node")).distinct()
+        .join(ew.select(F.col("_src").alias("node")).distinct(), "node", "left_semi")
+        .localCheckpoint()
+    )
+    teleport = (damp_den - damp_num) * scale // damp_den
+    ranks = s.select("node", F.lit(int(scale)).cast("long").alias("rank"))
+    for _ in range(rounds):
+        contribs = (
+            ranks.join(ew, ranks["node"] == ew["_src"])
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr(
+                    f"({damp_num} * rank * _w) div ({damp_den} * _ow)"
+                ).cast("long").alias("_x"),
+            )
+        )
+        ranks = (
+            contribs.unionAll(
+                s.select("node", F.lit(int(teleport)).cast("long").alias("_x"))
+            )
+            .groupBy("node")
+            .agg(F.sum("_x").cast("long").alias("rank"))
+            .localCheckpoint()
+        )
+    return ranks

@@ -7167,6 +7167,59 @@ FROM totals t, pe
 """
 
 
+def _q_seed_expansion(spark: SparkSession, sf: str) -> DataFrame:
+    """X12/X11 — seed-set expansion via personalized PageRank
+    (operators/graph.personalized_pagerank): teleport mass pinned to one
+    brand's parts, 3 integer-exact rounds over the shared co-purchase
+    pair frame — the graph analog of importance-weighted data selection
+    (grow a trusted seed set into a ranked candidate pool). The rank
+    frontier stays sparse (seeds' 3-hop neighborhood); top-100 by
+    (rank desc, node)."""
+    pairs = _ensure_copurchase_pairs(spark, sf)
+    part = load_table(spark, sf, "part")
+    seeds = part.filter(F.col("p_brand") == "Brand#12").select(
+        F.col("p_partkey").alias("node")
+    )
+    ranks = graph.personalized_pagerank(pairs, seeds, rounds=3)
+    order = [F.desc("rank"), F.asc("node")]
+    top = ranks.orderBy(*order).limit(100)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+
+
+def _ora_seed_expansion(rounds: int = 3, brand: str = "Brand#12") -> str:
+    ctes = [
+        _PAIRS_SQL_MW.format(mw=1),
+        """ew AS (
+  SELECT e.src, e.dst, e.w, o.ow FROM edges e
+  JOIN (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src) o USING (src)
+)""",
+        f"""seeds AS (
+  SELECT DISTINCT p_partkey AS node FROM part
+  WHERE p_brand = '{brand}' AND p_partkey IN (SELECT src FROM edges)
+)""",
+        "r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM seeds)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""r{r} AS (
+  SELECT node, CAST(SUM(x) AS BIGINT) AS rank FROM (
+    SELECT e.dst AS node, (85 * p.rank * e.w) // (100 * e.ow) AS x
+    FROM r{r - 1} p JOIN ew e ON e.src = p.node
+    UNION ALL
+    SELECT node, CAST(150000000 AS BIGINT) FROM seeds)
+  GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, rank,
+  CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node ASC) AS INT) AS rnk
+FROM r{rounds} QUALIFY rnk <= 100"""
+    )
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -7361,6 +7414,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "bpe_compression": QuerySpec(_q_bpe_compression, _ora_bpe_compression(3), "X4 tokenizer eval: corpus compression per learned BPE merge"),
     "containment_topk": QuerySpec(_q_containment_topk, _O_CONTAINMENT_TOPK, "X2 asymmetric near-dup: exact n-gram containment top-50 (quote/subset detection)"),
     "lang_id_agreement": QuerySpec(_q_lang_id_agreement, _O_LANG_ID_AGREEMENT, "X4/X13 eval: Cohen's kappa of the language-ID heuristic vs stored labels"),
+    "seed_expansion": QuerySpec(_q_seed_expansion, _ora_seed_expansion(3), "X12/X11 seed-set expansion: personalized PageRank from one brand's parts"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

@@ -190,3 +190,54 @@ def test_degree_histogram_bucket_is_msb_exact(spark):
     )
     out = {r["deg_bucket"]: r for r in degree_histogram(pairs).collect()}
     assert out[3]["n_nodes"] == 1 and out[3]["min_deg"] == 8
+
+
+def test_personalized_pagerank_python_replay(spark):
+    """3 rounds on a small weighted graph must equal a plain-Python replay
+    of the integer recurrence (same div truncation, same teleport)."""
+    from collections import defaultdict
+
+    from commerce_data_pipeline_spark.operators.graph import personalized_pagerank
+
+    pair_rows = [(1, 2, 3), (2, 3, 1), (1, 3, 2), (3, 4, 5)]
+    pairs = spark.createDataFrame(pair_rows, "a long, b long, weight long")
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")  # 99 not in graph
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(pairs, seeds, rounds=3).collect()
+    }
+
+    edges = []
+    for a, b, w in pair_rows:
+        edges += [(a, b, w), (b, a, w)]
+    ow = defaultdict(int)
+    for s, _d, w in edges:
+        ow[s] += w
+    S = {1}  # 99 is intersected away
+    scale, tel = 10**9, 15 * 10**9 // 100
+    r = {n: scale for n in S}
+    for _ in range(3):
+        nxt = defaultdict(int)
+        for s, d, w in edges:
+            if s in r:
+                nxt[d] += (85 * r[s] * w) // (100 * ow[s])
+        for n in S:
+            nxt[n] += tel
+        r = dict(nxt)
+    assert got == r
+    # mass never teleports to the non-graph seed
+    assert 99 not in got
+
+
+def test_personalized_pagerank_localized(spark):
+    """Disconnected component never receives rank — PPR stays in the
+    seed's component (the sparsity that makes it cheap at scale)."""
+    from commerce_data_pipeline_spark.operators.graph import personalized_pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1), (10, 11, 1)], "a long, b long, weight long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"] for r in personalized_pagerank(pairs, seeds, rounds=4).collect()}
+    assert got <= {1, 2}
+    assert 10 not in got and 11 not in got
