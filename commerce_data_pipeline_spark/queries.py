@@ -7464,11 +7464,14 @@ _WINDOW_R7 = [
     # r1-r6 — out for containment_topk and lang_id_agreement; corpus
     # mixing keeps split_leakage in-window, G6 keeps its pytest +
     # selfcheck + six prior attestations.)
+    # (late-r7 swap #4: funnel — six prior attestations AND still
+    # smoke-checked every round via entry() — out for seed_expansion;
+    # G-funnel keeps session_funnel in-window.)
     "fuzzy_name_pairs",
     "bloom_decontaminate",
     "quality_classifier",
-    "date_gaps", "funnel",
-    "containment_topk", "lang_id_agreement",
+    "date_gaps",
+    "containment_topk", "lang_id_agreement", "seed_expansion",
     "bpe_train", "bpe_compression", "ndcg_eval", "split_leakage",
     "zorder_skipping", "centroid_sim", "quantile_groups", "pca_power",
     "degree_histogram", "lsh_cost_plan",

@@ -87,6 +87,7 @@ FAMILY_PROOFS = {
     # (part_pagerank attested r1-r6 out; degree_histogram is the
     # family's skew pre-flight)
     "degree_histogram",
+    "seed_expansion",
     "part_communities",
     "part_triangles",
     "also_bought",
@@ -106,7 +107,8 @@ FAMILY_PROOFS = {
     "waiting_suppliers",
     "customer_value_deciles",
     "date_gaps",
-    "funnel",
+    # (late-r7 swap #4: funnel out — six prior attestations + the
+    # every-round entry() smoke check; session_funnel carries G1)
     "session_funnel",
     "sequence_violations",
     "sliding_counts",
