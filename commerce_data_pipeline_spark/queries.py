@@ -7220,6 +7220,63 @@ FROM r{rounds} QUALIFY rnk <= 100"""
     )
 
 
+def _q_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """X3×X13 composition — broken-vector detection: per-label MAD
+    (Hampel, k=2) outliers on the integer squared norm of each embedding
+    (e3 fixed-point scan-side sum of squares — exact in both engines).
+    Abnormal norms are the classic symptom of truncated/zeroed/double-
+    scaled vectors upstream; this runs the SAME group_outliers operator
+    as price_outliers on an embedding-space statistic, witnessing the
+    audit family's generality. Outlier rows only, deterministic order."""
+    emb = load_table(spark, sf, "embeddings")
+    sq = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    base = emb.select("vec_id", "label", sq.alias("sq_e6"))
+    out = profiling.group_outliers(base, "sq_e6", "label", "vec_id", k=2.0)
+    return (
+        out.filter(F.col("is_outlier"))
+        .orderBy(F.desc("dev"), F.asc("vec_id"))
+        .limit(100)
+    )
+
+
+_O_EMBEDDING_OUTLIERS = """
+WITH n AS (
+  SELECT vec_id, label,
+    CAST(list_sum(list_transform(embedding,
+      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+           * CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))) AS DOUBLE) AS v
+  FROM embeddings
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY v, vec_id) AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS cnt
+  FROM n
+), med AS (
+  SELECT label, v AS med FROM r WHERE rn = (cnt + 1) // 2
+), d AS (
+  SELECT n.vec_id, n.label, n.v, m.med, ABS(n.v - m.med) AS dev
+  FROM n JOIN med m USING (label)
+), r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY dev, vec_id) AS rn2,
+         COUNT(*) OVER (PARTITION BY label) AS cnt2
+  FROM d
+), mad AS (
+  SELECT label, dev AS mad FROM r2 WHERE rn2 = (cnt2 + 1) // 2
+)
+SELECT d.vec_id, d.label, d.v AS sq_e6, d.med, d.dev, m2.mad,
+       (d.dev > 2.0 * m2.mad) AS is_outlier
+FROM d JOIN mad m2 USING (label)
+WHERE d.dev > 2.0 * m2.mad
+ORDER BY d.dev DESC, d.vec_id ASC LIMIT 100
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -7415,6 +7472,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "containment_topk": QuerySpec(_q_containment_topk, _O_CONTAINMENT_TOPK, "X2 asymmetric near-dup: exact n-gram containment top-50 (quote/subset detection)"),
     "lang_id_agreement": QuerySpec(_q_lang_id_agreement, _O_LANG_ID_AGREEMENT, "X4/X13 eval: Cohen's kappa of the language-ID heuristic vs stored labels"),
     "seed_expansion": QuerySpec(_q_seed_expansion, _ora_seed_expansion(3), "X12/X11 seed-set expansion: personalized PageRank from one brand's parts"),
+    "embedding_outliers": QuerySpec(_q_embedding_outliers, _O_EMBEDDING_OUTLIERS, "X3xX13 broken-vector detection: per-label MAD outliers on integer squared norms"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------
