@@ -473,6 +473,7 @@ def bigram_lm_scores(
     text_col: str = "text",
     lam: float = 0.9,
     bak: float = 0.1,
+    model_df: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style LM perplexity filtering (Wenzek et al., LREC 2020),
     trainer-free: score every document's negative log-likelihood under an
@@ -504,6 +505,14 @@ def bigram_lm_scores(
     never shuffles.
 
     Output per doc (docs with ≥2 words): n_bigrams, nll_e6, avg_nll_e6.
+
+    HELD-OUT scoring: pass `model_df` to estimate the LM from a separate
+    corpus (the train split) and score `df` (the held-out split) under
+    it — the generalization-gap evaluation a perplexity filter needs
+    before its thresholds mean anything. Bigrams unseen by the model get
+    only the smoothed backoff mass (lam-term 0; an unseen continuation
+    falls back to 1/(T+V)) — never dropped, never -inf. With
+    model_df=None the expression tree is the original self-scored one.
     """
     ws_arr = F.split(normalized_text(text_col), " ")
     shifted = F.slice(ws_arr, 2, F.greatest(F.size(ws_arr) - 1, F.lit(0)))
@@ -526,22 +535,47 @@ def bigram_lm_scores(
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
         .localCheckpoint()
     )
-    types = occ_doc.groupBy("_w1", "_w2").agg(F.sum("_n").cast("long").alias("_c12"))
+    if model_df is None:
+        types = occ_doc.groupBy("_w1", "_w2").agg(
+            F.sum("_n").cast("long").alias("_c12")
+        )
+        score_types = types
+    else:
+        m_ws = F.split(normalized_text(text_col), " ")
+        m_shift = F.slice(m_ws, 2, F.greatest(F.size(m_ws) - 1, F.lit(0)))
+        m_pairs = F.zip_with(
+            m_ws, m_shift, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+        )
+        m_grams = F.when(
+            F.size(m_ws) >= 2, F.slice(m_pairs, 1, F.size(m_ws) - 1)
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        types = (
+            model_df.select(F.explode(m_grams).alias("_g"))
+            .groupBy(F.col("_g.w1").alias("_w1"), F.col("_g.w2").alias("_w2"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_c12"))
+            .localCheckpoint()
+        )
+        # score every bigram TYPE the scored corpus contains; types the
+        # model never saw keep _c12 NULL (-> lam-term 0 below)
+        score_types = (
+            occ_doc.select("_w1", "_w2").distinct()
+            .join(types, ["_w1", "_w2"], "left")
+        )
     c1 = types.groupBy("_w1").agg(F.sum("_c12").cast("long").alias("_c1"))
     c2 = types.groupBy("_w2").agg(F.sum("_c12").cast("long").alias("_c2"))
     tv = types.agg(
         F.sum("_c12").cast("long").alias("_t"),
         F.count_distinct("_w2").cast("long").alias("_v"),
     )
-    p = F.lit(float(lam)) * (
-        F.col("_c12").cast("double") / F.col("_c1").cast("double")
+    p = F.lit(float(lam)) * F.coalesce(
+        F.col("_c12").cast("double") / F.col("_c1").cast("double"), F.lit(0.0)
     ) + F.lit(float(bak)) * (
-        (F.col("_c2").cast("double") + F.lit(1.0))
+        (F.coalesce(F.col("_c2"), F.lit(0)).cast("double") + F.lit(1.0))
         / (F.col("_t").cast("double") + F.col("_v").cast("double"))
     )
     scored = (
-        types.join(c1, "_w1")
-        .join(c2, "_w2")
+        score_types.join(c1, "_w1", "left")
+        .join(c2, "_w2", "left")
         .crossJoin(F.broadcast(tv))
         .select(
             "_w1",

@@ -7277,6 +7277,83 @@ ORDER BY d.dev DESC, d.vec_id ASC LIMIT 100
 """
 
 
+def _q_heldout_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """X4/X11 evaluation — the generalization gap of the perplexity
+    filter: estimate the interpolated bigram LM from the TRAIN split
+    only (hash split, corpus.train_val_test_split) and score every
+    split under it (text.bigram_lm_scores with model_df) — train-vs-val
+    NLL is the held-out evidence a perplexity threshold needs before it
+    means anything. Unseen bigrams keep only smoothed backoff mass
+    (never dropped, never -inf). One per-split summary row."""
+    docs = load_table(spark, sf, "documents")
+    assigned = corpus.train_val_test_split(docs).localCheckpoint()
+    train = assigned.filter(F.col("split") == "train")
+    scored = text.bigram_lm_scores(assigned, model_df=train)
+    return (
+        scored.join(assigned.select("doc_id", "split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.sum("nll_e6").cast("long").alias("nll_e6"),
+        )
+        .withColumn(
+            "corpus_avg_nll_e6", F.expr("nll_e6 div n_bigrams").cast("long")
+        )
+        .orderBy("split")
+    )
+
+
+_O_HELDOUT_PERPLEXITY = f"""
+WITH base AS (
+  SELECT doc_id, {_WS_SPLIT_SQL} AS words,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 10000 < 1000 THEN 'val'
+         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 10000 < 2000 THEN 'test'
+         ELSE 'train' END AS split
+  FROM documents
+), occ AS (
+  SELECT doc_id, split, words[i] AS w1, words[i + 1] AS w2
+  FROM base, LATERAL unnest(generate_series(1, len(words) - 1)) AS g(i)
+  WHERE len(words) >= 2
+), types AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM occ WHERE split = 'train' GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM types GROUP BY w1
+), c2t AS (
+  SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM types GROUP BY w2
+), tv AS (
+  SELECT CAST(SUM(c12) AS BIGINT) AS t, CAST(COUNT(DISTINCT w2) AS BIGINT) AS v
+  FROM types
+), stypes AS (
+  SELECT DISTINCT w1, w2 FROM occ
+), scored AS (
+  SELECT st.w1, st.w2,
+    CAST(FLOOR(1000000.0 * ln(
+      0.9 * COALESCE(CAST(ty.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE), 0.0)
+      + 0.1 * ((CAST(COALESCE(c2t.c2, 0) AS DOUBLE) + 1.0)
+               / (CAST(tv.t AS DOUBLE) + CAST(tv.v AS DOUBLE)))
+    )) AS BIGINT) AS term_e6
+  FROM stypes st
+  LEFT JOIN types ty ON ty.w1 = st.w1 AND ty.w2 = st.w2
+  LEFT JOIN c1 ON c1.w1 = st.w1
+  LEFT JOIN c2t ON c2t.w2 = st.w2, tv
+), agg AS (
+  SELECT o.doc_id, o.split, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(s.term_e6) AS BIGINT) AS ll
+  FROM occ o JOIN scored s ON o.w1 = s.w1 AND o.w2 = s.w2
+  GROUP BY o.doc_id, o.split
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+  CAST(SUM(-ll) AS BIGINT) AS nll_e6,
+  CAST(SUM(-ll) // SUM(n_bigrams) AS BIGINT) AS corpus_avg_nll_e6
+FROM agg GROUP BY split ORDER BY split
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -7473,6 +7550,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "lang_id_agreement": QuerySpec(_q_lang_id_agreement, _O_LANG_ID_AGREEMENT, "X4/X13 eval: Cohen's kappa of the language-ID heuristic vs stored labels"),
     "seed_expansion": QuerySpec(_q_seed_expansion, _ora_seed_expansion(3), "X12/X11 seed-set expansion: personalized PageRank from one brand's parts"),
     "embedding_outliers": QuerySpec(_q_embedding_outliers, _O_EMBEDDING_OUTLIERS, "X3xX13 broken-vector detection: per-label MAD outliers on integer squared norms"),
+    "heldout_perplexity": QuerySpec(_q_heldout_perplexity, _O_HELDOUT_PERPLEXITY, "X4/X11 eval: train-split bigram LM scored on held-out splits (generalization gap)"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

@@ -245,3 +245,26 @@ def test_bigram_lm_flags_shuffled_word_order(spark):
     # the common word ORDER scores far more likely than the shuffled one,
     # even though both share the identical unigram distribution
     assert out[100]["avg_nll_e6"] > out[0]["avg_nll_e6"]
+
+
+def test_bigram_lm_heldout_model(spark):
+    """model_df scoring: seen bigrams get the full interpolated p; bigrams
+    the model never saw get only smoothed backoff mass (never dropped,
+    never -inf); model_df=None stays value-identical to self-scoring."""
+    import math
+
+    from commerce_data_pipeline_spark.operators.text import bigram_lm_scores
+
+    train = spark.createDataFrame([(0, "a b a b"), (1, "a b c")], ["doc_id", "text"])
+    held = spark.createDataFrame([(10, "a b"), (11, "z q")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_lm_scores(held, model_df=train).collect()}
+    # model: c12(a,b)=3, c12(b,a)=1, c12(b,c)=1 -> c1(a)=3, c2(b)=3, T=5, V=3
+    p_ab = 0.9 * (3 / 3) + 0.1 * ((3 + 1.0) / (5.0 + 3.0))
+    assert out[10]["nll_e6"] == -math.floor(1e6 * math.log(p_ab))
+    # (z,q) unseen everywhere: p = 0.1 * (0+1)/(5+3)
+    p_zq = 0.1 * ((0 + 1.0) / (5.0 + 3.0))
+    assert out[11]["nll_e6"] == -math.floor(1e6 * math.log(p_zq))
+    # self-scored path unchanged: score train under itself both ways
+    a = sorted(map(tuple, bigram_lm_scores(train).collect()))
+    b = sorted(map(tuple, bigram_lm_scores(train, model_df=train).collect()))
+    assert a == b
