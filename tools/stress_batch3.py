@@ -54,6 +54,8 @@ def run_at_scale(spark, sf_dir: str, k: int) -> dict[str, float]:
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    if len(sys.argv) > 3:  # explicit query list overrides the default batch
+        BATCH3[:] = sys.argv[3:]
     spark = get_spark("stress-b3")
     spark.range(1000).selectExpr("sum(id)").collect()
     run_at_scale(spark, sf_dir, 1)  # untimed warm pass
