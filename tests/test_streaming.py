@@ -379,3 +379,57 @@ def test_centroid_stats_stream_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(ledger) == 4  # 2 labels x 2 dims, merged across 2 batches
+
+
+def test_split_leakage_stream_matches_batch(spark, tmp_path):
+    """The leakage audit's per-entity state is a mergeable split-set:
+    stream the assignments in two file-batches, fold each batch's
+    (entity, distinct-splits, rows) partial into a ledger (set-union +
+    row-count add), and the summary rebuilt from the merged ledger must
+    equal the batch operator — the continuous-governance shape (audit
+    the split as data lands, not after)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from commerce_data_pipeline_spark.operators.corpus import split_leakage
+
+    rows_a = [(1, "train"), (1, "train"), (2, "train"), (3, "val")]
+    rows_b = [(2, "test"), (2, "test"), (3, "val"), (4, "train")]
+    schema = "ent int, split string"
+    src = str(tmp_path / "in_leak")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    ledger: dict = defaultdict(lambda: [set(), 0])  # ent -> [splits, n_rows]
+
+    def sink(bdf, _bid):
+        part = bdf.groupBy("ent").agg(
+            F.collect_set("split").alias("splits"), F.count(F.lit(1)).alias("n")
+        )
+        for r in part.collect():
+            e = ledger[r["ent"]]
+            e[0].update(r["splits"])
+            e[1] += int(r["n"])
+
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_leak"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        "n_entities": len(ledger),
+        "n_rows": sum(n for _s, n in ledger.values()),
+        "n_leaked_entities": sum(1 for s, _n in ledger.values() if len(s) > 1),
+        "n_leaked_rows": sum(n for s, n in ledger.values() if len(s) > 1),
+    }
+    batch = split_leakage(
+        spark.createDataFrame(rows_a + rows_b, schema), "ent"
+    ).collect()[0]
+    assert got == {k: batch[k] for k in got}
+    # entity 2 leaks only across the two batches — the merge caught it
+    assert got["n_leaked_entities"] == 1 and got["n_leaked_rows"] == 3
