@@ -969,9 +969,11 @@ FROM j QUALIFY jrank <= 50
 
 def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """X2 — 64-bit SimHash per document (xxhash64 → no SQL oracle;
-    rows-only check, unit-tested for self-consistency instead)."""
+    rows-only check, unit-tested for self-consistency instead). The
+    single-file corpus scans as ONE split, so scatter before the
+    CPU-bound per-word hash fold (the jaccard_topk precedent)."""
     docs = load_table(spark, sf, "documents")
-    return dedup.simhash(docs)
+    return dedup.simhash(docs.repartition(spark.sparkContext.defaultParallelism))
 
 
 def _q_simhash_md5(spark: SparkSession, sf: str) -> DataFrame:
