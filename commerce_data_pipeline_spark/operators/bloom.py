@@ -222,3 +222,75 @@ def bloom_contamination(
         F.monotonically_increasing_id().alias("_mb1"),
     )
     return _finalize(counted)
+
+
+def bloom_fpr_audit(
+    benchmark: DataFrame,
+    bits: list[int],
+    shingle_n: int = 3,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+    n_probes: int = 20_000,
+    probe_prefix: str = "absent_probe_",
+    text_col: str = "text",
+) -> DataFrame:
+    """Measured FALSE-POSITIVE RATE of a packed Bloom filter vs its
+    theoretical bound — the sketch-accuracy contract (sketch_accuracy /
+    sketch_union / quantile_groups) applied to the decontamination
+    filter: before trusting "not in the benchmark" at 100 TB, prove the
+    filter's error is the one its parameters promise.
+
+    Probes are `n_probes` synthetic keys "<prefix><i>" — GUARANTEED
+    absent from the inserted set (inserted keys are word n-grams
+    containing spaces; probe keys contain none), so every hit is a false
+    positive by construction, deterministically reproducible from the
+    md5-derived bit positions. The boolean pins measured FPR ≤ 2× the
+    theoretical p = (1 − e^{−k·n/m})^k (doubled: p is an expectation;
+    the md5 "randomness" wobbles around it — a broken hash or bitmap
+    lands orders of magnitude off, so the audit stays falsifiable).
+
+    One benchmark-side distinct count + one map-side probe scan; the
+    bitmap rides along as the same literal array the corpus scan uses.
+    Returns (n_inserted, n_probes, n_hits, fpr_e6, bound_e6, fpr_ok).
+    """
+    if len(bits) != m_bits // 64:
+        raise ValueError(f"bits must have exactly {m_bits // 64} words")
+    spark = benchmark.sparkSession
+    lit_bits = _bits_literal(bits)
+    n_ins = (
+        benchmark.select(F.explode(word_shingles(text_col, shingle_n)).alias("_sh"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inserted"))
+    )
+    probes = spark.range(n_probes).select(
+        F.concat(F.lit(probe_prefix), F.col("id").cast("string")).alias("_key")
+    )
+    h1, h2 = _h1h2(F.md5(F.col("_key")))
+    cond = None
+    for j in range(k):
+        pos = (h1 + F.lit(j) * h2) % F.lit(m_bits)
+        word = F.element_at(lit_bits, (pos / 64).cast("int") + F.lit(1))
+        bit_set = F.getbit(word, (pos % 64).cast("int")) == F.lit(1)
+        cond = bit_set if cond is None else (cond & bit_set)
+    hit = probes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(cond.cast("long")).cast("long").alias("n_hits"),
+    )
+    out = n_ins.crossJoin(F.broadcast(hit))
+    p_bound = F.pow(
+        F.lit(1.0)
+        - F.exp(
+            -(F.lit(float(k)) * F.col("n_inserted").cast("double"))
+            / F.lit(float(m_bits))
+        ),
+        F.lit(float(k)),
+    )
+    fpr = F.col("n_hits").cast("double") / F.col("n_probes").cast("double")
+    return out.select(
+        "n_inserted",
+        "n_probes",
+        "n_hits",
+        F.floor(fpr * F.lit(1_000_000.0)).cast("long").alias("fpr_e6"),
+        F.floor(p_bound * F.lit(1_000_000.0)).cast("long").alias("bound_e6"),
+        (fpr <= F.lit(2.0) * p_bound).alias("fpr_ok"),
+    )

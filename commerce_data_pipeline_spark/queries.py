@@ -7356,6 +7356,65 @@ FROM agg GROUP BY split ORDER BY split
 """
 
 
+def _q_bloom_fpr(spark: SparkSession, sf: str) -> DataFrame:
+    """X8×X6 — measured Bloom false-positive rate vs the theoretical
+    (1 − e^{−kn/m})^k bound (operators/bloom.bloom_fpr_audit): 20k
+    synthetic probe keys guaranteed absent from the inserted shingle set
+    (probes have no spaces; shingles do), every hit a reproducible false
+    positive of the md5-derived positions. The sketch-accuracy contract
+    applied to the decontamination filter."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    bits = bloom.bloom_pack(bloom.bloom_build(bench, shingle_n=3))
+    return bloom.bloom_fpr_audit(bench, bits, shingle_n=3)
+
+
+_O_BLOOM_FPR = f"""
+WITH toks AS (
+  SELECT doc_id, {_WS_SPLIT_SQL} AS words FROM documents WHERE doc_id % 37 = 0
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct(list_transform(generate_series(1, len(words) - 2),
+             i -> array_to_string(words[i:i+2], ' ')))
+      ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted FROM bench
+), setbits AS (
+  SELECT DISTINCT
+    (CAST(('0x' || substr(md5(b.s), 1, 15)) AS BIGINT)
+     + t.j * CAST(('0x' || substr(md5(b.s), 16, 15)) AS BIGINT)) % 131072 AS pos
+  FROM bench b, LATERAL unnest(generate_series(0, 2)) t(j)
+), probes AS (
+  SELECT 'absent_probe_' || CAST(i AS VARCHAR) AS key FROM range(20000) t(i)
+), probe_hits AS (
+  SELECT p.key,
+    SUM(CASE WHEN
+      (CAST(('0x' || substr(md5(p.key), 1, 15)) AS BIGINT)
+       + t.j * CAST(('0x' || substr(md5(p.key), 16, 15)) AS BIGINT)) % 131072
+        IN (SELECT pos FROM setbits) THEN 1 ELSE 0 END) = 3 AS inb
+  FROM probes p, LATERAL unnest(generate_series(0, 2)) t(j)
+  GROUP BY p.key
+), h AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(SUM(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM probe_hits
+)
+SELECT n.n_inserted, h.n_probes, h.n_hits,
+  CAST(FLOOR((CAST(h.n_hits AS DOUBLE) / CAST(h.n_probes AS DOUBLE)) * 1000000.0)
+       AS BIGINT) AS fpr_e6,
+  CAST(FLOOR(POWER(1.0 - EXP(-(3.0 * CAST(n.n_inserted AS DOUBLE)) / 131072.0), 3.0)
+       * 1000000.0) AS BIGINT) AS bound_e6,
+  (CAST(h.n_hits AS DOUBLE) / CAST(h.n_probes AS DOUBLE))
+    <= 2.0 * POWER(1.0 - EXP(-(3.0 * CAST(n.n_inserted AS DOUBLE)) / 131072.0), 3.0)
+    AS fpr_ok
+FROM n, h
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -7553,6 +7612,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "seed_expansion": QuerySpec(_q_seed_expansion, _ora_seed_expansion(3), "X12/X11 seed-set expansion: personalized PageRank from one brand's parts"),
     "embedding_outliers": QuerySpec(_q_embedding_outliers, _O_EMBEDDING_OUTLIERS, "X3xX13 broken-vector detection: per-label MAD outliers on integer squared norms"),
     "heldout_perplexity": QuerySpec(_q_heldout_perplexity, _O_HELDOUT_PERPLEXITY, "X4/X11 eval: train-split bigram LM scored on held-out splits (generalization gap)"),
+    "bloom_fpr": QuerySpec(_q_bloom_fpr, _O_BLOOM_FPR, "X8 contract: measured Bloom false-positive rate vs the theoretical bound"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

@@ -120,3 +120,37 @@ def test_min_long_bitmap_word_roundtrips(spark):
     bits[0] = -(1 << 63)
     out = bloom.bloom_contamination(corpus, bits)
     assert out.count() == 1  # plan builds and runs
+
+
+def test_fpr_audit_counts_only_false_positives(spark):
+    """Probes are absent by construction (no spaces vs 3-gram shingles),
+    so n_hits IS the false-positive count; with a near-empty filter the
+    measured FPR must be ~0, and the booleans/bounds stay consistent."""
+    from commerce_data_pipeline_spark.operators.bloom import (
+        bloom_build, bloom_fpr_audit, bloom_pack,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    bits = bloom_pack(bloom_build(bench, shingle_n=3))
+    r = bloom_fpr_audit(bench, bits, shingle_n=3, n_probes=5000).collect()[0]
+    assert r["n_inserted"] == 4  # 6 words -> 4 distinct 3-grams
+    assert r["n_probes"] == 5000
+    # 12 set bits of 131072 -> p ~ (12/131072)^3 ~ 1e-12: zero hits expected
+    assert r["n_hits"] == 0 and r["fpr_e6"] == 0
+    assert r["fpr_ok"]
+
+
+def test_fpr_audit_detects_saturated_filter(spark):
+    """An all-ones bitmap makes every probe a false positive — fpr_ok
+    must flip (the audit is falsifiable, not decorative)."""
+    from commerce_data_pipeline_spark.operators.bloom import (
+        DEFAULT_M_BITS, bloom_fpr_audit,
+    )
+
+    bench = spark.createDataFrame([(0, "alpha beta gamma delta")], ["doc_id", "text"])
+    saturated = [-1] * (DEFAULT_M_BITS // 64)
+    r = bloom_fpr_audit(bench, saturated, shingle_n=3, n_probes=1000).collect()[0]
+    assert r["n_hits"] == 1000 and r["fpr_e6"] == 1_000_000
+    assert not r["fpr_ok"]
