@@ -7415,6 +7415,92 @@ FROM n, h
 """
 
 
+def _q_dup_cluster_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """X2/X13 — duplicate-cluster SIZE distribution: the corpus-health
+    release metric behind any dedup run ("how duplicated is this corpus,
+    and is the mass in pairs or in mega-clusters?"). Components from the
+    shared persisted LSH pair stage, bucketed by the integer MSB of the
+    cluster size (degree_histogram's log2 technique — floating floor(log2)
+    is not exact at powers of two). Mega-cluster buckets predict
+    canonical-selection cost and flag template/boilerplate infestations."""
+    comps = dedup.connected_components_alternating(_ensure_lsh_pairs(spark, sf))
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("_sz")
+    )
+    bucket = (F.length(F.conv(F.col("_sz").cast("string"), 10, 2)) - 1).cast("int")
+    return (
+        sizes.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("_sz").cast("long").alias("n_docs"),
+            F.min("_sz").cast("long").alias("min_size"),
+            F.max("_sz").cast("long").alias("max_size"),
+        )
+        .orderBy("size_bucket")
+    )
+
+
+def _ora_dup_cluster_histogram(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    return f"""
+WITH RECURSIVE {_ora_lsh_ctes(num_hashes, bands, n)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+), sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS sz FROM comp GROUP BY component
+)
+SELECT CAST(LENGTH(BIN(sz)) - 1 AS INT) AS size_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(SUM(sz) AS BIGINT) AS n_docs,
+  CAST(MIN(sz) AS BIGINT) AS min_size,
+  CAST(MAX(sz) AS BIGINT) AS max_size
+FROM sizes GROUP BY size_bucket ORDER BY size_bucket
+"""
+
+
+def _q_snm_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Linkage — sorted-neighborhood candidate pairs over part names
+    (operators/linkage.snm_pairs, window 4, Levenshtein ≤ 2), aggregated
+    to (dist, n_pairs): the second classic ER candidate generator next to
+    blocking — linear (window−1)·n candidate volume with NO block-skew
+    term; production matchers union both passes. Distinct pairs before
+    the count (a pair can be sort-adjacent at several offsets)."""
+    part = load_table(spark, sf, "part")
+    pairs = linkage.snm_pairs(part, "p_partkey", "p_name", window=4, max_dist=2)
+    return (
+        pairs.distinct()
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("dist")
+    )
+
+
+_O_SNM_NAME_PAIRS = """
+WITH n AS (
+  SELECT p_partkey AS id,
+    trim(regexp_replace(lower(p_name), '\\s+', ' ', 'g')) AS nm
+  FROM part
+), r AS (
+  SELECT id, nm, ROW_NUMBER() OVER (ORDER BY nm, id) AS rn FROM n
+), cand AS (
+  SELECT DISTINCT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b,
+    CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+  FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+)
+SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM cand WHERE dist <= 2 GROUP BY dist ORDER BY dist
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -7613,6 +7699,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_outliers": QuerySpec(_q_embedding_outliers, _O_EMBEDDING_OUTLIERS, "X3xX13 broken-vector detection: per-label MAD outliers on integer squared norms"),
     "heldout_perplexity": QuerySpec(_q_heldout_perplexity, _O_HELDOUT_PERPLEXITY, "X4/X11 eval: train-split bigram LM scored on held-out splits (generalization gap)"),
     "bloom_fpr": QuerySpec(_q_bloom_fpr, _O_BLOOM_FPR, "X8 contract: measured Bloom false-positive rate vs the theoretical bound"),
+    "dup_cluster_histogram": QuerySpec(_q_dup_cluster_histogram, _ora_dup_cluster_histogram(16, 4, 3), "X2/X13 corpus health: duplicate-cluster size distribution (MSB buckets)"),
+    "snm_name_pairs": QuerySpec(_q_snm_name_pairs, _O_SNM_NAME_PAIRS, "linkage: sorted-neighborhood candidate pairs (the blocking-free ER pass)"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------

@@ -142,3 +142,35 @@ def test_fuzzy_match_agrees_with_record_level_histogram(spark):
     )
     name_hist = {r.dist: r["sum(n_record_pairs)"] for r in agg.collect()}
     assert rec_hist == name_hist and rec_hist
+
+
+def test_snm_catches_first_token_typo_blocking_misses(spark):
+    """'zanvas bag' (typo of 'canvas bag') breaks blocked_edit_pairs'
+    first-token block key but sorts nearby when the neighborhood reaches
+    it — the complementary-recall story of multi-pass matchers."""
+    from commerce_data_pipeline_spark.operators.linkage import (
+        blocked_edit_pairs, snm_pairs,
+    )
+
+    rows = [
+        (1, "canvas bag"),
+        (2, "zanvas bag"),   # first-char typo
+        (3, "velvet coat"),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "name"])
+    blocked = blocked_edit_pairs(df, "rid", "name", max_dist=1)
+    assert not [r for r in blocked.collect() if {r["id_a"], r["id_b"]} == {1, 2}]
+    snm = snm_pairs(df, "rid", "name", window=3, max_dist=1).collect()
+    assert any({r["id_a"], r["id_b"]} == {1, 2} and r["dist"] == 1 for r in snm)
+
+
+def test_snm_window_bounds_candidates(spark):
+    from commerce_data_pipeline_spark.operators.linkage import snm_pairs
+
+    rows = [(i, f"name {chr(97 + i)}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["rid", "name"])
+    # window=2: only adjacent-in-sort pairs, all dist 1 here
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in snm_pairs(df, "rid", "name", window=2).collect()
+    )
+    assert got == [(i, i + 1) for i in range(5)]
