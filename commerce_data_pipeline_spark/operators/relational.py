@@ -80,6 +80,61 @@ def missing_dates(source_dates: DataFrame, sink_dates: DataFrame, on: str) -> Da
     return source_dates.join(sink_dates, on=on, how="left_anti")
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    rank_col: str = "_rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed total-order rank (1-based `row_number` semantics)
+    WITHOUT the single-partition global window (`WindowExec: No Partition
+    Defined`) that `row_number().over(orderBy(...))` funnels through.
+
+    Contract: `order_cols` must define a UNIQUE total order (include a
+    tiebreaker key). RangePartitioner maps equal keys to one partition,
+    so uniqueness makes the within-partition order — hence the global
+    rank — deterministic and engine-replayable (the output is identical
+    to the naive global window, which stays the oracle shape).
+
+    Scale shape (the VERDICT r7 prescription): `repartitionByRange` on
+    the order columns (the same sampled range exchange a global sort
+    uses — every task bounded by one range slice), `spark_partition_id()`
+    is then monotone in the order, so
+
+        rank = row_number() PARTITIONED by slice  +  slice offset
+
+    where the offsets come from a per-slice count — a ≤`num_partitions`-
+    row aggregate collected to the driver (scalar-sized, the repo's
+    collect budget) and broadcast back. The slice-stamped frame is
+    lazily checkpointed so the counts job and the rank join read the
+    SAME materialized slices (range boundaries are sampled; the two
+    consumers must not re-draw them independently).
+    """
+    sp = df.sparkSession
+    n = num_partitions or int(sp.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    arranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = arranged.groupBy("_gr_pid").count().collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_gr_pid"]):
+        offsets.append((int(row["_gr_pid"]), acc))
+        acc += int(row["count"])
+    off_df = sp.createDataFrame(offsets, schema="_gr_pid int, _gr_off long")
+    from pyspark.sql import Window as W
+
+    local = F.row_number().over(W.partitionBy("_gr_pid").orderBy(*cols))
+    return (
+        arranged.withColumn("_gr_loc", local)
+        .join(F.broadcast(off_df), "_gr_pid")
+        .withColumn(rank_col, (F.col("_gr_loc") + F.col("_gr_off")).cast("long"))
+        .drop("_gr_pid", "_gr_loc", "_gr_off")
+    )
+
+
 def row_count(df: DataFrame) -> int:
     """R7 — count. Partial counts per partition, single-row exchange."""
     return df.count()
