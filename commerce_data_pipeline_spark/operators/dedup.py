@@ -750,6 +750,17 @@ def ngram_containment_pairs(
     both directions emit as e6-floored integers, and a pair survives if
     EITHER direction reaches `min_containment`. Returns
     (id_a, id_b, inter, n_a, n_b, cont_a_e6, cont_b_e6).
+
+    Measurement space (r7 ADVICE, explicit): when `max_shingle_freq` is
+    set, BOTH the intersection AND the |A|/|B| denominators are computed
+    over the capped (rare-shingle) space — containment over rare
+    shingles only, the same contract as ngram_jaccard_pairs. A document
+    composed mostly of corpus-frequent shingles therefore reports its
+    containment within the rare remainder, which can sit above or below
+    its full-space containment; what the cap guarantees is that numerator
+    and denominator are measured in the SAME space (mixing capped
+    intersections with uncapped sizes would only ever deflate, and
+    unpredictably so). Pass None to measure true full-space containment.
     """
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")

@@ -870,6 +870,7 @@ def degree_histogram(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
+    assume_distinct: bool = True,
 ) -> DataFrame:
     """Power-law degree audit — the log2-bucketed degree distribution of
     an undirected pair frame. THE pre-flight check before any wedge/join-
@@ -883,9 +884,19 @@ def degree_histogram(
 
     Plan: one node-keyed count over the pair endpoints (map-side
     partials), then a ~30-group aggregation. Returns per bucket
-    (deg_bucket, n_nodes, min_deg, max_deg, sum_deg); degrees count
-    distinct neighbors (pair frames are distinct by construction).
+    (deg_bucket, n_nodes, min_deg, max_deg, sum_deg).
+
+    Precondition (r7 ADVICE, now a parameter instead of a parenthesis):
+    degrees count DISTINCT neighbors, so `pairs` must hold each
+    undirected (a, b) edge exactly once. `assume_distinct=True`
+    (default) trusts the caller — correct for every producer in this
+    repo (`co_occurrence_pairs` is a groupBy output) and skips a
+    pairs-sized shuffle; pass False for multi-edge/weighted-duplicate
+    frames and the (a, b) projection is deduplicated first, at the cost
+    of that one exchange.
     """
+    if not assume_distinct:
+        pairs = pairs.select(a_col, b_col).distinct()
     nodes = pairs.select(F.col(a_col).alias("_n")).unionAll(
         pairs.select(F.col(b_col).alias("_n"))
     )
@@ -910,7 +921,8 @@ def personalized_pagerank(
     b_col: str = "b",
     weight: str = "weight",
     seed_col: str = "node",
-    broadcast_frontier: bool = True,
+    broadcast_frontier: bool | None = None,
+    max_broadcast_nodes: int = 8_000_000,
 ) -> DataFrame:
     """Personalized PageRank from a SEED SET — the seed-expansion
     primitive of data selection (grow a small trusted set into a ranked
@@ -933,16 +945,33 @@ def personalized_pagerank(
     (edge, out-weight) frame + one dst-keyed sum. Each round's frontier
     is consumed exactly ONCE (the next round's join), so intermediate
     rounds stay UN-materialized (Catalyst plans the loop as one job), and
-    with `broadcast_frontier` (default) the frontier is broadcast-hinted
-    into each join, so the edge frame is scanned map-side and NEVER
-    shuffles per round — the decisive cost at bench scale (8 s → ~2 s;
-    without the hint the checkpointed edge frame re-shuffles its full
-    width every round). Disable the hint when the frontier can outgrow
-    executor memory (dense graphs + many rounds): the join then falls
-    back to shuffles on the src-partitioned edge frame. Only `ew` and
-    the seed set (multi-consumer frames) are checkpointed; for round
-    counts deep enough that plan depth hurts (>>10), checkpoint every
-    few rounds.
+    when the frontier is broadcast-hinted into each join the edge frame
+    is scanned map-side and NEVER shuffles per round — the decisive cost
+    at bench scale (8 s → ~2 s; without the hint the checkpointed edge
+    frame re-shuffles its full width every round).
+
+    THE GUARD DECIDES (r7 VERDICT #4 — a guard is code, not a
+    docstring): with `broadcast_frontier=None` (default) the hint is
+    applied iff the graph's total node count — a sound upper bound on
+    EVERY round's frontier, since the frontier can only ever grow into
+    the node set — fits `max_broadcast_nodes` (default 8M ≈ 128 MB of
+    (node, rank) broadcast state). A dense graph whose frontier could
+    approach the full node set therefore falls back to the shuffle path
+    automatically, with zero per-round counting jobs (the bound is one
+    up-front aggregate on the checkpointed edge frame, amortized with
+    the int64-overflow guard below). Pass True/False to override.
+
+    int64 contract guard (r7 ADVICE): per-round contributions compute
+    `damp_num·rank·w` in BIGINT; rank is bounded by |S|·scale (teleport
+    injects (1−d)·|S|·scale per round while damping multiplies by d, so
+    total mass never exceeds the initial |S|·scale), hence the product
+    is bounded by damp_num·|S|·scale·w_max. If that bound reaches 2^63
+    Spark (non-ANSI) would wrap silently while the DuckDB oracle errors
+    — so this function RAISES up front instead (the max_codebook
+    precedent: refuse, don't diverge); rescale `scale` down or pre-cap
+    weights to proceed. Only `ew` and the seed set (multi-consumer
+    frames) are checkpointed; for round counts deep enough that plan
+    depth hurts (>>10), checkpoint every few rounds.
 
     `seeds` is deduplicated and intersected with the graph's node set
     (teleporting to isolated nodes would inject mass the oracle's edge
@@ -971,6 +1000,21 @@ def personalized_pagerank(
         .join(ew.select(F.col("_src").alias("node")).distinct(), "node", "left_semi")
         .localCheckpoint()
     )
+    stats = ew.agg(
+        F.countDistinct("_src").alias("_n"), F.max("_w").alias("_wm")
+    ).collect()[0]
+    n_nodes = int(stats["_n"] or 0)
+    w_max = int(stats["_wm"] or 1)
+    n_seeds = s.count()
+    if n_seeds and damp_num * n_seeds * scale * w_max >= 2**63:
+        raise ValueError(
+            "personalized_pagerank: damp_num*|S|*scale*w_max = "
+            f"{damp_num * n_seeds * scale * w_max} reaches 2^63; per-edge "
+            "contributions would wrap int64 in Spark (non-ANSI) while an "
+            "ANSI oracle errors. Lower `scale` or pre-cap edge weights."
+        )
+    if broadcast_frontier is None:
+        broadcast_frontier = n_nodes <= max_broadcast_nodes
     teleport = (damp_den - damp_num) * scale // damp_den
     ranks = s.select("node", F.lit(int(scale)).cast("long").alias("rank"))
     for _ in range(rounds):

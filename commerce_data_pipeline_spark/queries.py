@@ -6115,12 +6115,17 @@ def _q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum("n_r_lines").cast("long").alias("numwait"))
     )
+    # limit-BEFORE-rank (house pattern, cf. part_pagerank): orderBy+limit
+    # lowers to TakeOrderedAndProject (per-task heap, driver merge of 100
+    # rows), so the rank window sees only the 100 survivors — never the
+    # full supplier aggregate through a single-partition funnel
     w = Window.orderBy(F.desc("numwait"), F.asc("s_suppkey"))
     return (
         agg.join(F.broadcast(sup), agg["l_suppkey"] == sup["s_suppkey"])
         .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(100)
         .withColumn("wrank", F.row_number().over(w))
-        .filter(F.col("wrank") <= 100)
     )
 
 

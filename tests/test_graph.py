@@ -241,3 +241,39 @@ def test_personalized_pagerank_localized(spark):
     got = {r["node"] for r in personalized_pagerank(pairs, seeds, rounds=4).collect()}
     assert got <= {1, 2}
     assert 10 not in got and 11 not in got
+
+
+def test_personalized_pagerank_guard_forces_shuffle_fallback(spark):
+    """r7 VERDICT #4: the broadcast decision is the guard's, not the
+    caller's. A dense toy graph whose node count exceeds a tiny
+    max_broadcast_nodes must (a) drop the broadcast hint from the plan
+    and (b) produce ranks identical to the forced-broadcast run."""
+    import pytest
+
+    from commerce_data_pipeline_spark.operators.graph import personalized_pagerank
+
+    # K6 complete graph: 15 pairs, 6 nodes
+    pair_rows = [(a, b, 1) for a in range(6) for b in range(a + 1, 6)]
+    pairs = spark.createDataFrame(pair_rows, "a long, b long, weight long")
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+
+    guarded = personalized_pagerank(
+        pairs, seeds, rounds=2, max_broadcast_nodes=3
+    )
+    assert "BroadcastHashJoin" not in guarded._jdf.queryExecution().executedPlan().toString()
+    forced = personalized_pagerank(pairs, seeds, rounds=2, broadcast_frontier=True)
+    as_map = lambda df: {r["node"]: r["rank"] for r in df.collect()}  # noqa: E731
+    assert as_map(guarded) == as_map(forced)
+
+
+def test_personalized_pagerank_int64_guard_raises(spark):
+    """r7 ADVICE: damp_num*|S|*scale*w_max >= 2^63 must refuse up front
+    (Spark would wrap silently, an ANSI oracle would error)."""
+    import pytest
+
+    from commerce_data_pipeline_spark.operators.graph import personalized_pagerank
+
+    pairs = spark.createDataFrame([(1, 2, 10**6)], "a long, b long, weight long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="2\\^63"):
+        personalized_pagerank(pairs, seeds, rounds=1, scale=10**15)
