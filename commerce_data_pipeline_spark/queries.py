@@ -6366,9 +6366,10 @@ def _q_customer_value_deciles(spark: SparkSession, sf: str) -> DataFrame:
     cross-engine, so the whole query value-hashes.
 
     Scale: the global NTILE sorts the per-customer AGGREGATE (entity
-    count, not fact count) — fine to ~1e8 entities; past that, band by
-    approx-quantile boundaries instead (sketch family) and keep this as
-    the exact contract."""
+    count, not fact count) — fine to ~1e8 entities; past that, use the
+    boundary-banding twin `revenue_bands` (broadcast decile boundaries +
+    scan-side comparisons, percentile_approx in production) and keep
+    this as the exact positional contract."""
     o = load_table(spark, sf, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(
@@ -6402,6 +6403,94 @@ SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
   CAST(SUM(revenue_e2) AS BIGINT) AS decile_revenue_e2,
   MIN(revenue_e2) AS min_revenue_e2, MAX(revenue_e2) AS max_revenue_e2
 FROM d GROUP BY decile
+"""
+
+
+_REV_E2_SQL = """
+  SELECT o_custkey,
+    CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_e2
+  FROM orders GROUP BY 1
+"""
+
+
+def _q_revenue_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """§2e banding, the 100 TB route (VERDICT r7 #6 — the md5-twin
+    technique applied to banding): `customer_value_deciles`' global NTILE
+    sorts the whole entity aggregate through one ordering; past ~1e8
+    entities the scale shape is BOUNDARY BANDING — compute the 9 decile
+    boundaries as one aggregate, broadcast them, and assign bands with 9
+    scan-side comparisons. No global sort, no window, no single-partition
+    funnel; the banding join is a 1-row broadcast.
+
+    This exact-contract twin uses `percentile_disc` boundaries (value at
+    rank ceil(p·n) — replayed in the oracle via ROW_NUMBER + CEIL, the
+    winsorized_revenue precedent) so every output value hashes
+    cross-engine. In production the SAME plan runs with
+    `percentile_approx` boundaries (mergeable sketch, no exact-rank
+    pass); tests/test_r8_operators.py pins approx-vs-exact band parity
+    at small scale. Value-banding semantics: revenue ties share a band
+    (NTILE splits ties positionally — the two contracts are documented
+    siblings, not replicas)."""
+    o = load_table(spark, sf, "orders")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice").cast("double") * F.lit(100.0)).cast("long")
+            ).alias("revenue_e2")
+        )
+        # consumed twice (boundary aggregate + band assignment)
+        .localCheckpoint(eager=False)
+    )
+    bounds = rev.agg(
+        *[
+            F.expr(
+                f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY revenue_e2)"
+            ).alias(f"_b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    band = F.lit(1)
+    for i in range(1, 10):
+        band = band + F.when(F.col("revenue_e2") > F.col(f"_b{i}"), 1).otherwise(0)
+    return (
+        rev.crossJoin(F.broadcast(bounds))
+        .select("revenue_e2", band.cast("int").alias("band"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("revenue_e2").alias("band_revenue_e2"),
+            F.min("revenue_e2").alias("min_revenue_e2"),
+            F.max("revenue_e2").alias("max_revenue_e2"),
+        )
+    )
+
+
+_O_REVENUE_BANDS = f"""
+WITH rev AS ({_REV_E2_SQL}
+), ranked AS (
+  SELECT revenue_e2, ROW_NUMBER() OVER (ORDER BY revenue_e2 ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM rev
+), bounds AS (
+  SELECT {", ".join(
+      f"MAX(CASE WHEN rn = CEIL(0.{i} * n) THEN revenue_e2 END) AS b{i}"
+      for i in range(1, 10)
+  )}
+  FROM ranked
+), banded AS (
+  SELECT r.revenue_e2,
+    1 {" ".join(
+        f"+ (CASE WHEN r.revenue_e2 > b.b{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 10)
+    )} AS band
+  FROM rev r, bounds b
+)
+SELECT CAST(band AS INT) AS band,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(revenue_e2) AS BIGINT) AS band_revenue_e2,
+  MIN(revenue_e2) AS min_revenue_e2, MAX(revenue_e2) AS max_revenue_e2
+FROM banded GROUP BY band
 """
 
 
@@ -7706,6 +7795,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "bloom_fpr": QuerySpec(_q_bloom_fpr, _O_BLOOM_FPR, "X8 contract: measured Bloom false-positive rate vs the theoretical bound"),
     "dup_cluster_histogram": QuerySpec(_q_dup_cluster_histogram, _ora_dup_cluster_histogram(16, 4, 3), "X2/X13 corpus health: duplicate-cluster size distribution (MSB buckets)"),
     "snm_name_pairs": QuerySpec(_q_snm_name_pairs, _O_SNM_NAME_PAIRS, "linkage: sorted-neighborhood candidate pairs (the blocking-free ER pass)"),
+    # --- r8 additions ---
+    "revenue_bands": QuerySpec(_q_revenue_bands, _O_REVENUE_BANDS, "§2e banding, scale route: broadcast decile boundaries + scan-side band assignment (NTILE's 100 TB twin)"),
 }
 
 # --- r7 window rotation (VERDICT r6 directive #1) ------------------------
