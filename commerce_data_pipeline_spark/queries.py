@@ -7799,7 +7799,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "revenue_bands": QuerySpec(_q_revenue_bands, _O_REVENUE_BANDS, "§2e banding, scale route: broadcast decile boundaries + scan-side band assignment (NTILE's 100 TB twin)"),
 }
 
-# --- r7 window rotation (VERDICT r6 directive #1) ------------------------
+# --- r7→r8 window rotation (VERDICT r6 #1, VERDICT r7 #2) ----------------
 # The driver's correctness harness oracle-checks the FIRST 50 registry
 # entries. To convert self-attested rows into driver-attested ones, each
 # round rotates second-string queries through the window while keeping one
@@ -7814,7 +7814,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # image_dup_clusters consumes the pHash near-dup pair stage, and the
 # operators touched this round — graph, profiling, analytics rules,
 # skew — all have their proving queries inside the window).
-_WINDOW_R7 = [
+_WINDOW_R8 = [
     # retained family proofs (driver-attested in r6 or earlier). Mid-r7
     # extension: 11 retained proofs with MULTIPLE prior attestations
     # (dedup_exact r1-r6, semantic_dedup r6, hard_negatives r6,
@@ -7849,13 +7849,28 @@ _WINDOW_R7 = [
     # (late-r7 swap #4: funnel — six prior attestations AND still
     # smoke-checked every round via entry() — out for seed_expansion;
     # G-funnel keeps session_funnel in-window.)
-    "fuzzy_name_pairs",
-    "bloom_decontaminate",
-    "quality_classifier",
-    "date_gaps",
-    "containment_topk", "lang_id_agreement", "seed_expansion",
+    # ---- r8 rotation (VERDICT r7 directive #2): the 8 rotatable
+    # never-driver-attested queries come IN (embedding_outliers,
+    # heldout_perplexity, bloom_fpr, dup_cluster_histogram,
+    # snm_name_pairs, ann_lsh — full-value-hash since late r7 —
+    # approx_stats, approx_group_stats — scalar+boolean shape since r6,
+    # so the driver's pandas canonicalizer no longer sees list columns)
+    # plus the new r8 queries. OUT: the window's only multi-attested
+    # entries (fuzzy_name_pairs ×3, bloom_decontaminate ×3,
+    # quality_classifier ×3, date_gaps ×7 — counts now mechanically
+    # tracked in COVERAGE.md's generated attestation ledger) and five
+    # r7-attested singles whose families keep in-window siblings:
+    # seed_expansion (X12 keeps 8 graph proofs), containment_topk (X2
+    # keeps lsh_cost_plan/canonical_docs + dup_cluster_histogram in),
+    # lang_id_agreement (X4 keeps the bpe trio + ngram_novelty +
+    # heldout_perplexity in), centroid_sim (X3 keeps the kmeans pair +
+    # pca_power + ann_lsh in), customer_value_deciles (banding witness
+    # is revenue_bands, its documented 100 TB twin).
+    "ann_lsh", "approx_stats", "approx_group_stats",
+    "embedding_outliers", "heldout_perplexity", "bloom_fpr",
+    "dup_cluster_histogram", "snm_name_pairs", "revenue_bands",
     "bpe_train", "bpe_compression", "ndcg_eval", "split_leakage",
-    "zorder_skipping", "centroid_sim", "quantile_groups", "pca_power",
+    "zorder_skipping", "quantile_groups", "pca_power",
     "degree_histogram", "lsh_cost_plan",
     # rotated IN: the 19 r6 additions, never driver-checked before r7
     "also_bought", "association_rules", "attribution_position",
@@ -7869,10 +7884,10 @@ _WINDOW_R7 = [
     "part_kcore", "part_components", "similar_parts_jaccard",
     "waiting_suppliers", "benford_prices", "numeric_corr",
     "kmeans_step", "kmeans_train", "sketch_union", "event_type_drift",
-    "customer_value_deciles", "referential_integrity", "part_walks",
+    "referential_integrity", "part_walks",
 ]
-REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R7} | {
-    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R7)
+REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R8} | {
+    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R8)
 }
 
 

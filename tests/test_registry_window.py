@@ -30,16 +30,27 @@ FAMILY_PROOFS = {
     # kmeans pair adds the training half of the family in-window)
     # (ann_ivf attested r1-r6 out; centroid_sim + pca_power add the
     # embedding-audit / spectral halves of X3 in-window)
+    # (r8: centroid_sim — attested r7 — out; ann_lsh, full-value-hash
+    # since late r7 via inlined deterministic plane literals, promotes
+    # the float ANN path out of twin limbo; embedding_outliers adds the
+    # norm-audit shape)
     "kmeans_step",
     "kmeans_train",
-    "centroid_sim",
     "pca_power",
+    "ann_lsh",
+    "embedding_outliers",
     # X6 sketches (sketch_accuracy attested r1-r6 → sketch_union carries
-    # the family: same falsifiable-bound technique plus mergeability)
+    # the family: same falsifiable-bound technique plus mergeability;
+    # r8 rotates in the two accuracy contracts the DRIVER could never
+    # check before their r6 scalar+boolean reshape)
     "sketch_union",
     "quantile_groups",
-    # record linkage (the family's only query — must stay driver-attested)
-    "fuzzy_name_pairs",
+    "approx_stats",
+    "approx_group_stats",
+    # record linkage (r8: fuzzy_name_pairs — attested r5/r6/r7 — out;
+    # snm_name_pairs carries the family with the new range-partitioned
+    # distributed rank under oracle)
+    "snm_name_pairs",
     # X4 text (r7: dup_ngram_spans/bigram_lm rotated out, attested r5/r6;
     # text_profile — five prior attestations — swapped out mid-r7 for
     # part_walks; the two r6 rotate-ins cover the tokenizer-stats and
@@ -54,16 +65,22 @@ FAMILY_PROOFS = {
     # governance half of corpus shaping)
     # (late-r7 swap #3: temperature_mix attested r1-r6 out;
     # containment_topk joins X2, lang_id_agreement joins the eval audits)
+    # (r8: containment_topk / lang_id_agreement — attested r7 — out for
+    # the rotate-in batch; X2 keeps lsh_cost_plan + canonical_docs +
+    # dup_cluster_histogram, X4 keeps the bpe trio + ngram_novelty +
+    # heldout_perplexity)
     "split_leakage",
-    "containment_topk",
-    "lang_id_agreement",
+    "dup_cluster_histogram",
+    "heldout_perplexity",
     # X7-X10 + selection (r7: bm25_search→bm25_indexed — same oracle, and
     # the indexed path additionally attests the persisted postings;
     # tfidf/hybrid/mmr/calibrate rotated out, attested r6)
+    # (r8: bloom_decontaminate / quality_classifier — both attested
+    # r5/r6/r7 — out; bloom_fpr carries X8 with the falsifiable FPR
+    # bound, X11 keeps split_leakage in-window)
     "bm25_indexed",
     "ndcg_eval",
-    "bloom_decontaminate",
-    "quality_classifier",
+    "bloom_fpr",
     # temporal (scd2/decay rotated out, attested r6; resample_ffill
     # attested r5-r6 swapped out mid-r7; burst_window_events carries the
     # interval-join shape in-window)
@@ -86,8 +103,9 @@ FAMILY_PROOFS = {
     # k-core peel + capped neighbor-set Jaccard)
     # (part_pagerank attested r1-r6 out; degree_histogram is the
     # family's skew pre-flight)
+    # (r8: seed_expansion — attested r7 — out; the family keeps eight
+    # in-window proofs)
     "degree_histogram",
-    "seed_expansion",
     "part_communities",
     "part_triangles",
     "also_bought",
@@ -103,10 +121,14 @@ FAMILY_PROOFS = {
     # semi+anti shape and the NTILE banding witness)
     # (pricing_summary attested r1-r6 out; zorder_skipping registers
     # the §4 layout family for the first time)
+    # (r8: customer_value_deciles — attested r7 — out, revenue_bands is
+    # the banding witness on its documented 100 TB shape; date_gaps —
+    # SEVEN attestations r1-r7 — out, P6 needs no more window slots:
+    # the generated COVERAGE.md ledger now proves attested-ever
+    # mechanically)
     "zorder_skipping",
     "waiting_suppliers",
-    "customer_value_deciles",
-    "date_gaps",
+    "revenue_bands",
     # (late-r7 swap #4: funnel out — six prior attestations + the
     # every-round entry() smoke check; session_funnel carries G1)
     "session_funnel",
@@ -140,3 +162,26 @@ def test_registry_and_entrypoints_agree():
     assert list(queries()) == list(REGISTRY)
     # every oracle key is a registry key
     assert set(oracle_sql()) <= set(REGISTRY)
+
+
+def test_no_non_terminal_query_stranded_without_attestation():
+    """VERDICT r7 directive #7: the cumulative-attestation ledger
+    (tools/attestation_ledger.py over the CORRECTNESS_r*.json union)
+    must show zero non-terminal queries that (a) have never been
+    driver-attested AND (b) sit outside the current 50-entry window —
+    i.e. every registry query is either attested-ever, declared
+    terminal, or will be attested by this round's driver run."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "attestation_ledger",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "attestation_ledger.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    s = mod.summary()
+    assert not s["uncovered"], (
+        "never-attested non-terminal queries stranded outside the window: "
+        f"{s['uncovered']}"
+    )
