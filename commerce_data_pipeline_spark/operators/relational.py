@@ -110,6 +110,41 @@ def global_rank(
     SAME materialized slices (range boundaries are sampled; the two
     consumers must not re-draw them independently).
     """
+    return global_order_stats(df, order_cols, rank_col=rank_col,
+                              num_partitions=num_partitions)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    value_col: str,
+    cum_col: str = "_cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed INCLUSIVE prefix sum over a total order —
+    `global_rank`'s sibling (same range-exchange shape, offsets are
+    per-slice SUMS instead of counts). `value_col` must be integral
+    (the offsets round-trip the driver as exact Python ints).
+    """
+    return global_order_stats(df, order_cols, sum_col=value_col,
+                              cum_col=cum_col, num_partitions=num_partitions)
+
+
+def global_order_stats(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    rank_col: str | None = None,
+    sum_col: str | None = None,
+    cum_col: str = "_cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One range exchange, both order statistics: global row_number
+    (`rank_col`) and/or inclusive running total of `sum_col`
+    (`cum_col`). The per-slice offset aggregate carries (count, sum)
+    together, so consumers needing rank AND cumsum (e.g. the Pareto
+    crossing audit) pay for a single arrangement."""
+    if rank_col is None and sum_col is None:
+        raise ValueError("global_order_stats: need rank_col and/or sum_col")
     sp = df.sparkSession
     n = num_partitions or int(sp.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -118,21 +153,35 @@ def global_rank(
         .withColumn("_gr_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
-    counts = arranged.groupBy("_gr_pid").count().collect()
-    offsets, acc = [], 0
-    for row in sorted(counts, key=lambda r: r["_gr_pid"]):
-        offsets.append((int(row["_gr_pid"]), acc))
-        acc += int(row["count"])
-    off_df = sp.createDataFrame(offsets, schema="_gr_pid int, _gr_off long")
+    aggs = [F.count(F.lit(1)).alias("_c")]
+    if sum_col is not None:
+        aggs.append(F.coalesce(F.sum(sum_col), F.lit(0)).cast("long").alias("_s"))
+    per_slice = arranged.groupBy("_gr_pid").agg(*aggs).collect()
+    offsets, acc_c, acc_s = [], 0, 0
+    for row in sorted(per_slice, key=lambda r: r["_gr_pid"]):
+        offsets.append((int(row["_gr_pid"]), acc_c, acc_s))
+        acc_c += int(row["_c"])
+        acc_s += int(row["_s"]) if sum_col is not None else 0
+    off_df = sp.createDataFrame(
+        offsets, schema="_gr_pid int, _gr_offc long, _gr_offs long"
+    )
     from pyspark.sql import Window as W
 
-    local = F.row_number().over(W.partitionBy("_gr_pid").orderBy(*cols))
-    return (
-        arranged.withColumn("_gr_loc", local)
-        .join(F.broadcast(off_df), "_gr_pid")
-        .withColumn(rank_col, (F.col("_gr_loc") + F.col("_gr_off")).cast("long"))
-        .drop("_gr_pid", "_gr_loc", "_gr_off")
-    )
+    w = W.partitionBy("_gr_pid").orderBy(*cols)
+    out = arranged.join(F.broadcast(off_df), "_gr_pid")
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col,
+            (F.row_number().over(w) + F.col("_gr_offc")).cast("long"),
+        )
+    if sum_col is not None:
+        local_sum = F.sum(sum_col).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        out = out.withColumn(
+            cum_col, (local_sum + F.col("_gr_offs")).cast("long")
+        )
+    return out.drop("_gr_pid", "_gr_offc", "_gr_offs")
 
 
 def row_count(df: DataFrame) -> int:

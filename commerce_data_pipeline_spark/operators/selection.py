@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import word_shingles
+from .relational import global_cumsum
 from .similarity import quantized_rel_frame
 from .text import words
 
@@ -383,4 +384,62 @@ def calibrate_scores(
         F.floor(F.percent_rank().over(w) * F.lit(1000000.0))
         .cast("long")
         .alias("calib_e6"),
+    )
+
+
+def ranking_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    out_scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact ROC AUC of a score against a boolean label — the standard
+    acceptance gate for a quality classifier before it filters a corpus
+    (is the ranking actually separating good from bad documents?).
+
+    AUC == the Mann-Whitney statistic: P(score_pos > score_neg) +
+    ½·P(tie). Computed exactly over integer scores with no per-pair
+    work and NO single-partition window:
+
+      1. one groupBy(score) → (n_pos, n_neg) per distinct score;
+      2. `relational.global_cumsum` over score ascending gives each
+         score the INCLUSIVE running negative count — a range-exchange
+         prefix sum (the global_rank machinery), never a global window;
+      3. U·2 = Σ_s n_pos(s) · (2·negs_below(s) + n_neg(s)), all integer,
+         summed as decimal(38,0) so corpus-scale P·N products cannot
+         wrap; AUC_e6 = floor(scale·U2 / (2·P·N)) — non-negative
+         integer div == floor in both engines, so the output
+         value-hashes cross-engine.
+
+    Scale: cost is one corpus-keyed aggregation + prefix-sum machinery
+    over DISTINCT scores (bounded by the score codomain, not the
+    corpus). Returns one row (n_pos, n_neg, auc_e6); groups with zero
+    positives or zero negatives yield auc_e6 NULL rather than a
+    division error.
+    """
+    lab = F.col(label_col).cast("boolean")
+    per = df.groupBy(score_col).agg(
+        F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("_np"),
+        F.sum(F.when(lab, 0).otherwise(1)).cast("long").alias("_nn"),
+    )
+    cum = global_cumsum(per, [F.asc(score_col)], "_nn", cum_col="_cumn")
+    u2 = (
+        F.col("_np").cast("decimal(38,0)")
+        * (2 * (F.col("_cumn") - F.col("_nn")) + F.col("_nn")).cast("decimal(38,0)")
+    )
+    agg = cum.agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        F.sum("_nn").cast("long").alias("n_neg"),
+        F.sum(u2).alias("_u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                f"(CAST({out_scale} AS DECIMAL(38,0)) * _u2) div "
+                "(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)"
+            ),
+        ).cast("long").alias("auc_e6"),
     )

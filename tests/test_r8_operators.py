@@ -52,3 +52,27 @@ def test_boundary_banding_groups_ties_together(spark):
     ).collect()[0]
     got = _band_counts(df, [bounds[f"b{i}"] for i in range(1, 10)])
     assert got == {1: 20}
+
+
+def test_global_cumsum_matches_naive_window(spark):
+    from pyspark.sql import Window as W
+
+    from commerce_data_pipeline_spark.operators.relational import (
+        global_order_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 17) % 11, (i % 5) + 1) for i in range(60)], ["k", "v", "x"]
+    ).repartition(6)
+    got = global_order_stats(
+        df, [F.asc("v"), F.asc("k")], rank_col="r", sum_col="x",
+        cum_col="c", num_partitions=9,
+    )
+    w = W.orderBy(F.asc("v"), F.asc("k"))
+    want = df.withColumn(
+        "r", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "c",
+        F.sum("x").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
