@@ -200,6 +200,30 @@ def pagerank(
     )
 
 
+def _count_is_metadata_only(df: DataFrame) -> bool:
+    """True when `df.count()` resolves from file metadata (a bare
+    relation scan, possibly projected) rather than running a job —
+    i.e. the optimized logical plan does no aggregation/join/expansion
+    work. Errs on the side of False (checkpoint-first), which is never
+    wrong, only conservatively eager."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    return not any(
+        tok in plan
+        for tok in (
+            "Aggregate",
+            "Join",
+            "Window",
+            "Generate",
+            "Deduplicate",
+            "Union",
+            "Filter",
+        )
+    )
+
+
 def _pagerank_pairs(pairs, iterations, scale, damp_num, damp_den, budget):
     """pagerank over (a, b, weight) undirected pairs: Arrow-collect the
     HALF-size pair list and mirror it in numpy when within budget (each
@@ -222,9 +246,19 @@ def _pagerank_pairs(pairs, iterations, scale, damp_num, damp_den, budget):
         # and it upper-bounds the filtered pair count, so admitting on
         # the bound is sound; only an over-budget bound pays for the
         # checkpoint + exact count (r8: this checkpoint+count was ~0.5 s
-        # of part_pagerank's bench time for a frame consumed once)
-        ub = pairs.count()
-        if 2 * ub > budget:
+        # of part_pagerank's bench time for a frame consumed once).
+        # That metadata-only assumption holds ONLY for scan-shaped
+        # plans: a COMPUTED pair frame (aggregate/join upstream) would
+        # pay a full job for the count and then recompute the upstream
+        # again in toPandas() (and a third time in the rare int64-guard
+        # fallback) — so computed frames checkpoint FIRST and every
+        # consumer reads the one materialization (r8 ADVICE).
+        if _count_is_metadata_only(pairs):
+            ub = pairs.count()
+            if 2 * ub > budget:
+                p0 = p0.localCheckpoint()
+                ub = p0.count()
+        else:
             p0 = p0.localCheckpoint()
             ub = p0.count()
         if 2 * ub <= budget:

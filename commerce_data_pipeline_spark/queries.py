@@ -1975,7 +1975,7 @@ def _q_bpe_first_merge(spark: SparkSession, sf: str) -> DataFrame:
     return text.bpe_pair_counts(docs, top=20)
 
 
-_O_BPE_FIRST_MERGE = """
+_O_BPE_FIRST_MERGE = r"""
 WITH w AS (
   SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
   FROM documents
@@ -2002,7 +2002,7 @@ def _q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     return text.ngram_novelty(docs, n=3)
 
 
-_O_NGRAM_NOVELTY = """
+_O_NGRAM_NOVELTY = r"""
 WITH toks AS (
   SELECT doc_id,
     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
@@ -7595,6 +7595,97 @@ FROM cand WHERE dist <= 2 GROUP BY dist ORDER BY dist
 """
 
 
+def _q_multi_pass_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Linkage — multi-pass candidate generation over part names
+    (operators/linkage.multi_pass_candidates): blocked ∪ SNM with
+    per-pass provenance, the production ER recipe both pass docstrings
+    promise. max_block=256 keeps the record-level blocked pass bounded
+    on this heavily-duplicated name space (64 distinct names over the
+    whole table — the canonicalize-first note in the operator doc);
+    the oracle replays the identical ≤256-by-id truncation, both pass
+    joins, and the pair-level union/dedup, then both aggregate to
+    (dist, from_block, from_snm, n_pairs) — the provenance histogram
+    showing each pass's unique contribution (blind-spot complement)."""
+    part = load_table(spark, sf, "part")
+    pairs = linkage.multi_pass_candidates(
+        part, "p_partkey", "p_name", max_dist=2, window=4, max_block=256
+    )
+    return (
+        pairs.groupBy("dist", "from_block", "from_snm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("dist", "from_block", "from_snm")
+    )
+
+
+_O_MULTI_PASS_NAME_PAIRS = r"""
+WITH n AS (
+  SELECT p_partkey AS id,
+    trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS nm
+  FROM part
+), blk AS (
+  SELECT id, nm, string_split(nm, ' ')[1] AS b1, len(string_split(nm, ' ')) AS b2
+  FROM n
+), kept AS (
+  SELECT id, nm, b1, b2 FROM blk
+  QUALIFY row_number() OVER (PARTITION BY b1, b2 ORDER BY id) <= 256
+), bp AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+    CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+  FROM kept a JOIN kept b ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.id < b.id
+  WHERE levenshtein(a.nm, b.nm) <= 2
+), r AS (
+  SELECT id, nm, ROW_NUMBER() OVER (ORDER BY nm, id) AS rn FROM n
+), sp AS (
+  SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b,
+    CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+  FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+  WHERE levenshtein(a.nm, b.nm) <= 2
+), u AS (
+  SELECT id_a, id_b, dist, TRUE AS blk, FALSE AS snm FROM bp
+  UNION ALL
+  SELECT id_a, id_b, dist, FALSE AS blk, TRUE AS snm FROM sp
+), pairs AS (
+  SELECT id_a, id_b, CAST(MIN(dist) AS INT) AS dist,
+    MAX(blk) AS from_block, MAX(snm) AS from_snm
+  FROM u GROUP BY id_a, id_b
+)
+SELECT dist, from_block, from_snm, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def _q_ranking_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """X11 selection — exact ROC AUC acceptance gate
+    (operators/selection.ranking_auc): does document length (n_chars)
+    rank English docs above the rest? Label = (lang = 'en'), score =
+    n_chars — a real tie-heavy integer score. The Mann-Whitney U2
+    arithmetic (2·negs_below + ties half-credit), the decimal floor
+    division, and the distinct-score prefix sum are all replayed by the
+    oracle; tie/degenerate-group semantics pinned in
+    tests/test_selection.py."""
+    docs = load_table(spark, sf, "documents").select(
+        (F.col("lang") == "en").alias("is_en"), "n_chars"
+    )
+    return selection.ranking_auc(docs, "is_en", "n_chars")
+
+
+_O_RANKING_AUC = """
+WITH per AS (
+  SELECT n_chars AS score,
+    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+  FROM documents GROUP BY 1
+), c AS (
+  SELECT np, nn, SUM(nn) OVER (ORDER BY score) AS cumn FROM per
+)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+  CAST(CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+    (1000000 * SUM(np * (2 * (cumn - nn) + nn))) // (2 * SUM(np) * SUM(nn))
+  END AS BIGINT) AS auc_e6
+FROM c
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- checked window: training-data ops (SURVEY §2d) -----------------------
     "dedup_exact": QuerySpec(_q_dedup_exact, _O_DEDUP_EXACT, "X1 exact dedup"),
@@ -7795,6 +7886,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "bloom_fpr": QuerySpec(_q_bloom_fpr, _O_BLOOM_FPR, "X8 contract: measured Bloom false-positive rate vs the theoretical bound"),
     "dup_cluster_histogram": QuerySpec(_q_dup_cluster_histogram, _ora_dup_cluster_histogram(16, 4, 3), "X2/X13 corpus health: duplicate-cluster size distribution (MSB buckets)"),
     "snm_name_pairs": QuerySpec(_q_snm_name_pairs, _O_SNM_NAME_PAIRS, "linkage: sorted-neighborhood candidate pairs (the blocking-free ER pass)"),
+    "multi_pass_name_pairs": QuerySpec(_q_multi_pass_name_pairs, _O_MULTI_PASS_NAME_PAIRS, "linkage: multi-pass (blocked ∪ SNM) candidates with per-pass provenance"),
+    "ranking_auc": QuerySpec(_q_ranking_auc, _O_RANKING_AUC, "X11 selection: exact Mann-Whitney ROC AUC acceptance gate"),
     # --- r8 additions ---
     "revenue_bands": QuerySpec(_q_revenue_bands, _O_REVENUE_BANDS, "§2e banding, scale route: broadcast decile boundaries + scan-side band assignment (NTILE's 100 TB twin)"),
 }
@@ -7888,6 +7981,55 @@ _WINDOW_R8 = [
 ]
 REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R8} | {
     k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R8)
+}
+
+# --- r8→r9 window rotation (VERDICT r8 directive #5) ----------------------
+# r8 closed the attested-ever gap; the r9 job is FRESHNESS: the engine's
+# internals (catalog, session, shared pair frames, global_rank) have
+# changed substantially since the r1-r2 attestations, so this window
+# rotates the STALEST queries back under the driver's oracle —
+# oldest-first: all 37 whose latest attestation is r2 (the TPC-H-shape
+# relational batch, the G-journey analytics, session_windows,
+# rollup/cube, band_pairs…), all 4 r3-latest (ann_ivf_indexed,
+# audio_windows, dedup_clusters_alt, word_count), and corpus_ingest from
+# the r4 tier as the corpus-family pin. Median prior attestation of the
+# window = r2 (the directive's bar was ≤ r3). The other six slots hold
+# the families with no stale representative: sketch_union (X6),
+# bm25_indexed (X7), bloom_fpr (X8), degree_histogram (X12),
+# zorder_skipping (§4 layout), salted_hot_join (skew) — all attested r8,
+# kept as the one-proof-per-family floor — plus the two NEW r9 queries
+# (multi_pass_name_pairs: the blocked ∪ SNM provenance union the linkage
+# docstrings promised; ranking_auc: the Mann-Whitney acceptance gate,
+# r8 ADVICE #1). The ten remaining r4-latest queries (ann_recall,
+# embedding_quantize, fixed_size_sample, ivf_profile, jaccard_topk,
+# overlap_chunks, semantic_only_dups, text_fingerprints, text_stats,
+# winnow_pairs) are the r10 rotation seed.
+_WINDOW_R9 = [
+    # new in r9 — first driver attestation this round
+    "multi_pass_name_pairs", "ranking_auc",
+    # non-stale family pins (attested r8)
+    "sketch_union", "bm25_indexed", "bloom_fpr", "degree_histogram",
+    "zorder_skipping", "salted_hot_join",
+    # the 37 r2-latest rotate-ins, alphabetical
+    "above_brand_avg_parts", "asof_view_before_purchase", "band_pairs",
+    "basket_pairs", "cube_sales", "customer_segments_setops",
+    "daily_anomalies", "disjunctive_filter", "event_type_pivot",
+    "forecast_revenue_change", "idle_rich_customers", "important_parts",
+    "journey_transitions", "large_orders", "market_share",
+    "min_cost_supplier", "nation_trade_volume", "order_count_distribution",
+    "order_priority", "price_percentiles", "priciest_item_per_order",
+    "product_profit", "promo_revenue", "props_struct", "returned_items",
+    "rfm_segments", "rollup_sales", "running_revenue", "session_windows",
+    "shipping_priority", "small_quantity_revenue", "sort_topk_lineitems",
+    "supplier_diversity", "time_to_convert", "top_customers",
+    "top_supplier", "trailing_revenue",
+    # the 4 r3-latest rotate-ins
+    "ann_ivf_indexed", "audio_windows", "dedup_clusters_alt", "word_count",
+    # corpus-family pin from the r4 tier
+    "corpus_ingest",
+]
+REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R9} | {
+    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R9)
 }
 
 

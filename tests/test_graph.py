@@ -60,6 +60,27 @@ def test_pagerank_driver_and_distributed_paths_agree(spark):
     assert fast == dist
 
 
+def test_pagerank_pairs_computed_input_checkpoints_first(spark):
+    """r8 ADVICE: a COMPUTED undirected-pair frame (aggregate upstream —
+    here a groupBy-derived pair list) must route through the
+    checkpoint-first budget admission (graph._count_is_metadata_only
+    returns False), paying ONE materialization instead of a count job +
+    a toPandas recompute — and the ranks must be bit-identical to the
+    same pairs passed as a literal frame."""
+    raw = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3), (2, 3), (2, 3), (2, 3)], "a long, b long"
+    )
+    computed = raw.groupBy("a", "b").agg(F.count(F.lit(1)).alias("weight"))
+    assert not graph._count_is_metadata_only(computed)
+    literal = spark.createDataFrame(
+        [(1, 2, 2), (1, 3, 1), (2, 3, 3)], "a long, b long, weight long"
+    )
+    as_map = lambda df: {r["node"]: r["rank"] for r in df.collect()}  # noqa: E731
+    got = as_map(graph.pagerank(None, iterations=4, undirected_pairs=computed))
+    want = as_map(graph.pagerank(None, iterations=4, undirected_pairs=literal))
+    assert got == want
+
+
 def test_pagerank_distributed_no_in_edges_keeps_teleport(spark):
     # the reseed branch of the distributed loop (skipped on symmetrized
     # graphs) still re-seeds in-degree-0 nodes with the teleport mass
@@ -260,8 +281,19 @@ def test_personalized_pagerank_guard_forces_shuffle_fallback(spark):
     guarded = personalized_pagerank(
         pairs, seeds, rounds=2, max_broadcast_nodes=3
     )
-    assert "BroadcastHashJoin" not in guarded._jdf.queryExecution().executedPlan().toString()
     forced = personalized_pagerank(pairs, seeds, rounds=2, broadcast_frontier=True)
+    # r8 ADVICE: the old post-plan BroadcastHashJoin-absence assert only
+    # covered the STATIC plan — AQE is free to (and on this toy graph
+    # does) convert the sort-merge join to broadcast at runtime, which
+    # is fine: that's AQE's sized decision, not the operator's. The
+    # property the guard owns is the HINT: over budget, the operator
+    # must not force a broadcast. Assert hint absence/presence on the
+    # optimized logical plans of both twins so the test stays a real
+    # tripwire in both directions.
+    guarded_opt = guarded._jdf.queryExecution().optimizedPlan().toString()
+    forced_opt = forced._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in guarded_opt.lower()
+    assert "broadcast" in forced_opt.lower()
     as_map = lambda df: {r["node"]: r["rank"] for r in df.collect()}  # noqa: E731
     assert as_map(guarded) == as_map(forced)
 

@@ -233,3 +233,59 @@ def test_global_rank_matches_naive_window(spark):
         "r", F.row_number().over(W.orderBy(F.desc("v"), F.asc("k"))).cast("long")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_multi_pass_union_provenance_and_blind_spots(spark):
+    """Each pass contributes pairs the other misses, and the union keeps
+    per-pass provenance: (1,2) sits in one block AND sort-adjacent (both
+    passes), (3,4) has a first-token edit (blocking's documented miss;
+    SNM catches it because the typo keeps the names sort-adjacent), and
+    (5,6) shares a block but the sort scatters them 4 ranks apart behind
+    the filler names (SNM's documented miss at window=4)."""
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"),
+            (2, "red widgat"),
+            (3, "tan gizmo"),
+            (4, "taz gizmo"),
+            (5, "blue kat"),
+            (6, "blue kit"),
+            # sort fillers between "blue kat" and "blue kit", dist 2 from
+            # both (filtered at max_dist=1) — they only push kat/kit out
+            # of each other's SNM window
+            (7, "blue kbqx"),
+            (8, "blue kcmy"),
+            (9, "blue kdvz"),
+        ],
+        ["id", "name"],
+    )
+    rows = linkage.multi_pass_candidates(
+        df, "id", "name", max_dist=1, window=4
+    ).collect()
+    got = {(r.id_a, r.id_b): (r.dist, r.from_block, r.from_snm) for r in rows}
+    assert got == {
+        (1, 2): (1, True, True),
+        (3, 4): (1, False, True),
+        (5, 6): (1, True, False),
+    }
+    assert len(rows) == len(got)  # one row per undirected pair
+
+
+def test_multi_pass_dedup_collapses_repeat_candidates(spark):
+    """A pair generated by both passes AND by SNM at multiple window
+    offsets still yields exactly one output row."""
+    df = spark.createDataFrame(
+        [(1, "zz top"), (2, "zz top"), (3, "zz tap")], ["id", "name"]
+    )
+    rows = linkage.multi_pass_candidates(
+        df, "id", "name", max_dist=1, window=3
+    ).collect()
+    got = {(r.id_a, r.id_b): (r.dist, r.from_block, r.from_snm) for r in rows}
+    # all three records share the (zz, 2) block and sit inside one SNM
+    # window of 3 — every pair is found by both passes, exactly once
+    assert got == {
+        (1, 2): (0, True, True),
+        (1, 3): (1, True, True),
+        (2, 3): (1, True, True),
+    }
+    assert len(rows) == 3

@@ -12,131 +12,62 @@ from commerce_data_pipeline_spark.queries import REGISTRY, oracle_sql, queries
 CHECK_WINDOW = 50
 
 # One proving query per operator family that MUST sit inside the checked window.
+#
+# r9 reset (VERDICT r8 directive #5): r8 closed the attested-ever gap, so
+# the r9 window's job is FRESHNESS — rotate the stalest attestations
+# (r2-r4-latest) back under the driver's oracle. The pin set shrinks to
+# one proof per family, chosen FROM the stale rotate-ins wherever a
+# family has one (those pins are both the family floor and the freshness
+# payload); only the six families with no stale representative keep an
+# r8-attested pin. The r8 pin-set's full rationale history lives in git
+# (this file @ 8c40dcb).
 FAMILY_PROOFS = {
-    # X1/X2 dedup — dedup_clusters runs the minhash+LSH banded pair stage
-    # upstream, so one in-window query attests the whole lexical chain;
-    # canonical_docs (r7 in) adds the LSH→CC→argmax canonical-selection
-    # tail. Mid-r7: dedup_exact (attested r1-r6) and semantic_dedup
-    # (attested r6) swapped out for the 11 r7 additions — after this
-    # round every registry query is driver-attested-ever, the r6
-    # VERDICT's stated bar; part_components re-witnesses
-    # connected_components on a facts-derived graph in-window.
-    # (late-r7 swap #2: dedup_clusters — attested r1-r6 — out for
-    # lsh_cost_plan, the band-stage cost planner on the same pipeline)
-    "lsh_cost_plan",
-    "canonical_docs",
-    "part_components",
-    # X3 similarity / ANN (hard_negatives attested r6 swapped out; the
-    # kmeans pair adds the training half of the family in-window)
-    # (ann_ivf attested r1-r6 out; centroid_sim + pca_power add the
-    # embedding-audit / spectral halves of X3 in-window)
-    # (r8: centroid_sim — attested r7 — out; ann_lsh, full-value-hash
-    # since late r7 via inlined deterministic plane literals, promotes
-    # the float ANN path out of twin limbo; embedding_outliers adds the
-    # norm-audit shape)
-    "kmeans_step",
-    "kmeans_train",
-    "pca_power",
-    "ann_lsh",
-    "embedding_outliers",
-    # X6 sketches (sketch_accuracy attested r1-r6 → sketch_union carries
-    # the family: same falsifiable-bound technique plus mergeability;
-    # r8 rotates in the two accuracy contracts the DRIVER could never
-    # check before their r6 scalar+boolean reshape)
+    # X1/X2 dedup chain: dedup_clusters_alt re-attests minhash→LSH→CC on
+    # the post-global_rank engine; band_pairs pins the banded bucket stage
+    "dedup_clusters_alt",
+    "band_pairs",
+    # record linkage: the NEW multi-pass union (blocked ∪ SNM with
+    # provenance) exercises blocked_edit_pairs AND snm_pairs (and thus
+    # global_rank) under one oracle
+    "multi_pass_name_pairs",
+    # X3 ANN: the persisted-IVF path (centroid build + pruned probe)
+    "ann_ivf_indexed",
+    # X4 text: tokenizer + word-level agg
+    "word_count",
+    # X5 multimodal: overlapping audio windows (sequence+explode shape)
+    "audio_windows",
+    # X6 sketches (no stale representative — r8 pin retained)
     "sketch_union",
-    "quantile_groups",
-    "approx_stats",
-    "approx_group_stats",
-    # record linkage (r8: fuzzy_name_pairs — attested r5/r6/r7 — out;
-    # snm_name_pairs carries the family with the new range-partitioned
-    # distributed rank under oracle)
-    "snm_name_pairs",
-    # X4 text (r7: dup_ngram_spans/bigram_lm rotated out, attested r5/r6;
-    # text_profile — five prior attestations — swapped out mid-r7 for
-    # part_walks; the two r6 rotate-ins cover the tokenizer-stats and
-    # cross-doc-novelty shuffle shapes)
-    "bpe_first_merge",
-    "bpe_train",
-    "bpe_compression",
-    "ngram_novelty",
-    # corpus shaping (greedy_pack/pii_redact/cluster_sample attested
-    # r1-r6/r3-r6, swapped out mid-r7)
-    # (contamination attested r1-r6 out; split_leakage adds the
-    # governance half of corpus shaping)
-    # (late-r7 swap #3: temperature_mix attested r1-r6 out;
-    # containment_topk joins X2, lang_id_agreement joins the eval audits)
-    # (r8: containment_topk / lang_id_agreement — attested r7 — out for
-    # the rotate-in batch; X2 keeps lsh_cost_plan + canonical_docs +
-    # dup_cluster_histogram, X4 keeps the bpe trio + ngram_novelty +
-    # heldout_perplexity)
-    "split_leakage",
-    "dup_cluster_histogram",
-    "heldout_perplexity",
-    # X7-X10 + selection (r7: bm25_search→bm25_indexed — same oracle, and
-    # the indexed path additionally attests the persisted postings;
-    # tfidf/hybrid/mmr/calibrate rotated out, attested r6)
-    # (r8: bloom_decontaminate / quality_classifier — both attested
-    # r5/r6/r7 — out; bloom_fpr carries X8 with the falsifiable FPR
-    # bound, X11 keeps split_leakage in-window)
+    # X7 search (no stale representative — r8 pin retained)
     "bm25_indexed",
-    "ndcg_eval",
+    # X8 bloom (no stale representative — r8 pin retained)
     "bloom_fpr",
-    # temporal (scd2/decay rotated out, attested r6; resample_ffill
-    # attested r5-r6 swapped out mid-r7; burst_window_events carries the
-    # interval-join shape in-window)
-    "burst_window_events",
-    # profiling / audits (r7 in: the five never-driver-checked audits +
-    # the three new r7 audits — Benford, exact-moment Pearson, chi-square
-    # drift)
-    "k_anonymity",
-    "fd_check",
-    "winsorized_revenue",
-    "price_histogram",
-    "snapshot_diff",
-    "benford_prices",
-    "numeric_corr",
-    "event_type_drift",
-    "referential_integrity",
-    # skew mitigation (new r7: guarded_join's salted route under oracle)
-    "salted_hot_join",
-    # X12 graph (r7 in: LPA + degree-oriented triangle census + recos +
-    # k-core peel + capped neighbor-set Jaccard)
-    # (part_pagerank attested r1-r6 out; degree_histogram is the
-    # family's skew pre-flight)
-    # (r8: seed_expansion — attested r7 — out; the family keeps eight
-    # in-window proofs)
+    # X9 temporal: as-of join
+    "asof_view_before_purchase",
+    # X10/corpus: ingest normalization
+    "corpus_ingest",
+    # X11 selection: the NEW Mann-Whitney AUC gate (r8 ADVICE #1 wiring)
+    "ranking_auc",
+    # X12 graph (no stale representative — r8 pin retained; the skew
+    # pre-flight is the cheapest family witness)
     "degree_histogram",
-    "part_communities",
-    "part_triangles",
-    "also_bought",
-    "association_rules",
-    "part_kcore",
-    "similar_parts_jaccard",
-    "part_walks",
-    # X5 multimodal (media_features_md5 attested r6 swapped out mid-r7 —
-    # image_dup_clusters consumes the same pHash pair stage and adds CC)
-    "image_dup_clusters",
-    # relational / pipeline / gold representatives (top_revenue_nations /
-    # distinct_ship_dates attested r1-r6 swapped out mid-r7 for the Q21
-    # semi+anti shape and the NTILE banding witness)
-    # (pricing_summary attested r1-r6 out; zorder_skipping registers
-    # the §4 layout family for the first time)
-    # (r8: customer_value_deciles — attested r7 — out, revenue_bands is
-    # the banding witness on its documented 100 TB shape; date_gaps —
-    # SEVEN attestations r1-r7 — out, P6 needs no more window slots:
-    # the generated COVERAGE.md ledger now proves attested-ever
-    # mechanically)
+    # X13 profiling: seasonality-aware anomaly audit
+    "daily_anomalies",
+    # skew mitigation (single-query family — r8 pin retained)
+    "salted_hot_join",
+    # §4 layout (single-query family — r8 pin retained)
     "zorder_skipping",
-    "waiting_suppliers",
-    "revenue_bands",
-    # (late-r7 swap #4: funnel out — six prior attestations + the
-    # every-round entry() smoke check; session_funnel carries G1)
-    "session_funnel",
-    "sequence_violations",
-    "sliding_counts",
-    "attribution_position",
+    # streaming: session_window batch parity
+    "session_windows",
+    # G analytics: journey transitions + conversion timing
+    "journey_transitions",
+    "time_to_convert",
+    # relational/gold: top-k, rollup/cube, window frames
+    "sort_topk_lineitems",
+    "rollup_sales",
+    "cube_sales",
+    "trailing_revenue",
 }
-
 
 def test_every_family_proof_inside_check_window():
     window = set(list(REGISTRY)[:CHECK_WINDOW])

@@ -248,3 +248,48 @@ def test_calibrate_scores_percentile_semantics(spark):
     assert out[3] == 666666
     assert out[4] == 1000000
     assert out[5] == 0
+
+
+def _naive_auc_e6(pairs):
+    """Reference AUC by literal pairwise Mann-Whitney counting: 1 per
+    positive>negative pair, ½ per tie, floored to e6 in exact integer
+    arithmetic (U2 = twice the U statistic, so ties stay integral)."""
+    pos = [s for lab, s in pairs if lab]
+    neg = [s for lab, s in pairs if not lab]
+    if not pos or not neg:
+        return None
+    u2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+    return (1_000_000 * u2) // (2 * len(pos) * len(neg))
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # tie-heavy mixed ranking
+        [(True, 5), (True, 3), (False, 3), (False, 1), (True, 3), (False, 5)],
+        # perfect separation → 1_000_000
+        [(True, 10), (True, 9), (False, 2), (False, 1)],
+        # perfectly inverted → 0
+        [(False, 10), (False, 9), (True, 2), (True, 1)],
+        # all scores tied → exactly 500_000
+        [(True, 7), (False, 7), (True, 7), (False, 7)],
+        # negative scores and an asymmetric class balance
+        [(True, -1), (False, -3), (False, -1), (False, 0), (False, -2)],
+    ],
+)
+def test_ranking_auc_matches_naive_pairwise(spark, pairs):
+    df = spark.createDataFrame(pairs, ["label", "score"])
+    r = S.ranking_auc(df, "label", "score").collect()[0]
+    assert r["n_pos"] == sum(1 for lab, _ in pairs if lab)
+    assert r["n_neg"] == sum(1 for lab, _ in pairs if not lab)
+    assert r["auc_e6"] == _naive_auc_e6(pairs)
+
+
+@pytest.mark.parametrize("label", [True, False])
+def test_ranking_auc_degenerate_single_class_is_null(spark, label):
+    """Zero positives (or zero negatives) means AUC is undefined — the
+    operator returns NULL, never a division error or a fake 0/1."""
+    df = spark.createDataFrame([(label, s) for s in (1, 2, 3)], ["label", "score"])
+    r = S.ranking_auc(df, "label", "score").collect()[0]
+    assert r["auc_e6"] is None
+    assert (r["n_pos"] == 0) == (not label)
