@@ -7654,6 +7654,83 @@ FROM pairs GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def _q_best_match_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Linkage — reciprocal best-match filtering over the multi-pass
+    candidates (operators/linkage.best_match_pairs): each part keeps
+    only its mutual-best partner (min dist, tie toward the smaller
+    partner id) — the one-to-one precision step before clustering.
+    Aggregated to (dist, n_pairs, n_both_passes); the oracle replays
+    the directed argmin (ROW_NUMBER over (dist, partner)) and the
+    mutual join on top of the full multi-pass union."""
+    part = load_table(spark, sf, "part")
+    cand = linkage.multi_pass_candidates(
+        part, "p_partkey", "p_name", max_dist=2, window=4, max_block=256
+    )
+    surv = linkage.best_match_pairs(cand)
+    return (
+        surv.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                (F.col("from_block") & F.col("from_snm")).cast("long")
+            ).alias("n_both_passes"),
+        )
+        .orderBy("dist")
+    )
+
+
+_O_BEST_MATCH_PAIRS = r"""
+WITH n AS (
+  SELECT p_partkey AS id,
+    trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS nm
+  FROM part
+), blk AS (
+  SELECT id, nm, string_split(nm, ' ')[1] AS b1, len(string_split(nm, ' ')) AS b2
+  FROM n
+), kept AS (
+  SELECT id, nm, b1, b2 FROM blk
+  QUALIFY row_number() OVER (PARTITION BY b1, b2 ORDER BY id) <= 256
+), bp AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+    CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+  FROM kept a JOIN kept b ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.id < b.id
+  WHERE levenshtein(a.nm, b.nm) <= 2
+), r AS (
+  SELECT id, nm, ROW_NUMBER() OVER (ORDER BY nm, id) AS rn FROM n
+), sp AS (
+  SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b,
+    CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+  FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+  WHERE levenshtein(a.nm, b.nm) <= 2
+), u AS (
+  SELECT id_a, id_b, dist, TRUE AS blk, FALSE AS snm FROM bp
+  UNION ALL
+  SELECT id_a, id_b, dist, FALSE AS blk, TRUE AS snm FROM sp
+), pairs AS (
+  SELECT id_a, id_b, CAST(MIN(dist) AS INT) AS dist,
+    MAX(blk) AS from_block, MAX(snm) AS from_snm
+  FROM u GROUP BY id_a, id_b
+), directed AS (
+  SELECT id_a AS id, id_b AS p, dist FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS p, dist FROM pairs
+), best AS (
+  SELECT id, p FROM directed
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, p) = 1
+), mutual AS (
+  SELECT a.id AS id_a, a.p AS id_b
+  FROM best a JOIN best b ON a.p = b.id AND b.p = a.id
+), surv AS (
+  SELECT pr.* FROM pairs pr
+  JOIN mutual m ON pr.id_a = m.id_a AND pr.id_b = m.id_b
+)
+SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(CASE WHEN from_block AND from_snm THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_both_passes
+FROM surv GROUP BY dist ORDER BY dist
+"""
+
+
 def _q_ranking_auc(spark: SparkSession, sf: str) -> DataFrame:
     """X11 selection — exact ROC AUC acceptance gate
     (operators/selection.ranking_auc): does document length (n_chars)
@@ -7887,6 +7964,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dup_cluster_histogram": QuerySpec(_q_dup_cluster_histogram, _ora_dup_cluster_histogram(16, 4, 3), "X2/X13 corpus health: duplicate-cluster size distribution (MSB buckets)"),
     "snm_name_pairs": QuerySpec(_q_snm_name_pairs, _O_SNM_NAME_PAIRS, "linkage: sorted-neighborhood candidate pairs (the blocking-free ER pass)"),
     "multi_pass_name_pairs": QuerySpec(_q_multi_pass_name_pairs, _O_MULTI_PASS_NAME_PAIRS, "linkage: multi-pass (blocked ∪ SNM) candidates with per-pass provenance"),
+    "best_match_pairs": QuerySpec(_q_best_match_pairs, _O_BEST_MATCH_PAIRS, "linkage: reciprocal best-match (one-to-one) filter over multi-pass candidates"),
     "ranking_auc": QuerySpec(_q_ranking_auc, _O_RANKING_AUC, "X11 selection: exact Mann-Whitney ROC AUC acceptance gate"),
     # --- r8 additions ---
     "revenue_bands": QuerySpec(_q_revenue_bands, _O_REVENUE_BANDS, "§2e banding, scale route: broadcast decile boundaries + scan-side band assignment (NTILE's 100 TB twin)"),
@@ -8003,10 +8081,12 @@ REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R8} | {
 # r8 ADVICE #1). The ten remaining r4-latest queries (ann_recall,
 # embedding_quantize, fixed_size_sample, ivf_profile, jaccard_topk,
 # overlap_chunks, semantic_only_dups, text_fingerprints, text_stats,
-# winnow_pairs) are the r10 rotation seed.
+# winnow_pairs) are the r10 rotation seed, plus top_supplier (r2-latest,
+# its slot ceded to the new best_match_pairs — never-attested queries
+# must sit inside the window, attested-r2 ones may wait one round).
 _WINDOW_R9 = [
     # new in r9 — first driver attestation this round
-    "multi_pass_name_pairs", "ranking_auc",
+    "multi_pass_name_pairs", "ranking_auc", "best_match_pairs",
     # non-stale family pins (attested r8)
     "sketch_union", "bm25_indexed", "bloom_fpr", "degree_histogram",
     "zorder_skipping", "salted_hot_join",
@@ -8022,7 +8102,7 @@ _WINDOW_R9 = [
     "rfm_segments", "rollup_sales", "running_revenue", "session_windows",
     "shipping_priority", "small_quantity_revenue", "sort_topk_lineitems",
     "supplier_diversity", "time_to_convert", "top_customers",
-    "top_supplier", "trailing_revenue",
+    "trailing_revenue",
     # the 4 r3-latest rotate-ins
     "ann_ivf_indexed", "audio_windows", "dedup_clusters_alt", "word_count",
     # corpus-family pin from the r4 tier

@@ -289,3 +289,45 @@ def test_multi_pass_dedup_collapses_repeat_candidates(spark):
         (2, 3): (1, True, True),
     }
     assert len(rows) == 3
+
+
+def test_best_match_keeps_only_mutual_best(spark):
+    """Chain a—b (dist 1) — c (dist 2): a and b pick each other, c's
+    best is b but b's best is a, so (b, c) is filtered out — the
+    one-to-one precision property."""
+    cand = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2)], "id_a long, id_b long, dist int"
+    )
+    rows = linkage.best_match_pairs(cand).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+
+
+def test_best_match_tie_breaks_toward_smaller_partner(spark):
+    """a has two dist-1 candidates (b=2, c=3): the tie resolves to the
+    smaller partner id, deterministically, so (a, c) dies even though
+    its distance equals the survivor's."""
+    cand = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 1)], "id_a long, id_b long, dist int"
+    )
+    rows = linkage.best_match_pairs(cand).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+
+
+def test_best_match_passes_extra_columns_through(spark):
+    """best_match_pairs is a FILTER: surviving rows keep every input
+    column (here the multi-pass provenance booleans) unchanged."""
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"),
+            (2, "red widgat"),
+            (3, "tan gizmo"),
+            (4, "taz gizmo"),
+        ],
+        ["id", "name"],
+    )
+    cand = linkage.multi_pass_candidates(df, "id", "name", max_dist=1, window=4)
+    surv = linkage.best_match_pairs(cand)
+    assert set(surv.columns) == {"id_a", "id_b", "dist", "from_block", "from_snm"}
+    got = {(r.id_a, r.id_b): (r.from_block, r.from_snm) for r in surv.collect()}
+    # both pairs are mutual best (disjoint); provenance survives intact
+    assert got == {(1, 2): (True, True), (3, 4): (False, True)}

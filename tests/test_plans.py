@@ -251,3 +251,26 @@ def test_salted_hot_join_plan_shows_salt_expansion(spark):
     assert "pmod(xxhash64" in plan
     # both join sides key on (event_type, _salt)
     assert "Left keys [2]" in plan and "_salt" in plan
+
+
+def test_best_match_pairs_single_candidate_materialization(spark):
+    df = REGISTRY["best_match_pairs"].spark(spark, SF)
+    # the multi-pass candidate pipeline (blocking + SNM global rank) is
+    # consumed three times and the best-pick frame twice — both are
+    # lazily checkpointed, so the outer plan contains NO parquet scan
+    # (everything reads the two checkpoint RDDs) and a bounded exchange
+    # count. A regression to per-consumer recompute re-adds parquet
+    # scans and pushes static shuffles back above 30 (measured pre-fix).
+    assert not plans.read_schema_columns(df)  # scans live in checkpoints
+    assert plans.num_shuffles(df) <= 8
+    df.collect()
+    import re
+
+    executed = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    final = executed.split("== Initial Plan ==")[0]
+    # exactly two distinct checkpoint RDDs: the candidates + the best picks
+    rdd_ids = set(re.findall(r"MapPartitionsRDD\[(\d+)\]", executed))
+    assert len(rdd_ids) == 2
+    assert len(re.findall(r"\bExchange \(", final)) <= 6
