@@ -7595,6 +7595,30 @@ FROM cand WHERE dist <= 2 GROUP BY dist ORDER BY dist
 """
 
 
+def _ensure_multipass_cand(spark: SparkSession, sf: str) -> DataFrame:
+    """Build-once handle for the multi-pass candidate pairs of part names
+    at this sf (linkage.multi_pass_candidates, max_block=256, window=4,
+    dist ≤ 2). Two registry queries consume the identical frame — the
+    provenance histogram and the reciprocal best-match filter — so the
+    candidate generation (blocked pass + SNM global rank) runs ONCE per
+    sf, not once per query (the `_ensure_copurchase_pairs` pattern).
+    int/boolean columns roundtrip parquet exactly, so the oracles don't
+    change; bit-parity vs the inline build is pinned in
+    tests/test_linkage.py."""
+    import os
+
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+
+    path = _cache_dir("multipass_cand", sf)
+    fs = HadoopFS(spark, path)
+    if not fs.exists(join_path(path, "pairs", "_SUCCESS")):
+        part = load_table(spark, sf, "part")
+        linkage.multi_pass_candidates(
+            part, "p_partkey", "p_name", max_dist=2, window=4, max_block=256
+        ).write.mode("overwrite").parquet(join_path(path, "pairs"))
+    return spark.read.parquet(join_path(path, "pairs"))
+
+
 def _q_multi_pass_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Linkage — multi-pass candidate generation over part names
     (operators/linkage.multi_pass_candidates): blocked ∪ SNM with
@@ -7605,11 +7629,10 @@ def _q_multi_pass_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
     the oracle replays the identical ≤256-by-id truncation, both pass
     joins, and the pair-level union/dedup, then both aggregate to
     (dist, from_block, from_snm, n_pairs) — the provenance histogram
-    showing each pass's unique contribution (blind-spot complement)."""
-    part = load_table(spark, sf, "part")
-    pairs = linkage.multi_pass_candidates(
-        part, "p_partkey", "p_name", max_dist=2, window=4, max_block=256
-    )
+    showing each pass's unique contribution (blind-spot complement).
+    Candidates come from the shared persisted build
+    (`_ensure_multipass_cand`; bit-parity vs inline pinned)."""
+    pairs = _ensure_multipass_cand(spark, sf)
     return (
         pairs.groupBy("dist", "from_block", "from_snm")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
@@ -7661,12 +7684,9 @@ def _q_best_match_pairs(spark: SparkSession, sf: str) -> DataFrame:
     partner id) — the one-to-one precision step before clustering.
     Aggregated to (dist, n_pairs, n_both_passes); the oracle replays
     the directed argmin (ROW_NUMBER over (dist, partner)) and the
-    mutual join on top of the full multi-pass union."""
-    part = load_table(spark, sf, "part")
-    cand = linkage.multi_pass_candidates(
-        part, "p_partkey", "p_name", max_dist=2, window=4, max_block=256
-    )
-    surv = linkage.best_match_pairs(cand)
+    mutual join on top of the full multi-pass union. Candidates come
+    from the shared persisted build (`_ensure_multipass_cand`)."""
+    surv = linkage.best_match_pairs(_ensure_multipass_cand(spark, sf))
     return (
         surv.groupBy("dist")
         .agg(

@@ -331,3 +331,25 @@ def test_best_match_passes_extra_columns_through(spark):
     got = {(r.id_a, r.id_b): (r.from_block, r.from_snm) for r in surv.collect()}
     # both pairs are mutual best (disjoint); provenance survives intact
     assert got == {(1, 2): (True, True), (3, 4): (False, True)}
+
+
+def test_multipass_cache_bit_parity(spark):
+    """House rule for shared persisted builds: the `.cache/` parquet
+    roundtrip of the multi-pass candidates must be bit-identical to the
+    inline build (int/boolean columns roundtrip parquet exactly), so the
+    two consuming registry queries and their oracles are unaffected by
+    the caching."""
+    from commerce_data_pipeline_spark import queries as Q
+    from commerce_data_pipeline_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    part = load_table(spark, sf, "part")
+    inline = linkage.multi_pass_candidates(
+        part, "p_partkey", "p_name", max_dist=2, window=4, max_block=256
+    )
+    cached = Q._ensure_multipass_cand(spark, sf)
+    assert sorted(inline.columns) == sorted(cached.columns)
+    cols = sorted(inline.columns)
+    a = sorted(map(tuple, inline.select(*cols).collect()))
+    b = sorted(map(tuple, cached.select(*cols).collect()))
+    assert a == b
