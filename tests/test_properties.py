@@ -235,3 +235,71 @@ def test_overlap_chunks_full_coverage(spark, lens, size, stride):
             covered |= set(range(c["start_tok"], c["start_tok"] + c["span_len"]))
         # every token covered by at least one chunk
         assert covered == set(range(n))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(-20, 20)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ranking_auc_matches_pairwise_on_generated_inputs(spark, rows):
+    """ranking_auc == literal pairwise Mann-Whitney counting (1 per
+    concordant pair, ½ per tie, floored at e6) on ANY label/score
+    multiset, including heavy ties, negative scores, and single-class
+    degenerates (where the operator must return NULL)."""
+    from commerce_data_pipeline_spark.operators import selection as S
+
+    df = spark.createDataFrame(rows, "label boolean, score int")
+    r = S.ranking_auc(df, "label", "score").collect()[0]
+    pos = [s for lab, s in rows if lab]
+    neg = [s for lab, s in rows if not lab]
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    if not pos or not neg:
+        assert r["auc_e6"] is None
+    else:
+        u2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+        assert r["auc_e6"] == (1_000_000 * u2) // (2 * len(pos) * len(neg))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12), st.integers(0, 3)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_best_match_invariants_on_generated_candidates(spark, tuples_):
+    """best_match_pairs on ANY candidate set: (a) the output is a subset
+    of the input pair set; (b) no record appears in two surviving pairs
+    (one-to-one property); (c) every surviving pair is mutual-best under
+    (dist, partner-id) ordering computed naively in Python."""
+    from commerce_data_pipeline_spark.operators import linkage as L
+
+    pairs = {
+        (min(a, b), max(a, b)): d for a, b, d in tuples_ if a != b
+    }  # undirected, dedup'd (last dist wins — any deterministic choice works)
+    if not pairs:
+        return
+    rows = [(a, b, d) for (a, b), d in pairs.items()]
+    df = spark.createDataFrame(rows, "id_a long, id_b long, dist int")
+    got = {(r.id_a, r.id_b) for r in L.best_match_pairs(df).collect()}
+    assert got <= set(pairs)
+    seen = [x for ab in got for x in ab]
+    assert len(seen) == len(set(seen))  # one-to-one
+    # naive mutual-best
+    best = {}
+    for (a, b), d in pairs.items():
+        for x, y in ((a, b), (b, a)):
+            cur = best.get(x)
+            if cur is None or (d, y) < cur:
+                best[x] = (d, y)
+    want = {
+        (a, b)
+        for (a, b) in pairs
+        if best[a][1] == b and best[b][1] == a
+    }
+    assert got == want
