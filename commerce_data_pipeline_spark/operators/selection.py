@@ -443,3 +443,121 @@ def ranking_auc(
             ),
         ).cast("long").alias("auc_e6"),
     )
+
+
+def ranking_auc_banded(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bands: int = 10,
+    out_scale: int = 1_000_000,
+) -> DataFrame:
+    """Banded ROC AUC — the 100 TB twin of `ranking_auc`, with a
+    FALSIFIABLE error bound (the `revenue_bands` technique applied to
+    ranking quality). `ranking_auc` is exact but its prefix sum runs
+    over DISTINCT scores; when the score space is continuous or
+    corpus-sized, the scale shape is banding: compute n_bands−1
+    percentile boundaries as ONE aggregate, broadcast them, assign
+    bands with scan-side comparisons, and run the identical
+    Mann-Whitney arithmetic over ≤ n_bands rows.
+
+    Error contract: banding treats every within-band (pos, neg) pair
+    as a tie (½ credit) when its true credit is 0 or 1 — off by at
+    most ½ per such pair — so
+
+        |auc_exact − auc_banded| ≤ Σ_b n_pos(b)·n_neg(b) / (2·P·N)
+
+    and that bound is COMPUTED FROM THE SAME AGGREGATE and returned as
+    `max_err_e6` (ceil at e6 plus one ulp for the two floor-divisions,
+    so [auc_banded−err, auc_banded+err] always contains `ranking_auc`'s
+    floored output): a release gate can assert "AUC ≥ 0.9" whenever
+    auc_banded_e6 − max_err_e6 clears it, with no exact pass at all.
+    The bound holds for ANY banding; finer bands only tighten it.
+    Exact-vs-banded containment is pinned in tests/test_selection.py
+    (hand cases) and tests/test_properties.py (generated inputs).
+
+    This exact-contract form uses `percentile_disc` boundaries (value
+    at rank ceil(p·n), replayable cross-engine via ROW_NUMBER + CEIL —
+    the winsorized/revenue_bands precedent); production swaps in
+    `percentile_approx` (mergeable sketch, no exact-rank pass) on the
+    SAME plan — the bound stays valid because it never references the
+    boundary VALUES, only the realized band populations.
+
+    Scale shape: one scan for the boundary aggregate, one for the
+    banded (n_pos, n_neg) aggregation (both over the lazily
+    checkpointed projection), then band-count-sized arithmetic. No
+    global sort, no per-score state, no single-partition window.
+
+    Returns one row: (n_pos, n_neg, auc_banded_e6, max_err_e6);
+    degenerate single-class inputs yield NULL metrics like the exact
+    operator.
+    """
+    if n_bands < 2:
+        raise ValueError("ranking_auc_banded: n_bands must be >= 2")
+    ps = []
+    for i in range(1, n_bands):
+        p = f"{i / n_bands:.6f}"
+        from fractions import Fraction
+
+        if Fraction(p) != Fraction(i, n_bands):
+            raise ValueError(
+                "ranking_auc_banded: i/n_bands must be exact in 6 decimal "
+                f"places for the cross-engine boundary contract (got {i}/{n_bands})"
+            )
+        ps.append(p)
+    lab = F.col(label_col).cast("boolean")
+    scored = df.select(
+        lab.alias("_y"), F.col(score_col).alias("_s")
+    ).localCheckpoint(eager=False)  # consumed twice: boundaries + banding
+    bounds = scored.agg(
+        *[
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY _s)").alias(
+                f"_b{i}"
+            )
+            for i, p in enumerate(ps, 1)
+        ]
+    )
+    band = F.lit(1)
+    for i in range(1, n_bands):
+        band = band + F.when(F.col("_s") > F.col(f"_b{i}"), 1).otherwise(0)
+    per = (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(band.cast("int").alias("_band"), "_y")
+        .groupBy("_band")
+        .agg(
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("_np"),
+            F.sum(F.when(F.col("_y"), 0).otherwise(1)).cast("long").alias("_nn"),
+        )
+    )
+    cum = global_cumsum(per, [F.asc("_band")], "_nn", cum_col="_cumn")
+    u2 = (
+        F.col("_np").cast("decimal(38,0)")
+        * (2 * (F.col("_cumn") - F.col("_nn")) + F.col("_nn")).cast("decimal(38,0)")
+    )
+    inband = F.col("_np").cast("decimal(38,0)") * F.col("_nn").cast("decimal(38,0)")
+    agg = cum.agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        F.sum("_nn").cast("long").alias("n_neg"),
+        F.sum(u2).alias("_u2"),
+        F.sum(inband).alias("_ib"),
+    )
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    denom = f"(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)"
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            ok,
+            F.expr(f"(CAST({out_scale} AS DECIMAL(38,0)) * _u2) div {denom}"),
+        ).cast("long").alias("auc_banded_e6"),
+        # ceil of the e6-scaled analytic bound, plus 1 ulp: the exact and
+        # banded AUCs each floor once, which can widen their integer gap
+        # by one beyond the real-valued bound
+        F.when(
+            ok,
+            F.expr(
+                f"(CAST({out_scale} AS DECIMAL(38,0)) * _ib + {denom} - 1) div {denom}"
+                " + 1"
+            ),
+        ).cast("long").alias("max_err_e6"),
+    )

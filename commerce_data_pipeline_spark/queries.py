@@ -7766,6 +7766,63 @@ def _q_ranking_auc(spark: SparkSession, sf: str) -> DataFrame:
     return selection.ranking_auc(docs, "is_en", "n_chars")
 
 
+def _q_ranking_auc_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """X11 — banded ROC AUC with falsifiable error bound
+    (operators/selection.ranking_auc_banded): the 100 TB twin of
+    `ranking_auc` — 9 percentile_disc decile boundaries broadcast,
+    scan-side banding, Mann-Whitney arithmetic over ≤ 10 rows, and the
+    bound Σ np·nn/(2PN) computed from the same aggregate (plus the
+    one-ulp floor slack). The oracle replays the boundary rank
+    arithmetic (ROW_NUMBER + CEIL(0.i·n), winsorized precedent), the
+    banding, and both decimal divisions; exact-vs-banded containment is
+    pinned in tests/test_selection.py + test_properties.py."""
+    docs = load_table(spark, sf, "documents").select(
+        (F.col("lang") == "en").alias("is_en"), "n_chars"
+    )
+    return selection.ranking_auc_banded(docs, "is_en", "n_chars", n_bands=10)
+
+
+_O_RANKING_AUC_BANDED = (
+    """
+WITH t AS (
+  SELECT (lang = 'en') AS y, n_chars AS s FROM documents
+), ranked AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn, COUNT(*) OVER () AS n FROM t
+), b AS (
+  SELECT
+"""
+    + ",\n".join(
+        f"    MAX(CASE WHEN rn = CAST(CEIL(0.{i} * n) AS BIGINT) THEN s END) AS b{i}"
+        for i in range(1, 10)
+    )
+    + """
+  FROM ranked
+), banded AS (
+  SELECT 1 """
+    + " ".join(f"+ (CASE WHEN t.s > b.b{i} THEN 1 ELSE 0 END)" for i in range(1, 10))
+    + """ AS band, t.y
+  FROM t, b
+), per AS (
+  SELECT band,
+    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+    SUM(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+  FROM banded GROUP BY band
+), c AS (
+  SELECT np, nn, SUM(nn) OVER (ORDER BY band) AS cumn FROM per
+)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+  CAST(CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+    (1000000 * SUM(np * (2 * (cumn - nn) + nn))) // (2 * SUM(np) * SUM(nn))
+  END AS BIGINT) AS auc_banded_e6,
+  CAST(CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+    (1000000 * SUM(np * nn) + 2 * SUM(np) * SUM(nn) - 1)
+      // (2 * SUM(np) * SUM(nn)) + 1
+  END AS BIGINT) AS max_err_e6
+FROM c
+"""
+)
+
+
 _O_RANKING_AUC = """
 WITH per AS (
   SELECT n_chars AS score,
@@ -7986,6 +8043,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "multi_pass_name_pairs": QuerySpec(_q_multi_pass_name_pairs, _O_MULTI_PASS_NAME_PAIRS, "linkage: multi-pass (blocked ∪ SNM) candidates with per-pass provenance"),
     "best_match_pairs": QuerySpec(_q_best_match_pairs, _O_BEST_MATCH_PAIRS, "linkage: reciprocal best-match (one-to-one) filter over multi-pass candidates"),
     "ranking_auc": QuerySpec(_q_ranking_auc, _O_RANKING_AUC, "X11 selection: exact Mann-Whitney ROC AUC acceptance gate"),
+    "ranking_auc_banded": QuerySpec(_q_ranking_auc_banded, _O_RANKING_AUC_BANDED, "X11 selection: banded AUC with falsifiable error bound (the 100 TB twin)"),
     # --- r8 additions ---
     "revenue_bands": QuerySpec(_q_revenue_bands, _O_REVENUE_BANDS, "§2e banding, scale route: broadcast decile boundaries + scan-side band assignment (NTILE's 100 TB twin)"),
 }
@@ -8101,12 +8159,14 @@ REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R8} | {
 # r8 ADVICE #1). The ten remaining r4-latest queries (ann_recall,
 # embedding_quantize, fixed_size_sample, ivf_profile, jaccard_topk,
 # overlap_chunks, semantic_only_dups, text_fingerprints, text_stats,
-# winnow_pairs) are the r10 rotation seed, plus top_supplier (r2-latest,
-# its slot ceded to the new best_match_pairs — never-attested queries
-# must sit inside the window, attested-r2 ones may wait one round).
+# winnow_pairs) are the r10 rotation seed, plus top_supplier and
+# large_orders (r2-latest, slots ceded to the new best_match_pairs /
+# ranking_auc_banded — never-attested queries must sit inside the
+# window, attested-r2 ones may wait one round).
 _WINDOW_R9 = [
     # new in r9 — first driver attestation this round
     "multi_pass_name_pairs", "ranking_auc", "best_match_pairs",
+    "ranking_auc_banded",
     # non-stale family pins (attested r8)
     "sketch_union", "bm25_indexed", "bloom_fpr", "degree_histogram",
     "zorder_skipping", "salted_hot_join",
@@ -8115,7 +8175,7 @@ _WINDOW_R9 = [
     "basket_pairs", "cube_sales", "customer_segments_setops",
     "daily_anomalies", "disjunctive_filter", "event_type_pivot",
     "forecast_revenue_change", "idle_rich_customers", "important_parts",
-    "journey_transitions", "large_orders", "market_share",
+    "journey_transitions", "market_share",
     "min_cost_supplier", "nation_trade_volume", "order_count_distribution",
     "order_priority", "price_percentiles", "priciest_item_per_order",
     "product_profit", "promo_revenue", "props_struct", "returned_items",

@@ -303,3 +303,26 @@ def test_best_match_invariants_on_generated_candidates(spark, tuples_):
         if best[a][1] == b and best[b][1] == a
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(-30, 30)),
+        min_size=4,
+        max_size=40,
+    ),
+    st.sampled_from([2, 4, 5, 10]),
+)
+def test_ranking_auc_banded_bound_contains_exact_generated(spark, rows, n_bands):
+    """On ANY label/score multiset with both classes present, the banded
+    AUC's reported error interval must contain the exact AUC — the
+    falsifiable contract of the 100 TB twin."""
+    from commerce_data_pipeline_spark.operators import selection as S
+
+    if not any(l for l, _ in rows) or all(l for l, _ in rows):
+        return
+    df = spark.createDataFrame(rows, "label boolean, score int")
+    exact = S.ranking_auc(df, "label", "score").collect()[0]["auc_e6"]
+    r = S.ranking_auc_banded(df, "label", "score", n_bands=n_bands).collect()[0]
+    assert abs(r["auc_banded_e6"] - exact) <= r["max_err_e6"]

@@ -293,3 +293,33 @@ def test_ranking_auc_degenerate_single_class_is_null(spark, label):
     r = S.ranking_auc(df, "label", "score").collect()[0]
     assert r["auc_e6"] is None
     assert (r["n_pos"] == 0) == (not label)
+
+
+def test_ranking_auc_banded_bound_contains_exact(spark):
+    """The falsifiable contract: for ANY band count, the banded AUC's
+    reported error interval must contain the exact Mann-Whitney AUC.
+    Coarser bands → wider (but still honest) bounds."""
+    rows = [((i % 3 == 0), (i * 37) % 101 - 50) for i in range(200)]
+    df = spark.createDataFrame(rows, ["label", "score"])
+    exact = S.ranking_auc(df, "label", "score").collect()[0]["auc_e6"]
+    last_err = None
+    for n_bands in (2, 4, 10):
+        r = S.ranking_auc_banded(df, "label", "score", n_bands=n_bands).collect()[0]
+        assert abs(r["auc_banded_e6"] - exact) <= r["max_err_e6"]
+        assert r["n_pos"] == sum(1 for lab, _ in rows if lab)
+        assert r["n_neg"] == sum(1 for lab, _ in rows if not lab)
+        if last_err is not None:
+            assert r["max_err_e6"] <= last_err  # finer bands tighten the bound
+        last_err = r["max_err_e6"]
+
+
+def test_ranking_auc_banded_degenerate_and_validation(spark):
+    df = spark.createDataFrame([(True, s) for s in (1, 2, 3)], ["label", "score"])
+    r = S.ranking_auc_banded(df, "label", "score").collect()[0]
+    assert r["auc_banded_e6"] is None and r["max_err_e6"] is None
+    with pytest.raises(ValueError):
+        S.ranking_auc_banded(df, "label", "score", n_bands=1)
+    with pytest.raises(ValueError):
+        # 1/3 has no exact 6-decimal form — the cross-engine boundary
+        # contract refuses rather than silently diverging from an oracle
+        S.ranking_auc_banded(df, "label", "score", n_bands=3)
