@@ -561,3 +561,125 @@ def ranking_auc_banded(
             ),
         ).cast("long").alias("max_err_e6"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    label_col: str,
+    conf_col: str,
+    n_bins: int = 10,
+    conf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Reliability diagram — the calibration companion to the AUC gate:
+    AUC measures RANKING (does the score order positives above
+    negatives?); this measures CALIBRATION (does confidence 0.8 mean
+    80% positive?). A quality classifier that filters a corpus at a
+    probability threshold needs both audits before its cutoff means
+    anything (Guo et al., ICML 2017 — the standard equal-width-bin
+    construction).
+
+    Input: a boolean label and an integer confidence in
+    [0, conf_scale]. bin b = min(floor(conf·n_bins/scale), n_bins−1)
+    (the top edge closes the last bin). Per bin, every output is ONE
+    integer-exact floored division, so any engine replays it
+    bit-for-bit:
+
+      acc_e6      = floor(1e6 · n_pos / n)
+      avg_conf_e6 = floor(1e6 · sum_conf / (n · scale))
+      gap_e6      = floor(1e6 · |n_pos·scale − sum_conf| / (n · scale))
+                    (|accuracy − confidence| over the COMMON denominator
+                    — no per-term flooring, so the gap is exact)
+
+    Scale shape: ONE groupBy over ≤ n_bins keys with map-side partials;
+    sum_conf accumulates as decimal(38,0) so corpus-scale sums cannot
+    wrap. Rows with NULL confidence are excluded (audit what the
+    classifier scored; count the rest upstream).
+
+    Returns (bin, n, n_pos, acc_e6, avg_conf_e6, gap_e6), one row per
+    NON-EMPTY bin, bin ascending.
+    """
+    if n_bins < 2:
+        raise ValueError("calibration_report: n_bins must be >= 2")
+    lab = F.col(label_col).cast("boolean")
+    conf = F.col(conf_col).cast("long")
+    b = F.least(
+        F.floor(conf * n_bins / F.lit(conf_scale)), F.lit(n_bins - 1)
+    ).cast("int")
+    per = (
+        df.filter(conf.isNotNull())
+        .select(b.alias("bin"), lab.alias("_y"), conf.alias("_c"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.sum(F.col("_c").cast("decimal(38,0)")).alias("_sc"),
+        )
+    )
+    e6 = "CAST(1000000 AS DECIMAL(38,0))"
+    denom = f"(CAST(n AS DECIMAL(38,0)) * {conf_scale})"
+    return per.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr(f"({e6} * n_pos) div n").cast("long").alias("acc_e6"),
+        F.expr(f"({e6} * _sc) div {denom}").cast("long").alias("avg_conf_e6"),
+        F.expr(
+            f"({e6} * abs(CAST(n_pos AS DECIMAL(38,0)) * {conf_scale} - _sc))"
+            f" div {denom}"
+        ).cast("long").alias("gap_e6"),
+    ).orderBy("bin")
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    label_col: str,
+    conf_col: str,
+    n_bins: int = 10,
+    conf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Scalar ECE over the same equal-width bins as `calibration_report`:
+
+        ECE = Σ_b (n_b/N) · |acc_b − conf̄_b|
+            = Σ_b |n_pos_b·scale − sum_conf_b| / (N · scale)
+
+    — the per-bin |gap| numerators share one denominator, so the whole
+    statistic is ONE floored integer division over bin-level sums:
+    ece_e6 = floor(1e6 · Σ_b |n_pos_b·scale − sum_conf_b| / (N·scale)),
+    engine-independent with no per-bin rounding anywhere. Returns one
+    row (n, ece_e6); an empty/all-NULL-confidence input yields n = 0
+    and NULL ece.
+    """
+    lab = F.col(label_col).cast("boolean")
+    conf = F.col(conf_col).cast("long")
+    b = F.least(
+        F.floor(conf * n_bins / F.lit(conf_scale)), F.lit(n_bins - 1)
+    ).cast("int")
+    per = (
+        df.filter(conf.isNotNull())
+        .select(b.alias("bin"), lab.alias("_y"), conf.alias("_c"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.sum(F.col("_c").cast("decimal(38,0)")).alias("_sc"),
+        )
+    )
+    agg = per.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum(
+            F.abs(
+                F.col("n_pos").cast("decimal(38,0)") * F.lit(conf_scale)
+                - F.col("_sc")
+            )
+        ).alias("_gapsum"),
+    )
+    return agg.select(
+        F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        F.when(
+            F.col("n") > 0,
+            F.expr(
+                f"(CAST(1000000 AS DECIMAL(38,0)) * _gapsum) div "
+                f"(CAST(n AS DECIMAL(38,0)) * {conf_scale})"
+            ),
+        ).cast("long").alias("ece_e6"),
+    )

@@ -7823,6 +7823,48 @@ FROM c
 )
 
 
+def _q_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """X11 — reliability diagram of the per-source length percentile as a
+    'this looks English' confidence (operators/selection.calibration_report
+    over calibrate_scores): the calibration companion to ranking_auc —
+    AUC audits the RANKING of the same signal, this audits whether the
+    calibrated percentile MEANS its number. One window shuffle
+    (calibrate), one doc-keyed label join, one ≤ 10-key binning agg;
+    every output is a single floored integer division replayed by the
+    oracle (PERCENT_RANK + common-denominator gap arithmetic)."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    cal = selection.calibrate_scores(
+        docs.select("doc_id", "source", "n_chars"), "n_chars"
+    )
+    lab = docs.select("doc_id", (F.col("lang") == "en").alias("is_en"))
+    return selection.calibration_report(
+        cal.join(lab, "doc_id"), "is_en", "calib_e6", n_bins=10
+    )
+
+
+_O_CALIBRATION_BINS = """
+WITH c AS (
+  SELECT (lang = 'en') AS y,
+    CAST(FLOOR(1000000 * PERCENT_RANK() OVER (
+      PARTITION BY source ORDER BY n_chars, doc_id)) AS BIGINT) AS conf
+  FROM documents
+), b AS (
+  SELECT CAST(LEAST(conf * 10 // 1000000, 9) AS INT) AS bin, y, conf FROM c
+), per AS (
+  SELECT bin, COUNT(*) AS n,
+    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np, SUM(conf) AS sc
+  FROM b GROUP BY bin
+)
+SELECT bin, CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+  CAST((1000000 * np) // n AS BIGINT) AS acc_e6,
+  CAST((1000000 * sc) // (n * 1000000) AS BIGINT) AS avg_conf_e6,
+  CAST((1000000 * ABS(np * 1000000 - sc)) // (n * 1000000) AS BIGINT) AS gap_e6
+FROM per ORDER BY bin
+"""
+
+
 _O_RANKING_AUC = """
 WITH per AS (
   SELECT n_chars AS score,
@@ -8044,6 +8086,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "best_match_pairs": QuerySpec(_q_best_match_pairs, _O_BEST_MATCH_PAIRS, "linkage: reciprocal best-match (one-to-one) filter over multi-pass candidates"),
     "ranking_auc": QuerySpec(_q_ranking_auc, _O_RANKING_AUC, "X11 selection: exact Mann-Whitney ROC AUC acceptance gate"),
     "ranking_auc_banded": QuerySpec(_q_ranking_auc_banded, _O_RANKING_AUC_BANDED, "X11 selection: banded AUC with falsifiable error bound (the 100 TB twin)"),
+    "calibration_bins": QuerySpec(_q_calibration_bins, _O_CALIBRATION_BINS, "X11 selection: reliability diagram (ECE bins) of a calibrated confidence"),
     # --- r8 additions ---
     "revenue_bands": QuerySpec(_q_revenue_bands, _O_REVENUE_BANDS, "§2e banding, scale route: broadcast decile boundaries + scan-side band assignment (NTILE's 100 TB twin)"),
 }
@@ -8159,14 +8202,15 @@ REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R8} | {
 # r8 ADVICE #1). The ten remaining r4-latest queries (ann_recall,
 # embedding_quantize, fixed_size_sample, ivf_profile, jaccard_topk,
 # overlap_chunks, semantic_only_dups, text_fingerprints, text_stats,
-# winnow_pairs) are the r10 rotation seed, plus top_supplier and
-# large_orders (r2-latest, slots ceded to the new best_match_pairs /
-# ranking_auc_banded — never-attested queries must sit inside the
-# window, attested-r2 ones may wait one round).
+# winnow_pairs) are the r10 rotation seed, plus top_supplier,
+# large_orders and promo_revenue (r2-latest, slots ceded to the new
+# best_match_pairs / ranking_auc_banded / calibration_bins —
+# never-attested queries must sit inside the window, attested-r2 ones
+# may wait one round).
 _WINDOW_R9 = [
     # new in r9 — first driver attestation this round
     "multi_pass_name_pairs", "ranking_auc", "best_match_pairs",
-    "ranking_auc_banded",
+    "ranking_auc_banded", "calibration_bins",
     # non-stale family pins (attested r8)
     "sketch_union", "bm25_indexed", "bloom_fpr", "degree_histogram",
     "zorder_skipping", "salted_hot_join",
@@ -8178,7 +8222,7 @@ _WINDOW_R9 = [
     "journey_transitions", "market_share",
     "min_cost_supplier", "nation_trade_volume", "order_count_distribution",
     "order_priority", "price_percentiles", "priciest_item_per_order",
-    "product_profit", "promo_revenue", "props_struct", "returned_items",
+    "product_profit", "props_struct", "returned_items",
     "rfm_segments", "rollup_sales", "running_revenue", "session_windows",
     "shipping_priority", "small_quantity_revenue", "sort_topk_lineitems",
     "supplier_diversity", "time_to_convert", "top_customers",

@@ -323,3 +323,61 @@ def test_ranking_auc_banded_degenerate_and_validation(spark):
         # 1/3 has no exact 6-decimal form — the cross-engine boundary
         # contract refuses rather than silently diverging from an oracle
         S.ranking_auc_banded(df, "label", "score", n_bands=3)
+
+
+def _naive_calibration(rows, n_bins=10, scale=1_000_000):
+    bins = {}
+    for y, c in rows:
+        if c is None:
+            continue
+        b = min(c * n_bins // scale, n_bins - 1)
+        n, np_, sc = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, np_ + (1 if y else 0), sc + c)
+    rep = {
+        b: (
+            n,
+            np_,
+            1_000_000 * np_ // n,
+            1_000_000 * sc // (n * scale),
+            1_000_000 * abs(np_ * scale - sc) // (n * scale),
+        )
+        for b, (n, np_, sc) in bins.items()
+    }
+    total = sum(n for n, _, _ in bins.values())
+    gapsum = sum(abs(np_ * scale - sc) for _, np_, sc in bins.values())
+    ece = (1_000_000 * gapsum) // (total * scale) if total else None
+    return rep, total, ece
+
+
+def test_calibration_report_matches_naive(spark):
+    rows = [((i * 7) % 3 == 0, ((i * 131071) % 1_000_001)) for i in range(300)]
+    rows += [(True, 1_000_000), (False, 0)]  # exact edges: top bin closes
+    df = spark.createDataFrame(rows, ["label", "conf"])
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["acc_e6"], r["avg_conf_e6"], r["gap_e6"])
+        for r in S.calibration_report(df, "label", "conf").collect()
+    }
+    want, total, ece = _naive_calibration(rows)
+    assert got == want
+    e = S.expected_calibration_error(df, "label", "conf").collect()[0]
+    assert (e["n"], e["ece_e6"]) == (total, ece)
+
+
+def test_calibration_perfectly_calibrated_has_zero_gap(spark):
+    """A bin where confidence equals realized accuracy exactly: 4 rows at
+    conf 0.75, 3 of them positive → acc == avg_conf == 750000, gap 0."""
+    rows = [(True, 750_000), (True, 750_000), (True, 750_000), (False, 750_000)]
+    df = spark.createDataFrame(rows, ["label", "conf"])
+    r = S.calibration_report(df, "label", "conf").collect()
+    assert len(r) == 1 and r[0]["gap_e6"] == 0 and r[0]["acc_e6"] == 750_000
+    assert S.expected_calibration_error(df, "label", "conf").collect()[0]["ece_e6"] == 0
+
+
+def test_calibration_null_conf_excluded_and_validation(spark):
+    df = spark.createDataFrame(
+        [(True, 500_000), (False, None)], ["label", "conf"]
+    )
+    r = S.calibration_report(df, "label", "conf").collect()
+    assert len(r) == 1 and r[0]["n"] == 1
+    with pytest.raises(ValueError):
+        S.calibration_report(df, "label", "conf", n_bins=1)
