@@ -182,3 +182,147 @@ class BandLedger:
         admitted = self.filter_unmatched(df, id_col, text_col).localCheckpoint()
         self.commit(admitted, id_col, text_col)
         return admitted
+
+
+class QualityGateLedger:
+    """Cross-run RANKING + CALIBRATION gate state: the release-gate twin
+    of the dedup ledgers above, for quality-classifier outputs instead
+    of content fingerprints.
+
+    Stores per-ingest BIN AGGREGATES — (bin, n, n_pos, sum_conf) over
+    fixed equal-width bins of an integer confidence in [0, conf_scale]
+    — and never a raw row. Bin aggregates are plain sums, so they are
+    EXACTLY mergeable: report(ingest(A); ingest(B)) equals the report
+    over A ∪ B computed in one pass, bit for bit (pinned in
+    tests/test_ledger.py). A stream gates an arbitrarily long ingestion
+    history with O(n_bins) appended state per run — `foreachBatch(
+    lambda b, _: ledger.ingest(b, ...))` composes directly, the
+    BandLedger precedent.
+
+    The report derives, from the merged bins alone:
+      - banded AUC + its falsifiable error bound Σ np·nn/(2PN) — the
+        bound holds for ANY banding (operators/selection.py
+        ranking_auc_banded contract), fixed-width included, so a gate
+        can assert "AUC ≥ θ" whenever auc − err clears θ with no exact
+        pass over history;
+      - the integer-exact ECE (common-denominator gap arithmetic of
+        selection.expected_calibration_error).
+
+    Bins must be FIXED up front (percentile re-banding would need the
+    raw history back): fixed-width over a CALIBRATED confidence is the
+    right default — `selection.calibrate_scores` upstream makes the
+    scale uniform. n_bins trades bound tightness for state size.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_bins: int = 100,
+        conf_scale: int = 1_000_000,
+    ):
+        if n_bins < 2:
+            raise ValueError("QualityGateLedger: n_bins must be >= 2")
+        self.spark = spark
+        self.path = path
+        self.n_bins = n_bins
+        self.conf_scale = conf_scale
+
+    def exists(self) -> bool:
+        return HadoopFS(self.spark, self.path).exists(self.path)
+
+    def ingest(self, df: DataFrame, label_col: str, conf_col: str) -> None:
+        """Append this batch's bin aggregates (one parquet append of
+        ≤ n_bins rows; NULL confidences excluded, the report counts only
+        scored rows). Re-ingesting the same batch counts it again — this
+        is a metrics ledger, not a dedup ledger; dedup upstream."""
+        lab = F.col(label_col).cast("boolean")
+        conf = F.col(conf_col).cast("long")
+        b = F.least(
+            F.floor(conf * self.n_bins / F.lit(self.conf_scale)),
+            F.lit(self.n_bins - 1),
+        ).cast("int")
+        per = (
+            df.filter(conf.isNotNull())
+            .select(b.alias("bin"), lab.alias("_y"), conf.alias("_c"))
+            .groupBy("bin")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.when(F.col("_y"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_pos"),
+                F.sum(F.col("_c").cast("decimal(38,0)")).alias("sum_conf"),
+            )
+        )
+        per.write.mode("append").parquet(self.path)
+
+    def merged(self) -> DataFrame:
+        """The history's bins re-merged: groupBy(bin) over appended
+        aggregates — sums of sums, exact at any ingest count."""
+        raw = self.spark.read.parquet(self.path)
+        return raw.groupBy("bin").agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("n_pos").cast("long").alias("n_pos"),
+            F.sum("sum_conf").cast("decimal(38,0)").alias("sum_conf"),
+        )
+
+    def report(self, out_scale: int = 1_000_000) -> DataFrame:
+        """One row over the whole ingestion history:
+        (n, n_pos, n_neg, auc_banded_e6, max_err_e6, ece_e6) — the
+        identical arithmetic as selection.ranking_auc_banded /
+        expected_calibration_error, over the merged bins."""
+        from commerce_data_pipeline_spark.operators.relational import (
+            global_cumsum,
+        )
+
+        per = self.merged().withColumn(
+            "_nn", (F.col("n") - F.col("n_pos")).cast("long")
+        )
+        cum = global_cumsum(per, [F.asc("bin")], "_nn", cum_col="_cumn")
+        u2 = (
+            F.col("n_pos").cast("decimal(38,0)")
+            * (2 * (F.col("_cumn") - F.col("_nn")) + F.col("_nn")).cast(
+                "decimal(38,0)"
+            )
+        )
+        inband = F.col("n_pos").cast("decimal(38,0)") * F.col("_nn").cast(
+            "decimal(38,0)"
+        )
+        gap = F.abs(
+            F.col("n_pos").cast("decimal(38,0)") * F.lit(self.conf_scale)
+            - F.col("sum_conf")
+        )
+        agg = cum.agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("n_pos").cast("long").alias("n_pos"),
+            F.sum("_nn").cast("long").alias("n_neg"),
+            F.sum(u2).alias("_u2"),
+            F.sum(inband).alias("_ib"),
+            F.sum(gap).alias("_gapsum"),
+        )
+        ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+        denom = "(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)"
+        scale = f"CAST({out_scale} AS DECIMAL(38,0))"
+        return agg.select(
+            "n",
+            "n_pos",
+            "n_neg",
+            F.when(ok, F.expr(f"({scale} * _u2) div {denom}"))
+            .cast("long")
+            .alias("auc_banded_e6"),
+            F.when(
+                ok,
+                F.expr(f"({scale} * _ib + {denom} - 1) div {denom} + 1"),
+            )
+            .cast("long")
+            .alias("max_err_e6"),
+            F.when(
+                F.col("n") > 0,
+                F.expr(
+                    f"({scale} * _gapsum) div "
+                    f"(CAST(n AS DECIMAL(38,0)) * {self.conf_scale})"
+                ),
+            )
+            .cast("long")
+            .alias("ece_e6"),
+        )

@@ -155,3 +155,56 @@ def test_band_ledger_history_10x_one_join_no_reminhash(spark, tmp_path):
 
     admitted = led.filter_unmatched(batch)
     assert {r["doc_id"] for r in admitted.collect()} == {2000 + j for j in range(5)}
+
+
+def _qrows(seed, k=60):
+    return [(((i * seed) % 7) < 3, ((i * 131071 + seed) % 1_000_001)) for i in range(k)]
+
+
+def test_quality_gate_ledger_merge_parity(spark, tmp_path):
+    """The mergeability contract: ingesting two batches separately and
+    reporting over the merged bins is BIT-IDENTICAL to one ledger fed
+    the concatenated batch — bin aggregates are sums of sums."""
+    from commerce_data_pipeline_spark.sources.ledger import QualityGateLedger
+
+    a, b = _qrows(3), _qrows(11)
+    two = QualityGateLedger(spark, str(tmp_path / "two"), n_bins=20)
+    two.ingest(spark.createDataFrame(a, ["label", "conf"]), "label", "conf")
+    two.ingest(spark.createDataFrame(b, ["label", "conf"]), "label", "conf")
+    one = QualityGateLedger(spark, str(tmp_path / "one"), n_bins=20)
+    one.ingest(spark.createDataFrame(a + b, ["label", "conf"]), "label", "conf")
+    assert two.report().collect() == one.report().collect()
+
+
+def test_quality_gate_report_bound_contains_exact_auc(spark, tmp_path):
+    """The gate's error interval must contain the exact Mann-Whitney AUC
+    of the full ingested history — the ranking_auc_banded contract
+    carried across batch boundaries."""
+    from commerce_data_pipeline_spark.operators import selection as S
+    from commerce_data_pipeline_spark.sources.ledger import QualityGateLedger
+
+    a, b = _qrows(5), _qrows(13)
+    led = QualityGateLedger(spark, str(tmp_path / "gate"), n_bins=25)
+    led.ingest(spark.createDataFrame(a, ["label", "conf"]), "label", "conf")
+    led.ingest(spark.createDataFrame(b, ["label", "conf"]), "label", "conf")
+    r = led.report().collect()[0]
+    full = spark.createDataFrame(a + b, ["label", "conf"])
+    exact = S.ranking_auc(full, "label", "conf").collect()[0]["auc_e6"]
+    assert abs(r["auc_banded_e6"] - exact) <= r["max_err_e6"]
+    # and the ECE equals the one-pass batch operator over the history
+    e = S.expected_calibration_error(full, "label", "conf", n_bins=25).collect()[0]
+    assert (r["n"], r["ece_e6"]) == (e["n"], e["ece_e6"])
+
+
+def test_quality_gate_ledger_stores_only_bin_aggregates(spark, tmp_path):
+    """State contract: the parquet history holds ≤ n_bins rows per
+    ingest with only (bin, n, n_pos, sum_conf) — never raw rows."""
+    from commerce_data_pipeline_spark.sources.ledger import QualityGateLedger
+
+    led = QualityGateLedger(spark, str(tmp_path / "gate"), n_bins=10)
+    led.ingest(
+        spark.createDataFrame(_qrows(7, 500), ["label", "conf"]), "label", "conf"
+    )
+    stored = spark.read.parquet(str(tmp_path / "gate"))
+    assert set(stored.columns) == {"bin", "n", "n_pos", "sum_conf"}
+    assert stored.count() <= 10
