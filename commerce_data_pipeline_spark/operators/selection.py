@@ -451,6 +451,7 @@ def ranking_auc_banded(
     score_col: str,
     n_bands: int = 10,
     out_scale: int = 1_000_000,
+    approx_boundaries: bool = False,
 ) -> DataFrame:
     """Banded ROC AUC — the 100 TB twin of `ranking_auc`, with a
     FALSIFIABLE error bound (the `revenue_bands` technique applied to
@@ -509,11 +510,20 @@ def ranking_auc_banded(
     scored = df.select(
         lab.alias("_y"), F.col(score_col).alias("_s")
     ).localCheckpoint(eager=False)  # consumed twice: boundaries + banding
+    # approx_boundaries=True is the production 100 TB switch: the SAME
+    # plan with percentile_approx boundaries (one-pass mergeable GK
+    # sketch, no exact-rank aggregation). The error bound downstream
+    # never reads the boundary VALUES — only the realized band
+    # populations — so the containment contract survives the swap
+    # verbatim (pinned in tests/test_selection.py). The exact
+    # percentile_disc form stays the default because it is what the
+    # cross-engine oracle replays.
+    pctl = "percentile_approx(_s, {p}, 10000)" if approx_boundaries else (
+        "percentile_disc({p}) WITHIN GROUP (ORDER BY _s)"
+    )
     bounds = scored.agg(
         *[
-            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY _s)").alias(
-                f"_b{i}"
-            )
+            F.expr(pctl.format(p=p)).alias(f"_b{i}")
             for i, p in enumerate(ps, 1)
         ]
     )

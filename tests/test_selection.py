@@ -381,3 +381,22 @@ def test_calibration_null_conf_excluded_and_validation(spark):
     assert len(r) == 1 and r[0]["n"] == 1
     with pytest.raises(ValueError):
         S.calibration_report(df, "label", "conf", n_bins=1)
+
+
+def test_ranking_auc_banded_approx_boundaries_keep_the_contract(spark):
+    """The production switch (percentile_approx boundaries, same plan):
+    the containment contract survives because the bound never reads
+    boundary values — only realized band populations. On this input the
+    sketch is exact (far under its accuracy budget), so the reports
+    coincide too; the contract assertion is the part that holds at any
+    scale."""
+    rows = [((i % 3 == 0), (i * 37) % 101 - 50) for i in range(200)]
+    df = spark.createDataFrame(rows, ["label", "score"])
+    exact_auc = S.ranking_auc(df, "label", "score").collect()[0]["auc_e6"]
+    r = S.ranking_auc_banded(
+        df, "label", "score", n_bands=10, approx_boundaries=True
+    ).collect()[0]
+    assert abs(r["auc_banded_e6"] - exact_auc) <= r["max_err_e6"]
+    assert r["n_pos"] == sum(1 for lab, _ in rows if lab)
+    disc = S.ranking_auc_banded(df, "label", "score", n_bands=10).collect()[0]
+    assert r == disc  # exact-regime sketch → identical banding end-to-end
