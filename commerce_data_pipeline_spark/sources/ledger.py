@@ -258,8 +258,16 @@ class QualityGateLedger:
 
     def merged(self) -> DataFrame:
         """The history's bins re-merged: groupBy(bin) over appended
-        aggregates — sums of sums, exact at any ingest count."""
-        raw = self.spark.read.parquet(self.path)
+        aggregates — sums of sums, exact at any ingest count. A ledger
+        never ingested into merges to the empty frame (and `report`
+        then yields n=0 with NULL metrics — the FingerprintLedger
+        empty-state precedent)."""
+        if not self.exists():
+            raw = self.spark.createDataFrame(
+                [], "bin int, n long, n_pos long, sum_conf decimal(38,0)"
+            )
+        else:
+            raw = self.spark.read.parquet(self.path)
         return raw.groupBy("bin").agg(
             F.sum("n").cast("long").alias("n"),
             F.sum("n_pos").cast("long").alias("n_pos"),
@@ -303,10 +311,11 @@ class QualityGateLedger:
         ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
         denom = "(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)"
         scale = f"CAST({out_scale} AS DECIMAL(38,0))"
+        zero = F.lit(0).cast("long")
         return agg.select(
-            "n",
-            "n_pos",
-            "n_neg",
+            F.coalesce("n", zero).alias("n"),
+            F.coalesce("n_pos", zero).alias("n_pos"),
+            F.coalesce("n_neg", zero).alias("n_neg"),
             F.when(ok, F.expr(f"({scale} * _u2) div {denom}"))
             .cast("long")
             .alias("auc_banded_e6"),

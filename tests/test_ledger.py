@@ -208,3 +208,11 @@ def test_quality_gate_ledger_stores_only_bin_aggregates(spark, tmp_path):
     stored = spark.read.parquet(str(tmp_path / "gate"))
     assert set(stored.columns) == {"bin", "n", "n_pos", "sum_conf"}
     assert stored.count() <= 10
+
+
+def test_quality_gate_empty_ledger_reports_zero(spark, tmp_path):
+    from commerce_data_pipeline_spark.sources.ledger import QualityGateLedger
+
+    led = QualityGateLedger(spark, str(tmp_path / "never"))
+    r = led.report().collect()[0]
+    assert r["n"] == 0 and r["auc_banded_e6"] is None and r["ece_e6"] is None
