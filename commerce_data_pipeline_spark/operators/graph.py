@@ -202,26 +202,27 @@ def pagerank(
 
 def _count_is_metadata_only(df: DataFrame) -> bool:
     """True when `df.count()` resolves from file metadata (a bare
-    relation scan, possibly projected) rather than running a job —
-    i.e. the optimized logical plan does no aggregation/join/expansion
-    work. Errs on the side of False (checkpoint-first), which is never
-    wrong, only conservatively eager."""
+    relation scan, possibly projected) rather than running a job.
+    WHITELIST form (r9 review): the optimized logical plan must consist
+    ONLY of projection/relation/alias nodes — any other node
+    (aggregate, join, filter, repartition, sample, python map, ...)
+    means the count is real work, so the caller checkpoints first. A
+    blacklist here mislabels nodes it forgot (Repartition, Sample) AND
+    trips on column names containing its tokens; the whitelist errs
+    only toward False (checkpoint-first), which is never wrong, just
+    conservatively eager."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
         return False
-    return not any(
-        tok in plan
-        for tok in (
-            "Aggregate",
-            "Join",
-            "Window",
-            "Generate",
-            "Deduplicate",
-            "Union",
-            "Filter",
-        )
-    )
+    allowed = ("Project", "Relation", "LocalRelation", "SubqueryAlias")
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
+        if not node:
+            continue
+        if not node.startswith(allowed):
+            return False
+    return True
 
 
 def _pagerank_pairs(pairs, iterations, scale, damp_num, damp_den, budget):

@@ -445,6 +445,98 @@ def ranking_auc(
     )
 
 
+def conf_bin_aggs(
+    df: DataFrame,
+    label_col: str,
+    conf_col: str,
+    n_bins: int,
+    conf_scale: int,
+) -> DataFrame:
+    """The one shared binning aggregation under every calibration-family
+    surface (calibration_report, expected_calibration_error, the
+    cross-run QualityGateLedger): equal-width bins of an integer
+    confidence in [0, conf_scale], bin = min(floor(conf·n_bins/scale),
+    n_bins−1) (top edge closes the last bin), NULL confidences
+    excluded. ONE groupBy over ≤ n_bins keys with map-side partials;
+    sum_conf accumulates as decimal(38,0) so corpus-scale totals cannot
+    wrap. Keeping a single definition is what makes the ledger's
+    ingest-time bins provably the same bins its report (and the batch
+    operators the parity tests compare against) computes over.
+
+    Returns (bin, n, n_pos, sum_conf), one row per NON-EMPTY bin.
+    """
+    if n_bins < 2:
+        raise ValueError("conf_bin_aggs: n_bins must be >= 2")
+    lab = F.col(label_col).cast("boolean")
+    conf = F.col(conf_col).cast("long")
+    b = F.least(
+        F.floor(conf * n_bins / F.lit(conf_scale)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        df.filter(conf.isNotNull())
+        .select(b.alias("bin"), lab.alias("_y"), conf.alias("_c"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.sum(F.col("_c").cast("decimal(38,0)")).alias("sum_conf"),
+        )
+    )
+
+
+def banded_auc_metrics(per: DataFrame, out_scale: int = 1_000_000) -> DataFrame:
+    """The banded Mann-Whitney arithmetic shared by `ranking_auc_banded`
+    and the QualityGateLedger report: given per-band positive/negative
+    counts (bin, n_pos, n_neg) — from ANY banding — compute the banded
+    AUC and its falsifiable error bound:
+
+      U2      = Σ_b n_pos(b) · (2·negs_below(b) + n_neg(b))
+      auc_e6  = floor(scale·U2 / (2·P·N))
+      err_e6  = ceil(scale·Σ_b n_pos(b)·n_neg(b) / (2·P·N)) + 1
+                (the +1 ulp absorbs the two floor-divisions, so the
+                interval always contains the exact `ranking_auc` output)
+
+    negs_below comes from `relational.global_cumsum` over bin ascending
+    (never a single-partition window). All products in decimal(38,0).
+    Returns one row (n_pos, n_neg, auc_banded_e6, max_err_e6);
+    single-class or empty inputs yield NULL metrics with zeroed counts.
+    """
+    cum = global_cumsum(
+        per.withColumn("_nn", F.col("n_neg").cast("long")),
+        [F.asc("bin")],
+        "_nn",
+        cum_col="_cumn",
+    )
+    u2 = (
+        F.col("n_pos").cast("decimal(38,0)")
+        * (2 * (F.col("_cumn") - F.col("_nn")) + F.col("_nn")).cast("decimal(38,0)")
+    )
+    inband = F.col("n_pos").cast("decimal(38,0)") * F.col("_nn").cast("decimal(38,0)")
+    agg = cum.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("_nn").cast("long").alias("n_neg"),
+        F.sum(u2).alias("_u2"),
+        F.sum(inband).alias("_ib"),
+    )
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    denom = "(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)"
+    scale = f"CAST({out_scale} AS DECIMAL(38,0))"
+    zero = F.lit(0).cast("long")
+    return agg.select(
+        F.coalesce("n_pos", zero).alias("n_pos"),
+        F.coalesce("n_neg", zero).alias("n_neg"),
+        F.when(ok, F.expr(f"({scale} * _u2) div {denom}"))
+        .cast("long")
+        .alias("auc_banded_e6"),
+        # ceil of the e6-scaled analytic bound, plus 1 ulp: the exact and
+        # banded AUCs each floor once, which can widen their integer gap
+        # by one beyond the real-valued bound
+        F.when(ok, F.expr(f"({scale} * _ib + {denom} - 1) div {denom} + 1"))
+        .cast("long")
+        .alias("max_err_e6"),
+    )
+
+
 def ranking_auc_banded(
     df: DataFrame,
     label_col: str,
@@ -477,17 +569,21 @@ def ranking_auc_banded(
     Exact-vs-banded containment is pinned in tests/test_selection.py
     (hand cases) and tests/test_properties.py (generated inputs).
 
-    This exact-contract form uses `percentile_disc` boundaries (value
-    at rank ceil(p·n), replayable cross-engine via ROW_NUMBER + CEIL —
-    the winsorized/revenue_bands precedent); production swaps in
-    `percentile_approx` (mergeable sketch, no exact-rank pass) on the
-    SAME plan — the bound stays valid because it never references the
-    boundary VALUES, only the realized band populations.
+    Boundary contract: the default `percentile_disc` boundaries (value
+    at rank ceil(p·n)) replay cross-engine via ROW_NUMBER + CEIL — the
+    winsorized/revenue_bands precedent; `approx_boundaries=True` is the
+    production 100 TB switch — `percentile_approx` (one-pass mergeable
+    GK sketch, no exact-rank aggregation) on the SAME plan. The error
+    bound never reads the boundary VALUES — only the realized band
+    populations — so the containment contract survives the swap
+    verbatim (pinned in tests/test_selection.py).
 
     Scale shape: one scan for the boundary aggregate, one for the
     banded (n_pos, n_neg) aggregation (both over the lazily
-    checkpointed projection), then band-count-sized arithmetic. No
-    global sort, no per-score state, no single-partition window.
+    checkpointed projection), then band-count-sized arithmetic
+    (`banded_auc_metrics` — shared with the cross-run
+    QualityGateLedger). No global sort, no per-score state, no
+    single-partition window.
 
     Returns one row: (n_pos, n_neg, auc_banded_e6, max_err_e6);
     degenerate single-class inputs yield NULL metrics like the exact
@@ -495,11 +591,11 @@ def ranking_auc_banded(
     """
     if n_bands < 2:
         raise ValueError("ranking_auc_banded: n_bands must be >= 2")
+    from fractions import Fraction
+
     ps = []
     for i in range(1, n_bands):
         p = f"{i / n_bands:.6f}"
-        from fractions import Fraction
-
         if Fraction(p) != Fraction(i, n_bands):
             raise ValueError(
                 "ranking_auc_banded: i/n_bands must be exact in 6 decimal "
@@ -510,14 +606,6 @@ def ranking_auc_banded(
     scored = df.select(
         lab.alias("_y"), F.col(score_col).alias("_s")
     ).localCheckpoint(eager=False)  # consumed twice: boundaries + banding
-    # approx_boundaries=True is the production 100 TB switch: the SAME
-    # plan with percentile_approx boundaries (one-pass mergeable GK
-    # sketch, no exact-rank aggregation). The error bound downstream
-    # never reads the boundary VALUES — only the realized band
-    # populations — so the containment contract survives the swap
-    # verbatim (pinned in tests/test_selection.py). The exact
-    # percentile_disc form stays the default because it is what the
-    # cross-engine oracle replays.
     pctl = "percentile_approx(_s, {p}, 10000)" if approx_boundaries else (
         "percentile_disc({p}) WITHIN GROUP (ORDER BY _s)"
     )
@@ -532,45 +620,14 @@ def ranking_auc_banded(
         band = band + F.when(F.col("_s") > F.col(f"_b{i}"), 1).otherwise(0)
     per = (
         scored.crossJoin(F.broadcast(bounds))
-        .select(band.cast("int").alias("_band"), "_y")
-        .groupBy("_band")
+        .select(band.cast("int").alias("bin"), "_y")
+        .groupBy("bin")
         .agg(
-            F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("_np"),
-            F.sum(F.when(F.col("_y"), 0).otherwise(1)).cast("long").alias("_nn"),
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.sum(F.when(F.col("_y"), 0).otherwise(1)).cast("long").alias("n_neg"),
         )
     )
-    cum = global_cumsum(per, [F.asc("_band")], "_nn", cum_col="_cumn")
-    u2 = (
-        F.col("_np").cast("decimal(38,0)")
-        * (2 * (F.col("_cumn") - F.col("_nn")) + F.col("_nn")).cast("decimal(38,0)")
-    )
-    inband = F.col("_np").cast("decimal(38,0)") * F.col("_nn").cast("decimal(38,0)")
-    agg = cum.agg(
-        F.sum("_np").cast("long").alias("n_pos"),
-        F.sum("_nn").cast("long").alias("n_neg"),
-        F.sum(u2).alias("_u2"),
-        F.sum(inband).alias("_ib"),
-    )
-    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
-    denom = f"(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)"
-    return agg.select(
-        "n_pos",
-        "n_neg",
-        F.when(
-            ok,
-            F.expr(f"(CAST({out_scale} AS DECIMAL(38,0)) * _u2) div {denom}"),
-        ).cast("long").alias("auc_banded_e6"),
-        # ceil of the e6-scaled analytic bound, plus 1 ulp: the exact and
-        # banded AUCs each floor once, which can widen their integer gap
-        # by one beyond the real-valued bound
-        F.when(
-            ok,
-            F.expr(
-                f"(CAST({out_scale} AS DECIMAL(38,0)) * _ib + {denom} - 1) div {denom}"
-                " + 1"
-            ),
-        ).cast("long").alias("max_err_e6"),
-    )
+    return banded_auc_metrics(per, out_scale)
 
 
 def calibration_report(
@@ -588,10 +645,9 @@ def calibration_report(
     anything (Guo et al., ICML 2017 — the standard equal-width-bin
     construction).
 
-    Input: a boolean label and an integer confidence in
-    [0, conf_scale]. bin b = min(floor(conf·n_bins/scale), n_bins−1)
-    (the top edge closes the last bin). Per bin, every output is ONE
-    integer-exact floored division, so any engine replays it
+    Bins come from the shared `conf_bin_aggs` (NULL confidences
+    excluded; top edge closes the last bin). Per bin, every output is
+    ONE integer-exact floored division, so any engine replays it
     bit-for-bit:
 
       acc_e6      = floor(1e6 · n_pos / n)
@@ -600,31 +656,10 @@ def calibration_report(
                     (|accuracy − confidence| over the COMMON denominator
                     — no per-term flooring, so the gap is exact)
 
-    Scale shape: ONE groupBy over ≤ n_bins keys with map-side partials;
-    sum_conf accumulates as decimal(38,0) so corpus-scale sums cannot
-    wrap. Rows with NULL confidence are excluded (audit what the
-    classifier scored; count the rest upstream).
-
     Returns (bin, n, n_pos, acc_e6, avg_conf_e6, gap_e6), one row per
     NON-EMPTY bin, bin ascending.
     """
-    if n_bins < 2:
-        raise ValueError("calibration_report: n_bins must be >= 2")
-    lab = F.col(label_col).cast("boolean")
-    conf = F.col(conf_col).cast("long")
-    b = F.least(
-        F.floor(conf * n_bins / F.lit(conf_scale)), F.lit(n_bins - 1)
-    ).cast("int")
-    per = (
-        df.filter(conf.isNotNull())
-        .select(b.alias("bin"), lab.alias("_y"), conf.alias("_c"))
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("n_pos"),
-            F.sum(F.col("_c").cast("decimal(38,0)")).alias("_sc"),
-        )
-    )
+    per = conf_bin_aggs(df, label_col, conf_col, n_bins, conf_scale)
     e6 = "CAST(1000000 AS DECIMAL(38,0))"
     denom = f"(CAST(n AS DECIMAL(38,0)) * {conf_scale})"
     return per.select(
@@ -632,9 +667,9 @@ def calibration_report(
         "n",
         "n_pos",
         F.expr(f"({e6} * n_pos) div n").cast("long").alias("acc_e6"),
-        F.expr(f"({e6} * _sc) div {denom}").cast("long").alias("avg_conf_e6"),
+        F.expr(f"({e6} * sum_conf) div {denom}").cast("long").alias("avg_conf_e6"),
         F.expr(
-            f"({e6} * abs(CAST(n_pos AS DECIMAL(38,0)) * {conf_scale} - _sc))"
+            f"({e6} * abs(CAST(n_pos AS DECIMAL(38,0)) * {conf_scale} - sum_conf))"
             f" div {denom}"
         ).cast("long").alias("gap_e6"),
     ).orderBy("bin")
@@ -647,7 +682,8 @@ def expected_calibration_error(
     n_bins: int = 10,
     conf_scale: int = 1_000_000,
 ) -> DataFrame:
-    """Scalar ECE over the same equal-width bins as `calibration_report`:
+    """Scalar ECE over the same `conf_bin_aggs` bins as
+    `calibration_report`:
 
         ECE = Σ_b (n_b/N) · |acc_b − conf̄_b|
             = Σ_b |n_pos_b·scale − sum_conf_b| / (N · scale)
@@ -659,27 +695,20 @@ def expected_calibration_error(
     row (n, ece_e6); an empty/all-NULL-confidence input yields n = 0
     and NULL ece.
     """
-    lab = F.col(label_col).cast("boolean")
-    conf = F.col(conf_col).cast("long")
-    b = F.least(
-        F.floor(conf * n_bins / F.lit(conf_scale)), F.lit(n_bins - 1)
-    ).cast("int")
-    per = (
-        df.filter(conf.isNotNull())
-        .select(b.alias("bin"), lab.alias("_y"), conf.alias("_c"))
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("n_pos"),
-            F.sum(F.col("_c").cast("decimal(38,0)")).alias("_sc"),
-        )
-    )
+    per = conf_bin_aggs(df, label_col, conf_col, n_bins, conf_scale)
+    return ece_from_bins(per, conf_scale)
+
+
+def ece_from_bins(per: DataFrame, conf_scale: int) -> DataFrame:
+    """Reduce (bin, n, n_pos, sum_conf) aggregates to the scalar ECE —
+    shared by `expected_calibration_error` and the QualityGateLedger
+    report (whose bins arrive merged from parquet history)."""
     agg = per.agg(
         F.sum("n").cast("long").alias("n"),
         F.sum(
             F.abs(
                 F.col("n_pos").cast("decimal(38,0)") * F.lit(conf_scale)
-                - F.col("_sc")
+                - F.col("sum_conf")
             )
         ).alias("_gapsum"),
     )

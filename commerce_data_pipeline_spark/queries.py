@@ -4565,8 +4565,6 @@ def _ensure_copurchase_pairs(spark: SparkSession, sf: str):
     results are bit-identical to per-query rebuilds; integer weights
     roundtrip parquet exactly). At 100 TB the fact table is
     pair-expanded once, not once per graph query."""
-    import os
-
     from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
 
     path = _cache_dir("copurchase", sf)
@@ -7604,12 +7602,13 @@ def _ensure_multipass_cand(spark: SparkSession, sf: str) -> DataFrame:
     sf, not once per query (the `_ensure_copurchase_pairs` pattern).
     int/boolean columns roundtrip parquet exactly, so the oracles don't
     change; bit-parity vs the inline build is pinned in
-    tests/test_linkage.py."""
-    import os
-
+    tests/test_linkage.py. The generation parameters are baked into the
+    cache-dir name (the `ivf_sqrt` precedent): a future parameter bump
+    must miss this cache rather than silently serve 256-truncated pairs
+    against an oracle replaying the new contract."""
     from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
 
-    path = _cache_dir("multipass_cand", sf)
+    path = _cache_dir("multipass_cand_d2w4b256", sf)
     fs = HadoopFS(spark, path)
     if not fs.exists(join_path(path, "pairs", "_SUCCESS")):
         part = load_table(spark, sf, "part")

@@ -191,7 +191,10 @@ class QualityGateLedger:
 
     Stores per-ingest BIN AGGREGATES — (bin, n, n_pos, sum_conf) over
     fixed equal-width bins of an integer confidence in [0, conf_scale]
-    — and never a raw row. Bin aggregates are plain sums, so they are
+    — and never a raw row. The binning is the SAME `conf_bin_aggs`
+    every batch calibration operator uses (one definition, so
+    ingest-time bins are provably the bins the report and the parity
+    tests compute over). Bin aggregates are plain sums, so they are
     EXACTLY mergeable: report(ingest(A); ingest(B)) equals the report
     over A ∪ B computed in one pass, bit for bit (pinned in
     tests/test_ledger.py). A stream gates an arbitrarily long ingestion
@@ -199,14 +202,19 @@ class QualityGateLedger:
     lambda b, _: ledger.ingest(b, ...))` composes directly, the
     BandLedger precedent.
 
+    Config safety: every appended row carries its (n_bins, conf_scale),
+    and `merged()` REFUSES a history whose stored config differs from
+    this handle's — silently merging histograms binned under different
+    widths would break the AUC containment contract with no error.
+
     The report derives, from the merged bins alone:
       - banded AUC + its falsifiable error bound Σ np·nn/(2PN) — the
-        bound holds for ANY banding (operators/selection.py
-        ranking_auc_banded contract), fixed-width included, so a gate
-        can assert "AUC ≥ θ" whenever auc − err clears θ with no exact
-        pass over history;
-      - the integer-exact ECE (common-denominator gap arithmetic of
-        selection.expected_calibration_error).
+        bound holds for ANY banding (`selection.banded_auc_metrics`,
+        shared with ranking_auc_banded), fixed-width included, so a
+        gate can assert "AUC ≥ θ" whenever auc − err clears θ with no
+        exact pass over history;
+      - the integer-exact ECE (`selection.ece_from_bins`, shared with
+        expected_calibration_error).
 
     Bins must be FIXED up front (percentile re-banding would need the
     raw history back): fixed-width over a CALIBRATED confidence is the
@@ -236,23 +244,17 @@ class QualityGateLedger:
         ≤ n_bins rows; NULL confidences excluded, the report counts only
         scored rows). Re-ingesting the same batch counts it again — this
         is a metrics ledger, not a dedup ledger; dedup upstream."""
-        lab = F.col(label_col).cast("boolean")
-        conf = F.col(conf_col).cast("long")
-        b = F.least(
-            F.floor(conf * self.n_bins / F.lit(self.conf_scale)),
-            F.lit(self.n_bins - 1),
-        ).cast("int")
-        per = (
-            df.filter(conf.isNotNull())
-            .select(b.alias("bin"), lab.alias("_y"), conf.alias("_c"))
-            .groupBy("bin")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.sum(F.when(F.col("_y"), 1).otherwise(0))
-                .cast("long")
-                .alias("n_pos"),
-                F.sum(F.col("_c").cast("decimal(38,0)")).alias("sum_conf"),
-            )
+        from commerce_data_pipeline_spark.operators.selection import conf_bin_aggs
+
+        per = conf_bin_aggs(
+            df, label_col, conf_col, self.n_bins, self.conf_scale
+        ).select(
+            "bin",
+            "n",
+            "n_pos",
+            "sum_conf",
+            F.lit(self.n_bins).cast("int").alias("n_bins"),
+            F.lit(self.conf_scale).cast("long").alias("conf_scale"),
         )
         per.write.mode("append").parquet(self.path)
 
@@ -261,13 +263,24 @@ class QualityGateLedger:
         aggregates — sums of sums, exact at any ingest count. A ledger
         never ingested into merges to the empty frame (and `report`
         then yields n=0 with NULL metrics — the FingerprintLedger
-        empty-state precedent)."""
+        empty-state precedent). Raises ValueError if the stored bin
+        config differs from this handle's."""
         if not self.exists():
-            raw = self.spark.createDataFrame(
+            return self.spark.createDataFrame(
                 [], "bin int, n long, n_pos long, sum_conf decimal(38,0)"
             )
-        else:
-            raw = self.spark.read.parquet(self.path)
+        raw = self.spark.read.parquet(self.path)
+        configs = [
+            (r["n_bins"], r["conf_scale"])
+            for r in raw.select("n_bins", "conf_scale").distinct().collect()
+        ]
+        if any(c != (self.n_bins, self.conf_scale) for c in configs):
+            raise ValueError(
+                f"QualityGateLedger at {self.path} was written with bin "
+                f"config {configs}; this handle has "
+                f"({self.n_bins}, {self.conf_scale}) — merging differently "
+                "binned histograms would silently void the AUC bound"
+            )
         return raw.groupBy("bin").agg(
             F.sum("n").cast("long").alias("n"),
             F.sum("n_pos").cast("long").alias("n_pos"),
@@ -278,60 +291,20 @@ class QualityGateLedger:
         """One row over the whole ingestion history:
         (n, n_pos, n_neg, auc_banded_e6, max_err_e6, ece_e6) — the
         identical arithmetic as selection.ranking_auc_banded /
-        expected_calibration_error, over the merged bins."""
-        from commerce_data_pipeline_spark.operators.relational import (
-            global_cumsum,
+        expected_calibration_error, via the shared
+        `banded_auc_metrics` / `ece_from_bins` reducers over the merged
+        bins."""
+        from commerce_data_pipeline_spark.operators.selection import (
+            banded_auc_metrics,
+            ece_from_bins,
         )
 
-        per = self.merged().withColumn(
-            "_nn", (F.col("n") - F.col("n_pos")).cast("long")
+        per = self.merged().localCheckpoint(eager=False)  # two reducers
+        auc = banded_auc_metrics(
+            per.select("bin", "n_pos", (F.col("n") - F.col("n_pos")).alias("n_neg")),
+            out_scale,
         )
-        cum = global_cumsum(per, [F.asc("bin")], "_nn", cum_col="_cumn")
-        u2 = (
-            F.col("n_pos").cast("decimal(38,0)")
-            * (2 * (F.col("_cumn") - F.col("_nn")) + F.col("_nn")).cast(
-                "decimal(38,0)"
-            )
-        )
-        inband = F.col("n_pos").cast("decimal(38,0)") * F.col("_nn").cast(
-            "decimal(38,0)"
-        )
-        gap = F.abs(
-            F.col("n_pos").cast("decimal(38,0)") * F.lit(self.conf_scale)
-            - F.col("sum_conf")
-        )
-        agg = cum.agg(
-            F.sum("n").cast("long").alias("n"),
-            F.sum("n_pos").cast("long").alias("n_pos"),
-            F.sum("_nn").cast("long").alias("n_neg"),
-            F.sum(u2).alias("_u2"),
-            F.sum(inband).alias("_ib"),
-            F.sum(gap).alias("_gapsum"),
-        )
-        ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
-        denom = "(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)"
-        scale = f"CAST({out_scale} AS DECIMAL(38,0))"
-        zero = F.lit(0).cast("long")
-        return agg.select(
-            F.coalesce("n", zero).alias("n"),
-            F.coalesce("n_pos", zero).alias("n_pos"),
-            F.coalesce("n_neg", zero).alias("n_neg"),
-            F.when(ok, F.expr(f"({scale} * _u2) div {denom}"))
-            .cast("long")
-            .alias("auc_banded_e6"),
-            F.when(
-                ok,
-                F.expr(f"({scale} * _ib + {denom} - 1) div {denom} + 1"),
-            )
-            .cast("long")
-            .alias("max_err_e6"),
-            F.when(
-                F.col("n") > 0,
-                F.expr(
-                    f"({scale} * _gapsum) div "
-                    f"(CAST(n AS DECIMAL(38,0)) * {self.conf_scale})"
-                ),
-            )
-            .cast("long")
-            .alias("ece_e6"),
+        ece = ece_from_bins(per, self.conf_scale)
+        return auc.crossJoin(ece).select(
+            "n", "n_pos", "n_neg", "auc_banded_e6", "max_err_e6", "ece_e6"
         )

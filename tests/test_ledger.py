@@ -206,8 +206,26 @@ def test_quality_gate_ledger_stores_only_bin_aggregates(spark, tmp_path):
         spark.createDataFrame(_qrows(7, 500), ["label", "conf"]), "label", "conf"
     )
     stored = spark.read.parquet(str(tmp_path / "gate"))
-    assert set(stored.columns) == {"bin", "n", "n_pos", "sum_conf"}
+    assert set(stored.columns) == {
+        "bin", "n", "n_pos", "sum_conf", "n_bins", "conf_scale"
+    }
     assert stored.count() <= 10
+
+
+def test_quality_gate_refuses_mismatched_bin_config(spark, tmp_path):
+    """r9 review: rows carry their (n_bins, conf_scale); reopening the
+    same path with a different config must REFUSE rather than silently
+    merge histograms binned under different widths (which would void
+    the AUC containment bound with no error)."""
+    import pytest
+
+    from commerce_data_pipeline_spark.sources.ledger import QualityGateLedger
+
+    a = QualityGateLedger(spark, str(tmp_path / "gate"), n_bins=20)
+    a.ingest(spark.createDataFrame(_qrows(3), ["label", "conf"]), "label", "conf")
+    b = QualityGateLedger(spark, str(tmp_path / "gate"), n_bins=100)
+    with pytest.raises(ValueError, match="bin"):
+        b.report().collect()
 
 
 def test_quality_gate_empty_ledger_reports_zero(spark, tmp_path):
