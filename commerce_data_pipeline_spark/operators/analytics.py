@@ -442,7 +442,7 @@ def association_rules(
     — the same population the pairs are counted on, so support and
     co-occurrence share a denominator contract. Pair supports reuse the
     `co_occurrence_pairs` aggregate (pass a persisted one via `pairs`
-    at scale — see queries._ensure_copurchase_pairs). Ratios floor to
+    at scale — see queries._shared._ensure_copurchase_pairs). Ratios floor to
     e6 over DOUBLE arithmetic in the exact operand order the DuckDB
     oracle uses (w·B·1e6 as int64 wraps silently in Spark once pair
     weights ~1e5 meet ~1e8 baskets — r6 ADVICE; IEEE doubles in a fixed

@@ -469,8 +469,17 @@ def conf_bin_aggs(
         raise ValueError("conf_bin_aggs: n_bins must be >= 2")
     lab = F.col(label_col).cast("boolean")
     conf = F.col(conf_col).cast("long")
+    # Exact integer floor division (decimal(38,0) `div`), NOT double `/`:
+    # the ledger accepts arbitrary persisted conf_scale, and once
+    # conf·n_bins exceeds 2^53 a double quotient can round a just-below-
+    # boundary value up and misbin it, silently voiding cross-engine and
+    # merge parity. `div` on the exact decimal product can't.
     b = F.least(
-        F.floor(conf * n_bins / F.lit(conf_scale)), F.lit(n_bins - 1)
+        F.expr(
+            f"(CAST(CAST(`{conf_col}` AS BIGINT) AS DECIMAL(38,0))"
+            f" * {n_bins}) div {conf_scale}"
+        ),
+        F.lit(n_bins - 1),
     ).cast("int")
     return (
         df.filter(conf.isNotNull())

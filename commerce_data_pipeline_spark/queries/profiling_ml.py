@@ -1,0 +1,1113 @@
+"""Audits & distributed ML: profiling, drift, anomalies, k-means, PCA, BPE training, NDCG, sketch union, z-order layout.
+
+Mechanical split of queries.py (r10, VERDICT r9 directive #4); statement
+text is unchanged — see the package __init__ docstring for the determinism
+contract every query follows.
+"""
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from commerce_data_pipeline_spark.catalog import load_table
+from commerce_data_pipeline_spark.operators import (
+    bloom,
+    corpus,
+    dedup,
+    graph,
+    layout as layout_ops,
+    linkage,
+    multimodal,
+    profiling,
+    search,
+    selection,
+    similarity,
+    sketches,
+    skew,
+    temporal,
+    text,
+)
+from commerce_data_pipeline_spark.operators.analytics import (
+    attribution,
+    funnel,
+    position_attribution,
+    sessionize,
+)
+from commerce_data_pipeline_spark.operators.analytics import (
+    association_rules as analytics_association_rules,
+    sequence_violations as analytics_sequence_violations,
+    session_funnel as analytics_session_funnel,
+)
+from commerce_data_pipeline_spark.streaming import events as streaming_events
+from commerce_data_pipeline_spark.queries.dedup_text import _PAIRS_SQL_MW
+from commerce_data_pipeline_spark.queries.corpus import _WS_SPLIT_SQL
+from commerce_data_pipeline_spark.queries._shared import _ensure_copurchase_pairs
+
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+# Ordering contract: the driver's correctness harness checks only the FIRST 50
+# entries (insertion order).  Positions 1-50 therefore carry exactly one proving
+# query per operator family, and (round-4 tightening) EVERY window entry must
+# have oracle SQL — rows-only fast-path twins (simhash, ann_lsh, image_phash,
+# media_features, approx sketches) sit past 50, where their oracle-checked md5
+# twins or pytest accuracy pins carry the evidence instead.  Surplus relational
+# shapes (green in r02 + re-verified by tools/oracle_check.py full sweeps, see
+# SELFCHECK_r04.json) also live past 50.  When adding a query: new operator
+# families go INSIDE the window (displacing a surplus shape), variants of
+# already-proven shapes and no-oracle entries go at the end.
+# tests/test_registry_window.py pins both invariants.
+# --------------------------------------------------------------------------
+# r7 additions: graph backbone (k-core, components, structural similarity),
+# relational semi/anti (Q21 shape), audit statistics (Benford, exact-moment
+# Pearson), distributed k-means step, mergeable-sketch union.
+# --------------------------------------------------------------------------
+
+
+def _q_part_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """X12 graph — 64-core of the FULL (min_weight=1) part co-purchase
+    graph, 3 fixed peel passes (operators/graph.kcore): the
+    dense-backbone extractor that strips weakly-attached items before
+    community/embedding work. The unthresholded graph is the real
+    workload (1.2M edges at sf0.1 vs 3.6k at min_weight=2 — co-purchase
+    weights do NOT concentrate as the catalog grows, so weight-thresholded
+    graphs degenerate with scale; degree thresholds don't). k=64 sits
+    below the degree distribution's p10, so the peel removes the genuine
+    tail instead of collapsing (k-cores have a sharp threshold — at
+    k≈median the cascade empties the graph). Oracle = the same 3 peel
+    levels as nested CTEs."""
+    pairs = _ensure_copurchase_pairs(spark, sf)
+    return graph.kcore(
+        pairs, k=64, rounds=3, src="a", dst="b", canonical=True
+    ).select(F.col("node").alias("part_id"), "degree")
+
+
+def _ora_part_kcore(k: int = 64, rounds: int = 3) -> str:
+    """`rounds` peel levels unrolled: degree → keep(deg>=k) → semi-filter
+    the edge list, exactly the trajectory graph.kcore runs."""
+    ctes = [_PAIRS_SQL_MW.format(mw=1), "e0 AS (SELECT pa AS a, pb AS b FROM upairs)"]
+    for i in range(rounds):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS n FROM e{i} UNION ALL SELECT b FROM e{i}) GROUP BY n
+)"""
+        )
+        ctes.append(f"k{i} AS (SELECT n FROM d{i} WHERE deg >= {k})")
+        ctes.append(
+            f"""e{i + 1} AS (
+  SELECT a, b FROM e{i}
+  WHERE a IN (SELECT n FROM k{i}) AND b IN (SELECT n FROM k{i})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n AS part_id, deg AS degree FROM (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) GROUP BY n)
+WHERE deg >= {k}"""
+    )
+
+
+def _q_part_components(spark: SparkSession, sf: str) -> DataFrame:
+    """X12 graph — connected components of the strong (min_weight=3)
+    co-purchase graph via min-label propagation with convergence check
+    (operators/dedup.connected_components — the SAME operator that turns
+    LSH pairs into dedup clusters, witnessed here on a graph whose edges
+    come from facts, not fingerprints). Oracle = recursive-CTE
+    transitive closure (component = min reachable id)."""
+    pairs = _ensure_copurchase_pairs(spark, sf).filter(F.col("weight") >= 3)
+    return dedup.connected_components(pairs, a_col="a", b_col="b").select(
+        F.col("id").alias("part_id"), "component"
+    )
+
+
+_O_PART_COMPONENTS = f"""
+WITH RECURSIVE {_PAIRS_SQL_MW.format(mw=3)},
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS part_id, MIN(r) AS component FROM reach GROUP BY id
+"""
+
+
+def _q_similar_parts_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """X12 graph — structural similarity: Jaccard overlap of co-purchase
+    NEIGHBOR SETS (operators/graph.neighbor_jaccard) — substitutes look
+    alike to the graph even when never bought together, the complement
+    of `also_bought`'s direct edges. Runs on the FULL min_weight=1 graph
+    (the thresholded graph degenerates with scale — see part_kcore) with
+    the production knob engaged: max_center_degree=16 bounds per-center
+    wedge fan-out at C(16,2)=120 regardless of hub degree (deterministic
+    smallest-id truncation; common counts become a documented lower
+    bound), min_common=5 keeps only strongly-overlapping pairs. Integer
+    jaccard_e6 output; wedge expansion is the scan-side HOF pair trick
+    over adjacency lists — the graph is never self-joined on facts."""
+    pairs = _ensure_copurchase_pairs(spark, sf)
+    return graph.neighbor_jaccard(pairs, min_common=5, max_center_degree=16)
+
+
+_O_SIMILAR_PARTS_JACCARD = f"""
+WITH {_PAIRS_SQL_MW.format(mw=1)},
+adj AS (SELECT src AS n, dst AS m FROM edges),
+deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY n),
+-- max_center_degree=16: each center keeps its 16 smallest neighbor ids
+-- (= F.slice(sort_array(collect_set), 1, 16) on the Spark side)
+adj16 AS (
+  SELECT n, m FROM (
+    SELECT n, m, ROW_NUMBER() OVER (PARTITION BY n ORDER BY m) AS rn FROM adj)
+  WHERE rn <= 16
+),
+common AS (
+  -- the operator expands pairs from each CENTER's truncated list, so
+  -- common(x,y) = #centers whose capped list holds both x and y: join
+  -- on the center, pair the neighbors (NOT centers sharing a neighbor —
+  -- only equivalent when uncapped)
+  SELECT a1.m AS item_x, a2.m AS item_y, CAST(COUNT(*) AS BIGINT) AS common
+  FROM adj16 a1 JOIN adj16 a2 ON a1.n = a2.n AND a1.m < a2.m
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT c.item_x, c.item_y, c.common, dx.d AS degree_x, dy.d AS degree_y,
+  CAST(FLOOR(c.common * 1000000.0 / (dx.d + dy.d - c.common)) AS BIGINT) AS jaccard_e6
+FROM common c
+JOIN deg dx ON dx.n = c.item_x
+JOIN deg dy ON dy.n = c.item_y
+"""
+
+
+def _q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """R relational — TPC-H Q21 shape (suppliers who kept orders waiting)
+    re-keyed to this schema's columns: for finalized orders
+    (o_orderstatus='F'), count per supplier the returned lineitems
+    (l_returnflag='R') in MULTI-SUPPLIER orders where no OTHER supplier
+    also had a return.
+
+    The correlated EXISTS + NOT EXISTS pair is NOT expressed as
+    self-joins (which shuffle the fact table three times and fan out on
+    hot orders): aggregate once per (order, supplier) — carrying the
+    R-line count — then once per order (supplier count, suppliers-with-R
+    count), and the two predicates become row filters: EXISTS(other
+    supplier) ≡ n_supp ≥ 2, NOT EXISTS(other supplier with R) ≡
+    n_supp_r = 1 for a supplier who itself has R. One fact-table shuffle
+    total, every later stage order-of-magnitude smaller — the
+    basket_pairs "aggregate, don't self-join" rule applied to Q21.
+    Supplier is a broadcast dim. Top 100 by numwait."""
+    li = load_table(spark, sf, "lineitem")
+    f_orders = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    per_os = (
+        li.join(f_orders, "l_orderkey", "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_r_lines")
+        )
+        # consumed twice (per-order rollup + the numwait filter): lazy
+        # checkpoint keeps the fact scan single-pass
+        .localCheckpoint(eager=False)
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("n_r_lines") > 0, 1).otherwise(0)).alias("n_supp_r"),
+    )
+    agg = (
+        per_os.filter(F.col("n_r_lines") > 0)
+        .join(
+            per_o.filter((F.col("n_supp") >= 2) & (F.col("n_supp_r") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("n_r_lines").cast("long").alias("numwait"))
+    )
+    # limit-BEFORE-rank (house pattern, cf. part_pagerank): orderBy+limit
+    # lowers to TakeOrderedAndProject (per-task heap, driver merge of 100
+    # rows), so the rank window sees only the 100 survivors — never the
+    # full supplier aggregate through a single-partition funnel
+    w = Window.orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+    return (
+        agg.join(F.broadcast(sup), agg["l_suppkey"] == sup["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(100)
+        .withColumn("wrank", F.row_number().over(w))
+    )
+
+
+_O_WAITING_SUPPLIERS = """
+WITH l1 AS (
+  SELECT l.l_orderkey, l.l_suppkey FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+  WHERE l.l_returnflag = 'R'
+), waits AS (
+  SELECT l1.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM l1
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+  GROUP BY l1.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, w.numwait,
+  CAST(ROW_NUMBER() OVER (ORDER BY w.numwait DESC, s.s_suppkey ASC) AS INT) AS wrank
+FROM waits w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+QUALIFY wrank <= 100
+"""
+
+
+def _q_benford_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """X13 audit — Benford first-significant-digit profile of
+    l_extendedprice (operators/profiling.benford_profile): fabricated or
+    unit-mangled financial columns drift from Benford long before range
+    checks fire. Digit extraction is integer-exact (leading char of
+    floor(price·100)'s decimal string — no cross-engine log10); expected
+    shares are precomputed ppm literals shared by both engines."""
+    return profiling.benford_profile(
+        load_table(spark, sf, "lineitem"), "l_extendedprice"
+    )
+
+
+def _ora_benford(col: str = "l_extendedprice", table: str = "lineitem", scale: int = 100) -> str:
+    case = " ".join(f"WHEN {d} THEN {ppm}" for d, ppm in profiling.BENFORD_PPM.items())
+    return f"""
+WITH per AS (
+  SELECT CAST(SUBSTR(CAST(_c AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT CAST(FLOOR(CAST({col} AS DOUBLE) * {scale}.0) AS BIGINT) AS _c FROM {table})
+  WHERE _c > 0 GROUP BY 1
+), tot AS (SELECT SUM(n) AS t FROM per)
+SELECT digit, n,
+  CAST(FLOOR(n * 1000000 / t) AS BIGINT) AS observed_ppm,
+  CAST(CASE digit {case} END AS BIGINT) AS expected_ppm,
+  CAST(ABS(FLOOR(n * 1000000 / t) - (CASE digit {case} END)) AS BIGINT) AS abs_dev_ppm
+FROM per, tot
+"""
+
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_extendedprice", "l_discount"),
+    ("l_quantity", "l_discount"),
+]
+
+
+def _q_numeric_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """X13 audit — exact-arithmetic Pearson correlation for three
+    lineitem column pairs in ONE map-only scan
+    (operators/profiling.pearson_moments): values fixed-pointed, the
+    five moments accumulated as exact decimals (order-independent), the
+    textbook formula evaluated once per pair on identical operands →
+    both engines floor the identical double. The numeric-drift audit."""
+    return profiling.pearson_moments(load_table(spark, sf, "lineitem"), _CORR_PAIRS)
+
+
+def _ora_numeric_corr(pairs: list[tuple[str, str]], scale: int = 100) -> str:
+    fp = lambda c, a: f"CAST(FLOOR(CAST({c} AS DOUBLE) * {scale}.0) AS BIGINT) AS {a}"
+    inner = ", ".join(
+        f"{fp(x, f'x{i}')}, {fp(y, f'y{i}')}" for i, (x, y) in enumerate(pairs)
+    )
+    moments = ", ".join(
+        f"SUM(x{i}) AS sx{i}, SUM(y{i}) AS sy{i}, SUM(x{i}*x{i}) AS sxx{i}, "
+        f"SUM(y{i}*y{i}) AS syy{i}, SUM(x{i}*y{i}) AS sxy{i}"
+        for i in range(len(pairs))
+    )
+    outs = []
+    for i, (x, y) in enumerate(pairs):
+        nd = "CAST(n AS DOUBLE)"
+        sx, sy = f"CAST(sx{i} AS DOUBLE)", f"CAST(sy{i} AS DOUBLE)"
+        sxx, syy, sxy = (
+            f"CAST(sxx{i} AS DOUBLE)",
+            f"CAST(syy{i} AS DOUBLE)",
+            f"CAST(sxy{i} AS DOUBLE)",
+        )
+        vx, vy = f"({nd}*{sxx} - {sx}*{sx})", f"({nd}*{syy} - {sy}*{sy})"
+        corr = f"(({nd}*{sxy} - {sx}*{sy}) / (SQRT{vx} * SQRT{vy}))"
+        outs.append(
+            f"""SELECT '{x}' AS col_x, '{y}' AS col_y, n,
+  CASE WHEN {vx} > 0 AND {vy} > 0
+       THEN CAST(FLOOR({corr} * 1000000.0) AS BIGINT) ELSE NULL END AS corr_e6
+FROM m"""
+        )
+    return (
+        f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {moments}
+  FROM (SELECT {inner} FROM lineitem)
+)
+"""
+        + "\nUNION ALL\n".join(outs)
+    )
+
+
+def _q_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 (training half) — one integer-exact Lloyd iteration over the
+    embeddings table (operators/similarity.kmeans_step): nearest-seed
+    assignment via the fixed-point argmax 2·(x·c) − |c|² (no float
+    boundary anywhere), then the per-(cluster, dim) update statistics
+    the next iteration consumes. One map-only scan + one k·dim-group
+    shuffle — the canonical distributed-kmeans shape."""
+    return similarity.kmeans_step(load_table(spark, sf, "embeddings"), k=8)
+
+
+_O_KMEANS_STEP = """
+WITH xe AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS xi
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, xi AS c, CAST(list_dot_product(xi, xi) AS BIGINT) AS nrm
+  FROM xe WHERE vec_id < 8
+), best AS (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        ORDER BY (2 * CAST(list_dot_product(x.xi, c.c) AS BIGINT) - c.nrm) DESC,
+                 c.cid ASC) AS rn
+    FROM xe x CROSS JOIN cent c) WHERE rn = 1
+), ex AS (
+  SELECT b.cid AS cluster_id,
+    CAST(generate_subscripts(x.xi, 1) - 1 AS INT) AS dim,
+    UNNEST(x.xi) AS val
+  FROM best b JOIN xe x ON x.vec_id = b.vec_id
+)
+SELECT cluster_id, dim, CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(SUM(val) AS BIGINT) AS sum_e6,
+  CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS centroid_e6
+FROM ex GROUP BY cluster_id, dim
+"""
+
+
+def _q_part_walks(spark: SparkSession, sf: str) -> DataFrame:
+    """X12 graph — deterministic first-order random walks over the full
+    co-purchase graph (operators/graph.deterministic_walks): the
+    DeepWalk/node2vec sampling stage that turns a graph into a training
+    corpus for skip-gram embeddings. Every step's neighbor choice is an
+    md5-derived rank (the md5-twin technique applied to walk sampling),
+    so the whole 2-walks × 3-steps corpus value-hashes cross-engine;
+    per step the plan is two 1:1 equi-joins (degree, then (node, rank)
+    adjacency) — hub degree never fans out an intermediate."""
+    pairs = _ensure_copurchase_pairs(spark, sf)
+    return graph.deterministic_walks(pairs, walk_len=3, walks_per_node=2)
+
+
+def _ora_part_walks(walk_len: int = 3, walks_per_node: int = 2) -> str:
+    ctes = [
+        _PAIRS_SQL_MW.format(mw=1),
+        "und AS (SELECT src AS n, dst AS m FROM edges)",
+        """adj AS (
+  SELECT n, m, ROW_NUMBER() OVER (PARTITION BY n ORDER BY m) AS rn FROM und
+)""",
+        "dg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY n)",
+        f"""s0 AS (
+  SELECT dg.n AS start_node, w.walk_id, dg.n AS cur
+  FROM dg CROSS JOIN (SELECT UNNEST(range({walks_per_node})) AS walk_id) w
+)""",
+    ]
+    for t in range(1, walk_len + 1):
+        h = (
+            f"CAST(('0x' || substr(md5(CAST(s.cur AS VARCHAR) || ':{t}:' || "
+            f"CAST(s.start_node AS VARCHAR) || ':' || CAST(s.walk_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        )
+        ctes.append(
+            f"""s{t} AS (
+  SELECT s.start_node, s.walk_id, a.m AS cur
+  FROM s{t - 1} s
+  JOIN dg d ON d.n = s.cur
+  JOIN adj a ON a.n = s.cur AND a.rn = 1 + ({h} % d.deg)
+)"""
+        )
+    selects = [
+        f"SELECT start_node, walk_id, CAST({t} AS INT) AS step, cur AS node FROM s{t}"
+        for t in range(walk_len + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_FK_RELATIONSHIPS = [
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("events.user_id->customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _q_referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """X13 audit — referential integrity over four declared relationships
+    (operators/profiling.fk_orphans, the dbt `relationships` test at
+    scale): child rows / NULL keys / orphan rows / distinct orphan keys
+    per FK. The fact table shrinks to its distinct key space BEFORE the
+    anti-join, so nothing fact-sized is joined; all-zero orphan columns
+    are the exact, falsifiable clean-data witness (a single broken key
+    flips the hash)."""
+    rels = [
+        (name, load_table(spark, sf, ct), ck, load_table(spark, sf, pt), pk)
+        for name, ct, ck, pt, pk in _FK_RELATIONSHIPS
+    ]
+    return profiling.fk_orphans(rels)
+
+
+def _ora_referential_integrity() -> str:
+    parts = []
+    for name, ct, ck, pt, pk in _FK_RELATIONSHIPS:
+        parts.append(
+            f"""SELECT '{name}' AS relationship,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct}) AS n_child_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct} WHERE {ck} IS NULL) AS n_null_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct} c WHERE c.{ck} IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck})) AS n_orphan_rows,
+  (SELECT CAST(COUNT(DISTINCT c.{ck}) AS BIGINT) FROM {ct} c WHERE c.{ck} IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck})) AS n_orphan_keys"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _q_customer_value_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """§2e window-rank surface (NTILE) — RFM-style customer value
+    banding: per-customer lifetime revenue (fixed-point e2 sum, exact in
+    any engine) → NTILE(10) under the unique total order (revenue desc,
+    custkey asc) → per-decile size/sum/min/max. NTILE's split rule
+    (first n%k buckets get one extra row) is SQL-standard and identical
+    cross-engine, so the whole query value-hashes.
+
+    Scale: the global NTILE sorts the per-customer AGGREGATE (entity
+    count, not fact count) — fine to ~1e8 entities; past that, use the
+    boundary-banding twin `revenue_bands` (broadcast decile boundaries +
+    scan-side comparisons, percentile_approx in production) and keep
+    this as the exact positional contract."""
+    o = load_table(spark, sf, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice").cast("double") * F.lit(100.0)).cast("long")
+        ).alias("revenue_e2")
+    )
+    w = Window.orderBy(F.desc("revenue_e2"), F.asc("o_custkey"))
+    return (
+        rev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("revenue_e2").alias("decile_revenue_e2"),
+            F.min("revenue_e2").alias("min_revenue_e2"),
+            F.max("revenue_e2").alias("max_revenue_e2"),
+        )
+    )
+
+
+_O_CUSTOMER_VALUE_DECILES = """
+WITH rev AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_e2
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT revenue_e2,
+    CAST(NTILE(10) OVER (ORDER BY revenue_e2 DESC, o_custkey ASC) AS INT) AS decile
+  FROM rev
+)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(revenue_e2) AS BIGINT) AS decile_revenue_e2,
+  MIN(revenue_e2) AS min_revenue_e2, MAX(revenue_e2) AS max_revenue_e2
+FROM d GROUP BY decile
+"""
+
+
+_REV_E2_SQL = """
+  SELECT o_custkey,
+    CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_e2
+  FROM orders GROUP BY 1
+"""
+
+
+def _q_revenue_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """§2e banding, the 100 TB route (VERDICT r7 #6 — the md5-twin
+    technique applied to banding): `customer_value_deciles`' global NTILE
+    sorts the whole entity aggregate through one ordering; past ~1e8
+    entities the scale shape is BOUNDARY BANDING — compute the 9 decile
+    boundaries as one aggregate, broadcast them, and assign bands with 9
+    scan-side comparisons. No global sort, no window, no single-partition
+    funnel; the banding join is a 1-row broadcast.
+
+    This exact-contract twin uses `percentile_disc` boundaries (value at
+    rank ceil(p·n) — replayed in the oracle via ROW_NUMBER + CEIL, the
+    winsorized_revenue precedent) so every output value hashes
+    cross-engine. In production the SAME plan runs with
+    `percentile_approx` boundaries (mergeable sketch, no exact-rank
+    pass); tests/test_r8_operators.py pins approx-vs-exact band parity
+    at small scale. Value-banding semantics: revenue ties share a band
+    (NTILE splits ties positionally — the two contracts are documented
+    siblings, not replicas)."""
+    o = load_table(spark, sf, "orders")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice").cast("double") * F.lit(100.0)).cast("long")
+            ).alias("revenue_e2")
+        )
+        # consumed twice (boundary aggregate + band assignment)
+        .localCheckpoint(eager=False)
+    )
+    bounds = rev.agg(
+        *[
+            F.expr(
+                f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY revenue_e2)"
+            ).alias(f"_b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    band = F.lit(1)
+    for i in range(1, 10):
+        band = band + F.when(F.col("revenue_e2") > F.col(f"_b{i}"), 1).otherwise(0)
+    return (
+        rev.crossJoin(F.broadcast(bounds))
+        .select("revenue_e2", band.cast("int").alias("band"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("revenue_e2").alias("band_revenue_e2"),
+            F.min("revenue_e2").alias("min_revenue_e2"),
+            F.max("revenue_e2").alias("max_revenue_e2"),
+        )
+    )
+
+
+_O_REVENUE_BANDS = f"""
+WITH rev AS ({_REV_E2_SQL}
+), ranked AS (
+  SELECT revenue_e2, ROW_NUMBER() OVER (ORDER BY revenue_e2 ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM rev
+), bounds AS (
+  SELECT {", ".join(
+      f"MAX(CASE WHEN rn = CEIL(0.{i} * n) THEN revenue_e2 END) AS b{i}"
+      for i in range(1, 10)
+  )}
+  FROM ranked
+), banded AS (
+  SELECT r.revenue_e2,
+    1 {" ".join(
+        f"+ (CASE WHEN r.revenue_e2 > b.b{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 10)
+    )} AS band
+  FROM rev r, bounds b
+)
+SELECT CAST(band AS INT) AS band,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(revenue_e2) AS BIGINT) AS band_revenue_e2,
+  MIN(revenue_e2) AS min_revenue_e2, MAX(revenue_e2) AS max_revenue_e2
+FROM banded GROUP BY band
+"""
+
+
+def _q_event_type_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """X13 audit — categorical drift between two event snapshots
+    (operators/profiling.chi_square_drift): per-event-type chi-square
+    homogeneity contribution, first half of the month vs the rest. The
+    corpus-shift detector a training pipeline runs between crawls —
+    large per-category contributions localize WHICH slice moved."""
+    ev = load_table(spark, sf, "events")
+    return profiling.chi_square_drift(
+        ev.filter(F.col("ts") < F.lit("2024-01-16")),
+        ev.filter(F.col("ts") >= F.lit("2024-01-16")),
+        "event_type",
+    )
+
+
+_O_EVENT_TYPE_DRIFT = """
+WITH a AS (
+  SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_a
+  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1
+), b AS (
+  SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1
+), j AS (
+  SELECT COALESCE(a.category, b.category) AS category,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM a FULL OUTER JOIN b ON a.category = b.category
+), t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j)
+SELECT category, n_a, n_b,
+  CAST(FLOOR((
+    (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+      * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+      / (CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+    + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+      * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+      / (CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+  ) * 1000000.0) AS BIGINT) AS chi2_e6
+FROM j, t
+"""
+
+
+def _q_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 (training loop) — TWO Lloyd iterations over the embeddings
+    table (operators/similarity.kmeans_train): round 2's codebook is
+    round 1's floored means, so the whole trajectory lives on the
+    fixed-point grid and the oracle replays it as two unrolled CTE
+    levels — the pagerank fixed-trajectory contract applied to
+    embedding-space training. Per round: one scan of the checkpointed
+    fixed-point frame + one k·dim-group shuffle + a bounded codebook
+    collect."""
+    return similarity.kmeans_train(load_table(spark, sf, "embeddings"), k=8, rounds=2)
+
+
+def _ora_kmeans_train(k: int = 8, rounds: int = 2) -> str:
+    """`rounds` Lloyd levels unrolled: centN -> bestN -> statsN, each
+    exactly the trajectory kmeans_train runs (integer scores, min-cid
+    ties, floored means)."""
+    ctes = [
+        """xe AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS xi
+  FROM embeddings
+)""",
+        f"""cent1 AS (
+  SELECT vec_id AS cid, xi AS c, CAST(list_dot_product(xi, xi) AS BIGINT) AS nrm
+  FROM xe WHERE vec_id < {k}
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""best{r} AS (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+        ORDER BY (2 * CAST(list_dot_product(x.xi, c.c) AS BIGINT) - c.nrm) DESC,
+                 c.cid ASC) AS rn
+    FROM xe x CROSS JOIN cent{r} c) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""ex{r} AS (
+  SELECT b.cid AS cluster_id,
+    CAST(generate_subscripts(x.xi, 1) - 1 AS INT) AS dim,
+    UNNEST(x.xi) AS val
+  FROM best{r} b JOIN xe x ON x.vec_id = b.vec_id
+)"""
+        )
+        ctes.append(
+            f"""stats{r} AS (
+  SELECT cluster_id, dim, CAST(COUNT(*) AS BIGINT) AS n_members,
+    CAST(SUM(val) AS BIGINT) AS sum_e6,
+    CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS centroid_e6
+  FROM ex{r} GROUP BY cluster_id, dim
+)"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""cent{r + 1} AS (
+  SELECT cid, c, CAST(list_dot_product(c, c) AS BIGINT) AS nrm FROM (
+    SELECT cluster_id AS cid, list(centroid_e6 ORDER BY dim) AS c
+    FROM stats{r} GROUP BY cluster_id)
+)"""
+            )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM stats{rounds}"
+
+
+def _q_sketch_union(spark: SparkSession, sf: str) -> DataFrame:
+    """X6 — sketch MERGEABILITY contract: per-priority HLL sketches of
+    o_custkey (Datasketches hll_sketch_agg, lgConfigK=12) are unioned
+    with hll_union_agg and the merged estimate must land within ±5% of
+    the exact global distinct — the property that makes sketches the
+    100 TB shape (partial per partition, one sketch-bytes shuffle, no
+    re-scan to combine). Same falsifiable-boolean technique as
+    `sketch_accuracy`: the oracle pins the exact values and literal
+    TRUE; a drifting union flips the boolean and breaks the hash."""
+    o = load_table(spark, sf, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg(F.col("o_custkey"), F.lit(12)).alias("_sk")
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk"), F.lit(False))).alias("_est"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").cast("long").alias("exact_customers"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_customers",
+        "n_groups",
+        (
+            F.abs(F.col("_est") - F.col("exact_customers"))
+            <= F.col("exact_customers") * F.lit(0.05)
+        ).alias("union_ok"),
+    )
+
+
+_O_SKETCH_UNION = """
+WITH ex AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers FROM orders),
+g AS (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_groups FROM orders)
+SELECT ex.exact_customers, g.n_groups, TRUE AS union_ok FROM ex, g
+"""
+
+
+def _q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 tokenizer TRAINING loop — three full BPE iterations over the
+    documents corpus (operators/text.bpe_train): each round one corpus-wide
+    pair-keyed count picks the most frequent adjacent symbol pair (ties
+    lexicographic), then the merge is applied scan-side via the order-free
+    even-offset rule (fuzz-pinned equal to sequential greedy BPE in
+    tests/test_bpe_train.py). kmeans_train's loop contract applied to
+    vocabulary learning: the trajectory is count-exact integers, so the
+    oracle replays all three rounds as unrolled CTE levels."""
+    docs = load_table(spark, sf, "documents")
+    return text.bpe_train(docs, rounds=3)
+
+
+def _bpe_ms_sql(i: str, syms: str = "syms") -> str:
+    """SQL merge_start predicate at 1-based position expr `i`: matches
+    (t.l, t.r) AND the count of consecutive immediately-preceding matches
+    is even — the same order-free greedy-BPE rule as text.bpe_apply_merge."""
+    m = (
+        f"(({i}) <= len({syms}) - 1 AND {syms}[({i})] = t.l "
+        f"AND {syms}[({i}) + 1] = t.r)"
+    )
+    prior = (
+        f"coalesce(list_max(list_filter(generate_series(1, ({i}) - 1), "
+        f"j -> NOT (j <= len({syms}) - 1 AND {syms}[j] = t.l AND {syms}[j + 1] = t.r))), 0)"
+    )
+    return f"({m} AND ((({i}) - 1 - {prior}) % 2 = 0))"
+
+
+def _ora_bpe_train(rounds: int = 3) -> str:
+    """`rounds` BPE levels unrolled: w0 -> t1 -> w1 -> t2 -> ... — each t is
+    the round's top pair (count desc, pair lexicographic), each w applies the
+    merge with the identical positional rule."""
+    ctes = [
+        """w0 AS (
+  SELECT string_split(w, '') AS syms, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents) WHERE length(w) >= 1 GROUP BY w
+)"""
+    ]
+    for rnd in range(1, rounds + 1):
+        prev = f"w{rnd - 1}"
+        ctes.append(
+            f"""t{rnd} AS (
+  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, syms[i] AS l, syms[i + 1] AS r
+    FROM {prev}, LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+    WHERE len(syms) >= 2)
+  GROUP BY l, r ORDER BY c DESC, l ASC, r ASC LIMIT 1
+)"""
+        )
+        if rnd < rounds:
+            ctes.append(
+                f"""w{rnd} AS (
+  SELECT flatten(list_transform(generate_series(1, len(syms)), i -> CASE
+    WHEN {_bpe_ms_sql('i')} THEN [t.l || t.r]
+    WHEN i >= 2 AND {_bpe_ms_sql('i - 1')} THEN []
+    ELSE [syms[i]] END)) AS syms, cnt
+  FROM {prev} CROSS JOIN t{rnd} t
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS rnk, l AS left_sym, r AS right_sym, c AS pair_count FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+_NDCG_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["hash", "join"]),
+    (2, ["scan", "filter"]),
+    (3, ["stream", "window"]),
+]
+
+
+def _q_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """X7 retrieval EVALUATION — NDCG@10 of the BM25 ranking for a fixed
+    3-query workload over a 50-doc retrieval pool per query
+    (operators/search.ndcg_at_k): the offline search-quality metric a
+    retrieval pipeline tracks release-over-release. Relevance is the
+    deterministic distinct-terms-matched grade; rank-discount weights are
+    precomputed 1/log2(rank+1) literals consumed identically by both
+    engines (no cross-engine log2); DCG/IDCG sum as DECIMAL(18,12).
+    One corpus scan (union-of-terms isin filter), shared
+    _bm25_term_scores expression tree, all windows over ≤ 150 rows."""
+    docs = load_table(spark, sf, "documents")
+    return search.ndcg_at_k(docs, _NDCG_QUERIES, k=10, pool=50).orderBy("query_id")
+
+
+def _ora_ndcg_eval(queries_: list[tuple[int, list[str]]], k: int = 10, pool: int = 50) -> str:
+    from commerce_data_pipeline_spark.operators.search import ndcg_weights
+
+    all_terms = sorted({t for _, terms in queries_ for t in terms})
+    term_list = ", ".join(f"'{t}'" for t in all_terms)
+    qmap_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries_ for t in sorted(set(terms))
+    )
+    w_dcg = " ".join(
+        f"WHEN rank = {i + 1} THEN CAST(rel AS DOUBLE) * CAST({w!r} AS DOUBLE)"
+        for i, w in enumerate(ndcg_weights(k))
+    )
+    w_idcg = " ".join(
+        f"WHEN ideal_rank = {i + 1} THEN CAST(rel AS DOUBLE) * CAST({w!r} AS DOUBLE)"
+        for i, w in enumerate(ndcg_weights(k))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_WS_SPLIT_SQL} AS words FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM base
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) AS total_tokens FROM dl
+), tok AS (
+  SELECT b.doc_id, unnest(b.words) AS term FROM base b
+), tf AS (
+  SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok t WHERE t.term IN ({term_list})
+  GROUP BY t.doc_id, t.term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  -- the _bm25_term_scores expression tree, identical association
+  SELECT f.doc_id, f.term,
+    CAST(FLOOR(
+      ln(1.0 + ((s.n_docs - d.df + 0.5) / (d.df + 0.5)))
+      * ((f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75
+           * (CAST(l.dl AS DOUBLE) / (s.total_tokens / s.n_docs)))))
+      * 1000000.0) AS BIGINT) AS term_score_e6
+  FROM tf f JOIN dfreq d USING (term) JOIN dl l ON l.doc_id = f.doc_id, stats s
+), qmap AS (
+  SELECT * FROM (VALUES {qmap_vals}) AS q(query_id, term)
+), per_q AS (
+  SELECT q.query_id, s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS rel,
+         CAST(SUM(s.term_score_e6) AS BIGINT) AS score_e6
+  FROM scored s JOIN qmap q USING (term)
+  GROUP BY q.query_id, s.doc_id
+), pooled AS (
+  SELECT query_id, doc_id, rel,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS rank
+  FROM per_q QUALIFY rank <= {pool}
+), ranked AS (
+  SELECT query_id, rel, rank,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS ideal_rank
+  FROM pooled
+), gain AS (
+  SELECT query_id,
+    CAST(CASE {w_dcg} ELSE 0.0 END AS DECIMAL(18,12)) AS dcg_term,
+    CAST(CASE {w_idcg} ELSE 0.0 END AS DECIMAL(18,12)) AS idcg_term
+  FROM ranked
+), agg AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_pool,
+         SUM(dcg_term) AS dcg, SUM(idcg_term) AS idcg
+  FROM gain GROUP BY query_id
+)
+SELECT query_id, n_pool,
+  CAST(FLOOR(dcg * 1000000) AS BIGINT) AS dcg_e6,
+  CAST(FLOOR(idcg * 1000000) AS BIGINT) AS idcg_e6,
+  CAST(FLOOR((CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)) * 1000000.0) AS BIGINT) AS ndcg_e6
+FROM agg ORDER BY query_id
+"""
+
+
+def _q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus/X13 governance — train/test split LEAKAGE audit
+    (operators/corpus.split_leakage): two split schemes over orders,
+    entity = customer. The 'entity_hash' scheme splits on o_custkey (the
+    correct grouped split — zero leaked customers, and the audit PROVES
+    it rather than assuming it); the 'row_hash' scheme splits on
+    o_orderkey, the classic leakage bug where one customer's orders
+    straddle train and eval — the audit surfaces the exact violation
+    mass. One entity-keyed aggregation per scheme, 1-row summaries."""
+    orders = load_table(spark, sf, "orders")
+    by_cust = corpus.train_val_test_split(orders, id_col="o_custkey")
+    by_order = corpus.train_val_test_split(orders, id_col="o_orderkey")
+    a = corpus.split_leakage(by_cust, "o_custkey").select(
+        F.lit("entity_hash").alias("scheme"), "*"
+    )
+    b = corpus.split_leakage(by_order, "o_custkey").select(
+        F.lit("row_hash").alias("scheme"), "*"
+    )
+    return a.unionByName(b).orderBy("scheme")
+
+
+_O_SPLIT_LEAKAGE = """
+WITH assign AS (
+  SELECT o_custkey,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 10000 < 1000 THEN 'val'
+         WHEN CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 10000 < 2000 THEN 'test'
+         ELSE 'train' END AS split_cust,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 10000 < 1000 THEN 'val'
+         WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 10000 < 2000 THEN 'test'
+         ELSE 'train' END AS split_order
+  FROM orders
+), per_cust AS (
+  SELECT 'entity_hash' AS scheme, o_custkey,
+         COUNT(DISTINCT split_cust) AS n_splits, COUNT(*) AS n_rows
+  FROM assign GROUP BY o_custkey
+  UNION ALL
+  SELECT 'row_hash' AS scheme, o_custkey,
+         COUNT(DISTINCT split_order) AS n_splits, COUNT(*) AS n_rows
+  FROM assign GROUP BY o_custkey
+)
+SELECT scheme,
+  CAST(COUNT(*) AS BIGINT) AS n_entities,
+  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+  CAST(COUNT(CASE WHEN n_splits > 1 THEN 1 END) AS BIGINT) AS n_leaked_entities,
+  CAST(SUM(CASE WHEN n_splits > 1 THEN n_rows ELSE 0 END) AS BIGINT) AS n_leaked_rows
+FROM per_cust GROUP BY scheme ORDER BY scheme
+"""
+
+
+def _q_zorder_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """§4 layout — Z-order data-skipping effectiveness audit
+    (operators/layout.skipping_profile): simulates a linear
+    (sort-by-partkey) vs Z-ordered file layout over lineitem
+    (l_partkey, l_suppkey) with pure integer expressions and counts the
+    files min/max pruning touches for a suppkey band and a 2-D
+    rectangle. The falsifiable layout claim: the linear layout must
+    touch EVERY file for the suppkey-only band while the Z-order
+    quad-cells prune it — same matching row counts either way. Map-side
+    binning + one ≤ 32-group aggregation; no sort, no write."""
+    li = load_table(spark, sf, "lineitem")
+    return layout_ops.skipping_profile(li, "l_partkey", "l_suppkey", bits=4).orderBy(
+        "layout"
+    )
+
+
+def _ora_zorder_skipping(bits: int = 4, p1: int = 45, p2: int = 55) -> str:
+    nbins = 1 << bits
+    inter = " + ".join(
+        f"(((b{j + 1} >> {b}) & 1) << {b * 2 + j})"
+        for b in range(bits)
+        for j in range(2)
+    )
+    return f"""
+WITH bounds AS (
+  SELECT CAST(MIN(l_partkey) AS BIGINT) AS lo1, CAST(MAX(l_partkey) AS BIGINT) AS hi1,
+         CAST(MIN(l_suppkey) AS BIGINT) AS lo2, CAST(MAX(l_suppkey) AS BIGINT) AS hi2
+  FROM lineitem
+), b AS (
+  SELECT CAST(l_partkey AS BIGINT) AS c1, CAST(l_suppkey AS BIGINT) AS c2,
+         lo1, hi1, lo2, hi2,
+         (hi1 - lo1 + 1) AS span1, (hi2 - lo2 + 1) AS span2,
+         (((CAST(l_partkey AS BIGINT) - lo1) * {nbins}) // (hi1 - lo1 + 1)) AS b1,
+         (((CAST(l_suppkey AS BIGINT) - lo2) * {nbins}) // (hi2 - lo2 + 1)) AS b2
+  FROM lineitem, bounds
+), keyed AS (
+  SELECT c1, c2,
+         (({inter}) >> {bits}) AS file_z,
+         b1 AS file_l,
+         (lo1 + (span1 * {p1}) // 100) AS p_lo, (lo1 + (span1 * {p2}) // 100) AS p_hi,
+         (lo2 + (span2 * {p1}) // 100) AS s_lo, (lo2 + (span2 * {p2}) // 100) AS s_hi
+  FROM b
+), lay AS (
+  SELECT 'zorder' AS layout, file_z AS file_id, c1, c2, p_lo, p_hi, s_lo, s_hi FROM keyed
+  UNION ALL
+  SELECT 'linear' AS layout, file_l AS file_id, c1, c2, p_lo, p_hi, s_lo, s_hi FROM keyed
+), per_file AS (
+  SELECT layout, file_id, COUNT(*) AS n,
+         MIN(c1) AS min1, MAX(c1) AS max1, MIN(c2) AS min2, MAX(c2) AS max2,
+         COUNT(CASE WHEN c2 BETWEEN s_lo AND s_hi THEN 1 END) AS n_band,
+         COUNT(CASE WHEN c2 BETWEEN s_lo AND s_hi
+                     AND c1 BETWEEN p_lo AND p_hi THEN 1 END) AS n_rect,
+         MAX(p_lo) AS p_lo, MAX(p_hi) AS p_hi, MAX(s_lo) AS s_lo, MAX(s_hi) AS s_hi
+  FROM lay GROUP BY layout, file_id
+)
+SELECT layout,
+  CAST(COUNT(*) AS BIGINT) AS n_files,
+  CAST(SUM(n) AS BIGINT) AS n_rows,
+  CAST(COUNT(CASE WHEN max2 >= s_lo AND min2 <= s_hi THEN 1 END) AS BIGINT) AS files_hit_band,
+  CAST(COUNT(CASE WHEN max2 >= s_lo AND min2 <= s_hi
+                   AND max1 >= p_lo AND min1 <= p_hi THEN 1 END) AS BIGINT) AS files_hit_rect,
+  CAST(SUM(n_band) AS BIGINT) AS rows_band,
+  CAST(SUM(n_rect) AS BIGINT) AS rows_rect
+FROM per_file GROUP BY layout ORDER BY layout
+"""
+
+
+def _q_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """X3/X13 embedding audit — pairwise label-centroid dot products
+    (operators/similarity.centroid_similarity): which embedding classes
+    are entangled. Fixed-point e3 vectors, exact per-(label, dim) sums,
+    FLOORED e6 means (magnitude bounded by data range, not row count —
+    every product int64 at any corpus size); the only corpus-sized
+    shuffle is the (label, dim) aggregation."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.centroid_similarity(emb, "label").orderBy("label_a", "label_b")
+
+
+_O_CENTROID_SIM = """
+WITH xe AS (
+  SELECT label AS g,
+    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+    CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS v
+  FROM embeddings
+), sums AS (
+  SELECT g, dim, CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM xe GROUP BY g, dim
+), cent AS (
+  SELECT g, dim, n,
+    CAST(FLOOR(CAST(s AS DOUBLE) * 1000.0 / n) AS BIGINT) AS m
+  FROM sums
+)
+SELECT a.g AS label_a, b.g AS label_b,
+  CAST(MAX(a.n) AS BIGINT) AS n_a, CAST(MAX(b.n) AS BIGINT) AS n_b,
+  CAST(SUM(a.m * b.m) AS BIGINT) AS dot_e12
+FROM cent a JOIN cent b ON a.dim = b.dim AND a.g <= b.g
+GROUP BY a.g, b.g ORDER BY label_a, label_b
+"""
+
+
+def _q_quantile_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """X6 — grouped quantile-sketch accuracy contract
+    (operators/profiling.quantile_sketch_audit): per-returnflag GK median
+    of extendedprice cents must land between the exact values at ranks
+    ceil(0.5n) ∓ (2n/1000 + 1). percentile_approx's partial aggregation
+    IS the sketch merge, so green booleans certify the one-pass quantile
+    path the full-scale pipeline uses; the exact-rank window is the
+    deliberate audit cost. Cents via DECIMAL(18,2) — integer-exact in
+    both engines."""
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "_cents",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+    )
+    return profiling.quantile_sketch_audit(
+        li, "_cents", "l_returnflag", p=0.5, accuracy=1000
+    ).orderBy("l_returnflag")
+
+
+_O_QUANTILE_GROUPS = """
+WITH vals AS (
+  SELECT l_returnflag AS g,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM lineitem
+), ranked AS (
+  SELECT g, v,
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+    COUNT(*) OVER (PARTITION BY g) AS n
+  FROM vals
+), marks AS (
+  SELECT g, v, rn, n,
+    CAST(CEIL(0.5 * n) AS BIGINT) AS target,
+    CAST(FLOOR(n * 2 / 1000.0) AS BIGINT) + 1 AS tol
+  FROM ranked
+)
+SELECT g AS l_returnflag,
+  CAST(MAX(n) AS BIGINT) AS n_rows,
+  CAST(MIN(CASE WHEN rn = GREATEST(target - tol, 1) OR rn = LEAST(target + tol, n)
+                THEN v END) AS BIGINT) AS lo_bound,
+  CAST(MAX(CASE WHEN rn = GREATEST(target - tol, 1) OR rn = LEAST(target + tol, n)
+                THEN v END) AS BIGINT) AS hi_bound,
+  TRUE AS approx_ok
+FROM marks GROUP BY g ORDER BY g
+"""

@@ -1,0 +1,778 @@
+"""Training-data ops II: ANN (brute/IVF/LSH/PQ), persisted vector indexes, recall eval, canonical docs, k-anonymity.
+
+Mechanical split of queries.py (r10, VERDICT r9 directive #4); statement
+text is unchanged — see the package __init__ docstring for the determinism
+contract every query follows.
+"""
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from commerce_data_pipeline_spark.catalog import load_table
+from commerce_data_pipeline_spark.operators import (
+    bloom,
+    corpus,
+    dedup,
+    graph,
+    layout as layout_ops,
+    linkage,
+    multimodal,
+    profiling,
+    search,
+    selection,
+    similarity,
+    sketches,
+    skew,
+    temporal,
+    text,
+)
+from commerce_data_pipeline_spark.operators.analytics import (
+    attribution,
+    funnel,
+    position_attribution,
+    sessionize,
+)
+from commerce_data_pipeline_spark.operators.analytics import (
+    association_rules as analytics_association_rules,
+    sequence_violations as analytics_sequence_violations,
+    session_funnel as analytics_session_funnel,
+)
+from commerce_data_pipeline_spark.streaming import events as streaming_events
+from commerce_data_pipeline_spark.queries._shared import _cache_dir
+from commerce_data_pipeline_spark.queries.dedup_text import _ensure_lsh_pairs, _ora_lsh_ctes
+
+
+
+def _q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """P-family privacy audit — k-anonymity (k=5) of customers over the
+    quasi-identifier (nation, market segment, account-balance bucket):
+    equivalence classes smaller than k are the re-identification
+    worklist. One keyed count + filter (operators/profiling.k_anonymity);
+    the balance bucket floors to 1000s so both engines bin identically."""
+    cust = load_table(spark, sf, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    )
+    return profiling.k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5
+    ).orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
+
+
+_O_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment,
+  CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+  CAST(COUNT(*) AS BIGINT) AS class_size,
+  CAST(5 - COUNT(*) AS BIGINT) AS deficit
+FROM customer
+GROUP BY c_nationkey, c_mktsegment, FLOOR(c_acctbal / 1000.0)
+HAVING COUNT(*) < 5
+ORDER BY c_nationkey, c_mktsegment, bal_bucket
+"""
+
+
+def _q_canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """X2×X11 — canonical-record selection: the step after clustering
+    that a production dedup actually ships. Clusters come from the same
+    doubled-corpus LSH + connected-components chain as `dedup_clusters`;
+    each cluster keeps its best-quality member (quality = n_chars here,
+    ties → lowest doc_id — the shifted copy always loses to its
+    original). One join + one component-keyed argmax aggregation on top
+    of the cluster table (operators/dedup.canonical_records)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    doubled = docs.unionAll(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    clusters = dedup.connected_components_alternating(_ensure_lsh_pairs(spark, sf))
+    return dedup.canonical_records(clusters, doubled, "doc_id", "n_chars").orderBy(
+        "component"
+    )
+
+
+def _ora_canonical_docs(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    """`_ora_dedup_clusters`'s transitive closure extended with the
+    argmax: per component, the member with (max n_chars, min doc_id)."""
+    return f"""
+WITH RECURSIVE {_ora_lsh_ctes(num_hashes, bands, n)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+), doubled_q AS (
+  SELECT doc_id, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, n_chars FROM documents
+), members AS (
+  SELECT c.component, c.id, d.n_chars,
+    ROW_NUMBER() OVER (PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.id ASC) AS rn
+  FROM comp c JOIN doubled_q d ON d.doc_id = c.id
+)
+SELECT component,
+  MAX(CASE WHEN rn = 1 THEN id END) AS canonical_id,
+  MAX(CASE WHEN rn = 1 THEN n_chars END) AS canonical_quality,
+  CAST(COUNT(*) AS BIGINT) AS n_members
+FROM members GROUP BY component ORDER BY component
+"""
+
+
+def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 scale path — IVF-routed ANN top-5 with √N-scaled centroids
+    (auto_n_centroids: lists hold ~√N vectors, so per-query probe work
+    grows as √N instead of N — the fix for the 8× stress super-linearity,
+    where fixed 16 centroids blew candidates up 129×). Fully
+    deterministic → oracle-checkable, unlike LSH whose xxhash64 buckets
+    have no DuckDB equivalent; the oracle replays the same power-of-two
+    rule in integer SQL.
+
+    The centroid/assignment frames come from the build-once shared index
+    (`_ensure_ivf_index`) — the whole IVF family reads ONE materialized
+    assignment instead of each query re-counting + re-assigning the
+    corpus (bit-identical by the float64-parquet roundtrip, pinned in
+    tests/test_similarity.py; the inline build stays exercised there and
+    by ann_recall/semantic_dedup, which construct their own layouts)."""
+    from commerce_data_pipeline_spark.sources.hadoopfs import join_path
+
+    path = _ensure_ivf_index(spark, sf)
+    inverted = spark.read.parquet(join_path(path, "inverted"))
+    centroids = spark.read.parquet(join_path(path, "centroids"))
+    emb = load_table(spark, sf, "embeddings")
+    # bounded query workload (the hard_negatives anchor contract): the
+    # query set is a fixed input, not a slice that grows with the corpus
+    # — covers every sf0.01 vector, so the oracle hash is unchanged
+    queries = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2500))
+    out = similarity.ivf_topk(
+        emb, queries, k=5, n_probe=4, centroids=centroids, inverted=inverted
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
+    )
+
+
+def _ensure_ivf_index(spark: SparkSession, sf: str) -> str:
+    """Build-once handle for the persisted √N IVF index of the embeddings
+    table at this sf. Every query that needs the (vec_id → centroid_id)
+    assignment or the inverted lists goes through here instead of
+    re-counting + re-sampling centroids per call — at 100 TB the index is
+    built once and probed millions of times (operators/index.py)."""
+    import os
+
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+
+    # cache dir versioned by layout rule: "ivf_sqrt" = √N auto centroids
+    # (a stale fixed-16 index under the old "ivf" dir must not serve this)
+    path = _cache_dir("ivf_sqrt", sf)
+    if not ivf_index.index_exists(spark, path):
+        ivf_index.build_ivf_index(load_table(spark, sf, "embeddings"), path)
+    return path
+
+
+def _ensure_pq_index(spark: SparkSession, sf: str) -> tuple:
+    """Build-once handle for the PQ layout (m=4, ksub=16, dim=64) of the
+    embeddings table at this sf: persisted codebooks + encoded codes.
+    Encoding is the expensive half of every PQ query (corpus × codebook
+    argmin); at 100 TB codes are written once next to the corpus and
+    every ADC query reads them — this mirrors that, so the PQ family
+    stops re-encoding per call. float64 sub_vecs and int codes roundtrip
+    parquet exactly → ADC sims bit-identical to the inline build."""
+    import os
+
+    from commerce_data_pipeline_spark.operators import similarity as _sim
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+
+    path = _cache_dir("pq_m4k16", sf)
+    fs = HadoopFS(spark, path)
+    if not fs.exists(join_path(path, "encoded", "_SUCCESS")):
+        emb = load_table(spark, sf, "embeddings")
+        u = _sim.with_unit_vector(emb, "embedding", "unit")
+        cb = _sim.pq_codebooks(u, m=4, ksub=16, dim=64)
+        cb.write.mode("overwrite").parquet(join_path(path, "codebooks"))
+        cb_r = spark.read.parquet(join_path(path, "codebooks"))
+        _sim.pq_encode(u, cb_r, m=4, dim=64).write.mode("overwrite").parquet(
+            join_path(path, "encoded")
+        )
+    return (
+        spark.read.parquet(join_path(path, "codebooks")),
+        spark.read.parquet(join_path(path, "encoded")),
+    )
+
+
+def _q_ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 production shape — the SAME IVF search served from a PERSISTED
+    index (parquet inverted file partitioned by centroid_id + centroid
+    table): built once per sf under .cache/, reused by every later call.
+    Bit-identical to `ann_ivf` by construction (same helpers), so it
+    shares its oracle. Probes prune to the probed centroids' partitions."""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+
+    path = _ensure_ivf_index(spark, sf)
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2500))
+    out = ivf_index.ivf_query(spark, path, queries, k=5, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
+    )
+
+
+_O_ANN_IVF = """
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), par AS (
+  -- √N centroid rule (similarity.auto_n_centroids): smallest power of two
+  -- nc >= 16 with nc² >= n — integer-exact in every engine
+  SELECT n, nc, GREATEST(n // nc, 1) AS step
+  FROM (SELECT COUNT(*) AS n FROM embeddings) t,
+       LATERAL (
+         SELECT MIN(CAST(1 AS BIGINT) << k) AS nc
+         FROM unnest(generate_series(4, 31)) AS tk(k)
+         WHERE ((CAST(1 AS BIGINT) << k) * (CAST(1 AS BIGINT) << k)) >= t.n
+       ) l
+), cent AS (
+  SELECT CAST(vec_id // step AS INT) AS centroid_id, u AS c_vec
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * nc
+), assign AS (
+  SELECT c.vec_id AS neighbor_id, cent.centroid_id, c.u AS c_unit,
+    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      ORDER BY list_dot_product(c.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit c CROSS JOIN cent
+), inv AS (
+  SELECT neighbor_id, centroid_id, c_unit FROM assign WHERE r = 1
+), probes AS (
+  SELECT q.vec_id AS query_id, cent.centroid_id, q.u AS q_unit,
+    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      ORDER BY list_dot_product(q.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit q CROSS JOIN cent WHERE q.vec_id % 20 = 0 AND q.vec_id < 2500
+), pr AS (
+  SELECT query_id, centroid_id, q_unit FROM probes WHERE r <= 4
+), sims AS (
+  SELECT query_id, neighbor_id, list_dot_product(q_unit, c_unit) AS sim
+  FROM inv JOIN pr USING (centroid_id)
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+FROM sims QUALIFY rank <= 5
+"""
+
+
+def _q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 — measured recall@5 of the IVF ANN path against exact brute
+    force, per query: the 'measure, don't guess' harness for ANN quality
+    as a first-class query. Integer overlap counts and an exact integer
+    division — the oracle composes the ann_ivf and similarity_topk CTEs
+    and lands on identical values."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = similarity.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = (
+        similarity.ivf_topk(emb, queries, k=5, n_probe=4)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(ivf, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"))
+        .select(
+            "query_id",
+            F.lit(5).cast("long").alias("k"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.expr("(n_overlap * 1000000) div 5").cast("long").alias("recall_e6"),
+        )
+    )
+
+
+_O_ANN_RECALL = """
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), par AS (
+  -- √N centroid rule (similarity.auto_n_centroids): smallest power of two
+  -- nc >= 16 with nc² >= n — integer-exact in every engine
+  SELECT n, nc, GREATEST(n // nc, 1) AS step
+  FROM (SELECT COUNT(*) AS n FROM embeddings) t,
+       LATERAL (
+         SELECT MIN(CAST(1 AS BIGINT) << k) AS nc
+         FROM unnest(generate_series(4, 31)) AS tk(k)
+         WHERE ((CAST(1 AS BIGINT) << k) * (CAST(1 AS BIGINT) << k)) >= t.n
+       ) l
+), cent AS (
+  SELECT CAST(vec_id // step AS INT) AS centroid_id, u AS c_vec
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * nc
+), assign AS (
+  SELECT c.vec_id AS neighbor_id, cent.centroid_id, c.u AS c_unit,
+    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      ORDER BY list_dot_product(c.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit c CROSS JOIN cent
+), inv AS (
+  SELECT neighbor_id, centroid_id, c_unit FROM assign WHERE r = 1
+), probes AS (
+  SELECT q.vec_id AS query_id, cent.centroid_id, q.u AS q_unit,
+    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      ORDER BY list_dot_product(q.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit q CROSS JOIN cent WHERE q.vec_id % 20 = 0
+), pr AS (
+  SELECT query_id, centroid_id, q_unit FROM probes WHERE r <= 4
+), ivf_sims AS (
+  SELECT query_id, neighbor_id, list_dot_product(q_unit, c_unit) AS sim
+  FROM inv JOIN pr USING (centroid_id)
+  WHERE neighbor_id <> query_id
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM ivf_sims
+  ) WHERE rank <= 5
+), exact_sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.u, c.u) AS sim
+  FROM unit q JOIN unit c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % 20 = 0
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM exact_sims
+  ) WHERE rank <= 5
+)
+SELECT e.query_id,
+  CAST(5 AS BIGINT) AS k,
+  CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_overlap,
+  CAST((COUNT(i.neighbor_id) * 1000000) // 5 AS BIGINT) AS recall_e6
+FROM exact e LEFT JOIN ivf i
+  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+def _q_ivf_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 — IVF index health: per-centroid list size + assignment-cosine
+    profile (the rebuild-cadence / drift signal for a persisted ANN
+    index). Per-vector sims floor to integers before the centroid-level
+    aggregation, so the oracle reproduces the means exactly. Reads the
+    family's build-once shared index (`_ensure_ivf_index`) — profiling a
+    persisted index is exactly this operator's production shape."""
+    from commerce_data_pipeline_spark.sources.hadoopfs import join_path
+
+    path = _ensure_ivf_index(spark, sf)
+    inverted = spark.read.parquet(join_path(path, "inverted"))
+    centroids = spark.read.parquet(join_path(path, "centroids"))
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.ivf_assignment_profile(
+        emb, centroids=centroids, inverted=inverted
+    )
+
+
+_O_IVF_PROFILE = """
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), par AS (
+  -- √N centroid rule (similarity.auto_n_centroids): smallest power of two
+  -- nc >= 16 with nc² >= n — integer-exact in every engine
+  SELECT n, nc, GREATEST(n // nc, 1) AS step
+  FROM (SELECT COUNT(*) AS n FROM embeddings) t,
+       LATERAL (
+         SELECT MIN(CAST(1 AS BIGINT) << k) AS nc
+         FROM unnest(generate_series(4, 31)) AS tk(k)
+         WHERE ((CAST(1 AS BIGINT) << k) * (CAST(1 AS BIGINT) << k)) >= t.n
+       ) l
+), cent AS (
+  SELECT CAST(vec_id // step AS INT) AS centroid_id, u AS c_vec
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * nc
+), assign AS (
+  SELECT c.vec_id, cent.centroid_id,
+    list_dot_product(c.u, cent.c_vec) AS s,
+    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      ORDER BY list_dot_product(c.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit c CROSS JOIN cent
+), best AS (
+  SELECT vec_id, centroid_id,
+    CAST(FLOOR(s * 1000000) AS BIGINT) AS sim_e6
+  FROM assign WHERE r = 1
+)
+SELECT centroid_id,
+  CAST(COUNT(*) AS BIGINT) AS list_size,
+  CAST(FLOOR(CAST(SUM(sim_e6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_sim_e6,
+  CAST(MIN(sim_e6) AS BIGINT) AS min_sim_e6,
+  CAST(MAX(sim_e6) AS BIGINT) AS max_sim_e6
+FROM best GROUP BY centroid_id
+"""
+
+
+def _q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 — product-quantization ANN with ADC scoring (4 subspaces × 16
+    codes over 64 dims): corpus stored as 4 codes/vector, queries exact,
+    sims from a broadcast lookup table. Deterministic sampled codebooks +
+    fixed-order partial-sim folds → full value-hash oracle. Codebooks +
+    codes come from the build-once persisted PQ layout
+    (`_ensure_pq_index`) — the production shape: encode once, ADC-query
+    many times (inline encode stays pinned in tests/test_similarity.py)."""
+    cb, enc = _ensure_pq_index(spark, sf)
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    out = similarity.pq_topk(
+        emb, queries, k=5, m=4, ksub=16, dim=64, codebooks=cb, encoded=enc
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("pq_sim", 4).alias("pq_sim"), "rank"
+    )
+
+
+_O_ANN_PQ = """
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), par AS (
+  SELECT GREATEST(COUNT(*) // 16, 1) AS step FROM embeddings
+), samp AS (
+  SELECT CAST(vec_id // step AS INT) AS code, u
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * 16
+), subspaces AS (
+  SELECT unnest(generate_series(0, 3)) AS s
+), cb AS (
+  SELECT s, code, samp.u[s*16+1 : s*16+16] AS sub_vec FROM samp, subspaces
+), enc0 AS (
+  SELECT c.vec_id, cb.s, cb.code,
+    list_sum(list_transform(generate_series(1, 16),
+      i -> (c.u[cb.s*16+i] - cb.sub_vec[i]) * (c.u[cb.s*16+i] - cb.sub_vec[i]))) AS dist
+  FROM unit c CROSS JOIN cb
+), enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, code ASC) AS rn
+    FROM enc0
+  ) WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS query_id, cb.s, cb.code,
+    list_sum(list_transform(generate_series(1, 16),
+      i -> q.u[cb.s*16+i] * cb.sub_vec[i])) AS psim
+  FROM unit q CROSS JOIN cb WHERE q.vec_id % 20 = 0
+), sims AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+    list_sum(list(l.psim ORDER BY l.s)) AS pq_sim
+  FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(pq_sim, 4) AS pq_sim,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pq_sim DESC, neighbor_id ASC) AS INT) AS rank
+FROM sims QUALIFY rank <= 5
+"""
+
+
+def _q_cluster_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus×X3 — cluster-balanced sampling: assign every embedding to
+    its nearest deterministic centroid (the IVF inverted-file assignment)
+    then take exactly 8 per cluster via bottom-k-of-hash — semantic
+    rebalancing of a training corpus (uniform coverage across embedding
+    clusters instead of raw frequency). Pure composition of existing
+    operators: ivf_invert ∘ fixed_size_sample; cluster count follows the
+    √N rule (auto_n_centroids), same as the ANN family.
+
+    The nearest-centroid assignment is served from the persisted IVF
+    index (`_ensure_ivf_index`): the inverted file IS the
+    (vec_id, centroid_id) table, already materialized, partitioned by
+    centroid_id — no per-call corpus count(), no centroid rebuild, no
+    assignment GEMM. Bit-identical to the inline build by construction
+    (the index is built with the same √N helpers), so the oracle is
+    unchanged."""
+    from commerce_data_pipeline_spark.sources.hadoopfs import join_path
+
+    path = _ensure_ivf_index(spark, sf)
+    assigned = spark.read.parquet(join_path(path, "inverted")).select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+    )
+    sample = corpus.fixed_size_sample(
+        assigned, k=8, stratum_col="centroid_id", id_col="vec_id"
+    )
+    return sample.select("centroid_id", "vec_id")
+
+
+_O_CLUSTER_SAMPLE = """
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), par AS (
+  -- √N centroid rule (similarity.auto_n_centroids): smallest power of two
+  -- nc >= 16 with nc² >= n — integer-exact in every engine
+  SELECT n, nc, GREATEST(n // nc, 1) AS step
+  FROM (SELECT COUNT(*) AS n FROM embeddings) t,
+       LATERAL (
+         SELECT MIN(CAST(1 AS BIGINT) << k) AS nc
+         FROM unnest(generate_series(4, 31)) AS tk(k)
+         WHERE ((CAST(1 AS BIGINT) << k) * (CAST(1 AS BIGINT) << k)) >= t.n
+       ) l
+), cent AS (
+  SELECT CAST(vec_id // step AS INT) AS centroid_id, u AS c_vec
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * nc
+), assign AS (
+  SELECT c.vec_id, cent.centroid_id,
+    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      ORDER BY list_dot_product(c.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit c CROSS JOIN cent
+), best AS (
+  SELECT vec_id, centroid_id FROM assign WHERE r = 1
+), s AS (
+  SELECT centroid_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY centroid_id
+      ORDER BY (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 1073741824) ASC, vec_id ASC) AS rn
+  FROM best
+)
+SELECT centroid_id, vec_id FROM s WHERE rn <= 8
+"""
+
+
+def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 scale path — random-hyperplane LSH ANN (8 planes × 4 tables),
+    Gaussian plane family (seeded PCG64). Promoted (r6, VERDICT r5 #5)
+    from rows-only to a full value-hash oracle: the planes are
+    deterministic CONSTANTS, so `_ora_ann_lsh` regenerates the identical
+    matrix at oracle-construction time and inlines every float as a
+    DOUBLE literal — DuckDB then reproduces each bucket bit (sign of a
+    dot against the same float64 constants) and every cosine (same
+    fold on identical unit vectors), the `ann_lsh_md5` technique with
+    full-precision literals instead of ±1. Recall-vs-brute-force stays
+    pinned in tests/test_similarity.py."""
+    emb = load_table(spark, sf, "embeddings")
+    # single small parquet file → 1 input split; scatter before the
+    # CPU-bound Python bucketing stage (real inputs bring their own splits)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    out = similarity.rp_lsh_self_topk(
+        emb, lambda vid: vid % 20 == 0, k=5, dim=64, n_planes=8, n_tables=4
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
+    )
+
+
+_ANN_LSH_MD5_PLANES = 8
+_ANN_LSH_MD5_TABLES = 2
+
+
+def _q_ann_lsh_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 — RP-LSH ANN with md5-derived Rademacher planes: the
+    oracle-checked twin of `ann_lsh` (same bucket/join/score plan; the
+    plane matrix is ±1 constants both engines derive from md5 — the
+    `simhash`→`simhash_md5` trick applied to LSH). Same GEMM execution as
+    the fast path — only the plane family differs."""
+    emb = load_table(spark, sf, "embeddings")
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    planes = similarity.md5_rademacher_planes(64, _ANN_LSH_MD5_PLANES, _ANN_LSH_MD5_TABLES)
+    out = similarity.rp_lsh_self_topk(
+        emb,
+        lambda vid: vid % 20 == 0,
+        k=5,
+        dim=64,
+        n_planes=_ANN_LSH_MD5_PLANES,
+        n_tables=_ANN_LSH_MD5_TABLES,
+        planes=planes,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
+    )
+
+
+def _ora_ann_lsh_md5(dim: int = 64, n_planes: int = _ANN_LSH_MD5_PLANES,
+                     n_tables: int = _ANN_LSH_MD5_TABLES) -> str:
+    """Oracle for `ann_lsh_md5`: the SAME md5-derived ±1 plane constants
+    are inlined as list literals, so DuckDB reproduces every bucket bit;
+    candidates = pairs agreeing on any table's full sign pattern."""
+    from commerce_data_pipeline_spark.operators.similarity import md5_rademacher_planes
+
+    planes = md5_rademacher_planes(dim, n_planes, n_tables)
+
+    def lit(col: list[float]) -> str:
+        return "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in col) + "]"
+
+    buckets = []
+    for t in range(n_tables):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(u, {lit(planes[t * n_planes + p])}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        buckets.append(f"({terms}) AS b{t}")
+    bucket_match = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), b AS (
+  SELECT vec_id, u, {", ".join(buckets)} FROM unit
+), cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.u, c.u) AS sim
+  FROM b q JOIN b c ON c.vec_id <> q.vec_id AND ({bucket_match})
+  WHERE q.vec_id % 20 = 0
+)
+SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+FROM cand QUALIFY rank <= 5
+"""
+
+
+def _ora_ann_lsh(dim: int = 64, n_planes: int = 8, n_tables: int = 4,
+                 seed0: int = 1000) -> str:
+    """Oracle for `ann_lsh`: regenerate the seeded PCG64 Gaussian plane
+    matrix (the same one `_bucketize_np` builds per task) and inline each
+    plane as full-precision DOUBLE literals; bucket bits and cosines then
+    replay exactly in DuckDB (see `_ora_ann_lsh_md5` for the technique —
+    only the plane family differs)."""
+    import numpy as np
+
+    tables = [
+        np.random.default_rng(seed0 + t).standard_normal((dim, n_planes))
+        for t in range(n_tables)
+    ]
+
+    def lit(col) -> str:
+        return "[" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in col) + "]"
+
+    buckets = []
+    for t in range(n_tables):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(u, {lit(tables[t][:, p])}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        buckets.append(f"({terms}) AS b{t}")
+    bucket_match = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), b AS (
+  SELECT vec_id, u, {", ".join(buckets)} FROM unit
+), cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.u, c.u) AS sim
+  FROM b q JOIN b c ON c.vec_id <> q.vec_id AND ({bucket_match})
+  WHERE q.vec_id % 20 = 0
+)
+SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+FROM cand QUALIFY rank <= 5
+"""
+
+
+def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """X5 — media table (binary payload + typed metadata) synthesized from
+    the documents corpus; metadata/digest projection only — the payload
+    column prunes out of the scan for this shape."""
+    docs = load_table(spark, sf, "documents")
+    return multimodal.media_metadata(multimodal.synthesize_media(docs))
+
+
+_O_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+  (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  md5(text) AS payload_md5,
+  CAST(64 + (doc_id % 16) * 8 AS INT) AS width,
+  CAST(64 + (doc_id % 9) * 8 AS INT) AS height,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 40 + 8 ELSE 1 END AS INT) AS n_frames,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 40 + 8 ELSE 1 END * 40 AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+def _q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """X5 — video frame sampling (stride 4): one row per sampled frame with
+    its byte-slice length (the slice itself is binary; the arithmetic length
+    is the oracle-comparable witness that slicing is correct)."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synthesize_media(docs)
+    frames = multimodal.sample_frames(media, stride=4)
+    return frames.select(
+        "media_id", "frame_index", F.octet_length("frame_bytes").cast("long").alias("frame_len")
+    )
+
+
+_O_FRAME_SAMPLE = """
+WITH vids AS (
+  SELECT doc_id AS media_id,
+    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+    (doc_id % 40 + 8) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+), fr AS (
+  SELECT media_id, byte_len, n_frames,
+    GREATEST(byte_len // n_frames, 1) AS fb,
+    unnest(generate_series(0, n_frames - 1, 4)) AS frame_index
+  FROM vids
+)
+SELECT media_id, CAST(frame_index AS INT) AS frame_index,
+  CAST(LEAST(fb, GREATEST(byte_len - frame_index * fb, 0)) AS BIGINT) AS frame_len
+FROM fr
+"""
+
+
+def _q_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """X5 — overlapping audio windows (64-byte window, 32-byte hop over
+    the synthetic payloads); arithmetic window lengths are the
+    oracle-comparable witness of correct slicing."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synthesize_media(docs)
+    w = multimodal.audio_windows(media, window_bytes=64, hop_bytes=32)
+    return w.select("media_id", "window_index", "start_byte", "window_len")
+
+
+_O_AUDIO_WINDOWS = """
+WITH auds AS (
+  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS blen
+  FROM documents WHERE doc_id % 3 = 1
+), wins AS (
+  SELECT media_id, blen,
+    GREATEST(CAST(FLOOR((blen - 64) / 32.0) AS INT) + 1, 1) AS n_windows
+  FROM auds
+)
+SELECT media_id,
+  CAST(i AS INT) AS window_index,
+  CAST(i * 32 AS BIGINT) AS start_byte,
+  CAST(LEAST(64, GREATEST(blen - i * 32, 0)) AS BIGINT) AS window_len
+FROM wins, LATERAL unnest(generate_series(0, n_windows - 1)) AS t(i)
+"""
+
+
+def _q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """X5 — Arrow-batched feature extraction over media payloads (stub
+    embedding model, real mapInPandas plumbing). Digest-chain features are
+    not SQL-expressible → rows-only check; determinism is unit-tested."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synthesize_media(docs)
+    feats = multimodal.extract_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda s, x: s + x.cast("double")), 4).alias(
+            "feat_sum"
+        ),
+    )

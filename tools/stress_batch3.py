@@ -31,10 +31,11 @@ BATCH3 = [
 
 
 def run_at_scale(spark, sf_dir: str, k: int) -> dict[str, float]:
-    original = Q.load_table
-    Q.load_table = scaled_loader(k)
-    original_tag = Q.CACHE_TAG
-    Q.CACHE_TAG = f"x{k}" if k != 1 else ""
+    # queries is now a package (r10 split): rebind load_table inside every
+    # query module; the package-level Q.load_table stays the restore point.
+    Q.rebind_load_table(scaled_loader(k))
+    original_tag = Q.get_cache_tag()
+    Q.set_cache_tag(f"x{k}" if k != 1 else "")
     try:
         out: dict[str, float] = {}
         for name in BATCH3:
@@ -47,8 +48,8 @@ def run_at_scale(spark, sf_dir: str, k: int) -> dict[str, float]:
             out[name] = _timed_min(run)
         return out
     finally:
-        Q.load_table = original
-        Q.CACHE_TAG = original_tag
+        Q.rebind_load_table(Q.load_table)
+        Q.set_cache_tag(original_tag)
 
 
 def main() -> None:
