@@ -58,6 +58,28 @@ def main() -> None:
     warm.join(warm.select(F.col("r_regionkey")), on="r_regionkey").groupBy("r_name").count().count()
     spark.range(100).mapInPandas(lambda it: it, "id long").count()
 
+    # Fixed-cost calibration probe (r9 VERDICT directive #2): one trivial
+    # constant-work query — sf-independent, codegen + one 32-key shuffle —
+    # timed immediately after warm-up and again after the whole suite. Its
+    # two times ship in the JSON so a contended-harness run (BENCH_r09:
+    # driver 150.3 s vs builder 130.5 s at the same HEAD) is diagnosable
+    # from the artifact alone: inflated probe ⇒ environment, flat probe
+    # with inflated queries ⇒ bisect for a real regression.
+    def _probe() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.range(2_000_000)
+                .groupBy((F.col("id") % 32).alias("k"))
+                .agg(F.sum("id").alias("s"))
+                .count()
+            )
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    probe_first = _probe()
+
     # Min-of-N timing (default 2): this VM shows 3-4× run-to-run swings
     # (cold JIT, noisy neighbors — STRESS.md documents dedup_clusters at
     # both 3 s and 25 s for identical code), so a single sample makes
@@ -85,6 +107,7 @@ def main() -> None:
                 _unpersist_all_rdds(spark)
         timings[name] = round(best, 3)
 
+    probe_last = _probe()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -106,6 +129,14 @@ def main() -> None:
         # dropped between samples so every run re-executes the full plan
         "runs_per_query": runs,
         "timing": f"min_of_{runs}_runs",
+        # calibration probe: min-of-3 of an identical sf-independent query
+        # before the first and after the last suite query. probe_ratio
+        # close to 1.0 certifies a quiet harness; a materially inflated
+        # probe means the box was contended and cross-round per-query
+        # comparison of THIS artifact is unreliable.
+        "probe_first_s": probe_first,
+        "probe_last_s": probe_last,
+        "probe_ratio": round(probe_last / probe_first, 3) if probe_first > 0 else None,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:

@@ -409,6 +409,75 @@ REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R9} | {
     k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R9)
 }
 
+# --- r10 additions ---------------------------------------------------------
+from commerce_data_pipeline_spark.queries.analytics import (  # noqa: E402
+    _O_STREAM_ATTRIBUTION_PAIRS,
+    _q_stream_attribution_pairs,
+)
+from commerce_data_pipeline_spark.queries.selection_linkage import (  # noqa: E402
+    _O_QUALITY_GATE_REPORT,
+    _q_quality_gate_report,
+)
+
+REGISTRY["quality_gate_report"] = QuerySpec(
+    _q_quality_gate_report,
+    _O_QUALITY_GATE_REPORT,
+    "X11 selection: cross-run QualityGateLedger ingest→merge→report (banded AUC + bound + ECE)",
+)
+REGISTRY["stream_attribution_pairs"] = QuerySpec(
+    _q_stream_attribution_pairs,
+    _O_STREAM_ATTRIBUTION_PAIRS,
+    "streaming interval join: purchase→trailing-hour views (batch parity)",
+)
+
+# --- r9→r10 window rotation (VERDICT r9 directive #1) ----------------------
+# The judge's r10 seed verbatim: the ten r4-latest attestations plus the
+# three r2-latest that ceded their slots to the new r9 queries — after this
+# window goes green, every non-terminal query's latest attestation is ≥ r4.
+# The two NEW r10 queries (quality_gate_report: the ledger's append/merge
+# plumbing under a one-pass oracle, directive #3; stream_attribution_pairs:
+# the stream-stream interval join's batch twin, directive #7) take the
+# never-attested-must-sit-inside-the-window slots. The remaining 35 slots
+# rotate the stalest tiers oldest-first: all 16 r5-latest, fuzzy_name_pairs
+# + bloom_decontaminate from the r7 tier (each doubling as its family's
+# pin — linkage, X8), and 15 r6-latest chosen so every family keeps one
+# proof in-window (sketch_accuracy/bm25_search/resample_ffill/part_pagerank/
+# table_profile/attribution_last_touch/cohort_retention) before falling back
+# to alphabetical-oldest (ann_ivf, ann_pq, bigram_lm, cluster_sample,
+# contamination, conversion_daily, dedup_clusters, dedup_exact). The two
+# single-query families (salted_hot_join, zorder_skipping) must always sit
+# in-window per FAMILY_PROOFS. part_pagerank in the seed doubles as the
+# judge's directive-#5 watch item — a fresh driver attestation on the
+# post-whitelist admission path.
+_WINDOW_R10 = [
+    # new in r10 — first driver attestation this round
+    "quality_gate_report", "stream_attribution_pairs",
+    # the judge's 13-query seed (r4-latest ×10, r2-latest ×3)
+    "ann_recall", "winnow_pairs", "overlap_chunks", "ivf_profile",
+    "embedding_quantize", "jaccard_topk", "semantic_only_dups",
+    "text_stats", "text_fingerprints", "fixed_size_sample",
+    "top_supplier", "large_orders", "promo_revenue",
+    # all 16 r5-latest rotate-ins, alphabetical
+    "ann_lsh_md5", "chunk_pack", "corpus_mix", "corpus_split",
+    "embedding_near_dup", "frame_sample", "lm_quality", "lsh_dedup_pairs",
+    "minhash_signature", "multimodal_meta", "simhash_md5",
+    "similarity_topk", "stratified_sample", "text_repetition",
+    "token_budget", "winnow",
+    # r7-latest family pins (linkage, X8 bloom)
+    "fuzzy_name_pairs", "bloom_decontaminate",
+    # r6-latest family pins (X6, X7, X9, X12, X13, G4, G5)
+    "sketch_accuracy", "bm25_search", "resample_ffill", "part_pagerank",
+    "table_profile", "attribution_last_touch", "cohort_retention",
+    # r6-latest freshness fill, alphabetical-oldest
+    "ann_ivf", "ann_pq", "bigram_lm", "cluster_sample", "contamination",
+    "conversion_daily", "dedup_clusters", "dedup_exact",
+    # single-query families (must stay in-window)
+    "salted_hot_join", "zorder_skipping",
+]
+REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R10} | {
+    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R10)
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in REGISTRY.items()}

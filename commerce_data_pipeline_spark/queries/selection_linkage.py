@@ -936,3 +936,84 @@ SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
   END AS BIGINT) AS auc_e6
 FROM c
 """
+
+
+def _ensure_quality_ledger(spark: SparkSession, sf: str):
+    """Build-once handle for a QualityGateLedger over the documents table
+    at this sf (VERDICT r9 directive #3: the ledger's append/merge
+    plumbing gets a driver-attested oracle, not just pytest). Two
+    parquet appends split by doc_id parity exercise the cross-run merge
+    path; a _LEDGER_READY marker makes the build idempotent (the bench
+    harness runs every query twice — a second ingest would double-count,
+    this is a metrics ledger, not a dedup ledger). A partial build
+    (dir present, marker absent) is wiped and redone."""
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+    from commerce_data_pipeline_spark.sources.ledger import QualityGateLedger
+
+    root = _cache_dir("quality_gate", sf)
+    bins = join_path(root, "bins")
+    marker = join_path(root, "_LEDGER_READY")
+    fs = HadoopFS(spark, root)
+    ledger = QualityGateLedger(spark, bins, n_bins=10, conf_scale=1_000_000)
+    if not fs.exists(marker):
+        if fs.exists(root):
+            fs.delete(root)
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id", "source", "lang", "n_chars"
+        )
+        cal = selection.calibrate_scores(
+            docs.select("doc_id", "source", "n_chars"), "n_chars"
+        )
+        lab = docs.select("doc_id", (F.col("lang") == "en").alias("is_en"))
+        scored = cal.join(lab, "doc_id").localCheckpoint()  # two ingests
+        ledger.ingest(scored.filter(F.col("doc_id") % 2 == 0), "is_en", "calib_e6")
+        ledger.ingest(scored.filter(F.col("doc_id") % 2 == 1), "is_en", "calib_e6")
+        fs.write_bytes(marker, b"ready\n")
+    return ledger
+
+
+def _q_quality_gate_report(spark: SparkSession, sf: str) -> DataFrame:
+    """X11 — cross-run quality-gate ledger report
+    (sources/ledger.QualityGateLedger): ingest the calibrated
+    'looks-English' confidence (calibration_bins' exact signal) in TWO
+    doc_id-parity batches, then report over the MERGED history —
+    (n, n_pos, n_neg, auc_banded_e6, max_err_e6, ece_e6). Because bin
+    aggregates are exactly mergeable sums-of-sums, the oracle replays a
+    ONE-PASS binning over all documents plus the (already-attested)
+    banded-AUC and integer-ECE arithmetic: a value-hash match here
+    attests the append→config-check→merge plumbing end to end. State is
+    O(n_bins) per ingest; the report never rescans raw history."""
+    return _ensure_quality_ledger(spark, sf).report()
+
+
+_O_QUALITY_GATE_REPORT = """
+WITH c AS (
+  SELECT (lang = 'en') AS y,
+    CAST(FLOOR(1000000 * PERCENT_RANK() OVER (
+      PARTITION BY source ORDER BY n_chars, doc_id)) AS BIGINT) AS conf
+  FROM documents
+), b AS (
+  SELECT CAST(LEAST(conf * 10 // 1000000, 9) AS INT) AS bin, y, conf FROM c
+), per AS (
+  SELECT bin, COUNT(*) AS n,
+    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+    SUM(CASE WHEN y THEN 0 ELSE 1 END) AS nn,
+    SUM(conf) AS sc
+  FROM b GROUP BY bin
+), cum AS (
+  SELECT n, np, nn, sc, SUM(nn) OVER (ORDER BY bin) AS cumn FROM per
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n,
+  CAST(SUM(np) AS BIGINT) AS n_pos,
+  CAST(SUM(nn) AS BIGINT) AS n_neg,
+  CAST(CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+    (1000000 * SUM(np * (2 * (cumn - nn) + nn))) // (2 * SUM(np) * SUM(nn))
+  END AS BIGINT) AS auc_banded_e6,
+  CAST(CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+    (1000000 * SUM(np * nn) + 2 * SUM(np) * SUM(nn) - 1)
+      // (2 * SUM(np) * SUM(nn)) + 1
+  END AS BIGINT) AS max_err_e6,
+  CAST((1000000 * SUM(ABS(np * 1000000 - sc)))
+    // (SUM(n) * 1000000) AS BIGINT) AS ece_e6
+FROM cum
+"""

@@ -21,52 +21,57 @@ CHECK_WINDOW = 50
 # payload); only the six families with no stale representative keep an
 # r8-attested pin. The r8 pin-set's full rationale history lives in git
 # (this file @ 8c40dcb).
+# r10 reset (VERDICT r9 directive #1): the window rotates the judge's
+# 13-query seed plus the r5/r6/r7-stalest tiers back under the driver's
+# oracle; pins are chosen FROM those rotate-ins wherever a family has one,
+# so each pin is both the family floor and a freshness payload. The r9
+# pin-set's rationale history lives in git (this file @ HEAD~1).
 FAMILY_PROOFS = {
-    # X1/X2 dedup chain: dedup_clusters_alt re-attests minhash→LSH→CC on
-    # the post-global_rank engine; band_pairs pins the banded bucket stage
-    "dedup_clusters_alt",
-    "band_pairs",
-    # record linkage: the NEW multi-pass union (blocked ∪ SNM with
-    # provenance) exercises blocked_edit_pairs AND snm_pairs (and thus
-    # global_rank) under one oracle
-    "multi_pass_name_pairs",
-    # X3 ANN: the persisted-IVF path (centroid build + pruned probe)
-    "ann_ivf_indexed",
-    # X4 text: tokenizer + word-level agg
-    "word_count",
-    # X5 multimodal: overlapping audio windows (sequence+explode shape)
-    "audio_windows",
-    # X6 sketches (no stale representative — r8 pin retained)
-    "sketch_union",
-    # X7 search (no stale representative — r8 pin retained)
-    "bm25_indexed",
-    # X8 bloom (no stale representative — r8 pin retained)
-    "bloom_fpr",
-    # X9 temporal: as-of join
-    "asof_view_before_purchase",
-    # X10/corpus: ingest normalization
-    "corpus_ingest",
-    # X11 selection: the NEW Mann-Whitney AUC gate (r8 ADVICE #1 wiring)
-    "ranking_auc",
-    # X12 graph (no stale representative — r8 pin retained; the skew
-    # pre-flight is the cheapest family witness)
-    "degree_histogram",
-    # X13 profiling: seasonality-aware anomaly audit
-    "daily_anomalies",
-    # skew mitigation (single-query family — r8 pin retained)
+    # X1 exact dedup + X2 chain (banded pair stage, CC clustering)
+    "dedup_exact",
+    "lsh_dedup_pairs",
+    "dedup_clusters",
+    # record linkage: blocked edit-distance pairs
+    "fuzzy_name_pairs",
+    # X3 ANN: recall eval (exact vs IVF side-by-side)
+    "ann_recall",
+    # X4 text: stats profile
+    "text_stats",
+    # X5 multimodal: typed-metadata extraction
+    "multimodal_meta",
+    # X6 sketches: accuracy harness
+    "sketch_accuracy",
+    # X7 search: BM25 retrieval
+    "bm25_search",
+    # X8 bloom: decontamination path
+    "bloom_decontaminate",
+    # X9 temporal: resample + forward-fill
+    "resample_ffill",
+    # X10/corpus: temperature mixing
+    "corpus_mix",
+    # X11 selection: the NEW cross-run QualityGateLedger report (r9
+    # directive #3 — closes the family's last pytest-only gap)
+    "quality_gate_report",
+    # X12 graph: PageRank over the shared co-purchase frame (doubles as
+    # the judge's directive-#5 part_pagerank watch item)
+    "part_pagerank",
+    # X13 profiling: full-table profile
+    "table_profile",
+    # skew mitigation (single-query family — must always sit in-window)
     "salted_hot_join",
-    # §4 layout (single-query family — r8 pin retained)
+    # §4 layout (single-query family — must always sit in-window)
     "zorder_skipping",
-    # streaming: session_window batch parity
-    "session_windows",
-    # G analytics: journey transitions + conversion timing
-    "journey_transitions",
-    "time_to_convert",
-    # relational/gold: top-k, rollup/cube, window frames
-    "sort_topk_lineitems",
-    "rollup_sales",
-    "cube_sales",
-    "trailing_revenue",
+    # streaming: the NEW stream-stream interval-join batch twin (r9
+    # directive #7)
+    "stream_attribution_pairs",
+    # G analytics: last-touch attribution + cohort retention
+    "attribution_last_touch",
+    "cohort_retention",
+    # relational/gold: join/agg, Q18, Q14 shapes (the three r2-latest
+    # seed queries)
+    "top_supplier",
+    "large_orders",
+    "promo_revenue",
 }
 
 def test_every_family_proof_inside_check_window():
