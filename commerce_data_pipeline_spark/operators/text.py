@@ -884,3 +884,59 @@ def bpe_compression(
     return spark.createDataFrame(
         stages, "stage int, total_syms long, saved_vs_chars long"
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer-coverage audit: build the corpus-frequency top-`vocab_size`
+    vocabulary (count desc, word asc — a unique total order, so the vocab
+    is deterministic and engine-replayable), then report each group's
+    token volume and out-of-vocabulary rate at that V. The standard
+    pre-tokenizer check before committing a vocabulary to a training run:
+    a source whose OOV rate is an outlier either needs vocab budget or is
+    the wrong kind of text.
+
+    Scale shape: one explode scan into a word-keyed count (map-side
+    combine — the shuffle carries distinct words, not tokens); the top-V
+    cut uses `relational.global_rank`'s range exchange over DISTINCT
+    words (never a single-partition window); the vocabulary (≤ V rows)
+    broadcasts back onto the token stream, so the membership test is
+    map-side; one final ≤ n_groups-key agg. No stage ever shuffles raw
+    token rows by anything but the word key.
+
+    Returns (group_col, n_tokens, n_oov, oov_rate_e6) with
+    oov_rate_e6 = floor(1e6 · n_oov / n_tokens) — exact integer floor
+    division, identical in any engine.
+    """
+    from commerce_data_pipeline_spark.operators.relational import global_rank
+
+    if vocab_size < 1:
+        raise ValueError("vocab_coverage: vocab_size must be >= 1")
+    tok = df.select(F.col(group_col), F.explode(words(text_col)).alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_rank(counts, [F.desc("n"), F.asc("w")], rank_col="_rn")
+    vocab = ranked.filter(F.col("_rn") <= vocab_size).select(
+        "w", F.lit(1).alias("_in_vocab")
+    )
+    flagged = tok.join(F.broadcast(vocab), "w", "left")
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "n_oov",
+            F.expr("CAST((1000000 * n_oov) div n_tokens AS BIGINT)").alias(
+                "oov_rate_e6"
+            ),
+        )
+    )

@@ -418,6 +418,10 @@ from commerce_data_pipeline_spark.queries.selection_linkage import (  # noqa: E4
     _O_QUALITY_GATE_REPORT,
     _q_quality_gate_report,
 )
+from commerce_data_pipeline_spark.queries.dedup_text import (  # noqa: E402
+    _O_VOCAB_COVERAGE,
+    _q_vocab_coverage,
+)
 
 REGISTRY["quality_gate_report"] = QuerySpec(
     _q_quality_gate_report,
@@ -428,6 +432,11 @@ REGISTRY["stream_attribution_pairs"] = QuerySpec(
     _q_stream_attribution_pairs,
     _O_STREAM_ATTRIBUTION_PAIRS,
     "streaming interval join: purchase→trailing-hour views (batch parity)",
+)
+REGISTRY["vocab_coverage"] = QuerySpec(
+    _q_vocab_coverage,
+    _O_VOCAB_COVERAGE,
+    "X4 text: top-V vocabulary coverage / per-source OOV-rate audit",
 )
 
 # --- r9→r10 window rotation (VERDICT r9 directive #1) ----------------------
@@ -451,7 +460,7 @@ REGISTRY["stream_attribution_pairs"] = QuerySpec(
 # post-whitelist admission path.
 _WINDOW_R10 = [
     # new in r10 — first driver attestation this round
-    "quality_gate_report", "stream_attribution_pairs",
+    "quality_gate_report", "stream_attribution_pairs", "vocab_coverage",
     # the judge's 13-query seed (r4-latest ×10, r2-latest ×3)
     "ann_recall", "winnow_pairs", "overlap_chunks", "ivf_profile",
     "embedding_quantize", "jaccard_topk", "semantic_only_dups",
@@ -469,7 +478,7 @@ _WINDOW_R10 = [
     "sketch_accuracy", "bm25_search", "resample_ffill", "part_pagerank",
     "table_profile", "attribution_last_touch", "cohort_retention",
     # r6-latest freshness fill, alphabetical-oldest
-    "ann_ivf", "ann_pq", "bigram_lm", "cluster_sample", "contamination",
+    "ann_ivf", "ann_pq", "cluster_sample", "contamination",
     "conversion_daily", "dedup_clusters", "dedup_exact",
     # single-query families (must stay in-window)
     "salted_hot_join", "zorder_skipping",

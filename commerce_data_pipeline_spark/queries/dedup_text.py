@@ -1379,3 +1379,32 @@ SELECT
   CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL AND NOT diff THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
 FROM merged
 """
+
+
+def _q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 — tokenizer-coverage audit (operators/text.vocab_coverage):
+    top-20 corpus-frequency vocabulary (unique (count desc, word asc)
+    order via global_rank's range exchange — never a single-partition
+    window), broadcast back onto the token stream, per-source OOV rate as
+    an exact floored e6 ratio. The oracle replays the vocabulary cut with
+    the same ORDER BY ... LIMIT and the same integer division."""
+    docs = load_table(spark, sf, "documents").select("source", "text")
+    return text.vocab_coverage(docs, vocab_size=20)
+
+
+_O_VOCAB_COVERAGE = """
+WITH tok AS (
+  SELECT source,
+    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS n FROM tok GROUP BY w)
+  ORDER BY n DESC, w ASC LIMIT 20
+)
+SELECT t.source,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  CAST((1000000 * SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS oov_rate_e6
+FROM tok t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.source
+"""

@@ -268,3 +268,37 @@ def test_bigram_lm_heldout_model(spark):
     a = sorted(map(tuple, bigram_lm_scores(train).collect()))
     b = sorted(map(tuple, bigram_lm_scores(train, model_df=train).collect()))
     assert a == b
+
+
+def test_vocab_coverage(spark):
+    """Top-V cut is (count desc, word asc)-deterministic; OOV counted per
+    group with an exact floored e6 ratio."""
+    df = spark.createDataFrame(
+        [
+            ("a", "x x x y z"),   # x:3 y:1 z:1
+            ("b", "x y y q"),     # +x:1 y:2 q:1
+        ],
+        "source string, text string",
+    )
+    # corpus counts: x=4, y=3, q=1, z=1 → V=2 vocab = {x, y}
+    out = {
+        r["source"]: r
+        for r in X.vocab_coverage(df, vocab_size=2).collect()
+    }
+    assert out["a"]["n_tokens"] == 5 and out["a"]["n_oov"] == 1
+    assert out["a"]["oov_rate_e6"] == 200000
+    assert out["b"]["n_tokens"] == 4 and out["b"]["n_oov"] == 1
+    assert out["b"]["oov_rate_e6"] == 250000
+
+
+def test_vocab_coverage_tie_break_and_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("s", "b a")], "source string, text string"
+    )
+    # a and b tie at count 1: V=1 must pick 'a' (word asc tiebreak)
+    row = X.vocab_coverage(df, vocab_size=1).collect()[0]
+    assert row["n_oov"] == 1  # 'b' is OOV
+    with _pytest.raises(ValueError):
+        X.vocab_coverage(df, vocab_size=0)
