@@ -731,3 +731,75 @@ def ece_from_bins(per: DataFrame, conf_scale: int) -> DataFrame:
             ),
         ).cast("long").alias("ece_e6"),
     )
+
+
+def fisher_separation(
+    df: DataFrame,
+    target_label: int = 0,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    top_k: int = 10,
+    quant_scale: int = 1_000_000,
+) -> DataFrame:
+    """One-vs-rest Fisher separation score per embedding dimension — the
+    linear-probe pre-check: which coordinates separate `target_label`
+    from the rest, before spending a training run on the labels. For a
+    two-class split the Fisher criterion (μ0−μ1)²/(σ0²+σ1²) reduces,
+    after clearing denominators, to a RATIO OF INTEGERS over per-class
+    (count, sum, sum-of-squares) of the quantized coordinate:
+
+        num = (S0·n1 − S1·n0)²
+        den = (n0·Q0 − S0²)·n1² + (n1·Q1 − S1²)·n0²
+        fisher_e6 = floor(1e6 · num / den)     (NULL when den = 0)
+
+    with x quantized once as floor(x·quant_scale) — one IEEE multiply +
+    floor on the float32-to-double-exact value, identical in any engine —
+    so every downstream operation is exact integer arithmetic
+    (decimal(38,0) here, HUGEINT in the DuckDB oracle) and the output is
+    engine-replayable bit for bit.
+
+    Scale shape: ONE posexplode scan into a dim-keyed agg with map-side
+    combine — the shuffle carries dim-count rows (64 here), never token
+    rows; the final rank runs over those ≤ dim rows (TakeOrdered). Works
+    at any corpus size whose per-class Σx² at e6 quantization stays
+    inside decimal(38,0) after the den products — ~1e12 rows at unit-norm
+    embeddings; beyond that, lower quant_scale (the ratio is scale-free).
+
+    Returns top_k rows (dim, n0, n1, fisher_e6), fisher_e6 desc
+    (NULLs last), dim asc.
+    """
+    x = df.select(
+        F.col(label_col).alias("_y"), F.posexplode(vec_col).alias("dim", "_v")
+    )
+    xq = x.select(
+        "dim",
+        (F.col("_y") == F.lit(target_label)).alias("_is0"),
+        F.floor(F.col("_v").cast("double") * F.lit(float(quant_scale))).alias("_xq"),
+    )
+    dec = 'decimal(38,0)'
+    per = xq.groupBy("dim").agg(
+        F.sum(F.when(F.col("_is0"), 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(~F.col("_is0"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("_is0"), F.col("_xq")).otherwise(0).cast(dec)).alias("s0"),
+        F.sum(F.when(~F.col("_is0"), F.col("_xq")).otherwise(0).cast(dec)).alias("s1"),
+        F.sum(
+            F.when(F.col("_is0"), F.col("_xq") * F.col("_xq")).otherwise(0).cast(dec)
+        ).alias("q0"),
+        F.sum(
+            F.when(~F.col("_is0"), F.col("_xq") * F.col("_xq")).otherwise(0).cast(dec)
+        ).alias("q1"),
+    )
+    den = "((n0*q0 - s0*s0)*n1*n1 + (n1*q1 - s1*s1)*n0*n0)"
+    num = "((s0*n1 - s1*n0) * (s0*n1 - s1*n0))"
+    scored = per.select(
+        "dim",
+        "n0",
+        "n1",
+        F.expr(
+            f"CASE WHEN {den} > 0 THEN "
+            f"(CAST(1000000 AS DECIMAL(38,0)) * {num}) div {den} END"
+        ).cast("long").alias("fisher_e6"),
+    )
+    return scored.orderBy(
+        F.desc_nulls_last("fisher_e6"), F.asc("dim")
+    ).limit(top_k)

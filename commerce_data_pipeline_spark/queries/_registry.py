@@ -415,7 +415,9 @@ from commerce_data_pipeline_spark.queries.analytics import (  # noqa: E402
     _q_stream_attribution_pairs,
 )
 from commerce_data_pipeline_spark.queries.selection_linkage import (  # noqa: E402
+    _O_FISHER_DIMS,
     _O_QUALITY_GATE_REPORT,
+    _q_fisher_dims,
     _q_quality_gate_report,
 )
 from commerce_data_pipeline_spark.queries.dedup_text import (  # noqa: E402
@@ -437,6 +439,11 @@ REGISTRY["vocab_coverage"] = QuerySpec(
     _q_vocab_coverage,
     _O_VOCAB_COVERAGE,
     "X4 text: top-V vocabulary coverage / per-source OOV-rate audit",
+)
+REGISTRY["fisher_dims"] = QuerySpec(
+    _q_fisher_dims,
+    _O_FISHER_DIMS,
+    "X11 selection: exact-integer one-vs-rest Fisher dimension audit",
 )
 
 # --- r9→r10 window rotation (VERDICT r9 directive #1) ----------------------
@@ -461,6 +468,7 @@ REGISTRY["vocab_coverage"] = QuerySpec(
 _WINDOW_R10 = [
     # new in r10 — first driver attestation this round
     "quality_gate_report", "stream_attribution_pairs", "vocab_coverage",
+    "fisher_dims",
     # the judge's 13-query seed (r4-latest ×10, r2-latest ×3)
     "ann_recall", "winnow_pairs", "overlap_chunks", "ivf_profile",
     "embedding_quantize", "jaccard_topk", "semantic_only_dups",
@@ -479,7 +487,7 @@ _WINDOW_R10 = [
     "table_profile", "attribution_last_touch", "cohort_retention",
     # r6-latest freshness fill, alphabetical-oldest
     "ann_ivf", "ann_pq", "cluster_sample", "contamination",
-    "conversion_daily", "dedup_clusters", "dedup_exact",
+    "dedup_clusters", "dedup_exact",
     # single-query families (must stay in-window)
     "salted_hot_join", "zorder_skipping",
 ]

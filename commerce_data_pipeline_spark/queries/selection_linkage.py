@@ -1017,3 +1017,45 @@ SELECT CAST(SUM(n) AS BIGINT) AS n,
     // (SUM(n) * 1000000) AS BIGINT) AS ece_e6
 FROM cum
 """
+
+
+def _q_fisher_dims(spark: SparkSession, sf: str) -> DataFrame:
+    """X11 — one-vs-rest Fisher separation audit over labeled embeddings
+    (operators/selection.fisher_separation): top-10 dimensions separating
+    label 0 from the rest, every value exact integer arithmetic over
+    e6-quantized coordinates (num/den ratio of per-class count/sum/sumsq
+    — the docstring derivation), so the oracle replays it bit for bit
+    with HUGEINT. One posexplode scan, one 64-key agg with map-side
+    combine; rank over 64 rows."""
+    emb = load_table(spark, sf, "embeddings").select("label", "embedding")
+    return selection.fisher_separation(emb, target_label=0, top_k=10)
+
+
+_O_FISHER_DIMS = """
+WITH x AS (
+  SELECT label,
+    unnest(range(len(embedding))) AS dim,
+    unnest(embedding) AS v
+  FROM embeddings
+), q AS (
+  SELECT dim, (label = 0) AS is0,
+    CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS xq
+  FROM x
+), per AS (
+  SELECT dim,
+    SUM(CASE WHEN is0 THEN 1 ELSE 0 END) AS n0,
+    SUM(CASE WHEN NOT is0 THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN is0 THEN xq ELSE 0 END) AS s0,
+    SUM(CASE WHEN NOT is0 THEN xq ELSE 0 END) AS s1,
+    SUM(CASE WHEN is0 THEN xq*xq ELSE 0 END) AS q0,
+    SUM(CASE WHEN NOT is0 THEN xq*xq ELSE 0 END) AS q1
+  FROM q GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+  CAST(CASE WHEN ((n0*q0 - s0*s0)*n1*n1 + (n1*q1 - s1*s1)*n0*n0) > 0 THEN
+    (1000000 * (s0*n1 - s1*n0) * (s0*n1 - s1*n0))
+      // ((n0*q0 - s0*s0)*n1*n1 + (n1*q1 - s1*s1)*n0*n0)
+  END AS BIGINT) AS fisher_e6
+FROM per
+ORDER BY fisher_e6 DESC NULLS LAST, dim ASC LIMIT 10
+"""

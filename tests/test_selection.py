@@ -400,3 +400,33 @@ def test_ranking_auc_banded_approx_boundaries_keep_the_contract(spark):
     assert r["n_pos"] == sum(1 for lab, _ in rows if lab)
     disc = S.ranking_auc_banded(df, "label", "score", n_bands=10).collect()[0]
     assert r == disc  # exact-regime sketch → identical banding end-to-end
+
+
+def test_fisher_separation_exact(spark):
+    """Hand-computable two-dim case: dim 0 separates classes, dim 1 does
+    not; degenerate (zero-variance) dims yield NULL (den = 0)."""
+    from commerce_data_pipeline_spark.operators.selection import fisher_separation
+
+    rows = [
+        (0, [1.0, 5.0]),
+        (0, [1.1, 5.2]),
+        (1, [3.0, 5.1]),
+        (1, [3.1, 5.3]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {r["dim"]: r for r in fisher_separation(df, 0, top_k=2).collect()}
+    # dim 0: means 1.05 vs 3.05, tiny within-class variance → huge score
+    # dim 1: overlapping → small score
+    assert out[0]["fisher_e6"] > out[1]["fisher_e6"] > 0
+    assert out[0]["n0"] == 2 and out[0]["n1"] == 2
+
+
+def test_fisher_separation_null_when_degenerate(spark):
+    from commerce_data_pipeline_spark.operators.selection import fisher_separation
+
+    # all-identical coordinates: den = 0 → NULL, ranked last
+    df = spark.createDataFrame(
+        [(0, [2.0]), (1, [2.0])], "label int, embedding array<float>"
+    )
+    out = fisher_separation(df, 0, top_k=1).collect()
+    assert out[0]["fisher_e6"] is None
