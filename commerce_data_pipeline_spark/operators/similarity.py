@@ -1484,3 +1484,72 @@ def pca_power_iteration(
     return spark.createDataFrame(
         [(i, v[i]) for i in range(d)], "dim int, v_e6 long"
     )
+
+
+def knn_label_agreement(
+    emb: DataFrame,
+    k: int = 5,
+    sample_mod: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-quality eval by label self-consistency: for a
+    deterministic query sample (id % sample_mod == 0), how often do the
+    exact-cosine k nearest neighbors carry the query's own label? The
+    standard no-training probe of an embedding column — low agreement
+    means the geometry doesn't encode the labels and a kNN/linear head
+    will not either (`fisher_separation` is the per-dimension companion;
+    this audits the whole space).
+
+    Composes `brute_force_topk` (batch-local GEMM top-k, no |Q|·|C|
+    shuffle), joins neighbor and query labels by id, and reduces to one
+    ≤ n_labels-key aggregate:
+
+      (label, n_queries, n_hits, agreement_e6)
+      agreement_e6 = floor(1e6 · n_hits / (n_queries · k))
+
+    — exact integer division over exact counts; the only float is the
+    cosine RANKING, which random/learned embeddings make tie-free, so the
+    top-k set (not just its order) is engine-stable.
+
+    Scale: the label join is two id-keyed hash joins against the
+    (queries·k)-row neighbor frame — corpus-size-independent once the
+    top-k frame exists; the final agg carries ≤ n_labels rows.
+    """
+    topk = brute_force_topk(
+        emb, emb.filter(F.col(id_col) % sample_mod == 0), k=k,
+        id_col=id_col, vec_col=vec_col, query_id_col=id_col,
+    )
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    joined = (
+        topk.join(
+            labels.select(
+                F.col(id_col).alias("query_id"), F.col(label_col).alias("_ql")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
+            ),
+            "neighbor_id",
+        )
+    )
+    return (
+        joined.groupBy(F.col("_ql").alias(label_col))
+        .agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.sum(F.when(F.col("_nl") == F.col("_ql"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            label_col,
+            "n_queries",
+            "n_hits",
+            F.expr(f"CAST((1000000 * n_hits) div (n_queries * {k}) AS BIGINT)").alias(
+                "agreement_e6"
+            ),
+        )
+    )
