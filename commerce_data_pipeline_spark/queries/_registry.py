@@ -424,6 +424,10 @@ from commerce_data_pipeline_spark.queries.dedup_text import (  # noqa: E402
     _O_VOCAB_COVERAGE,
     _q_vocab_coverage,
 )
+from commerce_data_pipeline_spark.queries.similarity import (  # noqa: E402
+    _O_KNN_LABEL_AGREEMENT,
+    _q_knn_label_agreement,
+)
 
 REGISTRY["quality_gate_report"] = QuerySpec(
     _q_quality_gate_report,
@@ -444,6 +448,11 @@ REGISTRY["fisher_dims"] = QuerySpec(
     _q_fisher_dims,
     _O_FISHER_DIMS,
     "X11 selection: exact-integer one-vs-rest Fisher dimension audit",
+)
+REGISTRY["knn_label_agreement"] = QuerySpec(
+    _q_knn_label_agreement,
+    _O_KNN_LABEL_AGREEMENT,
+    "X3/X11: exact-cosine kNN label self-consistency per label",
 )
 
 # --- r9→r10 window rotation (VERDICT r9 directive #1) ----------------------
@@ -468,7 +477,7 @@ REGISTRY["fisher_dims"] = QuerySpec(
 _WINDOW_R10 = [
     # new in r10 — first driver attestation this round
     "quality_gate_report", "stream_attribution_pairs", "vocab_coverage",
-    "fisher_dims",
+    "fisher_dims", "knn_label_agreement",
     # the judge's 13-query seed (r4-latest ×10, r2-latest ×3)
     "ann_recall", "winnow_pairs", "overlap_chunks", "ivf_profile",
     "embedding_quantize", "jaccard_topk", "semantic_only_dups",
@@ -486,7 +495,7 @@ _WINDOW_R10 = [
     "sketch_accuracy", "bm25_search", "resample_ffill", "part_pagerank",
     "table_profile", "attribution_last_touch", "cohort_retention",
     # r6-latest freshness fill, alphabetical-oldest
-    "ann_ivf", "ann_pq", "cluster_sample", "contamination",
+    "ann_ivf", "cluster_sample", "contamination",
     "dedup_clusters", "dedup_exact",
     # single-query families (must stay in-window)
     "salted_hot_join", "zorder_skipping",

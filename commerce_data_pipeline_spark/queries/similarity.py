@@ -776,3 +776,42 @@ def _q_media_features(spark: SparkSession, sf: str) -> DataFrame:
             "feat_sum"
         ),
     )
+
+
+def _q_knn_label_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """X3/X11 — embedding-quality probe (operators/similarity.
+    knn_label_agreement): exact-cosine 5-NN label self-consistency over
+    the deterministic query sample (vec_id % 20), reduced per label to
+    (n_queries, n_hits, agreement_e6) — exact integer counts and one
+    floored division; the only float is the tie-free cosine RANKING,
+    which the attested similarity_topk already pins cross-engine. The
+    oracle replays unit-normalize → dot → QUALIFY top-5 → label join →
+    the same integer arithmetic."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.knn_label_agreement(emb, k=5, sample_mod=20)
+
+
+_O_KNN_LABEL_AGREEMENT = """
+WITH unit AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS ql, u AS qu FROM unit WHERE vec_id % 20 = 0
+), sims AS (
+  SELECT q.query_id, q.ql, c.label AS nl,
+    list_dot_product(q.qu, c.u) AS sim, c.vec_id AS neighbor_id
+  FROM q JOIN unit c ON c.vec_id <> q.query_id
+), topk AS (
+  SELECT query_id, ql, nl,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM sims QUALIFY rnk <= 5
+)
+SELECT ql AS label,
+  CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+  CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+  CAST((1000000 * SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END))
+    // (COUNT(DISTINCT query_id) * 5) AS BIGINT) AS agreement_e6
+FROM topk GROUP BY ql
+"""

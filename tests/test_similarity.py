@@ -509,3 +509,29 @@ def test_pca_power_validates(spark):
     df = spark.createDataFrame([(0, [1.0])], "vec_id int, embedding array<float>")
     with _pytest.raises(ValueError):
         pca_power_iteration(df, rounds=0)
+
+
+def test_knn_label_agreement_exact(spark):
+    """Hand-checkable geometry: two tight clusters with one mislabeled
+    point; agreement counts and the floored e6 ratio replay by hand."""
+    from commerce_data_pipeline_spark.operators.similarity import knn_label_agreement
+
+    rows = [
+        # cluster A near +x (labels 0, one imposter labeled 1)
+        (0, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (4, [0.95, 0.05], 1),
+        # cluster B near +y (labels 1)
+        (1, [0.0, 1.0], 1),
+        (3, [0.1, 0.9], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    # queries: vec_id % 2 == 0 → ids 0, 2, 4; k=2 nearest (excluding self)
+    out = {r["label"]: r for r in knn_label_agreement(df, k=2, sample_mod=2).collect()}
+    # id0 (label 0): neighbors 4 (label 1), 2 (label 0) → 1 hit
+    # id2 (label 0): neighbors 4, 0 → 1 hit
+    # id4 (label 1): neighbors 0, 2 (both label 0) → 0 hits
+    assert out[0]["n_queries"] == 2 and out[0]["n_hits"] == 2
+    assert out[0]["agreement_e6"] == 500000
+    assert out[1]["n_queries"] == 1 and out[1]["n_hits"] == 0
+    assert out[1]["agreement_e6"] == 0
