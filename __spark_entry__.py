@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 All real logic lives in the ``commerce_data_pipeline_spark`` package;
 this file is a thin adapter over its query registry
-(commerce_data_pipeline_spark/queries.py).
+(the commerce_data_pipeline_spark.queries package).
 """
 
 from __future__ import annotations
