@@ -274,3 +274,42 @@ def test_best_match_pairs_single_candidate_materialization(spark):
     rdd_ids = set(re.findall(r"MapPartitionsRDD\[(\d+)\]", executed))
     assert len(rdd_ids) == 2
     assert len(re.findall(r"\bExchange \(", final)) <= 6
+
+
+def test_vocab_coverage_no_global_window_and_broadcast_vocab(spark):
+    """The top-V cut must be global_rank's range exchange, never a
+    single-partition window; the vocabulary joins back by broadcast."""
+    df = REGISTRY["vocab_coverage"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "No Partition Defined" not in plan  # the WindowExec warning shape
+    assert "BroadcastExchange" in plan
+    # word count + range exchange (+ offsets/final agg partials): the token
+    # stream itself shuffles only on the word key
+    assert plans.num_shuffles(df) <= 4
+
+
+def test_fisher_dims_single_dim_keyed_shuffle(spark):
+    """One posexplode scan into the dim-keyed agg; rank runs over 64 rows
+    via TakeOrdered, never a global sort."""
+    df = REGISTRY["fisher_dims"].spark(spark, SF)
+    assert plans.num_shuffles(df) == 1
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+
+
+def test_knn_label_agreement_no_similarity_shuffle(spark):
+    """The GEMM top-k stays batch-local (mapInPandas); only the thin
+    (queries x k) frame and the label joins shuffle."""
+    df = REGISTRY["knn_label_agreement"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    assert plans.num_shuffles(df) <= 5
+
+
+def test_stream_attribution_pairs_user_keyed_join(spark):
+    """Batch twin of the stream-stream interval join: the join must be an
+    equi-join on the user key (hash or broadcast), with the time-range
+    bounds as join filters — never a nested-loop over raw events."""
+    df = REGISTRY["stream_attribution_pairs"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "NestedLoop" not in plan
+    assert plans.num_shuffles(df) <= 2  # tiny SF broadcasts; at scale SMJ

@@ -326,3 +326,82 @@ def test_ranking_auc_banded_bound_contains_exact_generated(spark, rows, n_bands)
     exact = S.ranking_auc(df, "label", "score").collect()[0]["auc_e6"]
     r = S.ranking_auc_banded(df, "label", "score", n_bands=n_bands).collect()[0]
     assert abs(r["auc_banded_e6"] - exact) <= r["max_err_e6"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.lists(st.sampled_from("abcdef"), min_size=1, max_size=6)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 8),
+)
+def test_vocab_coverage_conservation(spark, rows, v):
+    """OOV + in-vocab = total per group; rate is the exact floored
+    division; the top-V vocabulary covers at least as many tokens as any
+    other V-word set (frequency optimality on the corpus)."""
+    from commerce_data_pipeline_spark.operators.text import vocab_coverage
+
+    data = [(str(g), " ".join(ws)) for g, ws in rows]
+    df = spark.createDataFrame(data, "source string, text string")
+    out = vocab_coverage(df, vocab_size=v).collect()
+    # conservation + exact ratio per group
+    from collections import Counter
+
+    corpus = Counter(w for _, ws in rows for w in ws)
+    vocab = {
+        w for w, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:v]
+    }
+    per = {}
+    for g, ws in rows:
+        t, o = per.get(str(g), (0, 0))
+        per[str(g)] = (t + len(ws), o + sum(1 for w in ws if w not in vocab))
+    assert {r["source"]: (r["n_tokens"], r["n_oov"]) for r in out} == per
+    for r in out:
+        assert r["oov_rate_e6"] == (1_000_000 * r["n_oov"]) // r["n_tokens"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),
+            st.lists(st.integers(-50, 50), min_size=2, max_size=2),
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_fisher_separation_matches_numpy_reference(spark, rows):
+    """fisher_e6 equals the numpy two-class Fisher criterion computed on
+    the e6-quantized values (floored), whenever both classes are present
+    and the denominator is nonzero."""
+    import numpy as np
+
+    from commerce_data_pipeline_spark.operators.selection import fisher_separation
+
+    df = spark.createDataFrame(
+        [(lab, [float(a), float(b)]) for lab, (a, b) in rows],
+        "label int, embedding array<float>",
+    )
+    out = {r["dim"]: r for r in fisher_separation(df, 0, top_k=2).collect()}
+    X = np.array([[float(a), float(b)] for _, (a, b) in rows])
+    y = np.array([lab for lab, _ in rows])
+    xq = np.floor(X * 1_000_000).astype(object)  # python ints: no overflow
+    for d in range(2):
+        a, b = xq[y == 0, d], xq[y != 0, d]
+        n0, n1 = len(a), len(b)
+        r = out[d]
+        assert r["n0"] == n0 and r["n1"] == n1
+        if n0 == 0 or n1 == 0:
+            assert r["fisher_e6"] is None
+            continue
+        s0, s1 = sum(a), sum(b)
+        q0, q1 = sum(v * v for v in a), sum(v * v for v in b)
+        den = (n0 * q0 - s0 * s0) * n1 * n1 + (n1 * q1 - s1 * s1) * n0 * n0
+        if den == 0:
+            assert r["fisher_e6"] is None
+        else:
+            num = (s0 * n1 - s1 * n0) ** 2
+            assert r["fisher_e6"] == (1_000_000 * num) // den
