@@ -234,3 +234,48 @@ def test_quality_gate_empty_ledger_reports_zero(spark, tmp_path):
     led = QualityGateLedger(spark, str(tmp_path / "never"))
     r = led.report().collect()[0]
     assert r["n"] == 0 and r["auc_banded_e6"] is None and r["ece_e6"] is None
+
+
+def test_quality_gate_ledger_foreachbatch_stream(spark, tmp_path):
+    """The docstring's composition claim executed for real: a
+    multi-micro-batch stream ingests through foreachBatch into one
+    QualityGateLedger; the cross-run report over the streamed history is
+    BIT-IDENTICAL to the one-pass batch operators over all rows — the
+    mergeable-bin contract surviving actual micro-batch execution (not
+    just two hand-called ingests)."""
+    from pyspark.sql import functions as F
+
+    from commerce_data_pipeline_spark.operators import selection as S
+    from commerce_data_pipeline_spark.sources.ledger import QualityGateLedger
+
+    rows = _qrows(9, 120)
+    src_dir = str(tmp_path / "in_gate")
+    df = spark.createDataFrame(rows, ["label", "conf"])
+    # 3 files → 3 micro-batches at maxFilesPerTrigger=1
+    df.repartition(3).write.parquet(src_dir)
+
+    led = QualityGateLedger(spark, str(tmp_path / "gate"), n_bins=15)
+    q = (
+        spark.readStream.schema("label boolean, conf long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: led.ingest(bdf, "label", "conf")
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_gate"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # at least two real micro-batches appended (3 files, 1 per trigger)
+    n_ingests = (
+        spark.read.parquet(str(tmp_path / "gate"))
+        .groupBy("bin").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert n_ingests >= 2
+
+    r = led.report().collect()[0]
+    e = S.expected_calibration_error(df, "label", "conf", n_bins=15).collect()[0]
+    assert (r["n"], r["ece_e6"]) == (e["n"], e["ece_e6"])
+    exact = S.ranking_auc(df, "label", "conf").collect()[0]["auc_e6"]
+    assert abs(r["auc_banded_e6"] - exact) <= r["max_err_e6"]
