@@ -38,7 +38,12 @@ from commerce_data_pipeline_spark.operators import selection
 from commerce_data_pipeline_spark.session import get_spark
 from tools.stress import _timed_min, scaled_loader, unpersist_all_rdds
 
-REGISTRY_ROWS = ["calibration_bins", "stream_attribution_pairs"]
+# vocab_coverage/fisher_dims joined in the second pass; knn_label_agreement
+# is EXCLUDED by design: it composes brute_force_topk, the documented
+# quadratic baseline (the scale path is the IVF index) — same exclusion as
+# similarity_topk in tools/stress.py.
+REGISTRY_ROWS = ["calibration_bins", "stream_attribution_pairs",
+                 "vocab_coverage", "fisher_dims"]
 
 
 def run_registry(spark, sf_dir: str, k: int) -> dict[str, float]:
