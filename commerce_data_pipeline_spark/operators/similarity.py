@@ -1553,3 +1553,54 @@ def knn_label_agreement(
             ),
         )
     )
+
+
+def label_agreement_from_neighbors(
+    topk: DataFrame,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reduce ANY (query_id, neighbor_id) top-k frame — brute, IVF, LSH —
+    to the per-label agreement report. Denominator is the RETRIEVED
+    count, not n_queries·k, so approximate indexes whose probed lists
+    under-fill (an IVF query near a thin centroid) are scored on what
+    they returned, keeping the metric comparable across index types.
+
+    Returns (label, n_queries, n_retrieved, n_hits, agreement_e6) with
+    agreement_e6 = floor(1e6 · n_hits / n_retrieved).
+    """
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    joined = (
+        topk.join(
+            labels.select(
+                F.col(id_col).alias("query_id"), F.col(label_col).alias("_ql")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
+            ),
+            "neighbor_id",
+        )
+    )
+    return (
+        joined.groupBy(F.col("_ql").alias(label_col))
+        .agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+            F.sum(F.when(F.col("_nl") == F.col("_ql"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            label_col,
+            "n_queries",
+            "n_retrieved",
+            "n_hits",
+            F.expr("CAST((1000000 * n_hits) div n_retrieved AS BIGINT)").alias(
+                "agreement_e6"
+            ),
+        )
+    )

@@ -426,7 +426,9 @@ from commerce_data_pipeline_spark.queries.dedup_text import (  # noqa: E402
 )
 from commerce_data_pipeline_spark.queries.similarity import (  # noqa: E402
     _O_KNN_LABEL_AGREEMENT,
+    _O_KNN_LABEL_AGREEMENT_IVF,
     _q_knn_label_agreement,
+    _q_knn_label_agreement_ivf,
 )
 
 REGISTRY["quality_gate_report"] = QuerySpec(
@@ -454,6 +456,11 @@ REGISTRY["knn_label_agreement"] = QuerySpec(
     _O_KNN_LABEL_AGREEMENT,
     "X3/X11: exact-cosine kNN label self-consistency per label",
 )
+REGISTRY["knn_label_agreement_ivf"] = QuerySpec(
+    _q_knn_label_agreement_ivf,
+    _O_KNN_LABEL_AGREEMENT_IVF,
+    "X3/X11: the label self-consistency probe on the persisted-IVF scale path",
+)
 
 # --- r9→r10 window rotation (VERDICT r9 directive #1) ----------------------
 # The judge's r10 seed verbatim: the ten r4-latest attestations plus the
@@ -477,7 +484,7 @@ REGISTRY["knn_label_agreement"] = QuerySpec(
 _WINDOW_R10 = [
     # new in r10 — first driver attestation this round
     "quality_gate_report", "stream_attribution_pairs", "vocab_coverage",
-    "fisher_dims", "knn_label_agreement",
+    "fisher_dims", "knn_label_agreement", "knn_label_agreement_ivf",
     # the judge's 13-query seed (r4-latest ×10, r2-latest ×3)
     "ann_recall", "winnow_pairs", "overlap_chunks", "ivf_profile",
     "embedding_quantize", "jaccard_topk", "semantic_only_dups",
@@ -495,7 +502,7 @@ _WINDOW_R10 = [
     "sketch_accuracy", "bm25_search", "resample_ffill", "part_pagerank",
     "table_profile", "attribution_last_touch", "cohort_retention",
     # r6-latest freshness fill, alphabetical-oldest
-    "ann_ivf", "cluster_sample", "contamination",
+    "cluster_sample", "contamination",
     "dedup_clusters", "dedup_exact",
     # single-query families (must stay in-window)
     "salted_hot_join", "zorder_skipping",

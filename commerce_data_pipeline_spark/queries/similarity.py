@@ -815,3 +815,81 @@ SELECT ql AS label,
     // (COUNT(DISTINCT query_id) * 5) AS BIGINT) AS agreement_e6
 FROM topk GROUP BY ql
 """
+
+
+def _q_knn_label_agreement_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """X3/X11 — the label self-consistency probe on its PRODUCTION scale
+    path: neighbors come from the persisted √N IVF index (4 probes, the
+    ann_ivf machinery) instead of the quadratic brute-force GEMM, then
+    the same per-label agreement reduction
+    (similarity.label_agreement_from_neighbors — denominator is the
+    RETRIEVED count, so thin probed lists score what they returned).
+    At 100 TB this is the audit you can actually run: probe work grows
+    as √N, and the agreement join touches only the (queries × ≤k)
+    neighbor frame. The oracle replays the deterministic centroid rule,
+    assignment, probes, top-5, and the integer arithmetic."""
+    from commerce_data_pipeline_spark.sources.hadoopfs import join_path
+
+    path = _ensure_ivf_index(spark, sf)
+    inverted = spark.read.parquet(join_path(path, "inverted"))
+    centroids = spark.read.parquet(join_path(path, "centroids"))
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2500))
+    topk = similarity.ivf_topk(
+        emb, queries, k=5, n_probe=4, centroids=centroids, inverted=inverted
+    )
+    return similarity.label_agreement_from_neighbors(topk, emb)
+
+
+_O_KNN_LABEL_AGREEMENT_IVF = """
+WITH unit AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), par AS (
+  SELECT n, nc, GREATEST(n // nc, 1) AS step
+  FROM (SELECT COUNT(*) AS n FROM embeddings) t,
+       LATERAL (
+         SELECT MIN(CAST(1 AS BIGINT) << k) AS nc
+         FROM unnest(generate_series(4, 31)) AS tk(k)
+         WHERE ((CAST(1 AS BIGINT) << k) * (CAST(1 AS BIGINT) << k)) >= t.n
+       ) l
+), cent AS (
+  SELECT CAST(vec_id // step AS INT) AS centroid_id, u AS c_vec
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * nc
+), assign AS (
+  SELECT c.vec_id AS neighbor_id, cent.centroid_id, c.u AS c_unit,
+    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      ORDER BY list_dot_product(c.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit c CROSS JOIN cent
+), inv AS (
+  SELECT neighbor_id, centroid_id, c_unit FROM assign WHERE r = 1
+), probes AS (
+  SELECT q.vec_id AS query_id, cent.centroid_id, q.u AS q_unit,
+    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      ORDER BY list_dot_product(q.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit q CROSS JOIN cent WHERE q.vec_id % 20 = 0 AND q.vec_id < 2500
+), pr AS (
+  SELECT query_id, centroid_id, q_unit FROM probes WHERE r <= 4
+), sims AS (
+  SELECT query_id, neighbor_id, list_dot_product(q_unit, c_unit) AS sim
+  FROM inv JOIN pr USING (centroid_id)
+  WHERE neighbor_id <> query_id
+), topk AS (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM sims QUALIFY rnk <= 5
+), lab AS (
+  SELECT t.query_id, ql.label AS ql, nl.label AS nl
+  FROM topk t
+  JOIN embeddings ql ON ql.vec_id = t.query_id
+  JOIN embeddings nl ON nl.vec_id = t.neighbor_id
+)
+SELECT ql AS label,
+  CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+  CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+  CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+  CAST((1000000 * SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS agreement_e6
+FROM lab GROUP BY ql
+"""
