@@ -42,8 +42,12 @@ from tools.stress import _timed_min, scaled_loader, unpersist_all_rdds
 # is EXCLUDED by design: it composes brute_force_topk, the documented
 # quadratic baseline (the scale path is the IVF index) — same exclusion as
 # similarity_topk in tools/stress.py.
+# knn_label_agreement_ivf IS swept: its query set is bounded (vec_id <
+# 2500 — fixed 125 queries at any k under the key-shift harness) while the
+# corpus and its sqrt(N) index grow, so the probe cost should be SUB-linear
+# (list length ~sqrt(N) x 4 probes), unlike the excluded brute twin.
 REGISTRY_ROWS = ["calibration_bins", "stream_attribution_pairs",
-                 "vocab_coverage", "fisher_dims"]
+                 "vocab_coverage", "fisher_dims", "knn_label_agreement_ivf"]
 
 
 def run_registry(spark, sf_dir: str, k: int) -> dict[str, float]:
