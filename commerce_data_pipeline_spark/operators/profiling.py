@@ -767,3 +767,79 @@ def label_agreement(
         F.floor(pe_d * F.lit(1_000_000.0)).cast("long").alias("pe_e6"),
         F.floor(kappa * F.lit(1_000_000.0)).cast("long").alias("kappa_e6"),
     )
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between numeric snapshots —
+    the NUMERIC companion to `chi_square_drift` (which needs categories):
+    "did the value distribution move between crawls?". D = sup over the
+    pooled support of |F_a(x) − F_b(x)|, computed EXACTLY as integers:
+    with inclusive cumulative counts at each merged support value,
+
+        D_num   = max |cum_a·n_b − cum_b·n_a|
+        ks_e6   = floor(1e6 · D_num / (n_a·n_b))     (NULL if a side is empty)
+        at_value = the smallest support value attaining the max
+
+    No float CDFs anywhere — products in decimal(38,0), so the statistic
+    is engine-replayable bit for bit (corpus-scale cum·total stays inside
+    38 digits to ~1e12 rows per side). NULL values are excluded (they
+    have no order position; their drift belongs to a null-rate audit).
+
+    Plan shape: one keyed count per side (map-side combine — the shuffle
+    carries distinct values, not rows), a value-keyed full-outer merge,
+    TWO `global_cumsum` range exchanges over the distinct-value frame
+    (never a single-partition window — the support can be as large as
+    the input when values are continuous), a broadcast 1-row totals
+    join, and a 1-row argmax. Linear end to end.
+    """
+    from commerce_data_pipeline_spark.operators.relational import global_cumsum
+
+    a = (
+        df_a.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("_v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    )
+    b = (
+        df_b.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("_v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    )
+    m = (
+        a.join(b, "_v", "full_outer")
+        .select(
+            "_v",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
+    )
+    m = global_cumsum(m, ["_v"], "n_a", cum_col="cum_a")
+    m = global_cumsum(m, ["_v"], "n_b", cum_col="cum_b")
+    totals = m.agg(
+        F.sum("n_a").cast("long").alias("t_a"), F.sum("n_b").cast("long").alias("t_b")
+    )
+    scored = m.crossJoin(F.broadcast(totals)).select(
+        "_v",
+        "t_a",
+        "t_b",
+        F.expr(
+            "ABS(CAST(cum_a AS DECIMAL(38,0)) * t_b"
+            " - CAST(cum_b AS DECIMAL(38,0)) * t_a)"
+        ).alias("_d"),
+    )
+    top = scored.orderBy(F.desc("_d"), F.asc("_v")).limit(1)
+    return top.select(
+        F.col("t_a").alias("n_a"),
+        F.col("t_b").alias("n_b"),
+        F.when(
+            (F.col("t_a") > 0) & (F.col("t_b") > 0),
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * _d)"
+                " div (CAST(t_a AS DECIMAL(38,0)) * t_b)"
+            ),
+        ).cast("long").alias("ks_e6"),
+        F.col("_v").alias("at_value"),
+    )

@@ -424,6 +424,10 @@ from commerce_data_pipeline_spark.queries.dedup_text import (  # noqa: E402
     _O_VOCAB_COVERAGE,
     _q_vocab_coverage,
 )
+from commerce_data_pipeline_spark.queries.profiling_ml import (  # noqa: E402
+    _O_VALUE_KS_DRIFT,
+    _q_value_ks_drift,
+)
 from commerce_data_pipeline_spark.queries.similarity import (  # noqa: E402
     _O_KNN_LABEL_AGREEMENT,
     _O_KNN_LABEL_AGREEMENT_IVF,
@@ -461,6 +465,11 @@ REGISTRY["knn_label_agreement_ivf"] = QuerySpec(
     _O_KNN_LABEL_AGREEMENT_IVF,
     "X3/X11: the label self-consistency probe on the persisted-IVF scale path",
 )
+REGISTRY["value_ks_drift"] = QuerySpec(
+    _q_value_ks_drift,
+    _O_VALUE_KS_DRIFT,
+    "X13 audit: exact-integer two-sample KS drift of a numeric column",
+)
 
 # --- r9→r10 window rotation (VERDICT r9 directive #1) ----------------------
 # The judge's r10 seed verbatim: the ten r4-latest attestations plus the
@@ -485,6 +494,7 @@ _WINDOW_R10 = [
     # new in r10 — first driver attestation this round
     "quality_gate_report", "stream_attribution_pairs", "vocab_coverage",
     "fisher_dims", "knn_label_agreement", "knn_label_agreement_ivf",
+    "value_ks_drift",
     # the judge's 13-query seed (r4-latest ×10, r2-latest ×3)
     "ann_recall", "winnow_pairs", "overlap_chunks", "ivf_profile",
     "embedding_quantize", "jaccard_topk", "semantic_only_dups",
@@ -502,7 +512,7 @@ _WINDOW_R10 = [
     "sketch_accuracy", "bm25_search", "resample_ffill", "part_pagerank",
     "table_profile", "attribution_last_touch", "cohort_retention",
     # r6-latest freshness fill, alphabetical-oldest
-    "cluster_sample", "contamination",
+    "contamination",
     "dedup_clusters", "dedup_exact",
     # single-query families (must stay in-window)
     "salted_hot_join", "zorder_skipping",

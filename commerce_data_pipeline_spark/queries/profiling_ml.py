@@ -1111,3 +1111,48 @@ SELECT g AS l_returnflag,
   TRUE AS approx_ok
 FROM marks GROUP BY g ORDER BY g
 """
+
+
+def _q_value_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """X13 audit — two-sample Kolmogorov-Smirnov drift of the numeric
+    event value between snapshot halves (operators/profiling.ks_drift):
+    the numeric companion to event_type_drift's categorical chi-square.
+    D is computed EXACTLY as max |cum_a·n_b − cum_b·n_a| over the pooled
+    support (decimal(38,0) products, two global_cumsum range exchanges —
+    never a single-partition window), so the oracle replays it bit for
+    bit; at_value localizes WHERE the CDFs diverge most."""
+    ev = load_table(spark, sf, "events")
+    return profiling.ks_drift(
+        ev.filter(F.col("ts") < F.lit("2024-01-16")),
+        ev.filter(F.col("ts") >= F.lit("2024-01-16")),
+        "value",
+    )
+
+
+_O_VALUE_KS_DRIFT = """
+WITH a AS (
+  SELECT value AS v, COUNT(*) AS n_a FROM events
+  WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL GROUP BY 1
+), b AS (
+  SELECT value AS v, COUNT(*) AS n_b FROM events
+  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL GROUP BY 1
+), m AS (
+  SELECT COALESCE(a.v, b.v) AS v,
+    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM a FULL OUTER JOIN b ON a.v = b.v
+), c AS (
+  SELECT v,
+    SUM(n_a) OVER (ORDER BY v) AS cum_a,
+    SUM(n_b) OVER (ORDER BY v) AS cum_b,
+    SUM(n_a) OVER () AS t_a, SUM(n_b) OVER () AS t_b
+  FROM m
+), d AS (
+  SELECT v, t_a, t_b, ABS(cum_a * t_b - cum_b * t_a) AS dnum
+  FROM c ORDER BY dnum DESC, v ASC LIMIT 1
+)
+SELECT CAST(t_a AS BIGINT) AS n_a, CAST(t_b AS BIGINT) AS n_b,
+  CAST(CASE WHEN t_a > 0 AND t_b > 0 THEN
+    (1000000 * dnum) // (t_a * t_b) END AS BIGINT) AS ks_e6,
+  v AS at_value
+FROM d
+"""

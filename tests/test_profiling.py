@@ -167,3 +167,30 @@ def test_label_agreement_disjoint_labels(spark):
     r = label_agreement(df, "actual", "pred").collect()[0]
     assert r["n_agree"] == 0 and r["po_e6"] == 0 and r["pe_e6"] == 0
     assert r["kappa_e6"] == 0
+
+
+def test_ks_drift_exact_and_degenerate(spark):
+    """Hand-computable KS: identical snapshots → 0; disjoint supports →
+    1e6; the max-gap location is the smallest attaining value; an empty
+    side yields NULL."""
+    from commerce_data_pipeline_spark.operators.profiling import ks_drift
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "value double")
+    r = ks_drift(a, a, "value").collect()[0]
+    assert (r["n_a"], r["n_b"], r["ks_e6"]) == (4, 4, 0)
+    assert r["at_value"] == 1.0  # all gaps zero → smallest support value
+
+    b = spark.createDataFrame([(10.0,), (11.0,)], "value double")
+    r = ks_drift(a, b, "value").collect()[0]
+    # disjoint: after value 4, F_a=1, F_b=0 → D=1
+    assert (r["ks_e6"], r["at_value"]) == (1_000_000, 4.0)
+
+    # shifted overlap: a={1,2,3,4}, c={3,4,5,6} → max |F_a-F_c| at v=2
+    # (2/4 - 0) = 0.5; also at 3 (3/4-1/4)=0.5, at 4 (1-2/4)=0.5 → smallest=2
+    c = spark.createDataFrame([(3.0,), (4.0,), (5.0,), (6.0,)], "value double")
+    r = ks_drift(a, c, "value").collect()[0]
+    assert (r["ks_e6"], r["at_value"]) == (500_000, 2.0)
+
+    empty = spark.createDataFrame([], "value double")
+    r = ks_drift(a, empty, "value").collect()[0]
+    assert r["ks_e6"] is None and r["n_b"] == 0
