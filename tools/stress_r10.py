@@ -47,7 +47,8 @@ from tools.stress import _timed_min, scaled_loader, unpersist_all_rdds
 # corpus and its sqrt(N) index grow, so the probe cost should be SUB-linear
 # (list length ~sqrt(N) x 4 probes), unlike the excluded brute twin.
 REGISTRY_ROWS = ["calibration_bins", "stream_attribution_pairs",
-                 "vocab_coverage", "fisher_dims", "knn_label_agreement_ivf"]
+                 "vocab_coverage", "fisher_dims", "knn_label_agreement_ivf",
+                 "value_ks_drift"]
 
 
 def run_registry(spark, sf_dir: str, k: int) -> dict[str, float]:
