@@ -386,9 +386,16 @@ def test_fisher_separation_matches_numpy_reference(spark, rows):
         "label int, embedding array<float>",
     )
     out = {r["dim"]: r for r in fisher_separation(df, 0, top_k=2).collect()}
+    import math
+
     X = np.array([[float(a), float(b)] for _, (a, b) in rows])
     y = np.array([lab for lab, _ in rows])
-    xq = np.floor(X * 1_000_000).astype(object)  # python ints: no overflow
+    # TRUE python ints (astype(object) would keep float64 objects, whose
+    # arithmetic overflows 53-bit precision around 2^71 — the operator's
+    # decimal(38,0) path is exact there and the reference must be too)
+    xq = np.array(
+        [[int(math.floor(v * 1_000_000)) for v in row] for row in X], dtype=object
+    )
     for d in range(2):
         a, b = xq[y == 0, d], xq[y != 0, d]
         n0, n1 = len(a), len(b)
