@@ -457,7 +457,10 @@ def conf_bin_aggs(
     cross-run QualityGateLedger): equal-width bins of an integer
     confidence in [0, conf_scale], bin = min(floor(conf·n_bins/scale),
     n_bins−1) (top edge closes the last bin), NULL confidences
-    excluded. ONE groupBy over ≤ n_bins keys with map-side partials;
+    excluded, NEGATIVE confidences raise scan-side (they are outside
+    the domain, and truncating `div` would bin them differently than
+    floor — enforcing the contract beats silently diverging).
+    ONE groupBy over ≤ n_bins keys with map-side partials;
     sum_conf accumulates as decimal(38,0) so corpus-scale totals cannot
     wrap. Keeping a single definition is what makes the ledger's
     ingest-time bins provably the same bins its report (and the batch
@@ -474,16 +477,32 @@ def conf_bin_aggs(
     # conf·n_bins exceeds 2^53 a double quotient can round a just-below-
     # boundary value up and misbin it, silently voiding cross-engine and
     # merge parity. `div` on the exact decimal product can't.
+    # Domain guard (r10 ADVICE low): `div` truncates toward zero, which
+    # only coincides with floor on NON-NEGATIVE operands — and a negative
+    # conf has no bin in the [0, conf_scale] contract anyway — so a
+    # negative value in a persisted ledger raises scan-side instead of
+    # silently landing in a divergent bin. (DuckDB's `//` also truncates,
+    # so the two engines agree wherever the guard passes.)
+    guarded = F.when(
+        conf < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"conf_bin_aggs: negative {conf_col} outside the "
+                    "[0, conf_scale] contract: "
+                ),
+                conf.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(conf)
     b = F.least(
-        F.expr(
-            f"(CAST(CAST(`{conf_col}` AS BIGINT) AS DECIMAL(38,0))"
-            f" * {n_bins}) div {conf_scale}"
-        ),
+        F.expr(f"(CAST(_cg AS DECIMAL(38,0)) * {n_bins}) div {conf_scale}"),
         F.lit(n_bins - 1),
     ).cast("int")
     return (
         df.filter(conf.isNotNull())
-        .select(b.alias("bin"), lab.alias("_y"), conf.alias("_c"))
+        .select(guarded.alias("_cg"), lab.alias("_y"))
+        .select(b.alias("bin"), "_y", F.col("_cg").alias("_c"))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -771,12 +790,18 @@ def fisher_separation(
     x = df.select(
         F.col(label_col).alias("_y"), F.posexplode(vec_col).alias("dim", "_v")
     )
+    dec = 'decimal(38,0)'
+    # _xq is decimal(38,0) from the start (r10 ADVICE): squaring the raw
+    # BIGINT floor would wrap int64 silently once |v|·quant_scale exceeds
+    # ~3e9 (|v| > ~3000 at e6); the decimal square instead NULLs on a
+    # (physically implausible) 38-digit overflow — loud, not corrupt.
     xq = x.select(
         "dim",
         (F.col("_y") == F.lit(target_label)).alias("_is0"),
-        F.floor(F.col("_v").cast("double") * F.lit(float(quant_scale))).alias("_xq"),
+        F.floor(F.col("_v").cast("double") * F.lit(float(quant_scale)))
+        .cast(dec)
+        .alias("_xq"),
     )
-    dec = 'decimal(38,0)'
     per = xq.groupBy("dim").agg(
         F.sum(F.when(F.col("_is0"), 1).otherwise(0)).cast("long").alias("n0"),
         F.sum(F.when(~F.col("_is0"), 1).otherwise(0)).cast("long").alias("n1"),

@@ -1503,55 +1503,38 @@ def knn_label_agreement(
     this audits the whole space).
 
     Composes `brute_force_topk` (batch-local GEMM top-k, no |Q|·|C|
-    shuffle), joins neighbor and query labels by id, and reduces to one
-    ≤ n_labels-key aggregate:
+    shuffle) with `label_agreement_from_neighbors`, so the brute probe
+    and the IVF twin reduce through the SAME per-label aggregate:
 
-      (label, n_queries, n_hits, agreement_e6)
-      agreement_e6 = floor(1e6 · n_hits / (n_queries · k))
+      (label, n_queries, n_retrieved, n_hits, agreement_e6)
+      agreement_e6 = floor(1e6 · n_hits / n_retrieved)
 
-    — exact integer division over exact counts; the only float is the
-    cosine RANKING, which random/learned embeddings make tie-free, so the
-    top-k set (not just its order) is engine-stable.
+    — exact integer division over exact counts; the denominator is the
+    RETRIEVED count (r10 ADVICE: on a corpus with ≤ k rows after
+    self-exclusion, dividing by n_queries·k would silently deflate the
+    score instead of reflecting what was actually retrieved). The only
+    float is the cosine RANKING, which random/learned embeddings make
+    tie-free, so the top-k set (not just its order) is engine-stable.
 
-    Scale: the label join is two id-keyed hash joins against the
-    (queries·k)-row neighbor frame — corpus-size-independent once the
-    top-k frame exists; the final agg carries ≤ n_labels rows.
+    DRIVER-MEMORY BOUND (same contract as `similarity_topk`): this is
+    the documented QUADRATIC BASELINE — `brute_force_topk` collects the
+    query sample to the driver as numpy batches, and the `id % sample_mod`
+    sample grows as N/sample_mod, so driver memory grows linearly with
+    the corpus. It exists to calibrate the scale path, not to BE it: at
+    production scale run `knn_label_agreement_ivf` (the persisted-√N-index
+    twin, which bounds its query set by contract and probes only
+    partition-pruned inverted lists).
+
+    Scale (of the reduce): the label join is two id-keyed hash joins
+    against the (queries·k)-row neighbor frame — corpus-size-independent
+    once the top-k frame exists; the final agg carries ≤ n_labels rows.
     """
     topk = brute_force_topk(
         emb, emb.filter(F.col(id_col) % sample_mod == 0), k=k,
         id_col=id_col, vec_col=vec_col, query_id_col=id_col,
     )
-    labels = emb.select(F.col(id_col), F.col(label_col))
-    joined = (
-        topk.join(
-            labels.select(
-                F.col(id_col).alias("query_id"), F.col(label_col).alias("_ql")
-            ),
-            "query_id",
-        )
-        .join(
-            labels.select(
-                F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
-            ),
-            "neighbor_id",
-        )
-    )
-    return (
-        joined.groupBy(F.col("_ql").alias(label_col))
-        .agg(
-            F.countDistinct("query_id").cast("long").alias("n_queries"),
-            F.sum(F.when(F.col("_nl") == F.col("_ql"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_hits"),
-        )
-        .select(
-            label_col,
-            "n_queries",
-            "n_hits",
-            F.expr(f"CAST((1000000 * n_hits) div (n_queries * {k}) AS BIGINT)").alias(
-                "agreement_e6"
-            ),
-        )
+    return label_agreement_from_neighbors(
+        topk, emb, id_col=id_col, label_col=label_col
     )
 
 

@@ -49,8 +49,13 @@ from commerce_data_pipeline_spark.queries.selection_linkage import _ensure_multi
 
 # Modules whose top-level `load_table` binding the stress harness rebinds to
 # a k×-scaled loader (tools/stress.py). The package-level `load_table` import
-# above stays untouched and is the restore point.
-_QUERY_MODULES = (relational, analytics, dedup_text, similarity, relational_wide, corpus, graph_search, profiling_ml, selection_linkage, _registry,)
+# above stays untouched and is the restore point. `_shared` MUST be in this
+# tuple: _ensure_copurchase_pairs reads its module-level load_table, and a
+# stress run that misses it would build the x{k}-tagged co-purchase cache
+# from the UNSCALED 1x lineitem — silently invalidating every graph-family
+# stress row (the r6 stale-scale bug class, reintroduced by the r10 package
+# split and caught by the r10 advisor).
+_QUERY_MODULES = (_shared, relational, analytics, dedup_text, similarity, relational_wide, corpus, graph_search, profiling_ml, selection_linkage, _registry,)
 
 
 def rebind_load_table(fn) -> None:

@@ -781,12 +781,16 @@ def _q_media_features(spark: SparkSession, sf: str) -> DataFrame:
 def _q_knn_label_agreement(spark: SparkSession, sf: str) -> DataFrame:
     """X3/X11 — embedding-quality probe (operators/similarity.
     knn_label_agreement): exact-cosine 5-NN label self-consistency over
-    the deterministic query sample (vec_id % 20), reduced per label to
-    (n_queries, n_hits, agreement_e6) — exact integer counts and one
-    floored division; the only float is the tie-free cosine RANKING,
-    which the attested similarity_topk already pins cross-engine. The
-    oracle replays unit-normalize → dot → QUALIFY top-5 → label join →
-    the same integer arithmetic."""
+    the deterministic query sample (vec_id % 20), reduced per label via
+    the SAME label_agreement_from_neighbors tail as the IVF twin to
+    (n_queries, n_retrieved, n_hits, agreement_e6) — exact integer
+    counts, denominator = retrieved count (r11: the n_queries·k
+    denominator silently deflated on thin corpora); the only float is
+    the tie-free cosine RANKING, which the attested similarity_topk
+    already pins cross-engine. This is the documented quadratic/
+    driver-bounded BASELINE; knn_label_agreement_ivf is the scale path.
+    The oracle replays unit-normalize → dot → QUALIFY top-5 → label
+    join → the same integer arithmetic."""
     emb = load_table(spark, sf, "embeddings")
     return similarity.knn_label_agreement(emb, k=5, sample_mod=20)
 
@@ -810,9 +814,10 @@ WITH unit AS (
 )
 SELECT ql AS label,
   CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+  CAST(COUNT(*) AS BIGINT) AS n_retrieved,
   CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
   CAST((1000000 * SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END))
-    // (COUNT(DISTINCT query_id) * 5) AS BIGINT) AS agreement_e6
+    // COUNT(*) AS BIGINT) AS agreement_e6
 FROM topk GROUP BY ql
 """
 

@@ -100,6 +100,46 @@ def test_registry_and_entrypoints_agree():
     assert set(oracle_sql()) <= set(REGISTRY)
 
 
+def test_rebind_load_table_reaches_every_consumer_module():
+    """r10 ADVICE (medium): the stress harness scales tables by rebinding
+    each query module's `load_table`; a queries submodule that calls
+    load_table but is missing from _QUERY_MODULES would silently read
+    UNSCALED tables at k× stress (the r6 stale-scale bug class —
+    _shared._ensure_copurchase_pairs was the reintroduced instance).
+    Mechanically pin: every queries.* module whose source references
+    load_table is in the rebind tuple."""
+    import inspect
+
+    import commerce_data_pipeline_spark.queries as Q
+
+    rebindable = set(Q._QUERY_MODULES)
+    for mod in list(Q._QUERY_MODULES) + [Q._shared]:
+        assert hasattr(mod, "load_table"), mod.__name__
+    import pkgutil
+
+    pkg = Q
+    missing = []
+    for info in pkgutil.iter_modules(pkg.__path__):
+        mod = __import__(
+            f"commerce_data_pipeline_spark.queries.{info.name}",
+            fromlist=["_"],
+        )
+        src = inspect.getsource(mod)
+        if "load_table(" in src and mod not in rebindable:
+            missing.append(info.name)
+    assert not missing, (
+        f"queries modules calling load_table but absent from _QUERY_MODULES: {missing}"
+    )
+
+    sentinel = object()
+    orig = Q.load_table
+    Q.rebind_load_table(sentinel)
+    try:
+        assert Q._shared.load_table is sentinel
+    finally:
+        Q.rebind_load_table(orig)
+
+
 def test_no_non_terminal_query_stranded_without_attestation():
     """VERDICT r7 directive #7: the cumulative-attestation ledger
     (tools/attestation_ledger.py over the CORRECTNESS_r*.json union)

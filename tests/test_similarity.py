@@ -532,6 +532,26 @@ def test_knn_label_agreement_exact(spark):
     # id2 (label 0): neighbors 4, 0 → 1 hit
     # id4 (label 1): neighbors 0, 2 (both label 0) → 0 hits
     assert out[0]["n_queries"] == 2 and out[0]["n_hits"] == 2
-    assert out[0]["agreement_e6"] == 500000
+    assert out[0]["n_retrieved"] == 4 and out[0]["agreement_e6"] == 500000
     assert out[1]["n_queries"] == 1 and out[1]["n_hits"] == 0
-    assert out[1]["agreement_e6"] == 0
+    assert out[1]["n_retrieved"] == 2 and out[1]["agreement_e6"] == 0
+
+
+def test_knn_label_agreement_thin_corpus_scores_retrieved(spark):
+    """r10 ADVICE regression: with only 2 candidates after self-exclusion
+    and k=5, each query retrieves 2 — the denominator must be the
+    retrieved count (perfect agreement scores 1e6), not n_queries·k
+    (which would deflate to 400000)."""
+    from commerce_data_pipeline_spark.operators.similarity import knn_label_agreement
+
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (2, [0.9, 0.1], 7),
+        (4, [0.95, 0.05], 7),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = knn_label_agreement(df, k=5, sample_mod=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_queries"] == 3 and r["n_retrieved"] == 6 and r["n_hits"] == 6
+    assert r["agreement_e6"] == 1_000_000
