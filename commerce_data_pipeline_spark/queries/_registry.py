@@ -263,151 +263,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "revenue_bands": QuerySpec(_q_revenue_bands, _O_REVENUE_BANDS, "§2e banding, scale route: broadcast decile boundaries + scan-side band assignment (NTILE's 100 TB twin)"),
 }
 
-# --- r7→r8 window rotation (VERDICT r6 #1, VERDICT r7 #2) ----------------
+# --- window-rotation history -----------------------------------------------
 # The driver's correctness harness oracle-checks the FIRST 50 registry
-# entries. To convert self-attested rows into driver-attested ones, each
-# round rotates second-string queries through the window while keeping one
-# proof per family pinned (tests/test_registry_window.py). r7 rotates IN
-# the 19 queries never driver-checked before (exactly the r6 additions,
-# all oracle-green in SELFCHECK_r06) plus the NEW salted_hot_join skew
-# proof — after this round every registry query has a driver-attested
-# CORRECTNESS row (union of CORRECTNESS_r01-r07). Rotated-out entries
-# keep their oracles and stay green in the full self-check; their
-# families remain proven in-window (bm25_indexed scores through the same
-# expression tree as bm25_search, attribution_position covers G4,
-# image_dup_clusters consumes the pHash near-dup pair stage, and the
-# operators touched this round — graph, profiling, analytics rules,
-# skew — all have their proving queries inside the window).
-_WINDOW_R8 = [
-    # retained family proofs (driver-attested in r6 or earlier). Mid-r7
-    # extension: 11 retained proofs with MULTIPLE prior attestations
-    # (dedup_exact r1-r6, semantic_dedup r6, hard_negatives r6,
-    # sketch_accuracy r1-r6, greedy_pack r1-r6, pii_redact r1-r6,
-    # resample_ffill r5-r6, cluster_sample r3-r6, top_revenue_nations
-    # r1-r6, distinct_ship_dates r1-r6, media_features_md5 r6) swapped
-    # OUT for this round's 11 new queries, so after r7 EVERY registry
-    # query is driver-attested-ever (the r6 VERDICT's stated bar, reached
-    # one round early). Each swapped family keeps an in-window sibling:
-    # X1/X2 via dedup_clusters + canonical_docs (+ part_components
-    # re-witnessing connected_components), X3 via ann_ivf + the kmeans
-    # pair, X6 via sketch_union + heavy-hitters-ever, corpus via
-    # contamination/temperature_mix, temporal via burst_window_events,
-    # relational via pricing_summary + waiting_suppliers +
-    # customer_value_deciles, X5 via image_phash_md5 + image_dup_clusters.
-    # (late-r7 swap #2: ten more multi-attested proofs — dedup_clusters,
-    # ann_ivf, contamination, dsir_select, image_phash_md5, part_pagerank,
-    # pricing_summary, sessionization, conversion_daily,
-    # streaming_daily_counts, all driver-attested r1-r6 — swapped out for
-    # the ten third-batch queries, so THIS round's run also attests them.
-    # Family cover: X2 chain via canonical_docs + part_components +
-    # lsh_cost_plan; X3 via the kmeans pair + centroid_sim + pca_power;
-    # corpus via temperature_mix + split_leakage; X11 via
-    # quality_classifier; X5 via image_dup_clusters; X12 via the six
-    # in-window graph proofs + degree_histogram; R via waiting_suppliers +
-    # customer_value_deciles + quantile_groups; G via funnel +
-    # session_funnel + sequence_violations; streaming via sliding_counts.)
-    # (late-r7 swap #3: temperature_mix and param_extract — both attested
-    # r1-r6 — out for containment_topk and lang_id_agreement; corpus
-    # mixing keeps split_leakage in-window, G6 keeps its pytest +
-    # selfcheck + six prior attestations.)
-    # (late-r7 swap #4: funnel — six prior attestations AND still
-    # smoke-checked every round via entry() — out for seed_expansion;
-    # G-funnel keeps session_funnel in-window.)
-    # ---- r8 rotation (VERDICT r7 directive #2): the 8 rotatable
-    # never-driver-attested queries come IN (embedding_outliers,
-    # heldout_perplexity, bloom_fpr, dup_cluster_histogram,
-    # snm_name_pairs, ann_lsh — full-value-hash since late r7 —
-    # approx_stats, approx_group_stats — scalar+boolean shape since r6,
-    # so the driver's pandas canonicalizer no longer sees list columns)
-    # plus the new r8 queries. OUT: the window's only multi-attested
-    # entries (fuzzy_name_pairs ×3, bloom_decontaminate ×3,
-    # quality_classifier ×3, date_gaps ×7 — counts now mechanically
-    # tracked in COVERAGE.md's generated attestation ledger) and five
-    # r7-attested singles whose families keep in-window siblings:
-    # seed_expansion (X12 keeps 8 graph proofs), containment_topk (X2
-    # keeps lsh_cost_plan/canonical_docs + dup_cluster_histogram in),
-    # lang_id_agreement (X4 keeps the bpe trio + ngram_novelty +
-    # heldout_perplexity in), centroid_sim (X3 keeps the kmeans pair +
-    # pca_power + ann_lsh in), customer_value_deciles (banding witness
-    # is revenue_bands, its documented 100 TB twin).
-    "ann_lsh", "approx_stats", "approx_group_stats",
-    "embedding_outliers", "heldout_perplexity", "bloom_fpr",
-    "dup_cluster_histogram", "snm_name_pairs", "revenue_bands",
-    "bpe_train", "bpe_compression", "ndcg_eval", "split_leakage",
-    "zorder_skipping", "quantile_groups", "pca_power",
-    "degree_histogram", "lsh_cost_plan",
-    # rotated IN: the 19 r6 additions, never driver-checked before r7
-    "also_bought", "association_rules", "attribution_position",
-    "bm25_indexed", "bpe_first_merge", "burst_window_events",
-    "canonical_docs", "fd_check", "image_dup_clusters", "k_anonymity",
-    "ngram_novelty", "part_communities", "part_triangles",
-    "price_histogram", "sequence_violations", "session_funnel",
-    "sliding_counts", "snapshot_diff", "winsorized_revenue",
-    # new in r7: skew-mitigation proof + the 11 r7 additions
-    "salted_hot_join",
-    "part_kcore", "part_components", "similar_parts_jaccard",
-    "waiting_suppliers", "benford_prices", "numeric_corr",
-    "kmeans_step", "kmeans_train", "sketch_union", "event_type_drift",
-    "referential_integrity", "part_walks",
-]
-REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R8} | {
-    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R8)
-}
+# entries; each round ONE live window list (at the bottom of this file)
+# re-sorts REGISTRY to put that round's rotation under the driver's oracle.
+# Historical windows (r6-r10) and their per-round rationale live in git
+# (this file's history) and in COVERAGE.md's generated attestation ledger —
+# they are deliberately NOT kept here as code, because a stack of dead
+# re-sort blocks is exactly the kind of thing a future edit re-activates
+# out of order (VERDICT r10 #2).
 
-# --- r8→r9 window rotation (VERDICT r8 directive #5) ----------------------
-# r8 closed the attested-ever gap; the r9 job is FRESHNESS: the engine's
-# internals (catalog, session, shared pair frames, global_rank) have
-# changed substantially since the r1-r2 attestations, so this window
-# rotates the STALEST queries back under the driver's oracle —
-# oldest-first: all 37 whose latest attestation is r2 (the TPC-H-shape
-# relational batch, the G-journey analytics, session_windows,
-# rollup/cube, band_pairs…), all 4 r3-latest (ann_ivf_indexed,
-# audio_windows, dedup_clusters_alt, word_count), and corpus_ingest from
-# the r4 tier as the corpus-family pin. Median prior attestation of the
-# window = r2 (the directive's bar was ≤ r3). The other six slots hold
-# the families with no stale representative: sketch_union (X6),
-# bm25_indexed (X7), bloom_fpr (X8), degree_histogram (X12),
-# zorder_skipping (§4 layout), salted_hot_join (skew) — all attested r8,
-# kept as the one-proof-per-family floor — plus the two NEW r9 queries
-# (multi_pass_name_pairs: the blocked ∪ SNM provenance union the linkage
-# docstrings promised; ranking_auc: the Mann-Whitney acceptance gate,
-# r8 ADVICE #1). The ten remaining r4-latest queries (ann_recall,
-# embedding_quantize, fixed_size_sample, ivf_profile, jaccard_topk,
-# overlap_chunks, semantic_only_dups, text_fingerprints, text_stats,
-# winnow_pairs) are the r10 rotation seed, plus top_supplier,
-# large_orders and promo_revenue (r2-latest, slots ceded to the new
-# best_match_pairs / ranking_auc_banded / calibration_bins —
-# never-attested queries must sit inside the window, attested-r2 ones
-# may wait one round).
-_WINDOW_R9 = [
-    # new in r9 — first driver attestation this round
-    "multi_pass_name_pairs", "ranking_auc", "best_match_pairs",
-    "ranking_auc_banded", "calibration_bins",
-    # non-stale family pins (attested r8)
-    "sketch_union", "bm25_indexed", "bloom_fpr", "degree_histogram",
-    "zorder_skipping", "salted_hot_join",
-    # the 34 r2-latest rotate-ins (3 of 37 — top_supplier, large_orders,
-    # promo_revenue — ceded slots to the new r9 queries), alphabetical
-    "above_brand_avg_parts", "asof_view_before_purchase", "band_pairs",
-    "basket_pairs", "cube_sales", "customer_segments_setops",
-    "daily_anomalies", "disjunctive_filter", "event_type_pivot",
-    "forecast_revenue_change", "idle_rich_customers", "important_parts",
-    "journey_transitions", "market_share",
-    "min_cost_supplier", "nation_trade_volume", "order_count_distribution",
-    "order_priority", "price_percentiles", "priciest_item_per_order",
-    "product_profit", "props_struct", "returned_items",
-    "rfm_segments", "rollup_sales", "running_revenue", "session_windows",
-    "shipping_priority", "small_quantity_revenue", "sort_topk_lineitems",
-    "supplier_diversity", "time_to_convert", "top_customers",
-    "trailing_revenue",
-    # the 4 r3-latest rotate-ins
-    "ann_ivf_indexed", "audio_windows", "dedup_clusters_alt", "word_count",
-    # corpus-family pin from the r4 tier
-    "corpus_ingest",
-]
-REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R9} | {
-    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R9)
-}
 
 # --- r10 additions ---------------------------------------------------------
 from commerce_data_pipeline_spark.queries.analytics import (  # noqa: E402
