@@ -886,6 +886,106 @@ def bpe_compression(
     )
 
 
+def _merge_applier(left: str, right: str):
+    """Closure factory for applying one merge inside a HOF lambda —
+    default-arg capture (`lambda s, l=l:`) would bind the array element
+    index instead of the merge pair (see .claude verify notes)."""
+    def _apply(s: Column) -> Column:
+        return bpe_apply_merge(s, left, right)
+
+    return _apply
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = 3,
+) -> DataFrame:
+    """The tokenizer family's LAST MILE — the per-document token-id
+    emission a training pipeline actually writes: train `rounds` BPE
+    merges (`bpe_train`'s loop, one corpus-wide word-frequency shuffle),
+    then apply the learned merge table to every document MAP-ONLY and
+    emit (id, n_tokens, token_ids). `bpe_train` learns the artifact and
+    `bpe_compression` scores its totals; this materializes the tokenized
+    corpus itself.
+
+    Token ids are assigned from the FINAL symbol vocabulary by corpus
+    frequency (count desc, symbol asc — a unique total order, so the id
+    table is deterministic and engine-replayable), computed from the
+    already-merged training vocabulary — no extra corpus scan. The id
+    codebook is driver-collected but BOUNDED: |distinct characters| +
+    `rounds` entries (each merge adds exactly one symbol) — the ≤256-entry
+    codebook precedent, not a data-sized collect. Symbols outside the
+    codebook (tokenizing a corpus the table wasn't trained on) map to
+    NULL ids — loud in any downstream consumer, never a silent wrong id.
+
+    100 TB shape: corpus-sized work is ONE word-frequency aggregation
+    (training, shared with bpe_train) plus ONE map-only projection chain
+    for the emission — the tokenize pass itself never shuffles: words
+    split scan-side, each merge round is a projection staged behind a
+    `monotonically_increasing_id` barrier (CollapseProject would otherwise
+    inline round k-1's array into every position probe of round k —
+    the winnowing O(n²) lesson), and the id lookup is a broadcast-free
+    map literal. Output rows = input rows, pipelined end to end.
+
+    token_ids is emitted as a '-'-joined string rather than array<int>
+    (exact, order-preserving, hash-comparable across engines).
+
+    Returns (id_col, n_tokens, token_ids).
+    """
+    if rounds < 1:
+        raise ValueError("bpe_tokenize: rounds must be >= 1")
+    merges: list[tuple[str, str]] = []
+    final_vocab = None
+    v0 = _bpe_vocab(df, text_col)
+    for _rnd, left, right, _c, vocab in _bpe_loop(v0, rounds, apply_last=True):
+        merges.append((left, right))
+        final_vocab = vocab
+    if final_vocab is None:  # empty corpus: no words, no merges
+        final_vocab = v0
+    sym_freq = (
+        final_vocab.select(F.explode("syms").alias("sym"), "cnt")
+        .groupBy("sym")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("sym"))
+        .collect()
+    )
+    id_entries = []
+    for rank, row in enumerate(sym_freq, 1):
+        id_entries.append(F.lit(row["sym"]))
+        id_entries.append(F.lit(rank))
+    id_map = F.create_map(*id_entries) if id_entries else F.create_map()
+    ws = F.filter(
+        F.split(normalized_text(text_col), " "), lambda w: F.length(w) >= 1
+    )
+    cur = df.select(
+        F.col(id_col),
+        F.transform(ws, lambda w: F.split(w, "")).alias("_wsyms"),
+        F.monotonically_increasing_id().alias("_pb"),
+    )
+    for left, right in merges:
+        cur = cur.select(
+            id_col,
+            F.transform("_wsyms", _merge_applier(left, right)).alias("_wsyms"),
+            F.monotonically_increasing_id().alias("_pb"),
+        )
+    with_ids = cur.select(
+        id_col,
+        F.transform(
+            F.flatten("_wsyms"), lambda t: F.element_at(id_map, t)
+        ).alias("_tids"),
+        F.monotonically_increasing_id().alias("_pb"),
+    )
+    return with_ids.select(
+        id_col,
+        F.size("_tids").cast("long").alias("n_tokens"),
+        F.concat_ws(
+            "-", F.transform("_tids", lambda x: x.cast("string"))
+        ).alias("token_ids"),
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     vocab_size: int,

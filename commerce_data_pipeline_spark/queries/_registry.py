@@ -336,6 +336,18 @@ REGISTRY["value_ks_drift"] = QuerySpec(
     "X13 audit: exact-integer two-sample KS drift of a numeric column",
 )
 
+# --- r11 additions ---------------------------------------------------------
+from commerce_data_pipeline_spark.queries.selection_linkage import (  # noqa: E402
+    _ora_bpe_tokenize,
+    _q_bpe_tokenize,
+)
+
+REGISTRY["bpe_tokenize"] = QuerySpec(
+    _q_bpe_tokenize,
+    _ora_bpe_tokenize(3),
+    "X4 tokenizer last mile: map-only per-doc token-id emission under the learned merge table",
+)
+
 # --- r9→r10 window rotation (VERDICT r9 directive #1) ----------------------
 # The judge's r10 seed verbatim: the ten r4-latest attestations plus the
 # three r2-latest that ceded their slots to the new r9 queries — after this

@@ -212,6 +212,106 @@ def _ora_bpe_compression(rounds: int = 3) -> str:
     )
 
 
+def _q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 tokenizer last mile — the per-document token-id emission under
+    the 3-merge learned table (operators/text.bpe_tokenize): train merges
+    (bpe_train's attested loop), assign ids by final-symbol corpus
+    frequency (count desc, sym asc — unique total order), then ONE
+    map-only projection chain tokenizes every document (no shuffle in the
+    emit path; merge rounds staged behind projection barriers). Output is
+    (doc_id, n_tokens, token_ids) with token_ids a '-'-joined id string —
+    exact, order-preserving, hash-comparable. The oracle replays training,
+    the positional even-offset merge rule per document word, the id
+    assignment, and the ordered reassembly."""
+    docs = load_table(spark, sf, "documents")
+    return text.bpe_tokenize(docs, rounds=3)
+
+
+def _ora_bpe_tokenize(rounds: int = 3) -> str:
+    """Training CTEs (w0..w{r}, t1..t{r} — the _ora_bpe_compression
+    levels) + per-doc-word replay d0..d{r} with the same positional rule,
+    then frequency-ranked ids and string_agg ordered by (word_pos,
+    sym_pos)."""
+    ctes = [
+        """w0 AS (
+  SELECT string_split(w, '') AS syms, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents) WHERE length(w) >= 1 GROUP BY w
+)"""
+    ]
+    for rnd in range(1, rounds + 1):
+        prev = f"w{rnd - 1}"
+        ctes.append(
+            f"""t{rnd} AS (
+  SELECT l, r FROM (
+    SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+      SELECT cnt, syms[i] AS l, syms[i + 1] AS r
+      FROM {prev}, LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+      WHERE len(syms) >= 2)
+    GROUP BY l, r ORDER BY c DESC, l ASC, r ASC LIMIT 1)
+)"""
+        )
+        ctes.append(
+            f"""w{rnd} AS (
+  SELECT flatten(list_transform(generate_series(1, len(syms)), i -> CASE
+    WHEN {_bpe_ms_sql('i')} THEN [t.l || t.r]
+    WHEN i >= 2 AND {_bpe_ms_sql('i - 1')} THEN []
+    ELSE [syms[i]] END)) AS syms, cnt
+  FROM {prev} CROSS JOIN t{rnd} t
+)"""
+        )
+    ctes.append(
+        f"""cb AS (
+  SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, sym ASC) AS INT) AS id
+  FROM (SELECT sym, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM (SELECT unnest(syms) AS sym, cnt FROM w{rounds}) GROUP BY sym)
+)"""
+    )
+    ctes.append(
+        """dw AS (
+  SELECT doc_id, i AS word_pos, string_split(ws[i], '') AS syms FROM (
+    SELECT doc_id,
+      list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                  w -> length(w) >= 1) AS ws
+    FROM documents),
+  LATERAL unnest(generate_series(1, len(ws))) AS u(i)
+)"""
+    )
+    prev = "dw"
+    for rnd in range(1, rounds + 1):
+        ctes.append(
+            f"""d{rnd} AS (
+  SELECT doc_id, word_pos,
+    flatten(list_transform(generate_series(1, len(syms)), i -> CASE
+      WHEN {_bpe_ms_sql('i')} THEN [t.l || t.r]
+      WHEN i >= 2 AND {_bpe_ms_sql('i - 1')} THEN []
+      ELSE [syms[i]] END)) AS syms
+  FROM {prev} CROSS JOIN t{rnd} t
+)"""
+        )
+        prev = f"d{rnd}"
+    ctes.append(
+        f"""toks AS (
+  SELECT doc_id, word_pos, j AS sym_pos, syms[j] AS sym
+  FROM {prev}, LATERAL unnest(generate_series(1, len(syms))) AS u(j)
+)"""
+    )
+    ctes.append(
+        """per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    string_agg(CAST(cb.id AS VARCHAR), '-' ORDER BY word_pos, sym_pos) AS token_ids
+  FROM toks JOIN cb USING (sym) GROUP BY doc_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT d.doc_id, CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,"
+        + " COALESCE(p.token_ids, '') AS token_ids"
+        + " FROM documents d LEFT JOIN per_doc p USING (doc_id)"
+    )
+
+
 def _q_containment_topk(spark: SparkSession, sf: str) -> DataFrame:
     """X2 — exact n-gram CONTAINMENT top-50 over the sampled corpus
     (operators/dedup.ngram_containment_pairs): the asymmetric near-dup

@@ -144,3 +144,47 @@ def test_compression_monotone_on_corpus(spark, sf_dir):
     assert all(a > b for a, b in zip(totals, totals[1:]))
     assert rows[0]["saved_vs_chars"] == 0
     assert rows[-1]["saved_vs_chars"] == totals[0] - totals[-1]
+
+
+def test_tokenize_hand_case(spark):
+    """Hand-replayable end-to-end: corpus 'aa ab' + 'aa' learns merges
+    (a,a) then (ab has no pair after...) — verify ids and ordering."""
+    from commerce_data_pipeline_spark.operators.text import bpe_tokenize
+
+    # corpus words: aa(x2), ab(x1). merge1 = (a,a) count 2 -> aa fused.
+    # merge2: remaining pairs: (a,b) count 1 -> ab fused.
+    # final vocab syms: aa (cnt 2), ab (cnt 1) -> ids: aa=1, ab=2.
+    df = spark.createDataFrame(
+        [(10, "aa ab"), (20, "aa"), (30, " ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bpe_tokenize(df, rounds=2).collect()}
+    assert out[10]["n_tokens"] == 2 and out[10]["token_ids"] == "1-2"
+    assert out[20]["n_tokens"] == 1 and out[20]["token_ids"] == "1"
+    assert out[30]["n_tokens"] == 0 and out[30]["token_ids"] == ""
+
+
+def test_tokenize_roundtrips_corpus_totals(spark, sf_dir):
+    """On the real corpus, Σ n_tokens must equal bpe_compression's final
+    total_syms (the tokenized emission IS the corpus the compression
+    metric counts), and every doc is present exactly once."""
+    from commerce_data_pipeline_spark.operators.text import (
+        bpe_compression,
+        bpe_tokenize,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = bpe_tokenize(docs, rounds=3)
+    total = toks.agg(F.sum("n_tokens")).collect()[0][0]
+    comp = {r["stage"]: r["total_syms"] for r in bpe_compression(docs, rounds=3).collect()}
+    assert total == comp[3]
+    assert toks.count() == docs.count()
+
+
+def test_tokenize_validates_rounds(spark):
+    from commerce_data_pipeline_spark.operators.text import bpe_tokenize
+
+    df = spark.createDataFrame([("ab",)], "text string")
+    with pytest.raises(ValueError, match="rounds"):
+        bpe_tokenize(df, rounds=0)
