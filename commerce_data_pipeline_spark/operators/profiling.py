@@ -843,3 +843,129 @@ def ks_drift(
         ).cast("long").alias("ks_e6"),
         F.col("_v").alias("at_value"),
     )
+
+
+def psi_drift(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    col: str,
+    n_bands: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    numeric snapshot — the third standard drift metric beside
+    `chi_square_drift` (categorical) and `ks_drift` (sup-norm), and the
+    one production score-monitoring quotes (PSI < 0.1 stable, > 0.25
+    action):
+
+        PSI = Σ_b (p_cur(b) − p_ref(b)) · ln(p_cur(b) / p_ref(b))
+
+    Banding: n_bands−1 `percentile_disc` boundaries computed on the
+    REFERENCE side as ONE aggregate (value at rank ceil(p·n) — the
+    ranking_auc_banded/winsorized cross-engine contract), broadcast,
+    bands assigned scan-side as 1 + Σ(v > b_i) on BOTH sides. Every band
+    1..n_bands appears (a `spark.range` spine), because Laplace-smoothed
+    proportions p(b) = (c_b + 1)/(t + n_bands) give EMPTY bands a
+    nonzero, total-dependent term — dropping them would change PSI.
+    Smoothing is the standard zero-guard and keeps every term finite.
+
+    Determinism: counts and totals are exact integers; each band's
+    proportions, difference, and log-ratio are built from
+    identical-expression doubles in both engines, and ln feeds one
+    floor at e6 (the bm25 idf precedent — floor(1e6·x) on an
+    identical double). psi_e6 is the INTEGER sum of the floored terms
+    (order-free), so it is within n_bands ulps-of-e6 of the unfloored
+    PSI and bit-stable cross-engine.
+
+    Plan shape: one boundary aggregate over the reference scan, one
+    ≤ n_bands-key count per side (map-side partials — the shuffle
+    carries band ids, not rows), a broadcast band spine + 1-row totals,
+    and band-count-sized arithmetic. NULLs excluded on both sides (no
+    order position; their drift belongs to a null-rate audit).
+
+    Returns (band, n_ref, n_cur, psi_term_e6, psi_e6), band ascending —
+    per-band terms localize WHERE the distribution moved; psi_e6 repeats
+    the headline total on every row.
+    """
+    if n_bands < 2:
+        raise ValueError("psi_drift: n_bands must be >= 2")
+    from fractions import Fraction
+
+    ps = []
+    for i in range(1, n_bands):
+        p = f"{i / n_bands:.6f}"
+        if Fraction(p) != Fraction(i, n_bands):
+            raise ValueError(
+                "psi_drift: i/n_bands must be exact in 6 decimal places "
+                f"for the cross-engine boundary contract (got {i}/{n_bands})"
+            )
+        ps.append(p)
+    spark = df_ref.sparkSession
+    ref = df_ref.filter(F.col(col).isNotNull()).select(F.col(col).alias("_v"))
+    cur = df_cur.filter(F.col(col).isNotNull()).select(F.col(col).alias("_v"))
+    bounds = ref.agg(
+        *[
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY _v)").alias(
+                f"_b{i}"
+            )
+            for i, p in enumerate(ps, 1)
+        ]
+    ).localCheckpoint(eager=False)  # 1 row, consumed by BOTH sides' banding —
+    # without this the reference scan + sort-agg would re-run per consumer
+    band = F.lit(1)
+    for i in range(1, n_bands):
+        band = band + F.when(F.col("_v") > F.col(f"_b{i}"), 1).otherwise(0)
+
+    def _counts(side: DataFrame, alias: str) -> DataFrame:
+        return (
+            side.crossJoin(F.broadcast(bounds))
+            .select(band.cast("int").alias("band"))
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    spine = spark.range(1, n_bands + 1).select(F.col("id").cast("int").alias("band"))
+    per = (
+        spine.join(_counts(ref, "n_ref"), "band", "left")
+        .join(_counts(cur, "n_cur"), "band", "left")
+        .select(
+            "band",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    totals = per.agg(
+        F.sum("n_ref").cast("long").alias("_tr"),
+        F.sum("n_cur").cast("long").alias("_tc"),
+    )
+    terms = per.crossJoin(F.broadcast(totals)).select(
+        "band",
+        "n_ref",
+        "n_cur",
+        F.floor(
+            (
+                (F.col("n_cur") + 1).cast("double")
+                / (F.col("_tc") + n_bands).cast("double")
+                - (F.col("n_ref") + 1).cast("double")
+                / (F.col("_tr") + n_bands).cast("double")
+            )
+            * F.log(
+                (
+                    (F.col("n_cur") + 1).cast("double")
+                    * (F.col("_tr") + n_bands).cast("double")
+                )
+                / (
+                    (F.col("n_ref") + 1).cast("double")
+                    * (F.col("_tc") + n_bands).cast("double")
+                )
+            )
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("psi_term_e6"),
+    )
+    total = terms.agg(F.sum("psi_term_e6").cast("long").alias("psi_e6"))
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select("band", "n_ref", "n_cur", "psi_term_e6", "psi_e6")
+        .orderBy("band")
+    )

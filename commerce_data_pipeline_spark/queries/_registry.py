@@ -341,11 +341,20 @@ from commerce_data_pipeline_spark.queries.selection_linkage import (  # noqa: E4
     _ora_bpe_tokenize,
     _q_bpe_tokenize,
 )
+from commerce_data_pipeline_spark.queries.profiling_ml import (  # noqa: E402
+    _O_VALUE_PSI_DRIFT,
+    _q_value_psi_drift,
+)
 
 REGISTRY["bpe_tokenize"] = QuerySpec(
     _q_bpe_tokenize,
     _ora_bpe_tokenize(3),
     "X4 tokenizer last mile: map-only per-doc token-id emission under the learned merge table",
+)
+REGISTRY["value_psi_drift"] = QuerySpec(
+    _q_value_psi_drift,
+    _O_VALUE_PSI_DRIFT,
+    "X13 audit: Laplace-smoothed decile Population Stability Index of a numeric column",
 )
 
 # --- r9→r10 window rotation (VERDICT r9 directive #1) ----------------------

@@ -1129,6 +1129,81 @@ def _q_value_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_value_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """X13 audit — Population Stability Index of the numeric event value
+    between snapshot halves (operators/profiling.psi_drift): the third
+    standard drift metric beside event_type_drift's chi-square and
+    value_ks_drift's KS sup-norm, and the one production score
+    monitoring quotes (PSI > 0.25 = action). Decile boundaries come from
+    the REFERENCE half via percentile_disc (value at rank ceil(p·n) —
+    the attested winsorized/ranking_auc_banded contract), Laplace-
+    smoothed band proportions keep empty bands finite, each band's
+    (Δp·ln-ratio) term floors at e6 from identical-expression doubles
+    (the bm25 ln precedent), and psi_e6 is the order-free integer sum of
+    the floored terms. The oracle replays boundaries, banding, smoothing,
+    and the same arithmetic."""
+    ev = load_table(spark, sf, "events")
+    return profiling.psi_drift(
+        ev.filter(F.col("ts") < F.lit("2024-01-16")),
+        ev.filter(F.col("ts") >= F.lit("2024-01-16")),
+        "value",
+        n_bands=10,
+    )
+
+
+_O_VALUE_PSI_DRIFT = (
+    """
+WITH r AS (
+  SELECT value AS v FROM events
+  WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
+), cu AS (
+  SELECT value AS v FROM events
+  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
+), ranked AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n FROM r
+), b AS (
+  SELECT
+"""
+    + ",\n".join(
+        f"    MAX(CASE WHEN rn = CAST(CEIL(0.{i} * n) AS BIGINT) THEN v END) AS b{i}"
+        for i in range(1, 10)
+    )
+    + """
+  FROM ranked
+), rbanded AS (
+  SELECT 1 """
+    + " ".join(f"+ (CASE WHEN r.v > b.b{i} THEN 1 ELSE 0 END)" for i in range(1, 10))
+    + """ AS band FROM r, b
+), cbanded AS (
+  SELECT 1 """
+    + " ".join(f"+ (CASE WHEN cu.v > b.b{i} THEN 1 ELSE 0 END)" for i in range(1, 10))
+    + """ AS band FROM cu, b
+), rcnt AS (SELECT band, COUNT(*) AS n_ref FROM rbanded GROUP BY band),
+ccnt AS (SELECT band, COUNT(*) AS n_cur FROM cbanded GROUP BY band),
+spine AS (SELECT unnest(generate_series(1, 10)) AS band),
+per AS (
+  SELECT s.band, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+  FROM spine s LEFT JOIN rcnt ON rcnt.band = s.band
+  LEFT JOIN ccnt ON ccnt.band = s.band
+), tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM per),
+terms AS (
+  SELECT band, n_ref, n_cur,
+    CAST(FLOOR(
+      (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE)
+       - CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))
+      * ln((CAST(n_cur + 1 AS DOUBLE) * CAST(tr + 10 AS DOUBLE))
+           / (CAST(n_ref + 1 AS DOUBLE) * CAST(tc + 10 AS DOUBLE)))
+      * 1000000.0) AS BIGINT) AS psi_term_e6
+  FROM per, tot
+)
+SELECT CAST(band AS INT) AS band, CAST(n_ref AS BIGINT) AS n_ref,
+  CAST(n_cur AS BIGINT) AS n_cur, psi_term_e6,
+  CAST(SUM(psi_term_e6) OVER () AS BIGINT) AS psi_e6
+FROM terms ORDER BY band
+"""
+)
+
+
 _O_VALUE_KS_DRIFT = """
 WITH a AS (
   SELECT value AS v, COUNT(*) AS n_a FROM events

@@ -194,3 +194,58 @@ def test_ks_drift_exact_and_degenerate(spark):
     empty = spark.createDataFrame([], "value double")
     r = ks_drift(a, empty, "value").collect()[0]
     assert r["ks_e6"] is None and r["n_b"] == 0
+
+
+def test_psi_drift_identical_sides_zero(spark):
+    from commerce_data_pipeline_spark.operators.profiling import psi_drift
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 11)], "value double")
+    out = psi_drift(df, df, "value", n_bands=10).collect()
+    assert [r["band"] for r in out] == list(range(1, 11))
+    assert all(r["psi_term_e6"] == 0 for r in out)
+    assert all(r["psi_e6"] == 0 for r in out)
+    assert all(r["n_ref"] == 1 and r["n_cur"] == 1 for r in out)
+
+
+def test_psi_drift_hand_shift(spark):
+    """ref = 1..10 (one per decile band), cur = ten 10s (all mass in band
+    10): replay the Laplace-smoothed floored arithmetic by hand."""
+    import math
+
+    from commerce_data_pipeline_spark.operators.profiling import psi_drift
+
+    ref = spark.createDataFrame([(float(v),) for v in range(1, 11)], "value double")
+    cur = spark.createDataFrame([(10.0,)] * 10, "value double")
+    out = {r["band"]: r for r in psi_drift(ref, cur, "value", n_bands=10).collect()}
+    tr = tc = 10
+    expected_terms = {}
+    for band in range(1, 11):
+        n_ref, n_cur = 1, (10 if band == 10 else 0)
+        pr = (n_ref + 1) / (tr + 10)
+        pc = (n_cur + 1) / (tc + 10)
+        ratio = ((n_cur + 1) * (tr + 10)) / ((n_ref + 1) * (tc + 10))
+        expected_terms[band] = math.floor((pc - pr) * math.log(ratio) * 1e6)
+    total = sum(expected_terms.values())
+    for band in range(1, 11):
+        r = out[band]
+        assert r["n_ref"] == 1
+        assert r["n_cur"] == (10 if band == 10 else 0)
+        assert r["psi_term_e6"] == expected_terms[band]
+        assert r["psi_e6"] == total
+    assert total > 0  # a real shift must score positive
+
+
+def test_psi_drift_excludes_nulls_and_validates(spark):
+    import pytest
+
+    from commerce_data_pipeline_spark.operators.profiling import psi_drift
+
+    ref = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,)], "value double"
+    )
+    out = psi_drift(ref, ref, "value", n_bands=2).collect()
+    assert sum(r["n_ref"] for r in out) == 2
+    with pytest.raises(ValueError, match="n_bands"):
+        psi_drift(ref, ref, "value", n_bands=1)
+    with pytest.raises(ValueError, match="6 decimal"):
+        psi_drift(ref, ref, "value", n_bands=7)
