@@ -21,57 +21,60 @@ CHECK_WINDOW = 50
 # payload); only the six families with no stale representative keep an
 # r8-attested pin. The r8 pin-set's full rationale history lives in git
 # (this file @ 8c40dcb).
-# r10 reset (VERDICT r9 directive #1): the window rotates the judge's
-# 13-query seed plus the r5/r6/r7-stalest tiers back under the driver's
-# oracle; pins are chosen FROM those rotate-ins wherever a family has one,
-# so each pin is both the family floor and a freshness payload. The r9
-# pin-set's rationale history lives in git (this file @ HEAD~1).
+# r11 reset (VERDICT r10 directive #1): the window retires the last two
+# stale tiers — all 36 r6-latest plus all 7 r7-latest — so pins are
+# chosen FROM those rotate-ins wherever a family has one (each pin is
+# both the family floor and a freshness payload); only linkage and X8
+# had no stale representative and keep an r8/r9-attested pin. Prior
+# pin-set rationale history lives in git.
 FAMILY_PROOFS = {
-    # X1 exact dedup + X2 chain (banded pair stage, CC clustering)
-    "dedup_exact",
-    "lsh_dedup_pairs",
-    "dedup_clusters",
-    # record linkage: blocked edit-distance pairs
-    "fuzzy_name_pairs",
-    # X3 ANN: recall eval (exact vs IVF side-by-side)
-    "ann_recall",
-    # X4 text: stats profile
-    "text_stats",
-    # X5 multimodal: typed-metadata extraction
-    "multimodal_meta",
-    # X6 sketches: accuracy harness
-    "sketch_accuracy",
-    # X7 search: BM25 retrieval
-    "bm25_search",
-    # X8 bloom: decontamination path
-    "bloom_decontaminate",
-    # X9 temporal: resample + forward-fill
-    "resample_ffill",
+    # X1/X2 dedup chain: embedding near-dup clustering + dup provenance
+    "semantic_dedup",
+    "dup_source_matrix",
+    # record linkage: sorted-neighborhood candidates (r8-latest pin)
+    "snm_name_pairs",
+    # X3 ANN: inline IVF + the PQ variant
+    "ann_ivf",
+    "ann_pq",
+    # X4 text: bigram LM + the NEW r11 tokenizer last mile
+    "bigram_lm",
+    "bpe_tokenize",
+    # X5 multimodal: pHash md5 twin
+    "image_phash_md5",
+    # X6 sketches: heavy hitters
+    "heavy_hitters",
+    # X7 search: hybrid RRF fusion
+    "hybrid_search_rrf",
+    # X8 bloom: FPR contract (r9-latest pin)
+    "bloom_fpr",
+    # X9 temporal: SCD2 interval build
+    "scd2_intervals",
     # X10/corpus: temperature mixing
-    "corpus_mix",
-    # X11 selection: the NEW cross-run QualityGateLedger report (r9
-    # directive #3 — closes the family's last pytest-only gap)
-    "quality_gate_report",
-    # X12 graph: PageRank over the shared co-purchase frame (doubles as
-    # the judge's directive-#5 part_pagerank watch item)
-    "part_pagerank",
-    # X13 profiling: full-table profile
-    "table_profile",
+    "temperature_mix",
+    # X11 selection: DSIR + the calibration side
+    "dsir_select",
+    "quality_calibrate",
+    # X12 graph: personalized-PageRank seed expansion
+    "seed_expansion",
+    # X13 profiling: join profile + the NEW r11 PSI drift gauge
+    "join_profile",
+    "value_psi_drift",
     # skew mitigation (single-query family — must always sit in-window)
     "salted_hot_join",
     # §4 layout (single-query family — must always sit in-window)
     "zorder_skipping",
-    # streaming: the NEW stream-stream interval-join batch twin (r9
-    # directive #7)
-    "stream_attribution_pairs",
-    # G analytics: last-touch attribution + cohort retention
-    "attribution_last_touch",
-    "cohort_retention",
-    # relational/gold: join/agg, Q18, Q14 shapes (the three r2-latest
-    # seed queries)
-    "top_supplier",
-    "large_orders",
-    "promo_revenue",
+    # streaming: micro-batch daily counts (batch parity)
+    "streaming_daily_counts",
+    # G analytics: funnel + sessionization + conversion + param lookup
+    "funnel",
+    "sessionization",
+    "conversion_daily",
+    "param_extract",
+    # relational/gold: pricing summary (Q1 shape) + join/agg
+    "pricing_summary",
+    "top_revenue_nations",
+    # P bronze pipeline: gap detection (anti-join)
+    "date_gaps",
 }
 
 def test_every_family_proof_inside_check_window():
