@@ -896,6 +896,50 @@ def _merge_applier(left: str, right: str):
     return _apply
 
 
+def _train_merges(df: DataFrame, text_col: str, rounds: int):
+    """Run the shared BPE training loop and return (merge list, final
+    merged vocabulary frame). One corpus-sized word-frequency shuffle;
+    everything after operates on the distinct-word vocabulary."""
+    merges: list[tuple[str, str]] = []
+    v0 = _bpe_vocab(df, text_col)
+    final_vocab = v0
+    for _rnd, left, right, _c, vocab in _bpe_loop(v0, rounds, apply_last=True):
+        merges.append((left, right))
+        final_vocab = vocab
+    return merges, final_vocab
+
+
+def _staged_word_syms(
+    df: DataFrame,
+    keep_cols: list[str],
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Map-only tokenization chain shared by `bpe_tokenize` and
+    `tokenizer_fertility`: split the normalized text into words, each
+    word into characters, then apply each learned merge as ONE
+    projection staged behind a `monotonically_increasing_id` barrier
+    (CollapseProject would otherwise inline round k-1's array into every
+    position probe of round k — the winnowing O(n²) lesson). Returns
+    keep_cols + `_wsyms` (array of per-word symbol arrays). Zero
+    shuffles."""
+    ws = F.filter(
+        F.split(normalized_text(text_col), " "), lambda w: F.length(w) >= 1
+    )
+    cur = df.select(
+        *keep_cols,
+        F.transform(ws, lambda w: F.split(w, "")).alias("_wsyms"),
+        F.monotonically_increasing_id().alias("_pb"),
+    )
+    for left, right in merges:
+        cur = cur.select(
+            *keep_cols,
+            F.transform("_wsyms", _merge_applier(left, right)).alias("_wsyms"),
+            F.monotonically_increasing_id().alias("_pb"),
+        )
+    return cur
+
+
 def bpe_tokenize(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -936,14 +980,7 @@ def bpe_tokenize(
     """
     if rounds < 1:
         raise ValueError("bpe_tokenize: rounds must be >= 1")
-    merges: list[tuple[str, str]] = []
-    final_vocab = None
-    v0 = _bpe_vocab(df, text_col)
-    for _rnd, left, right, _c, vocab in _bpe_loop(v0, rounds, apply_last=True):
-        merges.append((left, right))
-        final_vocab = vocab
-    if final_vocab is None:  # empty corpus: no words, no merges
-        final_vocab = v0
+    merges, final_vocab = _train_merges(df, text_col, rounds)
     sym_freq = (
         final_vocab.select(F.explode("syms").alias("sym"), "cnt")
         .groupBy("sym")
@@ -956,20 +993,7 @@ def bpe_tokenize(
         id_entries.append(F.lit(row["sym"]))
         id_entries.append(F.lit(rank))
     id_map = F.create_map(*id_entries) if id_entries else F.create_map()
-    ws = F.filter(
-        F.split(normalized_text(text_col), " "), lambda w: F.length(w) >= 1
-    )
-    cur = df.select(
-        F.col(id_col),
-        F.transform(ws, lambda w: F.split(w, "")).alias("_wsyms"),
-        F.monotonically_increasing_id().alias("_pb"),
-    )
-    for left, right in merges:
-        cur = cur.select(
-            id_col,
-            F.transform("_wsyms", _merge_applier(left, right)).alias("_wsyms"),
-            F.monotonically_increasing_id().alias("_pb"),
-        )
+    cur = _staged_word_syms(df, [id_col], text_col, merges)
     with_ids = cur.select(
         id_col,
         F.transform(
@@ -983,6 +1007,76 @@ def bpe_tokenize(
         F.concat_ws(
             "-", F.transform("_tids", lambda x: x.cast("string"))
         ).alias("token_ids"),
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    rounds: int = 3,
+) -> DataFrame:
+    """THE tokenizer-quality report a vocabulary build is judged on:
+    per-group FERTILITY (tokens per word) and chars-per-token under the
+    learned merge table. A source whose fertility is an outlier is
+    under-served by the vocabulary (its text fragments into many tokens
+    — the multilingual-tokenizer failure mode); chars-per-token is the
+    compression the corpus actually realizes, per slice. The per-group
+    companion to `bpe_compression`'s corpus totals and `vocab_coverage`'s
+    OOV view.
+
+    Same scale shape as `bpe_tokenize` minus the id codebook: training
+    is one corpus word-frequency shuffle; per-doc word/char/token counts
+    are MAP-ONLY array arithmetic over the staged merge chain; one final
+    ≤ n_groups-key aggregate. Ratios are exact integer floor divisions
+    (e6), NULL when the denominator is 0 (a group with no words has no
+    fertility, not fertility 0).
+
+    Returns (group_col, n_words, n_chars, n_tokens, fertility_e6,
+    chars_per_token_e6), one row per group.
+    """
+    if rounds < 1:
+        raise ValueError("tokenizer_fertility: rounds must be >= 1")
+    merges, _ = _train_merges(df, text_col, rounds)
+    staged = _staged_word_syms(df, [group_col], text_col, merges)
+    per_doc = staged.select(
+        group_col,
+        F.size("_wsyms").cast("long").alias("_nw"),
+        F.aggregate(
+            "_wsyms",
+            F.lit(0).cast("long"),
+            lambda acc, syms: acc
+            + F.aggregate(
+                syms, F.lit(0).cast("long"), lambda a, s: a + F.length(s)
+            ),
+        ).alias("_nc"),
+        F.aggregate(
+            "_wsyms",
+            F.lit(0).cast("long"),
+            lambda acc, syms: acc + F.size(syms),
+        ).alias("_nt"),
+    )
+    return (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.sum("_nw").cast("long").alias("n_words"),
+            F.sum("_nc").cast("long").alias("n_chars"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+        .select(
+            group_col,
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr(
+                "CASE WHEN n_words > 0 THEN"
+                " CAST((1000000 * n_tokens) div n_words AS BIGINT) END"
+            ).alias("fertility_e6"),
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN"
+                " CAST((1000000 * n_chars) div n_tokens AS BIGINT) END"
+            ).alias("chars_per_token_e6"),
+        )
     )
 
 

@@ -339,7 +339,9 @@ REGISTRY["value_ks_drift"] = QuerySpec(
 # --- r11 additions ---------------------------------------------------------
 from commerce_data_pipeline_spark.queries.selection_linkage import (  # noqa: E402
     _ora_bpe_tokenize,
+    _ora_tokenizer_fertility,
     _q_bpe_tokenize,
+    _q_tokenizer_fertility,
 )
 from commerce_data_pipeline_spark.queries.profiling_ml import (  # noqa: E402
     _O_VALUE_PSI_DRIFT,
@@ -355,6 +357,11 @@ REGISTRY["value_psi_drift"] = QuerySpec(
     _q_value_psi_drift,
     _O_VALUE_PSI_DRIFT,
     "X13 audit: Laplace-smoothed decile Population Stability Index of a numeric column",
+)
+REGISTRY["tokenizer_fertility"] = QuerySpec(
+    _q_tokenizer_fertility,
+    _ora_tokenizer_fertility(3),
+    "X4 tokenizer quality: per-source fertility (tokens/word) + chars/token under the learned table",
 )
 
 # --- r10→r11 window rotation (VERDICT r10 directive #1) ---------------------
@@ -374,8 +381,10 @@ REGISTRY["value_psi_drift"] = QuerySpec(
 # (salted_hot_join, zorder_skipping) must always sit in-window per
 # FAMILY_PROOFS.
 _WINDOW_R11 = [
-    # new in r11 — first driver attestation this round
-    "bpe_tokenize", "value_psi_drift",
+    # new in r11 — first driver attestation this round (tokenizer_fertility
+    # took the also_bought fill slot: never-attested queries must sit
+    # inside the window, and also_bought's r8 attestation can wait a round)
+    "bpe_tokenize", "value_psi_drift", "tokenizer_fertility",
     # all 36 r6-latest rotate-ins (the judge's r11 seed), alphabetical
     "ann_ivf", "ann_pq", "bigram_lm", "cluster_sample", "conversion_daily",
     "decayed_revenue", "distinct_ship_dates", "dsir_select",
@@ -393,8 +402,6 @@ _WINDOW_R11 = [
     "seed_expansion",
     # family pins with no stale representative (linkage r8, X8 r9)
     "snm_name_pairs", "bloom_fpr",
-    # freshness fill: alphabetical-oldest r8-latest
-    "also_bought",
     # single-query families (must stay in-window)
     "salted_hot_join", "zorder_skipping",
 ]

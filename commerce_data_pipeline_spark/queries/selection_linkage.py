@@ -312,6 +312,104 @@ def _ora_bpe_tokenize(rounds: int = 3) -> str:
     )
 
 
+def _q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 tokenizer quality — per-source fertility (tokens per word) and
+    chars-per-token under the learned 3-merge table
+    (operators/text.tokenizer_fertility): the slice-level report a
+    vocabulary build is judged on — an outlier source fragments into
+    many tokens and is under-served by the vocab. Same training loop and
+    map-only staged merge chain as bpe_tokenize (no id codebook), one
+    ≤ n_sources-key agg; ratios are exact integer floor divisions. The
+    oracle replays training, the positional merge rule per word, and the
+    per-source integer arithmetic."""
+    docs = load_table(spark, sf, "documents")
+    return text.tokenizer_fertility(docs, group_col="source", rounds=3)
+
+
+def _ora_tokenizer_fertility(rounds: int = 3) -> str:
+    """Training CTEs (t1..t{r}) + per-doc-word merge replay carrying
+    (source, n_chars), then one source-keyed rollup over a distinct-source
+    spine (sources whose docs have no words report 0s / NULL ratios)."""
+    ctes = [
+        """w0 AS (
+  SELECT string_split(w, '') AS syms, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents) WHERE length(w) >= 1 GROUP BY w
+)"""
+    ]
+    for rnd in range(1, rounds + 1):
+        prev = f"w{rnd - 1}"
+        ctes.append(
+            f"""t{rnd} AS (
+  SELECT l, r FROM (
+    SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+      SELECT cnt, syms[i] AS l, syms[i + 1] AS r
+      FROM {prev}, LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+      WHERE len(syms) >= 2)
+    GROUP BY l, r ORDER BY c DESC, l ASC, r ASC LIMIT 1)
+)"""
+        )
+        if rnd < rounds:
+            ctes.append(
+                f"""w{rnd} AS (
+  SELECT flatten(list_transform(generate_series(1, len(syms)), i -> CASE
+    WHEN {_bpe_ms_sql('i')} THEN [t.l || t.r]
+    WHEN i >= 2 AND {_bpe_ms_sql('i - 1')} THEN []
+    ELSE [syms[i]] END)) AS syms, cnt
+  FROM {prev} CROSS JOIN t{rnd} t
+)"""
+            )
+    ctes.append(
+        """f0 AS (
+  SELECT source, string_split(ws[i], '') AS syms,
+    CAST(length(ws[i]) AS BIGINT) AS n_chars
+  FROM (
+    SELECT source,
+      list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                  w -> length(w) >= 1) AS ws
+    FROM documents),
+  LATERAL unnest(generate_series(1, len(ws))) AS u(i)
+)"""
+    )
+    prev = "f0"
+    for rnd in range(1, rounds + 1):
+        ctes.append(
+            f"""f{rnd} AS (
+  SELECT source, n_chars,
+    flatten(list_transform(generate_series(1, len(syms)), i -> CASE
+      WHEN {_bpe_ms_sql('i')} THEN [t.l || t.r]
+      WHEN i >= 2 AND {_bpe_ms_sql('i - 1')} THEN []
+      ELSE [syms[i]] END)) AS syms
+  FROM {prev} CROSS JOIN t{rnd} t
+)"""
+        )
+        prev = f"f{rnd}"
+    ctes.append(
+        f"""per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_w,
+    CAST(SUM(n_chars) AS BIGINT) AS n_c,
+    CAST(SUM(len(syms)) AS BIGINT) AS n_t
+  FROM {prev} GROUP BY source
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT s.source,
+  CAST(COALESCE(p.n_w, 0) AS BIGINT) AS n_words,
+  CAST(COALESCE(p.n_c, 0) AS BIGINT) AS n_chars,
+  CAST(COALESCE(p.n_t, 0) AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN COALESCE(p.n_w, 0) > 0
+    THEN (1000000 * p.n_t) // p.n_w END AS BIGINT) AS fertility_e6,
+  CAST(CASE WHEN COALESCE(p.n_t, 0) > 0
+    THEN (1000000 * p.n_c) // p.n_t END AS BIGINT) AS chars_per_token_e6
+FROM (SELECT DISTINCT source FROM documents) s
+LEFT JOIN per_src p ON p.source = s.source
+"""
+    )
+
+
 def _q_containment_topk(spark: SparkSession, sf: str) -> DataFrame:
     """X2 — exact n-gram CONTAINMENT top-50 over the sampled corpus
     (operators/dedup.ngram_containment_pairs): the asymmetric near-dup

@@ -188,3 +188,28 @@ def test_tokenize_validates_rounds(spark):
     df = spark.createDataFrame([("ab",)], "text string")
     with pytest.raises(ValueError, match="rounds"):
         bpe_tokenize(df, rounds=0)
+
+
+def test_tokenizer_fertility_hand_case(spark):
+    """Corpus 'aa ab'(A) + 'abc'(B) + ' '(C), rounds=2: merge1=(a,b) (count
+    2), merge2=(a,a) (tie broken lexicographically vs (ab,c)). A: tokens
+    [aa],[ab] -> fertility 1.0, chars/token 2.0; B: [ab,c] -> fertility
+    2.0, chars/token 1.5; C: no words -> zero counts, NULL ratios."""
+    from commerce_data_pipeline_spark.operators.text import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [("A", "aa ab"), ("B", "abc"), ("C", " ")],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in tokenizer_fertility(df, rounds=2).collect()}
+    assert out["A"]["n_words"] == 2 and out["A"]["n_chars"] == 4
+    assert out["A"]["n_tokens"] == 2
+    assert out["A"]["fertility_e6"] == 1_000_000
+    assert out["A"]["chars_per_token_e6"] == 2_000_000
+    assert out["B"]["n_words"] == 1 and out["B"]["n_chars"] == 3
+    assert out["B"]["n_tokens"] == 2
+    assert out["B"]["fertility_e6"] == 2_000_000
+    assert out["B"]["chars_per_token_e6"] == 1_500_000
+    assert out["C"]["n_words"] == 0 and out["C"]["n_tokens"] == 0
+    assert out["C"]["fertility_e6"] is None
+    assert out["C"]["chars_per_token_e6"] is None
