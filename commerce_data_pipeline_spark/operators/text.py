@@ -752,6 +752,7 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     rounds: int = 3,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenizer TRAINING loop (Sennrich et al., 2016) — `rounds` full BPE
     iterations, each: (1) ONE corpus-wide pair-keyed count with map-side
@@ -781,7 +782,9 @@ def bpe_train(
     merges = [
         (rnd, l, r, c)
         for rnd, l, r, c, _ in _bpe_loop(
-            _bpe_vocab(df, text_col), rounds, apply_last=False
+            vocab if vocab is not None else _bpe_vocab(df, text_col),
+            rounds,
+            apply_last=False,
         )
     ]
     return spark.createDataFrame(
@@ -855,6 +858,7 @@ def bpe_compression(
     df: DataFrame,
     text_col: str = "text",
     rounds: int = 3,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenizer EVALUATION — the corpus compression each learned BPE merge
     buys: total symbol count (Σ cnt·|syms| over the vocabulary) after 0, 1,
@@ -875,7 +879,7 @@ def bpe_compression(
         ).collect()[0]
         return int(row["t"] or 0)
 
-    v0 = _bpe_vocab(df, text_col)
+    v0 = vocab if vocab is not None else _bpe_vocab(df, text_col)
     base = _total(v0)
     stages = [(0, base, 0)]
     for rnd, _l, _r, _c, vocab in _bpe_loop(v0, rounds, apply_last=True):
@@ -896,16 +900,24 @@ def _merge_applier(left: str, right: str):
     return _apply
 
 
-def _train_merges(df: DataFrame, text_col: str, rounds: int):
+def _train_merges(
+    df: DataFrame,
+    text_col: str,
+    rounds: int,
+    vocab: DataFrame | None = None,
+):
     """Run the shared BPE training loop and return (merge list, final
-    merged vocabulary frame). One corpus-sized word-frequency shuffle;
-    everything after operates on the distinct-word vocabulary."""
+    merged vocabulary frame). One corpus-sized word-frequency shuffle —
+    or zero, when a prebuilt `vocab` (syms, cnt) frame is supplied (the
+    persisted `_ensure_bpe_vocab` cache: integer counts and string
+    arrays roundtrip parquet exactly, so the trajectory is bit-identical
+    to the inline build — pinned in tests/test_bpe_train.py)."""
     merges: list[tuple[str, str]] = []
-    v0 = _bpe_vocab(df, text_col)
+    v0 = vocab if vocab is not None else _bpe_vocab(df, text_col)
     final_vocab = v0
-    for _rnd, left, right, _c, vocab in _bpe_loop(v0, rounds, apply_last=True):
+    for _rnd, left, right, _c, vf in _bpe_loop(v0, rounds, apply_last=True):
         merges.append((left, right))
-        final_vocab = vocab
+        final_vocab = vf
     return merges, final_vocab
 
 
@@ -945,6 +957,7 @@ def bpe_tokenize(
     id_col: str = "doc_id",
     text_col: str = "text",
     rounds: int = 3,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """The tokenizer family's LAST MILE — the per-document token-id
     emission a training pipeline actually writes: train `rounds` BPE
@@ -980,7 +993,7 @@ def bpe_tokenize(
     """
     if rounds < 1:
         raise ValueError("bpe_tokenize: rounds must be >= 1")
-    merges, final_vocab = _train_merges(df, text_col, rounds)
+    merges, final_vocab = _train_merges(df, text_col, rounds, vocab=vocab)
     sym_freq = (
         final_vocab.select(F.explode("syms").alias("sym"), "cnt")
         .groupBy("sym")
@@ -1015,6 +1028,7 @@ def tokenizer_fertility(
     group_col: str = "source",
     text_col: str = "text",
     rounds: int = 3,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """THE tokenizer-quality report a vocabulary build is judged on:
     per-group FERTILITY (tokens per word) and chars-per-token under the
@@ -1037,7 +1051,7 @@ def tokenizer_fertility(
     """
     if rounds < 1:
         raise ValueError("tokenizer_fertility: rounds must be >= 1")
-    merges, _ = _train_merges(df, text_col, rounds)
+    merges, _ = _train_merges(df, text_col, rounds, vocab=vocab)
     staged = _staged_word_syms(df, [group_col], text_col, merges)
     per_doc = staged.select(
         group_col,

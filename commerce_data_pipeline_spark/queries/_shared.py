@@ -75,6 +75,29 @@ def _cache_dir(kind: str, sf: str) -> str:
         )
     )
 
+def _ensure_bpe_vocab(spark: SparkSession, sf: str):
+    """Build-once handle for the documents word-frequency vocabulary
+    (text._bpe_vocab: syms array + cnt) at this sf — the ONE corpus-sized
+    stage every tokenizer-family query repeats (bpe_train,
+    bpe_compression, bpe_tokenize, tokenizer_fertility). String arrays
+    and integer counts roundtrip parquet exactly, and every downstream
+    decision (top-pair, merges, totals, codebook) is a deterministic
+    aggregate of this frame, so the persisted path is bit-identical to
+    the inline build (pinned in tests/test_bpe_train.py). At 100 TB the
+    corpus is word-counted once, not once per tokenizer query."""
+    from commerce_data_pipeline_spark.operators import text as text_ops
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+
+    path = _cache_dir("bpe_vocab", sf)
+    fs = HadoopFS(spark, path)
+    if not fs.exists(join_path(path, "vocab", "_SUCCESS")):
+        docs = load_table(spark, sf, "documents")
+        text_ops._bpe_vocab(docs, "text").write.mode("overwrite").parquet(
+            join_path(path, "vocab")
+        )
+    return spark.read.parquet(join_path(path, "vocab"))
+
+
 def _ensure_copurchase_pairs(spark: SparkSession, sf: str):
     """Build-once handle for the undirected co-purchase pair aggregate of
     lineitem at this sf (graph.co_occurrence_pairs, max_basket=64,

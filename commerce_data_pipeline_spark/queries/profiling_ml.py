@@ -43,7 +43,10 @@ from commerce_data_pipeline_spark.operators.analytics import (
 from commerce_data_pipeline_spark.streaming import events as streaming_events
 from commerce_data_pipeline_spark.queries.dedup_text import _PAIRS_SQL_MW
 from commerce_data_pipeline_spark.queries.corpus import _WS_SPLIT_SQL
-from commerce_data_pipeline_spark.queries._shared import _ensure_copurchase_pairs
+from commerce_data_pipeline_spark.queries._shared import (
+    _ensure_bpe_vocab,
+    _ensure_copurchase_pairs,
+)
 
 
 
@@ -762,7 +765,7 @@ def _q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     vocabulary learning: the trajectory is count-exact integers, so the
     oracle replays all three rounds as unrolled CTE levels."""
     docs = load_table(spark, sf, "documents")
-    return text.bpe_train(docs, rounds=3)
+    return text.bpe_train(docs, rounds=3, vocab=_ensure_bpe_vocab(spark, sf))
 
 
 def _bpe_ms_sql(i: str, syms: str = "syms") -> str:

@@ -44,7 +44,10 @@ from commerce_data_pipeline_spark.streaming import events as streaming_events
 from commerce_data_pipeline_spark.queries._shared import _cache_dir
 from commerce_data_pipeline_spark.queries.dedup_text import _PAIRS_SQL_MW, _ensure_lsh_pairs, _ora_lsh_ctes
 from commerce_data_pipeline_spark.queries.corpus import _WS_SPLIT_SQL
-from commerce_data_pipeline_spark.queries._shared import _ensure_copurchase_pairs
+from commerce_data_pipeline_spark.queries._shared import (
+    _ensure_bpe_vocab,
+    _ensure_copurchase_pairs,
+)
 from commerce_data_pipeline_spark.queries.profiling_ml import _bpe_ms_sql
 
 
@@ -165,7 +168,9 @@ def _q_bpe_compression(spark: SparkSession, sf: str) -> DataFrame:
     (tokens per corpus = cost per epoch) of a tokenizer build. Shares
     bpe_train's loop; one extra vocabulary-sized aggregation per stage."""
     docs = load_table(spark, sf, "documents")
-    return text.bpe_compression(docs, rounds=3).orderBy("stage")
+    return text.bpe_compression(
+        docs, rounds=3, vocab=_ensure_bpe_vocab(spark, sf)
+    ).orderBy("stage")
 
 
 def _ora_bpe_compression(rounds: int = 3) -> str:
@@ -224,7 +229,7 @@ def _q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     the positional even-offset merge rule per document word, the id
     assignment, and the ordered reassembly."""
     docs = load_table(spark, sf, "documents")
-    return text.bpe_tokenize(docs, rounds=3)
+    return text.bpe_tokenize(docs, rounds=3, vocab=_ensure_bpe_vocab(spark, sf))
 
 
 def _ora_bpe_tokenize(rounds: int = 3) -> str:
@@ -323,7 +328,9 @@ def _q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     oracle replays training, the positional merge rule per word, and the
     per-source integer arithmetic."""
     docs = load_table(spark, sf, "documents")
-    return text.tokenizer_fertility(docs, group_col="source", rounds=3)
+    return text.tokenizer_fertility(
+        docs, group_col="source", rounds=3, vocab=_ensure_bpe_vocab(spark, sf)
+    )
 
 
 def _ora_tokenizer_fertility(rounds: int = 3) -> str:

@@ -213,3 +213,34 @@ def test_tokenizer_fertility_hand_case(spark):
     assert out["C"]["n_words"] == 0 and out["C"]["n_tokens"] == 0
     assert out["C"]["fertility_e6"] is None
     assert out["C"]["chars_per_token_e6"] is None
+
+
+def test_persisted_vocab_parity(spark, sf_dir, tmp_path):
+    """The _ensure_bpe_vocab contract: training through a parquet-
+    roundtripped vocabulary is bit-identical to the inline build (string
+    arrays + integer counts roundtrip exactly; every downstream decision
+    is a deterministic aggregate of that frame)."""
+    from commerce_data_pipeline_spark.operators.text import (
+        _bpe_vocab,
+        bpe_compression,
+        bpe_tokenize,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "vocab")
+    _bpe_vocab(docs, "text").write.parquet(path)
+    vocab = spark.read.parquet(path)
+
+    def rows(df, *order):
+        return [tuple(r) for r in df.orderBy(*order).collect()]
+
+    assert rows(bpe_train(docs, rounds=3), "rnk") == rows(
+        bpe_train(docs, rounds=3, vocab=vocab), "rnk"
+    )
+    assert rows(bpe_compression(docs, rounds=3), "stage") == rows(
+        bpe_compression(docs, rounds=3, vocab=vocab), "stage"
+    )
+    assert rows(bpe_tokenize(docs, rounds=3), "doc_id") == rows(
+        bpe_tokenize(docs, rounds=3, vocab=vocab), "doc_id"
+    )
