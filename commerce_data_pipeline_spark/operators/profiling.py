@@ -878,8 +878,11 @@ def psi_drift(
 
     Plan shape: one boundary aggregate over the reference scan, one
     ≤ n_bands-key count per side (map-side partials — the shuffle
-    carries band ids, not rows), a broadcast band spine + 1-row totals,
-    and band-count-sized arithmetic. NULLs excluded on both sides (no
+    carries band ids, not rows), then totals + the headline sum as
+    unpartitioned windows over the band spine — a frame ≤ n_bands rows
+    BY CONSTRUCTION, so the single-partition exchange moves band counts,
+    not data, and each side is scanned exactly once (one consumption
+    chain, no re-evaluated subplans). NULLs excluded on both sides (no
     order position; their drift belongs to a null-rate audit).
 
     Returns (band, n_ref, n_cur, psi_term_e6, psi_e6), band ascending —
@@ -933,29 +936,37 @@ def psi_drift(
             F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
         )
     )
-    totals = per.agg(
-        F.sum("n_ref").cast("long").alias("_tr"),
-        F.sum("n_cur").cast("long").alias("_tc"),
-    )
-    terms = per.crossJoin(F.broadcast(totals)).select(
+    # Totals and the headline sum come from unpartitioned windows over
+    # `per` — a frame that is ≤ n_bands rows BY CONSTRUCTION (the spine),
+    # so the single-partition exchange moves ≤ n_bands rows, not data.
+    # This keeps the whole tail ONE consumption chain: the first plan
+    # (totals-as-aggregate + crossJoins) re-evaluated `per` per consumer
+    # and the audit showed 8 events scans / 12 shuffles for a 10-row
+    # result; this shape scans each side exactly once.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    tr = F.sum("n_ref").over(w_all)
+    tc = F.sum("n_cur").over(w_all)
+    terms = per.select(
         "band",
         "n_ref",
         "n_cur",
         F.floor(
             (
                 (F.col("n_cur") + 1).cast("double")
-                / (F.col("_tc") + n_bands).cast("double")
+                / (tc + n_bands).cast("double")
                 - (F.col("n_ref") + 1).cast("double")
-                / (F.col("_tr") + n_bands).cast("double")
+                / (tr + n_bands).cast("double")
             )
             * F.log(
                 (
                     (F.col("n_cur") + 1).cast("double")
-                    * (F.col("_tr") + n_bands).cast("double")
+                    * (tr + n_bands).cast("double")
                 )
                 / (
                     (F.col("n_ref") + 1).cast("double")
-                    * (F.col("_tc") + n_bands).cast("double")
+                    * (tc + n_bands).cast("double")
                 )
             )
             * F.lit(1_000_000.0)
@@ -963,9 +974,10 @@ def psi_drift(
         .cast("long")
         .alias("psi_term_e6"),
     )
-    total = terms.agg(F.sum("psi_term_e6").cast("long").alias("psi_e6"))
-    return (
-        terms.crossJoin(F.broadcast(total))
-        .select("band", "n_ref", "n_cur", "psi_term_e6", "psi_e6")
-        .orderBy("band")
-    )
+    return terms.select(
+        "band",
+        "n_ref",
+        "n_cur",
+        "psi_term_e6",
+        F.sum("psi_term_e6").over(w_all).cast("long").alias("psi_e6"),
+    ).orderBy("band")
