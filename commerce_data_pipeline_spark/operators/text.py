@@ -778,7 +778,8 @@ def bpe_train(
     """
     if rounds < 1:
         raise ValueError("bpe_train: rounds must be >= 1")
-    spark = df.sparkSession
+    # df may be None when a prebuilt vocab carries the whole corpus signal
+    spark = (vocab if vocab is not None else df).sparkSession
     merges = [
         (rnd, l, r, c)
         for rnd, l, r, c, _ in _bpe_loop(
@@ -921,6 +922,27 @@ def _train_merges(
     return merges, final_vocab
 
 
+def apply_merges_to_vocab(
+    vocab: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply an already-learned merge list to a (syms, cnt) vocabulary
+    frame without training round-trips: one projection per merge, each
+    behind a LAZY localCheckpoint. A nondeterministic-column barrier is
+    NOT enough here — the tail consumer (codebook explode) never
+    references the barrier column, so column pruning deletes it and
+    CollapseProject then nests the merge expressions (measured 3 s →
+    50 s on the tokenize query); the checkpoint is a hard barrier and
+    the frame is vocabulary-sized. Equals the vocabulary `_bpe_loop`
+    produces after the same merges (pinned in tests/test_bpe_train.py)."""
+    cur = vocab
+    for left, right in merges:
+        cur = cur.select(
+            bpe_apply_merge(F.col("syms"), left, right).alias("syms"),
+            "cnt",
+        ).localCheckpoint(eager=False)
+    return cur
+
+
 def _staged_word_syms(
     df: DataFrame,
     keep_cols: list[str],
@@ -958,6 +980,8 @@ def bpe_tokenize(
     text_col: str = "text",
     rounds: int = 3,
     vocab: DataFrame | None = None,
+    merges: list[tuple[str, str]] | None = None,
+    codebook: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """The tokenizer family's LAST MILE — the per-document token-id
     emission a training pipeline actually writes: train `rounds` BPE
@@ -993,18 +1017,28 @@ def bpe_tokenize(
     """
     if rounds < 1:
         raise ValueError("bpe_tokenize: rounds must be >= 1")
-    merges, final_vocab = _train_merges(df, text_col, rounds, vocab=vocab)
-    sym_freq = (
-        final_vocab.select(F.explode("syms").alias("sym"), "cnt")
-        .groupBy("sym")
-        .agg(F.sum("cnt").cast("long").alias("n"))
-        .orderBy(F.desc("n"), F.asc("sym"))
-        .collect()
-    )
+    if merges is not None and codebook is None:
+        # trained merges supplied without ids: recover the codebook's
+        # final vocabulary map-only by replaying the merges over the
+        # (persisted) word vocabulary; no training round-trips.
+        if vocab is None:
+            vocab = _bpe_vocab(df, text_col)
+        final_vocab = apply_merges_to_vocab(vocab, merges)
+    elif merges is None:
+        merges, final_vocab = _train_merges(df, text_col, rounds, vocab=vocab)
+    if codebook is None:
+        sym_freq = (
+            final_vocab.select(F.explode("syms").alias("sym"), "cnt")
+            .groupBy("sym")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("sym"))
+            .collect()
+        )
+        codebook = [(row["sym"], rank) for rank, row in enumerate(sym_freq, 1)]
     id_entries = []
-    for rank, row in enumerate(sym_freq, 1):
-        id_entries.append(F.lit(row["sym"]))
-        id_entries.append(F.lit(rank))
+    for sym, rank in codebook:
+        id_entries.append(F.lit(sym))
+        id_entries.append(F.lit(int(rank)))
     id_map = F.create_map(*id_entries) if id_entries else F.create_map()
     cur = _staged_word_syms(df, [id_col], text_col, merges)
     with_ids = cur.select(
@@ -1029,6 +1063,7 @@ def tokenizer_fertility(
     text_col: str = "text",
     rounds: int = 3,
     vocab: DataFrame | None = None,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """THE tokenizer-quality report a vocabulary build is judged on:
     per-group FERTILITY (tokens per word) and chars-per-token under the
@@ -1051,7 +1086,8 @@ def tokenizer_fertility(
     """
     if rounds < 1:
         raise ValueError("tokenizer_fertility: rounds must be >= 1")
-    merges, _ = _train_merges(df, text_col, rounds, vocab=vocab)
+    if merges is None:
+        merges, _ = _train_merges(df, text_col, rounds, vocab=vocab)
     staged = _staged_word_syms(df, [group_col], text_col, merges)
     per_doc = staged.select(
         group_col,

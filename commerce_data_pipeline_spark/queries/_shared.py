@@ -98,6 +98,65 @@ def _ensure_bpe_vocab(spark: SparkSession, sf: str):
     return spark.read.parquet(join_path(path, "vocab"))
 
 
+def _ensure_bpe_merges(spark: SparkSession, sf: str, rounds: int = 3):
+    """Build-once handle for the LEARNED tokenizer artifacts at this sf —
+    the merge table (bpe_train's output, trained over the persisted
+    `_ensure_bpe_vocab` frame) plus the frequency-ranked symbol codebook
+    of the merged vocabulary. Consumers (bpe_tokenize,
+    tokenizer_fertility) read these instead of re-running the training
+    loop's driver round-trips, exactly as bm25_indexed consumes the
+    persisted postings and ann_ivf_indexed the persisted centroids;
+    bpe_train itself stays the live training-loop surface. Strings and
+    counts roundtrip parquet exactly and both tables are deterministic
+    functions of the vocabulary (codebook order: count desc, sym asc —
+    unique), so the consumed artifacts are bit-identical to inline
+    training (pinned in tests/test_bpe_train.py). With them, the
+    tokenize emit is ONE map-only corpus pass — zero non-scan work at
+    query time, which is the 100 TB tokenization shape.
+
+    Returns (merges, codebook): [(left, right)] in merge order and
+    [(sym, id)] — both O(charset + rounds) driver state."""
+    from pyspark.sql import Window as _W
+
+    from commerce_data_pipeline_spark.operators import text as text_ops
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+
+    path = _cache_dir("bpe_merges", sf)
+    fs = HadoopFS(spark, path)
+    mleaf = join_path(path, f"merges_r{rounds}")
+    cleaf = join_path(path, f"codebook_r{rounds}")
+    if not (
+        fs.exists(join_path(mleaf, "_SUCCESS"))
+        and fs.exists(join_path(cleaf, "_SUCCESS"))
+    ):
+        vocab = _ensure_bpe_vocab(spark, sf)
+        text_ops.bpe_train(
+            None, rounds=rounds, vocab=vocab
+        ).write.mode("overwrite").parquet(mleaf)
+        mrows = spark.read.parquet(mleaf).orderBy("rnk").collect()
+        final_vocab = text_ops.apply_merges_to_vocab(
+            vocab, [(r["left_sym"], r["right_sym"]) for r in mrows]
+        )
+        (
+            final_vocab.select(F.explode("syms").alias("sym"), "cnt")
+            .groupBy("sym")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+            .withColumn(
+                "id",
+                F.row_number().over(_W.orderBy(F.desc("n"), F.asc("sym"))),
+            )
+            .select("sym", "id")
+            .write.mode("overwrite")
+            .parquet(cleaf)
+        )
+    mrows = spark.read.parquet(mleaf).orderBy("rnk").collect()
+    crows = spark.read.parquet(cleaf).orderBy("id").collect()
+    return (
+        [(r["left_sym"], r["right_sym"]) for r in mrows],
+        [(r["sym"], int(r["id"])) for r in crows],
+    )
+
+
 def _ensure_copurchase_pairs(spark: SparkSession, sf: str):
     """Build-once handle for the undirected co-purchase pair aggregate of
     lineitem at this sf (graph.co_occurrence_pairs, max_basket=64,

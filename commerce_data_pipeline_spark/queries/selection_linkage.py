@@ -45,6 +45,7 @@ from commerce_data_pipeline_spark.queries._shared import _cache_dir
 from commerce_data_pipeline_spark.queries.dedup_text import _PAIRS_SQL_MW, _ensure_lsh_pairs, _ora_lsh_ctes
 from commerce_data_pipeline_spark.queries.corpus import _WS_SPLIT_SQL
 from commerce_data_pipeline_spark.queries._shared import (
+    _ensure_bpe_merges,
     _ensure_bpe_vocab,
     _ensure_copurchase_pairs,
 )
@@ -229,7 +230,8 @@ def _q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     the positional even-offset merge rule per document word, the id
     assignment, and the ordered reassembly."""
     docs = load_table(spark, sf, "documents")
-    return text.bpe_tokenize(docs, rounds=3, vocab=_ensure_bpe_vocab(spark, sf))
+    merges, codebook = _ensure_bpe_merges(spark, sf, rounds=3)
+    return text.bpe_tokenize(docs, rounds=3, merges=merges, codebook=codebook)
 
 
 def _ora_bpe_tokenize(rounds: int = 3) -> str:
@@ -328,9 +330,8 @@ def _q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     oracle replays training, the positional merge rule per word, and the
     per-source integer arithmetic."""
     docs = load_table(spark, sf, "documents")
-    return text.tokenizer_fertility(
-        docs, group_col="source", rounds=3, vocab=_ensure_bpe_vocab(spark, sf)
-    )
+    merges, _cb = _ensure_bpe_merges(spark, sf, rounds=3)
+    return text.tokenizer_fertility(docs, group_col="source", rounds=3, merges=merges)
 
 
 def _ora_tokenizer_fertility(rounds: int = 3) -> str:

@@ -244,3 +244,51 @@ def test_persisted_vocab_parity(spark, sf_dir, tmp_path):
     assert rows(bpe_tokenize(docs, rounds=3), "doc_id") == rows(
         bpe_tokenize(docs, rounds=3, vocab=vocab), "doc_id"
     )
+
+
+def test_persisted_merges_parity(spark, sf_dir, tmp_path):
+    """The _ensure_bpe_merges contract: consuming a persisted merge table
+    (skipping the training loop) yields bit-identical tokenization and
+    fertility to inline training, and apply_merges_to_vocab reproduces
+    the loop's merged vocabulary."""
+    from pyspark.sql import functions as F
+
+    from commerce_data_pipeline_spark.operators.text import (
+        _bpe_vocab,
+        _train_merges,
+        apply_merges_to_vocab,
+        bpe_tokenize,
+        tokenizer_fertility,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, final_vocab = _train_merges(docs, "text", 3)
+    # the map-only replay equals the loop's merged vocabulary
+    v_replay = apply_merges_to_vocab(_bpe_vocab(docs, "text"), merges)
+    key = lambda df: sorted(
+        (tuple(r["syms"]), r["cnt"]) for r in df.collect()
+    )
+    assert key(v_replay) == key(final_vocab)
+
+    def rows(df, *order):
+        return [tuple(r) for r in df.orderBy(*order).collect()]
+
+    inline = rows(bpe_tokenize(docs, rounds=3), "doc_id")
+    assert inline == rows(bpe_tokenize(docs, rounds=3, merges=merges), "doc_id")
+    # the persisted-codebook path (what _ensure_bpe_merges feeds the query)
+    freq = {}
+    for syms, cnt in key(final_vocab):
+        for sym in syms:
+            freq[sym] = freq.get(sym, 0) + cnt
+    codebook = [
+        (sym, i)
+        for i, (sym, _n) in enumerate(
+            sorted(freq.items(), key=lambda kv: (-kv[1], kv[0])), 1
+        )
+    ]
+    assert inline == rows(
+        bpe_tokenize(docs, rounds=3, merges=merges, codebook=codebook), "doc_id"
+    )
+    assert rows(tokenizer_fertility(docs, rounds=3), "source") == rows(
+        tokenizer_fertility(docs, rounds=3, merges=merges), "source"
+    )

@@ -430,3 +430,46 @@ def test_fisher_separation_null_when_degenerate(spark):
     )
     out = fisher_separation(df, 0, top_k=1).collect()
     assert out[0]["fisher_e6"] is None
+
+
+def test_calibration_negative_conf_raises(spark):
+    """r10 ADVICE: the binning `div` truncates toward zero, so a negative
+    confidence (outside the [0, conf_scale] domain) must raise scan-side
+    rather than silently landing in a bin floor division would not pick."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from commerce_data_pipeline_spark.operators import selection as S
+
+    df = spark.createDataFrame(
+        [(True, 500_000), (False, -1)], "label boolean, conf long"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as exc:
+        S.calibration_report(df, "label", "conf").collect()
+    assert "negative" in str(exc.value)
+
+
+def test_fisher_separation_large_coordinates_exact(spark):
+    """r10 ADVICE: |v| ~ 4000 at e6 quantization squares past int64
+    (16e18 > 9.2e18) — the decimal square must stay exact where the old
+    BIGINT square wrapped. With symmetric classes around distinct means,
+    fisher is replayable by hand."""
+    from commerce_data_pipeline_spark.operators import selection as S
+
+    # label 0: coordinates 4000 and 4002; label 1: -4000 and -4002
+    rows = [
+        (0, [4000.0]), (0, [4002.0]),
+        (1, [-4000.0]), (1, [-4002.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = S.fisher_separation(df, target_label=0, top_k=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    # exact integers: s0 = 8002e6, s1 = -8002e6, q0 = q1 = (4000e6^2 + 4002e6^2)
+    n0 = n1 = 2
+    s0, s1 = 8_002_000_000, -8_002_000_000
+    q = 4_000_000_000**2 + 4_002_000_000**2
+    num = (s0 * n1 - s1 * n0) ** 2
+    den = (n0 * q - s0 * s0) * n1 * n1 + (n1 * q - s1 * s1) * n0 * n0
+    assert r["fisher_e6"] == (1_000_000 * num) // den
