@@ -860,6 +860,7 @@ def bpe_compression(
     text_col: str = "text",
     rounds: int = 3,
     vocab: DataFrame | None = None,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Tokenizer EVALUATION — the corpus compression each learned BPE merge
     buys: total symbol count (Σ cnt·|syms| over the vocabulary) after 0, 1,
@@ -867,12 +868,17 @@ def bpe_compression(
     per corpus = cost per training epoch); saved_vs_chars pins each stage's
     win over the character baseline. Same shared loop as bpe_train — the
     corpus is touched once, each stage adds one vocabulary-sized
-    aggregation. Returns (stage, total_syms, saved_vs_chars), stage 0 =
-    character baseline.
+    aggregation. With a prebuilt `merges` table (the persisted
+    `_ensure_bpe_merges` artifact) the evaluation consumes the trained
+    tokenizer instead of re-deriving it — each stage is then one map-only
+    merge application plus its total, with no top-pair decisions
+    (bit-identical: the loop applies exactly these merges — pinned in
+    tests/test_bpe_train.py). Returns (stage, total_syms,
+    saved_vs_chars), stage 0 = character baseline.
     """
     if rounds < 1:
         raise ValueError("bpe_compression: rounds must be >= 1")
-    spark = df.sparkSession
+    spark = (vocab if vocab is not None else df).sparkSession
 
     def _total(v: DataFrame) -> int:
         row = v.agg(
@@ -883,9 +889,16 @@ def bpe_compression(
     v0 = vocab if vocab is not None else _bpe_vocab(df, text_col)
     base = _total(v0)
     stages = [(0, base, 0)]
-    for rnd, _l, _r, _c, vocab in _bpe_loop(v0, rounds, apply_last=True):
-        t = _total(vocab)
-        stages.append((rnd, t, base - t))
+    if merges is not None:
+        cur = v0
+        for rnd, (left, right) in enumerate(merges[:rounds], 1):
+            cur = apply_merges_to_vocab(cur, [(left, right)])
+            t = _total(cur)
+            stages.append((rnd, t, base - t))
+    else:
+        for rnd, _l, _r, _c, vf in _bpe_loop(v0, rounds, apply_last=True):
+            t = _total(vf)
+            stages.append((rnd, t, base - t))
     return spark.createDataFrame(
         stages, "stage int, total_syms long, saved_vs_chars long"
     )

@@ -169,8 +169,9 @@ def _q_bpe_compression(spark: SparkSession, sf: str) -> DataFrame:
     (tokens per corpus = cost per epoch) of a tokenizer build. Shares
     bpe_train's loop; one extra vocabulary-sized aggregation per stage."""
     docs = load_table(spark, sf, "documents")
+    merges, _cb = _ensure_bpe_merges(spark, sf, rounds=3)
     return text.bpe_compression(
-        docs, rounds=3, vocab=_ensure_bpe_vocab(spark, sf)
+        docs, rounds=3, vocab=_ensure_bpe_vocab(spark, sf), merges=merges
     ).orderBy("stage")
 
 

@@ -292,3 +292,8 @@ def test_persisted_merges_parity(spark, sf_dir, tmp_path):
     assert rows(tokenizer_fertility(docs, rounds=3), "source") == rows(
         tokenizer_fertility(docs, rounds=3, merges=merges), "source"
     )
+    from commerce_data_pipeline_spark.operators.text import bpe_compression
+
+    assert rows(bpe_compression(docs, rounds=3), "stage") == rows(
+        bpe_compression(docs, rounds=3, merges=merges), "stage"
+    )

@@ -412,3 +412,62 @@ def test_fisher_separation_matches_numpy_reference(spark, rows):
         else:
             num = (s0 * n1 - s1 * n0) ** 2
             assert r["fisher_e6"] == (1_000_000 * num) // den
+
+
+# two integer samples (values 0..20 so bands duplicate and collapse)
+psi_samples = st.tuples(
+    st.lists(st.integers(0, 20), min_size=1, max_size=60),
+    st.lists(st.integers(0, 20), min_size=0, max_size=60),
+)
+
+
+def _psi_reference(ref_vals, cur_vals, n_bands=10):
+    """Pure-Python replay of psi_drift's contract: percentile_disc
+    boundaries (value at rank ceil(p*n) over the sorted reference),
+    band = 1 + #{boundaries < v ... strictly below via >}, full spine,
+    Laplace smoothing, per-band floor(1e6 * dp * ln(ratio)), integer sum."""
+    import math
+
+    srt = sorted(ref_vals)
+    n = len(srt)
+    bounds = [srt[math.ceil(i / n_bands * n) - 1] for i in range(1, n_bands)]
+
+    def band(v):
+        return 1 + sum(1 for b in bounds if v > b)
+
+    cr = {b: 0 for b in range(1, n_bands + 1)}
+    cc = {b: 0 for b in range(1, n_bands + 1)}
+    for v in ref_vals:
+        cr[band(v)] += 1
+    for v in cur_vals:
+        cc[band(v)] += 1
+    tr, tc = len(ref_vals), len(cur_vals)
+    terms = {}
+    for b in range(1, n_bands + 1):
+        pr = (cr[b] + 1) / (tr + n_bands)
+        pc = (cc[b] + 1) / (tc + n_bands)
+        ratio = ((cc[b] + 1) * (tr + n_bands)) / ((cr[b] + 1) * (tc + n_bands))
+        terms[b] = math.floor((pc - pr) * math.log(ratio) * 1e6)
+    return cr, cc, terms, sum(terms.values())
+
+
+@settings(max_examples=10, deadline=None)
+@given(psi_samples)
+def test_psi_drift_matches_python_reference(spark, sides):
+    from commerce_data_pipeline_spark.operators.profiling import psi_drift
+
+    ref_vals, cur_vals = sides
+    ref = spark.createDataFrame([(float(v),) for v in ref_vals], "value double")
+    cur = (
+        spark.createDataFrame([(float(v),) for v in cur_vals], "value double")
+        if cur_vals
+        else spark.createDataFrame([], "value double")
+    )
+    out = {r["band"]: r for r in psi_drift(ref, cur, "value", n_bands=10).collect()}
+    cr, cc, terms, total = _psi_reference(ref_vals, cur_vals)
+    assert set(out) == set(range(1, 11))
+    for b in range(1, 11):
+        assert out[b]["n_ref"] == cr[b], b
+        assert out[b]["n_cur"] == cc[b], b
+        assert out[b]["psi_term_e6"] == terms[b], b
+        assert out[b]["psi_e6"] == total
