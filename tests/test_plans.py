@@ -313,3 +313,34 @@ def test_stream_attribution_pairs_user_keyed_join(spark):
     plan = plans.formatted_plan(df)
     assert "NestedLoop" not in plan
     assert plans.num_shuffles(df) <= 2  # tiny SF broadcasts; at scale SMJ
+
+
+def test_bpe_tokenize_emit_is_map_only(spark):
+    """With the persisted artifacts in place (merge table + codebook), the
+    tokenize emit must be ONE map-only corpus pass: no Exchange anywhere —
+    merges apply as staged projections, the id lookup is a map literal."""
+    df = REGISTRY["bpe_tokenize"].spark(spark, SF)
+    assert plans.num_shuffles(df) == 0
+    assert "Exchange" not in plans.formatted_plan(df)
+
+
+def test_tokenizer_fertility_single_group_shuffle(spark):
+    """Word/char/token counts are per-doc array arithmetic (map-only);
+    the only shuffle is the <= n_sources-key aggregate."""
+    df = REGISTRY["tokenizer_fertility"].spark(spark, SF)
+    assert plans.num_shuffles(df) == 1
+
+
+def test_value_psi_drift_bounded_tail(spark):
+    """Each snapshot scanned once; band counts shuffle <= n_bands keys and
+    the totals/headline windows run over the band spine (single-partition
+    exchange of <= n_bands rows by construction, not data)."""
+    import re
+
+    df = REGISTRY["value_psi_drift"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    # formatted output lists each node twice (tree + details): count the
+    # numbered detail entries only
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans <= 2, n_scans
+    assert plans.num_shuffles(df) <= 3
