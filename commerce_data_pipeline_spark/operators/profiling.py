@@ -845,6 +845,76 @@ def ks_drift(
     )
 
 
+def _banded_snapshot_counts(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    col: str,
+    n_bands: int,
+    op_name: str,
+) -> DataFrame:
+    """Shared banding stage of the banded drift metrics (`psi_drift`,
+    `js_drift`): n_bands−1 `percentile_disc` boundaries computed on the
+    REFERENCE side as ONE aggregate (value at rank ceil(p·n) — the
+    ranking_auc_banded/winsorized cross-engine contract, p exact in 6
+    decimals), broadcast; bands assigned scan-side as 1 + Σ(v > b_i) on
+    BOTH sides; one ≤ n_bands-key count per side (map-side partials —
+    the shuffle carries band ids, not rows); a `spark.range` spine keeps
+    every band 1..n_bands present (empty bands still carry a smoothed
+    term downstream). NULLs excluded on both sides. ONE consumption
+    chain: the boundary aggregate is lazily checkpointed (1 row) so the
+    reference sort-agg never re-runs per consumer, and each side is
+    scanned exactly once.
+
+    Returns (band, n_ref, n_cur), ≤ n_bands rows by construction.
+    """
+    if n_bands < 2:
+        raise ValueError(f"{op_name}: n_bands must be >= 2")
+    from fractions import Fraction
+
+    ps = []
+    for i in range(1, n_bands):
+        p = f"{i / n_bands:.6f}"
+        if Fraction(p) != Fraction(i, n_bands):
+            raise ValueError(
+                f"{op_name}: i/n_bands must be exact in 6 decimal places "
+                f"for the cross-engine boundary contract (got {i}/{n_bands})"
+            )
+        ps.append(p)
+    spark = df_ref.sparkSession
+    ref = df_ref.filter(F.col(col).isNotNull()).select(F.col(col).alias("_v"))
+    cur = df_cur.filter(F.col(col).isNotNull()).select(F.col(col).alias("_v"))
+    bounds = ref.agg(
+        *[
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY _v)").alias(
+                f"_b{i}"
+            )
+            for i, p in enumerate(ps, 1)
+        ]
+    ).localCheckpoint(eager=False)
+    band = F.lit(1)
+    for i in range(1, n_bands):
+        band = band + F.when(F.col("_v") > F.col(f"_b{i}"), 1).otherwise(0)
+
+    def _counts(side: DataFrame, alias: str) -> DataFrame:
+        return (
+            side.crossJoin(F.broadcast(bounds))
+            .select(band.cast("int").alias("band"))
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    spine = spark.range(1, n_bands + 1).select(F.col("id").cast("int").alias("band"))
+    return (
+        spine.join(_counts(ref, "n_ref"), "band", "left")
+        .join(_counts(cur, "n_cur"), "band", "left")
+        .select(
+            "band",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+
+
 def psi_drift(
     df_ref: DataFrame,
     df_cur: DataFrame,
@@ -889,60 +959,7 @@ def psi_drift(
     per-band terms localize WHERE the distribution moved; psi_e6 repeats
     the headline total on every row.
     """
-    if n_bands < 2:
-        raise ValueError("psi_drift: n_bands must be >= 2")
-    from fractions import Fraction
-
-    ps = []
-    for i in range(1, n_bands):
-        p = f"{i / n_bands:.6f}"
-        if Fraction(p) != Fraction(i, n_bands):
-            raise ValueError(
-                "psi_drift: i/n_bands must be exact in 6 decimal places "
-                f"for the cross-engine boundary contract (got {i}/{n_bands})"
-            )
-        ps.append(p)
-    spark = df_ref.sparkSession
-    ref = df_ref.filter(F.col(col).isNotNull()).select(F.col(col).alias("_v"))
-    cur = df_cur.filter(F.col(col).isNotNull()).select(F.col(col).alias("_v"))
-    bounds = ref.agg(
-        *[
-            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY _v)").alias(
-                f"_b{i}"
-            )
-            for i, p in enumerate(ps, 1)
-        ]
-    ).localCheckpoint(eager=False)  # 1 row, consumed by BOTH sides' banding —
-    # without this the reference scan + sort-agg would re-run per consumer
-    band = F.lit(1)
-    for i in range(1, n_bands):
-        band = band + F.when(F.col("_v") > F.col(f"_b{i}"), 1).otherwise(0)
-
-    def _counts(side: DataFrame, alias: str) -> DataFrame:
-        return (
-            side.crossJoin(F.broadcast(bounds))
-            .select(band.cast("int").alias("band"))
-            .groupBy("band")
-            .agg(F.count(F.lit(1)).cast("long").alias(alias))
-        )
-
-    spine = spark.range(1, n_bands + 1).select(F.col("id").cast("int").alias("band"))
-    per = (
-        spine.join(_counts(ref, "n_ref"), "band", "left")
-        .join(_counts(cur, "n_cur"), "band", "left")
-        .select(
-            "band",
-            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
-            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
-        )
-    )
-    # Totals and the headline sum come from unpartitioned windows over
-    # `per` — a frame that is ≤ n_bands rows BY CONSTRUCTION (the spine),
-    # so the single-partition exchange moves ≤ n_bands rows, not data.
-    # This keeps the whole tail ONE consumption chain: the first plan
-    # (totals-as-aggregate + crossJoins) re-evaluated `per` per consumer
-    # and the audit showed 8 events scans / 12 shuffles for a 10-row
-    # result; this shape scans each side exactly once.
+    per = _banded_snapshot_counts(df_ref, df_cur, col, n_bands, "psi_drift")
     from pyspark.sql import Window
 
     w_all = Window.partitionBy()
@@ -980,4 +997,61 @@ def psi_drift(
         "n_cur",
         "psi_term_e6",
         F.sum("psi_term_e6").over(w_all).cast("long").alias("psi_e6"),
+    ).orderBy("band")
+
+
+def js_drift(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    col: str,
+    n_bands: int = 10,
+) -> DataFrame:
+    """Jensen-Shannon divergence between banded numeric snapshots — the
+    BOUNDED companion to `psi_drift` (PSI is unbounded and blows up on
+    near-empty bands; JS is symmetric and capped at ln 2 ≈ 0.6931, so
+    one alert threshold works for every column). Same reference-decile
+    banding and Laplace smoothing as PSI (`_banded_snapshot_counts` —
+    the two metrics are two formulas over the SAME ≤ n_bands frame):
+
+        JS = ½ Σ_b [ p·ln(p/m) + q·ln(q/m) ],   m = (p + q)/2
+
+    with p = (c_ref+1)/(t_ref+B), q = (c_cur+1)/(t_cur+B). Each band
+    term floors at e6 from identical-expression doubles (two ln calls —
+    the bm25 precedent), js_e6 = order-free integer sum of the floored
+    terms, within n_bands ulps-of-e6 of the unfloored JS and bit-stable
+    cross-engine. Identical snapshots score exactly 0 (p = q → both ln
+    ratios are ln(1) on identical doubles).
+
+    Plan shape: identical to psi_drift — two snapshot scans, two
+    ≤ n_bands-key count shuffles, a bounded-window tail.
+
+    Returns (band, n_ref, n_cur, js_term_e6, js_e6), band ascending.
+    """
+    per = _banded_snapshot_counts(df_ref, df_cur, col, n_bands, "js_drift")
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    tr = F.sum("n_ref").over(w_all)
+    tc = F.sum("n_cur").over(w_all)
+    p = (F.col("n_ref") + 1).cast("double") / (tr + n_bands).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (tc + n_bands).cast("double")
+    m = (p + q) / F.lit(2.0)
+    terms = per.select(
+        "band",
+        "n_ref",
+        "n_cur",
+        F.floor(
+            (p * F.log(p / m) + q * F.log(q / m))
+            * F.lit(0.5)
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("js_term_e6"),
+    )
+    return terms.select(
+        "band",
+        "n_ref",
+        "n_cur",
+        "js_term_e6",
+        F.sum("js_term_e6").over(w_all).cast("long").alias("js_e6"),
     ).orderBy("band")

@@ -344,7 +344,9 @@ from commerce_data_pipeline_spark.queries.selection_linkage import (  # noqa: E4
     _q_tokenizer_fertility,
 )
 from commerce_data_pipeline_spark.queries.profiling_ml import (  # noqa: E402
+    _O_VALUE_JS_DRIFT,
     _O_VALUE_PSI_DRIFT,
+    _q_value_js_drift,
     _q_value_psi_drift,
 )
 
@@ -362,6 +364,11 @@ REGISTRY["tokenizer_fertility"] = QuerySpec(
     _q_tokenizer_fertility,
     _ora_tokenizer_fertility(3),
     "X4 tokenizer quality: per-source fertility (tokens/word) + chars/token under the learned table",
+)
+REGISTRY["value_js_drift"] = QuerySpec(
+    _q_value_js_drift,
+    _O_VALUE_JS_DRIFT,
+    "X13 audit: bounded Jensen-Shannon divergence over the shared decile banding",
 )
 
 # --- r10→r11 window rotation (VERDICT r10 directive #1) ---------------------
@@ -382,9 +389,12 @@ REGISTRY["tokenizer_fertility"] = QuerySpec(
 # FAMILY_PROOFS.
 _WINDOW_R11 = [
     # new in r11 — first driver attestation this round (tokenizer_fertility
-    # took the also_bought fill slot: never-attested queries must sit
-    # inside the window, and also_bought's r8 attestation can wait a round)
+    # took the also_bought fill slot and value_js_drift the
+    # lang_id_agreement slot: never-attested queries must sit inside the
+    # window; both evictees are already ≥ r7-attested — the directive's
+    # freshness bar — and their families keep multiple in-window proofs)
     "bpe_tokenize", "value_psi_drift", "tokenizer_fertility",
+    "value_js_drift",
     # all 36 r6-latest rotate-ins (the judge's r11 seed), alphabetical
     "ann_ivf", "ann_pq", "bigram_lm", "cluster_sample", "conversion_daily",
     "decayed_revenue", "distinct_ship_dates", "dsir_select",
@@ -396,9 +406,10 @@ _WINDOW_R11 = [
     "scd2_intervals", "scd2_lookup", "semantic_dedup", "sessionization",
     "streaming_daily_counts", "temperature_mix", "text_profile",
     "tfidf_keywords", "top_revenue_nations", "weighted_sample",
-    # all 7 r7-latest rotate-ins, alphabetical
+    # r7-latest rotate-ins, alphabetical (lang_id_agreement ceded its
+    # slot to value_js_drift; X4 keeps five in-window proofs)
     "centroid_sim", "containment_topk", "customer_value_deciles",
-    "date_gaps", "lang_id_agreement", "quality_classifier",
+    "date_gaps", "quality_classifier",
     "seed_expansion",
     # family pins with no stale representative (linkage r8, X8 r9)
     "snm_name_pairs", "bloom_fpr",

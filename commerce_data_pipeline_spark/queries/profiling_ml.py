@@ -1207,6 +1207,80 @@ FROM terms ORDER BY band
 )
 
 
+def _q_value_js_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """X13 audit — banded Jensen-Shannon divergence of the numeric event
+    value between snapshot halves (operators/profiling.js_drift): the
+    BOUNDED drift gauge beside value_psi_drift (JS is symmetric and
+    capped at ln 2, so one alert threshold works for every column; PSI
+    is unbounded). Two formulas over the SAME reference-decile banded
+    frame: shared _banded_snapshot_counts, Laplace smoothing, per-band
+    e6-floored ½(p·ln(p/m)+q·ln(q/m)) terms from identical-expression
+    doubles, js_e6 = order-free integer sum. The oracle replays
+    boundaries, banding, smoothing, and the same arithmetic."""
+    ev = load_table(spark, sf, "events")
+    return profiling.js_drift(
+        ev.filter(F.col("ts") < F.lit("2024-01-16")),
+        ev.filter(F.col("ts") >= F.lit("2024-01-16")),
+        "value",
+        n_bands=10,
+    )
+
+
+_O_VALUE_JS_DRIFT = (
+    """
+WITH r AS (
+  SELECT value AS v FROM events
+  WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
+), cu AS (
+  SELECT value AS v FROM events
+  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
+), ranked AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n FROM r
+), b AS (
+  SELECT
+"""
+    + ",\n".join(
+        f"    MAX(CASE WHEN rn = CAST(CEIL(0.{i} * n) AS BIGINT) THEN v END) AS b{i}"
+        for i in range(1, 10)
+    )
+    + """
+  FROM ranked
+), rbanded AS (
+  SELECT 1 """
+    + " ".join(f"+ (CASE WHEN r.v > b.b{i} THEN 1 ELSE 0 END)" for i in range(1, 10))
+    + """ AS band FROM r, b
+), cbanded AS (
+  SELECT 1 """
+    + " ".join(f"+ (CASE WHEN cu.v > b.b{i} THEN 1 ELSE 0 END)" for i in range(1, 10))
+    + """ AS band FROM cu, b
+), rcnt AS (SELECT band, COUNT(*) AS n_ref FROM rbanded GROUP BY band),
+ccnt AS (SELECT band, COUNT(*) AS n_cur FROM cbanded GROUP BY band),
+spine AS (SELECT unnest(generate_series(1, 10)) AS band),
+per AS (
+  SELECT s.band, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+  FROM spine s LEFT JOIN rcnt ON rcnt.band = s.band
+  LEFT JOIN ccnt ON ccnt.band = s.band
+), tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM per),
+pq AS (
+  SELECT band, n_ref, n_cur,
+    CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE) AS p,
+    CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE) AS q
+  FROM per, tot
+), terms AS (
+  SELECT band, n_ref, n_cur,
+    CAST(FLOOR(
+      (p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0)))
+      * 0.5 * 1000000.0) AS BIGINT) AS js_term_e6
+  FROM pq
+)
+SELECT CAST(band AS INT) AS band, CAST(n_ref AS BIGINT) AS n_ref,
+  CAST(n_cur AS BIGINT) AS n_cur, js_term_e6,
+  CAST(SUM(js_term_e6) OVER () AS BIGINT) AS js_e6
+FROM terms ORDER BY band
+"""
+)
+
+
 _O_VALUE_KS_DRIFT = """
 WITH a AS (
   SELECT value AS v, COUNT(*) AS n_a FROM events

@@ -344,3 +344,15 @@ def test_value_psi_drift_bounded_tail(spark):
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert n_scans <= 2, n_scans
     assert plans.num_shuffles(df) <= 3
+
+
+def test_value_js_drift_bounded_tail(spark):
+    """Same contract as PSI (shared banding stage): each snapshot scanned
+    once, <= 3 exchanges."""
+    import re
+
+    df = REGISTRY["value_js_drift"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans <= 2, n_scans
+    assert plans.num_shuffles(df) <= 3

@@ -249,3 +249,46 @@ def test_psi_drift_excludes_nulls_and_validates(spark):
         psi_drift(ref, ref, "value", n_bands=1)
     with pytest.raises(ValueError, match="6 decimal"):
         psi_drift(ref, ref, "value", n_bands=7)
+
+
+def test_js_drift_identical_sides_zero_and_bounded(spark):
+    import math
+
+    from commerce_data_pipeline_spark.operators.profiling import js_drift
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 11)], "value double")
+    out = js_drift(df, df, "value", n_bands=10).collect()
+    assert [r["band"] for r in out] == list(range(1, 11))
+    assert all(r["js_term_e6"] == 0 and r["js_e6"] == 0 for r in out)
+    # disjoint supports: JS maximal but still under the ln 2 cap
+    lo = spark.createDataFrame([(float(v),) for v in range(10)], "value double")
+    hi = spark.createDataFrame([(float(v),) for v in range(100, 110)], "value double")
+    top = js_drift(lo, hi, "value", n_bands=10).collect()
+    js = top[0]["js_e6"]
+    assert 0 < js <= math.floor(math.log(2) * 1e6)
+
+
+def test_js_drift_hand_shift(spark):
+    """Same geometry as the PSI hand case: ref = 1..10, cur = ten 10s;
+    replay the smoothed floored JS arithmetic by hand."""
+    import math
+
+    from commerce_data_pipeline_spark.operators.profiling import js_drift
+
+    ref = spark.createDataFrame([(float(v),) for v in range(1, 11)], "value double")
+    cur = spark.createDataFrame([(10.0,)] * 10, "value double")
+    out = {r["band"]: r for r in js_drift(ref, cur, "value", n_bands=10).collect()}
+    expected = {}
+    for band in range(1, 11):
+        n_ref, n_cur = 1, (10 if band == 10 else 0)
+        p = (n_ref + 1) / 20
+        q = (n_cur + 1) / 20
+        m = (p + q) / 2.0
+        expected[band] = math.floor(
+            (p * math.log(p / m) + q * math.log(q / m)) * 0.5 * 1e6
+        )
+    total = sum(expected.values())
+    for band in range(1, 11):
+        assert out[band]["js_term_e6"] == expected[band], band
+        assert out[band]["js_e6"] == total
+    assert total > 0

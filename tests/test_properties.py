@@ -471,3 +471,35 @@ def test_psi_drift_matches_python_reference(spark, sides):
         assert out[b]["n_cur"] == cc[b], b
         assert out[b]["psi_term_e6"] == terms[b], b
         assert out[b]["psi_e6"] == total
+
+
+@settings(max_examples=8, deadline=None)
+@given(psi_samples)
+def test_js_drift_matches_python_reference(spark, sides):
+    import math
+
+    from commerce_data_pipeline_spark.operators.profiling import js_drift
+
+    ref_vals, cur_vals = sides
+    ref = spark.createDataFrame([(float(v),) for v in ref_vals], "value double")
+    cur = (
+        spark.createDataFrame([(float(v),) for v in cur_vals], "value double")
+        if cur_vals
+        else spark.createDataFrame([], "value double")
+    )
+    out = {r["band"]: r for r in js_drift(ref, cur, "value", n_bands=10).collect()}
+    cr, cc, _pt, _ps = _psi_reference(ref_vals, cur_vals)
+    tr, tc = len(ref_vals), len(cur_vals)
+    terms = {}
+    for b in range(1, 11):
+        p = (cr[b] + 1) / (tr + 10)
+        q = (cc[b] + 1) / (tc + 10)
+        m = (p + q) / 2.0
+        terms[b] = math.floor(
+            (p * math.log(p / m) + q * math.log(q / m)) * 0.5 * 1e6
+        )
+    total = sum(terms.values())
+    for b in range(1, 11):
+        assert out[b]["n_ref"] == cr[b] and out[b]["n_cur"] == cc[b], b
+        assert out[b]["js_term_e6"] == terms[b], b
+        assert out[b]["js_e6"] == total
