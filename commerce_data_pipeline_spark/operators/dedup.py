@@ -243,6 +243,102 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def minhash_estimate_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """The MinHash ACCURACY CONTRACT — X2's analog of `ann_recall`: over
+    every overlapping document pair (≥ 1 shared shingle), compare the
+    exact n-gram Jaccard against the signature estimate (fraction of
+    equal components) and report the absolute-error profile. The theory
+    says E[estimate] = J with σ = √(J(1−J)/k); this measures what the
+    deployed k actually delivers on this corpus, so the LSH family's
+    candidate thresholds rest on a pinned number instead of an
+    assumption.
+
+    All integer-exact: jacc_e6 = floor(1e6·inter/union), est_e6 =
+    floor(1e6·matches/k), err = |est − jacc| — engine-replayable bit
+    for bit.
+
+    Scale shape: signatures are scan-side (minhash_signature — no
+    shuffle); the exact-Jaccard side is the audit's quadratic cost and
+    is the CALLER's sampling responsibility (same contract as
+    jaccard_topk/containment_topk — run it on a sampled slice;
+    `max_shingle_freq` additionally caps the shingle-bucket fan-out).
+    The signature join touches only the already-aggregated pair frame.
+
+    Returns ONE row: (n_pairs, mae_e6, max_err_e6) — NULL errors on an
+    empty pair space.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, on="shingle", how="left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(num_hashes)],
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    pairs = (
+        inter.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+        )
+        .join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            F.expr("CAST((1000000 * inter) div (n_a + n_b - inter) AS BIGINT)").alias(
+                "_jacc_e6"
+            ),
+            matches.cast("long").alias("_m"),
+        )
+        .select(
+            "_jacc_e6",
+            F.expr(f"CAST((1000000 * _m) div {num_hashes} AS BIGINT)").alias("_est_e6"),
+        )
+        .select(F.abs(F.col("_est_e6") - F.col("_jacc_e6")).alias("_err"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(CASE WHEN COUNT(1) > 0 THEN SUM(_err) div COUNT(1) END AS BIGINT)").alias(
+            "mae_e6"
+        ),
+        F.max("_err").cast("long").alias("max_err_e6"),
+    )
+
+
 # Edge budget under which connected components runs as a driver-side
 # union-find instead of distributed label rounds. Rationale: each
 # distributed round is 2 keyed shuffles + a checkpoint + a convergence

@@ -371,6 +371,17 @@ REGISTRY["value_js_drift"] = QuerySpec(
     "X13 audit: bounded Jensen-Shannon divergence over the shared decile banding",
 )
 
+from commerce_data_pipeline_spark.queries.dedup_text import (  # noqa: E402
+    _ora_minhash_estimate_audit,
+    _q_minhash_estimate_audit,
+)
+
+REGISTRY["minhash_estimate_audit"] = QuerySpec(
+    _q_minhash_estimate_audit,
+    _ora_minhash_estimate_audit(8, 3),
+    "X2 accuracy contract: exact Jaccard vs the MinHash estimate (the dedup ann_recall)",
+)
+
 # --- r10→r11 window rotation (VERDICT r10 directive #1) ---------------------
 # THE one live window (historical windows live in git + COVERAGE.md's
 # generated attestation ledger — see the note above the registry dict).
@@ -394,7 +405,7 @@ _WINDOW_R11 = [
     # window; both evictees are already ≥ r7-attested — the directive's
     # freshness bar — and their families keep multiple in-window proofs)
     "bpe_tokenize", "value_psi_drift", "tokenizer_fertility",
-    "value_js_drift",
+    "value_js_drift", "minhash_estimate_audit",
     # all 36 r6-latest rotate-ins (the judge's r11 seed), alphabetical
     "ann_ivf", "ann_pq", "bigram_lm", "cluster_sample", "conversion_daily",
     "decayed_revenue", "distinct_ship_dates", "dsir_select",
@@ -407,9 +418,11 @@ _WINDOW_R11 = [
     "streaming_daily_counts", "temperature_mix", "text_profile",
     "tfidf_keywords", "top_revenue_nations", "weighted_sample",
     # r7-latest rotate-ins, alphabetical (lang_id_agreement ceded its
-    # slot to value_js_drift; X4 keeps five in-window proofs)
+    # slot to value_js_drift and quality_classifier to
+    # minhash_estimate_audit; both evictees are r7-attested and their
+    # families keep multiple in-window proofs — X4 five, X11 two)
     "centroid_sim", "containment_topk", "customer_value_deciles",
-    "date_gaps", "quality_classifier",
+    "date_gaps",
     "seed_expansion",
     # family pins with no stale representative (linkage r8, X8 r9)
     "snm_name_pairs", "bloom_fpr",

@@ -104,6 +104,78 @@ SELECT doc_id, {comps} FROM vals
 """
 
 
+def _q_minhash_estimate_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 accuracy contract — exact n-gram Jaccard vs the 8-component
+    MinHash estimate over every overlapping sampled pair
+    (operators/dedup.minhash_estimate_audit): the ann_recall analog for
+    the dedup family — E[est] = J in theory, this pins what k=8 delivers
+    on this corpus. Same sampled pair space as jaccard_topk; signatures
+    are the attested minhash_signature construction; every number is an
+    integer floor (jacc_e6, est_e6, |err|, MAE), so the oracle replays
+    it bit for bit."""
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return dedup.minhash_estimate_audit(
+        docs, num_hashes=8, shingle_n=3
+    )
+
+
+def _ora_minhash_estimate_audit(num_hashes: int = 8, n: int = 3) -> str:
+    comps = ",\n    ".join(
+        f"list_min(list_transform(vs, v -> ({a} * v + {b}) % {dedup.MINHASH_PRIME})) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.minhash_coeffs(num_hashes))
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents WHERE doc_id % 5 = 0
+), shs AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {n}
+      THEN list_distinct(list_transform(generate_series(1, len(words) - {n} + 1),
+             i -> array_to_string(words[i:i+{n}-1], ' ')))
+      ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shs
+), sizes AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh FROM shs WHERE len(shingles) > 0
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), vals AS (
+  SELECT doc_id,
+    list_transform(shingles,
+      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483648) AS vs
+  FROM shs
+), sig AS (
+  SELECT doc_id,
+    {comps}
+  FROM vals
+), errs AS (
+  SELECT ABS(
+      (1000000 * ({match_sum})) // {num_hashes}
+      - (1000000 * inter) // (sa2.n_sh + sb2.n_sh - inter)
+    ) AS err
+  FROM inter
+  JOIN sizes sa2 ON sa2.doc_id = id_a
+  JOIN sizes sb2 ON sb2.doc_id = id_b
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(CASE WHEN COUNT(*) > 0 THEN SUM(err) // COUNT(*) END AS BIGINT) AS mae_e6,
+  CAST(MAX(err) AS BIGINT) AS max_err_e6
+FROM errs
+"""
+
+
 def _q_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
     """X2 — exact n-gram Jaccard: 50 most-similar sampled-doc pairs.
     Sampling (doc_id % 5 = 0) bounds the quadratic pair space; ranking by

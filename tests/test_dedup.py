@@ -253,3 +253,55 @@ def test_containment_threshold_either_direction(spark):
     rows = ngram_containment_pairs(docs, shingle_n=1, min_containment=0.5).collect()
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
     assert rows[0]["cont_a_e6"] == rows[0]["cont_b_e6"] == 500_000
+
+
+def test_minhash_estimate_audit_hand_case(spark):
+    """Two docs sharing half their 1-gram shingles: exact Jaccard is
+    replayable by hand; the estimate is whatever the deterministic
+    signatures give, and the report must glue them together exactly."""
+    from pyspark.sql import functions as F
+
+    from commerce_data_pipeline_spark.operators.dedup import (
+        minhash_estimate_audit,
+        minhash_signature,
+    )
+
+    rows = [(1, "a b c d"), (2, "c d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_estimate_audit(df, num_hashes=8, shingle_n=1).collect()[0]
+    # shingles {a,b,c,d} vs {c,d,e,f}: inter 2, union 6 -> jacc_e6 333333
+    jacc_e6 = (1_000_000 * 2) // 6
+    sig = {r["doc_id"]: r for r in minhash_signature(df, num_hashes=8, shingle_n=1).collect()}
+    matches = sum(1 for i in range(8) if sig[1][f"mh_{i}"] == sig[2][f"mh_{i}"])
+    est_e6 = (1_000_000 * matches) // 8
+    assert out["n_pairs"] == 1
+    assert out["mae_e6"] == abs(est_e6 - jacc_e6)
+    assert out["max_err_e6"] == abs(est_e6 - jacc_e6)
+
+
+def test_minhash_estimate_audit_empty_pair_space(spark):
+    from commerce_data_pipeline_spark.operators.dedup import minhash_estimate_audit
+
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd")], "doc_id long, text string"
+    )
+    out = minhash_estimate_audit(df, num_hashes=8, shingle_n=1).collect()[0]
+    assert out["n_pairs"] == 0
+    assert out["mae_e6"] is None and out["max_err_e6"] is None
+
+
+def test_minhash_estimate_audit_is_accurate_on_corpus(spark, sf_dir):
+    """The contract the audit exists to pin: with k=8 the MAE over the
+    sampled corpus pairs should be well under the single-component
+    granularity (125000 e6) — i.e. the estimator is unbiased in
+    aggregate, not just in theory."""
+    from pyspark.sql import functions as F
+
+    from commerce_data_pipeline_spark.operators.dedup import minhash_estimate_audit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    out = minhash_estimate_audit(docs, num_hashes=8, shingle_n=3).collect()[0]
+    assert out["n_pairs"] > 0
+    assert out["mae_e6"] < 125_000
