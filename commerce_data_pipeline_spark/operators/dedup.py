@@ -274,6 +274,12 @@ def minhash_estimate_audit(
     Returns ONE row: (n_pairs, mae_e6, max_err_e6) — NULL errors on an
     empty pair space.
     """
+    # The audited slice is BY CONTRACT a sample (see docstring), so its
+    # exploded shingle frame is the audit's working set: checkpoint it
+    # once — it feeds sizes + both self-join sides, and re-evaluating it
+    # would re-scan and re-shingle the corpus per consumer (the plan
+    # audit showed 6 text scans before this). Same for the signature
+    # frame (n_docs × k longs), joined on both pair sides.
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
     )
@@ -285,6 +291,7 @@ def minhash_estimate_audit(
             .select("shingle")
         )
         sh = sh.join(rare, on="shingle", how="left_semi")
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -294,7 +301,9 @@ def minhash_estimate_audit(
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signature(
+        df, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=False)
     sig_a = sig.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(num_hashes)],

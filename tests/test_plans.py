@@ -356,3 +356,16 @@ def test_value_js_drift_bounded_tail(spark):
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert n_scans <= 2, n_scans
     assert plans.num_shuffles(df) <= 3
+
+
+def test_minhash_estimate_audit_single_materialization(spark):
+    """The sampled slice is the audit's working set: the shingle frame
+    and the signature frame are each materialized once (lazy checkpoints)
+    — no parquet scan may appear in the final plan (they run inside the
+    checkpoint jobs, once), and the tail is the pair agg + profile."""
+    import re
+
+    df = REGISTRY["minhash_estimate_audit"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert not re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert plans.num_shuffles(df) <= 4
