@@ -906,8 +906,9 @@ def bpe_compression(
 
 def _merge_applier(left: str, right: str):
     """Closure factory for applying one merge inside a HOF lambda —
-    default-arg capture (`lambda s, l=l:`) would bind the array element
-    index instead of the merge pair (see .claude verify notes)."""
+    PySpark derives the lambda-variable count from the Python arity, so
+    default-arg capture (`lambda s, l=l:`) would silently bind the merge
+    pair to the array index (same hazard as minhash_signature's _perm)."""
     def _apply(s: Column) -> Column:
         return bpe_apply_merge(s, left, right)
 
