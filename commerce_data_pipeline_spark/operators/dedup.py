@@ -271,6 +271,16 @@ def minhash_estimate_audit(
     `max_shingle_freq` additionally caps the shingle-bucket fan-out).
     The signature join touches only the already-aggregated pair frame.
 
+    When `max_shingle_freq` is set, BOTH sides of the comparison are
+    computed over the SAME frequency-filtered shingle set: the exact
+    Jaccard ignores frequent shingles by construction, so the signatures
+    are aggregated from the filtered shingle frame too (min over the
+    same md5→affine permutations — identical arithmetic, one grouped
+    aggregation over the sampled slice instead of the scan-side array
+    form). Estimate and exact then measure the same set statistic;
+    filtering only the exact side would report an inflated error (it
+    would compare full-set estimates against filtered-set truth).
+
     Returns ONE row: (n_pairs, mae_e6, max_err_e6) — NULL errors on an
     empty pair space.
     """
@@ -301,9 +311,25 @@ def minhash_estimate_audit(
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
-    sig = minhash_signature(
-        df, id_col, text_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=False)
+    if max_shingle_freq is None:
+        sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    else:
+        # signatures over the SAME filtered shingle set as the exact side
+        # (see docstring): identical md5→affine arithmetic, min per
+        # permutation aggregated from the exploded filtered frame.
+        v = (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % 2147483648
+        )
+        sig = sh.groupBy(id_col).agg(
+            *[
+                F.min((F.lit(a) * v + F.lit(b)) % F.lit(MINHASH_PRIME))
+                .cast("long")
+                .alias(f"mh_{i}")
+                for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+            ]
+        )
+    sig = sig.localCheckpoint(eager=False)
     sig_a = sig.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(num_hashes)],

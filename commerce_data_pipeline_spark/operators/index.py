@@ -88,12 +88,146 @@ def build_ivf_index(
             F.transform(v, lambda x: F.floor(x / sc + F.lit(0.5)).cast("int")).alias("qvec"),
         )
     (
-        inverted.repartition("centroid_id")
+        inverted.withColumn("gen", F.lit(0).cast("int"))
+        .repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(join_path(path, "inverted"))
     )
     centroids.write.mode("overwrite").parquet(join_path(path, "centroids"))
+    _set_gen(corpus.sparkSession, path, 0)
+
+
+def current_gen(spark: SparkSession, path: str) -> int:
+    """Monotonic append-generation counter for the index at `path`.
+
+    Generations make tombstones REPLACE-safe: a tombstone records
+    (neighbor_id, upto_gen) and kills only list rows with gen <= upto_gen,
+    so `upsert` = tombstone-at-current-gen + append-at-next-gen never
+    deletes the row it just wrote. Stored as a one-row parquet under
+    `gen_meta/` (tiny, rewritten per append — never derived by scanning
+    the inverted file, which at 100 TB would be a full-index pass).
+    Indexes built before generations existed read as gen 0."""
+    leaf = join_path(path, "gen_meta")
+    fs = HadoopFS(spark, path)
+    if not fs.exists(join_path(leaf, "_SUCCESS")):
+        return 0
+    return int(spark.read.parquet(leaf).collect()[0]["gen"])
+
+
+def _set_gen(spark: SparkSession, path: str, gen: int) -> None:
+    spark.createDataFrame([(int(gen),)], "gen int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(join_path(path, "gen_meta"))
+
+
+def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    leaf = join_path(path, "tombstones")
+    fs = HadoopFS(spark, path)
+    if not fs.exists(leaf) or not fs.listdir(leaf):
+        return None
+    return spark.read.parquet(leaf)
+
+
+def delete_from_ivf_index(
+    ids: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Tombstone-delete: append (neighbor_id, upto_gen=current_gen) rows —
+    O(|ids|) write, NO inverted-list partition is touched. Queries
+    anti-filter against the (broadcast-small between compactions)
+    tombstone set; `compact_ivf_index` folds them into the lists. This is
+    the takedown/dedup-removal path a live 100 TB corpus needs at
+    interactive cost; ids not present in the index are harmless no-ops."""
+    spark = ids.sparkSession
+    g = current_gen(spark, path)
+    (
+        ids.select(
+            F.col(id_col).cast("long").alias("neighbor_id"),
+            F.lit(g).cast("int").alias("upto_gen"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(join_path(path, "tombstones"))
+    )
+
+
+def upsert_into_ivf_index(
+    corpus_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Upsert = tombstone any existing version of these ids at the CURRENT
+    generation, then append fresh assignments at the NEXT generation —
+    the LSM discipline: old versions die, the new rows survive the very
+    tombstones that killed them (gen > upto_gen). Only the touched
+    centroid partitions gain files; nothing is rewritten until
+    `compact_ivf_index`. Per-id history is never needed: the max
+    upto_gen per id decides visibility."""
+    spark = corpus_new.sparkSession
+    g = current_gen(spark, path)
+    delete_from_ivf_index(corpus_new.select(id_col), path, id_col)
+    append_to_ivf_index(corpus_new, path, id_col, vec_col, _gen=g + 1)
+    _set_gen(spark, path, g + 1)
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    """Fold the tombstone set into the inverted file and clear it —
+    query results are bit-identical before and after (pinned in tests).
+
+    Partition-level surgery, not a rebuild: only centroid partitions that
+    actually CONTAIN a tombstoned row are rewritten (dynamic partition
+    overwrite); partitions whose every row died are deleted explicitly
+    (dynamic overwrite writes nothing for an empty partition, which would
+    otherwise resurrect the old files — the silent-resurface hazard).
+    Centroids, codebooks, and untouched list partitions are never read
+    twice or rewritten, so compaction cost scales with the tombstoned
+    fraction, not the index size."""
+    tomb = _read_tombstones(spark, path)
+    if tomb is None:
+        return
+    inv_leaf = join_path(path, "inverted")
+    inverted = spark.read.option("mergeSchema", "true").parquet(inv_leaf)
+    if "gen" not in inverted.columns:
+        inverted = inverted.withColumn("gen", F.lit(0))
+    inverted = inverted.withColumn("gen", F.coalesce(F.col("gen"), F.lit(0)))
+    t = tomb.groupBy("neighbor_id").agg(F.max("upto_gen").alias("_upto"))
+    joined = inverted.join(F.broadcast(t), on="neighbor_id", how="left")
+    touched = [
+        r["centroid_id"]
+        for r in joined.filter(F.col("_upto").isNotNull())
+        .filter(F.col("gen") <= F.col("_upto"))
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    ]
+    fs = HadoopFS(spark, path)
+    if touched:
+        survivors = (
+            joined.filter(F.col("centroid_id").isin(touched))
+            .filter(F.col("_upto").isNull() | (F.col("gen") > F.col("_upto")))
+            .drop("_upto")
+        )
+        kept = {
+            r["centroid_id"]
+            for r in survivors.select("centroid_id").distinct().collect()
+        }
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            if kept:
+                (
+                    survivors.filter(F.col("centroid_id").isin(list(kept)))
+                    .repartition("centroid_id")
+                    .write.mode("overwrite")
+                    .partitionBy("centroid_id")
+                    .parquet(inv_leaf)
+                )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for cid in set(touched) - kept:
+            fs.delete(join_path(inv_leaf, f"centroid_id={cid}"))
+    fs.delete(join_path(path, "tombstones"))
 
 
 def append_to_ivf_index(
@@ -101,6 +235,7 @@ def append_to_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _gen: int | None = None,
 ) -> None:
     """Incrementally index NEW vectors against the EXISTING centroids:
     assign each to its nearest centroid (broadcast argmax, the same
@@ -114,13 +249,18 @@ def append_to_ivf_index(
     spark = corpus_new.sparkSession
     centroids = spark.read.parquet(join_path(path, "centroids"))
     u = with_unit_vector(corpus_new, vec_col, "unit")
-    inverted_new = ivf_invert(u, centroids, id_col)
+    gen = current_gen(spark, path) + 1 if _gen is None else _gen
+    inverted_new = ivf_invert(u, centroids, id_col).withColumn(
+        "gen", F.lit(int(gen)).cast("int")
+    )
     (
         inverted_new.repartition("centroid_id")
         .write.mode("append")
         .partitionBy("centroid_id")
         .parquet(join_path(path, "inverted"))
     )
+    if _gen is None:  # upsert path bumps the counter itself
+        _set_gen(spark, path, gen)
 
 
 def index_exists(spark: SparkSession, path: str) -> bool:
@@ -147,8 +287,37 @@ def ivf_query(
 ) -> DataFrame:
     """Probe a persisted IVF index. The centroid_id equi-join against the
     partitioned inverted file prunes to the probed lists' directories —
-    check `.explain` for the partition filter on centroid_id."""
-    inverted = spark.read.parquet(join_path(path, "inverted"))
+    check `.explain` for the partition filter on centroid_id.
+
+    Tombstone-aware: if `tombstones/` is non-empty, list rows with
+    gen <= the id's max upto_gen are filtered out through a BROADCAST
+    left join (the tombstone set is bounded between compactions — run
+    `compact_ivf_index` on a cadence to keep it so). An index without
+    generations (pre-upsert layout) reads as gen 0. mergeSchema handles
+    the mixed old-build + new-append footer case; a fresh build writes a
+    uniform gen column so production indexes never pay the merge."""
+    inv_leaf = join_path(path, "inverted")
+    fs = HadoopFS(spark, path)
+    if not any(n.startswith("centroid_id=") for n in fs.listdir(inv_leaf)):
+        # every list compacted away (or nothing indexed yet): an empty
+        # result with the probe-score schema, not a scan of nothing
+        q_type = dict(queries.dtypes)[query_id_col]
+        return spark.createDataFrame(
+            [],
+            f"query_id {q_type}, neighbor_id long, cosine_sim double, rank int",
+        )
+    inverted = spark.read.option("mergeSchema", "true").parquet(inv_leaf)
+    if "gen" not in inverted.columns:
+        inverted = inverted.withColumn("gen", F.lit(0))
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        t = tomb.groupBy("neighbor_id").agg(F.max("upto_gen").alias("_upto"))
+        inverted = (
+            inverted.withColumn("gen", F.coalesce(F.col("gen"), F.lit(0)))
+            .join(F.broadcast(t), on="neighbor_id", how="left")
+            .filter(F.col("_upto").isNull() | (F.col("gen") > F.col("_upto")))
+            .drop("_upto")
+        )
     if "codes" in inverted.columns:  # IVF-PQ lists: codebook reconstruction
         cb_rows = spark.read.parquet(join_path(path, "codebooks")).collect()
         m = max(r["s"] for r in cb_rows) + 1

@@ -775,6 +775,14 @@ def bpe_train(
 
     Returns the learned merge table (rnk, left_sym, right_sym, pair_count)
     — rnk is the merge order, the trained artifact a BPE tokenizer ships.
+
+    JOB-COUNT BOUND (r11 VERDICT #2): driver STATE is O(rounds), but the
+    loop issues one decision job per merge — ~0.3-0.5 s of scheduling per
+    round on the bench vocab, so a production 32k-merge vocabulary is
+    32k sequential round-trips. That is the real scale axis here; for
+    large vocabularies use `bpe_train_batched`, which learns `batch`
+    pairwise-disjoint merges per decision job (32k merges at batch=256 →
+    125 jobs) with every reported pair_count still exact.
     """
     if rounds < 1:
         raise ValueError("bpe_train: rounds must be >= 1")
@@ -836,6 +844,108 @@ def _bpe_top_pair(vocab: DataFrame):
     if not rows:
         return None
     return rows[0]["l"], rows[0]["r"], int(rows[0]["c"])
+
+
+def _bpe_top_pairs(vocab: DataFrame, k: int) -> list[tuple[str, str, int]]:
+    """Rank-ordered top-k adjacent pairs (count desc, pair lexicographic
+    — a unique total order, deterministic at any k) in ONE job."""
+    rows = (
+        vocab.filter(F.size("syms") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.try_element_at("syms", i).alias("l"),
+                        F.try_element_at("syms", i + F.lit(1)).alias("r"),
+                    ),
+                )
+            ).alias("_p"),
+        )
+        .groupBy(F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+        .limit(k)
+        .collect()
+    )
+    return [(row["l"], row["r"], int(row["c"])) for row in rows]
+
+
+def greedy_disjoint_picks(
+    cands: list[tuple[str, str, int]], batch: int
+) -> list[tuple[str, str, int]]:
+    """Greedy batch selection over rank-ordered candidates: keep a pair
+    iff it shares NO symbol with any already-kept pair AND neither of its
+    symbols equals an earlier keep's fused symbol (l+r). Under this rule
+    no kept merge's application can create or destroy occurrences counted
+    for another keep, so applications commute and every reported
+    pair_count is the exact pre-batch corpus count."""
+    picks: list[tuple[str, str, int]] = []
+    blocked: set[str] = set()
+    for l, r, c in cands:
+        if l in blocked or r in blocked:
+            continue
+        picks.append((l, r, c))
+        blocked.update((l, r, l + r))
+        if len(picks) == batch:
+            break
+    return picks
+
+
+def bpe_train_batched(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 4,
+    batch: int = 4,
+    vocab: DataFrame | None = None,
+    cand_k: int | None = None,
+) -> DataFrame:
+    """Batched BPE training — the job-count scale fix for `bpe_train`
+    (r11 VERDICT #4): the sequential trainer issues one decision job per
+    MERGE, so a production 32k-merge vocabulary is 32k driver round-trips
+    even though corpus work is one-shot. The standard remedy: per round,
+    take the top-`batch` pairwise-DISJOINT pairs from ONE ranked pair
+    count and apply them all — decision jobs shrink to
+    n_merges / batch (32k merges at batch=256 → 125 rounds).
+
+    Selection is greedy in rank order (count desc, pair lexicographic)
+    over the round's top-`cand_k` candidates (default 4·batch — the
+    bounded driver collect, ≤256-codebook precedent); see
+    `greedy_disjoint_picks` for the disjointness contract that keeps
+    every reported pair_count exact. Picks are applied in pick order
+    (pinned, though disjointness makes them commute). A round may keep
+    fewer than `batch` pairs when the candidate window is exhausted;
+    training stops when no pair remains. The trajectory differs from
+    sequential BPE (that is inherent to batching) but is itself exact
+    and engine-replayable: the oracle unrolls each round as one ranked
+    candidate CTE + `batch` greedy pick levels + `batch` merge
+    applications.
+
+    Returns (rnd, pick, left_sym, right_sym, pair_count) — the trained
+    merge table in application order, consumable by bpe_tokenize /
+    tokenizer_fertility / apply_merges_to_vocab as [(l, r), ...].
+    """
+    if rounds < 1:
+        raise ValueError("bpe_train_batched: rounds must be >= 1")
+    if batch < 1:
+        raise ValueError("bpe_train_batched: batch must be >= 1")
+    k = cand_k if cand_k is not None else 4 * batch
+    spark = (vocab if vocab is not None else df).sparkSession
+    v = vocab if vocab is not None else _bpe_vocab(df, text_col)
+    out: list[tuple[int, int, str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        picks = greedy_disjoint_picks(_bpe_top_pairs(v, k), batch)
+        if not picks:
+            break
+        for j, (l, r, c) in enumerate(picks, 1):
+            out.append((rnd, j, l, r, c))
+        if rnd < rounds:
+            v = apply_merges_to_vocab(v, [(l, r) for l, r, _c in picks])
+    return spark.createDataFrame(
+        out,
+        "rnd int, pick int, left_sym string, right_sym string, pair_count long",
+    )
 
 
 def _bpe_loop(vocab: DataFrame, rounds: int, apply_last: bool):
@@ -966,11 +1076,20 @@ def _staged_word_syms(
     """Map-only tokenization chain shared by `bpe_tokenize` and
     `tokenizer_fertility`: split the normalized text into words, each
     word into characters, then apply each learned merge as ONE
-    projection staged behind a `monotonically_increasing_id` barrier
-    (CollapseProject would otherwise inline round k-1's array into every
-    position probe of round k — the winnowing O(n²) lesson). Returns
-    keep_cols + `_wsyms` (array of per-word symbol arrays). Zero
-    shuffles."""
+    projection per round. Unlike `apply_merges_to_vocab` (where the
+    merged column is referenced ~8× inside the next round's position
+    probes, so CollapseProject nesting multiplies the expression — the
+    measured 3 s → 50 s blowup), each round here consumes `_wsyms`
+    EXACTLY ONCE (`transform(_wsyms, merge)`), so even a fully collapsed
+    chain stays linear (measured equal wall time staged vs collapsed at
+    sf0.1), and Catalyst's CollapseProject duplication guard keeps
+    multi-reference tails (tokenizer_fertility reads `_wsyms` three
+    times) from inlining the chain per consumer. The
+    `monotonically_increasing_id` barrier is defense in depth only —
+    tests/test_bpe_train.py pins the no-multiplicative-inlining
+    invariant on the optimized plan, so a Spark version that changes
+    either behavior fails loudly. Returns keep_cols + `_wsyms` (array of
+    per-word symbol arrays). Zero shuffles."""
     ws = F.filter(
         F.split(normalized_text(text_col), " "), lambda w: F.length(w) >= 1
     )
@@ -996,6 +1115,7 @@ def bpe_tokenize(
     vocab: DataFrame | None = None,
     merges: list[tuple[str, str]] | None = None,
     codebook: list[tuple[str, int]] | None = None,
+    oov: str = "error",
 ) -> DataFrame:
     """The tokenizer family's LAST MILE — the per-document token-id
     emission a training pipeline actually writes: train `rounds` BPE
@@ -1011,18 +1131,28 @@ def bpe_tokenize(
     already-merged training vocabulary — no extra corpus scan. The id
     codebook is driver-collected but BOUNDED: |distinct characters| +
     `rounds` entries (each merge adds exactly one symbol) — the ≤256-entry
-    codebook precedent, not a data-sized collect. Symbols outside the
-    codebook (tokenizing a corpus the table wasn't trained on) map to
-    NULL ids — loud in any downstream consumer, never a silent wrong id.
+    codebook precedent, not a data-sized collect. A symbol outside the
+    codebook (tokenizing a corpus the table wasn't trained on) is governed
+    by `oov`: "error" (default) raises SCAN-SIDE naming the symbol (the
+    conf_bin_aggs raise_error pattern — a persisted codebook applied to a
+    corpus it wasn't trained on fails loudly, never a silent wrong id);
+    "skip" DROPS unmapped symbols from BOTH n_tokens and token_ids (the
+    two stay consistent — n_tokens is always the count of ids actually
+    emitted in token_ids, never a larger phantom count).
+
+    When a longer persisted `merges` table is supplied, only the first
+    `rounds` entries are applied — the same merges[:rounds] truncation
+    contract as bpe_compression, so stage counts agree across the family
+    for any (merges, rounds) combination.
 
     100 TB shape: corpus-sized work is ONE word-frequency aggregation
     (training, shared with bpe_train) plus ONE map-only projection chain
     for the emission — the tokenize pass itself never shuffles: words
-    split scan-side, each merge round is a projection staged behind a
-    `monotonically_increasing_id` barrier (CollapseProject would otherwise
-    inline round k-1's array into every position probe of round k —
-    the winnowing O(n²) lesson), and the id lookup is a broadcast-free
-    map literal. Output rows = input rows, pipelined end to end.
+    split scan-side, each merge round is one single-reference projection
+    (linear even if CollapseProject merges them — see _staged_word_syms;
+    the plan shape is pinned in tests/test_bpe_train.py), and the id
+    lookup is a broadcast-free map literal. Output rows = input rows,
+    pipelined end to end.
 
     token_ids is emitted as a '-'-joined string rather than array<int>
     (exact, order-preserving, hash-comparable across engines).
@@ -1031,6 +1161,10 @@ def bpe_tokenize(
     """
     if rounds < 1:
         raise ValueError("bpe_tokenize: rounds must be >= 1")
+    if oov not in ("error", "skip"):
+        raise ValueError("bpe_tokenize: oov must be 'error' or 'skip'")
+    if merges is not None:
+        merges = list(merges)[:rounds]
     if merges is not None and codebook is None:
         # trained merges supplied without ids: recover the codebook's
         # final vocabulary map-only by replaying the merges over the
@@ -1054,11 +1188,26 @@ def bpe_tokenize(
         id_entries.append(F.lit(sym))
         id_entries.append(F.lit(int(rank)))
     id_map = F.create_map(*id_entries) if id_entries else F.create_map()
+
+    def _lookup(t: Column) -> Column:
+        mapped = F.element_at(id_map, t)
+        if oov == "skip":
+            return mapped
+        return F.when(
+            mapped.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("bpe_tokenize: symbol not in codebook: "), t
+                )
+            ).cast("int"),
+        ).otherwise(mapped)
+
     cur = _staged_word_syms(df, [id_col], text_col, merges)
     with_ids = cur.select(
         id_col,
-        F.transform(
-            F.flatten("_wsyms"), lambda t: F.element_at(id_map, t)
+        F.filter(
+            F.transform(F.flatten("_wsyms"), _lookup),
+            lambda x: x.isNotNull(),
         ).alias("_tids"),
         F.monotonically_increasing_id().alias("_pb"),
     )
@@ -1102,6 +1251,11 @@ def tokenizer_fertility(
         raise ValueError("tokenizer_fertility: rounds must be >= 1")
     if merges is None:
         merges, _ = _train_merges(df, text_col, rounds, vocab=vocab)
+    else:
+        # merges[:rounds] — the bpe_compression truncation contract, so a
+        # longer persisted merge table with a smaller `rounds` produces
+        # the same stage count as the rest of the family.
+        merges = list(merges)[:rounds]
     staged = _staged_word_syms(df, [group_col], text_col, merges)
     per_doc = staged.select(
         group_col,

@@ -45,11 +45,11 @@ from commerce_data_pipeline_spark.queries._shared import QuerySpec
 from commerce_data_pipeline_spark.queries.relational import _O_CUBE_SALES, _O_DATE_GAPS, _O_DISTINCT_SHIP_DATES, _O_NATION_TRADE_VOLUME, _O_ORDER_PRIORITY, _O_PRICING_SUMMARY, _O_ROLLUP_SALES, _O_RUNNING_REVENUE, _O_SHIPPING_PRIORITY, _O_SORT_TOPK_LINEITEMS, _O_SUPPLIER_DIVERSITY, _O_TOP_CUSTOMERS, _O_TOP_REVENUE_NATIONS, _O_TRAILING_REVENUE, _O_WORD_COUNT, _q_cube_sales, _q_date_gaps, _q_distinct_ship_dates, _q_nation_trade_volume, _q_order_priority, _q_pricing_summary, _q_rollup_sales, _q_running_revenue, _q_shipping_priority, _q_sort_topk_lineitems, _q_supplier_diversity, _q_top_customers, _q_top_revenue_nations, _q_trailing_revenue, _q_word_count
 from commerce_data_pipeline_spark.queries.analytics import _O_ATTRIBUTION_LAST_TOUCH, _O_ATTRIBUTION_POSITION, _O_COHORT_RETENTION, _O_CONVERSION_DAILY, _O_FUNNEL, _O_JOURNEY_TRANSITIONS, _O_PARAM_EXTRACT, _O_PRICE_PERCENTILES, _O_PROPS_STRUCT, _O_SESSIONIZATION, _O_SESSION_WINDOWS, _O_STREAMING_DAILY_COUNTS, _O_TIME_TO_CONVERT, _q_attribution_last_touch, _q_attribution_position, _q_cohort_retention, _q_conversion_daily, _q_funnel, _q_journey_transitions, _q_param_extract, _q_price_percentiles, _q_props_struct, _q_session_windows, _q_sessionization, _q_streaming_daily_counts, _q_time_to_convert
 from commerce_data_pipeline_spark.queries.dedup_text import _O_ABOVE_BRAND_AVG_PARTS, _O_ALSO_BOUGHT, _O_APPROX_STATS, _O_ASOF_VIEW_BEFORE_PURCHASE, _O_ASSOCIATION_RULES, _O_BAND_PAIRS, _O_BPE_FIRST_MERGE, _O_BURST_WINDOW_EVENTS, _O_DEDUP_EXACT, _O_EMBEDDING_NEAR_DUP, _O_EVENT_TYPE_PIVOT, _O_FD_CHECK, _O_JACCARD_TOPK, _O_NGRAM_NOVELTY, _O_PART_TRIANGLES, _O_PRICE_HISTOGRAM, _O_PRICIEST_ITEM_PER_ORDER, _O_SEQUENCE_VIOLATIONS, _O_SESSION_FUNNEL, _O_SETOPS, _O_SIMILARITY_TOPK, _O_SKETCH_ACCURACY, _O_SLIDING_COUNTS, _O_SNAPSHOT_DIFF, _O_TEXT_FINGERPRINTS, _O_TEXT_PROFILE, _O_TEXT_STATS, _O_WINSORIZED_REVENUE, _ora_dedup_clusters, _ora_dup_source_matrix, _ora_lsh_pairs, _ora_minhash, _ora_part_communities, _ora_simhash_md5, _q_above_brand_avg_parts, _q_also_bought, _q_approx_stats, _q_asof_view_before_purchase, _q_association_rules, _q_band_pairs, _q_bm25_indexed, _q_bpe_first_merge, _q_burst_window_events, _q_customer_segments_setops, _q_dedup_clusters, _q_dedup_clusters_alt, _q_dedup_exact, _q_dup_source_matrix, _q_embedding_near_dup, _q_event_type_pivot, _q_fd_check, _q_jaccard_topk, _q_lsh_dedup_pairs, _q_minhash_signature, _q_ngram_novelty, _q_part_communities, _q_part_triangles, _q_price_histogram, _q_priciest_item_per_order, _q_sequence_violations, _q_session_funnel, _q_simhash, _q_simhash_md5, _q_similarity_topk, _q_sketch_accuracy, _q_sliding_counts, _q_snapshot_diff, _q_text_fingerprints, _q_text_profile, _q_text_stats, _q_winsorized_revenue
-from commerce_data_pipeline_spark.queries.similarity import _O_ANN_IVF, _O_ANN_PQ, _O_ANN_RECALL, _O_AUDIO_WINDOWS, _O_CLUSTER_SAMPLE, _O_FRAME_SAMPLE, _O_IVF_PROFILE, _O_K_ANONYMITY, _O_MULTIMODAL_META, _ora_ann_lsh, _ora_ann_lsh_md5, _ora_canonical_docs, _q_ann_ivf, _q_ann_ivf_indexed, _q_ann_lsh, _q_ann_lsh_md5, _q_ann_pq, _q_ann_recall, _q_audio_windows, _q_canonical_docs, _q_cluster_sample, _q_frame_sample, _q_ivf_profile, _q_k_anonymity, _q_media_features, _q_multimodal_meta
+from commerce_data_pipeline_spark.queries.similarity import _O_ANN_IVF, _O_ANN_IVF_UPSERT, _q_ann_ivf_upsert, _O_ANN_PQ, _O_ANN_RECALL, _O_AUDIO_WINDOWS, _O_CLUSTER_SAMPLE, _O_FRAME_SAMPLE, _O_IVF_PROFILE, _O_K_ANONYMITY, _O_MULTIMODAL_META, _ora_ann_lsh, _ora_ann_lsh_md5, _ora_canonical_docs, _q_ann_ivf, _q_ann_ivf_indexed, _q_ann_lsh, _q_ann_lsh_md5, _q_ann_pq, _q_ann_recall, _q_audio_windows, _q_canonical_docs, _q_cluster_sample, _q_frame_sample, _q_ivf_profile, _q_k_anonymity, _q_media_features, _q_multimodal_meta
 from commerce_data_pipeline_spark.queries.relational_wide import _O_DISJUNCTIVE_FILTER, _O_EMBEDDING_QUANTIZE, _O_FORECAST_REVENUE_CHANGE, _O_IDLE_RICH_CUSTOMERS, _O_IMPORTANT_PARTS, _O_LARGE_ORDERS, _O_MARKET_SHARE, _O_MIN_COST_SUPPLIER, _O_ORDER_COUNT_DISTRIBUTION, _O_PRODUCT_PROFIT, _O_PROMO_REVENUE, _O_RETURNED_ITEMS, _O_RFM_SEGMENTS, _O_SMALL_QUANTITY_REVENUE, _O_TOP_SUPPLIER, _q_disjunctive_filter, _q_embedding_quantize, _q_forecast_revenue_change, _q_idle_rich_customers, _q_important_parts, _q_large_orders, _q_market_share, _q_min_cost_supplier, _q_order_count_distribution, _q_product_profit, _q_promo_revenue, _q_returned_items, _q_rfm_segments, _q_small_quantity_revenue, _q_top_supplier
 from commerce_data_pipeline_spark.queries.corpus import _O_BIGRAM_LM, _O_BLOOM_DECONTAMINATE, _O_BM25_SEARCH, _O_CONTAMINATION, _O_CORPUS_SPLIT, _O_DECAYED_REVENUE, _O_DSIR_SELECT, _O_FIXED_SIZE_SAMPLE, _O_HARD_NEGATIVES, _O_JOIN_PROFILE, _O_MMR_RERANK, _O_PRICE_OUTLIERS, _O_QUALITY_CALIBRATE, _O_QUALITY_CLASSIFIER, _O_RESAMPLE_FFILL, _O_SALTED_HOT_JOIN, _O_SCD2_INTERVALS, _O_SCD2_LOOKUP, _O_STRATIFIED_SAMPLE, _O_TABLE_PROFILE, _O_TEMPERATURE_MIX, _O_WEIGHTED_SAMPLE, _q_bigram_lm, _q_bloom_decontaminate, _q_bm25_search, _q_contamination, _q_corpus_split, _q_decayed_revenue, _q_dsir_select, _q_fixed_size_sample, _q_hard_negatives, _q_join_profile, _q_mmr_rerank, _q_price_outliers, _q_quality_calibrate, _q_quality_classifier, _q_resample_ffill, _q_salted_hot_join, _q_scd2_intervals, _q_scd2_lookup, _q_stratified_sample, _q_table_profile, _q_temperature_mix, _q_weighted_sample
 from commerce_data_pipeline_spark.queries.graph_search import _O_APPROX_GROUP_STATS, _O_BASKET_PAIRS, _O_CHUNK_PACK, _O_CORPUS_INGEST, _O_CORPUS_MIX, _O_DAILY_ANOMALIES, _O_DUP_NGRAM_SPANS, _O_EPOCH_SHUFFLE, _O_FUZZY_NAME_PAIRS, _O_GREEDY_PACK, _O_HEAVY_HITTERS, _O_HYBRID_SEARCH_RRF, _O_IMAGE_DUP_CLUSTERS, _O_IMAGE_NEAR_DUP_MD5, _O_IMAGE_PHASH_MD5, _O_LM_QUALITY, _O_MEDIA_FEATURES_MD5, _O_OVERLAP_CHUNKS, _O_PART_PAGERANK, _O_PII_REDACT, _O_SEMANTIC_DEDUP, _O_SEMANTIC_ONLY_DUPS, _O_TEXT_REPETITION, _O_TFIDF_KEYWORDS, _O_TOKEN_BUDGET, _O_WINNOW, _O_WINNOW_PAIRS, _q_approx_group_stats, _q_basket_pairs, _q_chunk_pack, _q_corpus_ingest, _q_corpus_mix, _q_daily_anomalies, _q_dup_ngram_spans, _q_epoch_shuffle, _q_fuzzy_name_pairs, _q_greedy_pack, _q_heavy_hitters, _q_hybrid_search_rrf, _q_image_dup_clusters, _q_image_near_dup, _q_image_near_dup_md5, _q_image_phash, _q_image_phash_md5, _q_lm_quality, _q_media_features_md5, _q_overlap_chunks, _q_part_pagerank, _q_pii_redact, _q_semantic_dedup, _q_semantic_only_dups, _q_text_repetition, _q_tfidf_keywords, _q_token_budget, _q_winnow, _q_winnow_pairs
-from commerce_data_pipeline_spark.queries.profiling_ml import _CORR_PAIRS, _NDCG_QUERIES, _O_CENTROID_SIM, _O_CUSTOMER_VALUE_DECILES, _O_EVENT_TYPE_DRIFT, _O_KMEANS_STEP, _O_PART_COMPONENTS, _O_QUANTILE_GROUPS, _O_REVENUE_BANDS, _O_SIMILAR_PARTS_JACCARD, _O_SKETCH_UNION, _O_SPLIT_LEAKAGE, _O_WAITING_SUPPLIERS, _ora_benford, _ora_bpe_train, _ora_kmeans_train, _ora_ndcg_eval, _ora_numeric_corr, _ora_part_kcore, _ora_part_walks, _ora_referential_integrity, _ora_zorder_skipping, _q_benford_prices, _q_bpe_train, _q_centroid_sim, _q_customer_value_deciles, _q_event_type_drift, _q_kmeans_step, _q_kmeans_train, _q_ndcg_eval, _q_numeric_corr, _q_part_components, _q_part_kcore, _q_part_walks, _q_quantile_groups, _q_referential_integrity, _q_revenue_bands, _q_similar_parts_jaccard, _q_sketch_union, _q_split_leakage, _q_waiting_suppliers, _q_zorder_skipping
+from commerce_data_pipeline_spark.queries.profiling_ml import _CORR_PAIRS, _NDCG_QUERIES, _O_CENTROID_SIM, _O_CUSTOMER_VALUE_DECILES, _O_EVENT_TYPE_DRIFT, _O_KMEANS_STEP, _O_PART_COMPONENTS, _O_QUANTILE_GROUPS, _O_REVENUE_BANDS, _O_SIMILAR_PARTS_JACCARD, _O_SKETCH_UNION, _O_SPLIT_LEAKAGE, _O_WAITING_SUPPLIERS, _ora_benford, _ora_bpe_train, _ora_bpe_train_batched, _q_bpe_train_batched, _ora_kmeans_train, _ora_ndcg_eval, _ora_numeric_corr, _ora_part_kcore, _ora_part_walks, _ora_referential_integrity, _ora_zorder_skipping, _q_benford_prices, _q_bpe_train, _q_centroid_sim, _q_customer_value_deciles, _q_event_type_drift, _q_kmeans_step, _q_kmeans_train, _q_ndcg_eval, _q_numeric_corr, _q_part_components, _q_part_kcore, _q_part_walks, _q_quantile_groups, _q_referential_integrity, _q_revenue_bands, _q_similar_parts_jaccard, _q_sketch_union, _q_split_leakage, _q_waiting_suppliers, _q_zorder_skipping
 from commerce_data_pipeline_spark.queries.selection_linkage import _O_BEST_MATCH_PAIRS, _O_BLOOM_FPR, _O_CALIBRATION_BINS, _O_CONTAINMENT_TOPK, _O_DEGREE_HISTOGRAM, _O_EMBEDDING_OUTLIERS, _O_HELDOUT_PERPLEXITY, _O_LANG_ID_AGREEMENT, _O_MULTI_PASS_NAME_PAIRS, _O_RANKING_AUC, _O_RANKING_AUC_BANDED, _O_SNM_NAME_PAIRS, _ora_bpe_compression, _ora_dup_cluster_histogram, _ora_lsh_cost_plan, _ora_pca_power, _ora_seed_expansion, _q_best_match_pairs, _q_bloom_fpr, _q_bpe_compression, _q_calibration_bins, _q_containment_topk, _q_degree_histogram, _q_dup_cluster_histogram, _q_embedding_outliers, _q_heldout_perplexity, _q_lang_id_agreement, _q_lsh_cost_plan, _q_multi_pass_name_pairs, _q_pca_power, _q_ranking_auc, _q_ranking_auc_banded, _q_seed_expansion, _q_snm_name_pairs
 
 
@@ -173,6 +173,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "fixed_size_sample": QuerySpec(_q_fixed_size_sample, _O_FIXED_SIZE_SAMPLE, "corpus: exactly-k-per-stratum bottom-k-hash sample (rotated past 50 in r5, oracle unchanged)"),
     "session_windows": QuerySpec(_q_session_windows, _O_SESSION_WINDOWS, "streaming session_window (batch parity)"),
     "ann_ivf_indexed": QuerySpec(_q_ann_ivf_indexed, _O_ANN_IVF, "X3 ANN from persisted IVF index (same oracle as in-window ann_ivf)"),
+    "ann_ivf_upsert": QuerySpec(_q_ann_ivf_upsert, _O_ANN_IVF_UPSERT, "X3 index maintenance: IVF search after build->upsert(replace)->compact->delete; oracle replays the final visible state"),
     "audio_windows": QuerySpec(_q_audio_windows, _O_AUDIO_WINDOWS, "X5 overlapping audio windows (same sequence+explode shape as in-window frame_sample)"),
     "sort_topk_lineitems": QuerySpec(_q_sort_topk_lineitems, _O_SORT_TOPK_LINEITEMS, "R5 global sort / top-k with rank"),
     "dedup_clusters_alt": QuerySpec(_q_dedup_clusters_alt, _ora_dedup_clusters(16, 4, 3), "X2 clustering via explicit min-label-propagation option"),
@@ -237,6 +238,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "referential_integrity": QuerySpec(_q_referential_integrity, _ora_referential_integrity(), "X13 audit: FK orphan counts over four declared relationships"),
     "part_walks": QuerySpec(_q_part_walks, _ora_part_walks(3, 2), "X12 graph: deterministic DeepWalk sampling corpus (md5-chosen steps)"),
     "bpe_train": QuerySpec(_q_bpe_train, _ora_bpe_train(3), "X4 tokenizer training loop: three full BPE merge iterations"),
+    "bpe_train_batched": QuerySpec(_q_bpe_train_batched, _ora_bpe_train_batched(4, 4, 16), "X4 batched tokenizer training: 4 rounds x 4 disjoint merges from one ranked count per round (16 merges, 4 decision jobs)"),
     "ndcg_eval": QuerySpec(_q_ndcg_eval, _ora_ndcg_eval(_NDCG_QUERIES, 10, 50), "X7 retrieval eval: NDCG@10 of BM25 over a fixed query workload"),
     "split_leakage": QuerySpec(_q_split_leakage, _O_SPLIT_LEAKAGE, "X13 governance: train/test split leakage audit (entity vs row hashing)"),
     "zorder_skipping": QuerySpec(_q_zorder_skipping, _ora_zorder_skipping(4, 45, 55), "§4 layout: Z-order vs linear data-skipping effectiveness audit"),

@@ -822,6 +822,106 @@ def _ora_bpe_train(rounds: int = 3) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+def _q_bpe_train_batched(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 tokenizer training, BATCHED decisions (r11 VERDICT #4) — four
+    rounds × four pairwise-disjoint merges from one ranked pair count
+    per round (operators/text.bpe_train_batched): 16 learned merges for
+    4 decision jobs instead of bpe_train's 16. The disjointness rule
+    (no shared symbol with an earlier keep, no symbol equal to an
+    earlier keep's fusion) keeps every reported pair_count exact, so
+    the whole 16-merge trajectory is count-exact integers and the
+    oracle unrolls it: per round one ranked candidate CTE, four greedy
+    pick levels (sentinel row when the window exhausts), four merge
+    applications."""
+    docs = load_table(spark, sf, "documents")
+    return text.bpe_train_batched(
+        docs, rounds=4, batch=4, vocab=_ensure_bpe_vocab(spark, sf)
+    ).orderBy("rnd", "pick")
+
+
+def _ora_bpe_train_batched(rounds: int = 4, batch: int = 4, cand_k: int = 16) -> str:
+    """Unrolled batched-BPE replay: c{r} = the round's top-`cand_k`
+    ranked pair counts; s{r}_{j} = greedy pick j (first candidate, by
+    rank, whose symbols avoid every earlier pick's {l, r, l||r}; a
+    chr(1) SENTINEL row stands in when no candidate remains, merging
+    nothing and conflicting with nothing — the union filters it); a{r}_{j}
+    = the pick's merge application (skipped after the last round: all of
+    a round's counts come from the same pre-batch c{r})."""
+    ctes = [
+        """w0 AS MATERIALIZED (
+  SELECT string_split(w, '') AS syms, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents) WHERE length(w) >= 1 GROUP BY w
+)"""
+    ]
+    prev = "w0"
+    for rnd in range(1, rounds + 1):
+        ctes.append(
+            f"""c{rnd} AS MATERIALIZED (
+  SELECT l, r, c, ROW_NUMBER() OVER (ORDER BY c DESC, l ASC, r ASC) AS rk FROM (
+    SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+      SELECT cnt, syms[i] AS l, syms[i + 1] AS r
+      FROM {prev}, LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+      WHERE len(syms) >= 2)
+    GROUP BY l, r ORDER BY c DESC, l ASC, r ASC LIMIT {cand_k})
+)"""
+        )
+        for j in range(1, batch + 1):
+            if j == 1:
+                real = (
+                    f"SELECT l, r, c, FALSE AS snt FROM c{rnd} "
+                    f"ORDER BY rk LIMIT 1"
+                )
+            else:
+                froms = ", ".join(
+                    f"s{rnd}_{e} p{e}" for e in range(1, j)
+                )
+                conds = " AND ".join(
+                    f"cc.l NOT IN (p{e}.l, p{e}.r, p{e}.l || p{e}.r) "
+                    f"AND cc.r NOT IN (p{e}.l, p{e}.r, p{e}.l || p{e}.r)"
+                    for e in range(1, j)
+                )
+                real = (
+                    f"SELECT cc.l, cc.r, cc.c, FALSE AS snt "
+                    f"FROM c{rnd} cc, {froms} WHERE {conds} "
+                    f"ORDER BY cc.rk LIMIT 1"
+                )
+            ctes.append(
+                f"""s{rnd}_{j} AS MATERIALIZED (
+  SELECT * FROM (
+    ({real})
+    UNION ALL
+    (SELECT chr(1), chr(1), CAST(0 AS BIGINT), TRUE)
+  ) ORDER BY snt LIMIT 1
+)"""
+            )
+        if rnd < rounds:
+            ap = prev
+            for j in range(1, batch + 1):
+                ctes.append(
+                    f"""a{rnd}_{j} AS MATERIALIZED (
+  SELECT flatten(list_transform(generate_series(1, len(syms)), i -> CASE
+    WHEN {_bpe_ms_sql('i')} THEN [t.l || t.r]
+    WHEN i >= 2 AND {_bpe_ms_sql('i - 1')} THEN []
+    ELSE [syms[i]] END)) AS syms, cnt
+  FROM {ap} CROSS JOIN s{rnd}_{j} t
+)"""
+                )
+                ap = f"a{rnd}_{j}"
+            prev = ap
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS rnd, CAST({j} AS INT) AS pick, "
+        f"l AS left_sym, r AS right_sym, c AS pair_count "
+        f"FROM s{r}_{j} WHERE NOT snt"
+        for r in range(1, rounds + 1)
+        for j in range(1, batch + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n" + union
+        + "\n) ORDER BY rnd, pick"
+    )
+
+
 _NDCG_QUERIES: list[tuple[int, list[str]]] = [
     (1, ["hash", "join"]),
     (2, ["scan", "filter"]),

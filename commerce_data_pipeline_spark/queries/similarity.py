@@ -223,6 +223,128 @@ def _q_ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ensure_upsert_ivf_index(spark: SparkSession, sf: str) -> str:
+    """Build-once handle for the UPSERT/DELETE lifecycle index (VERDICT
+    r11 #5): a deterministic mutation scenario over the embeddings table
+    exercising every maintenance path of operators/index.py —
+
+      1. BUILD at gen 0 over the INITIAL corpus (vec_id % 17 != 3);
+      2. UPSERT (tombstone@0 + append@1): the held-out slice
+         (vec_id % 17 == 3, new inserts) plus REPLACEMENTS for
+         vec_id % 13 == 5 of the initial corpus, whose vectors are
+         deterministically modified (array reversed — engine-exact in
+         SQL via list_reverse);
+      3. COMPACT — folds the upsert tombstones, partition-level rewrite;
+      4. DELETE vec_id % 19 == 7 — tombstones that stay LIVE, so the
+         query exercises the broadcast tombstone filter on top of the
+         compacted layout.
+
+    A _UPSERT_READY marker makes the scenario idempotent (the bench runs
+    every query twice; replaying step 2 would double-tombstone and bump
+    generations). A partial build is wiped and redone."""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+
+    root = _cache_dir("ivf_upsert", sf)
+    marker = join_path(root, "_UPSERT_READY")
+    fs = HadoopFS(spark, root)
+    if not fs.exists(marker):
+        if fs.exists(root):
+            fs.delete(root)
+        emb = load_table(spark, sf, "embeddings")
+        initial = emb.filter(F.col("vec_id") % 17 != 3)
+        ivf_index.build_ivf_index(initial, root)
+        new_rows = emb.filter(F.col("vec_id") % 17 == 3)
+        repl = emb.filter(
+            (F.col("vec_id") % 13 == 5) & (F.col("vec_id") % 17 != 3)
+        ).withColumn("embedding", F.reverse("embedding"))
+        ivf_index.upsert_into_ivf_index(new_rows.unionByName(repl), root)
+        ivf_index.compact_ivf_index(spark, root)
+        ivf_index.delete_from_ivf_index(
+            emb.filter(F.col("vec_id") % 19 == 7).select("vec_id"), root
+        )
+        fs.write_bytes(marker, b"ready\n")
+    return root
+
+
+def _q_ann_ivf_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 index maintenance — IVF search over a persisted index that has
+    LIVED: build → upsert (inserts + vector replacements) → compaction →
+    tombstone deletes (operators/index.py). The oracle replays the final
+    visible state declaratively (current vector per id, deletions
+    filtered, centroids frozen at the initial build), so a hash match
+    attests the whole mutation lifecycle: generation visibility
+    (replaced rows survive the tombstones that killed their old
+    versions), partition-level compaction (bit-identical results), and
+    the live broadcast tombstone filter."""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+
+    path = _ensure_upsert_ivf_index(spark, sf)
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2500))
+    out = ivf_index.ivf_query(spark, path, queries, k=5, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
+    )
+
+
+_O_ANN_IVF_UPSERT = """
+WITH par AS (
+  SELECT n, nc, GREATEST(n // nc, 1) AS step
+  FROM (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 17 <> 3) t,
+       LATERAL (
+         SELECT MIN(CAST(1 AS BIGINT) << k) AS nc
+         FROM unnest(generate_series(4, 31)) AS tk(k)
+         WHERE ((CAST(1 AS BIGINT) << k) * (CAST(1 AS BIGINT) << k)) >= t.n
+       ) l
+), cent AS (
+  -- centroids frozen at the INITIAL build: sampled from the pre-upsert
+  -- corpus with ORIGINAL vectors
+  SELECT CAST(vec_id // step AS INT) AS centroid_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS c_vec
+  FROM embeddings, par
+  WHERE vec_id % 17 <> 3 AND vec_id % step = 0 AND vec_id < step * nc
+), vis AS (
+  -- final visible corpus: deletes filtered, replaced ids carry the
+  -- reversed vector (the upsert payload), everything else original
+  SELECT vec_id,
+    CASE WHEN vec_id % 13 = 5 AND vec_id % 17 <> 3
+         THEN list_reverse(embedding) ELSE embedding END AS emb
+  FROM embeddings WHERE vec_id % 19 <> 7
+), unit AS (
+  SELECT vec_id, list_transform(emb, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(emb, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM vis
+), assign AS (
+  SELECT v.vec_id AS neighbor_id, cent.centroid_id, v.u AS c_unit,
+    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      ORDER BY list_dot_product(v.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM unit v CROSS JOIN cent
+), inv AS (
+  SELECT neighbor_id, centroid_id, c_unit FROM assign WHERE r = 1
+), qunit AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 2500
+), probes AS (
+  SELECT q.vec_id AS query_id, cent.centroid_id, q.u AS q_unit,
+    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      ORDER BY list_dot_product(q.u, cent.c_vec) DESC, cent.centroid_id) AS r
+  FROM qunit q CROSS JOIN cent
+), pr AS (
+  SELECT query_id, centroid_id, q_unit FROM probes WHERE r <= 4
+), sims AS (
+  SELECT query_id, neighbor_id, list_dot_product(q_unit, c_unit) AS sim
+  FROM inv JOIN pr USING (centroid_id)
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+FROM sims QUALIFY rank <= 5
+"""
+
+
 _O_ANN_IVF = """
 WITH unit AS (
   SELECT vec_id,

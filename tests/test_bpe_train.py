@@ -297,3 +297,151 @@ def test_persisted_merges_parity(spark, sf_dir, tmp_path):
     assert rows(bpe_compression(docs, rounds=3), "stage") == rows(
         bpe_compression(docs, rounds=3, merges=merges), "stage"
     )
+
+
+def test_tokenize_oov_error_and_skip(spark):
+    """r11 ADVICE (medium): a symbol outside the codebook must never
+    produce internally inconsistent rows. Default oov='error' raises
+    scan-side naming the symbol; oov='skip' drops the symbol from BOTH
+    n_tokens and token_ids (the two stay consistent)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from commerce_data_pipeline_spark.operators.text import bpe_tokenize
+
+    df = spark.createDataFrame([(1, "ab zz")], "doc_id long, text string")
+    # codebook lacks 'z': trained elsewhere, applied to an OOV corpus
+    cb = [("ab", 1), ("a", 2), ("b", 3)]
+    with pytest.raises(SparkRuntimeException, match="symbol not in codebook: z"):
+        bpe_tokenize(df, merges=[("a", "b")], codebook=cb, rounds=1).collect()
+    row = bpe_tokenize(
+        df, merges=[("a", "b")], codebook=cb, rounds=1, oov="skip"
+    ).collect()[0]
+    # 'zz' -> ['z','z'] both unmapped: dropped from count AND emission
+    assert row["n_tokens"] == 1 and row["token_ids"] == "1"
+    with pytest.raises(ValueError, match="oov"):
+        bpe_tokenize(df, rounds=1, oov="drop")
+
+
+def test_rounds_slices_supplied_merges(spark):
+    """r11 ADVICE (low): a longer persisted merge table with a smaller
+    `rounds` must apply merges[:rounds] in EVERY family member —
+    bpe_tokenize and tokenizer_fertility agree with bpe_compression's
+    truncation (stage counts match tokenization)."""
+    from commerce_data_pipeline_spark.operators.text import (
+        bpe_tokenize,
+        tokenizer_fertility,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "S", "aa ab aa"), (2, "S", "ab aa")],
+        "doc_id long, source string, text string",
+    )
+    merges = [("a", "a"), ("a", "b")]  # the learned 2-round table
+    two = bpe_tokenize(df, rounds=2, merges=merges)
+    one_sliced = bpe_tokenize(df, rounds=1, merges=merges)
+    one_direct = bpe_tokenize(df, rounds=1, merges=merges[:1])
+    k = lambda d: [tuple(r) for r in d.orderBy("doc_id").collect()]
+    assert k(one_sliced) == k(one_direct)
+    assert k(one_sliced) != k(two)  # rounds genuinely truncates
+    f_sliced = tokenizer_fertility(df, rounds=1, merges=merges)
+    f_direct = tokenizer_fertility(df, rounds=1, merges=merges[:1])
+    kk = lambda d: [tuple(r) for r in d.orderBy("source").collect()]
+    assert kk(f_sliced) == kk(f_direct)
+
+
+def test_tokenize_merge_chain_stays_linear(spark):
+    """r11 ADVICE (low): pin the no-multiplicative-inlining invariant on
+    the optimized plan. Each merge round consumes `_wsyms` exactly once,
+    so whether or not CollapseProject merges the projections, every
+    merge's fused literal must appear a BOUNDED number of times and the
+    normalize regex exactly once — a Spark version that starts nesting
+    round k-1's expression into round k's position probes (the
+    apply_merges_to_vocab 3s->50s failure shape) multiplies these counts
+    and fails here."""
+    from commerce_data_pipeline_spark.operators.text import bpe_tokenize
+
+    df = spark.createDataFrame(
+        [(1, "qx zy ev"), (2, "qx qx")], "doc_id long, text string"
+    )
+    merges = [("q", "x"), ("z", "y"), ("e", "v")]
+    cb = [("qx", 1), ("zy", 2), ("ev", 3)]
+    out = bpe_tokenize(df, merges=merges, codebook=cb, rounds=3, oov="skip")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for fused in ("qx", "zy", "ev"):
+        # staged: the fused literal appears in its own round's projection
+        # plus the codebook map (~a handful); nested inlining would put
+        # round 1's whole expression in every probe of rounds 2 and 3.
+        assert plan.count(fused) <= 8, (fused, plan.count(fused))
+    assert plan.count("regexp_replace") <= 2, plan.count("regexp_replace")
+
+
+def test_batched_equals_sequential_at_batch1(spark, sf_dir):
+    """bpe_train_batched degenerates to bpe_train exactly at batch=1:
+    one pick per round IS the sequential top-1 decision."""
+    from commerce_data_pipeline_spark.operators.text import (
+        bpe_train,
+        bpe_train_batched,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seq = [
+        (r["rnk"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(docs, rounds=3).orderBy("rnk").collect()
+    ]
+    bat = [
+        (r["rnd"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train_batched(docs, rounds=3, batch=1)
+        .orderBy("rnd")
+        .collect()
+    ]
+    assert seq == bat
+
+
+def test_greedy_disjoint_picks_rule():
+    """The disjointness contract: no shared symbol with an earlier keep,
+    no symbol equal to an earlier keep's fusion; greedy in rank order."""
+    from commerce_data_pipeline_spark.operators.text import (
+        greedy_disjoint_picks,
+    )
+
+    cands = [
+        ("e", "r", 100),  # keep 1
+        ("r", "s", 90),   # shares r -> skip
+        ("i", "n", 80),   # keep 2
+        ("er", "x", 70),  # equals keep 1's fusion -> skip
+        ("a", "b", 60),   # keep 3
+        ("c", "d", 50),   # beyond batch=3 -> cut
+    ]
+    assert greedy_disjoint_picks(cands, 3) == [
+        ("e", "r", 100), ("i", "n", 80), ("a", "b", 60)
+    ]
+    assert greedy_disjoint_picks([], 4) == []
+    # exhaustion: fewer than batch picks is allowed
+    assert greedy_disjoint_picks([("a", "a", 5), ("a", "b", 4)], 4) == [
+        ("a", "a", 5)
+    ]
+
+
+def test_batched_merge_table_feeds_tokenizer(spark, sf_dir):
+    """The batched trainer's output is a drop-in merge table: applying
+    its 16 merges through bpe_tokenize reproduces bpe_compression's
+    final total (the family roundtrip invariant, batched edition)."""
+    from pyspark.sql import functions as F
+
+    from commerce_data_pipeline_spark.operators.text import (
+        bpe_compression,
+        bpe_tokenize,
+        bpe_train_batched,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    table = bpe_train_batched(docs, rounds=4, batch=4).orderBy(
+        "rnd", "pick"
+    ).collect()
+    assert len(table) == 16
+    merges = [(r["left_sym"], r["right_sym"]) for r in table]
+    toks = bpe_tokenize(docs, rounds=16, merges=merges)
+    total = toks.agg(F.sum("n_tokens")).collect()[0][0]
+    comp = bpe_compression(docs, rounds=16, merges=merges).collect()
+    final = {r["stage"]: r["total_syms"] for r in comp}[16]
+    assert total == final

@@ -555,3 +555,63 @@ def test_knn_label_agreement_thin_corpus_scores_retrieved(spark):
     r = out[0]
     assert r["n_queries"] == 3 and r["n_retrieved"] == 6 and r["n_hits"] == 6
     assert r["agreement_e6"] == 1_000_000
+
+
+def test_ivf_index_upsert_delete_compact(spark, tmp_path):
+    """r11 VERDICT #5 — the index maintenance lifecycle: tombstone delete
+    (O(ids) write, no partition rewrite), LSM upsert (replaced rows
+    survive the tombstones that killed their old versions), and
+    partition-level compaction that is bit-identical to the
+    tombstone-filtered read — including the all-rows-dead partition,
+    which must be DELETED, not left to resurrect its old files."""
+    from commerce_data_pipeline_spark.operators import index as I
+
+    emb = _vecs(spark, n=60)
+    path = f"file://{tmp_path}/ivf"
+    I.build_ivf_index(emb.filter(F.col("vec_id") < 50), path, n_centroids=6)
+    assert I.current_gen(spark, path) == 0
+
+    # upsert: 10 new ids + 5 replacements (reversed vectors)
+    new_rows = emb.filter(F.col("vec_id") >= 50)
+    repl = emb.filter(F.col("vec_id") < 5).withColumn(
+        "embedding", F.reverse("embedding")
+    )
+    I.upsert_into_ivf_index(new_rows.unionByName(repl), path)
+    assert I.current_gen(spark, path) == 1
+    q = emb.filter(F.col("vec_id") % 10 == 3)
+
+    # replaced ids visible exactly once, at the NEW assignment
+    inv = spark.read.option("mergeSchema", "true").parquet(f"{path}/inverted")
+    live = I.ivf_query(spark, path, emb.filter(F.col("vec_id") == 0), k=60,
+                       n_probe=6)
+    assert inv.filter(F.col("neighbor_id") == 0).count() == 2  # old + new row
+    # ... but the query sees one version: neighbor 0 appears at most once
+    per = live.groupBy("neighbor_id").count().filter(F.col("count") > 1)
+    assert per.count() == 0
+
+    # delete a slice; results drop those neighbors without any rewrite
+    I.delete_from_ivf_index(
+        emb.filter(F.col("vec_id") % 7 == 2).select("vec_id"), path
+    )
+    pre = sorted(tuple(r) for r in I.ivf_query(spark, path, q, k=5,
+                                               n_probe=6).collect())
+    assert all(r[1] % 7 != 2 for r in pre)
+
+    # compaction: bit-identical results, tombstones folded + cleared
+    I.compact_ivf_index(spark, path)
+    post = sorted(tuple(r) for r in I.ivf_query(spark, path, q, k=5,
+                                                n_probe=6).collect())
+    assert pre == post
+    assert I._read_tombstones(spark, path) is None
+    inv2 = spark.read.option("mergeSchema", "true").parquet(f"{path}/inverted")
+    assert inv2.filter(F.col("neighbor_id") % 7 == 2).count() == 0
+    assert inv2.filter(F.col("neighbor_id") == 0).count() == 1  # old version folded
+
+    # the emptied-partition hazard: kill EVERY remaining row, compact —
+    # queries must come back empty (stale partition dirs deleted)
+    I.delete_from_ivf_index(emb.select("vec_id"), path)
+    I.compact_ivf_index(spark, path)
+    assert I.ivf_query(spark, path, q, k=5, n_probe=6).count() == 0
+
+    # compaction with no tombstones is a no-op
+    I.compact_ivf_index(spark, path)
