@@ -400,39 +400,47 @@ REGISTRY["minhash_estimate_audit"] = QuerySpec(
 # the alphabetical-oldest r8-latest. The two single-query families
 # (salted_hot_join, zorder_skipping) must always sit in-window per
 # FAMILY_PROOFS.
-_WINDOW_R11 = [
-    # new in r11 — first driver attestation this round (tokenizer_fertility
-    # took the also_bought fill slot and value_js_drift the
-    # lang_id_agreement slot: never-attested queries must sit inside the
-    # window; both evictees are already ≥ r7-attested — the directive's
-    # freshness bar — and their families keep multiple in-window proofs)
-    "bpe_tokenize", "value_psi_drift", "tokenizer_fertility",
-    "value_js_drift", "minhash_estimate_audit",
-    # all 36 r6-latest rotate-ins (the judge's r11 seed), alphabetical
-    "ann_ivf", "ann_pq", "bigram_lm", "cluster_sample", "conversion_daily",
-    "decayed_revenue", "distinct_ship_dates", "dsir_select",
-    "dup_ngram_spans", "dup_source_matrix", "epoch_shuffle", "funnel",
-    "greedy_pack", "hard_negatives", "heavy_hitters", "hybrid_search_rrf",
-    "image_near_dup_md5", "image_phash_md5", "join_profile",
-    "media_features_md5", "mmr_rerank", "param_extract", "pii_redact",
-    "price_outliers", "pricing_summary", "quality_calibrate",
-    "scd2_intervals", "scd2_lookup", "semantic_dedup", "sessionization",
-    "streaming_daily_counts", "temperature_mix", "text_profile",
-    "tfidf_keywords", "top_revenue_nations", "weighted_sample",
-    # r7-latest rotate-ins, alphabetical (lang_id_agreement ceded its
-    # slot to value_js_drift and quality_classifier to
-    # minhash_estimate_audit; both evictees are r7-attested and their
-    # families keep multiple in-window proofs — X4 five, X11 two)
-    "centroid_sim", "containment_topk", "customer_value_deciles",
-    "date_gaps",
-    "seed_expansion",
-    # family pins with no stale representative (linkage r8, X8 r9)
-    "snm_name_pairs", "bloom_fpr",
+#
+# r12 rotation (VERDICT r11 #3): the window is the ROTATION PAYLOAD —
+# all 43 r8-latest attestations plus the two r7-latest evictees
+# (lang_id_agreement, quality_classifier), so after a green
+# CORRECTNESS_r12 every non-terminal query's latest attestation is
+# ≥ r9 (the directive's bar). 2 slots go to this round's never-attested
+# queries (ann_ivf_upsert, bpe_train_batched), 2 to the always-in-window
+# single-query families, and the one remaining slot to the oldest
+# linkage attestation (multi_pass_name_pairs, r9 — the family's pin).
+# Families with NO stale member this round (X8 bloom ≥ r10, X10 corpus
+# ≥ r9, bronze ≥ r11, core-G/streaming ≥ r9) cede their per-round pin
+# slot to the rotation payload — their freshness is already above the
+# bar, which is the pin's purpose (see FAMILY_PROOFS in
+# tests/test_registry_window.py).
+_WINDOW_R12 = [
+    # new in r12 — first driver attestation this round
+    "ann_ivf_upsert", "bpe_train_batched",
+    # r7-latest (the r11 evictees; oldest tier standing)
+    "lang_id_agreement", "quality_classifier",
+    # linkage family pin (oldest linkage attestation, r9)
+    "multi_pass_name_pairs",
+    # all 43 r8-latest rotate-ins, alphabetical
+    "also_bought", "ann_lsh", "approx_group_stats", "approx_stats",
+    "association_rules", "attribution_position", "benford_prices",
+    "bpe_compression", "bpe_first_merge", "bpe_train",
+    "burst_window_events", "canonical_docs", "dup_cluster_histogram",
+    "embedding_outliers", "event_type_drift", "fd_check",
+    "heldout_perplexity", "image_dup_clusters", "k_anonymity",
+    "kmeans_step", "kmeans_train", "lsh_cost_plan", "ndcg_eval",
+    "ngram_novelty", "numeric_corr", "part_communities",
+    "part_components", "part_kcore", "part_triangles", "part_walks",
+    "pca_power", "price_histogram", "quantile_groups",
+    "referential_integrity", "revenue_bands", "sequence_violations",
+    "session_funnel", "similar_parts_jaccard", "sliding_counts",
+    "snapshot_diff", "split_leakage", "waiting_suppliers",
+    "winsorized_revenue",
     # single-query families (must stay in-window)
     "salted_hot_join", "zorder_skipping",
 ]
-REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R11} | {
-    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R11)
+REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R12} | {
+    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R12)
 }
 
 

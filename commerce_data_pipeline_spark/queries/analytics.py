@@ -451,12 +451,16 @@ def _q_stream_attribution_pairs(spark: SparkSession, sf: str) -> DataFrame:
     state expiry. Each purchase joins to the same user's view events in
     the trailing hour; timestamps leave as epoch µs per the determinism
     contract. Scale shape: ONE user-keyed shuffle join whose streaming
-    state is bounded by watermark + window."""
+    state is bounded by watermark + window, and OUTPUT bounded by the
+    per-conversion cap (r11 VERDICT #6: most-recent-8 touches,
+    deterministic truncation replayed by the oracle's QUALIFY — a no-op
+    at this sf where max fan-out is 1, load-bearing under a hot key)."""
     from commerce_data_pipeline_spark.streaming import joins as stream_joins
 
     ev = load_table(spark, sf, "events")
     pairs = stream_joins.attribute_purchases_stream(
-        ev, convert_type="purchase", touch_type="view", window="1 hour"
+        ev, convert_type="purchase", touch_type="view", window="1 hour",
+        max_touches_per_conversion=8,
     )
     return pairs.select(
         "user_id",
@@ -468,15 +472,23 @@ def _q_stream_attribution_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _O_STREAM_ATTRIBUTION_PAIRS = """
-SELECT p.user_id,
-  p.event_id AS purchase_event_id,
-  epoch_us(p.ts) AS purchase_ts_us,
-  t.event_id AS touch_event_id,
-  epoch_us(t.ts) AS touch_ts_us
-FROM events p
-JOIN events t
-  ON t.user_id = p.user_id
- AND t.ts <= p.ts
- AND t.ts >= p.ts - INTERVAL 1 HOUR
-WHERE p.event_type = 'purchase' AND t.event_type = 'view'
+SELECT user_id, purchase_event_id, purchase_ts_us, touch_event_id, touch_ts_us
+FROM (
+  SELECT p.user_id,
+    p.event_id AS purchase_event_id,
+    epoch_us(p.ts) AS purchase_ts_us,
+    t.event_id AS touch_event_id,
+    epoch_us(t.ts) AS touch_ts_us
+  FROM events p
+  JOIN events t
+    ON t.user_id = p.user_id
+   AND t.ts <= p.ts
+   AND t.ts >= p.ts - INTERVAL 1 HOUR
+  WHERE p.event_type = 'purchase' AND t.event_type = 'view'
+)
+-- per-conversion cap: most-recent 8 touches, deterministic tie-break
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY purchase_event_id
+  ORDER BY touch_ts_us DESC, touch_event_id ASC
+) <= 8
 """

@@ -21,60 +21,64 @@ CHECK_WINDOW = 50
 # payload); only the six families with no stale representative keep an
 # r8-attested pin. The r8 pin-set's full rationale history lives in git
 # (this file @ 8c40dcb).
-# r11 reset (VERDICT r10 directive #1): the window retires the last two
-# stale tiers — all 36 r6-latest plus all 7 r7-latest — so pins are
-# chosen FROM those rotate-ins wherever a family has one (each pin is
-# both the family floor and a freshness payload); only linkage and X8
-# had no stale representative and keep an r8/r9-attested pin. Prior
-# pin-set rationale history lives in git.
+# r12 reset (VERDICT r11 directive #3): the window is the ROTATION
+# PAYLOAD — all 43 r8-latest + both r7-latest attestations — so pins are
+# chosen FROM the rotate-ins wherever the family has one. Families whose
+# every member is already fresh (attested ≥ r9: X8 bloom, X10 corpus,
+# bronze P5/P6, core-G funnel/sessionization, core-streaming daily
+# counts) cede their per-round pin slot to the payload this round —
+# the pin exists to keep a family's freshness above the bar, and those
+# families are above it without a slot. Prior pin-set rationale history
+# lives in git.
 FAMILY_PROOFS = {
-    # X1/X2 dedup chain: embedding near-dup clustering + dup provenance
-    "semantic_dedup",
-    "dup_source_matrix",
-    # record linkage: sorted-neighborhood candidates (r8-latest pin)
-    "snm_name_pairs",
-    # X3 ANN: inline IVF + the PQ variant
-    "ann_ivf",
-    "ann_pq",
-    # X4 text: bigram LM + the NEW r11 tokenizer last mile
-    "bigram_lm",
-    "bpe_tokenize",
-    # X5 multimodal: pHash md5 twin
-    "image_phash_md5",
-    # X6 sketches: heavy hitters
-    "heavy_hitters",
-    # X7 search: hybrid RRF fusion
-    "hybrid_search_rrf",
-    # X8 bloom: FPR contract (r9-latest pin)
-    "bloom_fpr",
-    # X9 temporal: SCD2 interval build
-    "scd2_intervals",
-    # X10/corpus: temperature mixing
-    "temperature_mix",
-    # X11 selection: DSIR + the calibration side
-    "dsir_select",
-    "quality_calibrate",
-    # X12 graph: personalized-PageRank seed expansion
-    "seed_expansion",
-    # X13 profiling: join profile + the NEW r11 PSI drift gauge
-    "join_profile",
-    "value_psi_drift",
+    # X1/X2 dedup chain: LSH planning profile + cluster-size health
+    "lsh_cost_plan",
+    "dup_cluster_histogram",
+    # record linkage: multi-pass blocked ∪ SNM candidates (r9 pin)
+    "multi_pass_name_pairs",
+    # X3 ANN: RP-LSH + the NEW r12 index-maintenance lifecycle + kmeans
+    "ann_lsh",
+    "ann_ivf_upsert",
+    "kmeans_train",
+    # X4 text: tokenizer training (sequential + NEW batched) and eval
+    "bpe_train",
+    "bpe_train_batched",
+    "bpe_compression",
+    # X5 multimodal: pHash near-dup clusters
+    "image_dup_clusters",
+    # X6 sketches: quantile/HLL accuracy contracts
+    "approx_stats",
+    "quantile_groups",
+    # X7 search: retrieval evaluation (NDCG@10 over BM25)
+    "ndcg_eval",
+    # X9 temporal: bucketed interval join
+    "burst_window_events",
+    # X11 selection: classifier scores + split-leakage governance
+    "quality_classifier",
+    "split_leakage",
+    # X12 graph: k-core backbone + co-purchase recommendations
+    "part_kcore",
+    "also_bought",
+    # X13 profiling: Benford audit + FK orphan audit
+    "benford_prices",
+    "referential_integrity",
     # skew mitigation (single-query family — must always sit in-window)
     "salted_hot_join",
     # §4 layout (single-query family — must always sit in-window)
     "zorder_skipping",
-    # streaming: micro-batch daily counts (batch parity)
-    "streaming_daily_counts",
-    # G analytics: funnel + sessionization + conversion + param lookup
-    "funnel",
-    "sessionization",
-    "conversion_daily",
-    "param_extract",
-    # relational/gold: pricing summary (Q1 shape) + join/agg
-    "pricing_summary",
-    "top_revenue_nations",
-    # P bronze pipeline: gap detection (anti-join)
-    "date_gaps",
+    # streaming twin: sliding-window counts (batch parity)
+    "sliding_counts",
+    # G analytics: funnel-in-session + attribution + order audit
+    "session_funnel",
+    "attribution_position",
+    "sequence_violations",
+    # relational/gold: robust stats + histogram shapes
+    "winsorized_revenue",
+    "price_histogram",
+    # P data-quality: FD audit + privacy + CDC diff
+    "fd_check",
+    "k_anonymity",
+    "snapshot_diff",
 }
 
 def test_every_family_proof_inside_check_window():

@@ -44,3 +44,42 @@ def test_stream_join_batch_twin(spark):
     df = spark.createDataFrame(rows, EVENTS)
     out = attribute_purchases_stream(df).collect()
     assert [(r["purchase_event_id"], r["touch_event_id"]) for r in out] == [(3, 1)]
+
+
+def test_per_conversion_output_cap(spark):
+    """r11 VERDICT #6 — the hot-key output contract: a user with many
+    in-window views per purchase is truncated to the most-recent
+    `max_touches_per_conversion` touches, deterministically (touch_ts
+    DESC, touch_event_id ASC); a streaming frame with the cap raises."""
+    import pytest
+
+    rows = []
+    # hot user 1: one purchase at 11:00, 12 views in the prior hour
+    for m in range(12):
+        rows.append((100 + m, datetime(2024, 1, 1, 10, m * 5), 1, "view", 1.0, "{}"))
+    rows.append((200, datetime(2024, 1, 1, 11, 0), 1, "purchase", 9.0, "{}"))
+    # two views at the SAME ts — the event_id tie-break decides
+    rows.append((301, datetime(2024, 1, 1, 10, 55), 1, "view", 1.0, "{}"))
+    rows.append((302, datetime(2024, 1, 1, 10, 55), 1, "view", 1.0, "{}"))
+    df = spark.createDataFrame(rows, EVENTS)
+
+    capped = attribute_purchases_stream(df, max_touches_per_conversion=4).collect()
+    assert len(capped) == 4
+    got = [r["touch_event_id"] for r in capped]
+    # most recent first by ts: 10:55 pair (ids 301, 302 — asc tie-break),
+    # then 10:55(m=11)=111, 10:50(m=10)=110
+    assert sorted(got) == [110, 111, 301, 302]
+    # uncapped sees all 14
+    assert len(attribute_purchases_stream(df).collect()) == 14
+    # the cap is a per-CONVERSION bound: 2 purchases → ≤ 2*cap rows
+    rows.append((201, datetime(2024, 1, 1, 11, 1), 1, "purchase", 9.0, "{}"))
+    df2 = spark.createDataFrame(rows, EVENTS)
+    capped2 = attribute_purchases_stream(df2, max_touches_per_conversion=4).collect()
+    assert len(capped2) == 8
+
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .parquet("/root/testdata/sf0.001")  # never started; just isStreaming
+    )
+    with pytest.raises(ValueError, match="max_touches_per_conversion"):
+        attribute_purchases_stream(stream, max_touches_per_conversion=4)
