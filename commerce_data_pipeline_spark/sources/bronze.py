@@ -134,6 +134,36 @@ class BronzeWriter:
             return None
         return json.loads(fs.read_bytes(p).decode())
 
+    def read_table(self, schema=None) -> DataFrame:
+        """Schema-EVOLUTION read contract (r11 VERDICT #7). GA4-style
+        export schemas gain columns over time (the reference re-reads
+        whatever BigQuery returns, bigquery_extractor.py:41-91), so a
+        bronze table accumulates partition GENERATIONS with different
+        parquet footers. Two pinned read modes:
+
+        - `schema` given (the declared StructType, current generation):
+          read under it directly — rows from old-generation partitions
+          surface the added columns as NULL, columns dropped from the
+          declaration are pruned at scan, and NO footer-merge pass runs.
+          This is the 100 TB path: the schema is DECLARED (catalog.py
+          discipline), never inferred from a million footers.
+        - no `schema`: option(mergeSchema=true) — union-of-footers
+          inference for exploration/migration audits; costs one footer
+          read per file, acceptable interactively, not in production
+          jobs.
+
+        Do NOT declare a type change for an existing column (e.g. int →
+        string) — parquet readers don't coerce; evolution here means
+        ADDED (and, at read time, ignored/dropped) columns, the only
+        evolution the GA4 export performs. Pinned by the two-generation
+        fixture in tests/test_bronze.py."""
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("BronzeWriter requires an active SparkSession")
+        if schema is not None:
+            return spark.read.schema(schema).parquet(self.table_root)
+        return spark.read.option("mergeSchema", "true").parquet(self.table_root)
+
     def list_available_dates(self, limit: int = 100) -> list[str]:
         """P4 — sink-side partition listing, newest first, capped
         (reference: s3_loader.py:171-216 with zero-padding at :196-206)."""

@@ -115,3 +115,62 @@ def test_metadata_sidecar(spark, tmp_path):
     meta = json.load(open(meta_path))
     assert meta["record_count"] == 2
     assert "ts" in meta["columns"]
+
+
+def test_schema_evolution_two_generations(spark, tmp_path):
+    """r11 VERDICT #7 — the pinned evolution contract: a partition
+    written under the OLD schema and one written after a column was
+    added must both read under the CURRENT declared StructType (old
+    rows surface the new column as NULL; no footer merge), and the
+    explorer path (no schema -> mergeSchema) sees the union."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    w = BronzeWriter(root=str(tmp_path), data_type="events")
+    gen1 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), 1.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    w.write(gen1, "ts")
+    # the export gains a column: day 2 ships `source` too
+    gen2 = spark.createDataFrame(
+        [(2, datetime(2024, 1, 2, 10, 0), 2.0, "web")],
+        "event_id long, ts timestamp, value double, source string",
+    )
+    w.write(gen2, "ts")
+
+    declared = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("source", StringType()),  # the added column
+            StructField("year", LongType()),      # partition columns
+            StructField("month", StringType()),
+            StructField("day", StringType()),
+        ]
+    )
+    both = w.read_table(schema=declared).orderBy("event_id").collect()
+    assert [r["event_id"] for r in both] == [1, 2]
+    assert both[0]["source"] is None and both[1]["source"] == "web"
+    assert both[0]["value"] == 1.0 and both[1]["value"] == 2.0
+
+    # declared-schema read also PRUNES data columns (partition columns
+    # year/month/day are appended by the source when not declared)
+    narrow = StructType(
+        [StructField("event_id", LongType()), StructField("value", DoubleType())]
+    )
+    cols = w.read_table(schema=narrow).columns
+    assert cols == ["event_id", "value", "year", "month", "day"]
+
+    # explorer path: mergeSchema unions the generations
+    merged = w.read_table().orderBy("event_id")
+    assert "source" in merged.columns
+    rows = merged.collect()
+    assert rows[0]["source"] is None and rows[1]["source"] == "web"
