@@ -846,6 +846,71 @@ def _bpe_top_pair(vocab: DataFrame):
     return rows[0]["l"], rows[0]["r"], int(rows[0]["c"])
 
 
+def bpe_apply_merges_disjoint(
+    syms: Column, pairs: list[tuple[str, str]]
+) -> Column:
+    """Apply a SYMBOL-DISJOINT merge batch in ONE pass — the scale
+    complement to `bpe_train_batched`'s decision batching: at batch=256
+    this replaces 256 sequential projection passes per round with one.
+
+    Correctness rests on two consequences of disjointness (no pair
+    shares a symbol with another, nor with another's fusion):
+    1. A merge never creates a new adjacency between surviving symbols
+       (neighbors become adjacent to the FUSED symbol, never to each
+       other), so pair q's match set is identical before and after pair
+       p's application.
+    2. Adjacent positions can never match DIFFERENT pairs (i matching
+       (a,b) and i+1 matching (l,r) forces b == l — a shared symbol),
+       so every consecutive match run is single-pair and the even-offset
+       greedy rule applies to the OR of the matches exactly as it does
+       per pair.
+    Hence one combined pass ≡ sequential application in any order —
+    fuzz-pinned against the sequential chain in tests/test_bpe_train.py.
+    """
+    if not pairs:
+        return syms
+    lits = [(F.lit(l), F.lit(r)) for l, r in pairs]
+
+    def match_any(i: Column) -> Column:
+        m = _bpe_match(syms, lits[0][0], lits[0][1], i)
+        for l, r in lits[1:]:
+            m = m | _bpe_match(syms, l, r, i)
+        return m
+
+    def start(i: Column) -> Column:
+        prior_nonmatch = F.aggregate(
+            F.filter(
+                F.sequence(F.lit(1), F.greatest(i - 1, F.lit(1))),
+                lambda j: (j <= i - 1) & ~match_any(j),
+            ),
+            F.lit(0),
+            lambda a, j: F.greatest(a, j),
+        )
+        return match_any(i) & (((i - 1 - prior_nonmatch) % 2) == 0)
+
+    return F.when(F.size(syms) < 2, syms).otherwise(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms)),
+                lambda i: F.when(
+                    start(i),
+                    F.array(
+                        F.concat(
+                            F.try_element_at(syms, i),
+                            F.try_element_at(syms, i + F.lit(1)),
+                        )
+                    ),
+                )
+                .when(
+                    (i >= 2) & start(i - 1),
+                    F.array().cast("array<string>"),
+                )
+                .otherwise(F.array(F.try_element_at(syms, i))),
+            )
+        )
+    )
+
+
 def _bpe_top_pairs(vocab: DataFrame, k: int) -> list[tuple[str, str, int]]:
     """Rank-ordered top-k adjacent pairs (count desc, pair lexicographic
     — a unique total order, deterministic at any k) in ONE job."""
@@ -941,7 +1006,15 @@ def bpe_train_batched(
         for j, (l, r, c) in enumerate(picks, 1):
             out.append((rnd, j, l, r, c))
         if rnd < rounds:
-            v = apply_merges_to_vocab(v, [(l, r) for l, r, _c in picks])
+            # disjointness ⇒ the whole batch applies in ONE projection
+            # pass (bpe_apply_merges_disjoint) — at batch=256 this is
+            # the difference between 1 and 256 passes per round
+            v = v.select(
+                bpe_apply_merges_disjoint(
+                    F.col("syms"), [(l, r) for l, r, _c in picks]
+                ).alias("syms"),
+                "cnt",
+            ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         out,
         "rnd int, pick int, left_sym string, right_sym string, pair_count long",

@@ -445,3 +445,48 @@ def test_batched_merge_table_feeds_tokenizer(spark, sf_dir):
     comp = bpe_compression(docs, rounds=16, merges=merges).collect()
     final = {r["stage"]: r["total_syms"] for r in comp}[16]
     assert total == final
+
+
+def test_disjoint_batch_apply_equals_sequential(spark):
+    """bpe_apply_merges_disjoint's one-pass claim: for symbol-disjoint
+    pair batches, the combined pass must equal sequential application
+    (in pick order) on every input — fuzzed over run-heavy arrays
+    including same-symbol pairs (the even-offset rule's hard case)."""
+    from commerce_data_pipeline_spark.operators.text import (
+        bpe_apply_merge,
+        bpe_apply_merges_disjoint,
+    )
+
+    rng = random.Random(11)
+    # disjoint batch incl. an l == r pair; alphabet includes their symbols
+    batch = [("a", "a"), ("b", "c"), ("d", "e")]
+    alph = ["a", "b", "c", "d", "e", "f", "aa", "bc"]
+    cases = [
+        [rng.choice(alph) for _ in range(rng.randint(0, 10))] for _ in range(80)
+    ]
+    cases += [["a"] * n for n in range(1, 7)]            # pure runs
+    cases += [["b", "c", "b", "c", "a", "a", "d", "e"]]  # mixed adjacents
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, syms array<string>"
+    )
+    combined = df.select(
+        "i", bpe_apply_merges_disjoint(F.col("syms"), batch).alias("m")
+    )
+    seq = F.col("syms")
+    for l, r in batch:
+        seq = bpe_apply_merge(seq, l, r)
+    sequential = df.select("i", seq.alias("m"))
+    a = {r["i"]: r["m"] for r in combined.collect()}
+    b = {r["i"]: r["m"] for r in sequential.collect()}
+    assert a == b
+    # order-independence (the commute claim): reversed batch, same result
+    seq2 = F.col("syms")
+    for l, r in reversed(batch):
+        seq2 = bpe_apply_merge(seq2, l, r)
+    c = {r["i"]: r["m"] for r in df.select("i", seq2.alias("m")).collect()}
+    assert a == c
+    # empty batch is the identity
+    d = df.select("i", bpe_apply_merges_disjoint(F.col("syms"), []).alias("m"))
+    assert {r["i"]: r["m"] for r in d.collect()} == {
+        i: c_ for i, c_ in enumerate(cases)
+    }
