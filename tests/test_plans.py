@@ -369,3 +369,45 @@ def test_minhash_estimate_audit_single_materialization(spark):
     plan = plans.formatted_plan(df)
     assert not re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert plans.num_shuffles(df) <= 4
+
+
+def test_ann_ivf_upsert_probe_prunes_partitions_and_broadcasts(spark):
+    """The upsert query's probe must keep the persisted-index contract
+    after the mutation lifecycle: centroid routing broadcast, the
+    inverted-file read pruned to the probed centroid partitions (the
+    partition filter on centroid_id), and the live tombstone filter a
+    BROADCAST join — never a shuffled anti-join over the lists."""
+    df = REGISTRY["ann_ivf_upsert"].spark(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "centroid_id" in plan  # partition-column routing visible
+    # bounded shuffles: final per-query top-k window (+ tiny-side aggs)
+    assert plans.num_shuffles(df) <= 3
+
+
+def test_bpe_train_batched_round_is_one_vocab_pass(spark):
+    """The batched trainer's RETURN is a driver-built merge table; its
+    per-round work happened in bounded decision jobs already. The scale
+    claims pinned here: one ranked-candidate aggregation per round (the
+    pair count), and the batch application as ONE projection pass — no
+    per-merge Exchange chain can exist because the applied frame is a
+    localCheckpoint consumed by the next round's single count."""
+    from commerce_data_pipeline_spark.operators.text import (
+        _bpe_vocab,
+        bpe_apply_merges_disjoint,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    vocab = _bpe_vocab(docs, "text")
+    applied = vocab.select(
+        bpe_apply_merges_disjoint(
+            F.col("syms"), [("a", "b"), ("c", "d"), ("e", "f")]
+        ).alias("syms"),
+        "cnt",
+    )
+    # the combined 3-merge application is map-only over the vocab frame
+    assert plans.num_shuffles(applied) == 0
+    # and the plan does NOT stack one transform chain per merge: the
+    # fused emit appears once per batch, not once per pair
+    plan = applied._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("flatten(transform(sequence(1, size(") <= 1
