@@ -615,3 +615,30 @@ def test_ivf_index_upsert_delete_compact(spark, tmp_path):
 
     # compaction with no tombstones is a no-op
     I.compact_ivf_index(spark, path)
+
+
+def test_tombstone_delete_on_quantized_index(spark, tmp_path):
+    """The tombstone filter runs BEFORE the list-format reconstruction
+    branches, so deletes work identically on int8 and IVF-PQ layouts —
+    no per-format delete path to drift."""
+    from commerce_data_pipeline_spark.operators import index as I
+
+    emb = _vecs(spark, n=60)
+    q = emb.filter(F.col("vec_id") % 10 == 3)
+    for quant in (True, "pq"):
+        path = f"file://{tmp_path}/ivf_{quant}"
+        I.build_ivf_index(emb, path, n_centroids=6, quantize=quant)
+        before = {r["neighbor_id"] for r in
+                  I.ivf_query(spark, path, q, k=10, n_probe=6).collect()}
+        assert before & {n for n in range(60) if n % 7 == 2}
+        I.delete_from_ivf_index(
+            emb.filter(F.col("vec_id") % 7 == 2).select("vec_id"), path
+        )
+        after = {r["neighbor_id"] for r in
+                 I.ivf_query(spark, path, q, k=10, n_probe=6).collect()}
+        assert not (after & {n for n in range(60) if n % 7 == 2})
+        # compaction folds + clears on the quantized layout too
+        I.compact_ivf_index(spark, path)
+        folded = {r["neighbor_id"] for r in
+                  I.ivf_query(spark, path, q, k=10, n_probe=6).collect()}
+        assert folded == after
