@@ -230,6 +230,144 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     fs.delete(join_path(path, "tombstones"))
 
 
+def rebalance_ivf_index(
+    spark: SparkSession,
+    path: str,
+    max_list_size: int,
+    n_splits: int = 2,
+) -> list[int]:
+    """Drift REMEDIATION for a long-lived IVF index: split every inverted
+    list larger than `max_list_size` into `n_splits` sub-lists with
+    locally re-sampled centroids — the FAISS-style answer to appended
+    data piling onto a few lists (`ivf_assignment_profile` is the
+    signal, this is the fix; a full rebuild stops being an option long
+    before the index stops growing).
+
+    Deterministic and engine-replayable end to end:
+    - sub-centroid SEEDS: each oversized list's members sorted by
+      neighbor_id, seeds at evenly spaced positions
+      1 + j·size div n_splits (the ivf_centroids id-stride rule applied
+      within the list);
+    - new centroid ids: max existing id + 1, assigned in (old list id,
+      seed position) order;
+    - members REASSIGN LOCALLY: argmax dot against their own list's new
+      sub-centroids only (ties → smaller centroid_id) — routing is
+      refined where it is dense, no global reassignment, untouched
+      lists are never read twice or rewritten.
+
+    Physical work scales with the OVERSIZED fraction only: the split
+    partitions are deleted + their members appended under the new
+    centroid ids; the (tiny) centroid table is rewritten. Pending
+    tombstones are folded first (compaction), so splits never copy dead
+    rows. Queries need no change — with n_probe ≥ the new centroid
+    count, results are BIT-IDENTICAL to pre-split (same score set),
+    pinned in tests. Float-vector lists only (quantized lists would
+    need reconstructed seeds — use the float master index for
+    maintenance, the quantized one for serving). Returns the list of
+    split (retired) centroid ids."""
+    compact_ivf_index(spark, path)  # fold pending deletes first
+    inv_leaf = join_path(path, "inverted")
+    inverted = spark.read.option("mergeSchema", "true").parquet(inv_leaf)
+    if "c_unit" not in inverted.columns:
+        raise ValueError(
+            "rebalance_ivf_index: float-vector lists required (quantized "
+            "layouts reconstruct approximations — maintain the float "
+            "master index and re-encode)"
+        )
+    sizes = inverted.groupBy("centroid_id").count()
+    oversized = sorted(
+        r["centroid_id"]
+        for r in sizes.filter(F.col("count") > max_list_size).collect()
+    )
+    if not oversized:
+        return []
+    centroids = spark.read.parquet(join_path(path, "centroids"))
+    next_id = centroids.agg(F.max("centroid_id")).collect()[0][0] + 1
+
+    from pyspark.sql import Window
+
+    members = inverted.filter(F.col("centroid_id").isin(oversized))
+    w = Window.partitionBy("centroid_id").orderBy("neighbor_id")
+    ranked = members.withColumn("_pos", F.row_number().over(w)).withColumn(
+        "_sz", F.count(F.lit(1)).over(Window.partitionBy("centroid_id"))
+    )
+    # seed rows: evenly spaced positions within each oversized list
+    seed_pos = F.array(
+        *[F.lit(1) + (F.lit(j) * F.col("_sz")) / F.lit(n_splits) for j in range(n_splits)]
+    )
+    seeds = (
+        ranked.filter(
+            F.exists(seed_pos, lambda p: F.floor(p).cast("int") == F.col("_pos"))
+        )
+        .withColumn(
+            "_j", F.row_number().over(Window.partitionBy("centroid_id").orderBy("_pos")) - 1
+        )
+        .select(
+            F.col("centroid_id").alias("_old"),
+            F.col("_j"),
+            F.col("c_unit").alias("c_vec"),
+        )
+    )
+    # new ids in (old list id, seed position) order — deterministic
+    off_entries = []
+    for i, cid in enumerate(oversized):
+        off_entries.append(F.lit(int(cid)))
+        off_entries.append(F.lit(int(i * n_splits)))
+    off_map = F.create_map(*off_entries)
+    new_cents = seeds.select(
+        (F.lit(int(next_id)) + F.element_at(off_map, F.col("_old")) + F.col("_j"))
+        .cast("int")
+        .alias("centroid_id"),
+        "c_vec",
+        "_old",
+    ).localCheckpoint()
+    # local reassignment: argmax among the member's OWN list's seeds
+    from commerce_data_pipeline_spark.operators.similarity import _dot
+
+    if "gen" not in members.columns:
+        members = members.withColumn("gen", F.lit(0))
+    members = members.withColumn("gen", F.coalesce(F.col("gen"), F.lit(0)))
+    seeds_keyed = new_cents.select(
+        F.col("centroid_id").alias("_new"),
+        F.col("c_vec"),
+        F.col("_old").alias("centroid_id"),
+    )
+    reassigned = (
+        members.join(F.broadcast(seeds_keyed), on="centroid_id")
+        .withColumn("_sim", _dot(F.col("c_unit"), F.col("c_vec")))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by("_new", F.struct(F.col("_sim"), (-F.col("_new")).alias("_t")))
+            .alias("new_cid"),
+            F.first("c_unit").alias("c_unit"),
+            F.first("gen").alias("gen"),
+        )
+        .select(
+            "neighbor_id",
+            F.col("new_cid").alias("centroid_id"),
+            "c_unit",
+            "gen",
+        )
+    )
+    (
+        reassigned.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(inv_leaf)
+    )
+    fs = HadoopFS(spark, path)
+    for cid in oversized:
+        fs.delete(join_path(inv_leaf, f"centroid_id={cid}"))
+    new_table = centroids.filter(~F.col("centroid_id").isin(oversized)).unionByName(
+        new_cents.select("centroid_id", "c_vec")
+    )
+    rows = new_table.collect()  # centroid table is driver-tiny by contract
+    spark.createDataFrame(rows, new_table.schema).write.mode("overwrite").parquet(
+        join_path(path, "centroids")
+    )
+    return oversized
+
+
 def append_to_ivf_index(
     corpus_new: DataFrame,
     path: str,

@@ -44,10 +44,14 @@ def attribute_purchases_stream(
     (ORDER BY touch_ts DESC, touch_event_id ASC — a total order, the
     phash_pairs truncation precedent), bounding output to
     n_conversions × cap. Batch frames only — a per-conversion rank is
-    not expressible after a stream-stream join; for live streams apply
-    the same rank inside foreachBatch (each conversion's touches land in
-    one output batch once both watermarks pass), or leave uncapped and
-    let the sink absorb the documented k·v.
+    not expressible after a stream-stream join. For live streams, apply
+    the same rank inside foreachBatch: that bounds output per
+    (conversion, micro-batch); a conversion whose touches arrive across
+    batches (out-of-order within the watermark) can exceed the global
+    cap by up to cap·n_batches until a downstream compaction applies
+    the identical rank over the sink — an eventually-exact cap, the
+    honest streaming semantics. Or leave uncapped and let the sink
+    absorb the documented k·v.
     """
     purchases = (
         events.filter(F.col("event_type") == convert_type)

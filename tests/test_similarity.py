@@ -642,3 +642,51 @@ def test_tombstone_delete_on_quantized_index(spark, tmp_path):
         folded = {r["neighbor_id"] for r in
                   I.ivf_query(spark, path, q, k=10, n_probe=6).collect()}
         assert folded == after
+
+
+def test_ivf_rebalance_splits_oversized_lists(spark, tmp_path):
+    """Drift remediation: lists above max_list_size split into locally
+    re-sampled sub-lists. Invariants: row count preserved, retired ids
+    gone from both table and layout, and — the load-bearing one — with
+    n_probe >= all centroids the query result is BIT-IDENTICAL pre/post
+    (same member vectors, same scores; only routing got finer)."""
+    from commerce_data_pipeline_spark.operators import index as I
+
+    emb = _vecs(spark, n=60)
+    path = f"file://{tmp_path}/ivf"
+    I.build_ivf_index(emb, path, n_centroids=2)
+    q = emb.filter(F.col("vec_id") % 10 == 3)
+    pre = sorted(tuple(r) for r in I.ivf_query(spark, path, q, k=5,
+                                               n_probe=2).collect())
+    split = I.rebalance_ivf_index(spark, path, max_list_size=20, n_splits=2)
+    assert split == [0, 1]  # both ~30-member lists were oversized
+    cents = spark.read.parquet(f"{path}/centroids")
+    ids = sorted(r["centroid_id"] for r in cents.collect())
+    assert ids == [2, 3, 4, 5]  # old 0,1 retired; 2 seeds each
+    inv = spark.read.option("mergeSchema", "true").parquet(f"{path}/inverted")
+    assert inv.count() == 60
+    assert inv.filter(F.col("centroid_id").isin([0, 1])).count() == 0
+    post = sorted(tuple(r) for r in I.ivf_query(spark, path, q, k=5,
+                                                n_probe=4).collect())
+    assert pre == post
+    # argmax reassignment splits unevenly — iterate to the fixpoint
+    # (callers bound iterations; each pass splits only what remains big)
+    for _ in range(4):
+        if not I.rebalance_ivf_index(spark, path, max_list_size=20):
+            break
+    inv = spark.read.option("mergeSchema", "true").parquet(f"{path}/inverted")
+    assert inv.count() == 60  # no row lost across repeated splits
+    sizes = [r["count"] for r in inv.groupBy("centroid_id").count().collect()]
+    assert max(sizes) <= 20
+    # the refined index still answers identically at full probe width
+    n_cents = spark.read.parquet(f"{path}/centroids").count()
+    final = sorted(tuple(r) for r in I.ivf_query(spark, path, q, k=5,
+                                                 n_probe=n_cents).collect())
+    assert final == pre
+    # quantized layouts are refused loudly
+    import pytest
+
+    path2 = f"file://{tmp_path}/ivf_q"
+    I.build_ivf_index(emb, path2, n_centroids=2, quantize=True)
+    with pytest.raises(ValueError, match="float-vector"):
+        I.rebalance_ivf_index(spark, path2, max_list_size=20)
