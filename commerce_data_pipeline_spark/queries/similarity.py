@@ -345,6 +345,141 @@ FROM sims QUALIFY rank <= 5
 """
 
 
+def _ensure_split_ivf_index(spark: SparkSession, sf: str) -> str:
+    """Build-once handle for the LIST-SPLIT lifecycle index: build over
+    the full embeddings table, then ONE `rebalance_ivf_index` pass with
+    max_list_size = 1.3× the expected list size ((13·step) div 10 — the
+    engine-exact skew threshold) and n_splits=2, so the lists the
+    deterministic assignment skews past 1.3× are split with locally
+    re-sampled centroids. Marker-idempotent (the bench runs every query
+    twice; a second rebalance would split further)."""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+    from commerce_data_pipeline_spark.operators.similarity import auto_n_centroids
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+
+    root = _cache_dir("ivf_split", sf)
+    marker = join_path(root, "_SPLIT_READY")
+    fs = HadoopFS(spark, root)
+    if not fs.exists(marker):
+        if fs.exists(root):
+            fs.delete(root)
+        emb = load_table(spark, sf, "embeddings")
+        total = emb.count()
+        nc = auto_n_centroids(total)
+        step = max(1, total // nc)
+        ivf_index.build_ivf_index(emb, root, corpus_count=total)
+        ivf_index.rebalance_ivf_index(
+            spark, root, max_list_size=(13 * step) // 10, n_splits=2
+        )
+        fs.write_bytes(marker, b"ready\n")
+    return root
+
+
+def _q_ann_ivf_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 index maintenance, SPLIT lifecycle — IVF search over a
+    persisted index whose oversized lists (>1.3× expected size) were
+    split with locally re-sampled centroids
+    (operators/index.rebalance_ivf_index): the drift REMEDIATION to
+    `ivf_assignment_profile`'s signal. The oracle replays the split
+    declaratively — initial build, size census, id-stride seed
+    selection inside each oversized list, local argmax reassignment,
+    then the probe over the refined centroid table — so a hash match
+    attests the whole remediation path. (Built in r12; enters the
+    driver window in r13 per the never-attested-in-window protocol.)"""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+
+    path = _ensure_split_ivf_index(spark, sf)
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2500))
+    out = ivf_index.ivf_query(spark, path, queries, k=5, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
+    )
+
+
+def _ora_ann_ivf_rebalance(n_splits: int = 2) -> str:
+    """SQL replay of build → split → probe. Seed positions inside each
+    oversized list: 1 + (j·sz) div n_splits, members id-sorted; new ids
+    maxid + 1 + i·n_splits + j in (oversized-id, seed-position) order;
+    reassignment = argmax dot among the list's OWN seeds (ties → smaller
+    new id). Mirrors operators/index.rebalance_ivf_index exactly."""
+    seed_pos = ", ".join(f"1 + ({j} * sz) // {n_splits}" for j in range(n_splits))
+    return f"""
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), par AS (
+  SELECT n, nc, GREATEST(n // nc, 1) AS step
+  FROM (SELECT COUNT(*) AS n FROM embeddings) t,
+       LATERAL (
+         SELECT MIN(CAST(1 AS BIGINT) << k) AS nc
+         FROM unnest(generate_series(4, 31)) AS tk(k)
+         WHERE ((CAST(1 AS BIGINT) << k) * (CAST(1 AS BIGINT) << k)) >= t.n
+       ) l
+), cent0 AS (
+  SELECT CAST(vec_id // step AS INT) AS centroid_id, u AS c_vec
+  FROM unit, par WHERE vec_id % step = 0 AND vec_id < step * nc
+), assign AS (
+  SELECT c.vec_id AS neighbor_id, cent0.centroid_id, c.u AS c_unit,
+    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      ORDER BY list_dot_product(c.u, cent0.c_vec) DESC, cent0.centroid_id) AS r
+  FROM unit c CROSS JOIN cent0
+), inv AS (
+  SELECT neighbor_id, centroid_id, c_unit FROM assign WHERE r = 1
+), big AS (
+  SELECT centroid_id, ROW_NUMBER() OVER (ORDER BY centroid_id) - 1 AS i
+  FROM (SELECT centroid_id, COUNT(*) AS c FROM inv GROUP BY centroid_id), par
+  WHERE c > (13 * step) // 10
+), maxid AS (SELECT MAX(centroid_id) AS m FROM cent0
+), mem AS (
+  SELECT inv.neighbor_id, inv.centroid_id, inv.c_unit, big.i,
+    ROW_NUMBER() OVER (PARTITION BY inv.centroid_id ORDER BY inv.neighbor_id) AS pos,
+    COUNT(*) OVER (PARTITION BY inv.centroid_id) AS sz
+  FROM inv JOIN big USING (centroid_id)
+), seeds AS (
+  SELECT centroid_id AS old_id, i,
+    ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY pos) - 1 AS j,
+    c_unit AS c_vec
+  FROM mem WHERE pos IN ({seed_pos})
+), news AS (
+  SELECT CAST(m + 1 + i * {n_splits} + j AS INT) AS centroid_id, c_vec, old_id
+  FROM seeds, maxid
+), reas AS (
+  SELECT neighbor_id, centroid_id, c_unit FROM (
+    SELECT m.neighbor_id, n.centroid_id, m.c_unit,
+      ROW_NUMBER() OVER (PARTITION BY m.neighbor_id
+        ORDER BY list_dot_product(m.c_unit, n.c_vec) DESC, n.centroid_id) AS rr
+    FROM mem m JOIN news n ON n.old_id = m.centroid_id) WHERE rr = 1
+), inv2 AS (
+  SELECT neighbor_id, centroid_id, c_unit FROM inv
+  WHERE centroid_id NOT IN (SELECT centroid_id FROM big)
+  UNION ALL
+  SELECT neighbor_id, centroid_id, c_unit FROM reas
+), cent2 AS (
+  SELECT centroid_id, c_vec FROM cent0
+  WHERE centroid_id NOT IN (SELECT centroid_id FROM big)
+  UNION ALL
+  SELECT centroid_id, c_vec FROM news
+), probes AS (
+  SELECT q.vec_id AS query_id, cent2.centroid_id, q.u AS q_unit,
+    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      ORDER BY list_dot_product(q.u, cent2.c_vec) DESC, cent2.centroid_id) AS r
+  FROM unit q CROSS JOIN cent2 WHERE q.vec_id % 20 = 0 AND q.vec_id < 2500
+), pr AS (
+  SELECT query_id, centroid_id, q_unit FROM probes WHERE r <= 4
+), sims AS (
+  SELECT query_id, neighbor_id, list_dot_product(q_unit, c_unit) AS sim
+  FROM inv2 JOIN pr USING (centroid_id)
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+FROM sims QUALIFY rank <= 5
+"""
+
+
 _O_ANN_IVF = """
 WITH unit AS (
   SELECT vec_id,

@@ -690,3 +690,41 @@ def test_ivf_rebalance_splits_oversized_lists(spark, tmp_path):
     I.build_ivf_index(emb, path2, n_centroids=2, quantize=True)
     with pytest.raises(ValueError, match="float-vector"):
         I.rebalance_ivf_index(spark, path2, max_list_size=20)
+
+
+def test_ann_ivf_rebalance_query_matches_oracle(spark, sf_dir, tmp_path):
+    """Pre-registration differential for the r13 window candidate
+    (never-attested queries must sit inside the driver window, so the
+    query registers in r13): the Spark split-lifecycle query must
+    hash-match its DuckDB oracle replay exactly — build, size census,
+    id-stride seeds, local argmax reassignment, probe over the refined
+    centroid table."""
+    import duckdb
+
+    from commerce_data_pipeline_spark.queries import _shared
+    from commerce_data_pipeline_spark.queries.similarity import (
+        _ora_ann_ivf_rebalance,
+        _q_ann_ivf_rebalance,
+    )
+
+    # isolate the persisted cache under tmp_path (don't touch .cache/)
+    orig = _shared.CACHE_TAG
+    _shared.CACHE_TAG = f"t{tmp_path.name[-8:]}"
+    try:
+        sdf = _q_ann_ivf_rebalance(spark, sf_dir)
+        scols = sdf.columns
+        srows = sorted(tuple(r) for r in sdf.collect())
+    finally:
+        _shared.CACHE_TAG = orig
+    con = duckdb.connect()
+    for t in ("embeddings",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    rel = con.sql(_ora_ann_ivf_rebalance(2))
+    ocols = rel.columns
+    orows = sorted(tuple(r) for r in rel.fetchall())
+    assert sorted(scols) == sorted(ocols)
+    # align column order before comparing tuples
+    perm = [scols.index(c) for c in ocols]
+    assert [tuple(r[i] for i in perm) for r in srows] == orows
