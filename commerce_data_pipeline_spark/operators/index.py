@@ -193,6 +193,10 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     inverted = inverted.withColumn("gen", F.coalesce(F.col("gen"), F.lit(0)))
     t = tomb.groupBy("neighbor_id").agg(F.max("upto_gen").alias("_upto"))
     joined = inverted.join(F.broadcast(t), on="neighbor_id", how="left")
+    # bounded collect: distinct centroid ids ≤ n_centroids (≈ √N — the
+    # ≤256-codebook precedent, never a data-sized collect); the isin
+    # filters below push to the PARTITION column, so both the survivor
+    # scan and the rewrite touch only these directories
     touched = [
         r["centroid_id"]
         for r in joined.filter(F.col("_upto").isNotNull())
@@ -274,6 +278,7 @@ def rebalance_ivf_index(
             "layouts reconstruct approximations — maintain the float "
             "master index and re-encode)"
         )
+    # bounded collect: one row per centroid (≤ √N), not per list entry
     sizes = inverted.groupBy("centroid_id").count()
     oversized = sorted(
         r["centroid_id"]
