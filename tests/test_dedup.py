@@ -305,3 +305,31 @@ def test_minhash_estimate_audit_is_accurate_on_corpus(spark, sf_dir):
     out = minhash_estimate_audit(docs, num_hashes=8, shingle_n=3).collect()[0]
     assert out["n_pairs"] > 0
     assert out["mae_e6"] < 125_000
+
+
+def test_minhash_estimate_audit_filters_both_sides(spark):
+    """r11 ADVICE (low): with max_shingle_freq set, the SIGNATURES must
+    come from the same frequency-filtered shingle set as the exact
+    Jaccard. Docs 1 and 2 have identical rare shingles {x,y,z} but each
+    carries a different FREQUENT shingle (doc-freq 4 > 2): filtered sets
+    are equal, so the filtered-set signatures must match on every
+    component and the audit reports zero error — signatures built from
+    the unfiltered text (the old behavior, full-set J = 3/5) could not
+    guarantee that."""
+    from commerce_data_pipeline_spark.operators.dedup import (
+        minhash_estimate_audit,
+    )
+
+    rows = [
+        (1, "x y z f1"),
+        (2, "x y z f2"),
+        # make f1 and f2 frequent (doc-freq 4 each); these docs have no
+        # rare shingles left after filtering -> contribute no pairs
+        (3, "f1 f2"), (4, "f1 f2"), (5, "f1 f2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_estimate_audit(
+        df, num_hashes=8, shingle_n=1, max_shingle_freq=2
+    ).collect()[0]
+    assert out["n_pairs"] == 1  # only (1, 2) overlap on rare shingles
+    assert out["mae_e6"] == 0 and out["max_err_e6"] == 0
