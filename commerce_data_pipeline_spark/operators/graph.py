@@ -878,7 +878,13 @@ def deterministic_walks(
     )
     w = Window.partitionBy("n").orderBy(F.asc("m"))
     adj = und.withColumn("rn", F.row_number().over(w)).localCheckpoint(eager=False)
-    deg = und.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # deg is joined once per step: checkpoint it or every step re-runs the
+    # grouped count from the raw pair scan (one shuffle per step)
+    deg = (
+        und.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     nodes = deg.select("n")
     state = nodes.crossJoin(
         F.broadcast(
@@ -919,6 +925,14 @@ def deterministic_walks(
                 (F.lit(1).cast("long") + h % F.col("deg")).alias("_pick"),
             )
         )
+        # each step's state is consumed twice (this step's union branch +
+        # the next step's join) and the union therefore re-derives every
+        # prefix per branch — but MEASURED, that recompute is cheaper than
+        # materializing: the prefix is a chain of broadcast 1:1 joins that
+        # pipelines inside one stage (A/B at sf0.1 min-of-3: no
+        # checkpoints 3.7 s, deg-only 2.8 s, deg+state 5.5 s — state
+        # barriers add 4 job round-trips that dwarf the join work). Keep
+        # state un-materialized; deg above is the one worth pinning.
         state = (
             picked.join(
                 adj,
