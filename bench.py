@@ -41,6 +41,54 @@ def _unpersist_all_rdds(spark) -> None:
     except Exception:
         pass
 
+def load_defense_history(repo_dir: str, sf_norm: str, k: int = 4) -> dict[str, float]:
+    """Per-query MIN over the last-committed BENCH_FULL.json AND the last
+    `k` driver round artifacts (BENCH_r*.json) at the same scale factor.
+
+    r12 VERDICT #2: the defense used to compare against BENCH_FULL.json
+    alone — the last run. When the driver's refresh itself ran contended,
+    the inflated rows (bigram_lm 3.56 s vs 1.42 s same-code history)
+    became the history the next round's 2× check compared against, so
+    outliers self-ratified. The round artifacts are slowest-first
+    truncations of their runs, which is exactly the population the 2×
+    defense cares about; taking the min across BENCH_FULL + the last k
+    rounds means one contended refresh can never raise the bar — a row
+    only enters history at the best time any recent run achieved.
+    """
+    sources: list[dict] = []
+    try:
+        with open(os.path.join(repo_dir, "BENCH_FULL.json")) as f:
+            full = json.load(f)
+        if str(full.get("sf")) == sf_norm:
+            sources.append(full.get("queries") or {})
+    except Exception:
+        pass
+    import glob
+    import re
+
+    rounds: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    for _, path in sorted(rounds)[-k:]:
+        try:
+            with open(path) as f:
+                art = json.load(f)
+            queries = (art.get("parsed") or {}).get("queries") or art.get("queries") or {}
+            art_sf = art.get("sf", (art.get("parsed") or {}).get("sf"))
+            if str(art_sf) == sf_norm:
+                sources.append(queries)
+        except Exception:
+            pass
+    hist: dict[str, float] = {}
+    for queries in sources:
+        for name, v in queries.items():
+            if isinstance(v, (int, float)) and v > 0:
+                hist[name] = min(hist.get(name, float("inf")), float(v))
+    return hist
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -99,20 +147,9 @@ def main() -> None:
     # (defense happens inline, right after the offending measurement,
     # while the history file still reflects the prior round).
     _DEFENSE_MAX_EXTRA = 20
-    hist: dict[str, float] = {}
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_FULL.json")) as f:
-            _prior = json.load(f)
-        # history is only comparable at the SAME scale factor — a smoke
-        # run at sf0.001 must not seed 2×-checks for the sf0.1 round
-        if str(_prior.get("sf")) == str(float(sf) if sf.replace(".", "").isdigit() else sf):
-            hist = {
-                k: v for k, v in (_prior.get("queries") or {}).items()
-                if isinstance(v, (int, float)) and v > 0
-            }
-    except Exception:
-        pass
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    sf_norm = str(float(sf)) if sf.replace(".", "").isdigit() else sf
+    hist = load_defense_history(repo_dir, sf_norm)
     defense_used = 0
     defended: dict[str, list[float]] = {}
 
