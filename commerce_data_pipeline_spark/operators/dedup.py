@@ -25,6 +25,7 @@ Scale notes (100 TB posture):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 
 # Normalization shared by all text-keyed dedup: lowercase, collapse runs of
 # whitespace, trim. Mirrors what any corpus pipeline does before hashing.
@@ -301,7 +302,7 @@ def minhash_estimate_audit(
             .select("shingle")
         )
         sh = sh.join(rare, on="shingle", how="left_semi")
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.transform(_checkpoint, eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -329,7 +330,7 @@ def minhash_estimate_audit(
                 for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
             ]
         )
-    sig = sig.localCheckpoint(eager=False)
+    sig = sig.transform(_checkpoint, eager=False)
     sig_a = sig.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(num_hashes)],
@@ -463,20 +464,20 @@ def connected_components(
     und = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(_checkpoint)
     )
     if und.count() <= small_graph_edges:
         return _driver_unionfind(und)
     edges = (
         und.unionAll(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .transform(_checkpoint)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint()
+        .transform(_checkpoint)
     )
     for it in range(max_iter):
         # min label among neighbors, then min with own label
@@ -494,7 +495,7 @@ def connected_components(
                 ).alias("component"),
                 (F.col("n_min") < F.col("component")).alias("_changed"),
             )
-        ).localCheckpoint()
+        ).transform(_checkpoint)
         labels = updated.drop("_changed")
         if it % check_every == check_every - 1 or it == max_iter - 1:
             if updated.filter(F.col("_changed")).limit(1).count() == 0:
@@ -538,7 +539,7 @@ def connected_components_alternating(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(_checkpoint)
     )
     if und.count() <= small_graph_edges:
         return _driver_unionfind(und)
@@ -546,7 +547,7 @@ def connected_components_alternating(
         und.select(F.col("src").alias("id"))
         .unionAll(und.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .transform(_checkpoint)
     )
     edges = und
 
@@ -600,7 +601,7 @@ def connected_components_alternating(
     # than paying an extra driver round-trip on every real invocation.
     sig = None
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).transform(_checkpoint)
         new_sig = _sig(edges)
         if new_sig == sig:
             break

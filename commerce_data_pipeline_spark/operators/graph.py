@@ -38,6 +38,7 @@ Plan shape for 100 TB:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 
 __all__ = ["pagerank", "co_occurrence_edges", "co_occurrence_pairs", "symmetrize_pairs", "label_propagation", "triangle_stats", "top_co_occurrences", "kcore", "neighbor_jaccard", "deterministic_walks"]
 
@@ -179,7 +180,7 @@ def pagerank(
     if driver_budget_edges > 0:
         # materialize the edge pipeline ONCE — the budget count and the
         # Arrow collect (or the distributed fallback) all read it back
-        e0 = e0.localCheckpoint()
+        e0 = e0.transform(_checkpoint)
         if e0.count() <= driver_budget_edges:
             out = _pagerank_driver(
                 sp, e0, iterations, scale, teleport, damp_num, damp_den
@@ -192,9 +193,9 @@ def pagerank(
     # co-partitioned merge `iterations` times
     ew = (
         e.join(e.groupBy("_src").agg(F.sum("_w").alias("_ow")), "_src")
-        .localCheckpoint()
+        .transform(_checkpoint)
     )
-    nodes = ew.select(F.col("_src").alias("node")).distinct().localCheckpoint()
+    nodes = ew.select(F.col("_src").alias("node")).distinct().transform(_checkpoint)
     return _pagerank_distributed(
         ew, nodes, iterations, scale, teleport, damp_num, damp_den
     )
@@ -257,10 +258,10 @@ def _pagerank_pairs(pairs, iterations, scale, damp_num, damp_den, budget):
         if _count_is_metadata_only(pairs):
             ub = pairs.count()
             if 2 * ub > budget:
-                p0 = p0.localCheckpoint()
+                p0 = p0.transform(_checkpoint)
                 ub = p0.count()
         else:
-            p0 = p0.localCheckpoint()
+            p0 = p0.transform(_checkpoint)
             ub = p0.count()
         if 2 * ub <= budget:
             pdf = p0.toPandas()
@@ -367,7 +368,7 @@ def _pagerank_distributed(ew, nodes, iterations, scale, teleport, damp_num, damp
     # the sets match, the left-join re-seed — one extra node-keyed
     # shuffle per iteration — is dead weight, so we skip it for all
     # `iterations` rounds; either mismatch direction keeps it.
-    dsts = ew.select(F.col("_dst").alias("node")).distinct().localCheckpoint()
+    dsts = ew.select(F.col("_dst").alias("node")).distinct().transform(_checkpoint)
     needs_reseed = (
         nodes.join(dsts, "node", "left_anti").limit(1).count() > 0
         or dsts.join(nodes, "node", "left_anti").limit(1).count() > 0
@@ -400,7 +401,7 @@ def _pagerank_distributed(ew, nodes, iterations, scale, teleport, damp_num, damp
         # removes one eager job — the per-round scheduling overhead, not
         # the data volume, dominates at modest graph sizes (stress 1.2×)
         if i % 3 == 2 or i == iterations - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(_checkpoint)
     return ranks
 
 
@@ -448,7 +449,7 @@ def label_propagation(
             (F.col("_w") > 0) & F.col("_s").isNotNull() & F.col("_d").isNotNull()
         )
         if driver_budget_edges > 0:
-            p0 = p0.localCheckpoint()
+            p0 = p0.transform(_checkpoint)
             if 2 * p0.count() <= driver_budget_edges:
                 out = _label_propagation_driver(p0, rounds, mirror=True)
                 if out is not None:
@@ -462,7 +463,7 @@ def label_propagation(
         F.col(weight).cast("long").alias("_w"),
     ).filter(
         (F.col("_w") > 0) & F.col("_s").isNotNull() & F.col("_d").isNotNull()
-    ).localCheckpoint()
+    ).transform(_checkpoint)
     if driver_budget_edges > 0 and e.count() <= driver_budget_edges:
         out = _label_propagation_driver(e, rounds)
         if out is not None:
@@ -497,7 +498,7 @@ def label_propagation(
         labels = (
             labels.join(winners, "node", "left")
             .select("node", F.coalesce(F.col("_wl"), F.col("label")).alias("label"))
-            .localCheckpoint()
+            .transform(_checkpoint)
         )
     return labels
 
@@ -592,7 +593,7 @@ def triangle_stats(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(_checkpoint)
     )
     deg = (
         und.select(F.col("a").alias("k"))
@@ -620,7 +621,7 @@ def triangle_stats(
             F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
             F.when(lo_first, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
-        ).localCheckpoint()
+        ).transform(_checkpoint)
         w1 = oriented.select("u", F.col("v").alias("x"), F.col("_dv").alias("_dx"))
         w2 = oriented.select("u", F.col("v").alias("y"), F.col("_dv").alias("_dy"))
         wedge_pairs = w1.join(w2, on="u").filter(
@@ -733,7 +734,7 @@ def kcore(
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
+            .transform(_checkpoint)
         )
 
     def _deg(e: DataFrame) -> DataFrame:
@@ -754,7 +755,7 @@ def kcore(
             cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint()
+            .transform(_checkpoint)
         )
         if until_stable and nxt.count() == cur.count():
             cur = nxt
@@ -877,13 +878,13 @@ def deterministic_walks(
         pairs.select(F.col(b_col).alias("n"), F.col(a_col).alias("m"))
     )
     w = Window.partitionBy("n").orderBy(F.asc("m"))
-    adj = und.withColumn("rn", F.row_number().over(w)).localCheckpoint(eager=False)
+    adj = und.withColumn("rn", F.row_number().over(w)).transform(_checkpoint, eager=False)
     # deg is joined once per step: checkpoint it or every step re-runs the
     # grouped count from the raw pair scan (one shuffle per step)
     deg = (
         und.groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .localCheckpoint(eager=False)
+        .transform(_checkpoint, eager=False)
     )
     nodes = deg.select("n")
     state = nodes.crossJoin(
@@ -1079,12 +1080,12 @@ def personalized_pagerank(
     ew = (
         edges.join(edges.groupBy("_src").agg(F.sum("_w").alias("_ow")), "_src")
         .repartition(n_shuffle, "_src")
-        .localCheckpoint()
+        .transform(_checkpoint)
     )
     s = (
         seeds.select(F.col(seed_col).alias("node")).distinct()
         .join(ew.select(F.col("_src").alias("node")).distinct(), "node", "left_semi")
-        .localCheckpoint()
+        .transform(_checkpoint)
     )
     stats = ew.agg(
         F.countDistinct("_src").alias("_n"), F.max("_w").alias("_wm")

@@ -35,6 +35,7 @@ from commerce_data_pipeline_spark.operators.similarity import (
     with_unit_vector,
 )
 from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 
 
 def build_ivf_index(
@@ -325,7 +326,7 @@ def rebalance_ivf_index(
         .alias("centroid_id"),
         "c_vec",
         "_old",
-    ).localCheckpoint()
+    ).transform(_checkpoint)
     # local reassignment: argmax among the member's OWN list's seeds
     from commerce_data_pipeline_spark.operators.similarity import _dot
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
+from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 
 __all__ = ["table_profile", "group_outliers"]
 
@@ -558,7 +559,7 @@ def chi_square_drift(
         .fillna(0, subset=["n_a", "n_b"])
         # consumed twice (totals + per-row math): lazy checkpoint
         # materializes the merged counts once, at first action
-        .localCheckpoint(eager=False)
+        .transform(_checkpoint, eager=False)
     )
     t = j.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
     na_d, nb_d = F.col("n_a").cast("double"), F.col("n_b").cast("double")
@@ -890,7 +891,7 @@ def _banded_snapshot_counts(
             )
             for i, p in enumerate(ps, 1)
         ]
-    ).localCheckpoint(eager=False)
+    ).transform(_checkpoint, eager=False)
     band = F.lit(1)
     for i in range(1, n_bands):
         band = band + F.when(F.col("_v") > F.col(f"_b{i}"), 1).otherwise(0)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
+from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 
 
 def project(df: DataFrame, columns: Sequence[str | Column]) -> DataFrame:
@@ -151,7 +152,7 @@ def global_order_stats(
     arranged = (
         df.repartitionByRange(n, *cols)
         .withColumn("_gr_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(_checkpoint, eager=False)
     )
     aggs = [F.count(F.lit(1)).alias("_c")]
     if sum_col is not None:

@@ -48,6 +48,7 @@ from .dedup import word_shingles
 from .relational import global_cumsum
 from .similarity import quantized_rel_frame
 from .text import words
+from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 
 __all__ = [
     "classifier_scores",
@@ -633,7 +634,7 @@ def ranking_auc_banded(
     lab = F.col(label_col).cast("boolean")
     scored = df.select(
         lab.alias("_y"), F.col(score_col).alias("_s")
-    ).localCheckpoint(eager=False)  # consumed twice: boundaries + banding
+    ).transform(_checkpoint, eager=False)  # consumed twice: boundaries + banding
     pctl = "percentile_approx(_s, {p}, 10000)" if approx_boundaries else (
         "percentile_disc({p}) WITHIN GROUP (ORDER BY _s)"
     )

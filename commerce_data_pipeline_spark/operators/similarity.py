@@ -34,6 +34,7 @@ from math import floor as math_floor
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
+from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 
 
 def _dot(a, b):
@@ -229,7 +230,7 @@ def _bucketed_self_pairs(
     < 1 by construction (tunable via n_planes/n_tables) — near-dup pairs
     at cosine ≥ 0.9 collide with high probability under random-hyperplane
     LSH."""
-    b = _bucketize_np(df, "id_a", id_col, vec_col, dim, n_planes, n_tables).localCheckpoint()
+    b = _bucketize_np(df, "id_a", id_col, vec_col, dim, n_planes, n_tables).transform(_checkpoint)
     a = b.select("id_a", F.col("unit").alias("a_unit"), "tab", "bucket")
     c = b.select(
         F.col("id_a").alias("id_b"), F.col("unit").alias("b_unit"), "tab", "bucket"
@@ -1072,7 +1073,7 @@ def semantic_dedup(
     # materialize the assignment ONCE: it feeds three consumers (both pair
     # sides + the verdict join) and would otherwise recompute its
     # crossJoin+argmax subtree — and re-scan the corpus — per consumer
-    inverted = ivf_invert(u, centroids, id_col).localCheckpoint()
+    inverted = ivf_invert(u, centroids, id_col).transform(_checkpoint)
     a = inverted.select(
         F.col("neighbor_id").alias("_ida"), "centroid_id", F.col("c_unit").alias("_ua")
     )
@@ -1342,7 +1343,7 @@ def kmeans_train(
             f"kmeans_train: k·dim = {int(dim_probe[0]['d']) * k} exceeds the "
             f"{max_codebook}-entry codebook collect budget"
         )
-    xi = _fixed_point_frame(emb, vec_col, scale).localCheckpoint()
+    xi = _fixed_point_frame(emb, vec_col, scale).transform(_checkpoint)
     seeds = (
         emb.filter(F.col(id_col) < k)
         .select(
@@ -1458,7 +1459,7 @@ def pca_power_iteration(
     if not dim_row:
         raise ValueError("pca_power_iteration: empty input")
     d = int(dim_row[0]["d"])
-    xi = _fixed_point_frame(emb, vec_col, scale).localCheckpoint()
+    xi = _fixed_point_frame(emb, vec_col, scale).transform(_checkpoint)
     v = [out_scale] * d
     for _ in range(rounds):
         lit_v = F.array(*[F.lit(int(c)).cast("long") for c in v])

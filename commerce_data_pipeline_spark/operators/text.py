@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from commerce_data_pipeline_spark.operators.dedup import fingerprint, normalized_text
+from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 
 # Marker stopwords per language for the n-gram/marker-word language-ID
 # heuristic. Deliberately tiny and deterministic so an ANSI-SQL oracle can
@@ -533,7 +534,7 @@ def bigram_lm_scores(
     occ_doc = (
         occ.groupBy(id_col, "_w1", "_w2")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
-        .localCheckpoint()
+        .transform(_checkpoint)
     )
     if model_df is None:
         types = occ_doc.groupBy("_w1", "_w2").agg(
@@ -553,7 +554,7 @@ def bigram_lm_scores(
             model_df.select(F.explode(m_grams).alias("_g"))
             .groupBy(F.col("_g.w1").alias("_w1"), F.col("_g.w2").alias("_w2"))
             .agg(F.count(F.lit(1)).cast("long").alias("_c12"))
-            .localCheckpoint()
+            .transform(_checkpoint)
         )
         # score every bigram TYPE the scored corpus contains; types the
         # model never saw keep _c12 NULL (-> lam-term 0 below)
@@ -814,7 +815,7 @@ def _bpe_vocab(df: DataFrame, text_col: str) -> DataFrame:
         .groupBy("_w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .select(F.split("_w", "").alias("syms"), "cnt")
-        .localCheckpoint()
+        .transform(_checkpoint)
     )
 
 
@@ -1014,7 +1015,7 @@ def bpe_train_batched(
                     F.col("syms"), [(l, r) for l, r, _c in picks]
                 ).alias("syms"),
                 "cnt",
-            ).localCheckpoint(eager=False)
+            ).transform(_checkpoint, eager=False)
     return spark.createDataFrame(
         out,
         "rnd int, pick int, left_sym string, right_sym string, pair_count long",
@@ -1034,7 +1035,7 @@ def _bpe_loop(vocab: DataFrame, rounds: int, apply_last: bool):
         if rnd < rounds or apply_last:
             vocab = vocab.select(
                 bpe_apply_merge(F.col("syms"), l, r).alias("syms"), "cnt"
-            ).localCheckpoint()
+            ).transform(_checkpoint)
         yield rnd, l, r, c, vocab
 
 
@@ -1136,7 +1137,7 @@ def apply_merges_to_vocab(
         cur = cur.select(
             bpe_apply_merge(F.col("syms"), left, right).alias("syms"),
             "cnt",
-        ).localCheckpoint(eager=False)
+        ).transform(_checkpoint, eager=False)
     return cur
 
 

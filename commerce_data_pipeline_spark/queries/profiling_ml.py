@@ -43,6 +43,7 @@ from commerce_data_pipeline_spark.operators.analytics import (
 from commerce_data_pipeline_spark.streaming import events as streaming_events
 from commerce_data_pipeline_spark.queries.dedup_text import _PAIRS_SQL_MW
 from commerce_data_pipeline_spark.queries.corpus import _WS_SPLIT_SQL
+from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 from commerce_data_pipeline_spark.queries._shared import (
     _ensure_bpe_vocab,
     _ensure_copurchase_pairs,
@@ -222,7 +223,7 @@ def _q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         )
         # consumed twice (per-order rollup + the numwait filter): lazy
         # checkpoint keeps the fact scan single-pass
-        .localCheckpoint(eager=False)
+        .transform(_checkpoint, eager=False)
     )
     per_o = per_os.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
@@ -562,7 +563,7 @@ def _q_revenue_bands(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("revenue_e2")
         )
         # consumed twice (boundary aggregate + band assignment)
-        .localCheckpoint(eager=False)
+        .transform(_checkpoint, eager=False)
     )
     bounds = rev.agg(
         *[

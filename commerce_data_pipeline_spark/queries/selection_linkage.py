@@ -50,6 +50,7 @@ from commerce_data_pipeline_spark.queries._shared import (
     _ensure_copurchase_pairs,
 )
 from commerce_data_pipeline_spark.queries.profiling_ml import _bpe_ms_sql
+from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 
 
 
@@ -644,7 +645,7 @@ def _q_heldout_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     means anything. Unseen bigrams keep only smoothed backoff mass
     (never dropped, never -inf). One per-split summary row."""
     docs = load_table(spark, sf, "documents")
-    assigned = corpus.train_val_test_split(docs).localCheckpoint()
+    assigned = corpus.train_val_test_split(docs).transform(_checkpoint)
     train = assigned.filter(F.col("split") == "train")
     scored = text.bigram_lm_scores(assigned, model_df=train)
     return (
@@ -1172,7 +1173,7 @@ def _ensure_quality_ledger(spark: SparkSession, sf: str):
             docs.select("doc_id", "source", "n_chars"), "n_chars"
         )
         lab = docs.select("doc_id", (F.col("lang") == "en").alias("is_en"))
-        scored = cal.join(lab, "doc_id").localCheckpoint()  # two ingests
+        scored = cal.join(lab, "doc_id").transform(_checkpoint)  # two ingests
         ledger.ingest(scored.filter(F.col("doc_id") % 2 == 0), "is_en", "calib_e6")
         ledger.ingest(scored.filter(F.col("doc_id") % 2 == 1), "is_en", "calib_e6")
         fs.write_bytes(marker, b"ready\n")

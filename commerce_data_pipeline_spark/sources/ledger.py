@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from commerce_data_pipeline_spark.operators.dedup import fingerprint, minhash_band_rows
 from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
+from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 
 
 class FingerprintLedger:
@@ -83,7 +84,7 @@ class FingerprintLedger:
     ) -> DataFrame:
         """filter_new + commit in one step; returns the admitted rows.
         NB: materializes the admitted set (the commit is an action)."""
-        new_rows = self.filter_new(df, id_col, text_col).localCheckpoint()
+        new_rows = self.filter_new(df, id_col, text_col).transform(_checkpoint)
         self.commit(new_rows)
         return new_rows
 
@@ -179,7 +180,7 @@ class BandLedger:
         NOT collapsed here — run `minhash_lsh_pairs`/`dedup_by_components`
         on the batch first if that's wanted; the ledger's job is the
         cross-run boundary."""
-        admitted = self.filter_unmatched(df, id_col, text_col).localCheckpoint()
+        admitted = self.filter_unmatched(df, id_col, text_col).transform(_checkpoint)
         self.commit(admitted, id_col, text_col)
         return admitted
 
@@ -299,7 +300,7 @@ class QualityGateLedger:
             ece_from_bins,
         )
 
-        per = self.merged().localCheckpoint(eager=False)  # two reducers
+        per = self.merged().transform(_checkpoint, eager=False)  # two reducers
         auc = banded_auc_metrics(
             per.select("bin", "n_pos", (F.col("n") - F.col("n_pos")).alias("n_neg")),
             out_scale,
