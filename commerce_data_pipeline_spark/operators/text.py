@@ -854,19 +854,25 @@ def bpe_apply_merges_disjoint(
     complement to `bpe_train_batched`'s decision batching: at batch=256
     this replaces 256 sequential projection passes per round with one.
 
-    Correctness rests on two consequences of disjointness (no pair
-    shares a symbol with another, nor with another's fusion):
-    1. A merge never creates a new adjacency between surviving symbols
-       (neighbors become adjacent to the FUSED symbol, never to each
-       other), so pair q's match set is identical before and after pair
-       p's application.
-    2. Adjacent positions can never match DIFFERENT pairs (i matching
-       (a,b) and i+1 matching (l,r) forces b == l — a shared symbol),
-       so every consecutive match run is single-pair and the even-offset
-       greedy rule applies to the OR of the matches exactly as it does
-       per pair.
-    Hence one combined pass ≡ sequential application in any order —
-    fuzz-pinned against the sequential chain in tests/test_bpe_train.py.
+    Correctness rests on two properties of `greedy_disjoint_picks`
+    batches (no pair shares a symbol with another pair's symbols or
+    fusions; a later pair's own fusion MAY equal an earlier symbol):
+    1. Matches of different pairs never overlap or touch in the INPUT
+       array: position i matching (a,b) and i+1 matching (l,r) forces
+       b == l — a shared symbol, blocked. So the even-offset greedy
+       rule applies to the OR of the matches exactly as it does per
+       pair, and each pair fuses exactly its own input-array matches.
+    2. An earlier pair's application cannot create or destroy a later
+       pair's matches (its fusion is adjacent to neighbors, never equal
+       to a later symbol — that direction is blocked).
+    Hence one combined pass ≡ sequential application IN PICK ORDER
+    (r12 ADVICE narrowing: NOT arbitrary order — a later pick's fusion
+    can create fresh occurrences of an earlier pair, e.g. ("a","b")
+    fusing to "ab" ahead of a "c" after ("ab","c") was already applied;
+    both this pass and pick-order sequential leave them unfused, while
+    reverse-order sequential would fuse them). Fuzz-pinned against the
+    pick-order sequential chain in tests/test_bpe_train.py, with the
+    fusion-collision witness pinned explicitly.
     """
     if not pairs:
         return syms
@@ -942,11 +948,22 @@ def greedy_disjoint_picks(
     cands: list[tuple[str, str, int]], batch: int
 ) -> list[tuple[str, str, int]]:
     """Greedy batch selection over rank-ordered candidates: keep a pair
-    iff it shares NO symbol with any already-kept pair AND neither of its
-    symbols equals an earlier keep's fused symbol (l+r). Under this rule
-    no kept merge's application can create or destroy occurrences counted
-    for another keep, so applications commute and every reported
-    pair_count is the exact pre-batch corpus count."""
+    iff neither of its symbols appears among the already-kept pairs'
+    symbols OR fusions (l+r).
+
+    Contract (narrowed, r12 ADVICE): the rule does NOT block a later
+    pick whose own FUSION equals an earlier keep's symbol (e.g.
+    [("ab","c"), ("a","b")] is a legal batch). Kept batches therefore
+    guarantee one-pass combined application ≡ sequential application IN
+    PICK ORDER — the order pinned everywhere (trainer, oracle,
+    tokenizer) — not in arbitrary order: a later pick's fusion can
+    create NEW occurrences of an earlier pair, which pick-order
+    semantics deliberately leave unfused (see
+    `bpe_apply_merges_disjoint`; regression-pinned in
+    tests/test_bpe_train.py). Every reported pair_count stays the exact
+    pre-batch corpus count: earlier picks cannot create or destroy a
+    later pick's occurrences (a fusion is adjacent to its neighbors,
+    never equal to a later pick's symbol — that direction IS blocked)."""
     picks: list[tuple[str, str, int]] = []
     blocked: set[str] = set()
     for l, r, c in cands:
@@ -979,8 +996,9 @@ def bpe_train_batched(
     over the round's top-`cand_k` candidates (default 4·batch — the
     bounded driver collect, ≤256-codebook precedent); see
     `greedy_disjoint_picks` for the disjointness contract that keeps
-    every reported pair_count exact. Picks are applied in pick order
-    (pinned, though disjointness makes them commute). A round may keep
+    every reported pair_count exact. Picks are applied in PICK ORDER —
+    the order the contract guarantees (see `greedy_disjoint_picks`:
+    batches need not commute under arbitrary order). A round may keep
     fewer than `batch` pairs when the candidate window is exhausted;
     training stops when no pair remains. The trajectory differs from
     sequential BPE (that is inherent to batching) but is itself exact

@@ -384,6 +384,18 @@ REGISTRY["minhash_estimate_audit"] = QuerySpec(
     "X2 accuracy contract: exact Jaccard vs the MinHash estimate (the dedup ann_recall)",
 )
 
+# --- r13 additions ---------------------------------------------------------
+from commerce_data_pipeline_spark.queries.dedup_text import (  # noqa: E402
+    _ora_ledger_cross_run_dups,
+    _q_ledger_cross_run_dups,
+)
+
+REGISTRY["ledger_cross_run_dups"] = QuerySpec(
+    _q_ledger_cross_run_dups,
+    _ora_ledger_cross_run_dups(16, 4, 3),
+    "X2/P cross-run dedup state: BandLedger match_history over the COMPACTED two-run history (retention lifecycle: 2 commits + replayed commit + compact)",
+)
+
 # --- r10→r11 window rotation (VERDICT r10 directive #1) ---------------------
 # THE one live window (historical windows live in git + COVERAGE.md's
 # generated attestation ledger — see the note above the registry dict).

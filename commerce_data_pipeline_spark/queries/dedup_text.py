@@ -1480,3 +1480,105 @@ SELECT t.source,
 FROM tok t LEFT JOIN vocab v ON t.w = v.w
 GROUP BY t.source
 """
+
+
+# --- r13: cross-run BandLedger + compaction proof (r12 VERDICT #5) ---------
+
+
+def _ensure_band_ledger(spark: SparkSession, sf: str) -> str:
+    """Build-once handle for a BandLedger that has LIVED the full
+    retention lifecycle (sources/ledger.py): two history runs committed
+    (doc_id % 3 == 1, then % 3 == 2), a REPLAYED commit of run 1 (the
+    duplicate band rows a crashed-and-retried ingest leaves behind),
+    then `compact()` — distinct (band, bkey, doc_id) rewrite behind the
+    rename-aside swap. The layout the query reads is the COMPACTED one,
+    so its green oracle row attests that compaction preserved history
+    bit-exactly (16 hashes x 4 bands x 3-shingles, the X2 family
+    parameters; all arithmetic md5/integer-deterministic)."""
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+    from commerce_data_pipeline_spark.sources.ledger import BandLedger
+
+    root = _cache_dir("band_ledger", sf)
+    marker = join_path(root, "_LEDGER_READY")
+    fs = HadoopFS(spark, root)
+    if not fs.exists(marker):
+        if fs.exists(root):
+            fs.delete(root)
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        led = BandLedger(
+            spark, join_path(root, "bands"), num_hashes=16, bands=4, shingle_n=3
+        )
+        led.commit(docs.filter(F.col("doc_id") % 3 == 1))
+        led.commit(docs.filter(F.col("doc_id") % 3 == 2))
+        # replayed run-1 commit: duplicate rows compaction must fold
+        led.commit(docs.filter(F.col("doc_id") % 3 == 1))
+        led.compact()
+        fs.write_bytes(marker, b"ready\n")
+    return join_path(root, "bands")
+
+
+def _q_ledger_cross_run_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """X2/P cross-run dedup state — `BandLedger.match_history` of a new
+    batch (doc_id % 3 == 0) against the COMPACTED two-run history: every
+    (new_id, old_id) band collision. One equi-join on (band, bkey)
+    against a digest-only parquet scan; the history is never
+    re-minhashed (it stores no text), which is what makes incremental
+    ingestion O(batch) at 100 TB. The replayed commit in the scenario
+    means a ledger WITHOUT the distinct-folding compaction would still
+    return these pairs only via the output distinct — the oracle instead
+    pins the whole chain: shingle → minhash → band keys → cross-run
+    collision, replayed declaratively over `documents`."""
+    from commerce_data_pipeline_spark.sources.ledger import BandLedger
+
+    path = _ensure_band_ledger(spark, sf)
+    led = BandLedger(spark, path, num_hashes=16, bands=4, shingle_n=3)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 3 == 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return led.match_history(batch).orderBy("new_id", "old_id")
+
+
+def _ora_ledger_cross_run_dups(num_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    """DuckDB replay: band rows over ALL documents (same expressions as
+    `_ora_lsh_ctes`, without the corpus doubling), then the cross-run
+    collision join — batch side doc_id % 3 = 0, history side != 0."""
+    r = num_hashes // bands
+    comps = ",\n    ".join(
+        f"list_min(list_transform(vs, v -> ({a} * v + {b}) % {dedup.MINHASH_PRIME})) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.minhash_coeffs(num_hashes))
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * r + i}" for i in range(r))
+        + ")) AS bkey FROM sig"
+        for b in range(bands)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {n}
+      THEN list_distinct(list_transform(generate_series(1, len(words) - {n} + 1),
+             i -> array_to_string(words[i:i+{n}-1], ' ')))
+      ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks
+), vals AS (
+  SELECT doc_id,
+    list_transform(shingles,
+      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483648) AS vs
+  FROM sh
+), sig AS (
+  SELECT doc_id, {comps} FROM vals
+), band_rows AS (
+{band_rows}
+)
+SELECT DISTINCT b.doc_id AS new_id, h.doc_id AS old_id
+FROM band_rows b
+JOIN band_rows h ON b.band = h.band AND b.bkey = h.bkey
+WHERE b.doc_id % 3 = 0 AND h.doc_id % 3 <> 0
+ORDER BY new_id, old_id
+"""

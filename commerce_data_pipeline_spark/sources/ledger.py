@@ -32,6 +32,35 @@ from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
 from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 
 
+def _swap_rewrite(spark: SparkSession, path: str, write_tmp) -> None:
+    """Rewrite a ledger directory via write-tmp → rename-aside swap (the
+    `compact_parquet_dir` protocol, sources/bucketed.py): `write_tmp(tmp)`
+    materializes the replacement, then `path`→`old`, `tmp`→`path`,
+    delete `old`. A crash between any two steps leaves a complete copy
+    under a recoverable name — the live path is never the only casualty.
+    Readers between the two renames can see a missing dir on s3a (rename
+    is copy+delete there); ledger compaction is an offline-maintenance
+    pass, same single-writer posture as the IVF index maintenance ops."""
+    live = path.rstrip("/")
+    tmp = live + "._compact_tmp"
+    old = live + "._compact_old"
+    fs = HadoopFS(spark, path)
+    if fs.exists(old):
+        raise RuntimeError(
+            f"ledger compact: {old} already exists — recover or remove the "
+            "previous compaction's rename-aside copy first"
+        )
+    if fs.exists(tmp):
+        fs.delete(tmp)
+    write_tmp(tmp)
+    if not fs.rename(live, old):
+        raise RuntimeError(f"ledger compact: rename {live} -> {old} failed")
+    if not fs.rename(tmp, live):
+        fs.rename(old, live)  # roll back: restore the live path
+        raise RuntimeError(f"ledger compact: promote {tmp} -> {live} failed")
+    fs.delete(old)
+
+
 class FingerprintLedger:
     def __init__(self, spark: SparkSession, path: str, prefix_chars: int = 2):
         self.spark = spark
@@ -87,6 +116,43 @@ class FingerprintLedger:
         new_rows = self.filter_new(df, id_col, text_col).transform(_checkpoint)
         self.commit(new_rows)
         return new_rows
+
+    def compact(self, files_per_prefix: int = 1) -> None:
+        """Retention/compaction pass (r12 VERDICT #5): the ledger grows
+        one file-set per run forever — a multi-year corpus accumulates
+        unbounded small files (per-file open/footer cost, driver file
+        index) and, under replayed/concurrent commits, duplicate digests.
+        Rewrites the ledger as DISTINCT fingerprints in `files_per_prefix`
+        files per prefix partition, swapped in with the rename-aside
+        protocol. `filter_new` results are bit-identical pre/post
+        (membership is all the anti-join reads; pinned in
+        tests/test_ledger.py), and compacting twice is a no-op by
+        construction. Digests are never dropped — admitted content stays
+        admitted; this ledger's retention IS its identity."""
+        if not self.exists():
+            return
+        spark, prefix_chars = self.spark, self.prefix_chars
+
+        def _write(tmp: str) -> None:
+            (
+                spark.read.parquet(self.path)
+                .select("fp")
+                .dropDuplicates(["fp"])
+                .withColumn("fp_prefix", F.substring("fp", 1, prefix_chars))
+                # (prefix, salt) keying: one prefix CAN split across
+                # files_per_prefix tasks; task count scales with the
+                # prefix space so the rewrite parallelizes at any size
+                .repartition(
+                    (16**prefix_chars) * files_per_prefix,
+                    "fp_prefix",
+                    F.pmod(F.crc32("fp"), F.lit(files_per_prefix)),
+                )
+                .write.partitionBy("fp_prefix")
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+
+        _swap_rewrite(spark, self.path, _write)
 
 
 class BandLedger:
@@ -183,6 +249,60 @@ class BandLedger:
         admitted = self.filter_unmatched(df, id_col, text_col).transform(_checkpoint)
         self.commit(admitted, id_col, text_col)
         return admitted
+
+    def compact(
+        self, files_per_prefix: int = 1, max_ids_per_key: int | None = None
+    ) -> None:
+        """Retention/compaction pass (r12 VERDICT #5). Two concerns:
+
+        1. Small files + replayed-commit duplicates: rewrites the ledger
+           as DISTINCT (band, bkey, doc_id) rows, ≈`files_per_prefix`
+           files per bkey-prefix partition, rename-aside swap. With
+           `max_ids_per_key=None` (default) `match_history` results are
+           **bit-identical** pre/post (pinned in tests/test_ledger.py)
+           and re-compacting is a no-op.
+        2. Hot-band growth: a pathological band key collects every
+           near-identical document ever admitted, so match_history pair
+           fan-out grows with corpus age. `max_ids_per_key=k` keeps only
+           the k SMALLEST doc_ids per (band, bkey) — a deterministic
+           retention policy that PRESERVES every `filter_unmatched`
+           admit decision (key existence is what the admit gate reads;
+           any k ≥ 1 keeps the key) while bounding `match_history`'s
+           per-key old_id fan-out at k. Use it when the pair *lists*
+           are diagnostics and the admit *gate* is the contract.
+        """
+        if not self.exists():
+            return
+        spark, prefix_chars = self.spark, self.prefix_chars
+
+        def _write(tmp: str) -> None:
+            rows = (
+                spark.read.parquet(self.path)
+                .select("band", "bkey", "doc_id")
+                .dropDuplicates(["band", "bkey", "doc_id"])
+            )
+            if max_ids_per_key is not None:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("band", "bkey").orderBy("doc_id")
+                rows = (
+                    rows.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") <= max_ids_per_key)
+                    .drop("_rn")
+                )
+            (
+                rows.withColumn("bkey_prefix", F.substring("bkey", 1, prefix_chars))
+                .repartition(
+                    (16**prefix_chars) * files_per_prefix,
+                    "bkey_prefix",
+                    F.pmod(F.crc32("bkey"), F.lit(files_per_prefix)),
+                )
+                .write.partitionBy("bkey_prefix")
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+
+        _swap_rewrite(spark, self.path, _write)
 
 
 class QualityGateLedger:
@@ -309,3 +429,33 @@ class QualityGateLedger:
         return auc.crossJoin(ece).select(
             "n", "n_pos", "n_neg", "auc_banded_e6", "max_err_e6", "ece_e6"
         )
+
+    def compact(self) -> None:
+        """Retention/compaction pass (r12 VERDICT #5): replace the
+        per-ingest append history with its merged bins — ≤ n_bins rows
+        total, one file, regardless of ingest count. Bin aggregates are
+        plain sums, so `report()` is bit-identical pre/post and a
+        re-compaction is a no-op; `merged()`'s config check still holds
+        (the rewritten rows carry this handle's (n_bins, conf_scale),
+        which `merged()` already validated against the history)."""
+        if not self.exists():
+            return
+        spark = self.spark
+
+        def _write(tmp: str) -> None:
+            (
+                self.merged()
+                .select(
+                    "bin",
+                    "n",
+                    "n_pos",
+                    "sum_conf",
+                    F.lit(self.n_bins).cast("int").alias("n_bins"),
+                    F.lit(self.conf_scale).cast("long").alias("conf_scale"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+
+        _swap_rewrite(spark, self.path, _write)

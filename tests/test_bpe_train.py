@@ -479,7 +479,9 @@ def test_disjoint_batch_apply_equals_sequential(spark):
     a = {r["i"]: r["m"] for r in combined.collect()}
     b = {r["i"]: r["m"] for r in sequential.collect()}
     assert a == b
-    # order-independence (the commute claim): reversed batch, same result
+    # THIS batch is fully symbol- AND fusion-disjoint, so order doesn't
+    # matter; the general greedy_disjoint_picks contract guarantees only
+    # pick-order equivalence (see test_fusion_collision_pick_order_only)
     seq2 = F.col("syms")
     for l, r in reversed(batch):
         seq2 = bpe_apply_merge(seq2, l, r)
@@ -490,3 +492,59 @@ def test_disjoint_batch_apply_equals_sequential(spark):
     assert {r["i"]: r["m"] for r in d.collect()} == {
         i: c_ for i, c_ in enumerate(cases)
     }
+
+
+def test_fusion_collision_pick_order_only(spark):
+    """r12 ADVICE narrowing, pinned: greedy_disjoint_picks accepts a
+    later pick whose FUSION equals an earlier keep's symbol
+    ([("ab","c"), ("a","b")]); for such batches the one-pass combined
+    application equals sequential application in PICK ORDER but NOT in
+    reverse order (the later pick's fusion creates fresh occurrences of
+    the earlier pair that pick-order semantics leave unfused)."""
+    from commerce_data_pipeline_spark.operators.text import (
+        bpe_apply_merge,
+        bpe_apply_merges_disjoint,
+        greedy_disjoint_picks,
+    )
+
+    # the rule accepts the collision batch...
+    assert greedy_disjoint_picks(
+        [("ab", "c", 9), ("a", "b", 5)], batch=2
+    ) == [("ab", "c", 9), ("a", "b", 5)]
+    # ...and blocks the converse direction (symbol equals earlier fusion)
+    assert greedy_disjoint_picks(
+        [("a", "b", 9), ("ab", "c", 5)], batch=2
+    ) == [("a", "b", 9)]
+
+    batch = [("ab", "c"), ("a", "b")]
+    cases = [
+        ["a", "b", "c"],           # fusion-then-c: the divergence witness
+        ["ab", "c", "a", "b"],     # both pairs match the input array
+        ["a", "b", "a", "b", "c"],
+        ["ab", "c", "ab", "c"],
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, syms array<string>"
+    )
+    combined = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", bpe_apply_merges_disjoint(F.col("syms"), batch).alias("m")
+        ).collect()
+    }
+    pick = F.col("syms")
+    for l, r in batch:
+        pick = bpe_apply_merge(pick, l, r)
+    pick_order = {
+        r["i"]: r["m"] for r in df.select("i", pick.alias("m")).collect()
+    }
+    rev = F.col("syms")
+    for l, r in reversed(batch):
+        rev = bpe_apply_merge(rev, l, r)
+    rev_order = {
+        r["i"]: r["m"] for r in df.select("i", rev.alias("m")).collect()
+    }
+    assert combined == pick_order
+    assert combined[0] == ["ab", "c"]      # new "ab" left unfused
+    assert rev_order[0] == ["abc"]          # reverse order WOULD fuse it
+    assert combined != rev_order

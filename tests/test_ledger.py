@@ -279,3 +279,121 @@ def test_quality_gate_ledger_foreachbatch_stream(spark, tmp_path):
     assert (r["n"], r["ece_e6"]) == (e["n"], e["ece_e6"])
     exact = S.ranking_auc(df, "label", "conf").collect()[0]["auc_e6"]
     assert abs(r["auc_banded_e6"] - exact) <= r["max_err_e6"]
+
+
+# --- r13: retention/compaction contract (r12 VERDICT #5) -------------------
+
+
+def test_fingerprint_compact_bit_identical_and_idempotent(spark, tmp_path):
+    led = FingerprintLedger(spark, str(tmp_path / "ledger"))
+    led.ingest(_docs(spark, [(i, f"doc {i}") for i in range(30)]))
+    led.ingest(_docs(spark, [(i + 100, f"doc {i + 100}") for i in range(30)]))
+    # a replayed commit writes duplicate digests the anti-join tolerates
+    led.commit(led.with_fingerprint(_docs(spark, [(0, "doc 0"), (1, "doc 1")])))
+    probe = _docs(
+        spark, [(500, "doc 5"), (501, "doc 105"), (502, "never seen before")]
+    )
+    before = sorted(r["doc_id"] for r in led.filter_new(probe).collect())
+    n_files_before = len(
+        [p for p in (tmp_path / "ledger").rglob("*.parquet") if p.is_file()]
+    )
+    led.compact()
+    after = sorted(r["doc_id"] for r in led.filter_new(probe).collect())
+    assert before == after == [502]
+    # duplicates folded, membership unchanged
+    assert led.known().count() == led.known().distinct().count() == 60
+    n_files_after = len(
+        [p for p in (tmp_path / "ledger").rglob("*.parquet") if p.is_file()]
+    )
+    assert n_files_after < n_files_before
+    # re-compaction is a no-op
+    led.compact()
+    assert sorted(r["doc_id"] for r in led.filter_new(probe).collect()) == after
+    assert led.known().count() == 60
+    # no rename-aside debris
+    assert not (tmp_path / "ledger._compact_tmp").exists()
+    assert not (tmp_path / "ledger._compact_old").exists()
+
+
+def test_band_compact_match_history_bit_identical(spark, tmp_path):
+    from commerce_data_pipeline_spark.sources.ledger import BandLedger
+
+    led = BandLedger(spark, str(tmp_path / "bands"), num_hashes=16, bands=4,
+                     shingle_n=2)
+    led.ingest(_docs(spark, [
+        (0, "the quick brown fox jumps over the lazy dog by the river"),
+        (1, "an entirely different document about spark physical plans"),
+    ]))
+    led.ingest(_docs(spark, [
+        (2, "completely novel third run content about parquet footers"),
+    ]))
+    # replayed commit → duplicate band rows
+    led.commit(_docs(spark, [
+        (1, "an entirely different document about spark physical plans"),
+    ]))
+    batch = _docs(spark, [
+        (10, "the quick brown fox jumps over the lazy dog by the river"),
+        (11, "an entirely different document about spark physical plans"),
+        (12, "nothing like anything admitted before at all whatsoever"),
+    ])
+    before = sorted(map(tuple, led.match_history(batch).collect()))
+    led.compact()
+    after = sorted(map(tuple, led.match_history(batch).collect()))
+    assert before == after and (10, 0) in after and (11, 1) in after
+    # duplicate rows folded
+    k = led.known()
+    assert k.count() == k.distinct().count()
+    led.compact()
+    assert sorted(map(tuple, led.match_history(batch).collect())) == after
+
+
+def test_band_compact_retention_cap_preserves_admit_gate(spark, tmp_path):
+    from commerce_data_pipeline_spark.sources.ledger import BandLedger
+
+    led = BandLedger(spark, str(tmp_path / "bands"), num_hashes=16, bands=4,
+                     shingle_n=2)
+    # five near-identical admitted docs pile onto the same band keys
+    led.commit(_docs(spark, [
+        (i, "the quick brown fox jumps over the lazy dog by the river")
+        for i in range(5)
+    ]))
+    batch = _docs(spark, [
+        (10, "the quick brown fox jumps over the lazy dog by the river"),
+        (11, "fresh unseen content about winnowing and fingerprints today"),
+    ])
+    assert led.match_history(batch).count() == 5  # one old_id per admitted dup
+    blocked_before = sorted(
+        r["doc_id"] for r in led.filter_unmatched(batch).collect()
+    )
+    led.compact(max_ids_per_key=2)
+    # pair fan-out bounded; admit decisions identical
+    matches = led.match_history(batch)
+    assert matches.count() == 2
+    assert {r["old_id"] for r in matches.collect()} == {0, 1}  # min ids kept
+    assert sorted(
+        r["doc_id"] for r in led.filter_unmatched(batch).collect()
+    ) == blocked_before == [11]
+
+
+def test_quality_gate_compact_report_bit_identical(spark, tmp_path):
+    from commerce_data_pipeline_spark.sources.ledger import QualityGateLedger
+
+    led = QualityGateLedger(spark, str(tmp_path / "gate"), n_bins=10)
+    rows = [(i, i % 2, (i * 97) % 1_000_001) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, label int, conf long")
+    led.ingest(df.filter("id < 100"), "label", "conf")
+    led.ingest(df.filter("id >= 100"), "label", "conf")
+    before = led.report().collect()[0].asDict()
+    led.compact()
+    after = led.report().collect()[0].asDict()
+    assert before == after
+    # history is now <= n_bins rows in one file
+    stored = spark.read.parquet(str(tmp_path / "gate"))
+    assert stored.count() <= 10
+    files = [p for p in (tmp_path / "gate").rglob("*.parquet") if p.is_file()]
+    assert len(files) == 1
+    # config check still enforced post-compaction
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        QualityGateLedger(spark, str(tmp_path / "gate"), n_bins=7).merged()
