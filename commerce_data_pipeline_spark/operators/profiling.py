@@ -241,6 +241,59 @@ def fd_violations(
     )
 
 
+def fd_violations_multi(
+    df: DataFrame,
+    fds: list[tuple[list[str], str, str | None]],
+) -> DataFrame:
+    """All hypothesized FDs over ONE table in ONE pass (r12 VERDICT #6):
+    `fd_check` used to run `fd_violations` once per FD — 2 scans of each
+    source table and 3 shuffles per FD (12 total). This emits, per input
+    row, one (fd, det, dep) struct per hypothesis (scan-side explode —
+    no extra scan, no join), then runs a single (fd, det)-keyed
+    aggregation and a |fds|-row rollup: per table, 1 scan + 1 thin
+    shuffle + 1 tiny shuffle, for any number of FDs. Shuffle BYTES equal
+    the per-FD plans' combined volume — the win is scans and stage
+    count, which is what repeated audits over a 100 TB table pay for.
+
+    Semantics are identical to per-FD `fd_violations` (pinned in
+    tests/test_profiling.py): determinant/dependent values are compared
+    through an injective string encoding (cast-to-string per column,
+    NULL kept distinct from any value via a \\x00 sentinel; multi-column
+    determinants joined on \\x1f), so class identity and distinct-dep
+    counts match the native-typed groupBy."""
+    if not fds:
+        raise ValueError("fd_violations_multi: at least one FD required")
+
+    def _enc(col: str):
+        return F.coalesce(F.col(col).cast("string"), F.lit("\x00"))
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(label or f"{','.join(det)}->{dep}").alias("fd"),
+                F.concat_ws("\x1f", *[_enc(c) for c in det]).alias("det"),
+                F.col(dep).cast("string").alias("dep"),
+            )
+            for det, dep, label in fds
+        ]
+    )
+    exploded = df.select(F.explode(entries).alias("_e")).select(
+        "_e.fd", "_e.det", "_e.dep"
+    )
+    per_class = exploded.groupBy("fd", "det").agg(
+        F.countDistinct("dep").alias("_nd"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return per_class.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.count(F.when(F.col("_nd") > 1, 1)).cast("long").alias("n_violating_classes"),
+        F.max("_nd").cast("long").alias("max_dependents"),
+        F.sum(F.when(F.col("_nd") > 1, F.col("_n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_in_violating"),
+    )
+
+
 def winsorize_summary(
     df: DataFrame,
     value_col: str,

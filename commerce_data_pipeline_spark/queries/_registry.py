@@ -389,11 +389,20 @@ from commerce_data_pipeline_spark.queries.dedup_text import (  # noqa: E402
     _ora_ledger_cross_run_dups,
     _q_ledger_cross_run_dups,
 )
+from commerce_data_pipeline_spark.queries.similarity import (  # noqa: E402
+    _ora_ann_ivf_rebalance,
+    _q_ann_ivf_rebalance,
+)
 
 REGISTRY["ledger_cross_run_dups"] = QuerySpec(
     _q_ledger_cross_run_dups,
     _ora_ledger_cross_run_dups(16, 4, 3),
     "X2/P cross-run dedup state: BandLedger match_history over the COMPACTED two-run history (retention lifecycle: 2 commits + replayed commit + compact)",
+)
+REGISTRY["ann_ivf_rebalance"] = QuerySpec(
+    _q_ann_ivf_rebalance,
+    _ora_ann_ivf_rebalance(2),
+    "X3 index maintenance: IVF search after oversized-list SPLIT rebalancing (build in r12, registered r13 per the never-attested-in-window protocol); oracle replays build->census->seed->reassign->probe",
 )
 
 # --- r10→r11 window rotation (VERDICT r10 directive #1) ---------------------
@@ -413,46 +422,42 @@ REGISTRY["ledger_cross_run_dups"] = QuerySpec(
 # (salted_hot_join, zorder_skipping) must always sit in-window per
 # FAMILY_PROOFS.
 #
-# r12 rotation (VERDICT r11 #3): the window is the ROTATION PAYLOAD —
-# all 43 r8-latest attestations plus the two r7-latest evictees
-# (lang_id_agreement, quality_classifier), so after a green
-# CORRECTNESS_r12 every non-terminal query's latest attestation is
-# ≥ r9 (the directive's bar). 2 slots go to this round's never-attested
-# queries (ann_ivf_upsert, bpe_train_batched), 2 to the always-in-window
-# single-query families, and the one remaining slot to the oldest
-# linkage attestation (multi_pass_name_pairs, r9 — the family's pin).
-# Families with NO stale member this round (X8 bloom ≥ r10, X10 corpus
-# ≥ r9, bronze ≥ r11, core-G/streaming ≥ r9) cede their per-round pin
-# slot to the rotation payload — their freshness is already above the
-# bar, which is the pin's purpose (see FAMILY_PROOFS in
-# tests/test_registry_window.py).
-_WINDOW_R12 = [
-    # new in r12 — first driver attestation this round
-    "ann_ivf_upsert", "bpe_train_batched",
-    # r7-latest (the r11 evictees; oldest tier standing)
-    "lang_id_agreement", "quality_classifier",
-    # linkage family pin (oldest linkage attestation, r9)
-    "multi_pass_name_pairs",
-    # all 43 r8-latest rotate-ins, alphabetical
-    "also_bought", "ann_lsh", "approx_group_stats", "approx_stats",
-    "association_rules", "attribution_position", "benford_prices",
-    "bpe_compression", "bpe_first_merge", "bpe_train",
-    "burst_window_events", "canonical_docs", "dup_cluster_histogram",
-    "embedding_outliers", "event_type_drift", "fd_check",
-    "heldout_perplexity", "image_dup_clusters", "k_anonymity",
-    "kmeans_step", "kmeans_train", "lsh_cost_plan", "ndcg_eval",
-    "ngram_novelty", "numeric_corr", "part_communities",
-    "part_components", "part_kcore", "part_triangles", "part_walks",
-    "pca_power", "price_histogram", "quantile_groups",
-    "referential_integrity", "revenue_bands", "sequence_violations",
-    "session_funnel", "similar_parts_jaccard", "sliding_counts",
-    "snapshot_diff", "split_leakage", "waiting_suppliers",
-    "winsorized_revenue",
+# r13 rotation (VERDICT r12 #3 + #7): the window is the ROTATION PAYLOAD
+# — ALL 46 r9-latest attestations (the oldest tier standing after the
+# green CORRECTNESS_r12: 37 relational/gold/streaming shapes + 9
+# operator-family proofs), so after a green CORRECTNESS_r13 every
+# non-terminal query's latest attestation is ≥ r10 (the directive's
+# bar, met in one rotation). 2 slots go to this round's never-attested
+# queries (ann_ivf_rebalance — pre-built in r12, registered this round
+# per protocol; ledger_cross_run_dups — the new BandLedger compaction
+# proof) and 2 to the always-in-window single-query families. Every
+# other family's freshness is ≥ r10 without a slot (r12 attested 50,
+# r11 48, r10 48), so per the r12 precedent those families cede their
+# pin slot to the payload (see FAMILY_PROOFS in
+# tests/test_registry_window.py, re-seeded from this window).
+_WINDOW_R13 = [
+    # new in r13 — first driver attestation this round
+    "ann_ivf_rebalance", "ledger_cross_run_dups",
+    # all 46 r9-latest rotate-ins, alphabetical
+    "above_brand_avg_parts", "ann_ivf_indexed", "asof_view_before_purchase",
+    "audio_windows", "band_pairs", "basket_pairs", "best_match_pairs",
+    "bm25_indexed", "calibration_bins", "corpus_ingest", "cube_sales",
+    "customer_segments_setops", "daily_anomalies", "dedup_clusters_alt",
+    "degree_histogram", "disjunctive_filter", "event_type_pivot",
+    "forecast_revenue_change", "idle_rich_customers", "important_parts",
+    "journey_transitions", "market_share", "min_cost_supplier",
+    "nation_trade_volume", "order_count_distribution", "order_priority",
+    "price_percentiles", "priciest_item_per_order", "product_profit",
+    "props_struct", "ranking_auc", "ranking_auc_banded", "returned_items",
+    "rfm_segments", "rollup_sales", "running_revenue", "session_windows",
+    "shipping_priority", "sketch_union", "small_quantity_revenue",
+    "sort_topk_lineitems", "supplier_diversity", "time_to_convert",
+    "top_customers", "trailing_revenue", "word_count",
     # single-query families (must stay in-window)
     "salted_hot_join", "zorder_skipping",
 ]
-REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R12} | {
-    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R12)
+REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R13} | {
+    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R13)
 }
 
 

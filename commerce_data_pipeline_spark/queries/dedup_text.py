@@ -1358,20 +1358,29 @@ def _q_fd_check(spark: SparkSession, sf: str) -> DataFrame:
     """P-family data-quality — functional-dependency audit (deequ shape):
     four hypothesized FDs checked in one output, two that hold (key →
     attribute) and two that don't (the violation counts are the signal).
-    Each FD costs one thin (det, dep) aggregation
-    (operators/profiling.fd_violations)."""
+    One pass PER SOURCE TABLE (operators/profiling.fd_violations_multi,
+    r12 VERDICT #6): each table is scanned once and shuffles once on
+    (fd, det) for all its FDs — 2 scans / ~5 shuffles total, down from
+    the per-FD shape's 4 scans / 12."""
     orders = load_table(spark, sf, "orders")
     docs = load_table(spark, sf, "documents")
-    fds = [
-        profiling.fd_violations(orders, ["o_orderkey"], "o_orderdate"),
-        profiling.fd_violations(orders, ["o_custkey"], "o_orderpriority"),
-        profiling.fd_violations(docs, ["doc_id"], "lang"),
-        profiling.fd_violations(docs, ["lang"], "source"),
-    ]
-    out = fds[0]
-    for f_ in fds[1:]:
-        out = out.unionByName(f_)
-    return out.orderBy("fd")
+    out = profiling.fd_violations_multi(
+        orders,
+        [
+            (["o_orderkey"], "o_orderdate", None),
+            (["o_custkey"], "o_orderpriority", None),
+        ],
+    ).unionByName(
+        profiling.fd_violations_multi(
+            docs,
+            [(["doc_id"], "lang", None), (["lang"], "source", None)],
+        )
+    )
+    # column order matches the per-FD operator's summary row
+    return out.select(
+        "fd", "n_classes", "n_violating_classes", "max_dependents",
+        "rows_in_violating",
+    ).orderBy("fd")
 
 
 _O_FD_CHECK = """

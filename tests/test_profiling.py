@@ -292,3 +292,30 @@ def test_js_drift_hand_shift(spark):
         assert out[band]["js_term_e6"] == expected[band], band
         assert out[band]["js_e6"] == total
     assert total > 0
+
+
+def test_fd_violations_multi_matches_per_fd(spark):
+    """r12 VERDICT #6: the one-pass multi-FD shape must be row-identical
+    to per-FD fd_violations — including NULL determinants (a class of
+    their own) and NULL dependents (ignored by countDistinct), the cases
+    the injective string encoding must not collapse."""
+    from commerce_data_pipeline_spark.operators.profiling import (
+        fd_violations,
+        fd_violations_multi,
+    )
+
+    rows = [
+        (1, "a", "x"), (1, "a", "x"), (2, "b", "y"), (2, "c", "y"),
+        (None, "d", "z"), (None, "d", None), (3, None, "x"),
+        (4, "", "w"),  # empty string must stay distinct from NULL
+    ]
+    df = spark.createDataFrame(rows, "k int, v string, g string")
+    fds = [(["k"], "v", None), (["v"], "g", None), (["k", "v"], "g", "pair")]
+    multi = {
+        r["fd"]: tuple(r)[1:]
+        for r in fd_violations_multi(df, fds).collect()
+    }
+    for det, dep, label in fds:
+        single = fd_violations(df, det, dep, label).collect()[0]
+        assert multi[single["fd"]] == tuple(single)[1:], single["fd"]
+    assert len(multi) == 3

@@ -30,55 +30,58 @@ CHECK_WINDOW = 50
 # the pin exists to keep a family's freshness above the bar, and those
 # families are above it without a slot. Prior pin-set rationale history
 # lives in git.
+# r13 reset (VERDICT r12 #3/#7): the window is the rotation payload —
+# all 46 r9-latest attestations + the 2 never-attested r13 queries + the
+# 2 single-query families — so pins are chosen FROM those rotate-ins
+# wherever a family has one. Families whose every member is fresh
+# (attested ≥ r10 after the green r12 run: X4 tokenizer, X8 bloom, X9
+# temporal, X10 corpus-mixing, X13 drift audits, bronze P, gold funnel/
+# attribution, skew-free relational aggs) cede their pin slot to the
+# payload this round — the pin exists to keep a family's freshness
+# above the bar, and those families are above it without a slot. Prior
+# pin-set rationale history lives in git.
 FAMILY_PROOFS = {
-    # X1/X2 dedup chain: LSH planning profile + cluster-size health
-    "lsh_cost_plan",
-    "dup_cluster_histogram",
-    # record linkage: multi-pass blocked ∪ SNM candidates (r9 pin)
-    "multi_pass_name_pairs",
-    # X3 ANN: RP-LSH + the NEW r12 index-maintenance lifecycle + kmeans
-    "ann_lsh",
-    "ann_ivf_upsert",
-    "kmeans_train",
-    # X4 text: tokenizer training (sequential + NEW batched) and eval
-    "bpe_train",
-    "bpe_train_batched",
-    "bpe_compression",
-    # X5 multimodal: pHash near-dup clusters
-    "image_dup_clusters",
-    # X6 sketches: quantile/HLL accuracy contracts
-    "approx_stats",
-    "quantile_groups",
-    # X7 search: retrieval evaluation (NDCG@10 over BM25)
-    "ndcg_eval",
-    # X9 temporal: bucketed interval join
-    "burst_window_events",
-    # X11 selection: classifier scores + split-leakage governance
-    "quality_classifier",
-    "split_leakage",
-    # X12 graph: k-core backbone + co-purchase recommendations
-    "part_kcore",
-    "also_bought",
-    # X13 profiling: Benford audit + FK orphan audit
-    "benford_prices",
-    "referential_integrity",
+    # X1/X2 dedup: CC clustering (min-label option) + the NEW cross-run
+    # BandLedger compaction proof
+    "dedup_clusters_alt",
+    "ledger_cross_run_dups",
+    # record linkage: reciprocal best-match over multi-pass candidates
+    "best_match_pairs",
+    # X3 ANN: persisted-index serving + the NEW split-rebalance lifecycle
+    "ann_ivf_indexed",
+    "ann_ivf_rebalance",
+    # X5 multimodal: overlapping audio windows
+    "audio_windows",
+    # X6 sketches: HLL union mergeability contract
+    "sketch_union",
+    # X7 search: BM25 from the persisted inverted index
+    "bm25_indexed",
+    # X10/corpus: end-to-end enrich+gate+dedup pipeline
+    "corpus_ingest",
+    # X11 selection: exact AUC gate + its banded 100 TB twin + ECE bins
+    "ranking_auc",
+    "ranking_auc_banded",
+    "calibration_bins",
+    # X12 graph: degree-distribution pre-flight audit
+    "degree_histogram",
     # skew mitigation (single-query family — must always sit in-window)
     "salted_hot_join",
     # §4 layout (single-query family — must always sit in-window)
     "zorder_skipping",
-    # streaming twin: sliding-window counts (batch parity)
-    "sliding_counts",
-    # G analytics: funnel-in-session + attribution + order audit
-    "session_funnel",
-    "attribution_position",
-    "sequence_violations",
-    # relational/gold: robust stats + histogram shapes
-    "winsorized_revenue",
-    "price_histogram",
-    # P data-quality: FD audit + privacy + CDC diff
-    "fd_check",
-    "k_anonymity",
-    "snapshot_diff",
+    # streaming twin: session windows (batch parity)
+    "session_windows",
+    # G analytics: journey transitions + conversion latency
+    "journey_transitions",
+    "time_to_convert",
+    # R relational: global sort/top-k + grouping sets + window frames
+    "sort_topk_lineitems",
+    "rollup_sales",
+    "running_revenue",
+    # §2e surfaces: set ops + pivot + as-of + band join
+    "customer_segments_setops",
+    "event_type_pivot",
+    "asof_view_before_purchase",
+    "band_pairs",
 }
 
 def test_every_family_proof_inside_check_window():
