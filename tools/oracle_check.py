@@ -56,10 +56,28 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
     sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
     only = set(argv[1:]) if len(argv) > 1 else (set(argv[:1]) - {sf_dir} or None)
     results: dict[str, dict] = {}
-    spark = get_spark("oracle_check")
+    if vanilla:
+        # session-config-independence differential (the STRESS.md
+        # standing check): a PLAIN session — default AQE behavior, 200
+        # shuffle partitions, no engine configs — must produce the same
+        # oracle-matching results as the tuned get_spark session.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle_check_vanilla")
+            .master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
