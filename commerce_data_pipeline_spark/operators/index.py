@@ -498,7 +498,9 @@ def ivf_recall_audit(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         F.lit(k).cast("int").alias("k"),
         F.lit(n_probe).cast("int").alias("n_probe"),
-        (F.sum("recall_e6") / F.count(F.lit(1))).cast("long").alias("mean_recall_e6"),
+        # integer div: engine-exact (a float mean cast to long can differ
+        # at representation boundaries between engines)
+        F.expr("sum(recall_e6) div count(1)").cast("long").alias("mean_recall_e6"),
         F.min("recall_e6").cast("long").alias("min_recall_e6"),
     )
 

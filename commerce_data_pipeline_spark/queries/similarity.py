@@ -1155,3 +1155,74 @@ SELECT ql AS label,
   CAST((1000000 * SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS agreement_e6
 FROM lab GROUP BY ql
 """
+
+
+# --- r13: fixed-n_probe recall audit over the SPLIT index (r12 VERDICT #3;
+# --- registers in r14 per the never-attested-in-window protocol) -----------
+
+
+def _q_ann_rebalance_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 maintenance gate — `index.ivf_recall_audit` over the SPLIT
+    index at the SERVING n_probe: recall@5 at fixed n_probe=4 vs exact
+    brute force, one summary row. The number a production split decision
+    must see (rebalance bit-identity holds only at n_probe ≥ the
+    post-split centroid count; at fixed n_probe a split re-prices
+    recall — STRESS.md r13 measured 0.520 → 0.230 at 8×). Composes the
+    same persisted split lifecycle as `ann_ivf_rebalance`
+    (`_ensure_split_ivf_index`) so a green row attests the audit
+    arithmetic end to end over the refined routing."""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+
+    path = _ensure_split_ivf_index(spark, sf)
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2500))
+    return ivf_index.ivf_recall_audit(spark, path, emb, queries, k=5, n_probe=4)
+
+
+def _ora_ann_rebalance_recall(n_splits: int = 2) -> str:
+    """Composes `_ora_ann_ivf_rebalance`'s CTE chain (everything through
+    the post-split routing + probe selection `pr`) with the exact
+    brute-force top-5, the per-query overlap, and the integer-exact
+    summary — string-composed from the rebalance oracle so the two
+    replays cannot drift."""
+    base = _ora_ann_ivf_rebalance(n_splits)
+    head, sep, _ = base.partition("), sims AS (")
+    assert sep, "rebalance oracle changed shape; update the recall composer"
+    return (
+        head
+        + """), ivf_sims AS (
+  SELECT query_id, neighbor_id, list_dot_product(q_unit, c_unit) AS sim
+  FROM inv2 JOIN pr USING (centroid_id)
+  WHERE neighbor_id <> query_id
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM ivf_sims
+  ) WHERE rank <= 5
+), exact_sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.u, c.u) AS sim
+  FROM unit q JOIN unit c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % 20 = 0 AND q.vec_id < 2500
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM exact_sims
+  ) WHERE rank <= 5
+), perq AS (
+  SELECT e.query_id,
+    SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+  FROM exact e LEFT JOIN ivf i USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+), rec AS (
+  SELECT query_id, (n_overlap * 1000000) // 5 AS recall_e6 FROM perq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST(5 AS INT) AS k, CAST(4 AS INT) AS n_probe,
+  CAST(SUM(recall_e6) // COUNT(*) AS BIGINT) AS mean_recall_e6,
+  CAST(MIN(recall_e6) AS BIGINT) AS min_recall_e6
+FROM rec
+"""
+    )

@@ -790,3 +790,42 @@ def test_ivf_rebalance_crash_retry_debris_cleanup(spark, tmp_path):
     fs = HadoopFS(spark, path)
     assert not fs.exists(f"{path}/centroids._rebal_old")
     assert not fs.exists(f"{path}/centroids._rebal_tmp")
+
+
+def test_ann_rebalance_recall_query_matches_oracle(spark, sf_dir, tmp_path):
+    """Pre-registration differential for the r14 window candidate (the
+    never-attested-in-window protocol, ann_ivf_rebalance precedent): the
+    fixed-n_probe recall audit over the split index must hash-match its
+    DuckDB replay — split lifecycle CTEs (string-composed from the
+    rebalance oracle) + brute-force top-5 + integer-exact summary."""
+    import duckdb
+
+    from commerce_data_pipeline_spark.queries import _shared
+    from commerce_data_pipeline_spark.queries.similarity import (
+        _ora_ann_rebalance_recall,
+        _q_ann_rebalance_recall,
+    )
+
+    orig = _shared.CACHE_TAG
+    _shared.CACHE_TAG = f"rr{tmp_path.name[-8:]}"
+    try:
+        sdf = _q_ann_rebalance_recall(spark, sf_dir)
+        scols = sdf.columns
+        srows = sorted(tuple(r) for r in sdf.collect())
+    finally:
+        _shared.CACHE_TAG = orig
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    rel = con.sql(_ora_ann_rebalance_recall(2))
+    ocols = rel.columns
+    orows = sorted(tuple(r) for r in rel.fetchall())
+    assert sorted(scols) == sorted(ocols)
+    perm = [scols.index(c) for c in ocols]
+    assert [tuple(r[i] for i in perm) for r in srows] == orows
+    # the audit is live data, not a constant: recall at fixed n_probe
+    # must be a real fraction in [0, 1] over a nonzero query set
+    row = {c: v for c, v in zip(scols, srows[0])}
+    assert row["n_queries"] > 0
+    assert 0 <= row["mean_recall_e6"] <= 1_000_000
