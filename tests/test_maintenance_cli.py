@@ -1,0 +1,123 @@
+"""Maintenance CLI (r13): the offline index/ledger passes as an
+operational entrypoint — each subcommand drives the REAL operator on a
+tmp layout and prints one JSON object."""
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from commerce_data_pipeline_spark import maintenance
+from commerce_data_pipeline_spark.operators import index as I
+
+
+def _vecs(spark, n=60, dim=8):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) or 1.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _run(argv, capsys) -> tuple[int, dict]:
+    rc = maintenance.main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+def test_index_compact_cmd(spark, tmp_path, capsys):
+    emb = _vecs(spark)
+    path = f"file://{tmp_path}/ivf"
+    I.build_ivf_index(emb, path, n_centroids=4)
+    I.delete_from_ivf_index(emb.filter(F.col("vec_id") % 5 == 0), path)
+    rc, out = _run(["index-compact", "--path", path], capsys)
+    assert rc == 0 and out["ok"]
+    assert I._read_tombstones(spark, path) is None
+
+
+def test_index_rebalance_with_recall_gate(spark, tmp_path, capsys):
+    # audit corpus layout: <dir>/embeddings.parquet with vec_id/embedding
+    emb = _vecs(spark, n=60)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    emb.write.parquet(f"file://{sf}/embeddings.parquet")
+    path = f"file://{tmp_path}/ivf"
+    I.build_ivf_index(emb, path, n_centroids=2)
+    rc, out = _run(
+        ["index-rebalance", "--path", path, "--max-list-size", "20",
+         "--audit-sf-dir", str(sf), "--n-probe", "2",
+         "--max-recall-drop-e6", "1000000"],
+        capsys,
+    )
+    assert out["split_centroids"] == [0, 1]
+    assert out["recall_pre"]["n_queries"] > 0
+    assert out["recall_post"]["n_probe"] == 2
+    assert rc == 0 and out["ok"]  # generous gate: cannot trip
+
+    # a zero-tolerance gate trips iff recall actually dropped; either
+    # way the report carries both sides of the delta
+    path2 = f"file://{tmp_path}/ivf2"
+    I.build_ivf_index(emb, path2, n_centroids=2)
+    rc2, out2 = _run(
+        ["index-rebalance", "--path", path2, "--max-list-size", "20",
+         "--audit-sf-dir", str(sf), "--n-probe", "1",
+         "--max-recall-drop-e6", "0"],
+        capsys,
+    )
+    dropped = (
+        out2["recall_pre"]["mean_recall_e6"]
+        > out2["recall_post"]["mean_recall_e6"]
+    )
+    assert rc2 == (1 if dropped else 0)
+    assert out2["ok"] == (not dropped)
+    if dropped:
+        assert "raise n_probe" in out2["recall_gate"]
+
+
+def test_ledger_compact_cmds(spark, tmp_path, capsys):
+    from commerce_data_pipeline_spark.sources.ledger import (
+        BandLedger,
+        FingerprintLedger,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} body") for i in range(20)],
+        "doc_id long, text string",
+    )
+    fp = str(tmp_path / "fp")
+    FingerprintLedger(spark, fp).ingest(docs)
+    rc, out = _run(["ledger-compact", "--path", fp, "--kind", "fingerprint"], capsys)
+    assert rc == 0 and out["ok"]
+    assert FingerprintLedger(spark, fp).known().count() == 20
+
+    band = str(tmp_path / "band")
+    BandLedger(spark, band, shingle_n=2).commit(docs)
+    BandLedger(spark, band, shingle_n=2).commit(docs)  # replayed run
+    rc, out = _run(
+        ["ledger-compact", "--path", band, "--kind", "band",
+         "--max-ids-per-key", "3"],
+        capsys,
+    )
+    assert rc == 0 and out["ok"]
+    k = BandLedger(spark, band, shingle_n=2).known()
+    assert k.count() == k.distinct().count()
+
+
+def test_gate_ledger_compact_cmd(spark, tmp_path, capsys):
+    from commerce_data_pipeline_spark.sources.ledger import QualityGateLedger
+
+    gate = str(tmp_path / "gate")
+    led = QualityGateLedger(spark, gate, n_bins=10)
+    df = spark.createDataFrame(
+        [(i, i % 2, (i * 131) % 1_000_001) for i in range(100)],
+        "id long, label int, conf long",
+    )
+    led.ingest(df, "label", "conf")
+    led.ingest(df, "label", "conf")
+    before = led.report().collect()[0].asDict()
+    rc, out = _run(
+        ["ledger-compact", "--path", gate, "--kind", "gate", "--n-bins", "10"],
+        capsys,
+    )
+    assert rc == 0 and out["ok"]
+    assert led.report().collect()[0].asDict() == before

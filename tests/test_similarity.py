@@ -829,3 +829,35 @@ def test_ann_rebalance_recall_query_matches_oracle(spark, sf_dir, tmp_path):
     row = {c: v for c, v in zip(scols, srows[0])}
     assert row["n_queries"] > 0
     assert 0 <= row["mean_recall_e6"] <= 1_000_000
+
+
+def test_tombstone_join_shuffle_fallback(spark, tmp_path, monkeypatch):
+    """r12 ADVICE: above TOMBSTONE_BROADCAST_LIMIT pending ids the
+    anti-filter must fall back to a shuffle join (a 10^8-id takedown
+    batch must not broadcast-OOM every executor) with identical results
+    in both ivf_query and compact_ivf_index."""
+    from commerce_data_pipeline_spark.operators import index as I
+
+    emb = _vecs(spark, n=40)
+    q = emb.filter(F.col("vec_id") % 10 == 3)
+    pa = f"file://{tmp_path}/ivf_bcast"
+    pb = f"file://{tmp_path}/ivf_shuffle"
+    for p in (pa, pb):
+        I.build_ivf_index(emb, p, n_centroids=4)
+        I.delete_from_ivf_index(emb.filter(F.col("vec_id") % 7 == 2), p)
+
+    bcast = sorted(tuple(r) for r in I.ivf_query(spark, pa, q, k=5,
+                                                 n_probe=4).collect())
+    monkeypatch.setattr(I, "TOMBSTONE_BROADCAST_LIMIT", 0)
+    shuf = sorted(tuple(r) for r in I.ivf_query(spark, pb, q, k=5,
+                                                n_probe=4).collect())
+    assert bcast == shuf and len(shuf) > 0
+    # compaction under the shuffle path folds identically
+    I.compact_ivf_index(spark, pb)
+    monkeypatch.setattr(I, "TOMBSTONE_BROADCAST_LIMIT", 2_000_000)
+    I.compact_ivf_index(spark, pa)
+    post_a = sorted(tuple(r) for r in I.ivf_query(spark, pa, q, k=5,
+                                                  n_probe=4).collect())
+    post_b = sorted(tuple(r) for r in I.ivf_query(spark, pb, q, k=5,
+                                                  n_probe=4).collect())
+    assert post_a == post_b == bcast
