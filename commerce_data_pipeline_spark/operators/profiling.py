@@ -666,6 +666,11 @@ def fk_orphans(
             child.select(F.col(child_key).alias("_k"))
             .groupBy("_k")
             .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+            # three consumers (nulls / orphans / row total): without the
+            # lazy checkpoint each re-runs the child scan + aggregation —
+            # the audit cost was 3 fact scans per relationship, not the
+            # documented one (r13; the best_match_pairs recompute class)
+            .transform(_checkpoint, eager=False)
         )
         nulls = keys.filter(F.col("_k").isNull())
         orphans = (
