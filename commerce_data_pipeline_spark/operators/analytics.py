@@ -18,6 +18,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
+
 
 def funnel(
     df: DataFrame,
@@ -399,7 +401,10 @@ def session_funnel(
     ev = s.select(
         F.col(user_col).alias("_u"), F.col("session_seq").alias("_ss"),
         F.col("event_type").alias("_t"), F.unix_micros(F.col(ts_col)).alias("_us"),
-    )
+        # one consumer per step: without truncation every step re-ran the
+        # events scan + the sessionize window (len(steps) full scans —
+        # the executed plan showed 6 scans for a 3-step funnel, r13)
+    ).transform(_checkpoint, eager=False)
     counts = []
     prev = None  # frame (_u, _ss, _done_us) of sessions that completed prior steps
     for i, step in enumerate(steps):
@@ -408,7 +413,12 @@ def session_funnel(
             matches = matches.join(prev, on=["_u", "_ss"]).filter(
                 F.col("_us") > F.col("_done_us")
             )
-        done = matches.groupBy("_u", "_ss").agg(F.min("_us").alias("_done_us"))
+        done = (
+            matches.groupBy("_u", "_ss")
+            .agg(F.min("_us").alias("_done_us"))
+            # two consumers (next step's join + this step's count row)
+            .transform(_checkpoint, eager=False)
+        )
         counts.append(
             done.agg(
                 F.lit(i + 1).alias("step"),
