@@ -106,6 +106,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "index-rebalance":
+        if args.max_recall_drop_e6 is not None and not args.audit_sf_dir:
+            # a gate without an audit corpus would silently never evaluate
+            print(json.dumps({
+                "cmd": args.cmd, "ok": False,
+                "error": "--max-recall-drop-e6 requires --audit-sf-dir "
+                         "(the gate needs a corpus to measure recall against)",
+            }))
+            return 2
         pre = (
             _recall(spark, args.path, args.audit_sf_dir, args.k, args.n_probe)
             if args.audit_sf_dir
@@ -128,19 +136,32 @@ def main(argv: list[str] | None = None) -> int:
             "recall_post": post,
             "ok": True,
         }
-        if (
-            args.max_recall_drop_e6 is not None
-            and pre is not None
-            and post is not None
-            and pre["mean_recall_e6"] - post["mean_recall_e6"] > args.max_recall_drop_e6
-        ):
-            out["ok"] = False
-            out["recall_gate"] = (
-                f"mean recall@{args.k} at n_probe={args.n_probe} dropped "
-                f"{pre['mean_recall_e6'] - post['mean_recall_e6']}e-6 "
-                f"(> {args.max_recall_drop_e6}e-6): raise n_probe or "
-                "max_list_size before the next pass"
-            )
+        if args.max_recall_drop_e6 is not None:
+            if (
+                pre["mean_recall_e6"] is None
+                or post["mean_recall_e6"] is None
+                or pre["n_queries"] == 0
+            ):
+                # an unevaluable gate must not read as a pass: the audit
+                # filter matched zero queries in this corpus (split ran
+                # regardless — it cannot be unsplit)
+                out["ok"] = False
+                out["recall_gate"] = (
+                    "gate requested but the audit produced 0 queries "
+                    "(vec_id % 20 == 0 AND vec_id < 2500 matched nothing "
+                    "in --audit-sf-dir): recall is unverified"
+                )
+            elif (
+                pre["mean_recall_e6"] - post["mean_recall_e6"]
+                > args.max_recall_drop_e6
+            ):
+                out["ok"] = False
+                out["recall_gate"] = (
+                    f"mean recall@{args.k} at n_probe={args.n_probe} dropped "
+                    f"{pre['mean_recall_e6'] - post['mean_recall_e6']}e-6 "
+                    f"(> {args.max_recall_drop_e6}e-6): raise n_probe or "
+                    "max_list_size before the next pass"
+                )
         print(json.dumps(out))
         return 0 if out["ok"] else 1
 

@@ -143,12 +143,17 @@ def _tombstone_agg(spark: SparkSession, path: str):
 
     The returned frame is pre-wrapped for joining: broadcast when the id
     count is under TOMBSTONE_BROADCAST_LIMIT, plain (shuffle) otherwise.
-    """
+    Sizing uses the RAW tombstone row count — a metadata-only parquet
+    footer read (no shuffle, no aggregation job on the serving path) and
+    an upper bound on distinct ids, so the broadcast decision is safe:
+    it can only demote an oversized-looking set to the shuffle join,
+    never broadcast one that is too big. The aggregate itself stays lazy
+    and executes once, inside the consumer's join."""
     tomb = _read_tombstones(spark, path)
     if tomb is None:
         return None
     t = tomb.groupBy("neighbor_id").agg(F.max("upto_gen").alias("_upto"))
-    if t.count() <= TOMBSTONE_BROADCAST_LIMIT:
+    if tomb.count() <= TOMBSTONE_BROADCAST_LIMIT:
         return F.broadcast(t)
     return t
 
@@ -302,9 +307,14 @@ def rebalance_ivf_index(
     copy dead rows.
 
     Crash consistency (r12 ADVICE): steps are ordered so every crash
-    window leaves a READABLE index — (0) any partition debris under the
-    planned new ids (a previous crashed attempt; ids above the centroid
-    table's max are unroutable, so debris is provably dead) is deleted;
+    window leaves a READABLE index — (0) every inverted partition whose
+    centroid id is NOT in the routing table is deleted: unroutable ⇒
+    provably dead, and such partitions are exactly what ANY crashed
+    prior attempt leaves behind (appended-but-never-promoted new lists
+    from a crash before the routing swap, retired-but-never-deleted old
+    lists from a crash after it — without this sweep the latter re-enter
+    the size census and a retry would re-split them into ADDITIONAL
+    routable lists, duplicating every member in top-k results);
     (1) reassigned members are APPENDED under the new ids — unroutable
     until routing changes, so readers still see the old lists; (2) the
     centroid table is swapped via write-tmp → rename-aside — after the
@@ -319,8 +329,25 @@ def rebalance_ivf_index(
     need reconstructed seeds — use the float master index for
     maintenance, the quantized one for serving). Returns the list of
     split (retired) centroid ids."""
-    compact_ivf_index(spark, path)  # fold pending deletes first
     inv_leaf = join_path(path, "inverted")
+    fs = HadoopFS(spark, path)
+    # (0) sweep unroutable partitions (see Crash consistency above): any
+    # inverted dir whose centroid id is absent from the routing table is
+    # dead — either crash debris from a prior attempt or a retired list
+    # whose delete never ran. Bounded work: one listing + one collect of
+    # the ≤ √N-row centroid table.
+    routable = {
+        int(r["centroid_id"])
+        for r in spark.read.parquet(join_path(path, "centroids"))
+        .select("centroid_id")
+        .collect()
+    }
+    for entry in fs.listdir(inv_leaf):
+        if entry.startswith("centroid_id="):
+            cid = int(entry.split("=", 1)[1])
+            if cid not in routable:
+                fs.delete(join_path(inv_leaf, entry))
+    compact_ivf_index(spark, path)  # fold pending deletes first
     inverted = spark.read.option("mergeSchema", "true").parquet(inv_leaf)
     if "c_unit" not in inverted.columns:
         raise ValueError(
@@ -404,16 +431,9 @@ def rebalance_ivf_index(
             "gen",
         )
     )
-    fs = HadoopFS(spark, path)
-    # (0) clear debris from a crashed prior attempt: the planned new ids
-    # are > the centroid table's max, so nothing routes to them — any
-    # existing partition dir there is dead rows a retry must not double
-    n_new = len(oversized) * n_splits
-    for nid in range(int(next_id), int(next_id) + n_new):
-        leaf = join_path(inv_leaf, f"centroid_id={nid}")
-        if fs.exists(leaf):
-            fs.delete(leaf)
     # (1) append the reassigned members — unroutable until step (2)
+    # (debris under the planned new ids was removed by the step-(0)
+    # sweep: those ids are above the routing table's max by construction)
     (
         reassigned.repartition("centroid_id")
         .write.mode("append")
@@ -427,23 +447,16 @@ def rebalance_ivf_index(
         new_cents.select("centroid_id", "c_vec")
     )
     rows = new_table.collect()  # centroid table is driver-tiny by contract
-    cent_leaf = join_path(path, "centroids")
-    cent_tmp = cent_leaf.rstrip("/") + "._rebal_tmp"
-    cent_old = cent_leaf.rstrip("/") + "._rebal_old"
-    if fs.exists(cent_old):
-        raise RuntimeError(
-            f"rebalance_ivf_index: {cent_old} already exists — recover or "
-            "remove the previous attempt's rename-aside copy first"
-        )
+    cent_leaf = join_path(path, "centroids").rstrip("/")
+    cent_tmp = cent_leaf + "._rebal_tmp"
+    cent_old = cent_leaf + "._rebal_old"
+    from commerce_data_pipeline_spark.sources.hadoopfs import begin_swap, swap_dir
+
+    begin_swap(spark, cent_leaf, cent_tmp, cent_old, what="rebalance_ivf_index")
     spark.createDataFrame(rows, new_table.schema).write.mode("overwrite").parquet(
         cent_tmp
     )
-    if not fs.rename(cent_leaf.rstrip("/"), cent_old):
-        raise RuntimeError(f"rebalance_ivf_index: rename {cent_leaf} aside failed")
-    if not fs.rename(cent_tmp, cent_leaf.rstrip("/")):
-        fs.rename(cent_old, cent_leaf.rstrip("/"))  # roll back old routing
-        raise RuntimeError(f"rebalance_ivf_index: promote {cent_tmp} failed")
-    fs.delete(cent_old)
+    swap_dir(spark, cent_leaf, cent_tmp, cent_old, what="rebalance_ivf_index")
     # (3) reclaim the retired (now-unreachable) partitions
     for cid in oversized:
         fs.delete(join_path(inv_leaf, f"centroid_id={cid}"))

@@ -258,21 +258,31 @@ def fd_violations_multi(
     Semantics are identical to per-FD `fd_violations` (pinned in
     tests/test_profiling.py): determinant/dependent values are compared
     through an injective string encoding (cast-to-string per column,
-    NULL kept distinct from any value via a \\x00 sentinel; multi-column
-    determinants joined on \\x1f), so class identity and distinct-dep
-    counts match the native-typed groupBy."""
+    NULL kept distinct from any value via a \\x00 sentinel, float/double
+    columns normalized `+ 0.0` first so -0.0 and 0.0 stay ONE class as
+    the native groupBy/countDistinct treats them; multi-column
+    determinants joined on \\x1f), and an EMPTY table still yields one
+    zero-count row per FD (the global-aggregation behavior of the per-FD
+    operator), via a literal FD-label frame left-joined to the counts."""
     if not fds:
         raise ValueError("fd_violations_multi: at least one FD required")
+    spark = df.sparkSession
+    dtypes = dict(df.dtypes)
 
     def _enc(col: str):
-        return F.coalesce(F.col(col).cast("string"), F.lit("\x00"))
+        c = F.col(col)
+        if dtypes.get(col) in ("float", "double"):
+            c = c + F.lit(0.0)  # IEEE: -0.0 + 0.0 = +0.0 (NaN stays NaN)
+        return c.cast("string")
 
     entries = F.array(
         *[
             F.struct(
                 F.lit(label or f"{','.join(det)}->{dep}").alias("fd"),
-                F.concat_ws("\x1f", *[_enc(c) for c in det]).alias("det"),
-                F.col(dep).cast("string").alias("dep"),
+                F.concat_ws(
+                    "\x1f", *[F.coalesce(_enc(c), F.lit("\x00")) for c in det]
+                ).alias("det"),
+                _enc(dep).alias("dep"),
             )
             for det, dep, label in fds
         ]
@@ -284,13 +294,28 @@ def fd_violations_multi(
         F.countDistinct("dep").alias("_nd"),
         F.count(F.lit(1)).alias("_n"),
     )
-    return per_class.groupBy("fd").agg(
+    agg = per_class.groupBy("fd").agg(
         F.count(F.lit(1)).cast("long").alias("n_classes"),
         F.count(F.when(F.col("_nd") > 1, 1)).cast("long").alias("n_violating_classes"),
         F.max("_nd").cast("long").alias("max_dependents"),
         F.sum(F.when(F.col("_nd") > 1, F.col("_n")).otherwise(F.lit(0)))
         .cast("long")
         .alias("rows_in_violating"),
+    )
+    labels = spark.createDataFrame(
+        [(label or f"{','.join(det)}->{dep}",) for det, dep, label in fds],
+        "fd string",
+    )
+    return labels.join(agg, on="fd", how="left").select(
+        "fd",
+        F.coalesce("n_classes", F.lit(0)).cast("long").alias("n_classes"),
+        F.coalesce("n_violating_classes", F.lit(0))
+        .cast("long")
+        .alias("n_violating_classes"),
+        # max/sum over an empty table are NULL in the per-FD global agg —
+        # keep the exact same empty-state row here
+        F.col("max_dependents").cast("long").alias("max_dependents"),
+        F.col("rows_in_violating").cast("long").alias("rows_in_violating"),
     )
 
 

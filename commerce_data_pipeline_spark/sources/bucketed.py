@@ -75,25 +75,21 @@ def compact_parquet_dir(
     Returns the new file count. `sort_col` sorts within partitions for
     row-group pruning.
     """
-    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
+    from commerce_data_pipeline_spark.sources.hadoopfs import (
+        HadoopFS,
+        begin_swap,
+        swap_dir,
+    )
 
     df = spark.read.parquet(path)
     out = df.repartition(target_files)
     if sort_col:
         out = out.sortWithinPartitions(sort_col)
-    tmp = path.rstrip("/") + "._compact_tmp"
-    old = path.rstrip("/") + "._compact_old"
+    live = path.rstrip("/")
+    tmp = live + "._compact_tmp"
+    old = live + "._compact_old"
+    begin_swap(spark, live, tmp, old, what="compact_parquet_dir")
     out.write.mode("overwrite").parquet(tmp)
+    swap_dir(spark, live, tmp, old, what="compact_parquet_dir")
     fs = HadoopFS(spark, path)
-    if fs.exists(old):  # leftover from a crashed prior compaction
-        raise RuntimeError(
-            f"compact_parquet_dir: {old} already exists — recover or remove "
-            "the previous compaction's rename-aside copy first"
-        )
-    if not fs.rename(path.rstrip("/"), old):
-        raise RuntimeError(f"compact_parquet_dir: rename {path} -> {old} failed")
-    if not fs.rename(tmp, path.rstrip("/")):
-        fs.rename(old, path.rstrip("/"))  # roll back: restore the live path
-        raise RuntimeError(f"compact_parquet_dir: promote {tmp} -> {path} failed")
-    fs.delete(old)
     return sum(f.endswith(".parquet") for f in fs.listdir(path))

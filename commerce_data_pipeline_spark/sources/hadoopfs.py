@@ -86,3 +86,45 @@ def join_path(*parts: str) -> str:
     for anything that may carry a scheme."""
     cleaned = [parts[0].rstrip("/")] + [p.strip("/") for p in parts[1:]]
     return "/".join(cleaned)
+
+
+def begin_swap(spark: "SparkSession", live: str, tmp: str, old: str,
+               what: str = "swap") -> None:
+    """Pre-write guard for the rename-aside swap protocol (one shared
+    implementation — r13 review: the sequence existed in three diverging
+    copies across bucketed/ledger/index maintenance): refuse to start if
+    a previous attempt's rename-aside copy exists (it may be the only
+    complete copy of the data — recover it first), and clear a stale tmp
+    so the caller's write starts clean."""
+    fs = HadoopFS(spark, live)
+    if fs.exists(old):
+        raise RuntimeError(
+            f"{what}: {old} already exists — recover or remove the "
+            "previous swap's rename-aside copy first"
+        )
+    if fs.exists(tmp):
+        fs.delete(tmp)
+
+
+def swap_dir(spark: "SparkSession", live: str, tmp: str, old: str,
+             what: str = "swap") -> None:
+    """Promote a fully-written `tmp` into `live` with rename-aside
+    ordering: `live`→`old`, `tmp`→`live`, delete `old` — a failure
+    between any two steps leaves a complete copy of the data under a
+    recoverable name, and a failed promotion rolls the live path back.
+    All calls go through Hadoop's FileSystem API, so the swap works for
+    any scheme Spark can read (file:, hdfs:; on s3a: rename is
+    copy+delete — non-atomic but still never destroys the only copy).
+    Callers `begin_swap` before writing `tmp`."""
+    fs = HadoopFS(spark, live)
+    if fs.exists(old):
+        raise RuntimeError(
+            f"{what}: {old} appeared mid-swap — concurrent writer? "
+            "The protocol is single-writer; recover manually"
+        )
+    if not fs.rename(live, old):
+        raise RuntimeError(f"{what}: rename {live} -> {old} failed")
+    if not fs.rename(tmp, live):
+        fs.rename(old, live)  # roll back: restore the live path
+        raise RuntimeError(f"{what}: promote {tmp} -> {live} failed")
+    fs.delete(old)

@@ -34,31 +34,21 @@ from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 
 def _swap_rewrite(spark: SparkSession, path: str, write_tmp) -> None:
     """Rewrite a ledger directory via write-tmp → rename-aside swap (the
-    `compact_parquet_dir` protocol, sources/bucketed.py): `write_tmp(tmp)`
+    shared `hadoopfs.begin_swap`/`swap_dir` protocol): `write_tmp(tmp)`
     materializes the replacement, then `path`→`old`, `tmp`→`path`,
     delete `old`. A crash between any two steps leaves a complete copy
     under a recoverable name — the live path is never the only casualty.
     Readers between the two renames can see a missing dir on s3a (rename
     is copy+delete there); ledger compaction is an offline-maintenance
     pass, same single-writer posture as the IVF index maintenance ops."""
+    from commerce_data_pipeline_spark.sources.hadoopfs import begin_swap, swap_dir
+
     live = path.rstrip("/")
     tmp = live + "._compact_tmp"
     old = live + "._compact_old"
-    fs = HadoopFS(spark, path)
-    if fs.exists(old):
-        raise RuntimeError(
-            f"ledger compact: {old} already exists — recover or remove the "
-            "previous compaction's rename-aside copy first"
-        )
-    if fs.exists(tmp):
-        fs.delete(tmp)
+    begin_swap(spark, live, tmp, old, what="ledger compact")
     write_tmp(tmp)
-    if not fs.rename(live, old):
-        raise RuntimeError(f"ledger compact: rename {live} -> {old} failed")
-    if not fs.rename(tmp, live):
-        fs.rename(old, live)  # roll back: restore the live path
-        raise RuntimeError(f"ledger compact: promote {tmp} -> {live} failed")
-    fs.delete(old)
+    swap_dir(spark, live, tmp, old, what="ledger compact")
 
 
 class FingerprintLedger:

@@ -319,3 +319,24 @@ def test_fd_violations_multi_matches_per_fd(spark):
         single = fd_violations(df, det, dep, label).collect()[0]
         assert multi[single["fd"]] == tuple(single)[1:], single["fd"]
     assert len(multi) == 3
+
+    # empty table: the per-FD global agg yields one zero/NULL row per FD —
+    # the multi path must not silently drop the audit rows (r13 review)
+    empty = df.limit(0)
+    m0 = {r["fd"]: tuple(r)[1:] for r in fd_violations_multi(empty, fds).collect()}
+    for det, dep, label in fds:
+        s0 = fd_violations(empty, det, dep, label).collect()[0]
+        assert m0[s0["fd"]] == tuple(s0)[1:] == (0, 0, None, None), s0["fd"]
+
+    # float -0.0 vs 0.0: native grouping/countDistinct normalize them to
+    # ONE value; the string encoding must not split the class (r13 review)
+    fdf = spark.createDataFrame(
+        [(1, 0.0), (1, -0.0), (2, 3.5)], "k int, v double"
+    )
+    ffds = [(["k"], "v", None), (["v"], "k", None)]
+    mf = {r["fd"]: tuple(r)[1:] for r in fd_violations_multi(fdf, ffds).collect()}
+    for det, dep, label in ffds:
+        sf_ = fd_violations(fdf, det, dep, label).collect()[0]
+        assert mf[sf_["fd"]] == tuple(sf_)[1:], sf_["fd"]
+    # k=1 has deps {0.0, -0.0} -> ONE distinct dependent: the FD holds
+    assert mf["k->v"][1] == 0  # n_violating_classes

@@ -791,6 +791,29 @@ def test_ivf_rebalance_crash_retry_debris_cleanup(spark, tmp_path):
     assert not fs.exists(f"{path}/centroids._rebal_old")
     assert not fs.exists(f"{path}/centroids._rebal_tmp")
 
+    # --- second crash window (routing swapped, retired delete never ran):
+    # resurrect a retired list under its OLD id (not in the routing table)
+    # with copies of live rows — a retry must sweep it, not re-split it
+    # into additional ROUTABLE lists that duplicate members in top-k
+    q = emb.filter(F.col("vec_id") % 10 == 3)
+    before = sorted(tuple(r) for r in I.ivf_query(
+        spark, path, q, k=5,
+        n_probe=spark.read.parquet(f"{path}/centroids").count()).collect())
+    ghost = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/inverted"
+    ).limit(30).withColumn("centroid_id", F.lit(0))  # 0 was retired above
+    ghost.write.mode("append").partitionBy("centroid_id").parquet(
+        f"{path}/inverted"
+    )
+    I.rebalance_ivf_index(spark, path, max_list_size=20, n_splits=2)
+    inv = spark.read.option("mergeSchema", "true").parquet(f"{path}/inverted")
+    assert inv.count() == 60
+    assert inv.select("neighbor_id").distinct().count() == 60
+    n_cents = spark.read.parquet(f"{path}/centroids").count()
+    after = sorted(tuple(r) for r in I.ivf_query(spark, path, q, k=5,
+                                                 n_probe=n_cents).collect())
+    assert after == before  # full-width results unchanged, no dup ranks
+
 
 def test_ann_rebalance_recall_query_matches_oracle(spark, sf_dir, tmp_path):
     """Pre-registration differential for the r14 window candidate (the
