@@ -294,28 +294,31 @@ def fd_violations_multi(
         F.countDistinct("dep").alias("_nd"),
         F.count(F.lit(1)).alias("_n"),
     )
-    agg = per_class.groupBy("fd").agg(
+    # empty-table parity with per-FD fd_violations (whose GLOBAL agg
+    # always yields one row per FD: counts 0, max/sum NULL): a non-empty
+    # table produces exactly one agg row per FD by construction (the
+    # explode emits every FD's entry for every input row), so only the
+    # empty case needs literal rows. A limit-1 probe (~50 ms) is the
+    # cheapest correct shape — measured head-to-head at sf0.1: an outer
+    # join against a label frame +0.7 s (outer-preserved sides can't
+    # broadcast → SMJ stages), a per-FD sentinel union +0.6 s (breaks
+    # the single whole-stage agg); the probe +0.05 s.
+    if df.isEmpty():
+        return spark.createDataFrame(
+            [
+                (label or f"{','.join(det)}->{dep}", 0, 0, None, None)
+                for det, dep, label in fds
+            ],
+            "fd string, n_classes long, n_violating_classes long, "
+            "max_dependents long, rows_in_violating long",
+        )
+    return per_class.groupBy("fd").agg(
         F.count(F.lit(1)).cast("long").alias("n_classes"),
         F.count(F.when(F.col("_nd") > 1, 1)).cast("long").alias("n_violating_classes"),
         F.max("_nd").cast("long").alias("max_dependents"),
         F.sum(F.when(F.col("_nd") > 1, F.col("_n")).otherwise(F.lit(0)))
         .cast("long")
         .alias("rows_in_violating"),
-    )
-    labels = spark.createDataFrame(
-        [(label or f"{','.join(det)}->{dep}",) for det, dep, label in fds],
-        "fd string",
-    )
-    return labels.join(agg, on="fd", how="left").select(
-        "fd",
-        F.coalesce("n_classes", F.lit(0)).cast("long").alias("n_classes"),
-        F.coalesce("n_violating_classes", F.lit(0))
-        .cast("long")
-        .alias("n_violating_classes"),
-        # max/sum over an empty table are NULL in the per-FD global agg —
-        # keep the exact same empty-state row here
-        F.col("max_dependents").cast("long").alias("max_dependents"),
-        F.col("rows_in_violating").cast("long").alias("rows_in_violating"),
     )
 
 
@@ -674,11 +677,12 @@ def fk_orphans(
 
     Plan per relationship: one distinct-key aggregation of the child's
     key column (map-side combining — the fact table shrinks to its key
-    space before any join) + one left-anti join against the parent's
-    distinct keys + one 1-row count; n_child_rows rides along as a SUM
-    over the per-key counts, so the fact table is scanned ONCE per
-    relationship and nothing fact-sized is ever joined. NULL child keys
-    are counted separately (n_null_keys) — SQL FK semantics exempt NULLs
+    space before any join) + one LEFT join against the parent's distinct
+    keys that flags membership + one global aggregation deriving all
+    four counters from the flagged frame. The fact table is scanned
+    ONCE, nothing fact-sized is ever joined, and no intermediate frame
+    has two consumers (so nothing needs checkpointing). NULL child keys
+    are counted separately (n_null_rows) — SQL FK semantics exempt NULLs
     from the constraint, so lumping them into orphans would fake
     violations.
 
@@ -687,47 +691,38 @@ def fk_orphans(
     """
     outs = []
     for name, child, child_key, parent, parent_key in spark_pairs:
+        # ONE pass per relationship (r13): the per-key count frame used
+        # to feed THREE consumers (null rows / orphan anti-join / row
+        # total), re-running the child scan + aggregation for each —
+        # 3 fact scans per FD. Flag parent-membership per key with one
+        # left join instead, and derive all four counters in a single
+        # global aggregation: 1 child scan, 1 key shuffle, 1 join,
+        # nothing consumed twice (so nothing needs materializing).
+        # NULL child keys never match the join (SQL semantics) — they
+        # are counted from the key itself, not the match flag.
         keys = (
             child.select(F.col(child_key).alias("_k"))
             .groupBy("_k")
             .agg(F.count(F.lit(1)).cast("long").alias("_n"))
-            # three consumers (nulls / orphans / row total): without the
-            # lazy checkpoint each re-runs the child scan + aggregation —
-            # the audit cost was 3 fact scans per relationship, not the
-            # documented one (r13; the best_match_pairs recompute class)
-            .transform(_checkpoint, eager=False)
         )
-        nulls = keys.filter(F.col("_k").isNull())
-        orphans = (
-            keys.filter(F.col("_k").isNotNull())
-            .join(
-                parent.select(F.col(parent_key).alias("_k")).distinct(),
-                "_k",
-                "left_anti",
-            )
+        flagged = keys.join(
+            parent.select(F.col(parent_key).alias("_k"))
+            .distinct()
+            .withColumn("_m", F.lit(1)),
+            "_k",
+            "left",
         )
-        row = (
-            keys.agg(F.sum("_n").alias("_rows"))
-            .crossJoin(
-                F.broadcast(
-                    nulls.agg(F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("_nullrows"))
-                )
-            )
-            .crossJoin(
-                F.broadcast(
-                    orphans.agg(
-                        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("_orows"),
-                        F.count(F.lit(1)).cast("long").alias("_okeys"),
-                    )
-                )
-            )
-            .select(
-                F.lit(name).alias("relationship"),
-                F.col("_rows").cast("long").alias("n_child_rows"),
-                F.col("_nullrows").alias("n_null_rows"),
-                F.col("_orows").alias("n_orphan_rows"),
-                F.col("_okeys").alias("n_orphan_keys"),
-            )
+        is_orphan = F.col("_k").isNotNull() & F.col("_m").isNull()
+        row = flagged.agg(
+            F.lit(name).alias("relationship"),
+            F.sum("_n").cast("long").alias("n_child_rows"),
+            F.coalesce(F.sum(F.when(F.col("_k").isNull(), F.col("_n"))), F.lit(0))
+            .cast("long")
+            .alias("n_null_rows"),
+            F.coalesce(F.sum(F.when(is_orphan, F.col("_n"))), F.lit(0))
+            .cast("long")
+            .alias("n_orphan_rows"),
+            F.count(F.when(is_orphan, 1)).cast("long").alias("n_orphan_keys"),
         )
         outs.append(row)
     result = outs[0]
