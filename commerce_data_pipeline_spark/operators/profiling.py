@@ -134,42 +134,46 @@ def group_outliers(
     MAD = 0: every deviating row flags (documented degenerate case —
     widen k or pre-filter constants if unwanted).
 
-    Scale shape: two group-keyed window passes (rank for the median,
-    rank for the MAD) plus two joins against 1-row-per-group frames
-    (broadcastable). Parallelism is bounded by the number of groups —
-    for few huge groups prefer the approx twin (percentile_approx
-    bounds) or sub-split groups; this exact form is the oracle-checkable
-    contract.
+    Scale shape (r13): ONE group-keyed shuffle. Both medians are taken
+    as a windowed max-of-the-single-value-at-the-median-rank over the
+    group partition — no 1-row-per-group frames, no join-backs, and the
+    second window (MAD) reuses the first's partitioning (same key ⇒
+    exchange reuse; only an in-partition re-sort). The old shape's two
+    filtered join-backs re-executed the input lineage per consumer —
+    the executed plan showed 4 identical scans and 3 shuffles for what
+    is one scan of work. Parallelism is bounded by the number of
+    groups — for few huge groups prefer the approx twin
+    (percentile_approx bounds) or sub-split groups; this exact form is
+    the oracle-checkable contract.
 
     Output: (id_col, group_col, value_col, med, dev, mad, is_outlier).
 
-    NULL groups are a real group, not dropped: the window passes already
-    treat NULL as one partition, and the two stat joins use eqNullSafe
-    (<=>) so NULL-group anomalies surface like any other group's.
+    NULL groups are a real group, not dropped: window partitioning
+    treats NULL as one partition, so NULL-group anomalies surface like
+    any other group's.
     """
     base = df.select(
         F.col(id_col), F.col(group_col), F.col(value_col).cast("double").alias("_v")
     )
     w1 = Window.partitionBy(group_col).orderBy(F.asc("_v"), F.asc(id_col))
     g = Window.partitionBy(group_col)
-    ranked = base.withColumn("_rn", F.row_number().over(w1)).withColumn(
-        "_cnt", F.count(F.lit(1)).over(g)
-    )
-    med = ranked.filter(F.col("_rn") == F.expr("(_cnt + 1) div 2")).select(
-        F.col(group_col).alias("_g1"), F.col("_v").alias("med")
-    )
-    dev = base.join(F.broadcast(med), base[group_col].eqNullSafe(med["_g1"])).select(
-        id_col, group_col, "_v", "med", F.abs(F.col("_v") - F.col("med")).alias("dev")
+    med_rank = F.expr("(_cnt + 1) div 2")
+    dev = (
+        base.withColumn("_rn", F.row_number().over(w1))
+        .withColumn("_cnt", F.count(F.lit(1)).over(g))
+        .withColumn(
+            "med",
+            F.max(F.when(F.col("_rn") == med_rank, F.col("_v"))).over(g),
+        )
+        .withColumn("dev", F.abs(F.col("_v") - F.col("med")))
     )
     w2 = Window.partitionBy(group_col).orderBy(F.asc("dev"), F.asc(id_col))
-    ranked2 = dev.withColumn("_rn2", F.row_number().over(w2)).withColumn(
-        "_cnt2", F.count(F.lit(1)).over(g)
-    )
-    mad = ranked2.filter(F.col("_rn2") == F.expr("(_cnt2 + 1) div 2")).select(
-        F.col(group_col).alias("_g2"), F.col("dev").alias("mad")
-    )
     return (
-        dev.join(F.broadcast(mad), dev[group_col].eqNullSafe(mad["_g2"]))
+        dev.withColumn("_rn2", F.row_number().over(w2))
+        .withColumn(
+            "mad",
+            F.max(F.when(F.col("_rn2") == med_rank, F.col("dev"))).over(g),
+        )
         .select(
             F.col(id_col),
             F.col(group_col),
@@ -811,9 +815,15 @@ def label_agreement(
 
     Returns one row: (n_rows, n_agree, po_e6, pe_e6, kappa_e6).
     """
-    conf = df.groupBy(
-        F.col(actual_col).alias("_a"), F.col(pred_col).alias("_p")
-    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    conf = (
+        df.groupBy(F.col(actual_col).alias("_a"), F.col(pred_col).alias("_p"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        # |labels|²-row frame with THREE lineage consumers (totals + both
+        # marginals): without truncation each re-ran the input scan —
+        # for lang_id_agreement that was 4 full corpus scans of the
+        # marker-word scoring expression (r13 plan audit)
+        .transform(_checkpoint, eager=False)
+    )
     totals = conf.agg(
         F.sum("_n").cast("long").alias("n_rows"),
         F.sum(F.when(F.col("_a") == F.col("_p"), F.col("_n")).otherwise(F.lit(0)))
