@@ -222,6 +222,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
             .select("shingle")
         )
         sh = sh.join(rare, on="shingle", how="left_semi")
+    # the shingling explode is the expensive stage and feeds THREE
+    # consumers (sizes + both self-join sides) — materialize once
+    # instead of re-shingling the corpus per consumer (r13 plan audit:
+    # 4 identical scans; the minhash_estimate_audit precedent)
+    sh = sh.transform(_checkpoint, eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -905,6 +910,8 @@ def ngram_containment_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, on="shingle", how="left_semi")
+    # three consumers of the shingling explode — see ngram_jaccard_pairs
+    sh = sh.transform(_checkpoint, eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
