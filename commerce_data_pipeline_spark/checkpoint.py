@@ -23,6 +23,16 @@ checkpoint site in the package:
     spark.commerce.checkpoint.dir  = <fs path>   (reliable mode only;
         applied via sc.setCheckpointDir on first use if none is set)
 
+Reliable-mode CLEANUP (r13 ADVICE): every iteration of an iterative
+operator (PageRank/LPA/k-core rounds, CC alternation, BPE merges) writes
+one reliable checkpoint, and Spark never deletes them unless
+`spark.cleaner.referenceTracking.cleanCheckpoints=true` — without it a
+long job on the preemptible fleet this mode targets accumulates one full
+copy of intermediate state per round in the checkpoint dir. Set that
+cleaner conf alongside the mode conf (and still expect to sweep the dir
+after abnormal exits: the cleaner only fires when the RDD is GC'd on the
+driver). CLUSTER.md "Checkpoint durability" carries the deployment note.
+
 Call sites use the chained form ``df.transform(checkpoint)`` /
 ``df.transform(checkpoint, eager=False)`` — identical semantics to the
 ``df.localCheckpoint(...)`` they replace when the mode conf is unset.

@@ -25,6 +25,13 @@ fixed-probe delta is the number that prices the split); if the mean
 recall drops by more than `--max-recall-drop-e6`, exit code is 1 — the
 split still happened (it cannot be unsplit), but the operator is told
 to raise n_probe or revisit max_list_size before the next pass.
+
+Programmatic callers should use `operators.index.rebalance_with_gate`
+(the library-level default path, r13 VERDICT #2) — same pre/post audit,
+raising `RecallRegression` past the budget — and re-derive their serving
+n_probe from `operators.index.recommended_n_probe` after every
+maintenance window (the centroid_meta sidecar persists the routing
+width so the scaled value survives across processes).
 """
 
 from __future__ import annotations
@@ -134,6 +141,12 @@ def main(argv: list[str] | None = None) -> int:
             "split_centroids": split,
             "recall_pre": pre,
             "recall_post": post,
+            # the n_probe the serving layer should move to so the probed
+            # corpus fraction stays constant across splits (reads the
+            # centroid_meta sidecar rebalance maintains — r13 VERDICT #2)
+            "recommended_n_probe": ivf_index.recommended_n_probe(
+                spark, args.path, args.n_probe
+            ),
             "ok": True,
         }
         if args.max_recall_drop_e6 is not None:

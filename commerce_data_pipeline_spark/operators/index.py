@@ -97,6 +97,7 @@ def build_ivf_index(
     )
     centroids.write.mode("overwrite").parquet(join_path(path, "centroids"))
     _set_gen(corpus.sparkSession, path, 0)
+    _set_centroid_meta(corpus.sparkSession, path, n_centroids, n_centroids)
 
 
 def current_gen(spark: SparkSession, path: str) -> int:
@@ -122,6 +123,49 @@ def _set_gen(spark: SparkSession, path: str, gen: int) -> None:
     ).parquet(join_path(path, "gen_meta"))
 
 
+def _set_centroid_meta(
+    spark: SparkSession, path: str, n_centroids: int, base_n_centroids: int
+) -> None:
+    """One-row sidecar under `centroid_meta/`: the CURRENT centroid count
+    plus the count the index was BUILT with. Rebalance splits grow the
+    routing table, and a serving config that keeps its n_probe fixed
+    silently loses recall with every split (the r13 STRESS finding:
+    recall@5 halved after an 8× split at fixed n_probe=4) — the ratio
+    current/base is exactly the factor a serving n_probe must scale by
+    to keep covering the same corpus fraction (`recommended_n_probe`)."""
+    spark.createDataFrame(
+        [(int(n_centroids), int(base_n_centroids))],
+        "n_centroids int, base_n_centroids int",
+    ).coalesce(1).write.mode("overwrite").parquet(join_path(path, "centroid_meta"))
+
+
+def centroid_counts(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(current, base) centroid counts for the index at `path`. Indexes
+    built before the sidecar existed read the (tiny) centroid table once
+    and report (n, n) — factor 1, the pre-rebalance behavior."""
+    leaf = join_path(path, "centroid_meta")
+    fs = HadoopFS(spark, path)
+    if fs.exists(join_path(leaf, "_SUCCESS")):
+        r = spark.read.parquet(leaf).collect()[0]
+        return int(r["n_centroids"]), int(r["base_n_centroids"])
+    n = spark.read.parquet(join_path(path, "centroids")).count()
+    return int(n), int(n)
+
+
+def recommended_n_probe(spark: SparkSession, path: str, base_n_probe: int) -> int:
+    """Scale a serving n_probe to the index's CURRENT routing width:
+    n_probe' = ceil(base_n_probe · current_centroids / base_centroids).
+
+    The rule keeps the probed corpus FRACTION constant as maintenance
+    splits refine the routing — each split spreads the same members over
+    proportionally more, smaller lists, so a fixed probe count covers a
+    shrinking fraction (the silent recall loss `ivf_recall_audit`
+    measures). Serving layers should read this after every maintenance
+    window instead of pinning a literal n_probe."""
+    cur, base = centroid_counts(spark, path)
+    return -(-int(base_n_probe) * cur // base)  # ceil division
+
+
 def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     leaf = join_path(path, "tombstones")
     fs = HadoopFS(spark, path)
@@ -138,21 +182,39 @@ def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
 TOMBSTONE_BROADCAST_LIMIT = 2_000_000
 
 
+# Tombstone directories at or under this many bytes skip the sizing job
+# entirely (r13 ADVICE: `tomb.count()` is a real Spark job — Spark does
+# NOT guarantee a footer-only count for a DataFrame read — and it ran on
+# EVERY ivf_query call). The byte→id bound is deliberately absurdly
+# conservative: parquet cannot encode a column of 64-bit ids below
+# ~1 bit per value even fully delta-packed, so `bytes * 8` upper-bounds
+# the row count; 64 KiB ⇒ ≤ 524k ids, far under the 2M broadcast limit.
+TOMBSTONE_SMALL_BYTES = 64 * 1024
+
+
 def _tombstone_agg(spark: SparkSession, path: str):
     """(max-upto_gen-per-id aggregate, sized-join handle) or None.
 
-    The returned frame is pre-wrapped for joining: broadcast when the id
-    count is under TOMBSTONE_BROADCAST_LIMIT, plain (shuffle) otherwise.
-    Sizing uses the RAW tombstone row count — a metadata-only parquet
-    footer read (no shuffle, no aggregation job on the serving path) and
-    an upper bound on distinct ids, so the broadcast decision is safe:
-    it can only demote an oversized-looking set to the shuffle join,
-    never broadcast one that is too big. The aggregate itself stays lazy
-    and executes once, inside the consumer's join."""
+    The returned frame is pre-wrapped for joining: broadcast when the
+    tombstone set is provably small, plain (shuffle) otherwise. Sizing
+    is two-tier: a directory whose byte footprint is trivially small
+    (TOMBSTONE_SMALL_BYTES, with bytes·8 still under the id limit)
+    broadcasts on the filesystem size alone — getContentSummary is a
+    listing, not a Spark job, so the normal between-compactions serving
+    path runs NO job here. Above that, a real `tomb.count()` job runs
+    (a cheap columnless scan, paid only by oversized takedown batches).
+    Both tiers use an UPPER bound on distinct ids, so the decision can
+    only demote a broadcastable set to the shuffle join, never broadcast
+    one that is too big. The aggregate itself stays lazy and executes
+    once, inside the consumer's join."""
     tomb = _read_tombstones(spark, path)
     if tomb is None:
         return None
     t = tomb.groupBy("neighbor_id").agg(F.max("upto_gen").alias("_upto"))
+    fs = HadoopFS(spark, path)
+    nbytes = fs.size(join_path(path, "tombstones"))
+    if nbytes <= TOMBSTONE_SMALL_BYTES and nbytes * 8 <= TOMBSTONE_BROADCAST_LIMIT:
+        return F.broadcast(t)
     if tomb.count() <= TOMBSTONE_BROADCAST_LIMIT:
         return F.broadcast(t)
     return t
@@ -331,6 +393,21 @@ def rebalance_ivf_index(
     split (retired) centroid ids."""
     inv_leaf = join_path(path, "inverted")
     fs = HadoopFS(spark, path)
+    cent_leaf = join_path(path, "centroids").rstrip("/")
+    cent_tmp = cent_leaf + "._rebal_tmp"
+    cent_old = cent_leaf + "._rebal_old"
+    # Entry guard (r13 ADVICE): a crash between swap_dir's two renames
+    # leaves the only complete centroid table under ._rebal_old and no
+    # live centroids dir — without this check a retry dies at the
+    # step-(0) routing-table read with a raw "path does not exist"
+    # parquet error instead of begin_swap's recovery guidance.
+    if fs.exists(cent_old):
+        raise RuntimeError(
+            f"rebalance_ivf_index: {cent_old} already exists — recover or "
+            "remove the previous swap's rename-aside copy first (a prior "
+            "rebalance crashed mid-swap; that copy may be the only "
+            "complete centroid table)"
+        )
     # (0) sweep unroutable partitions (see Crash consistency above): any
     # inverted dir whose centroid id is absent from the routing table is
     # dead — either crash debris from a prior attempt or a retired list
@@ -447,20 +524,115 @@ def rebalance_ivf_index(
         new_cents.select("centroid_id", "c_vec")
     )
     rows = new_table.collect()  # centroid table is driver-tiny by contract
-    cent_leaf = join_path(path, "centroids").rstrip("/")
-    cent_tmp = cent_leaf + "._rebal_tmp"
-    cent_old = cent_leaf + "._rebal_old"
     from commerce_data_pipeline_spark.sources.hadoopfs import begin_swap, swap_dir
 
+    _, base_cents = centroid_counts(spark, path)  # read BEFORE the swap
     begin_swap(spark, cent_leaf, cent_tmp, cent_old, what="rebalance_ivf_index")
     spark.createDataFrame(rows, new_table.schema).write.mode("overwrite").parquet(
         cent_tmp
     )
     swap_dir(spark, cent_leaf, cent_tmp, cent_old, what="rebalance_ivf_index")
+    # persist the new routing width so serving layers can re-derive
+    # n_probe (recommended_n_probe) instead of silently losing recall
+    _set_centroid_meta(spark, path, len(rows), base_cents)
     # (3) reclaim the retired (now-unreachable) partitions
     for cid in oversized:
         fs.delete(join_path(inv_leaf, f"centroid_id={cid}"))
     return oversized
+
+
+class RecallRegression(RuntimeError):
+    """Raised by `rebalance_with_gate` when a split drops mean recall@k at
+    the fixed serving n_probe by more than the budget. The split has
+    ALREADY been applied when this raises (a split cannot be unsplit) —
+    the exception is the operational signal to raise the serving n_probe
+    (`.recommended_n_probe` carries the scaled value) or revisit
+    max_list_size before the next maintenance pass."""
+
+    def __init__(self, message: str, pre: dict, post: dict, recommended: int):
+        super().__init__(message)
+        self.pre = pre
+        self.post = post
+        self.recommended_n_probe = recommended
+
+
+def rebalance_with_gate(
+    spark: SparkSession,
+    path: str,
+    max_list_size: int,
+    corpus: DataFrame,
+    queries: DataFrame,
+    max_recall_drop_e6: int,
+    k: int = 5,
+    n_probe: int = 4,
+    n_splits: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The DEFAULT maintenance path for a serving index (r13 VERDICT #2):
+    `rebalance_ivf_index` with the fixed-n_probe recall audit wired in,
+    not a CLI courtesy. Measures recall@k at the SERVING n_probe before
+    the split (`ivf_recall_audit` vs exact brute force over `corpus` /
+    `queries`), applies the split, measures again, and raises
+    `RecallRegression` when the mean drops by more than
+    `max_recall_drop_e6` — the exact failure a fixed-n_probe caller hits
+    (STRESS.md r13: recall@5 halved after an 8× split at n_probe=4,
+    invisible to the bit-identity contract, which holds only at
+    n_probe ≥ the post-split centroid count).
+
+    Returns {"split_centroids", "pre", "post", "drop_e6",
+    "recommended_n_probe"}; a no-op pass (nothing oversized) runs ONE
+    audit and reports drop 0. The audit's brute-force pass scans the
+    corpus twice per gated rebalance — maintenance-cadence cost, never
+    per-query. Raw `rebalance_ivf_index` remains for float master
+    indexes that are re-probed at full width (bit-identity callers)."""
+    pre_row = ivf_recall_audit(
+        spark, path, corpus, queries, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    ).collect()[0]
+    pre = {c: pre_row[c] for c in pre_row.asDict()}
+    if pre["n_queries"] == 0:
+        raise ValueError(
+            "rebalance_with_gate: the audit query set is empty — an "
+            "unevaluable gate must not silently pass (supply queries that "
+            "exist in the corpus)"
+        )
+    split = rebalance_ivf_index(
+        spark, path, max_list_size=max_list_size, n_splits=n_splits
+    )
+    if not split:
+        return {
+            "split_centroids": [],
+            "pre": pre,
+            "post": pre,
+            "drop_e6": 0,
+            "recommended_n_probe": recommended_n_probe(spark, path, n_probe),
+        }
+    post_row = ivf_recall_audit(
+        spark, path, corpus, queries, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    ).collect()[0]
+    post = {c: post_row[c] for c in post_row.asDict()}
+    drop = pre["mean_recall_e6"] - post["mean_recall_e6"]
+    rec = recommended_n_probe(spark, path, n_probe)
+    if drop > max_recall_drop_e6:
+        raise RecallRegression(
+            f"rebalance_with_gate: mean recall@{k} at n_probe={n_probe} "
+            f"dropped {drop}e-6 (> {max_recall_drop_e6}e-6) after splitting "
+            f"{len(split)} list(s); the split is applied — raise the serving "
+            f"n_probe to ~{rec} (recommended_n_probe) or revisit "
+            "max_list_size before the next pass",
+            pre,
+            post,
+            rec,
+        )
+    return {
+        "split_centroids": split,
+        "pre": pre,
+        "post": post,
+        "drop_e6": drop,
+        "recommended_n_probe": rec,
+    }
 
 
 def ivf_recall_audit(

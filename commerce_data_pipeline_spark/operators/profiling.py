@@ -265,7 +265,11 @@ def fd_violations_multi(
     NULL kept distinct from any value via a \\x00 sentinel, float/double
     columns normalized `+ 0.0` first so -0.0 and 0.0 stay ONE class as
     the native groupBy/countDistinct treats them; multi-column
-    determinants joined on \\x1f), and an EMPTY table still yields one
+    determinants joined on \\x1f AFTER an escape pass — \\x1b doubles
+    itself and rewrites any embedded separator/sentinel byte, so a
+    string value containing \\x1f cannot shift bytes across the field
+    boundary and a literal "\\x00" value stays distinct from NULL; the
+    r13 ADVICE collision classes), and an EMPTY table still yields one
     zero-count row per FD (the global-aggregation behavior of the per-FD
     operator), via a literal FD-label frame left-joined to the counts."""
     if not fds:
@@ -279,12 +283,22 @@ def fd_violations_multi(
             c = c + F.lit(0.0)  # IEEE: -0.0 + 0.0 = +0.0 (NaN stays NaN)
         return c.cast("string")
 
+    def _esc(s):
+        # injective field encoding (r13 ADVICE): escape \x1b first so the
+        # pass is decodable, then rewrite the \x1f field separator and the
+        # \x00 NULL sentinel — an escaped field contains NEITHER byte, so
+        # concat_ws over fixed arity is injective and the bare-\x00
+        # sentinel can never equal an encoded non-null value
+        s = F.replace(s, F.lit("\x1b"), F.lit("\x1b\x1b"))
+        s = F.replace(s, F.lit("\x1f"), F.lit("\x1b_"))
+        return F.replace(s, F.lit("\x00"), F.lit("\x1b0"))
+
     entries = F.array(
         *[
             F.struct(
                 F.lit(label or f"{','.join(det)}->{dep}").alias("fd"),
                 F.concat_ws(
-                    "\x1f", *[F.coalesce(_enc(c), F.lit("\x00")) for c in det]
+                    "\x1f", *[F.coalesce(_esc(_enc(c)), F.lit("\x00")) for c in det]
                 ).alias("det"),
                 _enc(dep).alias("dep"),
             )

@@ -52,6 +52,15 @@ class HadoopFS:
     def mkdirs(self, p: str) -> bool:
         return self._fs.mkdirs(self._jpath(p))
 
+    def size(self, p: str) -> int:
+        """Total bytes under a path (recursive; 0 if it doesn't exist) —
+        a pure namenode/listing call (getContentSummary), never a Spark
+        job, so it is safe to consult on a serving path."""
+        jp = self._jpath(p)
+        if not self._fs.exists(jp):
+            return 0
+        return int(self._fs.getContentSummary(jp).getLength())
+
     def rename(self, src: str, dst: str) -> bool:
         """Atomic-per-filesystem rename (true rename on file:/hdfs:;
         object stores emulate with copy+delete — still the correct

@@ -340,3 +340,37 @@ def test_fd_violations_multi_matches_per_fd(spark):
         assert mf[sf_["fd"]] == tuple(sf_)[1:], sf_["fd"]
     # k=1 has deps {0.0, -0.0} -> ONE distinct dependent: the FD holds
     assert mf["k->v"][1] == 0  # n_violating_classes
+
+
+def test_fd_violations_multi_encoding_is_injective(spark):
+    """r13 ADVICE (medium): the concat_ws determinant encoding collided
+    for string values containing the \\x1f separator (('x\\x1f','y') vs
+    ('x','\\x1fy')) and for a literal '\\x00' value vs NULL — classes the
+    native per-FD groupBy keeps distinct were silently merged,
+    understating violation counts. The escape pass must keep every such
+    class distinct and stay row-identical to per-FD fd_violations."""
+    from commerce_data_pipeline_spark.operators.profiling import (
+        fd_violations,
+        fd_violations_multi,
+    )
+
+    rows = [
+        # separator-shift collision pair: same concat without escaping
+        ("x\x1f", "y", "d1"), ("x", "\x1fy", "d2"),
+        # NULL-sentinel collision: literal "\x00" value vs real NULL
+        ("\x00", "a", "d3"), (None, "a", "d4"),
+        # escape char itself must round-trip
+        ("\x1b", "b", "d5"), ("\x1b\x1b", "b", "d6"),
+        # adversarial: value that LOOKS like an escaped sequence
+        ("\x1b_", "c", "d7"), ("\x1f", "c", "d8"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, dep string")
+    fds = [(["a", "b"], "dep", None), (["a"], "dep", None)]
+    multi = {r["fd"]: tuple(r)[1:] for r in fd_violations_multi(df, fds).collect()}
+    for det, dep, label in fds:
+        single = fd_violations(df, det, dep, label).collect()[0]
+        assert multi[single["fd"]] == tuple(single)[1:], single["fd"]
+    # every (a, b) pair above is a DISTINCT determinant class of size 1:
+    # 8 classes, zero violations — any collision would merge two deps
+    # into one class and report a violation
+    assert multi["a,b->dep"] == (8, 0, 1, 0)

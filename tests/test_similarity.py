@@ -854,6 +854,134 @@ def test_ann_rebalance_recall_query_matches_oracle(spark, sf_dir, tmp_path):
     assert 0 <= row["mean_recall_e6"] <= 1_000_000
 
 
+def test_rebalance_with_gate_and_centroid_meta(spark, tmp_path):
+    """r13 VERDICT #2: the recall gate is the library-level DEFAULT path,
+    and the post-split routing width persists so serving n_probe scales
+    instead of silently halving recall."""
+    import pytest
+
+    from commerce_data_pipeline_spark.operators import index as I
+
+    emb = _vecs(spark, n=60)
+    q = emb.filter(F.col("vec_id") % 10 == 3)
+
+    # build: meta = (n, n); recommended n_probe is the identity
+    path = f"file://{tmp_path}/ivf"
+    I.build_ivf_index(emb, path, n_centroids=2)
+    assert I.centroid_counts(spark, path) == (2, 2)
+    assert I.recommended_n_probe(spark, path, 2) == 2
+
+    # admitted split: a full-range budget cannot veto (drop <= 1e6)
+    out = I.rebalance_with_gate(
+        spark, path, max_list_size=20, corpus=emb, queries=q,
+        max_recall_drop_e6=1_000_000, n_probe=2,
+    )
+    assert out["split_centroids"] == [0, 1]
+    assert out["pre"]["n_probe"] == out["post"]["n_probe"] == 2
+    assert out["drop_e6"] == (
+        out["pre"]["mean_recall_e6"] - out["post"]["mean_recall_e6"]
+    )
+    # routing doubled (2 -> 4): the serving n_probe must double too
+    assert I.centroid_counts(spark, path) == (4, 2)
+    assert out["recommended_n_probe"] == I.recommended_n_probe(spark, path, 2) == 4
+    # at the SCALED n_probe the refined index recovers exact recall
+    full = I.ivf_recall_audit(spark, path, emb, q, k=5, n_probe=4).collect()[0]
+    assert full["mean_recall_e6"] == 1_000_000
+
+    # no-op pass: nothing oversized — one audit, drop 0, split []
+    noop = I.rebalance_with_gate(
+        spark, path, max_list_size=10_000, corpus=emb, queries=q,
+        max_recall_drop_e6=0, n_probe=2,
+    )
+    assert noop["split_centroids"] == [] and noop["drop_e6"] == 0
+
+    # vetoed split: an impossible budget (< -1e6) always trips the gate;
+    # the exception carries the numbers + the scaled n_probe, and the
+    # split has still been APPLIED (documented: it cannot be unsplit)
+    path2 = f"file://{tmp_path}/ivf2"
+    I.build_ivf_index(emb, path2, n_centroids=2)
+    with pytest.raises(I.RecallRegression, match="recommended_n_probe") as ei:
+        I.rebalance_with_gate(
+            spark, path2, max_list_size=20, corpus=emb, queries=q,
+            max_recall_drop_e6=-2_000_000, n_probe=2,
+        )
+    assert ei.value.recommended_n_probe == 4
+    assert ei.value.pre["n_queries"] == ei.value.post["n_queries"] == q.count()
+    assert spark.read.parquet(f"{path2}/centroids").count() == 4
+
+    # an unevaluable gate (zero audit queries) must refuse, not pass
+    with pytest.raises(ValueError, match="empty"):
+        I.rebalance_with_gate(
+            spark, path2, max_list_size=20, corpus=emb,
+            queries=q.limit(0), max_recall_drop_e6=0,
+        )
+
+    # legacy index without the sidecar: counts fall back to the table
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
+
+    HadoopFS(spark, path2).delete(f"{path2}/centroid_meta")
+    assert I.centroid_counts(spark, path2) == (4, 4)
+    assert I.recommended_n_probe(spark, path2, 3) == 3
+
+
+def test_ivf_rebalance_mid_swap_crash_entry_guard(spark, tmp_path):
+    """r13 ADVICE: a crash between swap_dir's two renames leaves the only
+    complete centroid table under ._rebal_old and no live centroids dir.
+    A retry must fail AT ENTRY with the recover-the-rename-aside-copy
+    guidance, not with a raw 'path does not exist' parquet error from the
+    step-(0) routing-table read."""
+    import pytest
+
+    from commerce_data_pipeline_spark.operators import index as I
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
+
+    emb = _vecs(spark, n=60)
+    path = f"file://{tmp_path}/ivf"
+    I.build_ivf_index(emb, path, n_centroids=2)
+    fs = HadoopFS(spark, path)
+    # simulate the mid-swap crash: live -> ._rebal_old done, promote not
+    assert fs.rename(f"{path}/centroids", f"{path}/centroids._rebal_old")
+    with pytest.raises(RuntimeError, match="rename-aside"):
+        I.rebalance_ivf_index(spark, path, max_list_size=20, n_splits=2)
+    # recovery (the message's instruction) makes the retry work
+    assert fs.rename(f"{path}/centroids._rebal_old", f"{path}/centroids")
+    assert I.rebalance_ivf_index(spark, path, max_list_size=20) == [0, 1]
+
+
+def test_tombstone_small_footprint_skips_sizing_job(spark, tmp_path):
+    """r13 ADVICE: a trivially small tombstone dir must broadcast on the
+    filesystem byte count alone — zero Spark jobs for the sizing decision
+    on the serving path (the aggregate itself stays lazy)."""
+    from commerce_data_pipeline_spark.operators import index as I
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
+
+    emb = _vecs(spark, n=40)
+    path = f"file://{tmp_path}/ivf"
+    I.build_ivf_index(emb, path, n_centroids=4)
+    I.delete_from_ivf_index(emb.filter(F.col("vec_id") % 7 == 2), path)
+    fs = HadoopFS(spark, path)
+    nbytes = fs.size(f"{path}/tombstones")
+    assert 0 < nbytes <= I.TOMBSTONE_SMALL_BYTES  # the normal state
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    spark.read.parquet(f"{path}/tombstones")  # baseline: bare read cost
+    mid = len(tracker.getJobIdsForGroup(None) or [])
+    agg = I._tombstone_agg(spark, path)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert agg is not None
+    # the sizing DECISION must add nothing beyond the bare parquet read
+    # (schema/listing); in particular no count aggregation job
+    assert after - mid <= mid - before, (
+        "sizing decision ran a Spark job on the small path"
+    )
+    # and the handle still filters correctly inside a consumer join
+    q = emb.filter(F.col("vec_id") % 10 == 3)
+    got = {r["neighbor_id"]
+           for r in I.ivf_query(spark, path, q, k=10, n_probe=4).collect()}
+    assert not (got & {n for n in range(40) if n % 7 == 2})
+
+
 def test_tombstone_join_shuffle_fallback(spark, tmp_path, monkeypatch):
     """r12 ADVICE: above TOMBSTONE_BROADCAST_LIMIT pending ids the
     anti-filter must fall back to a shuffle join (a 10^8-id takedown
