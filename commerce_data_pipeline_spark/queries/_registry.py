@@ -405,59 +405,61 @@ REGISTRY["ann_ivf_rebalance"] = QuerySpec(
     "X3 index maintenance: IVF search after oversized-list SPLIT rebalancing (build in r12, registered r13 per the never-attested-in-window protocol); oracle replays build->census->seed->reassign->probe",
 )
 
-# --- r10→r11 window rotation (VERDICT r10 directive #1) ---------------------
+# --- r14 additions ---------------------------------------------------------
+from commerce_data_pipeline_spark.queries.similarity import (  # noqa: E402
+    _ora_ann_rebalance_recall,
+    _q_ann_rebalance_recall,
+)
+
+REGISTRY["ann_rebalance_recall"] = QuerySpec(
+    _q_ann_rebalance_recall,
+    _ora_ann_rebalance_recall(2),
+    "X3 maintenance gate: recall@5 at the FIXED serving n_probe over the SPLIT index vs exact brute force (build in r13, registered r14 per protocol) — the number rebalance_with_gate enforces; oracle composes the rebalance replay with the brute-force top-5 and the integer summary",
+)
+
+# --- r14 window rotation (VERDICT r13 #1 + #6) -------------------------------
 # THE one live window (historical windows live in git + COVERAGE.md's
 # generated attestation ledger — see the note above the registry dict).
-# r10 left exactly two stale tiers; this window retires BOTH: all 36
-# r6-latest attestations (the judge's r11 seed — it pre-verified 8 of
-# them out-of-window in r10, all green) and all 7 r7-latest, so after
-# this window goes green every non-terminal query's latest attestation
-# is >= r8 (the directive's bar was >= r7). The two NEW r11 queries
-# (bpe_tokenize: directive #3, the tokenizer family's last mile;
-# value_psi_drift: directive #4, the PSI drift gauge) take the
-# never-attested-must-sit-inside-the-window slots. The three fill slots
-# go to the families with no stale representative — snm_name_pairs
-# (linkage, r8-latest) and bloom_fpr (X8, r9-latest) — plus also_bought,
-# the alphabetical-oldest r8-latest. The two single-query families
-# (salted_hot_join, zorder_skipping) must always sit in-window per
-# FAMILY_PROOFS.
-#
-# r13 rotation (VERDICT r12 #3 + #7): the window is the ROTATION PAYLOAD
-# — ALL 46 r9-latest attestations (the oldest tier standing after the
-# green CORRECTNESS_r12: 37 relational/gold/streaming shapes + 9
-# operator-family proofs), so after a green CORRECTNESS_r13 every
-# non-terminal query's latest attestation is ≥ r10 (the directive's
-# bar, met in one rotation). 2 slots go to this round's never-attested
-# queries (ann_ivf_rebalance — pre-built in r12, registered this round
-# per protocol; ledger_cross_run_dups — the new BandLedger compaction
-# proof) and 2 to the always-in-window single-query families. Every
-# other family's freshness is ≥ r10 without a slot (r12 attested 50,
-# r11 48, r10 48), so per the r12 precedent those families cede their
-# pin slot to the payload (see FAMILY_PROOFS in
-# tests/test_registry_window.py, re-seeded from this window).
-_WINDOW_R13 = [
-    # new in r13 — first driver attestation this round
-    "ann_ivf_rebalance", "ledger_cross_run_dups",
-    # all 46 r9-latest rotate-ins, alphabetical
-    "above_brand_avg_parts", "ann_ivf_indexed", "asof_view_before_purchase",
-    "audio_windows", "band_pairs", "basket_pairs", "best_match_pairs",
-    "bm25_indexed", "calibration_bins", "corpus_ingest", "cube_sales",
-    "customer_segments_setops", "daily_anomalies", "dedup_clusters_alt",
-    "degree_histogram", "disjunctive_filter", "event_type_pivot",
-    "forecast_revenue_change", "idle_rich_customers", "important_parts",
-    "journey_transitions", "market_share", "min_cost_supplier",
-    "nation_trade_volume", "order_count_distribution", "order_priority",
-    "price_percentiles", "priciest_item_per_order", "product_profit",
-    "props_struct", "ranking_auc", "ranking_auc_banded", "returned_items",
-    "rfm_segments", "rollup_sales", "running_revenue", "session_windows",
-    "shipping_priority", "sketch_union", "small_quantity_revenue",
-    "sort_topk_lineitems", "supplier_diversity", "time_to_convert",
-    "top_customers", "trailing_revenue", "word_count",
+# The rotation payload is the oldest attestation tier standing after the
+# green CORRECTNESS_r13: the 48 r10-latest queries. With the two
+# always-in-window single-query families (salted_hot_join,
+# zorder_skipping) that is 50 exactly — and the never-attested
+# `ann_rebalance_recall` (pre-built + differential-pinned in r13,
+# registered this round per protocol) must ALSO sit in-window: 51
+# candidates for 50 slots, exactly as the r13 VERDICT forecast. The
+# named overflow is `promo_revenue` (Q14-shape conditional monthly
+# share; the relational family keeps large_orders/top_supplier and 40+
+# other in-window shapes): it is DELIBERATELY held at its r10
+# attestation until r15 and MUST lead _WINDOW_R15 (recorded in
+# COVERAGE.md's r14 section). After a green CORRECTNESS_r14 every other
+# non-terminal query's latest attestation is ≥ r11 (directive #6's
+# bar). FAMILY_PROOFS in tests/test_registry_window.py is re-seeded
+# from this window in the same commit; families whose every member is
+# fresh (attested ≥ r11: the r11-13 tiers) cede their pin slot to the
+# payload, per the standing precedent.
+_WINDOW_R14 = [
+    # new in r14 — never-attested, first driver attestation this round
+    "ann_rebalance_recall",
+    # 47 of the 48 r10-latest rotate-ins (promo_revenue held to r15),
+    # alphabetical
+    "ann_lsh_md5", "ann_recall", "attribution_last_touch",
+    "bloom_decontaminate", "bm25_search", "chunk_pack", "cohort_retention",
+    "contamination", "corpus_mix", "corpus_split", "dedup_clusters",
+    "dedup_exact", "embedding_near_dup", "embedding_quantize", "fisher_dims",
+    "fixed_size_sample", "frame_sample", "fuzzy_name_pairs", "ivf_profile",
+    "jaccard_topk", "knn_label_agreement", "knn_label_agreement_ivf",
+    "large_orders", "lm_quality", "lsh_dedup_pairs", "minhash_signature",
+    "multimodal_meta", "overlap_chunks", "part_pagerank",
+    "quality_gate_report", "resample_ffill", "semantic_only_dups",
+    "simhash_md5", "similarity_topk", "sketch_accuracy", "stratified_sample",
+    "stream_attribution_pairs", "table_profile", "text_fingerprints",
+    "text_repetition", "text_stats", "token_budget", "top_supplier",
+    "value_ks_drift", "vocab_coverage", "winnow", "winnow_pairs",
     # single-query families (must stay in-window)
     "salted_hot_join", "zorder_skipping",
 ]
-REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R13} | {
-    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R13)
+REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R14} | {
+    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R14)
 }
 
 

@@ -30,58 +30,67 @@ CHECK_WINDOW = 50
 # the pin exists to keep a family's freshness above the bar, and those
 # families are above it without a slot. Prior pin-set rationale history
 # lives in git.
-# r13 reset (VERDICT r12 #3/#7): the window is the rotation payload —
-# all 46 r9-latest attestations + the 2 never-attested r13 queries + the
-# 2 single-query families — so pins are chosen FROM those rotate-ins
-# wherever a family has one. Families whose every member is fresh
-# (attested ≥ r10 after the green r12 run: X4 tokenizer, X8 bloom, X9
-# temporal, X10 corpus-mixing, X13 drift audits, bronze P, gold funnel/
-# attribution, skew-free relational aggs) cede their pin slot to the
-# payload this round — the pin exists to keep a family's freshness
-# above the bar, and those families are above it without a slot. Prior
-# pin-set rationale history lives in git.
+# r14 reset (VERDICT r13 #1/#6): the window is the rotation payload —
+# 47 of the 48 r10-latest attestations (promo_revenue is the NAMED
+# overflow held to r15 — 51 candidates for 50 slots) + the never-
+# attested ann_rebalance_recall + the 2 single-query families — so pins
+# are chosen FROM those rotate-ins wherever a family has one. Families
+# whose every member is fresh (attested ≥ r11 after the green r13 run:
+# the r11-r13 tiers — ledger cross-run state, persisted-index serving,
+# §2e surfaces, streaming windows, G funnel/session shapes, X13 drift
+# family) cede their pin slot to the payload, per the standing
+# precedent. Prior pin-set rationale history lives in git.
 FAMILY_PROOFS = {
-    # X1/X2 dedup: CC clustering (min-label option) + the NEW cross-run
-    # BandLedger compaction proof
-    "dedup_clusters_alt",
-    "ledger_cross_run_dups",
-    # record linkage: reciprocal best-match over multi-pass candidates
-    "best_match_pairs",
-    # X3 ANN: persisted-index serving + the NEW split-rebalance lifecycle
-    "ann_ivf_indexed",
-    "ann_ivf_rebalance",
-    # X5 multimodal: overlapping audio windows
-    "audio_windows",
-    # X6 sketches: HLL union mergeability contract
-    "sketch_union",
-    # X7 search: BM25 from the persisted inverted index
-    "bm25_indexed",
-    # X10/corpus: end-to-end enrich+gate+dedup pipeline
-    "corpus_ingest",
-    # X11 selection: exact AUC gate + its banded 100 TB twin + ECE bins
-    "ranking_auc",
-    "ranking_auc_banded",
-    "calibration_bins",
-    # X12 graph: degree-distribution pre-flight audit
-    "degree_histogram",
+    # X1 exact dedup + X2 near-dup: digest dedup, banded LSH pairs, CC
+    # clustering, embedding near-dups
+    "dedup_exact",
+    "dedup_clusters",
+    "lsh_dedup_pairs",
+    "embedding_near_dup",
+    # record linkage: blocked Levenshtein fuzzy matching
+    "fuzzy_name_pairs",
+    # X3 ANN: the NEW fixed-n_probe recall gate over the split lifecycle
+    # + brute-force cosine baseline + index health profile
+    "ann_rebalance_recall",
+    "similarity_topk",
+    "ivf_profile",
+    # X4 text: repetition signals + winnowing fingerprints + LM quality
+    "text_repetition",
+    "winnow",
+    "lm_quality",
+    # X5 multimodal: metadata/digest projection + frame sampling
+    "multimodal_meta",
+    "frame_sample",
+    # X6 sketches: HLL/GK accuracy contract
+    "sketch_accuracy",
+    # X7 search: BM25 keyword retrieval
+    "bm25_search",
+    # X8 bloom: scan-side decontamination
+    "bloom_decontaminate",
+    # X9 temporal: resample + forward fill
+    "resample_ffill",
+    # X10 corpus shaping: quota mixing + contamination scan
+    "corpus_mix",
+    "contamination",
+    # X11 selection: cross-run QualityGateLedger report + Fisher dims
+    "quality_gate_report",
+    "fisher_dims",
+    # X12 graph: weighted PageRank power iteration
+    "part_pagerank",
+    # X13 audits: exact-integer KS drift + one-pass table profile
+    "value_ks_drift",
+    "table_profile",
     # skew mitigation (single-query family — must always sit in-window)
     "salted_hot_join",
     # §4 layout (single-query family — must always sit in-window)
     "zorder_skipping",
-    # streaming twin: session windows (batch parity)
-    "session_windows",
-    # G analytics: journey transitions + conversion latency
-    "journey_transitions",
-    "time_to_convert",
-    # R relational: global sort/top-k + grouping sets + window frames
-    "sort_topk_lineitems",
-    "rollup_sales",
-    "running_revenue",
-    # §2e surfaces: set ops + pivot + as-of + band join
-    "customer_segments_setops",
-    "event_type_pivot",
-    "asof_view_before_purchase",
-    "band_pairs",
+    # G analytics: last-touch attribution + weekly cohorts
+    "attribution_last_touch",
+    "cohort_retention",
+    # streaming twin: purchase→trailing-hour interval join (batch parity)
+    "stream_attribution_pairs",
+    # R relational: HAVING-then-join-back (Q18 shape)
+    "large_orders",
 }
 
 def test_every_family_proof_inside_check_window():
