@@ -1226,3 +1226,173 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
 FROM rec
 """
     )
+
+
+# --- r14: GATED rebalance lifecycle (r13 VERDICT #7; registers in r15 per
+# --- the never-attested-in-window protocol) ---------------------------------
+
+
+def _ensure_gated_ivf_index(spark: SparkSession, sf: str) -> str:
+    """Build-once handle for the GATED split lifecycle: build over the
+    full embeddings table, then ONE `index.rebalance_with_gate` pass —
+    the library-level default maintenance path (r13 VERDICT #2) — with a
+    full-range budget (1e6: records the recall delta, never vetoes, so
+    the lifecycle is deterministic at every sf whether the split helps
+    or hurts). The gate's verdict inputs (pre/post mean recall@5 at the
+    fixed serving n_probe=4, split count, and the scaled
+    recommended_n_probe read back from the centroid_meta sidecar)
+    persist as a one-row parquet report beside the index.
+    Marker-idempotent (the bench runs every query twice; a second gated
+    pass would split further and re-measure)."""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+    from commerce_data_pipeline_spark.operators.similarity import auto_n_centroids
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+
+    root = _cache_dir("ivf_gate", sf)
+    marker = join_path(root, "_GATE_READY")
+    fs = HadoopFS(spark, root)
+    if not fs.exists(marker):
+        if fs.exists(root):
+            fs.delete(root)
+        emb = load_table(spark, sf, "embeddings")
+        total = emb.count()
+        nc = auto_n_centroids(total)
+        step = max(1, total // nc)
+        ivf_index.build_ivf_index(emb, root, corpus_count=total)
+        queries = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2500))
+        out = ivf_index.rebalance_with_gate(
+            spark, root, max_list_size=(13 * step) // 10,
+            corpus=emb, queries=queries,
+            max_recall_drop_e6=1_000_000,
+            k=5, n_probe=4, n_splits=2,
+        )
+        spark.createDataFrame(
+            [(
+                int(out["pre"]["n_queries"]),
+                int(len(out["split_centroids"])),
+                int(out["pre"]["mean_recall_e6"]),
+                int(out["post"]["mean_recall_e6"]),
+                int(out["recommended_n_probe"]),
+            )],
+            "n_queries long, n_split int, pre_mean_recall_e6 long, "
+            "post_mean_recall_e6 long, recommended_n_probe int",
+        ).coalesce(1).write.mode("overwrite").parquet(join_path(root, "gate_report"))
+        fs.write_bytes(marker, b"ready\n")
+    return root
+
+
+def _q_ann_rebalance_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 maintenance gate END TO END — the verdict row a production
+    split decision reads: `rebalance_with_gate` over a persisted build
+    (pre-audit → split → post-audit → centroid_meta-scaled
+    recommended_n_probe), with the admit/veto outcome derived for two
+    reference budgets from the SAME measured numbers — 50000e-6 (a
+    plausible production drop budget) and 0 (strict no-regression). A
+    hash match attests the gate arithmetic, the audit replays on both
+    routings, and the n_probe scaling rule
+    (ceil(n_probe · new_centroids / base_centroids)) in one row.
+    (Built in r14; enters the driver window in r15 per the
+    never-attested-in-window protocol.)"""
+    from commerce_data_pipeline_spark.sources.hadoopfs import join_path
+
+    root = _ensure_gated_ivf_index(spark, sf)
+    rep = spark.read.parquet(join_path(root, "gate_report"))
+    drop = F.col("pre_mean_recall_e6") - F.col("post_mean_recall_e6")
+    return rep.select(
+        "n_queries",
+        F.lit(5).cast("int").alias("k"),
+        F.lit(4).cast("int").alias("n_probe"),
+        "n_split",
+        "pre_mean_recall_e6",
+        "post_mean_recall_e6",
+        drop.cast("long").alias("drop_e6"),
+        "recommended_n_probe",
+        (drop <= 50000).alias("admitted_50000"),
+        (drop <= 0).alias("admitted_0"),
+    )
+
+
+def _ora_ann_rebalance_gate(n_splits: int = 2) -> str:
+    """Composes `_ora_ann_ivf_rebalance`'s CTE chain (through the
+    post-split probe selection `pr`) with: the PRE-split probe selection
+    over the original centroid table (`cent0`/`inv`), both IVF top-5
+    sets, the exact brute-force top-5, both per-query overlaps, and the
+    integer-exact gate summary (drop, ceil-scaled recommended n_probe,
+    admit booleans at the two reference budgets) — string-composed from
+    the rebalance oracle so the three replays cannot drift."""
+    base = _ora_ann_ivf_rebalance(n_splits)
+    head, sep, _ = base.partition("), sims AS (")
+    assert sep, "rebalance oracle changed shape; update the gate composer"
+    return (
+        head
+        + f"""), probes0 AS (
+  SELECT q.vec_id AS query_id, cent0.centroid_id, q.u AS q_unit,
+    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      ORDER BY list_dot_product(q.u, cent0.c_vec) DESC, cent0.centroid_id) AS r
+  FROM unit q CROSS JOIN cent0 WHERE q.vec_id % 20 = 0 AND q.vec_id < 2500
+), pr0 AS (
+  SELECT query_id, centroid_id, q_unit FROM probes0 WHERE r <= 4
+), ivf0_sims AS (
+  SELECT query_id, neighbor_id, list_dot_product(q_unit, c_unit) AS sim
+  FROM inv JOIN pr0 USING (centroid_id)
+  WHERE neighbor_id <> query_id
+), ivf0 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM ivf0_sims
+  ) WHERE rank <= 5
+), ivf_sims AS (
+  SELECT query_id, neighbor_id, list_dot_product(q_unit, c_unit) AS sim
+  FROM inv2 JOIN pr USING (centroid_id)
+  WHERE neighbor_id <> query_id
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM ivf_sims
+  ) WHERE rank <= 5
+), exact_sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.u, c.u) AS sim
+  FROM unit q JOIN unit c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % 20 = 0 AND q.vec_id < 2500
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM exact_sims
+  ) WHERE rank <= 5
+), rec_pre AS (
+  SELECT e.query_id,
+    (SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // 5
+      AS recall_e6
+  FROM exact e LEFT JOIN ivf0 i USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+), rec_post AS (
+  SELECT e.query_id,
+    (SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // 5
+      AS recall_e6
+  FROM exact e LEFT JOIN ivf i USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+), summ AS (
+  SELECT
+    (SELECT COUNT(*) FROM rec_pre) AS n_queries,
+    (SELECT SUM(recall_e6) // COUNT(*) FROM rec_pre) AS pre_mean,
+    (SELECT SUM(recall_e6) // COUNT(*) FROM rec_post) AS post_mean,
+    (SELECT COUNT(*) FROM big) AS n_split,
+    (SELECT COUNT(*) FROM cent0) AS n_base,
+    (SELECT COUNT(*) FROM cent2) AS n_new
+)
+SELECT CAST(n_queries AS BIGINT) AS n_queries,
+  CAST(5 AS INT) AS k, CAST(4 AS INT) AS n_probe,
+  CAST(n_split AS INT) AS n_split,
+  CAST(pre_mean AS BIGINT) AS pre_mean_recall_e6,
+  CAST(post_mean AS BIGINT) AS post_mean_recall_e6,
+  CAST(pre_mean - post_mean AS BIGINT) AS drop_e6,
+  CAST((4 * n_new + n_base - 1) // n_base AS INT) AS recommended_n_probe,
+  (pre_mean - post_mean) <= 50000 AS admitted_50000,
+  (pre_mean - post_mean) <= 0 AS admitted_0
+FROM summ
+"""
+    )

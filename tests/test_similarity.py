@@ -854,6 +854,49 @@ def test_ann_rebalance_recall_query_matches_oracle(spark, sf_dir, tmp_path):
     assert 0 <= row["mean_recall_e6"] <= 1_000_000
 
 
+def test_ann_rebalance_gate_query_matches_oracle(spark, sf_dir, tmp_path):
+    """Pre-registration differential for the r15 window candidate (the
+    never-attested-in-window protocol, ann_ivf_rebalance precedent): the
+    gated-rebalance lifecycle row — pre/post recall at the fixed serving
+    n_probe, split count, ceil-scaled recommended_n_probe, admit/veto at
+    two reference budgets — must hash-match its DuckDB replay, which
+    composes the rebalance CTE chain with BOTH probe routings and the
+    brute-force exact top-5."""
+    import duckdb
+
+    from commerce_data_pipeline_spark.queries import _shared
+    from commerce_data_pipeline_spark.queries.similarity import (
+        _ora_ann_rebalance_gate,
+        _q_ann_rebalance_gate,
+    )
+
+    orig = _shared.CACHE_TAG
+    _shared.CACHE_TAG = f"gg{tmp_path.name[-8:]}"
+    try:
+        sdf = _q_ann_rebalance_gate(spark, sf_dir)
+        scols = sdf.columns
+        srows = sorted(tuple(r) for r in sdf.collect())
+    finally:
+        _shared.CACHE_TAG = orig
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    rel = con.sql(_ora_ann_rebalance_gate(2))
+    ocols = rel.columns
+    orows = sorted(tuple(r) for r in rel.fetchall())
+    assert sorted(scols) == sorted(ocols)
+    perm = [scols.index(c) for c in ocols]
+    assert [tuple(r[i] for i in perm) for r in srows] == orows
+    # live-data sanity: the gate actually split something and the scaled
+    # n_probe reflects the grown routing table
+    row = {c: v for c, v in zip(scols, srows[0])}
+    assert row["n_queries"] > 0 and row["n_split"] > 0
+    assert row["recommended_n_probe"] > 4
+    assert row["drop_e6"] == row["pre_mean_recall_e6"] - row["post_mean_recall_e6"]
+    assert row["admitted_50000"] == (row["drop_e6"] <= 50000)
+
+
 def test_rebalance_with_gate_and_centroid_meta(spark, tmp_path):
     """r13 VERDICT #2: the recall gate is the library-level DEFAULT path,
     and the post-split routing width persists so serving n_probe scales
