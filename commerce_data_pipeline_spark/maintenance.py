@@ -24,7 +24,12 @@ serving `--n-probe` before and after the split (`index.ivf_recall_audit`
 fixed-probe delta is the number that prices the split); if the mean
 recall drops by more than `--max-recall-drop-e6`, exit code is 1 — the
 split still happened (it cannot be unsplit), but the operator is told
-to raise n_probe or revisit max_list_size before the next pass.
+to raise n_probe or revisit max_list_size before the next pass. Two
+r14 semantics (inherited from the library gate the CLI now delegates
+to): a NO-OP pass (size census finds nothing oversized) skips the
+audits and reports recall_pre/recall_post as null; an audit that
+matches ZERO queries refuses BEFORE splitting (exit 1, index
+unmutated).
 
 Programmatic callers should use `operators.index.rebalance_with_gate`
 (the library-level default path, r13 VERDICT #2) — same pre/post audit,
@@ -121,60 +126,48 @@ def main(argv: list[str] | None = None) -> int:
                          "(the gate needs a corpus to measure recall against)",
             }))
             return 2
-        pre = (
-            _recall(spark, args.path, args.audit_sf_dir, args.k, args.n_probe)
-            if args.audit_sf_dir
-            else None
-        )
-        split = ivf_index.rebalance_ivf_index(
-            spark, args.path, max_list_size=args.max_list_size,
-            n_splits=args.n_splits,
-        )
-        post = (
-            _recall(spark, args.path, args.audit_sf_dir, args.k, args.n_probe)
-            if args.audit_sf_dir
-            else None
-        )
-        out = {
-            "cmd": args.cmd,
-            "path": args.path,
-            "split_centroids": split,
-            "recall_pre": pre,
-            "recall_post": post,
-            # the n_probe the serving layer should move to so the probed
-            # corpus fraction stays constant across splits (reads the
-            # centroid_meta sidecar rebalance maintains — r13 VERDICT #2)
-            "recommended_n_probe": ivf_index.recommended_n_probe(
+        out = {"cmd": args.cmd, "path": args.path, "ok": True}
+        if not args.audit_sf_dir:  # audit-free pass: raw rebalance
+            out["split_centroids"] = ivf_index.rebalance_ivf_index(
+                spark, args.path, max_list_size=args.max_list_size,
+                n_splits=args.n_splits,
+            )
+            out["recommended_n_probe"] = ivf_index.recommended_n_probe(
                 spark, args.path, args.n_probe
-            ),
-            "ok": True,
-        }
-        if args.max_recall_drop_e6 is not None:
-            if (
-                pre["mean_recall_e6"] is None
-                or post["mean_recall_e6"] is None
-                or pre["n_queries"] == 0
-            ):
-                # an unevaluable gate must not read as a pass: the audit
-                # filter matched zero queries in this corpus (split ran
-                # regardless — it cannot be unsplit)
-                out["ok"] = False
-                out["recall_gate"] = (
-                    "gate requested but the audit produced 0 queries "
-                    "(vec_id % 20 == 0 AND vec_id < 2500 matched nothing "
-                    "in --audit-sf-dir): recall is unverified"
-                )
-            elif (
-                pre["mean_recall_e6"] - post["mean_recall_e6"]
-                > args.max_recall_drop_e6
-            ):
-                out["ok"] = False
-                out["recall_gate"] = (
-                    f"mean recall@{args.k} at n_probe={args.n_probe} dropped "
-                    f"{pre['mean_recall_e6'] - post['mean_recall_e6']}e-6 "
-                    f"(> {args.max_recall_drop_e6}e-6): raise n_probe or "
-                    "max_list_size before the next pass"
-                )
+            )
+            print(json.dumps(out))
+            return 0
+        # ONE gate implementation: the library-level default path
+        # (rebalance_with_gate) — the CLI only maps its outcomes onto
+        # JSON + exit codes (r14 review: the first cut duplicated the
+        # pre/post audit + drop comparison here and had already drifted).
+        emb, queries = _audit_corpus(spark, args.audit_sf_dir)
+        try:
+            res = ivf_index.rebalance_with_gate(
+                spark, args.path, max_list_size=args.max_list_size,
+                corpus=emb, queries=queries,
+                max_recall_drop_e6=args.max_recall_drop_e6,  # None = report-only
+                k=args.k, n_probe=args.n_probe, n_splits=args.n_splits,
+            )
+            out.update(
+                split_centroids=res["split_centroids"],
+                recall_pre=res["pre"],
+                recall_post=res["post"],
+                recommended_n_probe=res["recommended_n_probe"],
+            )
+        except ivf_index.RecallRegression as e:
+            out.update(
+                ok=False,
+                split_centroids=e.split,
+                recall_pre=e.pre,
+                recall_post=e.post,
+                recommended_n_probe=e.recommended_n_probe,
+                recall_gate=str(e),
+            )
+        except ValueError as e:
+            # unevaluable gate (0 audit queries): refused BEFORE the
+            # split — the index was not mutated
+            out.update(ok=False, recall_gate=str(e))
         print(json.dumps(out))
         return 0 if out["ok"] else 1
 

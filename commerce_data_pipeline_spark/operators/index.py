@@ -97,7 +97,14 @@ def build_ivf_index(
     )
     centroids.write.mode("overwrite").parquet(join_path(path, "centroids"))
     _set_gen(corpus.sparkSession, path, 0)
-    _set_centroid_meta(corpus.sparkSession, path, n_centroids, n_centroids)
+    # persist the ACTUAL build-time routing width, not the requested
+    # n_centroids: on sparse id spaces ivf_centroids yields fewer rows
+    # than requested (require_centroids tolerates gaps), and a base
+    # recorded too high would tell recommended_n_probe to SHRINK the
+    # serving n_probe after a split (r14 review). The centroid table is
+    # ≤ √N rows — the count is a build-time-only action.
+    actual = corpus.sparkSession.read.parquet(join_path(path, "centroids")).count()
+    _set_centroid_meta(corpus.sparkSession, path, int(actual))
 
 
 def current_gen(spark: SparkSession, path: str) -> int:
@@ -123,33 +130,36 @@ def _set_gen(spark: SparkSession, path: str, gen: int) -> None:
     ).parquet(join_path(path, "gen_meta"))
 
 
-def _set_centroid_meta(
-    spark: SparkSession, path: str, n_centroids: int, base_n_centroids: int
-) -> None:
-    """One-row sidecar under `centroid_meta/`: the CURRENT centroid count
-    plus the count the index was BUILT with. Rebalance splits grow the
-    routing table, and a serving config that keeps its n_probe fixed
-    silently loses recall with every split (the r13 STRESS finding:
-    recall@5 halved after an 8× split at fixed n_probe=4) — the ratio
-    current/base is exactly the factor a serving n_probe must scale by
-    to keep covering the same corpus fraction (`recommended_n_probe`)."""
+def _set_centroid_meta(spark: SparkSession, path: str, base_n_centroids: int) -> None:
+    """One-row sidecar under `centroid_meta/`: the ACTUAL centroid count
+    the index was BUILT with. Rebalance splits grow the routing table,
+    and a serving config that keeps its n_probe fixed silently loses
+    recall with every split (the r13 STRESS finding: recall@5 halved
+    after an 8× split at fixed n_probe=4) — current/base is exactly the
+    factor a serving n_probe must scale by to keep covering the same
+    corpus fraction (`recommended_n_probe`). Only the BASE persists:
+    the current width is always derived from the live centroid table
+    (≤ √N rows), so maintenance passes have no meta write to crash
+    around and no stale-counter window (r14 review — the first design
+    wrote the current count post-swap, leaving a permanently stale
+    sidecar if the driver died between the two)."""
     spark.createDataFrame(
-        [(int(n_centroids), int(base_n_centroids))],
-        "n_centroids int, base_n_centroids int",
+        [(int(base_n_centroids),)], "base_n_centroids int"
     ).coalesce(1).write.mode("overwrite").parquet(join_path(path, "centroid_meta"))
 
 
 def centroid_counts(spark: SparkSession, path: str) -> tuple[int, int]:
-    """(current, base) centroid counts for the index at `path`. Indexes
-    built before the sidecar existed read the (tiny) centroid table once
-    and report (n, n) — factor 1, the pre-rebalance behavior."""
+    """(current, base) centroid counts for the index at `path`. Current
+    always comes from the live (tiny) centroid table; base from the
+    sidecar. Indexes built before the sidecar existed report (n, n) —
+    factor 1, the pre-rebalance behavior."""
+    cur = spark.read.parquet(join_path(path, "centroids")).count()
     leaf = join_path(path, "centroid_meta")
     fs = HadoopFS(spark, path)
     if fs.exists(join_path(leaf, "_SUCCESS")):
-        r = spark.read.parquet(leaf).collect()[0]
-        return int(r["n_centroids"]), int(r["base_n_centroids"])
-    n = spark.read.parquet(join_path(path, "centroids")).count()
-    return int(n), int(n)
+        base = int(spark.read.parquet(leaf).collect()[0]["base_n_centroids"])
+        return int(cur), base
+    return int(cur), int(cur)
 
 
 def recommended_n_probe(spark: SparkSession, path: str, base_n_probe: int) -> int:
@@ -185,10 +195,15 @@ TOMBSTONE_BROADCAST_LIMIT = 2_000_000
 # Tombstone directories at or under this many bytes skip the sizing job
 # entirely (r13 ADVICE: `tomb.count()` is a real Spark job — Spark does
 # NOT guarantee a footer-only count for a DataFrame read — and it ran on
-# EVERY ivf_query call). The byte→id bound is deliberately absurdly
-# conservative: parquet cannot encode a column of 64-bit ids below
-# ~1 bit per value even fully delta-packed, so `bytes * 8` upper-bounds
-# the row count; 64 KiB ⇒ ≤ 524k ids, far under the 2M broadcast limit.
+# EVERY ivf_query call). Byte→row bound: this layout's tombstones are
+# written exclusively by delete_from_ivf_index through Spark's default
+# parquet v1 writer (PLAIN/RLE-dict int64 — ≥1 byte per value in
+# practice, usually 8), so 64 KiB bounds the set far under the 2M-id
+# broadcast limit. Theoretical worst case (an external v2 writer
+# DELTA_BINARY_PACKing constant-stride ids at well under a bit each):
+# a 64 KiB dir could hide a few million ids, whose max-upto_gen
+# aggregate still broadcasts at low tens of MB — a bounded overshoot of
+# the guard's margin, never an OOM cliff (r14 review).
 TOMBSTONE_SMALL_BYTES = 64 * 1024
 
 
@@ -213,7 +228,10 @@ def _tombstone_agg(spark: SparkSession, path: str):
     t = tomb.groupBy("neighbor_id").agg(F.max("upto_gen").alias("_upto"))
     fs = HadoopFS(spark, path)
     nbytes = fs.size(join_path(path, "tombstones"))
-    if nbytes <= TOMBSTONE_SMALL_BYTES and nbytes * 8 <= TOMBSTONE_BROADCAST_LIMIT:
+    # the second conjunct keeps a LOWERED broadcast limit authoritative
+    # (conservative deployments / tests shrink it below the byte
+    # threshold and must disable this fast path with it)
+    if nbytes <= TOMBSTONE_SMALL_BYTES and nbytes <= TOMBSTONE_BROADCAST_LIMIT:
         return F.broadcast(t)
     if tomb.count() <= TOMBSTONE_BROADCAST_LIMIT:
         return F.broadcast(t)
@@ -396,18 +414,7 @@ def rebalance_ivf_index(
     cent_leaf = join_path(path, "centroids").rstrip("/")
     cent_tmp = cent_leaf + "._rebal_tmp"
     cent_old = cent_leaf + "._rebal_old"
-    # Entry guard (r13 ADVICE): a crash between swap_dir's two renames
-    # leaves the only complete centroid table under ._rebal_old and no
-    # live centroids dir — without this check a retry dies at the
-    # step-(0) routing-table read with a raw "path does not exist"
-    # parquet error instead of begin_swap's recovery guidance.
-    if fs.exists(cent_old):
-        raise RuntimeError(
-            f"rebalance_ivf_index: {cent_old} already exists — recover or "
-            "remove the previous swap's rename-aside copy first (a prior "
-            "rebalance crashed mid-swap; that copy may be the only "
-            "complete centroid table)"
-        )
+    check_no_pending_swap(spark, path, what="rebalance_ivf_index")
     # (0) sweep unroutable partitions (see Crash consistency above): any
     # inverted dir whose centroid id is absent from the routing table is
     # dead — either crash debris from a prior attempt or a retired list
@@ -526,19 +533,52 @@ def rebalance_ivf_index(
     rows = new_table.collect()  # centroid table is driver-tiny by contract
     from commerce_data_pipeline_spark.sources.hadoopfs import begin_swap, swap_dir
 
-    _, base_cents = centroid_counts(spark, path)  # read BEFORE the swap
     begin_swap(spark, cent_leaf, cent_tmp, cent_old, what="rebalance_ivf_index")
     spark.createDataFrame(rows, new_table.schema).write.mode("overwrite").parquet(
         cent_tmp
     )
     swap_dir(spark, cent_leaf, cent_tmp, cent_old, what="rebalance_ivf_index")
-    # persist the new routing width so serving layers can re-derive
-    # n_probe (recommended_n_probe) instead of silently losing recall
-    _set_centroid_meta(spark, path, len(rows), base_cents)
+    # the new routing width needs NO meta write: recommended_n_probe
+    # derives the current count from the live centroid table just
+    # swapped in (only the build-time base persists — see
+    # _set_centroid_meta on why maintenance must not own a counter)
     # (3) reclaim the retired (now-unreachable) partitions
     for cid in oversized:
         fs.delete(join_path(inv_leaf, f"centroid_id={cid}"))
     return oversized
+
+
+def check_no_pending_swap(spark: SparkSession, path: str, what: str) -> None:
+    """Entry guard (r13 ADVICE, hoisted for every maintenance entrypoint
+    in r14 review): a crash between swap_dir's two renames leaves the
+    only complete centroid table under ._rebal_old and no live
+    centroids dir — without this check a retry (or a pre-split recall
+    audit, which reads the centroid table FIRST on the gated default
+    path) dies with a raw "path does not exist" parquet error instead
+    of begin_swap's recovery guidance."""
+    cent_old = join_path(path, "centroids").rstrip("/") + "._rebal_old"
+    if HadoopFS(spark, path).exists(cent_old):
+        raise RuntimeError(
+            f"{what}: {cent_old} already exists — recover or remove the "
+            "previous swap's rename-aside copy first (a prior rebalance "
+            "crashed mid-swap; that copy may be the only complete "
+            "centroid table)"
+        )
+
+
+def _oversized_lists(spark: SparkSession, path: str, max_list_size: int) -> list[int]:
+    """Centroid ids whose inverted list exceeds `max_list_size` — the
+    cheap size census (one groupBy-count over the inverted file, one
+    ≤ √N-row collect) shared by rebalance and its gated wrapper, so a
+    steady-state no-op maintenance pass never pays a recall audit."""
+    inverted = spark.read.option("mergeSchema", "true").parquet(
+        join_path(path, "inverted")
+    )
+    sizes = inverted.groupBy("centroid_id").count()
+    return sorted(
+        r["centroid_id"]
+        for r in sizes.filter(F.col("count") > max_list_size).collect()
+    )
 
 
 class RecallRegression(RuntimeError):
@@ -547,13 +587,18 @@ class RecallRegression(RuntimeError):
     ALREADY been applied when this raises (a split cannot be unsplit) —
     the exception is the operational signal to raise the serving n_probe
     (`.recommended_n_probe` carries the scaled value) or revisit
-    max_list_size before the next maintenance pass."""
+    max_list_size before the next maintenance pass. `.split` carries the
+    retired centroid ids, `.pre`/`.post` the audit rows."""
 
-    def __init__(self, message: str, pre: dict, post: dict, recommended: int):
+    def __init__(
+        self, message: str, pre: dict, post: dict, recommended: int,
+        split: list[int],
+    ):
         super().__init__(message)
         self.pre = pre
         self.post = post
         self.recommended_n_probe = recommended
+        self.split = split
 
 
 def rebalance_with_gate(
@@ -562,7 +607,7 @@ def rebalance_with_gate(
     max_list_size: int,
     corpus: DataFrame,
     queries: DataFrame,
-    max_recall_drop_e6: int,
+    max_recall_drop_e6: int | None,
     k: int = 5,
     n_probe: int = 4,
     n_splits: int = 2,
@@ -579,13 +624,34 @@ def rebalance_with_gate(
     (STRESS.md r13: recall@5 halved after an 8× split at n_probe=4,
     invisible to the bit-identity contract, which holds only at
     n_probe ≥ the post-split centroid count).
+    `max_recall_drop_e6=None` = report-only: audits run and report, the
+    gate never raises.
 
     Returns {"split_centroids", "pre", "post", "drop_e6",
-    "recommended_n_probe"}; a no-op pass (nothing oversized) runs ONE
-    audit and reports drop 0. The audit's brute-force pass scans the
-    corpus twice per gated rebalance — maintenance-cadence cost, never
-    per-query. Raw `rebalance_ivf_index` remains for float master
-    indexes that are re-probed at full width (bit-identity callers)."""
+    "recommended_n_probe"}. A NO-OP pass (the cheap size census finds
+    nothing oversized) skips the audits entirely — pre/post are None,
+    drop 0 — so the steady-state maintenance cadence never pays a
+    brute-force corpus scan for a pass that changes nothing (run
+    `ivf_recall_audit` directly for a standalone number). When the gate
+    DOES evaluate, the zero-query case refuses with ValueError BEFORE
+    the split (an unevaluable gate must not mutate the index it cannot
+    price). The two audits on a splitting pass scan the corpus twice —
+    maintenance-cadence cost, never per-query. Raw `rebalance_ivf_index`
+    remains for float master indexes re-probed at full width
+    (bit-identity callers)."""
+    check_no_pending_swap(spark, path, what="rebalance_with_gate")
+    # census FIRST (pre-compaction, so it can only over-estimate — a
+    # pass that looks oversized but compacts below threshold pays the
+    # pre-audit and splits nothing; the reverse, skipping a real split,
+    # cannot happen)
+    if not _oversized_lists(spark, path, max_list_size):
+        return {
+            "split_centroids": [],
+            "pre": None,
+            "post": None,
+            "drop_e6": 0,
+            "recommended_n_probe": recommended_n_probe(spark, path, n_probe),
+        }
     pre_row = ivf_recall_audit(
         spark, path, corpus, queries, k=k, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col,
@@ -594,17 +660,17 @@ def rebalance_with_gate(
     if pre["n_queries"] == 0:
         raise ValueError(
             "rebalance_with_gate: the audit query set is empty — an "
-            "unevaluable gate must not silently pass (supply queries that "
-            "exist in the corpus)"
+            "unevaluable gate must not silently pass (or split the index "
+            "it cannot price); supply queries that exist in the corpus"
         )
     split = rebalance_ivf_index(
         spark, path, max_list_size=max_list_size, n_splits=n_splits
     )
-    if not split:
+    if not split:  # compaction shrank every census candidate below threshold
         return {
             "split_centroids": [],
             "pre": pre,
-            "post": pre,
+            "post": dict(pre),
             "drop_e6": 0,
             "recommended_n_probe": recommended_n_probe(spark, path, n_probe),
         }
@@ -615,7 +681,7 @@ def rebalance_with_gate(
     post = {c: post_row[c] for c in post_row.asDict()}
     drop = pre["mean_recall_e6"] - post["mean_recall_e6"]
     rec = recommended_n_probe(spark, path, n_probe)
-    if drop > max_recall_drop_e6:
+    if max_recall_drop_e6 is not None and drop > max_recall_drop_e6:
         raise RecallRegression(
             f"rebalance_with_gate: mean recall@{k} at n_probe={n_probe} "
             f"dropped {drop}e-6 (> {max_recall_drop_e6}e-6) after splitting "
@@ -625,6 +691,7 @@ def rebalance_with_gate(
             pre,
             post,
             rec,
+            split,
         )
     return {
         "split_centroids": split,

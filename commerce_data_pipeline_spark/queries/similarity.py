@@ -1266,6 +1266,13 @@ def _ensure_gated_ivf_index(spark: SparkSession, sf: str) -> str:
             max_recall_drop_e6=1_000_000,
             k=5, n_probe=4, n_splits=2,
         )
+        # the 1.3×-expected threshold always catches the deterministic
+        # assignment's skewed lists (the ann_ivf_rebalance contract, green
+        # at sf0.001/0.01) — a no-op pass here would mean the fixture data
+        # changed shape, and the report below would have no audits to cite
+        assert out["split_centroids"], (
+            "gate lifecycle expects the deterministic skew to split"
+        )
         spark.createDataFrame(
             [(
                 int(out["pre"]["n_queries"]),

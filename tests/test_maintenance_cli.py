@@ -52,6 +52,8 @@ def test_index_rebalance_with_recall_gate(spark, tmp_path, capsys):
     assert out["split_centroids"] == [0, 1]
     assert out["recall_pre"]["n_queries"] > 0
     assert out["recall_post"]["n_probe"] == 2
+    # routing doubled (2 -> 4): the CLI reports the scaled serving n_probe
+    assert out["recommended_n_probe"] == 4
     assert rc == 0 and out["ok"]  # generous gate: cannot trip
 
     # a zero-tolerance gate trips iff recall actually dropped; either
@@ -71,7 +73,10 @@ def test_index_rebalance_with_recall_gate(spark, tmp_path, capsys):
     assert rc2 == (1 if dropped else 0)
     assert out2["ok"] == (not dropped)
     if dropped:
-        assert "raise n_probe" in out2["recall_gate"]
+        # the library gate's message (the CLI delegates to
+        # rebalance_with_gate — one gate implementation, r14 review)
+        assert "raise the serving n_probe" in out2["recall_gate"]
+        assert out2["split_centroids"] == [0, 1]
 
 
 def test_ledger_compact_cmds(spark, tmp_path, capsys):

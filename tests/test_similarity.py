@@ -931,16 +931,20 @@ def test_rebalance_with_gate_and_centroid_meta(spark, tmp_path):
     full = I.ivf_recall_audit(spark, path, emb, q, k=5, n_probe=4).collect()[0]
     assert full["mean_recall_e6"] == 1_000_000
 
-    # no-op pass: nothing oversized — one audit, drop 0, split []
+    # no-op pass: the size census finds nothing oversized — the audits
+    # are SKIPPED entirely (no brute-force corpus scan on the steady-
+    # state cadence), drop 0, split []
     noop = I.rebalance_with_gate(
         spark, path, max_list_size=10_000, corpus=emb, queries=q,
         max_recall_drop_e6=0, n_probe=2,
     )
     assert noop["split_centroids"] == [] and noop["drop_e6"] == 0
+    assert noop["pre"] is None and noop["post"] is None
+    assert noop["recommended_n_probe"] == 4  # still derived live
 
     # vetoed split: an impossible budget (< -1e6) always trips the gate;
-    # the exception carries the numbers + the scaled n_probe, and the
-    # split has still been APPLIED (documented: it cannot be unsplit)
+    # the exception carries the numbers + the scaled n_probe + the split
+    # ids, and the split has still been APPLIED (it cannot be unsplit)
     path2 = f"file://{tmp_path}/ivf2"
     I.build_ivf_index(emb, path2, n_centroids=2)
     with pytest.raises(I.RecallRegression, match="recommended_n_probe") as ei:
@@ -949,15 +953,29 @@ def test_rebalance_with_gate_and_centroid_meta(spark, tmp_path):
             max_recall_drop_e6=-2_000_000, n_probe=2,
         )
     assert ei.value.recommended_n_probe == 4
+    assert ei.value.split == [0, 1]
     assert ei.value.pre["n_queries"] == ei.value.post["n_queries"] == q.count()
     assert spark.read.parquet(f"{path2}/centroids").count() == 4
 
-    # an unevaluable gate (zero audit queries) must refuse, not pass
+    # report-only mode (budget None): same numbers, never raises
+    path3 = f"file://{tmp_path}/ivf3"
+    I.build_ivf_index(emb, path3, n_centroids=2)
+    rep = I.rebalance_with_gate(
+        spark, path3, max_list_size=20, corpus=emb, queries=q,
+        max_recall_drop_e6=None, n_probe=2,
+    )
+    assert rep["split_centroids"] == [0, 1] and rep["pre"] is not None
+
+    # an unevaluable gate (zero audit queries) must refuse BEFORE
+    # splitting — the index is not mutated
+    path4 = f"file://{tmp_path}/ivf4"
+    I.build_ivf_index(emb, path4, n_centroids=2)
     with pytest.raises(ValueError, match="empty"):
         I.rebalance_with_gate(
-            spark, path2, max_list_size=20, corpus=emb,
+            spark, path4, max_list_size=20, corpus=emb,
             queries=q.limit(0), max_recall_drop_e6=0,
         )
+    assert spark.read.parquet(f"{path4}/centroids").count() == 2  # unsplit
 
     # legacy index without the sidecar: counts fall back to the table
     from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
@@ -965,6 +983,36 @@ def test_rebalance_with_gate_and_centroid_meta(spark, tmp_path):
     HadoopFS(spark, path2).delete(f"{path2}/centroid_meta")
     assert I.centroid_counts(spark, path2) == (4, 4)
     assert I.recommended_n_probe(spark, path2, 3) == 3
+
+    # a crash mid-swap must fail the GATED path at entry too (its
+    # pre-audit reads the centroid table before raw rebalance's guard)
+    assert HadoopFS(spark, path2).rename(
+        f"{path2}/centroids", f"{path2}/centroids._rebal_old"
+    )
+    with pytest.raises(RuntimeError, match="rename-aside"):
+        I.rebalance_with_gate(
+            spark, path2, max_list_size=20, corpus=emb, queries=q,
+            max_recall_drop_e6=0, n_probe=2,
+        )
+
+
+def test_build_ivf_index_meta_records_actual_centroids(spark, tmp_path):
+    """r14 review: on sparse id spaces ivf_centroids yields FEWER rows
+    than requested (require_centroids tolerates gaps). The sidecar must
+    record the ACTUAL routing width — a base recorded too high would
+    tell recommended_n_probe to SHRINK the serving n_probe after a
+    split (the exact silent recall loss the sidecar exists to stop)."""
+    from commerce_data_pipeline_spark.operators import index as I
+
+    dense = _vecs(spark, n=60)
+    sparse = dense.withColumn("vec_id", F.col("vec_id") * 2)  # even ids only
+    path = f"file://{tmp_path}/ivf_sparse"
+    I.build_ivf_index(sparse, path, n_centroids=16)
+    actual = spark.read.parquet(f"{path}/centroids").count()
+    assert actual < 16  # the sparse id space starves the id-stride rule
+    assert I.centroid_counts(spark, path) == (actual, actual)
+    # unsplit index: the scaling rule is the identity, never a shrink
+    assert I.recommended_n_probe(spark, path, 4) == 4
 
 
 def test_ivf_rebalance_mid_swap_crash_entry_guard(spark, tmp_path):

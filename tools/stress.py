@@ -247,7 +247,16 @@ def _timed_min(fn, reps: int = REPS) -> float:
     return best
 
 
-def run_at_scale(spark, sf_dir: str, k: int) -> dict[str, float]:
+def run_at_scale(
+    spark, sf_dir: str, k: int, names: list[str] | None = None,
+    warm: bool = False,
+) -> dict[str, float]:
+    """Min-of-REPS wall time per registry query at k× scale. `names`
+    defaults to STRESS_QUERIES; one-off sweeps (tools/stress_r*.py) pass
+    their own list so the rebind-loader / cache-tag / restore harness
+    lives in exactly one place (r14 review — stress_r14 had copied it).
+    `warm=True` runs one untimed pass per query first (JIT + any
+    _ensure_* cache build)."""
     # queries is now a package (r10 split): rebind load_table inside every
     # query module; the package-level Q.load_table stays the restore point.
     Q.rebind_load_table(scaled_loader(k))
@@ -258,13 +267,15 @@ def run_at_scale(spark, sf_dir: str, k: int) -> dict[str, float]:
     Q.set_cache_tag(f"x{k}" if k != 1 else "")
     try:
         out: dict[str, float] = {}
-        for name in STRESS_QUERIES:
+        for name in (STRESS_QUERIES if names is None else names):
 
             def run(name=name):
                 Q.REGISTRY[name].spark(spark, sf_dir).count()
                 spark.catalog.clearCache()
                 unpersist_all_rdds(spark)
 
+            if warm:
+                run(name)
             out[name] = _timed_min(run)
         return out
     finally:

@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from commerce_data_pipeline_spark import queries as Q
 from commerce_data_pipeline_spark.session import get_spark
-from tools.stress import _timed_min, scaled_loader, unpersist_all_rdds
+from tools.stress import _timed_min, run_at_scale, unpersist_all_rdds
 
 SWEEP_ROWS = [
     "referential_integrity",
@@ -58,24 +58,9 @@ ITERATIVE_ROWS = [
 
 
 def run_rows(spark, sf_dir: str, k: int, names: list[str]) -> dict[str, float]:
-    Q.rebind_load_table(scaled_loader(k))
-    original_tag = Q.get_cache_tag()
-    Q.set_cache_tag(f"x{k}" if k != 1 else "")
-    try:
-        out: dict[str, float] = {}
-        for name in names:
-
-            def run(name=name):
-                Q.REGISTRY[name].spark(spark, sf_dir).count()
-                spark.catalog.clearCache()
-                unpersist_all_rdds(spark)
-
-            run(name)  # untimed warm (JIT + any _ensure_* cache build)
-            out[name] = _timed_min(run)
-        return out
-    finally:
-        Q.rebind_load_table(Q.load_table)
-        Q.set_cache_tag(original_tag)
+    # ONE harness (tools/stress.py run_at_scale) — this sweep only picks
+    # the query list and asks for an untimed warm pass per query
+    return run_at_scale(spark, sf_dir, k, names=names, warm=True)
 
 
 def _count_checkpoint_dirs(ckpt_root: str) -> int:
