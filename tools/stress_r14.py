@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from commerce_data_pipeline_spark import queries as Q
 from commerce_data_pipeline_spark.session import get_spark
-from tools.stress import _timed_min, run_at_scale, unpersist_all_rdds
+from tools.stress import _timed_min, run_at_scale, scaled_loader, unpersist_all_rdds
 
 SWEEP_ROWS = [
     "referential_integrity",
@@ -100,7 +100,68 @@ def price_reliable(spark, sf_dir: str) -> list[tuple[str, float, float, int]]:
     return rows
 
 
+def run_lifecycles(spark, sf_dir: str, k: int) -> dict[str, float]:
+    """Fresh-cache FULL-lifecycle timings for this round's new queries
+    (the stress_r13 precedent for ann_ivf_rebalance):
+    - ann_rebalance_recall: build → split → fixed-n_probe recall audit
+      (brute force + refined-routing probe), fresh ivf_split dir per rep;
+    - ann_rebalance_gate (registers in r15): build → census → pre-audit
+      → split → post-audit → verdict row, fresh ivf_gate dir per rep.
+    Corpus-sized work in both is the build assignment + the brute-force
+    audit scans; split work scales with the oversized fraction."""
+    import shutil
+
+    from commerce_data_pipeline_spark.queries import _shared
+    from commerce_data_pipeline_spark.queries.similarity import (
+        _q_ann_rebalance_gate,
+    )
+
+    rows = {
+        "ann_rebalance_recall": ("ivf_split", Q.REGISTRY["ann_rebalance_recall"].spark),
+        "ann_rebalance_gate": ("ivf_gate", _q_ann_rebalance_gate),
+    }
+    Q.rebind_load_table(scaled_loader(k))
+    original_tag = Q.get_cache_tag()
+    tag = f"x{k}" if k != 1 else ""
+    Q.set_cache_tag(tag)
+    try:
+        out: dict[str, float] = {}
+        for name, (kind, fn) in rows.items():
+
+            def run(kind=kind, fn=fn):
+                orig = _shared.CACHE_TAG
+                _shared.CACHE_TAG = tag
+                try:
+                    leaf = _shared._cache_dir(kind, sf_dir)
+                finally:
+                    _shared.CACHE_TAG = orig
+                shutil.rmtree(leaf, ignore_errors=True)
+                fn(spark, sf_dir).count()
+                spark.catalog.clearCache()
+                unpersist_all_rdds(spark)
+
+            out[name] = _timed_min(run)
+        return out
+    finally:
+        Q.rebind_load_table(Q.load_table)
+        Q.set_cache_tag(original_tag)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "lifecycles":
+        k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        spark = get_spark("stress_r14")
+        spark.range(1000).selectExpr("sum(id)").collect()
+        base = run_lifecycles(spark, sf_dir, 1)
+        big = run_lifecycles(spark, sf_dir, k)
+        print(f"| query (full lifecycle, fresh cache per rep) | 1x sec | {k}x sec | ratio |")
+        print("|---|---|---|---|")
+        for name in base:
+            print(f"| {name} | {base[name]:.2f} | {big[name]:.2f} "
+                  f"| {big[name] / base[name]:.1f}x |")
+        return
+
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     spark = get_spark("stress_r14")
