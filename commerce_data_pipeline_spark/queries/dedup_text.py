@@ -540,7 +540,15 @@ FROM ranked GROUP BY l_orderkey
 
 def _q_customer_segments_setops(spark: SparkSession, sf: str) -> DataFrame:
     """§2e set operations: UNION / INTERSECT / EXCEPT over customer key
-    sets (buyers in 1996 vs 1997), labeled and unioned into one result."""
+    sets (buyers in 1996 vs 1997), labeled and unioned into one result.
+    Each year's key set feeds FOUR set-op consumers — without lineage
+    truncation every consumer re-scans orders and re-runs the distinct
+    (8 scans / 8 distinct aggs witnessed in PLANS.md through r14); the
+    lazy checkpoint materializes each buyer set once, so the fact table
+    is scanned once per year and the set operators work over the ~|keys|
+    materialized frames (the multi-consumer rule, r13 precedent)."""
+    from commerce_data_pipeline_spark.checkpoint import checkpoint as _ckpt
+
     o = load_table(spark, sf, "orders")
 
     def buyers(year: int) -> DataFrame:
@@ -551,6 +559,7 @@ def _q_customer_segments_setops(spark: SparkSession, sf: str) -> DataFrame:
             )
             .select("o_custkey")
             .distinct()
+            .transform(_ckpt, eager=False)
         )
 
     b96, b97 = buyers(1996), buyers(1997)
