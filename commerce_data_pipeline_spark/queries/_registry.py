@@ -417,49 +417,70 @@ REGISTRY["ann_rebalance_recall"] = QuerySpec(
     "X3 maintenance gate: recall@5 at the FIXED serving n_probe over the SPLIT index vs exact brute force (build in r13, registered r14 per protocol) — the number rebalance_with_gate enforces; oracle composes the rebalance replay with the brute-force top-5 and the integer summary",
 )
 
-# --- r14 window rotation (VERDICT r13 #1 + #6) -------------------------------
+# --- r15 additions -----------------------------------------------------------
+from commerce_data_pipeline_spark.queries.similarity import (  # noqa: E402
+    _ora_ann_rebalance_gate,
+    _q_ann_rebalance_gate,
+)
+
+REGISTRY["ann_rebalance_gate"] = QuerySpec(
+    _q_ann_rebalance_gate,
+    _ora_ann_rebalance_gate(2),
+    "X3 maintenance gate END TO END: rebalance_with_gate verdict row — pre/post "
+    "recall@5 at the fixed serving n_probe over the persisted split lifecycle, "
+    "drop, ceil-scaled recommended_n_probe, admit booleans at two reference "
+    "budgets (built in r14, registered r15 per the never-attested protocol)",
+)
+
+# --- r15 window rotation (VERDICT r14 #1 + #6) -------------------------------
 # THE one live window (historical windows live in git + COVERAGE.md's
 # generated attestation ledger — see the note above the registry dict).
-# The rotation payload is the oldest attestation tier standing after the
-# green CORRECTNESS_r13: the 48 r10-latest queries. With the two
-# always-in-window single-query families (salted_hot_join,
-# zorder_skipping) that is 50 exactly — and the never-attested
-# `ann_rebalance_recall` (pre-built + differential-pinned in r13,
-# registered this round per protocol) must ALSO sit in-window: 51
-# candidates for 50 slots, exactly as the r13 VERDICT forecast. The
-# named overflow is `promo_revenue` (Q14-shape conditional monthly
-# share; the relational family keeps large_orders/top_supplier and 40+
-# other in-window shapes): it is DELIBERATELY held at its r10
-# attestation until r15 and MUST lead _WINDOW_R15 (recorded in
-# COVERAGE.md's r14 section). After a green CORRECTNESS_r14 every other
-# non-terminal query's latest attestation is ≥ r11 (directive #6's
+# The rotation payload after the fully-green CORRECTNESS_r14
+# (tiers r14:50, r13:48, r12:48, r11:48, r10: promo_revenue only):
+# `promo_revenue` LEADS — the NAMED r10-tier overflow deliberately held
+# out of _WINDOW_R14, sanctioned for exactly two rounds and due now —
+# followed by the never-attested `ann_rebalance_gate` (pre-built +
+# differential-pinned in r14, registered this round per protocol), the
+# two always-in-window single-query families (salted_hot_join,
+# zorder_skipping), and 46 of the 48 r11-latest queries: 52 candidates
+# for 50 slots, exactly as the r14 VERDICT forecast. The TWO named
+# r11-tier overflows are `ann_pq` (X3 keeps ann_ivf + centroid_sim +
+# cluster_sample + the new ann_rebalance_gate in-window; ann_pq's ADC
+# arithmetic is additionally pinned by differential pytest) and
+# `bigram_lm` (X4 keeps text_profile, bpe_tokenize, tokenizer_fertility
+# and dup_ngram_spans in-window; the LM family's heldout_perplexity twin
+# is r12-fresh) — both recorded in COVERAGE.md's r15 section; they MUST
+# lead _WINDOW_R16. After a green CORRECTNESS_r15 every other
+# non-terminal query's latest attestation is ≥ r12 (directive #6's
 # bar). FAMILY_PROOFS in tests/test_registry_window.py is re-seeded
 # from this window in the same commit; families whose every member is
-# fresh (attested ≥ r11: the r11-13 tiers) cede their pin slot to the
+# fresh (attested ≥ r12: the r12-r14 tiers) cede their pin slot to the
 # payload, per the standing precedent.
-_WINDOW_R14 = [
-    # new in r14 — never-attested, first driver attestation this round
-    "ann_rebalance_recall",
-    # 47 of the 48 r10-latest rotate-ins (promo_revenue held to r15),
-    # alphabetical
-    "ann_lsh_md5", "ann_recall", "attribution_last_touch",
-    "bloom_decontaminate", "bm25_search", "chunk_pack", "cohort_retention",
-    "contamination", "corpus_mix", "corpus_split", "dedup_clusters",
-    "dedup_exact", "embedding_near_dup", "embedding_quantize", "fisher_dims",
-    "fixed_size_sample", "frame_sample", "fuzzy_name_pairs", "ivf_profile",
-    "jaccard_topk", "knn_label_agreement", "knn_label_agreement_ivf",
-    "large_orders", "lm_quality", "lsh_dedup_pairs", "minhash_signature",
-    "multimodal_meta", "overlap_chunks", "part_pagerank",
-    "quality_gate_report", "resample_ffill", "semantic_only_dups",
-    "simhash_md5", "similarity_topk", "sketch_accuracy", "stratified_sample",
-    "stream_attribution_pairs", "table_profile", "text_fingerprints",
-    "text_repetition", "text_stats", "token_budget", "top_supplier",
-    "value_ks_drift", "vocab_coverage", "winnow", "winnow_pairs",
+_WINDOW_R15 = [
+    # the named r10-tier overflow — held since r13, leads per VERDICT r14 #1
+    "promo_revenue",
+    # new in r15 — never-attested, first driver attestation this round
+    "ann_rebalance_gate",
+    # 46 of the 48 r11-latest rotate-ins (ann_pq + bigram_lm overflow to
+    # r16, named above), alphabetical
+    "ann_ivf", "bloom_fpr", "bpe_tokenize", "centroid_sim", "cluster_sample",
+    "containment_topk", "conversion_daily", "customer_value_deciles",
+    "date_gaps", "decayed_revenue", "distinct_ship_dates", "dsir_select",
+    "dup_ngram_spans", "dup_source_matrix", "epoch_shuffle", "funnel",
+    "greedy_pack", "hard_negatives", "heavy_hitters", "hybrid_search_rrf",
+    "image_near_dup_md5", "image_phash_md5", "join_profile",
+    "media_features_md5", "minhash_estimate_audit", "mmr_rerank",
+    "param_extract", "pii_redact", "price_outliers", "pricing_summary",
+    "quality_calibrate", "scd2_intervals", "scd2_lookup", "seed_expansion",
+    "semantic_dedup", "sessionization", "snm_name_pairs",
+    "streaming_daily_counts", "temperature_mix", "text_profile",
+    "tfidf_keywords", "tokenizer_fertility", "top_revenue_nations",
+    "value_js_drift", "value_psi_drift", "weighted_sample",
     # single-query families (must stay in-window)
     "salted_hot_join", "zorder_skipping",
 ]
-REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R14} | {
-    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R14)
+REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R15} | {
+    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R15)
 }
 
 

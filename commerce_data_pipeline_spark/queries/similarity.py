@@ -1269,10 +1269,15 @@ def _ensure_gated_ivf_index(spark: SparkSession, sf: str) -> str:
         # the 1.3×-expected threshold always catches the deterministic
         # assignment's skewed lists (the ann_ivf_rebalance contract, green
         # at sf0.001/0.01) — a no-op pass here would mean the fixture data
-        # changed shape, and the report below would have no audits to cite
-        assert out["split_centroids"], (
-            "gate lifecycle expects the deterministic skew to split"
-        )
+        # changed shape, and the report below would have no audits to cite.
+        # Explicit raise, not assert: under `python -O` an assert strips
+        # and a no-op pass would instead crash on int(None) in the report
+        # row with a far less diagnosable error (r14 ADVICE).
+        if not out["split_centroids"]:
+            raise RuntimeError(
+                "gate lifecycle expects the deterministic skew to split — "
+                "a no-op pass means the fixture data changed shape"
+            )
         spark.createDataFrame(
             [(
                 int(out["pre"]["n_queries"]),

@@ -30,67 +30,93 @@ CHECK_WINDOW = 50
 # the pin exists to keep a family's freshness above the bar, and those
 # families are above it without a slot. Prior pin-set rationale history
 # lives in git.
-# r14 reset (VERDICT r13 #1/#6): the window is the rotation payload —
-# 47 of the 48 r10-latest attestations (promo_revenue is the NAMED
-# overflow held to r15 — 51 candidates for 50 slots) + the never-
-# attested ann_rebalance_recall + the 2 single-query families — so pins
-# are chosen FROM those rotate-ins wherever a family has one. Families
-# whose every member is fresh (attested ≥ r11 after the green r13 run:
-# the r11-r13 tiers — ledger cross-run state, persisted-index serving,
-# §2e surfaces, streaming windows, G funnel/session shapes, X13 drift
-# family) cede their pin slot to the payload, per the standing
-# precedent. Prior pin-set rationale history lives in git.
+# r15 reset (VERDICT r14 #1/#6): the window is the rotation payload —
+# promo_revenue LEADING (the named r10-tier overflow, due after two held
+# rounds) + the never-attested ann_rebalance_gate + 46 of the 48
+# r11-latest attestations (ann_pq + bigram_lm are the named overflows to
+# r16 — 52 candidates for 50 slots) + the 2 single-query families — so
+# pins are chosen FROM those rotate-ins wherever a family has one.
+# Families whose every member is fresh (attested ≥ r12 after the green
+# r14 run: the r12-r14 tiers — exact/LSH dedup, multimodal md-twins'
+# in-window siblings, sketches, bloom decontamination, X9 resample,
+# attribution/cohorts, stream interval join, X13 KS drift) cede their
+# pin slot to the payload, per the standing precedent. Prior pin-set
+# rationale history lives in git.
 FAMILY_PROOFS = {
-    # X1 exact dedup + X2 near-dup: digest dedup, banded LSH pairs, CC
-    # clustering, embedding near-dups
-    "dedup_exact",
-    "dedup_clusters",
-    "lsh_dedup_pairs",
-    "embedding_near_dup",
-    # record linkage: blocked Levenshtein fuzzy matching
-    "fuzzy_name_pairs",
-    # X3 ANN: the NEW fixed-n_probe recall gate over the split lifecycle
-    # + brute-force cosine baseline + index health profile
-    "ann_rebalance_recall",
-    "similarity_topk",
-    "ivf_profile",
-    # X4 text: repetition signals + winnowing fingerprints + LM quality
-    "text_repetition",
-    "winnow",
-    "lm_quality",
-    # X5 multimodal: metadata/digest projection + frame sampling
-    "multimodal_meta",
-    "frame_sample",
-    # X6 sketches: HLL/GK accuracy contract
-    "sketch_accuracy",
-    # X7 search: BM25 keyword retrieval
-    "bm25_search",
-    # X8 bloom: scan-side decontamination
-    "bloom_decontaminate",
-    # X9 temporal: resample + forward fill
-    "resample_ffill",
-    # X10 corpus shaping: quota mixing + contamination scan
-    "corpus_mix",
-    "contamination",
-    # X11 selection: cross-run QualityGateLedger report + Fisher dims
-    "quality_gate_report",
-    "fisher_dims",
-    # X12 graph: weighted PageRank power iteration
-    "part_pagerank",
-    # X13 audits: exact-integer KS drift + one-pass table profile
-    "value_ks_drift",
-    "table_profile",
+    # R relational: the NAMED overflow lead (Q14 conditional monthly
+    # share) + the Q1-shape agg sweep + the Q5-shape star join
+    "promo_revenue",
+    "pricing_summary",
+    "top_revenue_nations",
+    # X3 ANN: the NEW end-to-end gated-rebalance verdict row + IVF-routed
+    # top-k + integer-exact centroid audit
+    "ann_rebalance_gate",
+    "ann_ivf",
+    "centroid_sim",
+    # X2 near-dup: asymmetric containment + the MinHash accuracy
+    # contract + cross-source duplication audit + SemDeDup prune
+    "containment_topk",
+    "minhash_estimate_audit",
+    "dup_source_matrix",
+    "semantic_dedup",
+    # record linkage: sorted-neighborhood candidate pass
+    "snm_name_pairs",
+    # X4 text: lang-ID/quality + tokenizer last mile + fertility +
+    # exact-substring spans
+    "text_profile",
+    "bpe_tokenize",
+    "tokenizer_fertility",
+    "dup_ngram_spans",
+    # X5 multimodal: the integer md5 twins of the pHash family
+    "image_phash_md5",
+    "image_near_dup_md5",
+    "media_features_md5",
+    # X6 sketches: exact heavy hitters via Misra-Gries candidates
+    "heavy_hitters",
+    # X7 search: TF-IDF keywords + hybrid BM25+semantic RRF fusion
+    "tfidf_keywords",
+    "hybrid_search_rrf",
+    # X8 bloom: measured-FPR-vs-bound contract
+    "bloom_fpr",
+    # X10 corpus shaping: temperature mixing + greedy packing + epoch
+    # shuffle + weighted sampling
+    "temperature_mix",
+    "greedy_pack",
+    "epoch_shuffle",
+    "weighted_sample",
+    # X11 selection: DSIR importance resampling + percentile calibration
+    # + MMR rerank + hard-negative mining
+    "dsir_select",
+    "quality_calibrate",
+    "mmr_rerank",
+    "hard_negatives",
+    # X12 graph: personalized-PageRank seed expansion
+    "seed_expansion",
+    # X13 audits: PSI + bounded-JS drift over the shared decile banding
+    "value_psi_drift",
+    "value_js_drift",
+    # P pipeline: date discovery + anti-join gaps + pre-join audit +
+    # robust outliers
+    "distinct_ship_dates",
+    "date_gaps",
+    "join_profile",
+    "price_outliers",
+    # temporal: SCD2 intervals + as-of lookup + recency decay
+    "scd2_intervals",
+    "scd2_lookup",
+    "decayed_revenue",
     # skew mitigation (single-query family — must always sit in-window)
     "salted_hot_join",
     # §4 layout (single-query family — must always sit in-window)
     "zorder_skipping",
-    # G analytics: last-touch attribution + weekly cohorts
-    "attribution_last_touch",
-    "cohort_retention",
-    # streaming twin: purchase→trailing-hour interval join (batch parity)
-    "stream_attribution_pairs",
-    # R relational: HAVING-then-join-back (Q18 shape)
-    "large_orders",
+    # G analytics: ordered funnel + gap sessionization + conversion
+    # metrics + JSON param extraction
+    "funnel",
+    "sessionization",
+    "conversion_daily",
+    "param_extract",
+    # streaming twin: tumbling-window agg (batch parity)
+    "streaming_daily_counts",
 }
 
 def test_every_family_proof_inside_check_window():
