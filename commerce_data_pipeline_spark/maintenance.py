@@ -156,17 +156,23 @@ def main(argv: list[str] | None = None) -> int:
                 recommended_n_probe=res["recommended_n_probe"],
             )
         except ivf_index.RecallRegression as e:
+            # the veto ROLLED the split back (r14 VERDICT #2): the index
+            # serves pre-split results; split_centroids reports what the
+            # vetoed pass WOULD have retired
             out.update(
                 ok=False,
                 split_centroids=e.split,
                 recall_pre=e.pre,
                 recall_post=e.post,
                 recommended_n_probe=e.recommended_n_probe,
+                rolled_back=True,
                 recall_gate=str(e),
             )
-        except ValueError as e:
-            # unevaluable gate (0 audit queries): refused BEFORE the
-            # split — the index was not mutated
+        except ivf_index.UnevaluableGate as e:
+            # dedicated type (r14 ADVICE): ONLY the zero-query refusal —
+            # raised BEFORE the split, the index was not mutated; any
+            # other ValueError from the audit internals propagates as the
+            # error it is instead of masquerading as a gate outcome
             out.update(ok=False, recall_gate=str(e))
         print(json.dumps(out))
         return 0 if out["ok"] else 1

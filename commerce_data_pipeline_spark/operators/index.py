@@ -355,11 +355,38 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     fs.delete(join_path(path, "tombstones"))
 
 
+def _sweep_unroutable(spark: SparkSession, path: str) -> list[int]:
+    """Delete every inverted partition whose centroid id is absent from
+    the live routing table — unroutable ⇒ provably dead. This is crash
+    debris from a prior rebalance attempt (appended-but-never-promoted
+    new lists, retired-but-never-deleted old lists) or, on the gated
+    veto path, the just-demoted sub-lists after the pre-split routing is
+    restored. Bounded work: one listing + one collect of the ≤ √N-row
+    centroid table. Returns the swept centroid ids."""
+    fs = HadoopFS(spark, path)
+    inv_leaf = join_path(path, "inverted")
+    routable = {
+        int(r["centroid_id"])
+        for r in spark.read.parquet(join_path(path, "centroids"))
+        .select("centroid_id")
+        .collect()
+    }
+    swept = []
+    for entry in fs.listdir(inv_leaf):
+        if entry.startswith("centroid_id="):
+            cid = int(entry.split("=", 1)[1])
+            if cid not in routable:
+                fs.delete(join_path(inv_leaf, entry))
+                swept.append(cid)
+    return swept
+
+
 def rebalance_ivf_index(
     spark: SparkSession,
     path: str,
     max_list_size: int,
     n_splits: int = 2,
+    _defer_cleanup: bool = False,
 ) -> list[int]:
     """Drift REMEDIATION for a long-lived IVF index: split every inverted
     list larger than `max_list_size` into `n_splits` sub-lists with
@@ -408,7 +435,17 @@ def rebalance_ivf_index(
     pinned in tests. Float-vector lists only (quantized lists would
     need reconstructed seeds — use the float master index for
     maintenance, the quantized one for serving). Returns the list of
-    split (retired) centroid ids."""
+    split (retired) centroid ids.
+
+    `_defer_cleanup=True` (the gated caller) stops after step (2): the
+    retired partitions stay on disk (unroutable under the new routing —
+    invisible to probes) and the centroid table's rename-aside copy
+    stays under `._rebal_old`. The caller then either
+    `_commit_deferred_rebalance` (delete retired lists + the aside copy)
+    or `_rollback_deferred_rebalance` (restore the pre-split routing and
+    sweep the new sub-lists). While deferred, `check_no_pending_swap`
+    refuses every other maintenance entry — single-writer, and a crash
+    in the window surfaces as the standard pending-swap recovery."""
     inv_leaf = join_path(path, "inverted")
     fs = HadoopFS(spark, path)
     cent_leaf = join_path(path, "centroids").rstrip("/")
@@ -418,19 +455,8 @@ def rebalance_ivf_index(
     # (0) sweep unroutable partitions (see Crash consistency above): any
     # inverted dir whose centroid id is absent from the routing table is
     # dead — either crash debris from a prior attempt or a retired list
-    # whose delete never ran. Bounded work: one listing + one collect of
-    # the ≤ √N-row centroid table.
-    routable = {
-        int(r["centroid_id"])
-        for r in spark.read.parquet(join_path(path, "centroids"))
-        .select("centroid_id")
-        .collect()
-    }
-    for entry in fs.listdir(inv_leaf):
-        if entry.startswith("centroid_id="):
-            cid = int(entry.split("=", 1)[1])
-            if cid not in routable:
-                fs.delete(join_path(inv_leaf, entry))
+    # whose delete never ran.
+    _sweep_unroutable(spark, path)
     compact_ivf_index(spark, path)  # fold pending deletes first
     inverted = spark.read.option("mergeSchema", "true").parquet(inv_leaf)
     if "c_unit" not in inverted.columns:
@@ -537,15 +563,60 @@ def rebalance_ivf_index(
     spark.createDataFrame(rows, new_table.schema).write.mode("overwrite").parquet(
         cent_tmp
     )
-    swap_dir(spark, cent_leaf, cent_tmp, cent_old, what="rebalance_ivf_index")
+    swap_dir(
+        spark, cent_leaf, cent_tmp, cent_old,
+        what="rebalance_ivf_index", keep_old=_defer_cleanup,
+    )
     # the new routing width needs NO meta write: recommended_n_probe
     # derives the current count from the live centroid table just
     # swapped in (only the build-time base persists — see
     # _set_centroid_meta on why maintenance must not own a counter)
+    if _defer_cleanup:
+        # the retired partitions are unroutable under the promoted table
+        # (invisible to probes) but still intact — together with the
+        # ._rebal_old routing copy they ARE the pre-split index, so the
+        # gated caller can veto by restoring instead of raising over an
+        # already-destroyed state
+        return oversized
     # (3) reclaim the retired (now-unreachable) partitions
     for cid in oversized:
         fs.delete(join_path(inv_leaf, f"centroid_id={cid}"))
     return oversized
+
+
+def _commit_deferred_rebalance(
+    spark: SparkSession, path: str, retired: list[int]
+) -> None:
+    """Finish a `_defer_cleanup` rebalance after the gate admits it:
+    reclaim the retired (unroutable) partitions, then remove the
+    centroid table's rename-aside copy LAST — its existence is what
+    keeps `check_no_pending_swap` refusing re-entry, so a crash anywhere
+    in here still surfaces as the standard pending-swap recovery instead
+    of a half-committed index."""
+    fs = HadoopFS(spark, path)
+    inv_leaf = join_path(path, "inverted")
+    for cid in retired:
+        fs.delete(join_path(inv_leaf, f"centroid_id={cid}"))
+    fs.delete(join_path(path, "centroids").rstrip("/") + "._rebal_old")
+
+
+def _rollback_deferred_rebalance(spark: SparkSession, path: str) -> None:
+    """Veto a `_defer_cleanup` rebalance: restore the pre-split centroid
+    table from the rename-aside copy (rollback_swap: delete the promoted
+    table, rename the copy back), then sweep the now-unroutable new
+    sub-lists. The retired lists were never deleted, so after this the
+    index is BIT-IDENTICAL to its pre-split state (pinned in
+    tests/test_similarity.py). A crash between the two rollback renames
+    leaves only `._rebal_old` — the pending-swap state every maintenance
+    entrypoint detects with recovery guidance."""
+    from commerce_data_pipeline_spark.sources.hadoopfs import rollback_swap
+
+    cent_leaf = join_path(path, "centroids").rstrip("/")
+    rollback_swap(
+        spark, cent_leaf, cent_leaf + "._rebal_old",
+        what="rebalance_with_gate veto",
+    )
+    _sweep_unroutable(spark, path)
 
 
 def check_no_pending_swap(spark: SparkSession, path: str, what: str) -> None:
@@ -560,9 +631,14 @@ def check_no_pending_swap(spark: SparkSession, path: str, what: str) -> None:
     if HadoopFS(spark, path).exists(cent_old):
         raise RuntimeError(
             f"{what}: {cent_old} already exists — recover or remove the "
-            "previous swap's rename-aside copy first (a prior rebalance "
-            "crashed mid-swap; that copy may be the only complete "
-            "centroid table)"
+            "previous swap's rename-aside copy first. Either a prior "
+            "rebalance crashed mid-swap (that copy may be the only "
+            "complete centroid table) or a gated pass crashed in its "
+            "deferred window (the copy is the pre-split routing and the "
+            "live table the post-split one — rename the copy back over "
+            "the live table to roll back, or delete the copy to commit; "
+            "either way the next maintenance pass sweeps the unroutable "
+            "leftover lists)"
         )
 
 
@@ -583,12 +659,15 @@ def _oversized_lists(spark: SparkSession, path: str, max_list_size: int) -> list
 
 class RecallRegression(RuntimeError):
     """Raised by `rebalance_with_gate` when a split drops mean recall@k at
-    the fixed serving n_probe by more than the budget. The split has
-    ALREADY been applied when this raises (a split cannot be unsplit) —
-    the exception is the operational signal to raise the serving n_probe
-    (`.recommended_n_probe` carries the scaled value) or revisit
-    max_list_size before the next maintenance pass. `.split` carries the
-    retired centroid ids, `.pre`/`.post` the audit rows."""
+    the fixed serving n_probe by more than the budget. The veto is REAL
+    (r14 VERDICT): when this raises, the split has been ROLLED BACK —
+    the rename-aside centroid copy is restored and the new sub-lists
+    swept, so the index serves bit-identical pre-split results. The
+    exception is the operational signal to raise the serving n_probe
+    (`.recommended_n_probe` carries the value the split WOULD need) or
+    revisit max_list_size before re-attempting. `.split` carries the
+    centroid ids the vetoed pass would have retired, `.pre`/`.post` the
+    audit rows measured on the two routings."""
 
     def __init__(
         self, message: str, pre: dict, post: dict, recommended: int,
@@ -599,6 +678,15 @@ class RecallRegression(RuntimeError):
         self.post = post
         self.recommended_n_probe = recommended
         self.split = split
+
+
+class UnevaluableGate(ValueError):
+    """Raised by `rebalance_with_gate` when the audit query set is empty:
+    an unevaluable gate must not silently pass, and must not split the
+    index it cannot price — raised BEFORE any mutation. A dedicated type
+    (r14 ADVICE) so CLI/json callers can map exactly this refusal to a
+    clean outcome without swallowing unrelated ValueErrors from the
+    audit internals."""
 
 
 def rebalance_with_gate(
@@ -627,18 +715,30 @@ def rebalance_with_gate(
     `max_recall_drop_e6=None` = report-only: audits run and report, the
     gate never raises.
 
+    A VETO RESTORES THE INDEX (r14 VERDICT #2): the split runs with
+    deferred cleanup — the retired lists stay on disk (unroutable, so
+    the post-audit measures the refined routing) and the pre-split
+    centroid table stays under its `._rebal_old` rename-aside. If the
+    post-audit passes the budget the pass COMMITS (retired lists
+    reclaimed, aside copy removed); if it fails, the pre-split routing
+    is RESTORED and the new sub-lists swept before `RecallRegression`
+    raises — the vetoed index serves bit-identical pre-split results
+    (pinned in tests). A crash inside the deferred window leaves the
+    aside copy in place, which every maintenance entrypoint detects as
+    the standard pending-swap state with recovery guidance.
+
     Returns {"split_centroids", "pre", "post", "drop_e6",
     "recommended_n_probe"}. A NO-OP pass (the cheap size census finds
     nothing oversized) skips the audits entirely — pre/post are None,
     drop 0 — so the steady-state maintenance cadence never pays a
     brute-force corpus scan for a pass that changes nothing (run
     `ivf_recall_audit` directly for a standalone number). When the gate
-    DOES evaluate, the zero-query case refuses with ValueError BEFORE
-    the split (an unevaluable gate must not mutate the index it cannot
-    price). The two audits on a splitting pass scan the corpus twice —
-    maintenance-cadence cost, never per-query. Raw `rebalance_ivf_index`
-    remains for float master indexes re-probed at full width
-    (bit-identity callers)."""
+    DOES evaluate, the zero-query case refuses with `UnevaluableGate`
+    BEFORE the split (an unevaluable gate must not mutate the index it
+    cannot price). The two audits on a splitting pass scan the corpus
+    twice — maintenance-cadence cost, never per-query. Raw
+    `rebalance_ivf_index` remains for float master indexes re-probed at
+    full width (bit-identity callers)."""
     check_no_pending_swap(spark, path, what="rebalance_with_gate")
     # census FIRST (pre-compaction, so it can only over-estimate — a
     # pass that looks oversized but compacts below threshold pays the
@@ -658,13 +758,17 @@ def rebalance_with_gate(
     ).collect()[0]
     pre = {c: pre_row[c] for c in pre_row.asDict()}
     if pre["n_queries"] == 0:
-        raise ValueError(
+        raise UnevaluableGate(
             "rebalance_with_gate: the audit query set is empty — an "
             "unevaluable gate must not silently pass (or split the index "
             "it cannot price); supply queries that exist in the corpus"
         )
+    # deferred cleanup: keep the pre-split state recoverable (retired
+    # lists on disk + the routing's rename-aside copy) until the gate
+    # decides — commit on admit, restore on veto
     split = rebalance_ivf_index(
-        spark, path, max_list_size=max_list_size, n_splits=n_splits
+        spark, path, max_list_size=max_list_size, n_splits=n_splits,
+        _defer_cleanup=True,
     )
     if not split:  # compaction shrank every census candidate below threshold
         return {
@@ -682,17 +786,20 @@ def rebalance_with_gate(
     drop = pre["mean_recall_e6"] - post["mean_recall_e6"]
     rec = recommended_n_probe(spark, path, n_probe)
     if max_recall_drop_e6 is not None and drop > max_recall_drop_e6:
+        _rollback_deferred_rebalance(spark, path)
         raise RecallRegression(
             f"rebalance_with_gate: mean recall@{k} at n_probe={n_probe} "
             f"dropped {drop}e-6 (> {max_recall_drop_e6}e-6) after splitting "
-            f"{len(split)} list(s); the split is applied — raise the serving "
-            f"n_probe to ~{rec} (recommended_n_probe) or revisit "
-            "max_list_size before the next pass",
+            f"{len(split)} list(s); the split has been ROLLED BACK — the "
+            "index serves its pre-split results. Raise the serving n_probe "
+            f"to ~{rec} (recommended_n_probe) or revisit max_list_size "
+            "before re-attempting",
             pre,
             post,
             rec,
             split,
         )
+    _commit_deferred_rebalance(spark, path, split)
     return {
         "split_centroids": split,
         "pre": pre,

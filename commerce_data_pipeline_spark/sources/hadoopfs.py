@@ -116,7 +116,7 @@ def begin_swap(spark: "SparkSession", live: str, tmp: str, old: str,
 
 
 def swap_dir(spark: "SparkSession", live: str, tmp: str, old: str,
-             what: str = "swap") -> None:
+             what: str = "swap", keep_old: bool = False) -> None:
     """Promote a fully-written `tmp` into `live` with rename-aside
     ordering: `live`→`old`, `tmp`→`live`, delete `old` — a failure
     between any two steps leaves a complete copy of the data under a
@@ -124,7 +124,13 @@ def swap_dir(spark: "SparkSession", live: str, tmp: str, old: str,
     All calls go through Hadoop's FileSystem API, so the swap works for
     any scheme Spark can read (file:, hdfs:; on s3a: rename is
     copy+delete — non-atomic but still never destroys the only copy).
-    Callers `begin_swap` before writing `tmp`."""
+    Callers `begin_swap` before writing `tmp`.
+
+    `keep_old=True` defers the final delete: the rename-aside copy stays
+    on disk so the caller can later COMMIT (delete `old`) or ROLL BACK
+    (delete `live`, rename `old` back) — the gated-rebalance veto path.
+    While `old` exists, `begin_swap` refuses a new swap, so a crash in
+    the deferred window surfaces as the standard pending-swap recovery."""
     fs = HadoopFS(spark, live)
     if fs.exists(old):
         raise RuntimeError(
@@ -136,4 +142,26 @@ def swap_dir(spark: "SparkSession", live: str, tmp: str, old: str,
     if not fs.rename(tmp, live):
         fs.rename(old, live)  # roll back: restore the live path
         raise RuntimeError(f"{what}: promote {tmp} -> {live} failed")
-    fs.delete(old)
+    if not keep_old:
+        fs.delete(old)
+
+
+def rollback_swap(spark: "SparkSession", live: str, old: str,
+                  what: str = "swap") -> None:
+    """Undo a `swap_dir(..., keep_old=True)`: demote the promoted `live`
+    and restore the rename-aside copy. Ordering keeps a complete copy
+    under a recoverable name at every step: delete `live` (the `old`
+    copy is intact and `begin_swap`'s guard still refuses re-entry),
+    then rename `old` → `live`. A crash between the two leaves ONLY the
+    rename-aside copy — exactly the pending-swap state every maintenance
+    entrypoint already detects and explains how to recover."""
+    fs = HadoopFS(spark, live)
+    if not fs.exists(old):
+        raise RuntimeError(
+            f"{what}: rollback requested but {old} does not exist — "
+            "nothing to restore (was the swap already committed?)"
+        )
+    if fs.exists(live):
+        fs.delete(live)
+    if not fs.rename(old, live):
+        raise RuntimeError(f"{what}: restore {old} -> {live} failed")

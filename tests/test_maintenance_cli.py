@@ -74,9 +74,20 @@ def test_index_rebalance_with_recall_gate(spark, tmp_path, capsys):
     assert out2["ok"] == (not dropped)
     if dropped:
         # the library gate's message (the CLI delegates to
-        # rebalance_with_gate — one gate implementation, r14 review)
-        assert "raise the serving n_probe" in out2["recall_gate"]
+        # rebalance_with_gate — one gate implementation, r14 review);
+        # the veto ROLLS BACK (r15): the CLI reports it and the index
+        # still serves the pre-split 2-centroid routing
+        assert "ROLLED BACK" in out2["recall_gate"]
+        assert out2["rolled_back"] is True
         assert out2["split_centroids"] == [0, 1]
+        assert spark.read.parquet(f"{path2}/centroids").count() == 2
+    else:
+        # admitted: the deferred cleanup committed (no rename-aside left)
+        from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
+
+        assert not HadoopFS(spark, path2).exists(
+            f"{path2}/centroids._rebal_old"
+        )
 
 
 def test_ledger_compact_cmds(spark, tmp_path, capsys):

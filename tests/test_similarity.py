@@ -942,12 +942,19 @@ def test_rebalance_with_gate_and_centroid_meta(spark, tmp_path):
     assert noop["pre"] is None and noop["post"] is None
     assert noop["recommended_n_probe"] == 4  # still derived live
 
-    # vetoed split: an impossible budget (< -1e6) always trips the gate;
-    # the exception carries the numbers + the scaled n_probe + the split
-    # ids, and the split has still been APPLIED (it cannot be unsplit)
+    # vetoed split (r14 VERDICT #2): an impossible budget (< -1e6) always
+    # trips the gate; the exception carries the numbers + the scaled
+    # n_probe + the would-be-retired ids, and the split has been ROLLED
+    # BACK — the restored index serves BIT-IDENTICAL pre-split results
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
+
     path2 = f"file://{tmp_path}/ivf2"
     I.build_ivf_index(emb, path2, n_centroids=2)
-    with pytest.raises(I.RecallRegression, match="recommended_n_probe") as ei:
+    pre_split_topk = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"])
+        for r in I.ivf_query(spark, path2, q, k=5, n_probe=2).collect()
+    )
+    with pytest.raises(I.RecallRegression, match="ROLLED BACK") as ei:
         I.rebalance_with_gate(
             spark, path2, max_list_size=20, corpus=emb, queries=q,
             max_recall_drop_e6=-2_000_000, n_probe=2,
@@ -955,7 +962,29 @@ def test_rebalance_with_gate_and_centroid_meta(spark, tmp_path):
     assert ei.value.recommended_n_probe == 4
     assert ei.value.split == [0, 1]
     assert ei.value.pre["n_queries"] == ei.value.post["n_queries"] == q.count()
+    # the routing is the pre-split table again, the rename-aside copy is
+    # consumed, and no unroutable sub-list partitions linger
+    assert spark.read.parquet(f"{path2}/centroids").count() == 2
+    fs2 = HadoopFS(spark, path2)
+    assert not fs2.exists(f"{path2}/centroids._rebal_old")
+    assert sorted(
+        e for e in fs2.listdir(f"{path2}/inverted")
+        if e.startswith("centroid_id=")
+    ) == ["centroid_id=0", "centroid_id=1"]
+    post_veto_topk = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"])
+        for r in I.ivf_query(spark, path2, q, k=5, n_probe=2).collect()
+    )
+    assert post_veto_topk == pre_split_topk
+    # the vetoed index is not wedged: a later pass with an admitting
+    # budget runs the same lifecycle to completion
+    redo = I.rebalance_with_gate(
+        spark, path2, max_list_size=20, corpus=emb, queries=q,
+        max_recall_drop_e6=1_000_000, n_probe=2,
+    )
+    assert redo["split_centroids"] == [0, 1]
     assert spark.read.parquet(f"{path2}/centroids").count() == 4
+    assert not fs2.exists(f"{path2}/centroids._rebal_old")  # committed
 
     # report-only mode (budget None): same numbers, never raises
     path3 = f"file://{tmp_path}/ivf3"
@@ -967,31 +996,31 @@ def test_rebalance_with_gate_and_centroid_meta(spark, tmp_path):
     assert rep["split_centroids"] == [0, 1] and rep["pre"] is not None
 
     # an unevaluable gate (zero audit queries) must refuse BEFORE
-    # splitting — the index is not mutated
+    # splitting — the index is not mutated. Dedicated type (r14 ADVICE):
+    # the CLI maps exactly this refusal, not every ValueError
     path4 = f"file://{tmp_path}/ivf4"
     I.build_ivf_index(emb, path4, n_centroids=2)
-    with pytest.raises(ValueError, match="empty"):
+    with pytest.raises(I.UnevaluableGate, match="empty"):
         I.rebalance_with_gate(
             spark, path4, max_list_size=20, corpus=emb,
             queries=q.limit(0), max_recall_drop_e6=0,
         )
+    assert issubclass(I.UnevaluableGate, ValueError)  # legacy catchers still work
     assert spark.read.parquet(f"{path4}/centroids").count() == 2  # unsplit
 
     # legacy index without the sidecar: counts fall back to the table
-    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
-
-    HadoopFS(spark, path2).delete(f"{path2}/centroid_meta")
-    assert I.centroid_counts(spark, path2) == (4, 4)
-    assert I.recommended_n_probe(spark, path2, 3) == 3
+    HadoopFS(spark, path3).delete(f"{path3}/centroid_meta")
+    assert I.centroid_counts(spark, path3) == (4, 4)
+    assert I.recommended_n_probe(spark, path3, 3) == 3
 
     # a crash mid-swap must fail the GATED path at entry too (its
     # pre-audit reads the centroid table before raw rebalance's guard)
-    assert HadoopFS(spark, path2).rename(
-        f"{path2}/centroids", f"{path2}/centroids._rebal_old"
+    assert HadoopFS(spark, path3).rename(
+        f"{path3}/centroids", f"{path3}/centroids._rebal_old"
     )
     with pytest.raises(RuntimeError, match="rename-aside"):
         I.rebalance_with_gate(
-            spark, path2, max_list_size=20, corpus=emb, queries=q,
+            spark, path3, max_list_size=20, corpus=emb, queries=q,
             max_recall_drop_e6=0, n_probe=2,
         )
 
