@@ -107,6 +107,25 @@ def build_ivf_index(
     _set_centroid_meta(corpus.sparkSession, path, int(actual))
 
 
+def _sidecar_readable(fs: HadoopFS, leaf: str) -> bool:
+    """True when a one-row parquet sidecar under `leaf` is present and
+    complete. Prefers the _SUCCESS marker (the committer's completion
+    witness), but falls back to the presence of any part file: a
+    deployment that disables success markers
+    (mapreduce.fileoutputcommitter.marksuccessfuljobs=false) would
+    otherwise make every sidecar read silently fall back to its default
+    forever — for centroid_meta that reproduces exactly the silent
+    recall loss the sidecar exists to prevent (r14 ADVICE)."""
+    if not fs.exists(leaf):
+        return False
+    if fs.exists(join_path(leaf, "_SUCCESS")):
+        return True
+    return any(
+        e.startswith("part-") and not e.endswith(".crc")
+        for e in fs.listdir(leaf)
+    )
+
+
 def current_gen(spark: SparkSession, path: str) -> int:
     """Monotonic append-generation counter for the index at `path`.
 
@@ -119,7 +138,7 @@ def current_gen(spark: SparkSession, path: str) -> int:
     Indexes built before generations existed read as gen 0."""
     leaf = join_path(path, "gen_meta")
     fs = HadoopFS(spark, path)
-    if not fs.exists(join_path(leaf, "_SUCCESS")):
+    if not _sidecar_readable(fs, leaf):
         return 0
     return int(spark.read.parquet(leaf).collect()[0]["gen"])
 
@@ -156,7 +175,7 @@ def centroid_counts(spark: SparkSession, path: str) -> tuple[int, int]:
     cur = spark.read.parquet(join_path(path, "centroids")).count()
     leaf = join_path(path, "centroid_meta")
     fs = HadoopFS(spark, path)
-    if fs.exists(join_path(leaf, "_SUCCESS")):
+    if _sidecar_readable(fs, leaf):
         base = int(spark.read.parquet(leaf).collect()[0]["base_n_centroids"])
         return int(cur), base
     return int(cur), int(cur)
@@ -228,10 +247,17 @@ def _tombstone_agg(spark: SparkSession, path: str):
     t = tomb.groupBy("neighbor_id").agg(F.max("upto_gen").alias("_upto"))
     fs = HadoopFS(spark, path)
     nbytes = fs.size(join_path(path, "tombstones"))
-    # the second conjunct keeps a LOWERED broadcast limit authoritative
-    # (conservative deployments / tests shrink it below the byte
-    # threshold and must disable this fast path with it)
-    if nbytes <= TOMBSTONE_SMALL_BYTES and nbytes <= TOMBSTONE_BROADCAST_LIMIT:
+    # id upper bound in ID UNITS (r14 ADVICE — the first cut compared
+    # nbytes against the id-count limit directly, a mixed-unit guard):
+    # under this layout's ≥1-byte-per-id floor (see TOMBSTONE_SMALL_BYTES)
+    # a directory of nbytes holds at most nbytes ids, so the bound is
+    # conservative — it can only demote a broadcastable set to the
+    # shuffle join, never broadcast one that is too big. Keeping the
+    # comparison in id units means a deployment that LOWERS
+    # TOMBSTONE_BROADCAST_LIMIT below the byte threshold gets exactly
+    # the id semantics it asked for.
+    ids_upper_bound = nbytes
+    if nbytes <= TOMBSTONE_SMALL_BYTES and ids_upper_bound <= TOMBSTONE_BROADCAST_LIMIT:
         return F.broadcast(t)
     if tomb.count() <= TOMBSTONE_BROADCAST_LIMIT:
         return F.broadcast(t)

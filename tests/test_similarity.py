@@ -1044,6 +1044,38 @@ def test_build_ivf_index_meta_records_actual_centroids(spark, tmp_path):
     assert I.recommended_n_probe(spark, path, 4) == 4
 
 
+def test_sidecar_reads_survive_disabled_success_markers(spark, tmp_path):
+    """r14 ADVICE: a deployment that disables success markers
+    (mapreduce.fileoutputcommitter.marksuccessfuljobs=false) writes
+    sidecars WITHOUT _SUCCESS. centroid_counts must still read the base
+    (else it silently falls back to (cur, cur) after splits — exactly
+    the silent recall loss the sidecar exists to prevent) and
+    current_gen must still read the generation (else upsert tombstones
+    target gen 0 forever). Simulated by deleting the markers a normal
+    write produced."""
+    from commerce_data_pipeline_spark.operators import index as I
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
+
+    emb = _vecs(spark, n=60)
+    path = f"file://{tmp_path}/ivf"
+    I.build_ivf_index(emb, path, n_centroids=2)
+    I.upsert_into_ivf_index(emb.filter(F.col("vec_id") < 3), path)
+    fs = HadoopFS(spark, path)
+    assert fs.delete(f"{path}/centroid_meta/_SUCCESS")
+    assert fs.delete(f"{path}/gen_meta/_SUCCESS")
+    I.rebalance_ivf_index(spark, path, max_list_size=20)
+    # base still read from the marker-less sidecar: (4, 2), not (4, 4)
+    assert I.centroid_counts(spark, path) == (4, 2)
+    assert I.recommended_n_probe(spark, path, 2) == 4
+    # generation still read: the upsert bumped it past the build's 0
+    assert I.current_gen(spark, path) >= 1
+    # a truly absent sidecar still reports the legacy fallbacks
+    fs.delete(f"{path}/centroid_meta")
+    fs.delete(f"{path}/gen_meta")
+    assert I.centroid_counts(spark, path) == (4, 4)
+    assert I.current_gen(spark, path) == 0
+
+
 def test_ivf_rebalance_mid_swap_crash_entry_guard(spark, tmp_path):
     """r13 ADVICE: a crash between swap_dir's two renames leaves the only
     complete centroid table under ._rebal_old and no live centroids dir.
