@@ -858,7 +858,10 @@ def ivf_recall_audit(
     n_probe and gate the split on the delta — the `ann_recall` shape
     attached to the maintenance lifecycle. Brute force scans the corpus
     once per audit: an audit cost, paid on the maintenance cadence, not
-    per query."""
+    per query. The IVF side probes with `static_prune` (r14 VERDICT #3):
+    audit query sets are bounded by contract, so the probe routing is
+    computed once and checkpointed instead of re-executed by dynamic
+    partition pruning's subquery — one routing per audit, not two."""
     from commerce_data_pipeline_spark.operators.similarity import brute_force_topk
 
     exact = brute_force_topk(
@@ -866,12 +869,16 @@ def ivf_recall_audit(
     ).select("query_id", "neighbor_id")
     approx = (
         ivf_query(spark, path, queries, k=k, n_probe=n_probe,
-                  vec_col=vec_col, query_id_col=id_col)
+                  vec_col=vec_col, query_id_col=id_col, static_prune=True)
         .select("query_id", "neighbor_id")
         .withColumn("_hit", F.lit(1))
     )
     per_query = (
-        exact.join(approx, on=["query_id", "neighbor_id"], how="left")
+        # both sides are n_queries·k rows (audit-bounded); broadcasting
+        # the probe side turns the overlap join map-side — without the
+        # hint the static plan sort-merge-joins two tiny frames through
+        # two exchanges (r14 VERDICT #3)
+        exact.join(F.broadcast(approx), on=["query_id", "neighbor_id"], how="left")
         .groupBy("query_id")
         .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"))
         .select(
@@ -944,6 +951,7 @@ def ivf_query(
     n_probe: int = 4,
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    static_prune: bool = False,
 ) -> DataFrame:
     """Probe a persisted IVF index. The centroid_id equi-join against the
     partitioned inverted file prunes to the probed lists' directories —
@@ -956,7 +964,18 @@ def ivf_query(
     cadence to keep it so), shuffle above it. An index without
     generations (pre-upsert layout) reads as gen 0. mergeSchema handles
     the mixed old-build + new-append footer case; a fresh build writes a
-    uniform gen column so production indexes never pay the merge."""
+    uniform gen column so production indexes never pay the merge.
+
+    `static_prune=True` (audit callers, r14 VERDICT #3): the probe
+    routing is computed ONCE, lineage-truncated, and the scan is pruned
+    by the EXPLICIT list of probed centroid ids instead of dynamic
+    partition pruning — DPP re-executes the whole routing frame (cross
+    join + window + shuffle) as a subquery, which an audit pays per
+    routing. The distinct-id collect is bounded by the centroid count
+    (≤ √N, the standard routing-table bound); the checkpointed routing
+    frame is n_queries·n_probe rows, so the flag is for bounded
+    (audit-sized) query sets — serving callers with arbitrarily large
+    query batches keep the default DPP path."""
     inv_leaf = join_path(path, "inverted")
     fs = HadoopFS(spark, path)
     if not any(n.startswith("centroid_id=") for n in fs.listdir(inv_leaf)):
@@ -1017,4 +1036,21 @@ def ivf_query(
             .alias("c_unit"),
         )
     centroids = spark.read.parquet(join_path(path, "centroids"))
+    if static_prune:
+        from commerce_data_pipeline_spark.checkpoint import checkpoint
+        from commerce_data_pipeline_spark.operators.similarity import probe_routing
+
+        probes = probe_routing(
+            queries, centroids, n_probe, vec_col, query_id_col
+        ).transform(checkpoint, eager=False)
+        # bounded collect: distinct probed ids ≤ the centroid count (≤ √N)
+        probed = sorted(
+            r["centroid_id"]
+            for r in probes.select("centroid_id").distinct().collect()
+        )
+        inverted = inverted.filter(F.col("centroid_id").isin(probed))
+        return ivf_probe_score(
+            inverted, centroids, queries, k, n_probe, vec_col, query_id_col,
+            probes=probes,
+        )
     return ivf_probe_score(inverted, centroids, queries, k, n_probe, vec_col, query_id_col)
