@@ -1324,6 +1324,140 @@ def _q_ann_rebalance_gate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- r15: VETO-ROLLBACK lifecycle (r14 VERDICT #7; registers in r16 per
+# --- the never-attested-in-window protocol) ---------------------------------
+
+
+def _ensure_veto_ivf_index(spark: SparkSession, sf: str) -> str:
+    """Build-once handle for the VETOED gated-rebalance lifecycle: build
+    over the full embeddings table, then ONE `rebalance_with_gate` pass
+    with an impossible budget (-2·10⁶ e-6 — any measurable drop, even a
+    negative one, exceeds it), so the gate ALWAYS vetoes and rolls the
+    split back (r15 gate semantics). The verdict inputs persist as a
+    one-row `veto_report` beside the index; `rolled_back` is derived
+    from the POST-veto filesystem state (no rename-aside copy left,
+    routing width back to the build-time base), so a broken rollback
+    records False and hash-mismatches the oracle. The serving-equality
+    proof is the query itself: top-5 over the restored index must equal
+    the oracle's replay of the NEVER-SPLIT routing. Marker-idempotent."""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+    from commerce_data_pipeline_spark.operators.similarity import auto_n_centroids
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+
+    root = _cache_dir("ivf_veto", sf)
+    marker = join_path(root, "_VETO_READY")
+    fs = HadoopFS(spark, root)
+    if not fs.exists(marker):
+        if fs.exists(root):
+            fs.delete(root)
+        emb = load_table(spark, sf, "embeddings")
+        total = emb.count()
+        nc = auto_n_centroids(total)
+        step = max(1, total // nc)
+        ivf_index.build_ivf_index(emb, root, corpus_count=total)
+        queries = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2500))
+        try:
+            ivf_index.rebalance_with_gate(
+                spark, root, max_list_size=(13 * step) // 10,
+                corpus=emb, queries=queries,
+                max_recall_drop_e6=-2_000_000,
+                k=5, n_probe=4, n_splits=2,
+            )
+        except ivf_index.RecallRegression as e:
+            cur, base = ivf_index.centroid_counts(spark, root)
+            rolled_back = (
+                not fs.exists(join_path(root, "centroids") + "._rebal_old")
+                and cur == base
+            )
+            spark.createDataFrame(
+                [(
+                    int(len(e.split)),
+                    int(e.pre["mean_recall_e6"]),
+                    int(e.post["mean_recall_e6"]),
+                    bool(rolled_back),
+                )],
+                "n_split_attempted int, pre_mean_recall_e6 long, "
+                "post_mean_recall_e6 long, rolled_back boolean",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                join_path(root, "veto_report")
+            )
+        else:
+            # same falsifiability posture as the gated fixture: the
+            # deterministic skew always splits, so a non-veto means the
+            # fixture data changed shape
+            raise RuntimeError(
+                "veto lifecycle expects the impossible budget to trip the "
+                "gate — a pass means the fixture data changed shape"
+            )
+        fs.write_bytes(marker, b"ready\n")
+    return root
+
+
+def _q_ann_veto_rollback(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 maintenance gate VETO END TO END — the rollback proof: top-5
+    from an index whose oversized-list split the gate measured, REJECTED
+    (impossible budget), and rolled back, joined with the persisted
+    verdict inputs. The oracle replays the build routing WITHOUT any
+    split — a hash match proves the restored index serves bit-identical
+    pre-split results — and recomputes the vetoed pass's pre/post recall
+    and split count from the rebalance CTE chain, so the verdict numbers
+    are attested too. `rolled_back` comes from the post-veto filesystem
+    audit, not a literal. (Built in r15; enters the driver window in r16
+    per the never-attested-in-window protocol.)"""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+    from commerce_data_pipeline_spark.sources.hadoopfs import join_path
+
+    root = _ensure_veto_ivf_index(spark, sf)
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2500))
+    topk = ivf_index.ivf_query(spark, root, queries, k=5, n_probe=4)
+    rep = spark.read.parquet(join_path(root, "veto_report"))
+    return topk.crossJoin(F.broadcast(rep)).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        "rank",
+        "n_split_attempted",
+        "pre_mean_recall_e6",
+        "post_mean_recall_e6",
+        (F.col("pre_mean_recall_e6") - F.col("post_mean_recall_e6"))
+        .cast("long")
+        .alias("drop_e6"),
+        "rolled_back",
+    )
+
+
+def _ora_ann_veto_rollback(n_splits: int = 2) -> str:
+    """Composes `_ora_ann_rebalance_gate`'s CTE chain (both routings, the
+    brute-force exact top-5, the pre/post recall summaries) but returns
+    the PRE-SPLIT routing's per-query top-5 rows — what a correctly
+    rolled-back index must serve — cross-joined with the vetoed pass's
+    verdict numbers. String-composed from the gate oracle so the replays
+    cannot drift; `rolled_back` is TRUE here because the Spark side
+    derives it from the filesystem audit a correct rollback satisfies."""
+    base = _ora_ann_rebalance_gate(n_splits)
+    head, sep, _ = base.rpartition("\nSELECT CAST(n_queries AS BIGINT)")
+    assert sep, "gate oracle changed shape; update the veto composer"
+    return (
+        head
+        + """
+SELECT t.query_id, t.neighbor_id, ROUND(t.sim, 4) AS cosine_sim,
+  CAST(t.rank AS INT) AS rank,
+  CAST(s.n_split AS INT) AS n_split_attempted,
+  CAST(s.pre_mean AS BIGINT) AS pre_mean_recall_e6,
+  CAST(s.post_mean AS BIGINT) AS post_mean_recall_e6,
+  CAST(s.pre_mean - s.post_mean AS BIGINT) AS drop_e6,
+  TRUE AS rolled_back
+FROM (
+  SELECT query_id, neighbor_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM ivf0_sims
+) t CROSS JOIN summ s
+WHERE t.rank <= 5
+"""
+    )
+
+
 def _ora_ann_rebalance_gate(n_splits: int = 2) -> str:
     """Composes `_ora_ann_ivf_rebalance`'s CTE chain (through the
     post-split probe selection `pr`) with: the PRE-split probe selection

@@ -897,6 +897,52 @@ def test_ann_rebalance_gate_query_matches_oracle(spark, sf_dir, tmp_path):
     assert row["admitted_50000"] == (row["drop_e6"] <= 50000)
 
 
+def test_ann_veto_rollback_query_matches_oracle(spark, sf_dir, tmp_path):
+    """Pre-registration differential for the r16 window candidate (the
+    never-attested-in-window protocol, ann_rebalance_gate precedent): the
+    veto-rollback lifecycle row — top-5 over an index whose split the
+    gate vetoed and ROLLED BACK, plus the vetoed pass's verdict numbers.
+    The oracle replays the NEVER-SPLIT routing, so a hash match proves
+    the restored index serves bit-identical pre-split results."""
+    import duckdb
+
+    from commerce_data_pipeline_spark.queries import _shared
+    from commerce_data_pipeline_spark.queries.similarity import (
+        _ora_ann_veto_rollback,
+        _q_ann_veto_rollback,
+    )
+
+    orig = _shared.CACHE_TAG
+    _shared.CACHE_TAG = f"vr{tmp_path.name[-8:]}"
+    try:
+        sdf = _q_ann_veto_rollback(spark, sf_dir)
+        scols = sdf.columns
+        srows = sorted(tuple(r) for r in sdf.collect())
+    finally:
+        _shared.CACHE_TAG = orig
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    rel = con.sql(_ora_ann_veto_rollback(2))
+    ocols = rel.columns
+    orows = sorted(tuple(r) for r in rel.fetchall())
+    assert sorted(scols) == sorted(ocols)
+    perm = [scols.index(c) for c in ocols]
+    assert [tuple(r[i] for i in perm) for r in srows] == orows
+    # live-data sanity: the vetoed pass really attempted a split, the
+    # filesystem audit confirmed the rollback, and the serving rows are a
+    # full top-5 per query
+    row = {c: v for c, v in zip(scols, srows[0])}
+    assert row["n_split_attempted"] > 0
+    assert row["rolled_back"] is True
+    assert row["drop_e6"] == (
+        row["pre_mean_recall_e6"] - row["post_mean_recall_e6"]
+    )
+    n_queries = len({r[scols.index("query_id")] for r in srows})
+    assert len(srows) == 5 * n_queries
+
+
 def test_rebalance_with_gate_and_centroid_meta(spark, tmp_path):
     """r13 VERDICT #2: the recall gate is the library-level DEFAULT path,
     and the post-split routing width persists so serving n_probe scales
