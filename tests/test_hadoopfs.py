@@ -106,3 +106,47 @@ def test_compact_refuses_to_clobber_crash_leftovers(spark, tmp_path):
     with pytest.raises(RuntimeError, match="_compact_old"):
         compact_parquet_dir(spark, path, target_files=1)
     assert spark.read.parquet(path).count() == 100  # live data untouched
+
+
+def test_swap_dir_keep_old_and_rollback(spark, tmp_path):
+    """r15 gate plumbing: `swap_dir(keep_old=True)` defers the rename-aside
+    delete so `rollback_swap` can restore the pre-swap state; while the
+    copy exists, `begin_swap` refuses re-entry; rollback with no copy is
+    an explicit error, not a silent no-op."""
+    import pytest
+
+    from commerce_data_pipeline_spark.sources.hadoopfs import (
+        begin_swap,
+        rollback_swap,
+        swap_dir,
+    )
+
+    live = f"file://{tmp_path}/t"
+    tmp = live + "._tmp"
+    old = live + "._old"
+    spark.range(10).write.parquet(live)
+    fs = HadoopFS(spark, live)
+
+    # keep_old leaves the aside copy; live serves the promoted data
+    begin_swap(spark, live, tmp, old)
+    spark.range(20).write.parquet(tmp)
+    swap_dir(spark, live, tmp, old, keep_old=True)
+    assert spark.read.parquet(live).count() == 20
+    assert fs.exists(old)
+    # the pending copy blocks a new swap until the caller decides
+    with pytest.raises(RuntimeError, match="rename-aside"):
+        begin_swap(spark, live, tmp, old)
+    # rollback restores the pre-swap data and consumes the copy
+    rollback_swap(spark, live, old)
+    assert spark.read.parquet(live).count() == 10
+    assert not fs.exists(old)
+    # rollback without a copy must fail loudly
+    with pytest.raises(RuntimeError, match="does not exist"):
+        rollback_swap(spark, live, old)
+
+    # default swap still deletes the aside copy (committed immediately)
+    begin_swap(spark, live, tmp, old)
+    spark.range(30).write.parquet(tmp)
+    swap_dir(spark, live, tmp, old)
+    assert spark.read.parquet(live).count() == 30
+    assert not fs.exists(old)
