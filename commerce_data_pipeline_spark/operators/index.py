@@ -126,6 +126,40 @@ def _sidecar_readable(fs: HadoopFS, leaf: str) -> bool:
     )
 
 
+def _read_sidecar_int(
+    spark: SparkSession, path: str, leaf_name: str, col: str, default: int
+) -> int:
+    """Validated read of a one-row integer parquet sidecar, with the
+    trust split the r15 ADVICE asked for: a `_SUCCESS`-marked sidecar is
+    the committer's completion witness — a failure there raises loudly
+    (a corrupted committed sidecar is an operator problem, not a
+    default). The part-file FALLBACK path (markers disabled via
+    mapreduce.fileoutputcommitter.marksuccessfuljobs=false) has no such
+    witness: a job that crashed after task commit but before job commit,
+    or a torn overwrite, leaves part files that parse as garbage — so
+    that path validates the read (exactly one row, the expected column,
+    a non-null value) and degrades to `default` (legacy behavior) on any
+    failure instead of raising or returning a wrong value."""
+    leaf = join_path(path, leaf_name)
+    fs = HadoopFS(spark, path)
+    if not _sidecar_readable(fs, leaf):
+        return default
+    trusted = fs.exists(join_path(leaf, "_SUCCESS"))
+    try:
+        rows = spark.read.parquet(leaf).collect()
+        if len(rows) != 1 or col not in rows[0].asDict() or rows[0][col] is None:
+            raise ValueError(
+                f"sidecar {leaf} torn: expected one non-null `{col}` row, "
+                f"got {len(rows)} row(s) with fields "
+                f"{list(rows[0].asDict()) if rows else []}"
+            )
+        return int(rows[0][col])
+    except Exception:
+        if trusted:
+            raise
+        return default
+
+
 def current_gen(spark: SparkSession, path: str) -> int:
     """Monotonic append-generation counter for the index at `path`.
 
@@ -136,11 +170,7 @@ def current_gen(spark: SparkSession, path: str) -> int:
     `gen_meta/` (tiny, rewritten per append — never derived by scanning
     the inverted file, which at 100 TB would be a full-index pass).
     Indexes built before generations existed read as gen 0."""
-    leaf = join_path(path, "gen_meta")
-    fs = HadoopFS(spark, path)
-    if not _sidecar_readable(fs, leaf):
-        return 0
-    return int(spark.read.parquet(leaf).collect()[0]["gen"])
+    return _read_sidecar_int(spark, path, "gen_meta", "gen", default=0)
 
 
 def _set_gen(spark: SparkSession, path: str, gen: int) -> None:
@@ -172,13 +202,11 @@ def centroid_counts(spark: SparkSession, path: str) -> tuple[int, int]:
     always comes from the live (tiny) centroid table; base from the
     sidecar. Indexes built before the sidecar existed report (n, n) —
     factor 1, the pre-rebalance behavior."""
-    cur = spark.read.parquet(join_path(path, "centroids")).count()
-    leaf = join_path(path, "centroid_meta")
-    fs = HadoopFS(spark, path)
-    if _sidecar_readable(fs, leaf):
-        base = int(spark.read.parquet(leaf).collect()[0]["base_n_centroids"])
-        return int(cur), base
-    return int(cur), int(cur)
+    cur = int(spark.read.parquet(join_path(path, "centroids")).count())
+    base = _read_sidecar_int(
+        spark, path, "centroid_meta", "base_n_centroids", default=cur
+    )
+    return cur, base
 
 
 def recommended_n_probe(spark: SparkSession, path: str, base_n_probe: int) -> int:
@@ -467,7 +495,9 @@ def rebalance_ivf_index(
     retired partitions stay on disk (unroutable under the new routing —
     invisible to probes) and the centroid table's rename-aside copy
     stays under `._rebal_old`. The caller then either
-    `_commit_deferred_rebalance` (delete retired lists + the aside copy)
+    `_commit_deferred_rebalance` (delete the aside copy, then the
+    retired lists — copy-first so a crash never leaves a copy whose
+    restore would route to partially-deleted lists)
     or `_rollback_deferred_rebalance` (restore the pre-split routing and
     sweep the new sub-lists). While deferred, `check_no_pending_swap`
     refuses every other maintenance entry — single-writer, and a crash
@@ -614,16 +644,23 @@ def _commit_deferred_rebalance(
     spark: SparkSession, path: str, retired: list[int]
 ) -> None:
     """Finish a `_defer_cleanup` rebalance after the gate admits it:
-    reclaim the retired (unroutable) partitions, then remove the
-    centroid table's rename-aside copy LAST — its existence is what
-    keeps `check_no_pending_swap` refusing re-entry, so a crash anywhere
-    in here still surfaces as the standard pending-swap recovery instead
-    of a half-committed index."""
+    remove the centroid table's rename-aside copy FIRST, then reclaim
+    the retired (unroutable) partitions. The order is load-bearing
+    (r15 ADVICE): while `._rebal_old` exists, EVERY retired partition is
+    still intact, so the pending-swap recovery guidance ("rename the
+    copy back to roll back") is unconditionally safe — the first design
+    deleted the copy LAST, and a crash mid-way left a copy whose rename
+    would restore a pre-split routing over partially-deleted lists
+    (silent recall loss, indistinguishable from a safe deferred-window
+    crash). With delete-first, a crash after the copy delete leaves only
+    unroutable retired partitions — exactly the debris the next
+    maintenance pass's step-(0) `_sweep_unroutable` self-heals, with no
+    ambiguous pending-swap state."""
     fs = HadoopFS(spark, path)
+    fs.delete(join_path(path, "centroids").rstrip("/") + "._rebal_old")
     inv_leaf = join_path(path, "inverted")
     for cid in retired:
         fs.delete(join_path(inv_leaf, f"centroid_id={cid}"))
-    fs.delete(join_path(path, "centroids").rstrip("/") + "._rebal_old")
 
 
 def _rollback_deferred_rebalance(spark: SparkSession, path: str) -> None:
@@ -661,10 +698,12 @@ def check_no_pending_swap(spark: SparkSession, path: str, what: str) -> None:
             "rebalance crashed mid-swap (that copy may be the only "
             "complete centroid table) or a gated pass crashed in its "
             "deferred window (the copy is the pre-split routing and the "
-            "live table the post-split one — rename the copy back over "
-            "the live table to roll back, or delete the copy to commit; "
-            "either way the next maintenance pass sweeps the unroutable "
-            "leftover lists)"
+            "live table the post-split one). While this copy exists, no "
+            "retired list has been deleted (commit removes the copy "
+            "FIRST), so renaming the copy back over the live table is "
+            "always a safe rollback; deleting the copy commits the "
+            "split. Either way the next maintenance pass sweeps the "
+            "unroutable leftover lists."
         )
 
 

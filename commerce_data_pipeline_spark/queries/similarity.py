@@ -1437,7 +1437,8 @@ def _ora_ann_veto_rollback(n_splits: int = 2) -> str:
     derives it from the filesystem audit a correct rollback satisfies."""
     base = _ora_ann_rebalance_gate(n_splits)
     head, sep, _ = base.rpartition("\nSELECT CAST(n_queries AS BIGINT)")
-    assert sep, "gate oracle changed shape; update the veto composer"
+    if not sep:  # not an assert: must survive python -O (r15 ADVICE)
+        raise RuntimeError("gate oracle changed shape; update the veto composer")
     return (
         head
         + """

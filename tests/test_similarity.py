@@ -1210,3 +1210,117 @@ def test_tombstone_join_shuffle_fallback(spark, tmp_path, monkeypatch):
     post_b = sorted(tuple(r) for r in I.ivf_query(spark, pb, q, k=5,
                                                   n_probe=4).collect())
     assert post_a == post_b == bcast
+
+
+def test_commit_deletes_aside_copy_before_retired_lists(spark, tmp_path):
+    """r15 ADVICE (medium): _commit_deferred_rebalance must delete the
+    rename-aside centroid copy FIRST. While `._rebal_old` exists every
+    retired partition must still be intact — otherwise the pending-swap
+    guidance ("rename the copy back to roll back") restores a pre-split
+    routing over partially-deleted lists (silent recall loss). Pins (a)
+    the delete ORDER via a recording HadoopFS.delete, and (b) the
+    post-copy-delete crash window self-heals: only unroutable retired
+    partitions remain, swept by the next pass's step-(0) sweep."""
+    from commerce_data_pipeline_spark.operators import index as I
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
+
+    emb = _vecs(spark, n=60)
+    path = f"file://{tmp_path}/ivf"
+    I.build_ivf_index(emb, path, n_centroids=2)
+    retired = I.rebalance_ivf_index(
+        spark, path, max_list_size=20, _defer_cleanup=True
+    )
+    assert retired == [0, 1]
+    fs = HadoopFS(spark, path)
+    # deferred-window invariant: copy present => every retired list present
+    assert fs.exists(f"{path}/centroids._rebal_old")
+    for cid in retired:
+        assert fs.exists(f"{path}/inverted/centroid_id={cid}")
+
+    deleted_order = []
+    orig_delete = HadoopFS.delete
+
+    def recording_delete(self, p):
+        deleted_order.append(str(p))
+        return orig_delete(self, p)
+
+    HadoopFS.delete = recording_delete
+    try:
+        I._commit_deferred_rebalance(spark, path, retired)
+    finally:
+        HadoopFS.delete = orig_delete
+    assert deleted_order and deleted_order[0].endswith("._rebal_old")
+    assert all("centroid_id=" in p for p in deleted_order[1:])
+
+    # crash-after-copy-delete window: rebuild the deferred state, delete
+    # ONLY the copy (what a crashed commit leaves), and show the next
+    # maintenance pass self-heals with no pending-swap ambiguity
+    path2 = f"file://{tmp_path}/ivf2"
+    I.build_ivf_index(emb, path2, n_centroids=2)
+    retired2 = I.rebalance_ivf_index(
+        spark, path2, max_list_size=20, _defer_cleanup=True
+    )
+    fs2 = HadoopFS(spark, path2)
+    assert fs2.delete(f"{path2}/centroids._rebal_old")  # the crash point
+    I.check_no_pending_swap(spark, path2, what="retry")  # no wedge
+    swept = I._sweep_unroutable(spark, path2)
+    assert sorted(swept) == retired2  # the leftover retired lists
+    live = {
+        int(e.split("=", 1)[1])
+        for e in fs2.listdir(f"{path2}/inverted")
+        if e.startswith("centroid_id=")
+    }
+    routable = {
+        int(r["centroid_id"])
+        for r in spark.read.parquet(f"{path2}/centroids").collect()
+    }
+    assert live == routable  # fully healed: no unroutable debris
+
+
+def test_torn_markerless_sidecar_degrades_to_default(spark, tmp_path):
+    """r15 ADVICE (low): with success markers disabled, a sidecar dir
+    containing part files may be a torn write (task-committed but not
+    job-committed, or a torn overwrite). The markerless fallback read
+    must VALIDATE (one row, expected column, non-null) and degrade to
+    the legacy default — while a _SUCCESS-marked sidecar that fails
+    validation still raises loudly (the committer vouched for it)."""
+    import pytest
+
+    from commerce_data_pipeline_spark.operators import index as I
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
+
+    emb = _vecs(spark, n=40)
+    path = f"file://{tmp_path}/ivf"
+    I.build_ivf_index(emb, path, n_centroids=2)
+    I.upsert_into_ivf_index(emb.filter(F.col("vec_id") < 3), path)
+    assert I.current_gen(spark, path) >= 1
+    fs = HadoopFS(spark, path)
+
+    # torn shape 1: wrong column, marker deleted -> default, not garbage
+    spark.createDataFrame([(7,)], "not_gen int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/gen_meta")
+    assert fs.delete(f"{path}/gen_meta/_SUCCESS")
+    assert I.current_gen(spark, path) == 0
+
+    # torn shape 2: two rows, marker deleted -> default
+    spark.createDataFrame([(3,), (9,)], "gen int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/gen_meta")
+    assert fs.delete(f"{path}/gen_meta/_SUCCESS")
+    assert I.current_gen(spark, path) == 0
+
+    # same degrade for centroid_meta: base falls back to (cur, cur)
+    spark.createDataFrame([(1,), (2,)], "base_n_centroids int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroid_meta")
+    assert fs.delete(f"{path}/centroid_meta/_SUCCESS")
+    assert I.centroid_counts(spark, path) == (2, 2)
+
+    # a _SUCCESS-marked torn sidecar is an operator problem: raise loud
+    spark.createDataFrame([(3,), (9,)], "gen int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/gen_meta")
+    assert fs.exists(f"{path}/gen_meta/_SUCCESS")
+    with pytest.raises(ValueError, match="torn"):
+        I.current_gen(spark, path)
