@@ -76,4 +76,19 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # The ContextCleaner logs a WARN per GC'd locally-checkpointed RDD
+    # ("RDD N was locally checkpointed, its lineage has been truncated…").
+    # That is the EXPECTED lifecycle of every lineage-truncation
+    # checkpoint the iterative operators take (checkpoint.py) — the
+    # frames are never recomputed after release — so the warning is pure
+    # noise that pollutes bench tails (VERDICT r15 #7). Silence exactly
+    # that logger (org.apache.spark.rdd.RDD emits it); real errors still
+    # surface at ERROR.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.RDD", jvm.org.apache.logging.log4j.Level.ERROR
+        )
+    except Exception:
+        pass  # connect-mode or a relocated log4j: noisier but harmless
     return spark
