@@ -475,6 +475,7 @@ def bigram_lm_scores(
     lam: float = 0.9,
     bak: float = 0.1,
     model_df: DataFrame | None = None,
+    model_filter: Column | None = None,
 ) -> DataFrame:
     """CCNet-style LM perplexity filtering (Wenzek et al., LREC 2020),
     trainer-free: score every document's negative log-likelihood under an
@@ -514,6 +515,15 @@ def bigram_lm_scores(
     only the smoothed backoff mass (lam-term 0; an unseen continuation
     falls back to 1/(T+V)) — never dropped, never -inf. With
     model_df=None the expression tree is the original self-scored one.
+
+    When the model corpus is a ROW-SUBSET of `df` (the train/val/test
+    case), pass `model_filter` (a boolean Column over df's columns)
+    instead of `model_df`: the model's type table then derives from the
+    already-checkpointed per-doc gram counts — ONE corpus explode
+    instead of two (r16: the model_df path re-scanned and re-exploded
+    the 80% train slice; at 100 TB that second explode dominates). The
+    scored expression tree is identical to the model_df path, so
+    results are bit-equal to passing df.filter(model_filter).
     """
     ws_arr = F.split(normalized_text(text_col), " ")
     shifted = F.slice(ws_arr, 2, F.greatest(F.size(ws_arr) - 1, F.lit(0)))
@@ -523,24 +533,60 @@ def bigram_lm_scores(
     grams = F.when(
         F.size(ws_arr) >= 2, F.slice(pairs, 1, F.size(ws_arr) - 1)
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    occ = df.select(F.col(id_col), F.explode(grams).alias("_g")).select(
-        F.col(id_col), F.col("_g.w1").alias("_w1"), F.col("_g.w2").alias("_w2")
-    )
+    if model_df is not None and model_filter is not None:
+        raise ValueError(
+            "bigram_lm_scores: pass model_df OR model_filter, not both"
+        )
+    sel = [F.col(id_col), F.explode(grams).alias("_g")]
+    occ_cols = [
+        F.col(id_col),
+        F.col("_g.w1").alias("_w1"),
+        F.col("_g.w2").alias("_w2"),
+    ]
+    keys = [id_col, "_w1", "_w2"]
+    if model_filter is not None:
+        # the flag is functionally dependent on id_col, so adding it to
+        # the grouping keys changes no group — it just rides along to
+        # let the model types derive from occ_doc without a re-explode
+        sel.insert(1, model_filter.alias("_in_model"))
+        occ_cols.insert(1, F.col("_in_model"))
+        keys = [id_col, "_in_model", "_w1", "_w2"]
+    occ = df.select(*sel).select(*occ_cols)
     # aggregate straight to per-doc gram counts and materialize ONCE: the
     # frame feeds both the model-estimation side (types → c1/c2/T/V) and
     # the scoring join — without the checkpoint every derived frame
     # re-scans and re-explodes the corpus (witnessed as 5 parquet scans
     # and 9 exchanges in the pre-fix plan audit)
     occ_doc = (
-        occ.groupBy(id_col, "_w1", "_w2")
+        occ.groupBy(*keys)
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
         .transform(_checkpoint)
     )
-    if model_df is None:
+    if model_df is None and model_filter is None:
+        # c1/c2/tv/scored all re-derive this agg from the occ_doc
+        # checkpoint — measured CHEAPER than materializing the type
+        # table (r16 probe: checkpointing types cost bigram_lm
+        # 1.85→2.36 s at sf0.1; the re-aggs read executor-local blocks
+        # and pipeline into their consumers). Kept as a groupBy
+        # (map-side partials), never a partition-by window: hot words
+        # would serialize a window's per-key sort.
         types = occ_doc.groupBy("_w1", "_w2").agg(
             F.sum("_n").cast("long").alias("_c12")
         )
         score_types = types
+    elif model_filter is not None:
+        # model types from the SAME explode: one corpus pass, the train
+        # slice selected on the flag column carried through occ_doc
+        types = (
+            occ_doc.filter(F.col("_in_model"))
+            .groupBy("_w1", "_w2")
+            .agg(F.sum("_n").cast("long").alias("_c12"))
+            .transform(_checkpoint)
+        )
+        score_types = (
+            occ_doc.select("_w1", "_w2").distinct()
+            .join(types, ["_w1", "_w2"], "left")
+        )
     else:
         m_ws = F.split(normalized_text(text_col), " ")
         m_shift = F.slice(m_ws, 2, F.greatest(F.size(m_ws) - 1, F.lit(0)))

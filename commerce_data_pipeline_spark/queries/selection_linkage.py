@@ -646,8 +646,12 @@ def _q_heldout_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     (never dropped, never -inf). One per-split summary row."""
     docs = load_table(spark, sf, "documents")
     assigned = corpus.train_val_test_split(docs).transform(_checkpoint)
-    train = assigned.filter(F.col("split") == "train")
-    scored = text.bigram_lm_scores(assigned, model_df=train)
+    # model_filter (not model_df): the train slice is a row-subset of
+    # the scored corpus, so the model types derive from the shared
+    # per-doc gram counts — one corpus explode instead of two (r16)
+    scored = text.bigram_lm_scores(
+        assigned, model_filter=F.col("split") == "train"
+    )
     return (
         scored.join(assigned.select("doc_id", "split"), "doc_id")
         .groupBy("split")

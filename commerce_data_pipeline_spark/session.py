@@ -81,13 +81,13 @@ def get_spark(
     # That is the EXPECTED lifecycle of every lineage-truncation
     # checkpoint the iterative operators take (checkpoint.py) — the
     # frames are never recomputed after release — so the warning is pure
-    # noise that pollutes bench tails (VERDICT r15 #7). Silence exactly
-    # that logger (org.apache.spark.rdd.RDD emits it); real errors still
-    # surface at ERROR.
+    # noise that pollutes bench tails (VERDICT r15 #7). Spark's Logging
+    # trait logs under the CONCRETE class (MapPartitionsRDD etc.), so the
+    # whole rdd package is set to ERROR; real errors still surface.
     try:
         jvm = spark.sparkContext._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.rdd.RDD", jvm.org.apache.logging.log4j.Level.ERROR
+            "org.apache.spark.rdd", jvm.org.apache.logging.log4j.Level.ERROR
         )
     except Exception:
         pass  # connect-mode or a relocated log4j: noisier but harmless

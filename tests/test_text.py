@@ -270,6 +270,52 @@ def test_bigram_lm_heldout_model(spark):
     assert a == b
 
 
+def test_bigram_lm_model_filter_matches_model_df(spark):
+    """r16: `model_filter` (single-explode, model types derived from the
+    shared occ_doc checkpoint) must be bit-equal to passing the filtered
+    frame as `model_df` — including docs whose bigrams the model never
+    saw, and regardless of which slice is larger. Both args together is
+    an error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from commerce_data_pipeline_spark.operators.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b", "train"),
+            (1, "a b c", "train"),
+            (2, "a b", "val"),
+            (3, "z q z", "val"),
+            (4, "c a b c", "test"),
+        ],
+        ["doc_id", "text", "split"],
+    )
+    via_filter = sorted(
+        map(
+            tuple,
+            bigram_lm_scores(docs, model_filter=F.col("split") == "train")
+            .select("doc_id", "n_bigrams", "nll_e6", "avg_nll_e6")
+            .collect(),
+        )
+    )
+    via_df = sorted(
+        map(
+            tuple,
+            bigram_lm_scores(
+                docs, model_df=docs.filter(F.col("split") == "train")
+            )
+            .select("doc_id", "n_bigrams", "nll_e6", "avg_nll_e6")
+            .collect(),
+        )
+    )
+    assert via_filter == via_df
+    with pytest.raises(ValueError, match="not both"):
+        bigram_lm_scores(
+            docs, model_df=docs, model_filter=F.col("split") == "train"
+        )
+
+
 def test_vocab_coverage(spark):
     """Top-V cut is (count desc, word asc)-deterministic; OOV counted per
     group with an exact floored e6 ratio."""
