@@ -432,55 +432,72 @@ REGISTRY["ann_rebalance_gate"] = QuerySpec(
     "budgets (built in r14, registered r15 per the never-attested protocol)",
 )
 
-# --- r15 window rotation (VERDICT r14 #1 + #6) -------------------------------
+# --- r16 additions -----------------------------------------------------------
+from commerce_data_pipeline_spark.queries.similarity import (  # noqa: E402
+    _ora_ann_veto_rollback,
+    _q_ann_veto_rollback,
+)
+
+REGISTRY["ann_veto_rollback"] = QuerySpec(
+    _q_ann_veto_rollback,
+    _ora_ann_veto_rollback(2),
+    "X3 maintenance gate VETO END TO END: top-5 from an index whose gated "
+    "split was REJECTED and rolled back (bit-identical pre-split serving, "
+    "restored routing + swept sub-lists) joined with the persisted verdict "
+    "inputs; rolled_back derives from the post-veto filesystem audit "
+    "(built in r15, registered r16 per the never-attested protocol)",
+)
+
+# --- r16 window rotation (VERDICT r15 #1 + #5) -------------------------------
 # THE one live window (historical windows live in git + COVERAGE.md's
-# generated attestation ledger — see the note above the registry dict).
-# The rotation payload after the fully-green CORRECTNESS_r14
-# (tiers r14:50, r13:48, r12:48, r11:48, r10: promo_revenue only):
-# `promo_revenue` LEADS — the NAMED r10-tier overflow deliberately held
-# out of _WINDOW_R14, sanctioned for exactly two rounds and due now —
-# followed by the never-attested `ann_rebalance_gate` (pre-built +
-# differential-pinned in r14, registered this round per protocol), the
-# two always-in-window single-query families (salted_hot_join,
-# zorder_skipping), and 46 of the 48 r11-latest queries: 52 candidates
-# for 50 slots, exactly as the r14 VERDICT forecast. The TWO named
-# r11-tier overflows are `ann_pq` (X3 keeps ann_ivf + centroid_sim +
-# cluster_sample + the new ann_rebalance_gate in-window; ann_pq's ADC
-# arithmetic is additionally pinned by differential pytest) and
-# `bigram_lm` (X4 keeps text_profile, bpe_tokenize, tokenizer_fertility
-# and dup_ngram_spans in-window; the LM family's heldout_perplexity twin
-# is r12-fresh) — both recorded in COVERAGE.md's r15 section; they MUST
-# lead _WINDOW_R16. After a green CORRECTNESS_r15 every other
-# non-terminal query's latest attestation is ≥ r12 (directive #6's
-# bar). FAMILY_PROOFS in tests/test_registry_window.py is re-seeded
-# from this window in the same commit; families whose every member is
-# fresh (attested ≥ r12: the r12-r14 tiers) cede their pin slot to the
-# payload, per the standing precedent.
-_WINDOW_R15 = [
-    # the named r10-tier overflow — held since r13, leads per VERDICT r14 #1
-    "promo_revenue",
-    # new in r15 — never-attested, first driver attestation this round
-    "ann_rebalance_gate",
-    # 46 of the 48 r11-latest rotate-ins (ann_pq + bigram_lm overflow to
-    # r16, named above), alphabetical
-    "ann_ivf", "bloom_fpr", "bpe_tokenize", "centroid_sim", "cluster_sample",
-    "containment_topk", "conversion_daily", "customer_value_deciles",
-    "date_gaps", "decayed_revenue", "distinct_ship_dates", "dsir_select",
-    "dup_ngram_spans", "dup_source_matrix", "epoch_shuffle", "funnel",
-    "greedy_pack", "hard_negatives", "heavy_hitters", "hybrid_search_rrf",
-    "image_near_dup_md5", "image_phash_md5", "join_profile",
-    "media_features_md5", "minhash_estimate_audit", "mmr_rerank",
-    "param_extract", "pii_redact", "price_outliers", "pricing_summary",
-    "quality_calibrate", "scd2_intervals", "scd2_lookup", "seed_expansion",
-    "semantic_dedup", "sessionization", "snm_name_pairs",
-    "streaming_daily_counts", "temperature_mix", "text_profile",
-    "tfidf_keywords", "tokenizer_fertility", "top_revenue_nations",
-    "value_js_drift", "value_psi_drift", "weighted_sample",
+# generated attestation ledger). Rotation payload after the fully-green
+# CORRECTNESS_r15 (tiers r15:50, r14:50, r13:48, r12:48, r11: ann_pq +
+# bigram_lm): the TWO named r11-tier overflows `ann_pq` + `bigram_lm`
+# LEAD (sanctioned for exactly two rounds in r14, due now), followed by
+# the never-attested `ann_veto_rollback` (pre-built + differential-
+# pinned in r15, registered this round per protocol), 45 of the 48
+# r12-latest queries, and the two always-in-window single-query
+# families (salted_hot_join, zorder_skipping) — 53 candidates for 50
+# slots, exactly as the r15 VERDICT forecast. The THREE named r12-tier
+# overflows to r17 are `bpe_first_merge` (X4 keeps bpe_train,
+# bpe_train_batched and bpe_compression in-window — the first-merge
+# statistic is a strict prefix of bpe_train's attested lifecycle),
+# `kmeans_step` (the iterative family keeps kmeans_train — whose replay
+# contains the step — and pca_power in-window), and `part_walks` (X12
+# keeps part_communities, part_components, part_kcore and
+# part_triangles in-window) — recorded in COVERAGE.md's r16 section;
+# they MUST lead _WINDOW_R17. After a green CORRECTNESS_r16 every
+# other non-terminal query's latest attestation is >= r13 (VERDICT r15
+# #5's cadence bar: tiers r16:50, r15:50, r14:50, r13:48, r12: exactly
+# the three named overflows). FAMILY_PROOFS in
+# tests/test_registry_window.py is re-seeded from this window in the
+# same commit; families whose every member is fresh (attested >= r13)
+# cede their pin slot to the payload, per the standing precedent.
+_WINDOW_R16 = [
+    # the named r11-tier overflows — lead per VERDICT r15 #1
+    "ann_pq", "bigram_lm",
+    # new in r16 — never-attested, first driver attestation this round
+    "ann_veto_rollback",
+    # 45 of the 48 r12-latest rotate-ins (bpe_first_merge, kmeans_step
+    # and part_walks overflow to r17, named above), alphabetical
+    "also_bought", "ann_ivf_upsert", "ann_lsh", "approx_group_stats",
+    "approx_stats", "association_rules", "attribution_position",
+    "benford_prices", "bpe_compression", "bpe_train", "bpe_train_batched",
+    "burst_window_events", "canonical_docs", "dup_cluster_histogram",
+    "embedding_outliers", "event_type_drift", "fd_check", "heldout_perplexity",
+    "image_dup_clusters", "k_anonymity", "kmeans_train", "lang_id_agreement",
+    "lsh_cost_plan", "multi_pass_name_pairs", "ndcg_eval", "ngram_novelty",
+    "numeric_corr", "part_communities", "part_components", "part_kcore",
+    "part_triangles", "pca_power", "price_histogram", "quality_classifier",
+    "quantile_groups", "referential_integrity", "revenue_bands",
+    "sequence_violations", "session_funnel", "similar_parts_jaccard",
+    "sliding_counts", "snapshot_diff", "split_leakage", "waiting_suppliers",
+    "winsorized_revenue",
     # single-query families (must stay in-window)
     "salted_hot_join", "zorder_skipping",
 ]
-REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R15} | {
-    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R15)
+REGISTRY = {n: REGISTRY[n] for n in _WINDOW_R16} | {
+    k: v for k, v in REGISTRY.items() if k not in set(_WINDOW_R16)
 }
 
 

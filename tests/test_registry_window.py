@@ -30,93 +30,92 @@ CHECK_WINDOW = 50
 # the pin exists to keep a family's freshness above the bar, and those
 # families are above it without a slot. Prior pin-set rationale history
 # lives in git.
-# r15 reset (VERDICT r14 #1/#6): the window is the rotation payload —
-# promo_revenue LEADING (the named r10-tier overflow, due after two held
-# rounds) + the never-attested ann_rebalance_gate + 46 of the 48
-# r11-latest attestations (ann_pq + bigram_lm are the named overflows to
-# r16 — 52 candidates for 50 slots) + the 2 single-query families — so
-# pins are chosen FROM those rotate-ins wherever a family has one.
-# Families whose every member is fresh (attested ≥ r12 after the green
-# r14 run: the r12-r14 tiers — exact/LSH dedup, multimodal md-twins'
-# in-window siblings, sketches, bloom decontamination, X9 resample,
-# attribution/cohorts, stream interval join, X13 KS drift) cede their
-# pin slot to the payload, per the standing precedent. Prior pin-set
-# rationale history lives in git.
+# r16 reset (VERDICT r15 #1/#5): the window is the rotation payload —
+# ann_pq + bigram_lm LEADING (the two named r11-tier overflows, due
+# after two held rounds) + the never-attested ann_veto_rollback
+# (registered this round) + 45 of the 48 r12-latest attestations
+# (bpe_first_merge, kmeans_step and part_walks are the named overflows
+# to r17 — 53 candidates for 50 slots) + the 2 single-query families —
+# so pins are chosen FROM those rotate-ins wherever a family has one.
+# Families whose every member is fresh (attested ≥ r13 after the green
+# r15 run: the r13-r15 tiers — exact/MinHash dedup, multimodal md
+# twins, heavy hitters, bloom, X9 resample, X10 corpus shaping,
+# attribution/cohorts/funnel, streaming twins, SCD2, drift audits,
+# seed expansion) cede their pin slot to the payload, per the standing
+# precedent. Prior pin-set rationale history lives in git.
 FAMILY_PROOFS = {
-    # R relational: the NAMED overflow lead (Q14 conditional monthly
-    # share) + the Q1-shape agg sweep + the Q5-shape star join
-    "promo_revenue",
-    "pricing_summary",
-    "top_revenue_nations",
-    # X3 ANN: the NEW end-to-end gated-rebalance verdict row + IVF-routed
-    # top-k + integer-exact centroid audit
-    "ann_rebalance_gate",
-    "ann_ivf",
-    "centroid_sim",
-    # X2 near-dup: asymmetric containment + the MinHash accuracy
-    # contract + cross-source duplication audit + SemDeDup prune
-    "containment_topk",
-    "minhash_estimate_audit",
-    "dup_source_matrix",
-    "semantic_dedup",
-    # record linkage: sorted-neighborhood candidate pass
-    "snm_name_pairs",
-    # X4 text: lang-ID/quality + tokenizer last mile + fertility +
-    # exact-substring spans
-    "text_profile",
-    "bpe_tokenize",
-    "tokenizer_fertility",
-    "dup_ngram_spans",
-    # X5 multimodal: the integer md5 twins of the pHash family
-    "image_phash_md5",
-    "image_near_dup_md5",
-    "media_features_md5",
-    # X6 sketches: exact heavy hitters via Misra-Gries candidates
-    "heavy_hitters",
-    # X7 search: TF-IDF keywords + hybrid BM25+semantic RRF fusion
-    "tfidf_keywords",
-    "hybrid_search_rrf",
-    # X8 bloom: measured-FPR-vs-bound contract
-    "bloom_fpr",
-    # X10 corpus shaping: temperature mixing + greedy packing + epoch
-    # shuffle + weighted sampling
-    "temperature_mix",
-    "greedy_pack",
-    "epoch_shuffle",
-    "weighted_sample",
-    # X11 selection: DSIR importance resampling + percentile calibration
-    # + MMR rerank + hard-negative mining
-    "dsir_select",
-    "quality_calibrate",
-    "mmr_rerank",
-    "hard_negatives",
-    # X12 graph: personalized-PageRank seed expansion
-    "seed_expansion",
-    # X13 audits: PSI + bounded-JS drift over the shared decile banding
-    "value_psi_drift",
-    "value_js_drift",
-    # P pipeline: date discovery + anti-join gaps + pre-join audit +
-    # robust outliers
-    "distinct_ship_dates",
-    "date_gaps",
-    "join_profile",
-    "price_outliers",
-    # temporal: SCD2 intervals + as-of lookup + recency decay
-    "scd2_intervals",
-    "scd2_lookup",
-    "decayed_revenue",
+    # X3 ANN: the named PQ/ADC overflow lead + the NEW veto-rollback
+    # lifecycle row + the LSM upsert lifecycle + inlined-plane LSH
+    "ann_pq",
+    "ann_veto_rollback",
+    "ann_ivf_upsert",
+    "ann_lsh",
+    # X4 text/LM: the named bigram-LM overflow lead + its held-out twin
+    # + BPE train (sequential & batched bit-parity) + lang-ID agreement
+    # + n-gram novelty
+    "bigram_lm",
+    "heldout_perplexity",
+    "bpe_train",
+    "bpe_train_batched",
+    "bpe_compression",
+    "lang_id_agreement",
+    "ngram_novelty",
+    # X2 near-dup/linkage: canonical doc election + cluster-size audit +
+    # multi-pass blocking + Jaccard over part names + LSH cost planner
+    "canonical_docs",
+    "dup_cluster_histogram",
+    "multi_pass_name_pairs",
+    "similar_parts_jaccard",
+    "lsh_cost_plan",
+    # X5 multimodal: connected near-dup image clusters
+    "image_dup_clusters",
+    # X6 sketches: reservoir/HLL accuracy + grouped approximates
+    "approx_stats",
+    "approx_group_stats",
+    # X11 selection/eval: fasttext-style classifier + ranked-retrieval
+    # NDCG + embedding outlier audit
+    "quality_classifier",
+    "ndcg_eval",
+    "embedding_outliers",
+    # X10 corpus: split-leakage contract
+    "split_leakage",
+    # X12 graph: LPA communities + components + k-core + triangles
+    "part_communities",
+    "part_components",
+    "part_kcore",
+    "part_triangles",
+    # iterative ML: Lloyd training replay + power-iteration PCA
+    "kmeans_train",
+    "pca_power",
+    # X13 audits: FD + k-anonymity + Benford + correlation matrix +
+    # eight-way FK audit + categorical drift + snapshot diff
+    "fd_check",
+    "k_anonymity",
+    "benford_prices",
+    "numeric_corr",
+    "referential_integrity",
+    "event_type_drift",
+    "snapshot_diff",
+    # G analytics: strict-order funnel + position attribution +
+    # state-machine violations + burst windows
+    "session_funnel",
+    "attribution_position",
+    "sequence_violations",
+    "burst_window_events",
+    # R relational window/agg shapes: histogram + NTILE + bands +
+    # winsorized + EXISTS/NOT-EXISTS + sliding windows + market-basket
+    "price_histogram",
+    "quantile_groups",
+    "revenue_bands",
+    "winsorized_revenue",
+    "waiting_suppliers",
+    "sliding_counts",
+    "association_rules",
+    "also_bought",
     # skew mitigation (single-query family — must always sit in-window)
     "salted_hot_join",
     # §4 layout (single-query family — must always sit in-window)
     "zorder_skipping",
-    # G analytics: ordered funnel + gap sessionization + conversion
-    # metrics + JSON param extraction
-    "funnel",
-    "sessionization",
-    "conversion_daily",
-    "param_extract",
-    # streaming twin: tumbling-window agg (batch parity)
-    "streaming_daily_counts",
 }
 
 def test_every_family_proof_inside_check_window():
