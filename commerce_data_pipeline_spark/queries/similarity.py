@@ -1459,6 +1459,147 @@ WHERE t.rank <= 5
     )
 
 
+def _ensure_selfheal_ivf_index(spark: SparkSession, sf: str) -> str:
+    """Build-once handle for the INTERRUPTED-COMMIT lifecycle (the r16
+    commit-order contract, operators/index._commit_deferred_rebalance):
+    build, run a deferred-cleanup split, then simulate the commit crash
+    at its one ambiguous-looking point — the rename-aside centroid copy
+    deleted, the retired partitions not yet reclaimed. Under the
+    copy-FIRST commit order this window has no pending-swap marker and
+    every leftover is unroutable, so a ROUTINE next maintenance pass
+    must self-heal it: its step-(0) sweep reclaims exactly the retired
+    lists and its size census finds nothing further to split. The
+    audit numbers persist as a one-row `heal_report` beside the index;
+    `healed` derives from the POST-pass filesystem state (zero
+    unroutable partitions, live partitions == routing table), so a
+    broken sweep records False and hash-mismatches the oracle.
+    Marker-idempotent."""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+    from commerce_data_pipeline_spark.operators.similarity import auto_n_centroids
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+
+    root = _cache_dir("ivf_selfheal", sf)
+    marker = join_path(root, "_SELFHEAL_READY")
+    fs = HadoopFS(spark, root)
+    if not fs.exists(marker):
+        if fs.exists(root):
+            fs.delete(root)
+        emb = load_table(spark, sf, "embeddings")
+        total = emb.count()
+        nc = auto_n_centroids(total)
+        step = max(1, total // nc)
+        ivf_index.build_ivf_index(emb, root, corpus_count=total)
+        retired = ivf_index.rebalance_ivf_index(
+            spark, root, max_list_size=(13 * step) // 10, n_splits=2,
+            _defer_cleanup=True,
+        )
+        # the crash point: commit removed the aside copy (its FIRST
+        # delete) and died before reclaiming any retired partition
+        fs.delete(join_path(root, "centroids") + "._rebal_old")
+
+        def _unroutable() -> int:
+            routable = {
+                int(r["centroid_id"])
+                for r in spark.read.parquet(join_path(root, "centroids"))
+                .select("centroid_id")
+                .collect()
+            }
+            return sum(
+                1
+                for e in fs.listdir(join_path(root, "inverted"))
+                if e.startswith("centroid_id=")
+                and int(e.split("=", 1)[1]) not in routable
+            )
+
+        leftover_before = _unroutable()
+        # the routine next pass: nothing is oversized any more, so the
+        # ONLY work is the step-(0) sweep of the crash debris
+        further = ivf_index.rebalance_ivf_index(
+            spark, root, max_list_size=10_000_000, n_splits=2
+        )
+        leftover_after = _unroutable()
+        healed = leftover_after == 0 and not further
+        spark.createDataFrame(
+            [(
+                int(len(retired)),
+                int(leftover_before),
+                int(leftover_after),
+                bool(healed),
+            )],
+            "n_split int, leftover_before int, leftover_after int, "
+            "healed boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            join_path(root, "heal_report")
+        )
+        fs.write_bytes(marker, b"ready\n")
+    return root
+
+
+def _q_ann_commit_selfheal(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 maintenance crash recovery END TO END — the interrupted-commit
+    proof: top-5 from an index whose admitted split's commit crashed
+    after the rename-aside delete (the r16 copy-FIRST order), healed by
+    a routine follow-up maintenance pass, joined with the persisted
+    audit. The oracle replays the COMMITTED split routing — a hash
+    match proves the crash+heal lost nothing of the admitted split —
+    and derives the split count from the rebalance CTE chain;
+    `leftover_before` must equal it (the commit-order invariant: while
+    any retired list is gone the copy is gone too, so the crash window
+    holds ALL of them), `leftover_after`/`healed` come from the
+    post-pass filesystem audit, not literals. (Built in r16; enters the
+    driver window in r17 per the never-attested-in-window protocol.)"""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+    from commerce_data_pipeline_spark.sources.hadoopfs import join_path
+
+    root = _ensure_selfheal_ivf_index(spark, sf)
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2500))
+    topk = ivf_index.ivf_query(spark, root, queries, k=5, n_probe=4)
+    rep = spark.read.parquet(join_path(root, "heal_report"))
+    return topk.crossJoin(F.broadcast(rep)).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        "rank",
+        "n_split",
+        "leftover_before",
+        "leftover_after",
+        "healed",
+    )
+
+
+def _ora_ann_commit_selfheal(n_splits: int = 2) -> str:
+    """Composes `_ora_ann_ivf_rebalance`'s CTE chain (build → census →
+    seed → reassign → post-split probe) and appends the heal audit: the
+    split count derives from the oversized-list census CTE,
+    `leftover_before` equals it by the commit-order invariant, and a
+    correct heal leaves zero unroutable partitions. String-composed
+    from the rebalance oracle so the replay cannot drift."""
+    base = _ora_ann_ivf_rebalance(n_splits)
+    head, sep, _ = base.rpartition("\nSELECT query_id, neighbor_id, ROUND(sim, 4)")
+    if not sep:  # not an assert: must survive python -O
+        raise RuntimeError(
+            "rebalance oracle changed shape; update the selfheal composer"
+        )
+    return (
+        head
+        + """
+SELECT t.query_id, t.neighbor_id, ROUND(t.sim, 4) AS cosine_sim,
+  CAST(t.rank AS INT) AS rank,
+  CAST(s.n_split AS INT) AS n_split,
+  CAST(s.n_split AS INT) AS leftover_before,
+  CAST(0 AS INT) AS leftover_after,
+  TRUE AS healed
+FROM (
+  SELECT query_id, neighbor_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+) t CROSS JOIN (SELECT COUNT(*) AS n_split FROM big) s
+WHERE t.rank <= 5
+"""
+    )
+
+
 def _ora_ann_rebalance_gate(n_splits: int = 2) -> str:
     """Composes `_ora_ann_ivf_rebalance`'s CTE chain (through the
     post-split probe selection `pr`) with: the PRE-split probe selection

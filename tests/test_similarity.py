@@ -1324,3 +1324,49 @@ def test_torn_markerless_sidecar_degrades_to_default(spark, tmp_path):
     assert fs.exists(f"{path}/gen_meta/_SUCCESS")
     with pytest.raises(ValueError, match="torn"):
         I.current_gen(spark, path)
+
+
+def test_ann_commit_selfheal_query_matches_oracle(spark, sf_dir, tmp_path):
+    """Pre-registration differential for the r17 window candidate (the
+    never-attested-in-window protocol, ann_veto_rollback precedent): the
+    interrupted-commit lifecycle row — top-5 over an index whose
+    admitted split's commit crashed after the rename-aside delete and
+    was healed by a routine maintenance pass. The oracle replays the
+    COMMITTED split routing, so a hash match proves the crash+heal lost
+    nothing of the split; the heal numbers ride along."""
+    import duckdb
+
+    from commerce_data_pipeline_spark.queries import _shared
+    from commerce_data_pipeline_spark.queries.similarity import (
+        _ora_ann_commit_selfheal,
+        _q_ann_commit_selfheal,
+    )
+
+    orig = _shared.CACHE_TAG
+    _shared.CACHE_TAG = f"sh{tmp_path.name[-8:]}"
+    try:
+        sdf = _q_ann_commit_selfheal(spark, sf_dir)
+        scols = sdf.columns
+        srows = sorted(tuple(r) for r in sdf.collect())
+    finally:
+        _shared.CACHE_TAG = orig
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    rel = con.sql(_ora_ann_commit_selfheal(2))
+    ocols = rel.columns
+    orows = sorted(tuple(r) for r in rel.fetchall())
+    assert sorted(scols) == sorted(ocols)
+    perm = [scols.index(c) for c in ocols]
+    assert [tuple(r[i] for i in perm) for r in srows] == orows
+    # live-data sanity: the split really happened, the crash window held
+    # every retired list (the commit-order invariant), and the follow-up
+    # pass swept them all
+    row = {c: v for c, v in zip(scols, srows[0])}
+    assert row["n_split"] > 0
+    assert row["leftover_before"] == row["n_split"]
+    assert row["leftover_after"] == 0
+    assert row["healed"] is True
+    n_queries = len({r[scols.index("query_id")] for r in srows})
+    assert len(srows) == 5 * n_queries
