@@ -576,17 +576,21 @@ def bigram_lm_scores(
         score_types = types
     elif model_filter is not None:
         # model types from the SAME explode: one corpus pass, the train
-        # slice selected on the flag column carried through occ_doc
-        types = (
-            occ_doc.filter(F.col("_in_model"))
-            .groupBy("_w1", "_w2")
-            .agg(F.sum("_n").cast("long").alias("_c12"))
+        # slice selected on the flag column carried through occ_doc —
+        # and ONE conditional aggregate doubles as both tables: _c12 is
+        # NULL exactly where the model never saw the bigram (sum over an
+        # all-null group), which is bit-for-bit the left-join semantics
+        # the model_df path produces, without the distinct + join pair
+        score_types = (
+            occ_doc.groupBy("_w1", "_w2")
+            .agg(
+                F.sum(F.when(F.col("_in_model"), F.col("_n")))
+                .cast("long")
+                .alias("_c12")
+            )
             .transform(_checkpoint)
         )
-        score_types = (
-            occ_doc.select("_w1", "_w2").distinct()
-            .join(types, ["_w1", "_w2"], "left")
-        )
+        types = score_types.filter(F.col("_c12").isNotNull())
     else:
         m_ws = F.split(normalized_text(text_col), " ")
         m_shift = F.slice(m_ws, 2, F.greatest(F.size(m_ws) - 1, F.lit(0)))
