@@ -1,0 +1,101 @@
+"""One-off r16 measurement sweep (appends nothing — prints STRESS.md-ready
+tables). Jobs, covering this round's touched paths:
+
+1. (default) 8× scaling of the restructured LM family: bigram_lm and
+   heldout_perplexity after the single-explode / single-conditional-agg
+   rewrite (VERDICT r15 #4) — the held-out path no longer re-scans and
+   re-explodes the train slice, so its ratio should sit in the same
+   data-bound band as the self-scored row, not above it.
+
+2. `lifecycles [K]` — fresh-cache FULL-lifecycle timing for this
+   round's pre-built never-attested candidate (ann_commit_selfheal:
+   build -> deferred split -> simulated commit crash -> self-healing
+   maintenance pass -> probe) at 1x and Kx — the stress_r13/r14/r15
+   precedent for lifecycle rows.
+
+    python tools/stress_r16.py            # LM family at 1x vs 8x
+    python tools/stress_r16.py lifecycles [K] [sf_dir]
+
+NEVER run concurrently with pytest/oracle/bench — contention fakes
+scaling cliffs (the standing harness rule).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from commerce_data_pipeline_spark import queries as Q
+from commerce_data_pipeline_spark.session import get_spark
+from tools.stress import _timed_min, run_at_scale, scaled_loader, unpersist_all_rdds
+
+LM_ROWS = ["bigram_lm", "heldout_perplexity"]
+
+
+def run_lifecycles(spark, sf_dir: str, k: int) -> dict[str, float]:
+    """Fresh-cache FULL-lifecycle timing for ann_commit_selfheal: build
+    -> deferred split -> simulated commit crash (rename-aside copy
+    deleted, retired lists left) -> routine maintenance pass (sweep) ->
+    probe, fresh ivf_selfheal dir per rep."""
+    from commerce_data_pipeline_spark.queries import _shared
+    from commerce_data_pipeline_spark.queries.similarity import _q_ann_commit_selfheal
+
+    Q.rebind_load_table(scaled_loader(k))
+    original_tag = Q.get_cache_tag()
+    tag = f"x{k}" if k != 1 else ""
+    Q.set_cache_tag(tag)
+    try:
+        out: dict[str, float] = {}
+
+        def run():
+            orig = _shared.CACHE_TAG
+            _shared.CACHE_TAG = tag
+            try:
+                leaf = _shared._cache_dir("ivf_selfheal", sf_dir)
+            finally:
+                _shared.CACHE_TAG = orig
+            shutil.rmtree(leaf, ignore_errors=True)
+            _q_ann_commit_selfheal(spark, sf_dir).count()
+            spark.catalog.clearCache()
+            unpersist_all_rdds(spark)
+
+        out["ann_commit_selfheal"] = _timed_min(run)
+        return out
+    finally:
+        Q.rebind_load_table(Q.load_table)
+        Q.set_cache_tag(original_tag)
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "lifecycles":
+        k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        spark = get_spark("stress_r16")
+        spark.range(1000).selectExpr("sum(id)").collect()
+        base = run_lifecycles(spark, sf_dir, 1)
+        big = run_lifecycles(spark, sf_dir, k)
+        print(f"| query (full lifecycle, fresh cache per rep) | 1x sec | {k}x sec | ratio |")
+        print("|---|---|---|---|")
+        for name in base:
+            print(f"| {name} | {base[name]:.2f} | {big[name]:.2f} "
+                  f"| {big[name] / base[name]:.1f}x |")
+        return
+
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("stress_r16")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    base = run_at_scale(spark, sf_dir, 1, names=LM_ROWS, warm=True)
+    big = run_at_scale(spark, sf_dir, k, names=LM_ROWS, warm=True)
+    print(f"| query | 1x sec | {k}x sec | ratio |")
+    print("|---|---|---|---|")
+    for name in LM_ROWS:
+        print(f"| {name} | {base[name]:.2f} | {big[name]:.2f} "
+              f"| {big[name] / base[name]:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
