@@ -69,6 +69,16 @@ def build_parser() -> argparse.ArgumentParser:
     ir.add_argument("--max-recall-drop-e6", type=int, default=None,
                     help="exit 1 if mean recall@k at the serving n_probe drops more than this")
 
+    iv = sub.add_parser(
+        "index-recover",
+        help="resolve a pending rename-aside swap (crashed rebalance): "
+             "roll the split back or commit it, then sweep unroutable "
+             "debris — the executable form of check_no_pending_swap's "
+             "guidance",
+    )
+    iv.add_argument("--path", required=True)
+    iv.add_argument("--action", required=True, choices=["rollback", "commit"])
+
     ia = sub.add_parser("index-recall-audit", help="recall@k at fixed n_probe vs brute force")
     ia.add_argument("--path", required=True)
     ia.add_argument("--audit-sf-dir", required=True)
@@ -110,6 +120,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "index-compact":
         ivf_index.compact_ivf_index(spark, args.path)
         print(json.dumps({"cmd": args.cmd, "path": args.path, "ok": True}))
+        return 0
+
+    if args.cmd == "index-recover":
+        try:
+            res = ivf_index.recover_pending_swap(spark, args.path, args.action)
+        except RuntimeError as e:
+            # the one refusal: commit requested in the mid-swap state
+            # (no promoted routing exists) — actionable, not a crash
+            print(json.dumps({
+                "cmd": args.cmd, "path": args.path, "ok": False,
+                "error": str(e),
+            }))
+            return 1
+        print(json.dumps({
+            "cmd": args.cmd, "path": args.path, "ok": True, **res,
+        }))
         return 0
 
     if args.cmd == "index-recall-audit":

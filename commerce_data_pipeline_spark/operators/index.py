@@ -703,8 +703,73 @@ def check_no_pending_swap(spark: SparkSession, path: str, what: str) -> None:
             "FIRST), so renaming the copy back over the live table is "
             "always a safe rollback; deleting the copy commits the "
             "split. Either way the next maintenance pass sweeps the "
-            "unroutable leftover lists."
+            "unroutable leftover lists. Executable form: the "
+            "maintenance CLI's `index-recover --path ... --action "
+            "rollback|commit` (recover_pending_swap)."
         )
+
+
+def recover_pending_swap(
+    spark: SparkSession, path: str, action: str
+) -> dict:
+    """Operator-facing recovery for the pending-swap state
+    `check_no_pending_swap` refuses on — the executable form of its
+    guidance (r16: added once the copy-first commit order made BOTH
+    choices unconditionally safe while `._rebal_old` exists, because no
+    retired list has been deleted yet).
+
+    States detected:
+    - `clean`: no rename-aside copy — nothing pending; the unroutable
+      sweep still runs (reclaims debris from a commit that crashed
+      AFTER its copy delete) and its ids are reported.
+    - `deferred_window`: copy + live table both present (a gated pass
+      crashed between the routing swap and its commit/rollback, or a
+      commit crashed before its first delete). `rollback` restores the
+      pre-split routing bit-identically; `commit` deletes the copy and
+      sweeps the now-unroutable retired lists (recovery needs no
+      retired-id list — unroutable ⇒ retired, by construction).
+    - `mid_swap`: copy present, NO live table (a crash between
+      swap_dir's two renames — the copy is the only complete routing).
+      Only `rollback` is possible; `commit` raises, there is no
+      promoted routing to commit.
+
+    Returns {state, action, swept} — `swept` is the sorted list of
+    inverted-partition centroid ids reclaimed by the post-action sweep.
+    Single-writer like every mutator here: run it INSTEAD of, never
+    beside, another maintenance pass."""
+    if action not in ("rollback", "commit"):
+        raise ValueError(
+            f"recover_pending_swap: action must be 'rollback' or "
+            f"'commit', got {action!r}"
+        )
+    from commerce_data_pipeline_spark.sources.hadoopfs import rollback_swap
+
+    cent_leaf = join_path(path, "centroids").rstrip("/")
+    cent_old = cent_leaf + "._rebal_old"
+    fs = HadoopFS(spark, path)
+    if not fs.exists(cent_old):
+        return {
+            "state": "clean",
+            "action": "none",
+            "swept": sorted(_sweep_unroutable(spark, path)),
+        }
+    state = "deferred_window" if fs.exists(cent_leaf) else "mid_swap"
+    if action == "commit":
+        if state == "mid_swap":
+            raise RuntimeError(
+                f"recover_pending_swap: {cent_old} is the only complete "
+                "centroid table (crash between the swap renames) — there "
+                "is no promoted routing to commit; recover with "
+                "action='rollback'"
+            )
+        fs.delete(cent_old)
+    else:
+        rollback_swap(spark, cent_leaf, cent_old, what="recover_pending_swap")
+    return {
+        "state": state,
+        "action": action,
+        "swept": sorted(_sweep_unroutable(spark, path)),
+    }
 
 
 def _oversized_lists(spark: SparkSession, path: str, max_list_size: int) -> list[int]:

@@ -137,3 +137,69 @@ def test_gate_ledger_compact_cmd(spark, tmp_path, capsys):
     )
     assert rc == 0 and out["ok"]
     assert led.report().collect()[0].asDict() == before
+
+
+def test_index_recover_cmd(spark, tmp_path, capsys):
+    """r16: the executable form of check_no_pending_swap's guidance.
+    Covers all three detected states — clean (sweep-only no-op),
+    deferred-window rollback (bit-identical pre-split serving),
+    deferred-window commit (retired lists swept), mid-swap rollback,
+    and the one refusal (commit with no promoted routing)."""
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
+
+    emb = _vecs(spark, n=60)
+
+    # clean state: nothing pending, sweep finds nothing
+    path0 = f"file://{tmp_path}/ivf0"
+    I.build_ivf_index(emb, path0, n_centroids=2)
+    rc, out = _run(["index-recover", "--path", path0, "--action", "rollback"], capsys)
+    assert rc == 0 and out["ok"]
+    assert out["state"] == "clean" and out["action"] == "none"
+    assert out["swept"] == []
+
+    # deferred-window crash -> rollback: pre-split serving restored
+    path1 = f"file://{tmp_path}/ivf1"
+    I.build_ivf_index(emb, path1, n_centroids=2)
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    pre = sorted(
+        tuple(r) for r in I.ivf_query(spark, path1, q, k=5, n_probe=2).collect()
+    )
+    retired = I.rebalance_ivf_index(
+        spark, path1, max_list_size=20, _defer_cleanup=True
+    )
+    rc, out = _run(["index-recover", "--path", path1, "--action", "rollback"], capsys)
+    assert rc == 0 and out["ok"] and out["state"] == "deferred_window"
+    assert out["swept"]  # the demoted sub-lists
+    assert all(s not in retired for s in out["swept"])
+    post = sorted(
+        tuple(r) for r in I.ivf_query(spark, path1, q, k=5, n_probe=2).collect()
+    )
+    assert post == pre
+    assert spark.read.parquet(f"{path1}/centroids").count() == 2
+
+    # deferred-window crash -> commit: retired lists swept, split serves
+    path2 = f"file://{tmp_path}/ivf2"
+    I.build_ivf_index(emb, path2, n_centroids=2)
+    retired2 = I.rebalance_ivf_index(
+        spark, path2, max_list_size=20, _defer_cleanup=True
+    )
+    rc, out = _run(["index-recover", "--path", path2, "--action", "commit"], capsys)
+    assert rc == 0 and out["ok"] and out["state"] == "deferred_window"
+    assert out["swept"] == retired2
+    fs2 = HadoopFS(spark, path2)
+    assert not fs2.exists(f"{path2}/centroids._rebal_old")
+    assert spark.read.parquet(f"{path2}/centroids").count() == 4
+    # recovered index is not wedged: a routine pass runs clean
+    assert I.rebalance_ivf_index(spark, path2, max_list_size=10_000) == []
+
+    # mid-swap crash (no live table): commit refused, rollback restores
+    path3 = f"file://{tmp_path}/ivf3"
+    I.build_ivf_index(emb, path3, n_centroids=2)
+    fs3 = HadoopFS(spark, path3)
+    assert fs3.rename(f"{path3}/centroids", f"{path3}/centroids._rebal_old")
+    rc, out = _run(["index-recover", "--path", path3, "--action", "commit"], capsys)
+    assert rc == 1 and not out["ok"]
+    assert "rollback" in out["error"]
+    rc, out = _run(["index-recover", "--path", path3, "--action", "rollback"], capsys)
+    assert rc == 0 and out["ok"] and out["state"] == "mid_swap"
+    assert spark.read.parquet(f"{path3}/centroids").count() == 2
