@@ -1684,3 +1684,175 @@ SELECT CAST(n_queries AS BIGINT) AS n_queries,
 FROM summ
 """
     )
+
+def _ensure_midswap_ivf_index(spark: SparkSession, sf: str) -> str:
+    """Build-once handle for the MID-SWAP crash lifecycle (the one
+    pending-swap state where only rollback is possible): build, run a
+    deferred-cleanup split, then simulate a crash between a rollback's
+    two renames — the promoted (post-split) centroid table deleted, the
+    rename-aside `._rebal_old` copy the ONLY complete routing. Three
+    contracts are exercised and their outcomes persisted as a one-row
+    `recover_report` beside the index:
+    - `guard_refused`: `check_no_pending_swap` (every maintenance
+      entrypoint's guard) refuses the state with recovery guidance;
+    - `commit_refused`: `recover_pending_swap(action='commit')` refuses
+      — there is no promoted routing to commit;
+    - `recovered`: after `recover_pending_swap(action='rollback')` the
+      POST-recovery filesystem audit holds — live table restored, no
+      rename-aside copy, routing width back to the build-time base,
+      zero unroutable inverted partitions (the appended sub-lists were
+      swept). All three derive from observed behavior, not literals, so
+      a broken guard/refusal/sweep records False and hash-mismatches
+      the oracle. `n_swept` is the count of reclaimed sub-list
+      partitions, which the oracle derives from the reassignment CTE.
+    Marker-idempotent."""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+    from commerce_data_pipeline_spark.operators.similarity import auto_n_centroids
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+
+    root = _cache_dir("ivf_midswap", sf)
+    marker = join_path(root, "_MIDSWAP_READY")
+    fs = HadoopFS(spark, root)
+    if not fs.exists(marker):
+        if fs.exists(root):
+            fs.delete(root)
+        emb = load_table(spark, sf, "embeddings")
+        total = emb.count()
+        nc = auto_n_centroids(total)
+        step = max(1, total // nc)
+        ivf_index.build_ivf_index(emb, root, corpus_count=total)
+        retired = ivf_index.rebalance_ivf_index(
+            spark, root, max_list_size=(13 * step) // 10, n_splits=2,
+            _defer_cleanup=True,
+        )
+        if not retired:
+            # same falsifiability posture as the veto fixture: the
+            # deterministic skew always splits at this threshold
+            raise RuntimeError(
+                "midswap lifecycle expects the deferred pass to split — "
+                "a no-op means the fixture data changed shape"
+            )
+        cent_leaf = join_path(root, "centroids").rstrip("/")
+        # the crash point: a rollback's swap deleted the promoted table
+        # and died before renaming the copy back — only ._rebal_old left
+        fs.delete(cent_leaf)
+        try:
+            ivf_index.check_no_pending_swap(spark, root, what="midswap fixture")
+            guard_refused = False
+        except RuntimeError:
+            guard_refused = True
+        try:
+            ivf_index.recover_pending_swap(spark, root, "commit")
+            commit_refused = False
+        except RuntimeError:
+            commit_refused = True
+        res = ivf_index.recover_pending_swap(spark, root, "rollback")
+        cur, base = ivf_index.centroid_counts(spark, root)
+        routable = {
+            int(r["centroid_id"])
+            for r in spark.read.parquet(cent_leaf)
+            .select("centroid_id")
+            .collect()
+        }
+        unroutable = sum(
+            1
+            for e in fs.listdir(join_path(root, "inverted"))
+            if e.startswith("centroid_id=")
+            and int(e.split("=", 1)[1]) not in routable
+        )
+        recovered = (
+            res["state"] == "mid_swap"
+            and fs.exists(cent_leaf)
+            and not fs.exists(cent_leaf + "._rebal_old")
+            and cur == base
+            and unroutable == 0
+        )
+        spark.createDataFrame(
+            [(
+                int(len(retired)),
+                int(len(res["swept"])),
+                bool(guard_refused),
+                bool(commit_refused),
+                bool(recovered),
+            )],
+            "n_split int, n_swept int, guard_refused boolean, "
+            "commit_refused boolean, recovered boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            join_path(root, "recover_report")
+        )
+        fs.write_bytes(marker, b"ready\n")
+    return root
+
+
+def _q_ann_recover_midswap(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 maintenance crash recovery END TO END — the MID-SWAP proof:
+    top-5 from an index that crashed between a rollback's two renames
+    (the rename-aside copy the only complete routing, no live table),
+    was refused by the maintenance entry guard AND by
+    `recover_pending_swap(action='commit')`, then recovered with
+    `action='rollback'` (the maintenance CLI's `index-recover`). The
+    oracle replays the NEVER-SPLIT build routing — a hash match proves
+    recovery restored pre-split serving bit-identically — and derives
+    the split count and the swept sub-list count from the rebalance CTE
+    chain; the refusal/recovery booleans come from observed behavior
+    and the post-recovery filesystem audit, not literals. (Built in
+    r16; enters the driver window in a later round per the
+    never-attested-in-window protocol.)"""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+    from commerce_data_pipeline_spark.sources.hadoopfs import join_path
+
+    root = _ensure_midswap_ivf_index(spark, sf)
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2500))
+    topk = ivf_index.ivf_query(spark, root, queries, k=5, n_probe=4)
+    rep = spark.read.parquet(join_path(root, "recover_report"))
+    return topk.crossJoin(F.broadcast(rep)).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        "rank",
+        "n_split",
+        "n_swept",
+        "guard_refused",
+        "commit_refused",
+        "recovered",
+    )
+
+
+def _ora_ann_recover_midswap(n_splits: int = 2) -> str:
+    """Composes `_ora_ann_rebalance_gate`'s CTE chain but returns the
+    PRE-SPLIT (build) routing's per-query top-5 — what a correctly
+    recovered mid-swap index must serve — with the audit numbers
+    derived from the split replay: `n_split` from the oversized-list
+    census and `n_swept` as the distinct reassigned sub-list ids (one
+    inverted partition each — exactly what the post-rollback sweep
+    reclaims). String-composed from the gate oracle so the replay
+    cannot drift; the booleans are TRUE because the Spark side derives
+    them from observed refusals and the filesystem audit."""
+    base = _ora_ann_rebalance_gate(n_splits)
+    head, sep, _ = base.rpartition("\nSELECT CAST(n_queries AS BIGINT)")
+    if not sep:  # not an assert: must survive python -O
+        raise RuntimeError(
+            "gate oracle changed shape; update the midswap composer"
+        )
+    return (
+        head
+        + """
+SELECT t.query_id, t.neighbor_id, ROUND(t.sim, 4) AS cosine_sim,
+  CAST(t.rank AS INT) AS rank,
+  CAST(s.n_split AS INT) AS n_split,
+  CAST(s.n_swept AS INT) AS n_swept,
+  TRUE AS guard_refused,
+  TRUE AS commit_refused,
+  TRUE AS recovered
+FROM (
+  SELECT query_id, neighbor_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM ivf0_sims
+) t CROSS JOIN (
+  SELECT (SELECT COUNT(*) FROM big) AS n_split,
+         (SELECT COUNT(DISTINCT centroid_id) FROM reas) AS n_swept
+) s
+WHERE t.rank <= 5
+"""
+    )

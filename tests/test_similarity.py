@@ -1370,3 +1370,51 @@ def test_ann_commit_selfheal_query_matches_oracle(spark, sf_dir, tmp_path):
     assert row["healed"] is True
     n_queries = len({r[scols.index("query_id")] for r in srows})
     assert len(srows) == 5 * n_queries
+
+
+def test_ann_recover_midswap_query_matches_oracle(spark, sf_dir, tmp_path):
+    """Pre-registration differential for a later-round window candidate
+    (the never-attested-in-window protocol, ann_commit_selfheal
+    precedent): the mid-swap crash lifecycle row — top-5 over an index
+    whose rollback crashed between its two renames (only the
+    rename-aside routing copy left), was refused by the entry guard and
+    by recover(commit), and recovered by recover(rollback). The oracle
+    replays the NEVER-SPLIT build routing, so a hash match proves the
+    recovery restored pre-split serving bit-identically; the audit
+    numbers ride along."""
+    import duckdb
+
+    from commerce_data_pipeline_spark.queries import _shared
+    from commerce_data_pipeline_spark.queries.similarity import (
+        _ora_ann_recover_midswap,
+        _q_ann_recover_midswap,
+    )
+
+    orig = _shared.CACHE_TAG
+    _shared.CACHE_TAG = f"ms{tmp_path.name[-8:]}"
+    try:
+        sdf = _q_ann_recover_midswap(spark, sf_dir)
+        scols = sdf.columns
+        srows = sorted(tuple(r) for r in sdf.collect())
+    finally:
+        _shared.CACHE_TAG = orig
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    rel = con.sql(_ora_ann_recover_midswap(2))
+    ocols = rel.columns
+    orows = sorted(tuple(r) for r in rel.fetchall())
+    assert sorted(scols) == sorted(ocols)
+    perm = [scols.index(c) for c in ocols]
+    assert [tuple(r[i] for i in perm) for r in srows] == orows
+    # live-data sanity: the split happened, every refusal fired, and the
+    # rollback's sweep reclaimed every appended sub-list
+    row = {c: v for c, v in zip(scols, srows[0])}
+    assert row["n_split"] > 0
+    assert row["n_split"] <= row["n_swept"] <= 2 * row["n_split"]
+    assert row["guard_refused"] is True
+    assert row["commit_refused"] is True
+    assert row["recovered"] is True
+    n_queries = len({r[scols.index("query_id")] for r in srows})
+    assert len(srows) == 5 * n_queries
