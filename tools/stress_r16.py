@@ -13,8 +13,14 @@ tables). Jobs, covering this round's touched paths:
    maintenance pass -> probe) at 1x and Kx — the stress_r13/r14/r15
    precedent for lifecycle rows.
 
+3. `midswap [K]` — same fresh-cache lifecycle sweep for the session's
+   second pre-built candidate (ann_recover_midswap: build -> deferred
+   split -> simulated mid-swap crash -> guard + commit refusals ->
+   recover rollback + sweep -> probe).
+
     python tools/stress_r16.py            # LM family at 1x vs 8x
     python tools/stress_r16.py lifecycles [K] [sf_dir]
+    python tools/stress_r16.py midswap [K] [sf_dir]
 
 NEVER run concurrently with pytest/oracle/bench — contention fakes
 scaling cliffs (the standing harness rule).
@@ -69,6 +75,41 @@ def run_lifecycles(spark, sf_dir: str, k: int) -> dict[str, float]:
         Q.set_cache_tag(original_tag)
 
 
+def run_midswap(spark, sf_dir: str, k: int) -> dict[str, float]:
+    """Fresh-cache FULL-lifecycle timing for ann_recover_midswap: build
+    -> deferred split -> simulated mid-swap crash (promoted routing
+    deleted, only the rename-aside copy left) -> guard + commit
+    refusals -> recover rollback + unroutable sweep -> probe, fresh
+    ivf_midswap dir per rep."""
+    from commerce_data_pipeline_spark.queries import _shared
+    from commerce_data_pipeline_spark.queries.similarity import _q_ann_recover_midswap
+
+    Q.rebind_load_table(scaled_loader(k))
+    original_tag = Q.get_cache_tag()
+    tag = f"x{k}" if k != 1 else ""
+    Q.set_cache_tag(tag)
+    try:
+        out: dict[str, float] = {}
+
+        def run():
+            orig = _shared.CACHE_TAG
+            _shared.CACHE_TAG = tag
+            try:
+                leaf = _shared._cache_dir("ivf_midswap", sf_dir)
+            finally:
+                _shared.CACHE_TAG = orig
+            shutil.rmtree(leaf, ignore_errors=True)
+            _q_ann_recover_midswap(spark, sf_dir).count()
+            spark.catalog.clearCache()
+            unpersist_all_rdds(spark)
+
+        out["ann_recover_midswap"] = _timed_min(run)
+        return out
+    finally:
+        Q.rebind_load_table(Q.load_table)
+        Q.set_cache_tag(original_tag)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "lifecycles":
         k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -77,6 +118,20 @@ def main() -> None:
         spark.range(1000).selectExpr("sum(id)").collect()
         base = run_lifecycles(spark, sf_dir, 1)
         big = run_lifecycles(spark, sf_dir, k)
+        print(f"| query (full lifecycle, fresh cache per rep) | 1x sec | {k}x sec | ratio |")
+        print("|---|---|---|---|")
+        for name in base:
+            print(f"| {name} | {base[name]:.2f} | {big[name]:.2f} "
+                  f"| {big[name] / base[name]:.1f}x |")
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "midswap":
+        k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        spark = get_spark("stress_r16")
+        spark.range(1000).selectExpr("sum(id)").collect()
+        base = run_midswap(spark, sf_dir, 1)
+        big = run_midswap(spark, sf_dir, k)
         print(f"| query (full lifecycle, fresh cache per rep) | 1x sec | {k}x sec | ratio |")
         print("|---|---|---|---|")
         for name in base:
