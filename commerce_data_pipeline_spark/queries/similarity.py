@@ -1856,3 +1856,153 @@ FROM (
 WHERE t.rank <= 5
 """
     )
+
+
+def _ensure_recover_commit_ivf_index(spark: SparkSession, sf: str) -> str:
+    """Build-once handle for the DEFERRED-COMMIT recovery lifecycle:
+    build, run a deferred-cleanup split (exactly the pending state a
+    gated pass crashed between its routing swap and its commit/rollback
+    leaves behind — rename-aside copy AND promoted routing both
+    present), then resolve it with the PUBLIC recovery operator,
+    `recover_pending_swap(action='commit')` (the maintenance CLI's
+    `index-recover --action commit`): delete the copy, sweep the
+    now-unroutable retired lists. The audit persists as a one-row
+    `commit_report` beside the index:
+    - `state_deferred`: the operator detected `deferred_window`;
+    - `swept_retired`: the swept ids are EXACTLY the split pass's
+      retired ids (unroutable ⇒ retired, by construction — recovery
+      needs no retired-id list);
+    - `clean_after`: post-commit filesystem audit (no rename-aside
+      copy, zero unroutable partitions) AND a routine follow-up
+      maintenance pass finds nothing to do.
+    All derive from observed behavior, not literals. Marker-idempotent."""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+    from commerce_data_pipeline_spark.operators.similarity import auto_n_centroids
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+
+    root = _cache_dir("ivf_recover_commit", sf)
+    marker = join_path(root, "_RECOVER_COMMIT_READY")
+    fs = HadoopFS(spark, root)
+    if not fs.exists(marker):
+        if fs.exists(root):
+            fs.delete(root)
+        emb = load_table(spark, sf, "embeddings")
+        total = emb.count()
+        nc = auto_n_centroids(total)
+        step = max(1, total // nc)
+        ivf_index.build_ivf_index(emb, root, corpus_count=total)
+        retired = ivf_index.rebalance_ivf_index(
+            spark, root, max_list_size=(13 * step) // 10, n_splits=2,
+            _defer_cleanup=True,
+        )
+        if not retired:
+            raise RuntimeError(
+                "recover-commit lifecycle expects the deferred pass to "
+                "split — a no-op means the fixture data changed shape"
+            )
+        res = ivf_index.recover_pending_swap(spark, root, "commit")
+        cent_leaf = join_path(root, "centroids").rstrip("/")
+        routable = {
+            int(r["centroid_id"])
+            for r in spark.read.parquet(cent_leaf)
+            .select("centroid_id")
+            .collect()
+        }
+        unroutable = sum(
+            1
+            for e in fs.listdir(join_path(root, "inverted"))
+            if e.startswith("centroid_id=")
+            and int(e.split("=", 1)[1]) not in routable
+        )
+        clean_after = (
+            not fs.exists(cent_leaf + "._rebal_old")
+            and unroutable == 0
+            and ivf_index.rebalance_ivf_index(
+                spark, root, max_list_size=10_000_000, n_splits=2
+            ) == []
+        )
+        spark.createDataFrame(
+            [(
+                int(len(retired)),
+                int(len(res["swept"])),
+                bool(res["state"] == "deferred_window"),
+                bool(res["swept"] == sorted(retired)),
+                bool(clean_after),
+            )],
+            "n_split int, n_swept int, state_deferred boolean, "
+            "swept_retired boolean, clean_after boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            join_path(root, "commit_report")
+        )
+        fs.write_bytes(marker, b"ready\n")
+    return root
+
+
+def _q_ann_recover_commit(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 maintenance crash recovery END TO END — the DEFERRED-COMMIT
+    proof: top-5 from an index left in the pending deferred window (the
+    state a crashed gated pass leaves: rename-aside copy + promoted
+    split routing both present) and resolved with the public
+    `recover_pending_swap(action='commit')` (the maintenance CLI's
+    `index-recover`). The oracle replays the COMMITTED split routing —
+    a hash match proves commit-recovery preserved the admitted split's
+    serving bit-identically — and derives the split count from the
+    rebalance CTE chain; the swept count must equal it (unroutable ⇒
+    retired, the invariant that lets recovery run without a retired-id
+    list), and the state/audit booleans come from observed behavior.
+    (Built in r16; enters the driver window in a later round per the
+    never-attested-in-window protocol.)"""
+    from commerce_data_pipeline_spark.operators import index as ivf_index
+    from commerce_data_pipeline_spark.sources.hadoopfs import join_path
+
+    root = _ensure_recover_commit_ivf_index(spark, sf)
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2500))
+    topk = ivf_index.ivf_query(spark, root, queries, k=5, n_probe=4)
+    rep = spark.read.parquet(join_path(root, "commit_report"))
+    return topk.crossJoin(F.broadcast(rep)).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        "rank",
+        "n_split",
+        "n_swept",
+        "state_deferred",
+        "swept_retired",
+        "clean_after",
+    )
+
+
+def _ora_ann_recover_commit(n_splits: int = 2) -> str:
+    """Composes `_ora_ann_ivf_rebalance`'s CTE chain (build → census →
+    seed → reassign → post-split probe) and appends the recovery audit:
+    the split count derives from the oversized-list census, the swept
+    count equals it (the commit branch reclaims exactly the retired
+    lists), and the state/audit booleans are TRUE because the Spark
+    side derives them from the operator's observed behavior and the
+    post-commit filesystem audit. String-composed from the rebalance
+    oracle so the replay cannot drift."""
+    base = _ora_ann_ivf_rebalance(n_splits)
+    head, sep, _ = base.rpartition("\nSELECT query_id, neighbor_id, ROUND(sim, 4)")
+    if not sep:  # not an assert: must survive python -O
+        raise RuntimeError(
+            "rebalance oracle changed shape; update the recover-commit composer"
+        )
+    return (
+        head
+        + """
+SELECT t.query_id, t.neighbor_id, ROUND(t.sim, 4) AS cosine_sim,
+  CAST(t.rank AS INT) AS rank,
+  CAST(s.n_split AS INT) AS n_split,
+  CAST(s.n_split AS INT) AS n_swept,
+  TRUE AS state_deferred,
+  TRUE AS swept_retired,
+  TRUE AS clean_after
+FROM (
+  SELECT query_id, neighbor_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+) t CROSS JOIN (SELECT COUNT(*) AS n_split FROM big) s
+WHERE t.rank <= 5
+"""
+    )

@@ -1418,3 +1418,50 @@ def test_ann_recover_midswap_query_matches_oracle(spark, sf_dir, tmp_path):
     assert row["recovered"] is True
     n_queries = len({r[scols.index("query_id")] for r in srows})
     assert len(srows) == 5 * n_queries
+
+
+def test_ann_recover_commit_query_matches_oracle(spark, sf_dir, tmp_path):
+    """Pre-registration differential for a later-round window candidate:
+    the deferred-commit recovery lifecycle row — top-5 over an index
+    left in the pending deferred window and resolved with the public
+    recover_pending_swap(action='commit'). The oracle replays the
+    COMMITTED split routing, so a hash match proves commit-recovery
+    preserved the admitted split's serving; the audit numbers ride
+    along."""
+    import duckdb
+
+    from commerce_data_pipeline_spark.queries import _shared
+    from commerce_data_pipeline_spark.queries.similarity import (
+        _ora_ann_recover_commit,
+        _q_ann_recover_commit,
+    )
+
+    orig = _shared.CACHE_TAG
+    _shared.CACHE_TAG = f"rc{tmp_path.name[-8:]}"
+    try:
+        sdf = _q_ann_recover_commit(spark, sf_dir)
+        scols = sdf.columns
+        srows = sorted(tuple(r) for r in sdf.collect())
+    finally:
+        _shared.CACHE_TAG = orig
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    rel = con.sql(_ora_ann_recover_commit(2))
+    ocols = rel.columns
+    orows = sorted(tuple(r) for r in rel.fetchall())
+    assert sorted(scols) == sorted(ocols)
+    perm = [scols.index(c) for c in ocols]
+    assert [tuple(r[i] for i in perm) for r in srows] == orows
+    # live-data sanity: the split happened, the operator saw the
+    # deferred window, swept exactly the retired lists, and left a
+    # clean index
+    row = {c: v for c, v in zip(scols, srows[0])}
+    assert row["n_split"] > 0
+    assert row["n_swept"] == row["n_split"]
+    assert row["state_deferred"] is True
+    assert row["swept_retired"] is True
+    assert row["clean_after"] is True
+    n_queries = len({r[scols.index("query_id")] for r in srows})
+    assert len(srows) == 5 * n_queries
