@@ -1600,3 +1600,100 @@ JOIN band_rows h ON b.band = h.band AND b.bkey = h.bkey
 WHERE b.doc_id % 3 = 0 AND h.doc_id % 3 <> 0
 ORDER BY new_id, old_id
 """
+
+
+# --- r16: FingerprintLedger cross-run lifecycle (exact-dedup twin of the
+# BandLedger row above) ------------------------------------------------------
+
+
+def _ensure_fp_ledger(spark: SparkSession, sf: str) -> str:
+    """Build-once handle for a FingerprintLedger that has LIVED the full
+    retention lifecycle (sources/ledger.py): two history runs ingested
+    (doc_id % 3 == 1, then % 3 == 2 — the second filtered against the
+    first, so only unseen content is committed), a REPLAYED raw commit
+    of run 1's fingerprints (the duplicate digests a crashed-and-retried
+    ingest leaves behind), then `compact()` — distinct digests rewritten
+    in one file-set per prefix behind the rename-aside swap. The layout
+    the query reads is the COMPACTED one, so its green oracle row
+    attests that compaction preserved membership bit-exactly (the
+    ledger's retention IS its identity — digests are never dropped).
+    Marker-idempotent."""
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
+    from commerce_data_pipeline_spark.sources.ledger import FingerprintLedger
+
+    root = _cache_dir("fp_ledger", sf)
+    marker = join_path(root, "_LEDGER_READY")
+    fs = HadoopFS(spark, root)
+    if not fs.exists(marker):
+        if fs.exists(root):
+            fs.delete(root)
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        led = FingerprintLedger(spark, join_path(root, "fps"), prefix_chars=2)
+        led.ingest(docs.filter(F.col("doc_id") % 3 == 1))
+        led.ingest(docs.filter(F.col("doc_id") % 3 == 2))
+        # replayed run-1 commit: duplicate digests compaction must fold
+        led.commit(led.with_fingerprint(docs.filter(F.col("doc_id") % 3 == 1)))
+        led.compact()
+        fs.write_bytes(marker, b"ready\n")
+    return join_path(root, "fps")
+
+
+def _q_ledger_fp_new(spark: SparkSession, sf: str) -> DataFrame:
+    """X1/P cross-run EXACT-dedup state — `FingerprintLedger.filter_new`
+    of a new crawl batch against the COMPACTED two-run history. The
+    batch is the production shape: genuinely new pages (doc_id % 3 ==
+    0), RE-CRAWLS of already-admitted pages (every 10th run-1 doc,
+    re-keyed +1e6 — same content, new crawl id; the history anti-join
+    must suppress them), and intra-batch duplicate fetches (every 10th
+    new page again at +2e6; the min-doc-id collapse must fold them).
+    The history side is a digest-only parquet scan — no text is ever
+    re-read or re-hashed, which is what makes incremental exact dedup
+    O(batch) at 100 TB; the anti-join shuffles (digest, id) pairs only.
+    The replayed commit in the scenario means a ledger WITHOUT the
+    distinct-folding compaction would serve the same MEMBERSHIP answer
+    — the oracle pins exactly that contract: fingerprint → intra-batch
+    min-id collapse → history anti-join, replayed declaratively over
+    `documents`."""
+    from commerce_data_pipeline_spark.sources.ledger import FingerprintLedger
+
+    path = _ensure_fp_ledger(spark, sf)
+    led = FingerprintLedger(spark, path, prefix_chars=2)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    new_pages = docs.filter(F.col("doc_id") % 3 == 0)
+    recrawls = docs.filter(
+        (F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 30 == 1)
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    refetches = docs.filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 30 == 0)
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(2_000_000))
+    batch = new_pages.unionByName(recrawls).unionByName(refetches).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return led.filter_new(batch).select("doc_id", "fp").orderBy("doc_id")
+
+
+_O_LEDGER_FP_NEW = """
+WITH batch_rows AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  WHERE doc_id % 3 = 1 AND doc_id % 30 = 1
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 30 = 0
+), f AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM batch_rows
+), batch AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM f GROUP BY fp
+), hist AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT b.doc_id, b.fp
+FROM batch b LEFT JOIN hist h USING (fp)
+WHERE h.fp IS NULL
+ORDER BY doc_id
+"""

@@ -397,3 +397,53 @@ def test_quality_gate_compact_report_bit_identical(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         QualityGateLedger(spark, str(tmp_path / "gate"), n_bins=7).merged()
+
+
+def test_ledger_fp_new_query_matches_oracle(spark, tmp_path):
+    """Pre-registration differential for a later-round window candidate
+    (the never-attested-in-window protocol): the FingerprintLedger
+    cross-run lifecycle row — filter_new of a new batch against a
+    compacted two-run history that absorbed a replayed commit. The
+    oracle replays fingerprint → intra-batch min-id collapse → history
+    anti-join declaratively over `documents`."""
+    import duckdb
+
+    from commerce_data_pipeline_spark.queries import _shared
+    from commerce_data_pipeline_spark.queries.dedup_text import (
+        _O_LEDGER_FP_NEW,
+        _q_ledger_fp_new,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    orig = _shared.CACHE_TAG
+    _shared.CACHE_TAG = f"fp{tmp_path.name[-8:]}"
+    try:
+        sdf = _q_ledger_fp_new(spark, sf_dir)
+        scols = sdf.columns
+        srows = sorted(tuple(r) for r in sdf.collect())
+    finally:
+        _shared.CACHE_TAG = orig
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    rel = con.sql(_O_LEDGER_FP_NEW)
+    ocols = rel.columns
+    orows = sorted(tuple(r) for r in rel.fetchall())
+    assert sorted(scols) == sorted(ocols)
+    perm = [scols.index(c) for c in ocols]
+    assert [tuple(r[i] for i in perm) for r in srows] == orows
+    # live-data sanity: both suppression paths fired — the injected
+    # re-crawls (+1e6 ids, content already admitted) were all rejected
+    # by the history anti-join, the injected intra-batch refetches
+    # (+2e6 ids) all collapsed to their min-id originals, and the
+    # genuinely new pages all survived
+    assert len(srows) > 0
+    out_ids = {r[scols.index("doc_id")] for r in srows}
+    assert not any(i >= 1_000_000 for i in out_ids)
+    n_recrawl, n_refetch = con.sql(
+        "SELECT "
+        "  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 1 AND doc_id % 30 = 1), "
+        "  (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0 AND doc_id % 30 = 0)"
+    ).fetchone()
+    assert n_recrawl > 0 and n_refetch > 0

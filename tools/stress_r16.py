@@ -22,10 +22,15 @@ tables). Jobs, covering this round's touched paths:
    (ann_recover_commit: build -> deferred split -> public
    recover(commit) -> routine-pass clean check -> probe).
 
+5. `fpledger [K]` — same sweep for the fourth candidate
+   (ledger_fp_new: two-run FingerprintLedger ingest -> replayed
+   commit -> compact -> filter_new of a re-crawl-bearing batch).
+
     python tools/stress_r16.py            # LM family at 1x vs 8x
     python tools/stress_r16.py lifecycles [K] [sf_dir]
     python tools/stress_r16.py midswap [K] [sf_dir]
     python tools/stress_r16.py recovercommit [K] [sf_dir]
+    python tools/stress_r16.py fpledger [K] [sf_dir]
 
 NEVER run concurrently with pytest/oracle/bench — contention fakes
 scaling cliffs (the standing harness rule).
@@ -148,6 +153,40 @@ def run_recover_commit(spark, sf_dir: str, k: int) -> dict[str, float]:
         Q.set_cache_tag(original_tag)
 
 
+def run_fpledger(spark, sf_dir: str, k: int) -> dict[str, float]:
+    """Fresh-cache FULL-lifecycle timing for ledger_fp_new: two-run
+    FingerprintLedger ingest -> replayed run-1 commit -> compact ->
+    filter_new of the re-crawl-bearing batch, fresh fp_ledger dir per
+    rep."""
+    from commerce_data_pipeline_spark.queries import _shared
+    from commerce_data_pipeline_spark.queries.dedup_text import _q_ledger_fp_new
+
+    Q.rebind_load_table(scaled_loader(k))
+    original_tag = Q.get_cache_tag()
+    tag = f"x{k}" if k != 1 else ""
+    Q.set_cache_tag(tag)
+    try:
+        out: dict[str, float] = {}
+
+        def run():
+            orig = _shared.CACHE_TAG
+            _shared.CACHE_TAG = tag
+            try:
+                leaf = _shared._cache_dir("fp_ledger", sf_dir)
+            finally:
+                _shared.CACHE_TAG = orig
+            shutil.rmtree(leaf, ignore_errors=True)
+            _q_ledger_fp_new(spark, sf_dir).count()
+            spark.catalog.clearCache()
+            unpersist_all_rdds(spark)
+
+        out["ledger_fp_new"] = _timed_min(run)
+        return out
+    finally:
+        Q.rebind_load_table(Q.load_table)
+        Q.set_cache_tag(original_tag)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "lifecycles":
         k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -156,6 +195,20 @@ def main() -> None:
         spark.range(1000).selectExpr("sum(id)").collect()
         base = run_lifecycles(spark, sf_dir, 1)
         big = run_lifecycles(spark, sf_dir, k)
+        print(f"| query (full lifecycle, fresh cache per rep) | 1x sec | {k}x sec | ratio |")
+        print("|---|---|---|---|")
+        for name in base:
+            print(f"| {name} | {base[name]:.2f} | {big[name]:.2f} "
+                  f"| {big[name] / base[name]:.1f}x |")
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "fpledger":
+        k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        spark = get_spark("stress_r16")
+        spark.range(1000).selectExpr("sum(id)").collect()
+        base = run_fpledger(spark, sf_dir, 1)
+        big = run_fpledger(spark, sf_dir, k)
         print(f"| query (full lifecycle, fresh cache per rep) | 1x sec | {k}x sec | ratio |")
         print("|---|---|---|---|")
         for name in base:
