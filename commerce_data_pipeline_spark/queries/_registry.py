@@ -507,3 +507,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+# --- banked never-attested candidates (pre-built r16, NOT yet registered) ----
+# Each has a differential pytest, an sf0.01 hand-verify, and an 8× sweep
+# already recorded (COVERAGE.md r16 addendum / STRESS.md). Register ONE
+# per round inside that round's window per the never-attested-in-window
+# protocol; uncomment the block verbatim in the round's additions
+# section. Bank plan: ann_commit_selfheal→r17, ann_recover_midswap→r18,
+# ann_recover_commit→r19, ledger_fp_new→r20.
+#
+# from commerce_data_pipeline_spark.queries.similarity import (  # noqa: E402
+#     _ora_ann_commit_selfheal, _q_ann_commit_selfheal,
+#     _ora_ann_recover_midswap, _q_ann_recover_midswap,
+#     _ora_ann_recover_commit, _q_ann_recover_commit,
+# )
+# from commerce_data_pipeline_spark.queries.dedup_text import (  # noqa: E402
+#     _O_LEDGER_FP_NEW, _q_ledger_fp_new,
+# )
+#
+# REGISTRY["ann_commit_selfheal"] = QuerySpec(
+#     _q_ann_commit_selfheal, _ora_ann_commit_selfheal(2),
+#     "X3 maintenance crash recovery: interrupted-commit self-heal row — "
+#     "commit crashed after the copy-first delete; routine pass sweeps; "
+#     "oracle replays the committed split (built r16, registered per protocol)",
+# )
+# REGISTRY["ann_recover_midswap"] = QuerySpec(
+#     _q_ann_recover_midswap, _ora_ann_recover_midswap(2),
+#     "X3 maintenance crash recovery: mid-swap state (only ._rebal_old left) "
+#     "— guard + recover(commit) refusals observed, recover(rollback) restores "
+#     "pre-split serving bit-identically; oracle replays the never-split "
+#     "routing (built r16, registered per protocol)",
+# )
+# REGISTRY["ann_recover_commit"] = QuerySpec(
+#     _q_ann_recover_commit, _ora_ann_recover_commit(2),
+#     "X3 maintenance crash recovery: deferred-window commit via the public "
+#     "recover_pending_swap — swept ids == retired ids (unroutable⇒retired), "
+#     "post-commit clean; oracle replays the committed split (built r16)",
+# )
+# REGISTRY["ledger_fp_new"] = QuerySpec(
+#     _q_ledger_fp_new, _O_LEDGER_FP_NEW,
+#     "X1/P cross-run exact-dedup state: FingerprintLedger filter_new over "
+#     "the COMPACTED two-run history (replayed commit folded); batch carries "
+#     "re-crawls and intra-batch refetches, both suppressed (built r16)",
+# )
