@@ -550,3 +550,44 @@ def oracle_sql() -> dict[str, str]:
 #     "the COMPACTED two-run history (replayed commit folded); batch carries "
 #     "re-crawls and intra-batch refetches, both suppressed (built r16)",
 # )
+
+# --- PROPOSED _WINDOW_R17 (staged during r16; ACTIVATE only in r17) ---------
+# Arithmetic after a green CORRECTNESS_r16 (tiers r16:50, r15:48,
+# r14:48, r13:48, r12: the three named overflows): the r12-tier
+# overflows bpe_first_merge + kmeans_step + part_walks LEAD, then the
+# never-attested ann_commit_selfheal (pre-built r16, registers r17 per
+# protocol), then 44 of the 48 r13-tier, then the two always-in-window
+# singles. FOUR r13-tier queries overflow to r18, chosen so every
+# family keeps an in-window member with a containing replay:
+#   - ann_ivf_rebalance  (X3: ann_commit_selfheal's oracle COMPOSES the
+#     full rebalance CTE chain, so the replay is attested in-window)
+#   - ann_ivf_indexed    (X3: same persisted-index serving path probed
+#     by the selfheal row's ivf_query)
+#   - ranking_auc        (X11 eval: ranking_auc_banded's banded oracle
+#     contains the plain-AUC computation; calibration_bins also stays)
+#   - rollup_sales       (R-olap: cube_sales' grouping lattice contains
+#     the rollup rows)
+# These four MUST lead _WINDOW_R18. Validate against the regenerated
+# ledger + FAMILY_PROOFS before activating; re-seed FAMILY_PROOFS in
+# tests/test_registry_window.py in the same commit; oracle-check all 50
+# at sf0.01 BEFORE committing the rotation.
+#
+# _WINDOW_R17 = [
+#     "bpe_first_merge", "kmeans_step", "part_walks",
+#     "ann_commit_selfheal",
+#     "above_brand_avg_parts", "asof_view_before_purchase", "audio_windows",
+#     "band_pairs", "basket_pairs", "best_match_pairs", "bm25_indexed",
+#     "calibration_bins", "corpus_ingest", "cube_sales",
+#     "customer_segments_setops", "daily_anomalies", "dedup_clusters_alt",
+#     "degree_histogram", "disjunctive_filter", "event_type_pivot",
+#     "forecast_revenue_change", "idle_rich_customers", "important_parts",
+#     "journey_transitions", "ledger_cross_run_dups", "market_share",
+#     "min_cost_supplier", "nation_trade_volume", "order_count_distribution",
+#     "order_priority", "price_percentiles", "priciest_item_per_order",
+#     "product_profit", "props_struct", "ranking_auc_banded",
+#     "returned_items", "rfm_segments", "running_revenue", "session_windows",
+#     "shipping_priority", "sketch_union", "small_quantity_revenue",
+#     "sort_topk_lineitems", "supplier_diversity", "time_to_convert",
+#     "top_customers", "trailing_revenue", "word_count",
+#     "salted_hot_join", "zorder_skipping",
+# ]
