@@ -81,6 +81,18 @@ def main() -> int:
     latest, newest = attestation_tiers(repo_root)
     running_round = newest + 1  # the round this window will be graded in
 
+    # Which round was the ACTIVE window built for? The registry names it
+    # (_WINDOW_R{N}); at the start of round N+1 the driver lands
+    # CORRECTNESS_r{N} BEFORE the session rotates, so the active window
+    # is legitimately one round stale until the rotation commit. In that
+    # state W4/W5 report as ROTATION-DUE warnings, not failures — the
+    # strict contract applies once window_round == running_round.
+    src = open(os.path.join(
+        repo_root, "commerce_data_pipeline_spark", "queries", "_registry.py"
+    )).read()
+    active_defs = re.findall(r"^_WINDOW_R(\d+) = \[", src, flags=re.M)
+    window_round = max((int(n) for n in active_defs), default=None)
+
     registry_order = list(REGISTRY)
     if args.proposed:
         window = [n.strip() for n in args.proposed.split(",") if n.strip()]
@@ -88,6 +100,9 @@ def main() -> int:
     else:
         window = registry_order[:50]
         active_mode = True
+    # a proposed window is always judged strictly (it is being validated
+    # against the landed data for the upcoming rotation)
+    strict = (not active_mode) or window_round is None or window_round >= running_round
 
     results: dict[str, dict] = {}
     failed = False
@@ -115,18 +130,25 @@ def main() -> int:
 
     never = [n for n in REGISTRY
              if n not in latest and n not in TERMINAL and n not in window]
-    check("W4_never_attested", not never,
-          f"never-attested non-terminal outside window={never or 'none'}")
-
     stale = sorted(
         (n, latest[n]) for n in REGISTRY
         if n not in window and n not in TERMINAL and n in latest
         and running_round - latest[n] > args.max_age
     )
-    check("W5_cadence", not stale,
-          f"as of r{running_round} (newest attestation r{newest}), "
-          f"out-of-window older than {args.max_age} rounds: "
-          f"{stale or 'none'}")
+    if strict:
+        check("W4_never_attested", not never,
+              f"never-attested non-terminal outside window={never or 'none'}")
+        check("W5_cadence", not stale,
+              f"as of r{running_round} (newest attestation r{newest}), "
+              f"out-of-window older than {args.max_age} rounds: "
+              f"{stale or 'none'}")
+    else:
+        detail = (f"window is _WINDOW_R{window_round} but r{newest} already "
+                  f"attested — ROTATION DUE; would-be W4={never or 'none'}, "
+                  f"would-be W5={stale or 'none'}")
+        results["W4_never_attested"] = {"ok": None, "detail": detail}
+        results["W5_cadence"] = {"ok": None, "detail": detail}
+        print(f"WARN rotation-due: {detail}")
 
     non_terminal_tiers = {n: r for n, r in latest.items()
                           if n in REGISTRY and n not in TERMINAL}
@@ -148,6 +170,8 @@ def main() -> int:
         "mode": "active" if active_mode else "proposed",
         "newest_correctness_round": newest,
         "running_round": running_round,
+        "window_round": window_round,
+        "strict": strict,
         "registry_size": len(REGISTRY),
         "attested_ever": len([n for n in latest if n in REGISTRY]),
         "checks": results,
