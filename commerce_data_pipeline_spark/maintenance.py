@@ -126,8 +126,10 @@ def main(argv: list[str] | None = None) -> int:
         try:
             res = ivf_index.recover_pending_swap(spark, args.path, args.action)
         except RuntimeError as e:
-            # the one refusal: commit requested in the mid-swap state
-            # (no promoted routing exists) — actionable, not a crash
+            # refusals are actionable, not crashes: commit requested in
+            # the mid-swap state (no promoted routing exists), or the
+            # rename-aside copy survived its delete (nothing is swept
+            # while a stale routing copy exists)
             print(json.dumps({
                 "cmd": args.cmd, "path": args.path, "ok": False,
                 "error": str(e),

@@ -657,7 +657,21 @@ def _commit_deferred_rebalance(
     maintenance pass's step-(0) `_sweep_unroutable` self-heals, with no
     ambiguous pending-swap state."""
     fs = HadoopFS(spark, path)
-    fs.delete(join_path(path, "centroids").rstrip("/") + "._rebal_old")
+    cent_old = join_path(path, "centroids").rstrip("/") + "._rebal_old"
+    fs.delete(cent_old)
+    if fs.exists(cent_old):
+        # delete returns a boolean; a surviving copy must stop the
+        # commit HERE — deleting any retired list while the copy exists
+        # would make its "rename back to roll back" recovery silently
+        # wrong (the exact hazard the copy-first order eliminates). The
+        # index stays in the deferred window: retry, or resolve with
+        # the maintenance CLI's index-recover.
+        raise RuntimeError(
+            f"_commit_deferred_rebalance: could not remove {cent_old} — "
+            "refusing to reclaim retired lists while the rename-aside "
+            "routing copy survives; retry the commit (index-recover "
+            "--action commit)"
+        )
     inv_leaf = join_path(path, "inverted")
     for cid in retired:
         fs.delete(join_path(inv_leaf, f"centroid_id={cid}"))
@@ -763,6 +777,14 @@ def recover_pending_swap(
                 "action='rollback'"
             )
         fs.delete(cent_old)
+        if fs.exists(cent_old):
+            # same guard as _commit_deferred_rebalance: never sweep
+            # retired lists while the routing copy survives
+            raise RuntimeError(
+                f"recover_pending_swap: could not remove {cent_old} — "
+                "refusing to sweep while the rename-aside routing copy "
+                "survives; retry, or recover with action='rollback'"
+            )
     else:
         rollback_swap(spark, cent_leaf, cent_old, what="recover_pending_swap")
     return {

@@ -144,6 +144,20 @@ def swap_dir(spark: "SparkSession", live: str, tmp: str, old: str,
         raise RuntimeError(f"{what}: promote {tmp} -> {live} failed")
     if not keep_old:
         fs.delete(old)
+        if fs.exists(old):
+            # Hadoop's delete returns a boolean and object-store
+            # emulations can fail partially; a surviving rename-aside
+            # copy must surface NOW — callers reclaim retired data right
+            # after a completed swap, and doing so while a stale routing
+            # copy exists would make the copy's documented "rename back
+            # to roll back" recovery silently wrong. Raising here leaves
+            # the deferred-window state (promoted table live, copy + all
+            # retired data intact), which every recovery path handles.
+            raise RuntimeError(
+                f"{what}: promoted {live} but could not remove the "
+                f"rename-aside copy {old} — recover or remove it before "
+                "any retired data is reclaimed"
+            )
 
 
 def rollback_swap(spark: "SparkSession", live: str, old: str,

@@ -150,3 +150,40 @@ def test_swap_dir_keep_old_and_rollback(spark, tmp_path):
     swap_dir(spark, live, tmp, old)
     assert spark.read.parquet(live).count() == 30
     assert not fs.exists(old)
+
+
+def test_swap_dir_raises_when_aside_delete_fails(spark, tmp_path):
+    """r16: swap_dir's final aside-copy delete is VERIFIED — a surviving
+    copy raises instead of returning success, because callers reclaim
+    retired data right after a completed swap, and doing that while a
+    stale routing copy exists makes the copy's documented rename-back
+    recovery silently wrong. The raise leaves the deferred-window state
+    (promoted data live, copy intact)."""
+    import pytest
+
+    from commerce_data_pipeline_spark.sources.hadoopfs import begin_swap, swap_dir
+
+    live = f"file://{tmp_path}/t"
+    tmp = live + "._tmp"
+    old = live + "._old"
+    spark.range(10).write.parquet(live)
+    begin_swap(spark, live, tmp, old)
+    spark.range(20).write.parquet(tmp)
+
+    orig_delete = HadoopFS.delete
+
+    def refusing_delete(self, p, recursive=True):
+        if str(p).endswith("._old"):
+            return False  # simulate a partially-failed object-store delete
+        return orig_delete(self, p, recursive)
+
+    HadoopFS.delete = refusing_delete
+    try:
+        with pytest.raises(RuntimeError, match="could not remove"):
+            swap_dir(spark, live, tmp, old)
+    finally:
+        HadoopFS.delete = orig_delete
+    # the failure leaves the recoverable deferred-window state
+    fs = HadoopFS(spark, live)
+    assert spark.read.parquet(live).count() == 20
+    assert fs.exists(old)

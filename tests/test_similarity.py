@@ -1465,3 +1465,50 @@ def test_ann_recover_commit_query_matches_oracle(spark, sf_dir, tmp_path):
     assert row["clean_after"] is True
     n_queries = len({r[scols.index("query_id")] for r in srows})
     assert len(srows) == 5 * n_queries
+
+
+def test_commit_refuses_when_copy_delete_fails(spark, tmp_path):
+    """r16: both commit paths (_commit_deferred_rebalance and the public
+    recover_pending_swap(action='commit')) verify the rename-aside copy
+    is GONE before reclaiming any retired list — a silently-failed
+    delete must refuse loudly with every retired partition intact,
+    because sweeping while the copy survives makes its rename-back
+    recovery silently wrong."""
+    import pytest
+
+    from commerce_data_pipeline_spark.operators import index as I
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
+
+    emb = _vecs(spark, n=60)
+    path = f"file://{tmp_path}/ivf"
+    I.build_ivf_index(emb, path, n_centroids=2)
+    retired = I.rebalance_ivf_index(
+        spark, path, max_list_size=20, _defer_cleanup=True
+    )
+    fs = HadoopFS(spark, path)
+
+    orig_delete = HadoopFS.delete
+
+    def refusing_delete(self, p, recursive=True):
+        if str(p).endswith("._rebal_old"):
+            return False  # simulate a partially-failed object-store delete
+        return orig_delete(self, p, recursive)
+
+    HadoopFS.delete = refusing_delete
+    try:
+        with pytest.raises(RuntimeError, match="could not remove"):
+            I._commit_deferred_rebalance(spark, path, retired)
+        assert fs.exists(f"{path}/centroids._rebal_old")
+        for cid in retired:
+            assert fs.exists(f"{path}/inverted/centroid_id={cid}")
+        with pytest.raises(RuntimeError, match="could not remove"):
+            I.recover_pending_swap(spark, path, "commit")
+        assert fs.exists(f"{path}/centroids._rebal_old")
+        for cid in retired:
+            assert fs.exists(f"{path}/inverted/centroid_id={cid}")
+    finally:
+        HadoopFS.delete = orig_delete
+    # with deletes working again the commit recovery completes cleanly
+    res = I.recover_pending_swap(spark, path, "commit")
+    assert res["state"] == "deferred_window" and res["swept"] == sorted(retired)
+    assert not fs.exists(f"{path}/centroids._rebal_old")
