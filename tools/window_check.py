@@ -44,9 +44,11 @@ MAX_AGE = 4
 
 
 def attestation_tiers(repo_root: str) -> tuple[dict[str, int], int]:
-    """(query -> latest fully-green attestation round, newest round seen).
-    A row counts only when err is null and neither rows nor hash
-    mismatched — the same rule tools/attestation_ledger.py applies."""
+    """(query -> latest green attestation round, newest round seen).
+    Green is tools/attestation_ledger.py's `_green` — imported, not
+    copied, so the two audits can never drift."""
+    from tools.attestation_ledger import _green
+
     latest: dict[str, int] = {}
     newest = 0
     for f in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
@@ -55,14 +57,7 @@ def attestation_tiers(repo_root: str) -> tuple[dict[str, int], int]:
         data = json.load(open(f))
         rows = data.get("queries", data) if isinstance(data, dict) else {}
         for name, v in rows.items():
-            if not isinstance(v, dict):
-                continue
-            ok = (
-                v.get("err") is None
-                and v.get("rows_match") is not False
-                and v.get("hash_match") is not False
-            )
-            if ok:
+            if isinstance(v, dict) and _green(v):
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest, newest
 
