@@ -749,8 +749,10 @@ def recover_pending_swap(
 
     Returns {state, action, swept} — `swept` is the sorted list of
     inverted-partition centroid ids reclaimed by the post-action sweep.
-    Single-writer like every mutator here: run it INSTEAD of, never
-    beside, another maintenance pass."""
+    `commit` verifies the copy is actually gone before sweeping (a
+    partially-failed object-store delete raises with nothing reclaimed
+    — retry, or roll back). Single-writer like every mutator here: run
+    it INSTEAD of, never beside, another maintenance pass."""
     if action not in ("rollback", "commit"):
         raise ValueError(
             f"recover_pending_swap: action must be 'rollback' or "
