@@ -591,3 +591,15 @@ def oracle_sql() -> dict[str, str]:
 #     "top_customers", "trailing_revenue", "word_count",
 #     "salted_hot_join", "zorder_skipping",
 # ]
+#
+# Fifth banked candidate (spare — register if a round needs a second
+# never-attested row or a replacement):
+# from commerce_data_pipeline_spark.queries.profiling_ml import (  # noqa: E402
+#     _O_PART_COMPONENTS_DELTA, _q_part_components_delta,
+# )
+# REGISTRY["part_components_delta"] = QuerySpec(
+#     _q_part_components_delta, _O_PART_COMPONENTS_DELTA,
+#     "X12 graph: INCREMENTAL connected components — previous labels "
+#     "star-compressed and re-converged with only the delta batch; oracle "
+#     "is the from-scratch closure over the full edge set (built r16)",
+# )

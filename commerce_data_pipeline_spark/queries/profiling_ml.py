@@ -1409,3 +1409,79 @@ SELECT CAST(t_a AS BIGINT) AS n_a, CAST(t_b AS BIGINT) AS n_b,
   v AS at_value
 FROM d
 """
+
+
+# --- r16: incremental connected components (the growing-graph shape) --------
+
+
+def _q_part_components_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """X12 graph — INCREMENTAL connected components: the co-purchase
+    graph grows (a delta batch of edges lands), and instead of
+    re-running CC over the full edge set, the previous run's labels are
+    compressed to STAR EDGES (member → component min, one edge per
+    non-root node) and re-converged together with only the delta —
+    recompute cost scales with |labels| + |delta|, not |E|, which is
+    the only way a 100 TB co-purchase graph stays maintainable. The
+    star compression is lossless for connectivity (each previous
+    component stays one piece), so the incremental labels must equal a
+    from-scratch run over the union — and the oracle IS that
+    from-scratch closure, so a hash match attests the incremental path
+    end to end. The previous/delta split is deterministic
+    ((a + b) % 4), and the audit numbers (previous component count,
+    star and delta edge counts) ride along, derived from data."""
+    pairs = _ensure_copurchase_pairs(spark, sf).filter(F.col("weight") >= 3)
+    prev = pairs.filter((F.col("a") + F.col("b")) % 4 != 0)
+    delta = pairs.filter((F.col("a") + F.col("b")) % 4 == 0)
+    prev_cc = dedup.connected_components(prev, a_col="a", b_col="b")
+    star = prev_cc.filter(F.col("component") != F.col("id")).select(
+        F.col("component").alias("a"), F.col("id").alias("b")
+    )
+    inc = dedup.connected_components(
+        star.unionByName(delta.select("a", "b")), a_col="a", b_col="b"
+    )
+    n_prev = prev_cc.select("component").distinct().count()
+    n_star = star.count()
+    n_delta = delta.count()
+    return inc.select(
+        F.col("id").alias("part_id"),
+        "component",
+        F.lit(int(n_prev)).cast("int").alias("n_prev_components"),
+        F.lit(int(n_star)).cast("int").alias("n_star_edges"),
+        F.lit(int(n_delta)).cast("int").alias("n_delta_edges"),
+    )
+
+
+_O_PART_COMPONENTS_DELTA = f"""
+WITH RECURSIVE {_PAIRS_SQL_MW.format(mw=3)},
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+full_cc AS (SELECT id AS part_id, MIN(r) AS component FROM reach GROUP BY id),
+prev_e AS (SELECT pa, pb FROM upairs WHERE (pa + pb) % 4 <> 0),
+prev_edges AS (
+  SELECT pa AS src, pb AS dst FROM prev_e
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM prev_e
+),
+prev_nodes AS (SELECT DISTINCT src AS id FROM prev_edges),
+reach0(id, r) AS (
+  SELECT id, id FROM prev_nodes
+  UNION
+  SELECT e.dst, reach0.r FROM reach0 JOIN prev_edges e ON e.src = reach0.id
+),
+prev_cc AS (SELECT id, MIN(r) AS component FROM reach0 GROUP BY id),
+aud AS (
+  SELECT
+    (SELECT COUNT(DISTINCT component) FROM prev_cc) AS n_prev,
+    (SELECT COUNT(*) FROM prev_cc WHERE id <> component) AS n_star,
+    (SELECT COUNT(*) FROM upairs WHERE (pa + pb) % 4 = 0) AS n_delta
+)
+SELECT f.part_id, f.component,
+  CAST(a.n_prev AS INT) AS n_prev_components,
+  CAST(a.n_star AS INT) AS n_star_edges,
+  CAST(a.n_delta AS INT) AS n_delta_edges
+FROM full_cc f CROSS JOIN aud a
+"""

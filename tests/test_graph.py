@@ -309,3 +309,40 @@ def test_personalized_pagerank_int64_guard_raises(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     with pytest.raises(ValueError, match="2\\^63"):
         personalized_pagerank(pairs, seeds, rounds=1, scale=10**15)
+
+
+def test_part_components_delta_query_matches_oracle(spark):
+    """Pre-registration differential for a later-round window candidate:
+    incremental connected components — previous labels compressed to
+    star edges, re-converged with only the delta batch. The oracle is
+    the from-scratch recursive-CTE closure over the FULL edge set, so a
+    hash match proves the incremental path loses nothing; the audit
+    numbers (previous components, star/delta edge counts) replay too."""
+    import duckdb
+
+    from commerce_data_pipeline_spark.queries.profiling_ml import (
+        _O_PART_COMPONENTS_DELTA,
+        _q_part_components_delta,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    sdf = _q_part_components_delta(spark, sf_dir)
+    scols = sdf.columns
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    rel = con.sql(_O_PART_COMPONENTS_DELTA)
+    ocols = rel.columns
+    orows = sorted(tuple(r) for r in rel.fetchall())
+    assert sorted(scols) == sorted(ocols)
+    perm = [scols.index(c) for c in ocols]
+    assert [tuple(r[i] for i in perm) for r in srows] == orows
+    # live-data sanity: the delta batch is non-trivial and the previous
+    # run really had components to compress
+    row = {c: v for c, v in zip(scols, srows[0])}
+    assert row["n_prev_components"] > 0
+    assert row["n_star_edges"] > 0
+    assert row["n_delta_edges"] > 0
+    assert len(srows) > 0

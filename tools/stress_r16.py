@@ -26,11 +26,17 @@ tables). Jobs, covering this round's touched paths:
    (ledger_fp_new: two-run FingerprintLedger ingest -> replayed
    commit -> compact -> filter_new of a re-crawl-bearing batch).
 
+6. `deltacc [K]` — scaling sweep for the fifth candidate
+   (part_components_delta: previous-labels star compression +
+   delta-only re-convergence vs the full graph; warm shared
+   copurchase cache, the family contract).
+
     python tools/stress_r16.py            # LM family at 1x vs 8x
     python tools/stress_r16.py lifecycles [K] [sf_dir]
     python tools/stress_r16.py midswap [K] [sf_dir]
     python tools/stress_r16.py recovercommit [K] [sf_dir]
     python tools/stress_r16.py fpledger [K] [sf_dir]
+    python tools/stress_r16.py deltacc [K] [sf_dir]
 
 NEVER run concurrently with pytest/oracle/bench — contention fakes
 scaling cliffs (the standing harness rule).
@@ -187,6 +193,31 @@ def run_fpledger(spark, sf_dir: str, k: int) -> dict[str, float]:
         Q.set_cache_tag(original_tag)
 
 
+def run_deltacc(spark, sf_dir: str, k: int) -> dict[str, float]:
+    """Warm-cache timing for part_components_delta (the shared
+    copurchase pairs cache is the family contract — it is built once
+    per scale, outside the timed window, like run_at_scale does for
+    registered X12 rows)."""
+    from commerce_data_pipeline_spark.queries.profiling_ml import (
+        _q_part_components_delta,
+    )
+
+    Q.rebind_load_table(scaled_loader(k))
+    original_tag = Q.get_cache_tag()
+    Q.set_cache_tag(f"x{k}" if k != 1 else "")
+    try:
+        _q_part_components_delta(spark, sf_dir).count()  # warm the cache
+        out = {"part_components_delta": _timed_min(
+            lambda: _q_part_components_delta(spark, sf_dir).count()
+        )}
+        spark.catalog.clearCache()
+        unpersist_all_rdds(spark)
+        return out
+    finally:
+        Q.rebind_load_table(Q.load_table)
+        Q.set_cache_tag(original_tag)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "lifecycles":
         k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -196,6 +227,20 @@ def main() -> None:
         base = run_lifecycles(spark, sf_dir, 1)
         big = run_lifecycles(spark, sf_dir, k)
         print(f"| query (full lifecycle, fresh cache per rep) | 1x sec | {k}x sec | ratio |")
+        print("|---|---|---|---|")
+        for name in base:
+            print(f"| {name} | {base[name]:.2f} | {big[name]:.2f} "
+                  f"| {big[name] / base[name]:.1f}x |")
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "deltacc":
+        k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        spark = get_spark("stress_r16")
+        spark.range(1000).selectExpr("sum(id)").collect()
+        base = run_deltacc(spark, sf_dir, 1)
+        big = run_deltacc(spark, sf_dir, k)
+        print(f"| query | 1x sec | {k}x sec | ratio |")
         print("|---|---|---|---|")
         for name in base:
             print(f"| {name} | {base[name]:.2f} | {big[name]:.2f} "
