@@ -1187,7 +1187,8 @@ def _ora_ann_rebalance_recall(n_splits: int = 2) -> str:
     replays cannot drift."""
     base = _ora_ann_ivf_rebalance(n_splits)
     head, sep, _ = base.partition("), sims AS (")
-    assert sep, "rebalance oracle changed shape; update the recall composer"
+    if not sep:  # not an assert: must survive python -O (r15 ADVICE pattern)
+        raise RuntimeError("rebalance oracle changed shape; update the recall composer")
     return (
         head
         + """), ivf_sims AS (
@@ -1610,7 +1611,8 @@ def _ora_ann_rebalance_gate(n_splits: int = 2) -> str:
     the rebalance oracle so the three replays cannot drift."""
     base = _ora_ann_ivf_rebalance(n_splits)
     head, sep, _ = base.partition("), sims AS (")
-    assert sep, "rebalance oracle changed shape; update the gate composer"
+    if not sep:  # not an assert: must survive python -O (r15 ADVICE pattern)
+        raise RuntimeError("rebalance oracle changed shape; update the gate composer")
     return (
         head
         + f"""), probes0 AS (
