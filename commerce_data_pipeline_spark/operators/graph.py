@@ -1097,19 +1097,26 @@ def personalized_pagerank(
     ew = (
         edges.join(edges.groupBy("_src").agg(F.sum("_w").alias("_ow")), "_src")
         .repartition(n_shuffle, "_src")
-        .transform(_checkpoint)
+        .transform(_checkpoint, eager=False)
     )
     s = (
         seeds.select(F.col(seed_col).alias("node")).distinct()
         .join(ew.select(F.col("_src").alias("node")).distinct(), "node", "left_semi")
-        .transform(_checkpoint)
+        .transform(_checkpoint, eager=False)
     )
-    stats = ew.agg(
-        F.countDistinct("_src").alias("_n"), F.max("_w").alias("_wm")
-    ).collect()[0]
+    # ONE fused guard job (r17: was four driver round-trips — eager ew
+    # checkpoint, eager s checkpoint, ew stats collect, s.count). The
+    # cross-joined 1-row aggregates materialize BOTH lazy checkpoints as
+    # a side effect (each subtree computes its full frame), so the loop
+    # below still reads persisted blocks every round.
+    stats = (
+        ew.agg(F.countDistinct("_src").alias("_n"), F.max("_w").alias("_wm"))
+        .crossJoin(s.agg(F.count(F.lit(1)).alias("_ns")))
+        .collect()[0]
+    )
     n_nodes = int(stats["_n"] or 0)
     w_max = int(stats["_wm"] or 1)
-    n_seeds = s.count()
+    n_seeds = int(stats["_ns"] or 0)
     if n_seeds and damp_num * n_seeds * scale * w_max >= 2**63:
         raise ValueError(
             "personalized_pagerank: damp_num*|S|*scale*w_max = "

@@ -894,12 +894,13 @@ def ks_drift(
 
     Plan shape: one keyed count per side (map-side combine — the shuffle
     carries distinct values, not rows), a value-keyed full-outer merge,
-    TWO `global_cumsum` range exchanges over the distinct-value frame
-    (never a single-partition window — the support can be as large as
-    the input when values are continuous), a broadcast 1-row totals
-    join, and a 1-row argmax. Linear end to end.
+    ONE `global_order_stats` range exchange carrying BOTH running counts
+    over the distinct-value frame (never a single-partition window — the
+    support can be as large as the input when values are continuous; was
+    two sequential cumsum arrangements before r17), a broadcast 1-row
+    totals join, and a 1-row argmax. Linear end to end.
     """
-    from commerce_data_pipeline_spark.operators.relational import global_cumsum
+    from commerce_data_pipeline_spark.operators.relational import global_order_stats
 
     a = (
         df_a.filter(F.col(col).isNotNull())
@@ -919,8 +920,12 @@ def ks_drift(
             F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
         )
     )
-    m = global_cumsum(m, ["_v"], "n_a", cum_col="cum_a")
-    m = global_cumsum(m, ["_v"], "n_b", cum_col="cum_b")
+    # ONE range arrangement carries both running counts (r17: was two
+    # sequential global_cumsum calls = two sampled range exchanges + two
+    # per-slice offsets jobs over the identical ["_v"] order)
+    m = global_order_stats(
+        m, ["_v"], sum_cols=[("n_a", "cum_a"), ("n_b", "cum_b")]
+    )
     totals = m.agg(
         F.sum("n_a").cast("long").alias("t_a"), F.sum("n_b").cast("long").alias("t_b")
     )

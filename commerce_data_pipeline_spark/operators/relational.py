@@ -127,8 +127,8 @@ def global_cumsum(
     per-slice SUMS instead of counts). `value_col` must be integral
     (the offsets round-trip the driver as exact Python ints).
     """
-    return global_order_stats(df, order_cols, sum_col=value_col,
-                              cum_col=cum_col, num_partitions=num_partitions)
+    return global_order_stats(df, order_cols, sum_cols=[(value_col, cum_col)],
+                              num_partitions=num_partitions)
 
 
 def global_order_stats(
@@ -138,14 +138,20 @@ def global_order_stats(
     sum_col: str | None = None,
     cum_col: str = "_cum",
     num_partitions: int | None = None,
+    sum_cols: Sequence[tuple[str, str]] | None = None,
 ) -> DataFrame:
-    """One range exchange, both order statistics: global row_number
-    (`rank_col`) and/or inclusive running total of `sum_col`
-    (`cum_col`). The per-slice offset aggregate carries (count, sum)
-    together, so consumers needing rank AND cumsum (e.g. the Pareto
-    crossing audit) pay for a single arrangement."""
-    if rank_col is None and sum_col is None:
-        raise ValueError("global_order_stats: need rank_col and/or sum_col")
+    """One range exchange, every order statistic a consumer needs:
+    global row_number (`rank_col`) and/or inclusive running totals —
+    `sum_cols` as (value_col, cum_col) pairs, or the single-column
+    `sum_col`/`cum_col` form. The per-slice offset aggregate carries
+    (count, sums...) together, so consumers needing rank AND several
+    cumsums over the SAME order (ks_drift runs two) pay for a single
+    arrangement instead of one range exchange + offsets job each."""
+    pairs = list(sum_cols) if sum_cols else []
+    if sum_col is not None:
+        pairs.append((sum_col, cum_col))
+    if rank_col is None and not pairs:
+        raise ValueError("global_order_stats: need rank_col and/or sum column(s)")
     sp = df.sparkSession
     n = num_partitions or int(sp.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -154,18 +160,22 @@ def global_order_stats(
         .withColumn("_gr_pid", F.spark_partition_id())
         .transform(_checkpoint, eager=False)
     )
-    aggs = [F.count(F.lit(1)).alias("_c")]
-    if sum_col is not None:
-        aggs.append(F.coalesce(F.sum(sum_col), F.lit(0)).cast("long").alias("_s"))
+    aggs = [F.count(F.lit(1)).alias("_c")] + [
+        F.coalesce(F.sum(v), F.lit(0)).cast("long").alias(f"_s{i}")
+        for i, (v, _) in enumerate(pairs)
+    ]
     per_slice = arranged.groupBy("_gr_pid").agg(*aggs).collect()
-    offsets, acc_c, acc_s = [], 0, 0
+    offsets, acc_c = [], 0
+    acc_s = [0] * len(pairs)
     for row in sorted(per_slice, key=lambda r: r["_gr_pid"]):
-        offsets.append((int(row["_gr_pid"]), acc_c, acc_s))
+        offsets.append((int(row["_gr_pid"]), acc_c, *acc_s))
         acc_c += int(row["_c"])
-        acc_s += int(row["_s"]) if sum_col is not None else 0
-    off_df = sp.createDataFrame(
-        offsets, schema="_gr_pid int, _gr_offc long, _gr_offs long"
+        for i in range(len(pairs)):
+            acc_s[i] += int(row[f"_s{i}"])
+    off_schema = "_gr_pid int, _gr_offc long" + "".join(
+        f", _gr_offs{i} long" for i in range(len(pairs))
     )
+    off_df = sp.createDataFrame(offsets, schema=off_schema)
     from pyspark.sql import Window as W
 
     w = W.partitionBy("_gr_pid").orderBy(*cols)
@@ -175,14 +185,16 @@ def global_order_stats(
             rank_col,
             (F.row_number().over(w) + F.col("_gr_offc")).cast("long"),
         )
-    if sum_col is not None:
-        local_sum = F.sum(sum_col).over(
+    for i, (v, c) in enumerate(pairs):
+        local_sum = F.sum(v).over(
             w.rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         out = out.withColumn(
-            cum_col, (local_sum + F.col("_gr_offs")).cast("long")
+            c, (local_sum + F.col(f"_gr_offs{i}")).cast("long")
         )
-    return out.drop("_gr_pid", "_gr_offc", "_gr_offs")
+    return out.drop(
+        "_gr_pid", "_gr_offc", *[f"_gr_offs{i}" for i in range(len(pairs))]
+    )
 
 
 def row_count(df: DataFrame) -> int:

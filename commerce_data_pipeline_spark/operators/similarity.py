@@ -1273,37 +1273,37 @@ def _assign_stats(xi: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFram
     integer centroids; scoring is the integer argmax of 2·(x·c) − |c|²,
     ties to the smallest centroid id.
 
-    The codebook is ONE literal array of {cid, c, nrm} structs scored by
-    a `transform` loop, not k unrolled dot-product expressions — the
-    unrolled form generates k·dim-term codegen whose compile time
-    dominates at bench scale (measured 3.2 s → 1.8 s at k=8, dim=64) and
-    would not compile at all for large codebooks; the loop form's plan
-    size is O(k·dim) literals but O(1) expression nodes."""
-    codebook = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).cast("long").alias("cid"),
-                F.array(*[F.lit(ci).cast("long") for ci in c]).alias("c"),
-                F.lit(sum(ci * ci for ci in c)).cast("long").alias("nrm"),
-            )
-            for cid, c in sorted(cents)
-        ]
-    )
+    The codebook is THREE parallel array literals (cids, vectors, norms)
+    indexed by a `transform` over sequence(0, k−1), not k unrolled
+    dot-product expressions — the unrolled form generates k·dim-term
+    codegen whose compile time dominates at bench scale (measured
+    3.2 s → 1.8 s at k=8, dim=64) and would not compile at all for large
+    codebooks. r17 further collapsed the per-struct F.lit trees (k·dim
+    CreateArray/Literal expression nodes, ~0.3–0.5 s of py4j + analysis
+    PER ROUND at k=8·dim=64) into single array Literals: kmeans_train
+    4.75 s → 2.4 s warm at sf0.1, bit-identical stats."""
+    if not cents:
+        raise ValueError("_assign_stats: empty centroid set")
+    cents = sorted(cents)
+    k = len(cents)
+    cids = F.lit([int(cid) for cid, _ in cents]).cast("array<long>")
+    cvecs = F.lit([[int(x) for x in c] for _, c in cents]).cast("array<array<long>>")
+    nrms = F.lit([sum(x * x for x in c) for _, c in cents]).cast("array<long>")
     scored = F.transform(
-        codebook,
-        lambda s: F.struct(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.struct(
             (
                 -(
                     F.lit(2).cast("long")
                     * F.aggregate(
-                        F.zip_with(F.col("_xi"), s["c"], lambda x, y: x * y),
+                        F.zip_with(F.col("_xi"), cvecs[j], lambda x, y: x * y),
                         F.lit(0).cast("long"),
                         lambda a, x: a + x,
                     )
-                    - s["nrm"]
+                    - nrms[j]
                 )
             ).alias("ns"),
-            s["cid"].alias("cid"),
+            cids[j].alias("cid"),
         ),
     )
     # struct sort key: ascending (−score, cid) ≡ best score, tie → min id
@@ -1364,13 +1364,6 @@ def kmeans_train(
     """
     if rounds < 1:
         raise ValueError("kmeans_train: rounds must be >= 1")
-    dim_probe = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if dim_probe and int(dim_probe[0]["d"]) * k > max_codebook:
-        raise ValueError(
-            f"kmeans_train: k·dim = {int(dim_probe[0]['d']) * k} exceeds the "
-            f"{max_codebook}-entry codebook collect budget"
-        )
-    xi = _fixed_point_frame(emb, vec_col, scale).transform(_checkpoint)
     seeds = (
         emb.filter(F.col(id_col) < k)
         .select(
@@ -1379,8 +1372,19 @@ def kmeans_train(
         )
         .collect()
     )
+    # dim comes from the seed rows themselves (r17: the separate
+    # limit(1) dim-probe job collected the same k·dim-bounded volume the
+    # seeds do, so probing first protected nothing — one driver
+    # round-trip saved per training call). The guard still fires before
+    # any corpus-sized work or stats collect.
+    if seeds and len(seeds[0]["_c"]) * k > max_codebook:
+        raise ValueError(
+            f"kmeans_train: k·dim = {len(seeds[0]['_c']) * k} exceeds the "
+            f"{max_codebook}-entry codebook collect budget"
+        )
     if len(seeds) != k:
         raise ValueError(f"kmeans_train: need seed ids 0..{k-1}, found {len(seeds)}")
+    xi = _fixed_point_frame(emb, vec_col, scale).transform(_checkpoint)
     cents = [(int(r["_cid"]), [int(ci) for ci in r["_c"]]) for r in seeds]
     stats = _assign_stats(xi, cents)
     for _ in range(rounds - 1):
@@ -1482,14 +1486,21 @@ def pca_power_iteration(
     """
     if rounds < 1:
         raise ValueError("pca_power_iteration: rounds must be >= 1")
-    dim_row = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    # LAZY checkpoint + dim probe against it (r17): the probe's 1-row job
+    # starts persisting the fixed-point blocks it touches and round 1
+    # materializes the rest in ITS scan — one fewer full-pass job than
+    # the old eager-checkpoint-then-probe sequence, same per-round reads.
+    xi = _fixed_point_frame(emb, vec_col, scale).transform(_checkpoint, eager=False)
+    dim_row = xi.select(F.size("_xi").alias("d")).limit(1).collect()
     if not dim_row:
         raise ValueError("pca_power_iteration: empty input")
     d = int(dim_row[0]["d"])
-    xi = _fixed_point_frame(emb, vec_col, scale).transform(_checkpoint)
     v = [out_scale] * d
     for _ in range(rounds):
-        lit_v = F.array(*[F.lit(int(c)).cast("long") for c in v])
+        # one array Literal, not d CreateArray legs (r17: the 64-F.lit
+        # tree cost ~0.3 s of py4j + analysis per round and bloated the
+        # codegen'd plan; values and arithmetic are unchanged)
+        lit_v = F.lit([int(c) for c in v]).cast("array<long>")
         s = F.aggregate(
             F.zip_with(F.col("_xi"), lit_v, lambda x, c: x * c),
             F.lit(0).cast("long"),

@@ -711,28 +711,41 @@ def ngram_novelty(
     span-level view).
 
     Plan: distinct grams explode scan-side → one gram-keyed MIN
-    aggregation (map-side partials; the only corpus-wide shuffle) →
-    one id-keyed count. Grams shuffle as (hash-sized) strings once;
-    documents with < n words drop out (no gram set to score).
+    aggregation (map-side partials; the ONLY corpus-wide shuffle) →
+    n_novel derived from that aggregate ALONE as a count per first-doc
+    (a gram's min-holder contains the gram by definition, so joining
+    the full gram stream back to `first` — the pre-r17 shape, which
+    re-shuffled every gram row a second time and re-aggregated the
+    corpus-sized join output by id — computes the identical counts);
+    n_grams is the distinct-gram-array SIZE, computed scan-side with
+    zero shuffle. The only frames that meet in a join are two
+    doc-keyed, doc-sized aggregates. Grams shuffle as (hash-sized)
+    strings ONCE; documents with < n words drop out (no gram set to
+    score).
 
     novelty_e6 floors BEFORE emit so the ratio is integer-exact
     cross-engine. Returns (id, n_grams, n_novel, novelty_e6).
     """
     from commerce_data_pipeline_spark.operators.dedup import word_shingles
 
+    sizes = df.select(
+        F.col(id_col).alias("_id"), F.size(word_shingles(text_col, n)).alias("n_grams")
+    ).filter(F.col("n_grams") >= 1)
     grams = df.select(
         F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, n)).alias("_g")
     )
-    first = grams.groupBy("_g").agg(F.min("_id").alias("_first"))
-    per_doc = (
-        grams.join(first, on="_g")
-        .groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.count(F.when(F.col("_first") == F.col("_id"), 1))
-            .cast("long")
-            .alias("n_novel"),
-        )
+    novel = (
+        grams.groupBy("_g")
+        .agg(F.min("_id").alias("_first"))
+        .groupBy("_first")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    per_doc = sizes.join(
+        novel, sizes["_id"] == novel["_first"], "left"
+    ).select(
+        "_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
     )
     return per_doc.select(
         F.col("_id").alias(id_col),

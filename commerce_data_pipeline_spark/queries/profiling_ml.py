@@ -1222,9 +1222,10 @@ def _q_value_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
     event value between snapshot halves (operators/profiling.ks_drift):
     the numeric companion to event_type_drift's categorical chi-square.
     D is computed EXACTLY as max |cum_a·n_b − cum_b·n_a| over the pooled
-    support (decimal(38,0) products, two global_cumsum range exchanges —
-    never a single-partition window), so the oracle replays it bit for
-    bit; at_value localizes WHERE the CDFs diverge most."""
+    support (decimal(38,0) products, ONE shared global_order_stats range
+    exchange carrying both running counts — never a single-partition
+    window), so the oracle replays it bit for bit; at_value localizes
+    WHERE the CDFs diverge most."""
     ev = load_table(spark, sf, "events")
     return profiling.ks_drift(
         ev.filter(F.col("ts") < F.lit("2024-01-16")),
