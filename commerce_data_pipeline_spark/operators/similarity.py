@@ -274,11 +274,17 @@ def near_dup_pairs(
       exists. Use a threshold or minhash prefilter.
     """
     spark = df.sparkSession
-    n_rows = df.count()
+    # Bounded path-decision probe (r17): limit(budget+1).count() answers
+    # "does the corpus exceed the broadcast budget?" after reading AT MOST
+    # budget+1 rows — the full count() it replaces scanned the entire
+    # corpus just to pick a branch (at 100 TB that is a complete pass
+    # before any work starts). Branch decisions are identical:
+    # min(count, budget+1) > budget  ⇔  count > budget.
+    n_rows = df.limit(max_broadcast_rows + 1).count()
     if n_rows > max_broadcast_rows:
         if threshold < 0.0:
             raise ValueError(
-                f"near_dup_pairs: corpus has {n_rows} rows > max_broadcast_rows="
+                f"near_dup_pairs: corpus exceeds max_broadcast_rows="
                 f"{max_broadcast_rows} and threshold={threshold} demands exact "
                 "all-pairs output; use threshold >= 0 (LSH-bucketed path) or a "
                 "minhash prefilter."

@@ -162,10 +162,25 @@ def test_ivf_profile_broadcasts_centroids(spark):
 
 def test_dup_ngram_spans_bounded_shuffles_and_pruned_scan(spark):
     df = REGISTRY["dup_ngram_spans"].spark(spark, SF)
-    # window-hash agg, islands window, span agg — never more; every scan
-    # reads only (doc_id, text)
+    # window-hash agg, islands window, span agg — never more; the r17
+    # lazily-checkpointed `wins` frame appears as ONE shared ExistingRDD
+    # (corpus tokenized+hashed once for both consumers), so the final
+    # plan carries no parquet scan of its own
     assert plans.num_shuffles(df) <= 3
+    plan = plans.formatted_plan(df)
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
     for cols in plans.read_schema_columns(df):
+        assert set(cols) == {"doc_id", "text"}
+    # the checkpointed build side itself still reads only (doc_id, text)
+    from commerce_data_pipeline_spark.catalog import load_table
+    from commerce_data_pipeline_spark.operators import text as text_ops
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.split(text_ops.normalized_text("text"), " ").alias("_tk"),
+    )
+    for cols in plans.read_schema_columns(toks):
         assert set(cols) == {"doc_id", "text"}
 
 
