@@ -466,23 +466,28 @@ def connected_components(
     loop (see SMALL_GRAPH_EDGES for the budget rationale).
     """
     check_every = 2
+    # LAZY checkpoints throughout (r17): every frame is still materialized
+    # exactly once — the budget count / first consuming job persists the
+    # blocks — but the separate eager-materialization jobs are gone (one
+    # per frame, plus one per loop iteration below; the kcore A/B
+    # precedent, ~35% at bench scale on fixed-round graph loops).
     und = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .distinct()
-        .transform(_checkpoint)
+        .transform(_checkpoint, eager=False)
     )
     if und.count() <= small_graph_edges:
         return _driver_unionfind(und)
     edges = (
         und.unionAll(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .transform(_checkpoint)
+        .transform(_checkpoint, eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .transform(_checkpoint)
+        .transform(_checkpoint, eager=False)
     )
     for it in range(max_iter):
         # min label among neighbors, then min with own label
@@ -500,7 +505,7 @@ def connected_components(
                 ).alias("component"),
                 (F.col("n_min") < F.col("component")).alias("_changed"),
             )
-        ).transform(_checkpoint)
+        ).transform(_checkpoint, eager=False)
         labels = updated.drop("_changed")
         if it % check_every == check_every - 1 or it == max_iter - 1:
             if updated.filter(F.col("_changed")).limit(1).count() == 0:
@@ -540,11 +545,15 @@ def connected_components_alternating(
     """
     # Work on the symmetric closure with self-loops dropped; orient each
     # undirected edge both ways so groupBy(src) sees the full neighborhood.
+    # LAZY checkpoints (r17): the budget count materializes `und`; `nodes`
+    # (consumed once, by the final labeling join) and each round's edge
+    # frame (materialized by its convergence-checksum action) keep their
+    # lineage truncation without a dedicated job each.
     und = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .transform(_checkpoint)
+        .transform(_checkpoint, eager=False)
     )
     if und.count() <= small_graph_edges:
         return _driver_unionfind(und)
@@ -552,7 +561,7 @@ def connected_components_alternating(
         und.select(F.col("src").alias("id"))
         .unionAll(und.select(F.col("dst").alias("id")))
         .distinct()
-        .transform(_checkpoint)
+        .transform(_checkpoint, eager=False)
     )
     edges = und
 
@@ -606,7 +615,7 @@ def connected_components_alternating(
     # than paying an extra driver round-trip on every real invocation.
     sig = None
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).transform(_checkpoint)
+        edges = _small_star(_large_star(edges)).transform(_checkpoint, eager=False)
         new_sig = _sig(edges)
         if new_sig == sig:
             break

@@ -449,8 +449,21 @@ def label_propagation(
             (F.col("_w") > 0) & F.col("_s").isNotNull() & F.col("_d").isNotNull()
         )
         if driver_budget_edges > 0:
-            p0 = p0.transform(_checkpoint)
-            if 2 * p0.count() <= driver_budget_edges:
+            # budget admission via the PRE-filter metadata count when the
+            # pair source is a bare scan (the _pagerank_pairs r8 pattern,
+            # applied here in r17): the upper bound admits without a
+            # checkpoint job + exact-count job; only an over-budget bound
+            # pays for both. Computed pair frames checkpoint first so the
+            # count and the Arrow collect read one materialization.
+            if _count_is_metadata_only(undirected_pairs):
+                ub = undirected_pairs.count()
+                if 2 * ub > driver_budget_edges:
+                    p0 = p0.transform(_checkpoint)
+                    ub = p0.count()
+            else:
+                p0 = p0.transform(_checkpoint)
+                ub = p0.count()
+            if 2 * ub <= driver_budget_edges:
                 out = _label_propagation_driver(p0, rounds, mirror=True)
                 if out is not None:
                     return out
@@ -768,11 +781,18 @@ def kcore(
         if until_stable and cur.isEmpty():
             break
         keep = _deg(cur).filter(F.col("degree") >= k).select("node")
+        # LAZY per-pass checkpoint (r17): each pass's survivor frame is
+        # still materialized exactly once (persist-on-first-compute; both
+        # consumers — next pass's degree agg and its semi-joins — read the
+        # same blocks), but fixed-round peels no longer pay one driver
+        # round-trip per pass (sf0.1 A/B warm min: 4.0 s → 2.5 s). In
+        # until_stable mode the per-pass count() materializes each pass
+        # as before, so lineage stays truncated round-by-round there.
         nxt = (
             cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b")
-            .transform(_checkpoint)
+            .transform(_checkpoint, eager=False)
         )
         if until_stable and nxt.count() == cur.count():
             cur = nxt
