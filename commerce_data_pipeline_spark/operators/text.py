@@ -566,7 +566,7 @@ def bigram_lm_scores(
     occ_doc = (
         occ.groupBy(*keys)
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
-        .transform(_checkpoint)
+        .transform(_checkpoint, eager=False)
     )
     if model_df is None and model_filter is None:
         # c1/c2/tv/scored all re-derive this agg from the occ_doc
@@ -594,7 +594,7 @@ def bigram_lm_scores(
                 .cast("long")
                 .alias("_c12")
             )
-            .transform(_checkpoint)
+            .transform(_checkpoint, eager=False)
         )
         types = score_types.filter(F.col("_c12").isNotNull())
     else:
@@ -610,7 +610,7 @@ def bigram_lm_scores(
             model_df.select(F.explode(m_grams).alias("_g"))
             .groupBy(F.col("_g.w1").alias("_w1"), F.col("_g.w2").alias("_w2"))
             .agg(F.count(F.lit(1)).cast("long").alias("_c12"))
-            .transform(_checkpoint)
+            .transform(_checkpoint, eager=False)
         )
         # score every bigram TYPE the scored corpus contains; types the
         # model never saw keep _c12 NULL (-> lam-term 0 below)
@@ -884,7 +884,7 @@ def _bpe_vocab(df: DataFrame, text_col: str) -> DataFrame:
         .groupBy("_w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .select(F.split("_w", "").alias("syms"), "cnt")
-        .transform(_checkpoint)
+        .transform(_checkpoint, eager=False)
     )
 
 
@@ -1122,7 +1122,7 @@ def _bpe_loop(vocab: DataFrame, rounds: int, apply_last: bool):
         if rnd < rounds or apply_last:
             vocab = vocab.select(
                 bpe_apply_merge(F.col("syms"), l, r).alias("syms"), "cnt"
-            ).transform(_checkpoint)
+            ).transform(_checkpoint, eager=False)
         yield rnd, l, r, c, vocab
 
 

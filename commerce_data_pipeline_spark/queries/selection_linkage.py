@@ -645,7 +645,7 @@ def _q_heldout_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     means anything. Unseen bigrams keep only smoothed backoff mass
     (never dropped, never -inf). One per-split summary row."""
     docs = load_table(spark, sf, "documents")
-    assigned = corpus.train_val_test_split(docs).transform(_checkpoint)
+    assigned = corpus.train_val_test_split(docs).transform(_checkpoint, eager=False)
     # model_filter (not model_df): the train slice is a row-subset of
     # the scored corpus, so the model types derive from the shared
     # per-doc gram counts — one corpus explode instead of two (r16)
