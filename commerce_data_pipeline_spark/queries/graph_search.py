@@ -1001,7 +1001,7 @@ def _q_image_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     LSH/banding shape applied to images; rows-only check."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     media = multimodal.synthesize_media(docs)
-    base = multimodal.decode_and_phash(media).transform(_checkpoint)
+    base = multimodal.decode_and_phash(media).transform(_checkpoint, eager=False)
     copies = base.withColumn("media_id", F.col("media_id") + F.lit(1_000_080))
     return multimodal.phash_pairs(base.unionAll(copies), max_hamming=4)
 
@@ -1172,7 +1172,7 @@ def _q_image_near_dup_md5(spark: SparkSession, sf: str) -> DataFrame:
     dropped when a bucket saturates."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     media = multimodal.synthesize_media(docs)
-    base = multimodal.decode_and_phash_int(media).transform(_checkpoint)
+    base = multimodal.decode_and_phash_int(media).transform(_checkpoint, eager=False)
     copies = base.withColumn("media_id", F.col("media_id") + F.lit(1_000_080))
     return multimodal.phash_pairs(base.unionAll(copies), max_hamming=4)
 
@@ -1226,7 +1226,7 @@ def _q_image_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     replayed pair stage."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     media = multimodal.synthesize_media(docs)
-    base = multimodal.decode_and_phash_int(media).transform(_checkpoint)
+    base = multimodal.decode_and_phash_int(media).transform(_checkpoint, eager=False)
     copies = base.withColumn("media_id", F.col("media_id") + F.lit(1_000_080))
     pairs = multimodal.phash_pairs(base.unionAll(copies), max_hamming=4)
     comp = dedup.connected_components_alternating(
