@@ -180,7 +180,7 @@ def pagerank(
     if driver_budget_edges > 0:
         # materialize the edge pipeline ONCE — the budget count and the
         # Arrow collect (or the distributed fallback) all read it back
-        e0 = e0.transform(_checkpoint)
+        e0 = e0.transform(_checkpoint, eager=False)
         if e0.count() <= driver_budget_edges:
             out = _pagerank_driver(
                 sp, e0, iterations, scale, teleport, damp_num, damp_den
@@ -258,10 +258,10 @@ def _pagerank_pairs(pairs, iterations, scale, damp_num, damp_den, budget):
         if _count_is_metadata_only(pairs):
             ub = pairs.count()
             if 2 * ub > budget:
-                p0 = p0.transform(_checkpoint)
+                p0 = p0.transform(_checkpoint, eager=False)
                 ub = p0.count()
         else:
-            p0 = p0.transform(_checkpoint)
+            p0 = p0.transform(_checkpoint, eager=False)
             ub = p0.count()
         if 2 * ub <= budget:
             pdf = p0.toPandas()
@@ -461,7 +461,7 @@ def label_propagation(
                     p0 = p0.transform(_checkpoint)
                     ub = p0.count()
             else:
-                p0 = p0.transform(_checkpoint)
+                p0 = p0.transform(_checkpoint, eager=False)
                 ub = p0.count()
             if 2 * ub <= driver_budget_edges:
                 out = _label_propagation_driver(p0, rounds, mirror=True)
@@ -476,7 +476,7 @@ def label_propagation(
         F.col(weight).cast("long").alias("_w"),
     ).filter(
         (F.col("_w") > 0) & F.col("_s").isNotNull() & F.col("_d").isNotNull()
-    ).transform(_checkpoint)
+    ).transform(_checkpoint, eager=False)
     if driver_budget_edges > 0 and e.count() <= driver_budget_edges:
         out = _label_propagation_driver(e, rounds)
         if out is not None:

@@ -230,7 +230,7 @@ def _bucketed_self_pairs(
     < 1 by construction (tunable via n_planes/n_tables) — near-dup pairs
     at cosine ≥ 0.9 collide with high probability under random-hyperplane
     LSH."""
-    b = _bucketize_np(df, "id_a", id_col, vec_col, dim, n_planes, n_tables).transform(_checkpoint)
+    b = _bucketize_np(df, "id_a", id_col, vec_col, dim, n_planes, n_tables).transform(_checkpoint, eager=False)
     a = b.select("id_a", F.col("unit").alias("a_unit"), "tab", "bucket")
     c = b.select(
         F.col("id_a").alias("id_b"), F.col("unit").alias("b_unit"), "tab", "bucket"
@@ -1106,7 +1106,7 @@ def semantic_dedup(
     # materialize the assignment ONCE: it feeds three consumers (both pair
     # sides + the verdict join) and would otherwise recompute its
     # crossJoin+argmax subtree — and re-scan the corpus — per consumer
-    inverted = ivf_invert(u, centroids, id_col).transform(_checkpoint)
+    inverted = ivf_invert(u, centroids, id_col).transform(_checkpoint, eager=False)
     a = inverted.select(
         F.col("neighbor_id").alias("_ida"), "centroid_id", F.col("c_unit").alias("_ua")
     )
@@ -1390,7 +1390,7 @@ def kmeans_train(
         )
     if len(seeds) != k:
         raise ValueError(f"kmeans_train: need seed ids 0..{k-1}, found {len(seeds)}")
-    xi = _fixed_point_frame(emb, vec_col, scale).transform(_checkpoint)
+    xi = _fixed_point_frame(emb, vec_col, scale).transform(_checkpoint, eager=False)
     cents = [(int(r["_cid"]), [int(ci) for ci in r["_c"]]) for r in seeds]
     stats = _assign_stats(xi, cents)
     for _ in range(rounds - 1):
