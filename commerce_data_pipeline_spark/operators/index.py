@@ -138,13 +138,20 @@ def _read_sidecar_int(
     witness: a job that crashed after task commit but before job commit,
     or a torn overwrite, leaves part files that parse as garbage — so
     that path validates the read (exactly one row, the expected column,
-    a non-null value) and degrades to `default` (legacy behavior) on any
-    failure instead of raising or returning a wrong value."""
+    a non-null value) and degrades to `default` (legacy behavior) on a
+    VALIDATION failure or a parquet parse/schema error — the torn-write
+    signatures. A transient IO/permission failure on a markerless
+    sidecar propagates instead (r17 ADVICE): silently returning the
+    default there would e.g. reset centroid_meta's split factor and
+    shrink the serving n_probe — the recall regression the sidecar
+    exists to prevent — on a sidecar that is actually healthy."""
     leaf = join_path(path, leaf_name)
     fs = HadoopFS(spark, path)
     if not _sidecar_readable(fs, leaf):
         return default
     trusted = fs.exists(join_path(leaf, "_SUCCESS"))
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.parquet(leaf).collect()
         if len(rows) != 1 or col not in rows[0].asDict() or rows[0][col] is None:
@@ -154,8 +161,23 @@ def _read_sidecar_int(
                 f"{list(rows[0].asDict()) if rows else []}"
             )
         return int(rows[0][col])
-    except Exception:
+    except (ValueError, TypeError, AnalysisException):
+        # ValueError/TypeError: the validation above / a non-integer
+        # value; AnalysisException: unreadable path or schema mismatch
+        # — all torn-write shapes. Anything else (IO, permissions,
+        # executor loss) is transient and must surface.
         if trusted:
+            raise
+        return default
+    except Exception as e:
+        # corrupt-footer reads surface as JVM exceptions at collect time;
+        # match the parquet-corruption signatures only — a generic IO or
+        # permission failure still propagates
+        msg = str(e).lower()
+        torn = "parquet" in msg and (
+            "footer" in msg or "not a parquet file" in msg or "corrupt" in msg
+        )
+        if trusted or not torn:
             raise
         return default
 
@@ -714,12 +736,16 @@ def check_no_pending_swap(spark: SparkSession, path: str, what: str) -> None:
             "deferred window (the copy is the pre-split routing and the "
             "live table the post-split one). While this copy exists, no "
             "retired list has been deleted (commit removes the copy "
-            "FIRST), so renaming the copy back over the live table is "
-            "always a safe rollback; deleting the copy commits the "
-            "split. Either way the next maintenance pass sweeps the "
-            "unroutable leftover lists. Executable form: the "
-            "maintenance CLI's `index-recover --path ... --action "
-            "rollback|commit` (recover_pending_swap)."
+            "FIRST), so renaming the copy back over the live table is a "
+            "safe rollback — UNLESS a commit's copy delete already "
+            "failed partway (the copy may be torn; after a failed "
+            "commit delete, retry the commit instead of rolling back). "
+            "Deleting the copy commits the split. Either way the next "
+            "maintenance pass sweeps the unroutable leftover lists. "
+            "Executable form: the maintenance CLI's `index-recover "
+            "--path ... --action rollback|commit` (recover_pending_swap; "
+            "its rollback verifies the copy is readable before demoting "
+            "the live table)."
         )
 
 
@@ -781,13 +807,37 @@ def recover_pending_swap(
         fs.delete(cent_old)
         if fs.exists(cent_old):
             # same guard as _commit_deferred_rebalance: never sweep
-            # retired lists while the routing copy survives
+            # retired lists while the routing copy survives. r17 ADVICE:
+            # recommend COMMIT-RETRY ONLY — a partially-failed delete may
+            # have torn the copy itself, and a rollback would demote the
+            # complete live table onto it (silent data loss).
             raise RuntimeError(
                 f"recover_pending_swap: could not remove {cent_old} — "
                 "refusing to sweep while the rename-aside routing copy "
-                "survives; retry, or recover with action='rollback'"
+                "survives. Retry the commit; do NOT roll back after a "
+                "failed copy delete (the delete may have torn the copy, "
+                "and rollback would replace the complete live table "
+                "with it)."
             )
     else:
+        if state == "deferred_window":
+            # Rollback DEMOTES the complete live table, so before
+            # deleting it verify the copy is at least a readable,
+            # non-empty routing table (r17 ADVICE: a partially-failed
+            # commit delete can tear the copy; this catches a copy torn
+            # past its footer/last part-file — a copy missing only some
+            # part files is undetectable here, which is why the commit
+            # path above refuses to hand such a state to rollback).
+            try:
+                if spark.read.parquet(cent_old).limit(1).count() < 1:
+                    raise ValueError("zero rows")
+            except Exception as e:
+                raise RuntimeError(
+                    f"recover_pending_swap: {cent_old} is not a readable "
+                    f"non-empty routing table ({e!r}) — refusing to "
+                    "demote the live centroid table onto a torn copy; "
+                    "recover with action='commit' instead"
+                ) from e
         rollback_swap(spark, cent_leaf, cent_old, what="recover_pending_swap")
     return {
         "state": state,

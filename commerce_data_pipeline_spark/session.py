@@ -83,12 +83,16 @@ def get_spark(
     # frames are never recomputed after release — so the warning is pure
     # noise that pollutes bench tails (VERDICT r15 #7). Spark's Logging
     # trait logs under the CONCRETE class (MapPartitionsRDD etc.), so the
-    # whole rdd package is set to ERROR; real errors still surface.
-    try:
-        jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.rdd", jvm.org.apache.logging.log4j.Level.ERROR
-        )
-    except Exception:
-        pass  # connect-mode or a relocated log4j: noisier but harmless
+    # whole rdd package is set to ERROR — but ONLY for bench sessions
+    # (r16 ADVICE: dev sessions keep legitimate RDD-layer warnings; the
+    # same scoping the WindowExec/BlockManager suppression in bench.py
+    # already uses).
+    if app_name == "bench":
+        try:
+            jvm = spark.sparkContext._jvm
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                "org.apache.spark.rdd", jvm.org.apache.logging.log4j.Level.ERROR
+            )
+        except Exception:
+            pass  # connect-mode or a relocated log4j: noisier but harmless
     return spark
