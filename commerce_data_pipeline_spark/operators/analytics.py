@@ -264,11 +264,14 @@ def position_attribution(
         "_cg", F.sum(F.when(is_conv, 1).otherwise(0)).over(w_rev)
     )
     touches = marked.filter(~is_conv & (F.col("_cg") >= 1))
-    # conversions exist for a group iff a purchase row carries that _cg
-    conv_groups = (
-        marked.filter(is_conv).select(F.col(user_col), F.col("_cg")).distinct()
-    )
-    touches = touches.join(conv_groups, on=[user_col, "_cg"])
+    # NOTE (r17): no conversion-existence join is needed — it is a
+    # theorem of the reverse-cumulative construction. A touch with
+    # _cg = g ≥ 1 has exactly g conversions at-or-after it; the earliest
+    # of those g conversion rows counts all g (itself included), so the
+    # purchase row carrying (user, _cg = g) ALWAYS exists. The previous
+    # distinct+join against those groups filtered nothing on any input
+    # and cost one events-scale aggregate + one (user, _cg) join per run
+    # (pinned by the unchanged oracle + tests/test_analytics.py).
     w_pos = Window.partitionBy(user_col, "_cg").orderBy(
         F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
     )
