@@ -885,6 +885,8 @@ def deterministic_walks(
     walks_per_node: int = 2,
     a_col: str = "a",
     b_col: str = "b",
+    broadcast_state: bool | None = None,
+    max_broadcast_rows: int = 8_000_000,
 ) -> DataFrame:
     """First-order random walks over an undirected pair graph — the
     sampling stage of graph-embedding training (DeepWalk / node2vec with
@@ -923,6 +925,17 @@ def deterministic_walks(
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .transform(_checkpoint, eager=False)
     )
+    # Broadcast the STATE side of every per-step join (r17): the plan
+    # audit showed the planner building the hash relation from ADJACENCY
+    # (|edges| rows — collected to the driver and re-shipped per union
+    # branch) while streaming the (nodes × walks_per_node)-row state.
+    # With the frontier as build side the adjacency never leaves its
+    # checkpointed blocks (the personalized_pagerank posture). Guarded
+    # exactly like PPR: state rows are nodes × walks_per_node for the
+    # whole walk, so one deg count (which also materializes the lazy
+    # checkpoint) decides; pass True/False to override.
+    if broadcast_state is None:
+        broadcast_state = deg.count() * walks_per_node <= max_broadcast_rows
     nodes = deg.select("n")
     state = nodes.crossJoin(
         F.broadcast(
@@ -955,7 +968,8 @@ def deterministic_walks(
             10,
         ).cast("long")
         picked = (
-            state.join(deg, state["cur"] == deg["n"])
+            (F.broadcast(state) if broadcast_state else state)
+            .join(deg, state["cur"] == deg["n"])
             .select(
                 "start_node",
                 "walk_id",
@@ -972,7 +986,8 @@ def deterministic_walks(
         # barriers add 4 job round-trips that dwarf the join work). Keep
         # state un-materialized; deg above is the one worth pinning.
         state = (
-            picked.join(
+            (F.broadcast(picked) if broadcast_state else picked)
+            .join(
                 adj,
                 (picked["cur"] == adj["n"]) & (picked["_pick"] == adj["rn"]),
             )
