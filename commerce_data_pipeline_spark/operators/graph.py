@@ -1129,11 +1129,22 @@ def personalized_pagerank(
     n_shuffle = int(
         undirected_pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ew = (
-        edges.join(edges.groupBy("_src").agg(F.sum("_w").alias("_ow")), "_src")
-        .repartition(n_shuffle, "_src")
-        .transform(_checkpoint, eager=False)
+    # Early broadcast admission from a metadata-only upper bound (r17,
+    # the _pagerank_pairs pattern): n_nodes ≤ 2·|pairs|, so a bare-scan
+    # pair source whose doubled row count fits the budget proves the
+    # frontier will broadcast — BEFORE ew is built. That matters because
+    # the _src repartition below only serves the NON-broadcast path's
+    # co-partitioned join; when the frontier broadcasts, ew is consumed
+    # map-side and the full-edge-frame shuffle is pure waste.
+    if broadcast_frontier is None and _count_is_metadata_only(undirected_pairs):
+        if 2 * undirected_pairs.count() <= max_broadcast_nodes:
+            broadcast_frontier = True
+    ew = edges.join(
+        edges.groupBy("_src").agg(F.sum("_w").alias("_ow")), "_src"
     )
+    if broadcast_frontier is not True:
+        ew = ew.repartition(n_shuffle, "_src")
+    ew = ew.transform(_checkpoint, eager=False)
     s = (
         seeds.select(F.col(seed_col).alias("node")).distinct()
         .join(ew.select(F.col("_src").alias("node")).distinct(), "node", "left_semi")
@@ -1143,9 +1154,15 @@ def personalized_pagerank(
     # checkpoint, eager s checkpoint, ew stats collect, s.count). The
     # cross-joined 1-row aggregates materialize BOTH lazy checkpoints as
     # a side effect (each subtree computes its full frame), so the loop
-    # below still reads persisted blocks every round.
+    # below still reads persisted blocks every round. countDistinct(_src)
+    # is only paid while the broadcast decision is still open.
+    n_agg = (
+        F.countDistinct("_src").alias("_n")
+        if broadcast_frontier is None
+        else F.lit(0).cast("long").alias("_n")
+    )
     stats = (
-        ew.agg(F.countDistinct("_src").alias("_n"), F.max("_w").alias("_wm"))
+        ew.agg(n_agg, F.max("_w").alias("_wm"))
         .crossJoin(s.agg(F.count(F.lit(1)).alias("_ns")))
         .collect()[0]
     )
