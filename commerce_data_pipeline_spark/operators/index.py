@@ -37,6 +37,26 @@ from commerce_data_pipeline_spark.operators.similarity import (
 from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS, join_path
 from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 
+# Root-level witness that EVERY file under inverted/ carries the `gen`
+# column, so readers can skip schema merging. Written by build_ivf_index
+# (a fresh build stamps gen uniformly); appends/compaction/rebalance all
+# write gen, so the property is preserved by every mutation — only a
+# pre-generation index (built before the upsert layout) lacks it, and
+# those also lack the marker, keeping the mergeSchema fallback.
+_GEN_UNIFORM_MARKER = "_GEN_UNIFORM"
+
+
+def _read_inverted(spark: SparkSession, path: str) -> DataFrame:
+    """Read `inverted/`, paying the footer-merging mergeSchema pass ONLY
+    when the layout can actually be mixed (pre-gen base + gen appends).
+    mergeSchema reads every parquet footer as a distributed job before
+    the query plan even exists — on a production index that is millions
+    of files per probe; one marker-existence check replaces it whenever
+    the build stamped the layout uniform."""
+    uniform = HadoopFS(spark, path).exists(join_path(path, _GEN_UNIFORM_MARKER))
+    reader = spark.read if uniform else spark.read.option("mergeSchema", "true")
+    return reader.parquet(join_path(path, "inverted"))
+
 
 def build_ivf_index(
     corpus: DataFrame,
@@ -96,6 +116,11 @@ def build_ivf_index(
         .parquet(join_path(path, "inverted"))
     )
     centroids.write.mode("overwrite").parquet(join_path(path, "centroids"))
+    # gen was stamped uniformly on every inverted row above; witness it so
+    # readers skip the per-file footer merge (see _read_inverted)
+    HadoopFS(corpus.sparkSession, path).write_bytes(
+        join_path(path, _GEN_UNIFORM_MARKER), b""
+    )
     _set_gen(corpus.sparkSession, path, 0)
     # persist the ACTUAL build-time routing width, not the requested
     # n_centroids: on sparse id spaces ivf_centroids yields fewer rows
@@ -381,7 +406,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     if tomb is None:
         return
     inv_leaf = join_path(path, "inverted")
-    inverted = spark.read.option("mergeSchema", "true").parquet(inv_leaf)
+    inverted = _read_inverted(spark, path)
     if "gen" not in inverted.columns:
         inverted = inverted.withColumn("gen", F.lit(0))
     inverted = inverted.withColumn("gen", F.coalesce(F.col("gen"), F.lit(0)))
@@ -536,7 +561,7 @@ def rebalance_ivf_index(
     # whose delete never ran.
     _sweep_unroutable(spark, path)
     compact_ivf_index(spark, path)  # fold pending deletes first
-    inverted = spark.read.option("mergeSchema", "true").parquet(inv_leaf)
+    inverted = _read_inverted(spark, path)
     if "c_unit" not in inverted.columns:
         raise ValueError(
             "rebalance_ivf_index: float-vector lists required (quantized "
@@ -851,9 +876,7 @@ def _oversized_lists(spark: SparkSession, path: str, max_list_size: int) -> list
     cheap size census (one groupBy-count over the inverted file, one
     ≤ √N-row collect) shared by rebalance and its gated wrapper, so a
     steady-state no-op maintenance pass never pays a recall audit."""
-    inverted = spark.read.option("mergeSchema", "true").parquet(
-        join_path(path, "inverted")
-    )
+    inverted = _read_inverted(spark, path)
     sizes = inverted.groupBy("centroid_id").count()
     return sorted(
         r["centroid_id"]
@@ -1164,7 +1187,7 @@ def ivf_query(
             [],
             f"query_id {q_type}, neighbor_id long, cosine_sim double, rank int",
         )
-    inverted = spark.read.option("mergeSchema", "true").parquet(inv_leaf)
+    inverted = _read_inverted(spark, path)
     if "gen" not in inverted.columns:
         inverted = inverted.withColumn("gen", F.lit(0))
     tomb = _tombstone_agg(spark, path)

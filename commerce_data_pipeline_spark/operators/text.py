@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from commerce_data_pipeline_spark.operators.dedup import fingerprint, normalized_text
 from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
+from commerce_data_pipeline_spark.scatter import scatter as _scatter
 
 # Marker stopwords per language for the n-gram/marker-word language-ID
 # heuristic. Deliberately tiny and deterministic so an ANSI-SQL oracle can
@@ -874,11 +875,11 @@ def bpe_train(
 def _bpe_vocab(df: DataFrame, text_col: str) -> DataFrame:
     """The one corpus-sized stage of BPE training: word-frequency
     aggregation to (syms array, cnt), localCheckpoint-ed."""
-    spark = df.sparkSession
     return (
         # single-file parquet scans as ONE split; spread the CPU-bound
         # normalize/split/explode before the vocabulary aggregation
-        df.repartition(spark.sparkContext.defaultParallelism)
+        # (guarded: multi-split production scans skip the exchange)
+        _scatter(df)
         .select(F.explode(F.split(normalized_text(text_col), " ")).alias("_w"))
         .filter(F.length("_w") >= 1)
         .groupBy("_w")

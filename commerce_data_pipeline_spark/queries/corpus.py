@@ -12,6 +12,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from commerce_data_pipeline_spark.catalog import load_table
+from commerce_data_pipeline_spark.scatter import scatter as _scatter
 from commerce_data_pipeline_spark.operators import (
     bloom,
     corpus,
@@ -177,7 +178,7 @@ def _q_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     # single-file input → 1 split; scatter before the CPU-bound scan-side
     # k·md5-per-shingle membership test (real inputs bring their own
     # splits — the OPERATOR itself stays zero-shuffle on multi-split data)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = _scatter(docs)
     return bloom.bloom_contamination(docs, bits, shingle_n=3, threshold=0.5)
 
 
@@ -501,7 +502,7 @@ def _q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     Single-file parquet input = one split: repartition ahead of the two
     CPU-bound shingling passes (at 100 TB the source arrives pre-split)."""
     docs = load_table(spark, sf, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = _scatter(docs)
     return selection.dsir_topk(docs, F.col("lang") == F.lit("en"), k=200)
 
 

@@ -12,6 +12,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from commerce_data_pipeline_spark.catalog import load_table
+from commerce_data_pipeline_spark.scatter import scatter as _scatter
 from commerce_data_pipeline_spark.operators import (
     bloom,
     corpus,
@@ -114,7 +115,7 @@ def _q_minhash_estimate_audit(spark: SparkSession, sf: str) -> DataFrame:
     integer floor (jacc_e6, est_e6, |err|, MAE), so the oracle replays
     it bit for bit."""
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = _scatter(docs)
     return dedup.minhash_estimate_audit(
         docs, num_hashes=8, shingle_n=3
     )
@@ -183,7 +184,7 @@ def _q_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
     # single-file input → 1 split; scatter before the CPU-bound shingle
     # hashing (real inputs bring their own splits)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = _scatter(docs)
     pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.0)
     order = [F.desc("jaccard"), F.asc("id_a"), F.asc("id_b")]
     # orderBy+limit → TakeOrderedAndProject (per-task heaps); the global
@@ -226,7 +227,7 @@ def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     single-file corpus scans as ONE split, so scatter before the
     CPU-bound per-word hash fold (the jaccard_topk precedent)."""
     docs = load_table(spark, sf, "documents")
-    return dedup.simhash(docs.repartition(spark.sparkContext.defaultParallelism))
+    return dedup.simhash(_scatter(docs))
 
 
 def _q_simhash_md5(spark: SparkSession, sf: str) -> DataFrame:
@@ -772,7 +773,7 @@ def _ensure_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         doubled = docs.unionAll(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
         )
-        doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
+        doubled = _scatter(doubled)
         dedup.minhash_lsh_pairs(
             doubled, num_hashes=16, bands=4, shingle_n=3
         ).write.mode("overwrite").parquet(join_path(path, "pairs"))
@@ -1523,7 +1524,7 @@ def _ensure_band_ledger(spark: SparkSession, sf: str) -> str:
         if fs.exists(root):
             fs.delete(root)
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
-        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        docs = _scatter(docs)
         led = BandLedger(
             spark, join_path(root, "bands"), num_hashes=16, bands=4, shingle_n=3
         )
@@ -1552,9 +1553,7 @@ def _q_ledger_cross_run_dups(spark: SparkSession, sf: str) -> DataFrame:
     path = _ensure_band_ledger(spark, sf)
     led = BandLedger(spark, path, num_hashes=16, bands=4, shingle_n=3)
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    batch = docs.filter(F.col("doc_id") % 3 == 0).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    batch = _scatter(docs.filter(F.col("doc_id") % 3 == 0))
     return led.match_history(batch).orderBy("new_id", "old_id")
 
 
@@ -1628,7 +1627,7 @@ def _ensure_fp_ledger(spark: SparkSession, sf: str) -> str:
         if fs.exists(root):
             fs.delete(root)
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
-        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        docs = _scatter(docs)
         led = FingerprintLedger(spark, join_path(root, "fps"), prefix_chars=2)
         led.ingest(docs.filter(F.col("doc_id") % 3 == 1))
         led.ingest(docs.filter(F.col("doc_id") % 3 == 2))
@@ -1667,9 +1666,7 @@ def _q_ledger_fp_new(spark: SparkSession, sf: str) -> DataFrame:
     refetches = docs.filter(
         (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 30 == 0)
     ).withColumn("doc_id", F.col("doc_id") + F.lit(2_000_000))
-    batch = new_pages.unionByName(recrawls).unionByName(refetches).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    batch = _scatter(new_pages.unionByName(recrawls).unionByName(refetches))
     return led.filter_new(batch).select("doc_id", "fp").orderBy("doc_id")
 
 

@@ -46,6 +46,7 @@ from commerce_data_pipeline_spark.queries.dedup_text import _ora_lsh_ctes
 from commerce_data_pipeline_spark.queries._shared import _ensure_copurchase_pairs
 from commerce_data_pipeline_spark.queries.corpus import _WS_SPLIT_SQL
 from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
+from commerce_data_pipeline_spark.scatter import scatter as _scatter
 
 
 
@@ -421,7 +422,7 @@ def _q_winnow(spark: SparkSession, sf: str) -> DataFrame:
     (measured 3.9 vs 1.2 s warm; at 100 TB the source arrives
     pre-split)."""
     docs = load_table(spark, sf, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = _scatter(docs)
     fps = text.winnow_fingerprints(docs, k=5, w=4, hash_fn="md5")
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fps"),
@@ -463,7 +464,7 @@ def _q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     fp-equijoin formulation."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
-    doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
+    doubled = _scatter(doubled)
     return text.winnow_pairs(doubled, k=8, w=4, min_shared=4, max_fp_freq=16, hash_fn="md5")
 
 
@@ -936,9 +937,8 @@ def _q_semantic_only_dups(spark: SparkSession, sf: str) -> DataFrame:
     # scatter before the CPU-bound stages — md5-per-shingle minhashing and
     # the GEMM scoring would otherwise run on one core each. Real inputs
     # bring their own splits.
-    par = spark.sparkContext.defaultParallelism
-    emb = load_table(spark, sf, "embeddings").repartition(par)
-    docs = load_table(spark, sf, "documents").select("doc_id", "text").repartition(par)
+    emb = _scatter(load_table(spark, sf, "embeddings"))
+    docs = _scatter(load_table(spark, sf, "documents").select("doc_id", "text"))
     epairs = similarity.near_dup_pairs(emb, threshold=0.3, top_pairs=100)
     lpairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
     sem = epairs.join(lpairs, on=["id_a", "id_b"], how="left_anti")

@@ -51,6 +51,7 @@ from commerce_data_pipeline_spark.queries._shared import (
 )
 from commerce_data_pipeline_spark.queries.profiling_ml import _bpe_ms_sql
 from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
+from commerce_data_pipeline_spark.scatter import scatter as _scatter
 
 
 
@@ -66,10 +67,11 @@ def _q_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     checkpointed fixed-point frame (the simhash/winnow precedent) — the
     per-round interpreted dot fold then runs on every core (r17 A/B
     warm: 3.4-4.1 s → 2.3-2.8 s; integer sums are order-free, output
-    bit-identical)."""
-    emb = load_table(spark, sf, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    bit-identical). The scatter is GUARDED (r17 VERDICT #3): it only
+    fires when the scan has fewer splits than cores — a multi-split
+    production table skips the extra full exchange (which could even
+    REDUCE parallelism when splits > defaultParallelism)."""
+    emb = _scatter(load_table(spark, sf, "embeddings"))
     return similarity.pca_power_iteration(emb, rounds=3).orderBy("dim")
 
 
@@ -434,7 +436,7 @@ def _q_containment_topk(spark: SparkSession, sf: str) -> DataFrame:
     tiny Jaccard, containment ≈ 1. Same sampled pair space and plan shape
     as jaccard_topk; ranking by (max containment desc, ids) is unique."""
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = _scatter(docs)
     pairs = dedup.ngram_containment_pairs(docs, shingle_n=1, min_containment=0.5)
     order = [
         F.desc(F.greatest(F.col("cont_a_e6"), F.col("cont_b_e6"))),

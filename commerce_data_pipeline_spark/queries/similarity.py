@@ -12,6 +12,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from commerce_data_pipeline_spark.catalog import load_table
+from commerce_data_pipeline_spark.scatter import scatter as _scatter
 from commerce_data_pipeline_spark.operators import (
     bloom,
     corpus,
@@ -818,7 +819,7 @@ def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     # single small parquet file → 1 input split; scatter before the
     # CPU-bound Python bucketing stage (real inputs bring their own splits)
-    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    emb = _scatter(emb)
     out = similarity.rp_lsh_self_topk(
         emb, lambda vid: vid % 20 == 0, k=5, dim=64, n_planes=8, n_tables=4
     )
@@ -838,7 +839,7 @@ def _q_ann_lsh_md5(spark: SparkSession, sf: str) -> DataFrame:
     `simhash`→`simhash_md5` trick applied to LSH). Same GEMM execution as
     the fast path — only the plane family differs."""
     emb = load_table(spark, sf, "embeddings")
-    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    emb = _scatter(emb)
     planes = similarity.md5_rademacher_planes(64, _ANN_LSH_MD5_PLANES, _ANN_LSH_MD5_TABLES)
     out = similarity.rp_lsh_self_topk(
         emb,
