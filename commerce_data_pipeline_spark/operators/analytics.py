@@ -463,15 +463,20 @@ def association_rules(
 
     Returns (antecedent, consequent, w, conf_e6, lift_e6).
     """
-    from commerce_data_pipeline_spark.operators.graph import (
-        co_occurrence_pairs, symmetrize_pairs,
-    )
+    from commerce_data_pipeline_spark.operators.graph import symmetrize_pairs
 
+    # ONE corpus-sized exchange, materialized once (r18): item supports,
+    # B, and (on the inline path) the pair supports are all functions of
+    # the capped ≥2-item basket aggregate, but each broadcast denominator
+    # job re-ran the whole facts subtree (the before-plan aggregated the
+    # fact table 3×: item_counts ×2 + total). The checkpoint makes every
+    # consumer read the basket-sized blocks instead.
     baskets = (
         facts.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
         .groupBy("_b")
         .agg(F.slice(F.sort_array(F.collect_set("_i")), 1, max_basket).alias("_items"))
         .filter(F.size("_items") >= 2)
+        .transform(_checkpoint, eager=False)
     )
     item_counts = (
         baskets.select(F.explode("_items").alias("item"))
@@ -480,7 +485,24 @@ def association_rules(
     )
     total = baskets.agg(F.count(F.lit(1)).cast("long").alias("_B"))
     if pairs is None:
-        pairs = co_occurrence_pairs(facts, basket_col, item_col, max_basket)
+        # the SAME capped/filtered basket frame co_occurrence_pairs would
+        # rebuild from facts — expand pairs from the materialized blocks
+        # instead of a second corpus aggregation (identical expression,
+        # identical output: one (a < b, weight) row per co-occurring pair)
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("_items"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("_items"), i + 2, F.size(F.col("_items"))),
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            )
+        )
+        pairs = (
+            baskets.select(F.explode(pair_structs).alias("_p"))
+            .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        )
     rules = symmetrize_pairs(pairs, min_weight=min_weight)
     return (
         rules.join(

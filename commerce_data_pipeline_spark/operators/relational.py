@@ -86,6 +86,7 @@ def global_rank(
     order_cols: Sequence[str | Column],
     rank_col: str = "_rn",
     num_partitions: int | None = None,
+    keep_pid: bool = False,
 ) -> DataFrame:
     """Distributed total-order rank (1-based `row_number` semantics)
     WITHOUT the single-partition global window (`WindowExec: No Partition
@@ -112,7 +113,7 @@ def global_rank(
     consumers must not re-draw them independently).
     """
     return global_order_stats(df, order_cols, rank_col=rank_col,
-                              num_partitions=num_partitions)
+                              num_partitions=num_partitions, keep_pid=keep_pid)
 
 
 def global_cumsum(
@@ -139,6 +140,7 @@ def global_order_stats(
     cum_col: str = "_cum",
     num_partitions: int | None = None,
     sum_cols: Sequence[tuple[str, str]] | None = None,
+    keep_pid: bool = False,
 ) -> DataFrame:
     """One range exchange, every order statistic a consumer needs:
     global row_number (`rank_col`) and/or inclusive running totals —
@@ -192,9 +194,14 @@ def global_order_stats(
         out = out.withColumn(
             c, (local_sum + F.col(f"_gr_offs{i}")).cast("long")
         )
-    return out.drop(
-        "_gr_pid", "_gr_offc", *[f"_gr_offs{i}" for i in range(len(pairs))]
-    )
+    # keep_pid: callers running further windows over the SAME slices
+    # (e.g. snm_pairs' lead() neighbor pass) keep the slice id so their
+    # window spec matches this one's — same partitioning, same order, no
+    # extra exchange or sort
+    drop = ["_gr_offc", *[f"_gr_offs{i}" for i in range(len(pairs))]]
+    if not keep_pid:
+        drop.append("_gr_pid")
+    return out.drop(*drop)
 
 
 def row_count(df: DataFrame) -> int:

@@ -793,12 +793,21 @@ def _q_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
     denominator terms join back via two broadcast-size aggregates; the
     order total is a cross-joined scalar in the same lazy plan. Top-50 by
     (support desc, ids) via TakeOrderedAndProject."""
-    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    baskets = (
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    # ONE corpus-sized exchange (r18): collect_set dedups (order, part)
+    # within each order, so the former distinct() pre-pass was a redundant
+    # second corpus shuffle — and the per-order item sets, the per-part
+    # order counts AND the order total are all functions of this single
+    # aggregate. Checkpointed because three consumers (pair expansion +
+    # two broadcast denominators) otherwise re-ran the whole subtree per
+    # broadcast job: the before-plan scanned lineitem 4× with 4 corpus
+    # exchanges (plans/r18/basket_pairs_before.txt).
+    bs = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("_items"))
-        .filter(F.size("_items") >= 2)
+        .transform(_checkpoint, eager=False)
     )
+    baskets = bs.filter(F.size("_items") >= 2)
     pair_structs = F.flatten(
         F.transform(
             F.col("_items"),
@@ -813,10 +822,16 @@ def _q_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("_p.part_a").alias("part_a"), F.col("_p.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("support"))
     )
-    part_orders = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    n_orders = li.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).cast("double").alias("_n")
+    # per-part order count ≡ the former count over distinct (order, part)
+    # pairs: _items is a set, so one explode of the materialized baskets
+    # replaces a second corpus aggregation
+    part_orders = (
+        bs.select(F.explode("_items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # distinct-order total ≡ the group count: one row of bs per order
+    n_orders = bs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     scored = (
         pair_counts.join(
             F.broadcast(part_orders.withColumnRenamed("l_partkey", "part_a")

@@ -67,6 +67,8 @@ def _patched(df, eager: bool = True):
                 lines = _FORCE[fn]
                 if not lines or f.f_lineno in lines:
                     _HITS.add((fn, f.f_lineno))
+                    if _ACTIVE.get("mode") == "skip":
+                        return df  # no checkpoint at all (measurement arm)
                     return _ORIG(df, eager=True)
                 break
             f = f.f_back
@@ -126,6 +128,8 @@ def main() -> int:
             queries = [q for q in argv[i + 1].split(",") if q]; i += 2
         elif a == "--trace":
             target_file = "__trace__"; i += 1
+        elif a == "--skip":
+            _ACTIVE["mode"] = "skip"; i += 1
         else:
             print(f"unknown arg {a}", file=sys.stderr)
             return 2
