@@ -934,6 +934,12 @@ def deterministic_walks(
     # exactly like PPR: state rows are nodes × walks_per_node for the
     # whole walk, so one deg count (which also materializes the lazy
     # checkpoint) decides; pass True/False to override.
+    # SIZING (r18 ADVICE): each step broadcasts TWO 3-column frames
+    # (state: start_node/walk_id/cur and picked: the chosen successor),
+    # i.e. ~3 longs per row twice per step — roughly 2× the (node, rank)
+    # payload PPR's 8M default was calibrated for. At the default budget
+    # plan driver/executor memory for ~2·24 bytes·rows per in-flight
+    # step, or lower max_broadcast_rows when walks_per_node is large.
     if broadcast_state is None:
         broadcast_state = deg.count() * walks_per_node <= max_broadcast_rows
     nodes = deg.select("n")

@@ -198,13 +198,47 @@ def _read_sidecar_int(
         # corrupt-footer reads surface as JVM exceptions at collect time;
         # match the parquet-corruption signatures only — a generic IO or
         # permission failure still propagates
-        msg = str(e).lower()
-        torn = "parquet" in msg and (
-            "footer" in msg or "not a parquet file" in msg or "corrupt" in msg
-        )
-        if trusted or not torn:
+        if trusted or not _is_torn_parquet_error(e):
             raise
         return default
+
+
+def _is_torn_parquet_error(e: Exception) -> bool:
+    """True only for the parquet-corruption signatures (torn sidecar
+    writes). Classified on the JAVA CAUSE CHAIN — class names and each
+    cause's OWN message — never on str(e): a Py4JJavaError's string
+    embeds the full Java stack trace, so a TRANSIENT executor/IO failure
+    that merely passes through parquet footer-reading frames
+    (ParquetFileReader.readFooter) would contain 'parquet'+'footer' and
+    silently degrade a healthy markerless sidecar to its default —
+    exactly the split-factor/n_probe reset the fallback must never take
+    on a live index (r18 ADVICE)."""
+    je = getattr(e, "java_exception", None)
+    if je is not None:
+        cur, depth = je, 0
+        while cur is not None and depth < 8:
+            try:
+                cls = (cur.getClass().getName() or "").lower()
+                msg = (cur.getMessage() or "").lower()
+            except Exception:  # pragma: no cover - py4j gateway hiccup
+                return False
+            if "parquetdecodingexception" in cls or "parquetcryptoexception" in cls:
+                return True
+            if "is not a parquet file" in msg or (
+                "parquet" in msg and ("footer" in msg or "corrupt" in msg)
+            ):
+                return True
+            try:
+                cur, depth = cur.getCause(), depth + 1
+            except Exception:  # pragma: no cover
+                return False
+        return False
+    # non-py4j exception: no embedded trace, but still bound the match to
+    # the first line in case a wrapper prepends one
+    first = str(e).splitlines()[0].lower() if str(e) else ""
+    return "parquet" in first and (
+        "footer" in first or "not a parquet file" in first or "corrupt" in first
+    )
 
 
 def current_gen(spark: SparkSession, path: str) -> int:

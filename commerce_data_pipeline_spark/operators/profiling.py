@@ -922,20 +922,25 @@ def ks_drift(
     )
     # ONE range arrangement carries both running counts (r17: was two
     # sequential global_cumsum calls = two sampled range exchanges + two
-    # per-slice offsets jobs over the identical ["_v"] order)
-    m = global_order_stats(
-        m, ["_v"], sum_cols=[("n_a", "cum_a"), ("n_b", "cum_b")]
+    # per-slice offsets jobs over the identical ["_v"] order). The grand
+    # totals come from the SAME per-slice offsets fold (r18) — exact
+    # integer sums the arrangement already collected — so the former
+    # totals broadcast subtree (a second full pass over the arranged
+    # frame) is two literals now.
+    m, _tot = global_order_stats(
+        m, ["_v"], sum_cols=[("n_a", "cum_a"), ("n_b", "cum_b")],
+        with_totals=True,
     )
-    totals = m.agg(
-        F.sum("n_a").cast("long").alias("t_a"), F.sum("n_b").cast("long").alias("t_b")
-    )
-    scored = m.crossJoin(F.broadcast(totals)).select(
+    t_a, t_b = int(_tot["sums"][0]), int(_tot["sums"][1])
+    scored = m.select(
         "_v",
-        "t_a",
-        "t_b",
+        F.lit(t_a).cast("long").alias("t_a"),
+        F.lit(t_b).cast("long").alias("t_b"),
+        # identical typing to the former column form: DECIMAL(38,0) ×
+        # BIGINT, exact integer operands either way
         F.expr(
-            "ABS(CAST(cum_a AS DECIMAL(38,0)) * t_b"
-            " - CAST(cum_b AS DECIMAL(38,0)) * t_a)"
+            f"ABS(CAST(cum_a AS DECIMAL(38,0)) * CAST({t_b} AS BIGINT)"
+            f" - CAST(cum_b AS DECIMAL(38,0)) * CAST({t_a} AS BIGINT))"
         ).alias("_d"),
     )
     top = scored.orderBy(F.desc("_d"), F.asc("_v")).limit(1)

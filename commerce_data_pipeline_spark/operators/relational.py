@@ -141,6 +141,7 @@ def global_order_stats(
     num_partitions: int | None = None,
     sum_cols: Sequence[tuple[str, str]] | None = None,
     keep_pid: bool = False,
+    with_totals: bool = False,
 ) -> DataFrame:
     """One range exchange, every order statistic a consumer needs:
     global row_number (`rank_col`) and/or inclusive running totals —
@@ -148,7 +149,15 @@ def global_order_stats(
     `sum_col`/`cum_col` form. The per-slice offset aggregate carries
     (count, sums...) together, so consumers needing rank AND several
     cumsums over the SAME order (ks_drift runs two) pay for a single
-    arrangement instead of one range exchange + offsets job each."""
+    arrangement instead of one range exchange + offsets job each.
+
+    `with_totals=True` returns (df, {"rows": N, "sums": [...]}) — the
+    GRAND totals the offsets fold already accumulated on the driver
+    (exact Python-int arithmetic over the same per-slice aggregate), so
+    a caller needing Σvalue alongside the cumsums inlines it as a
+    literal instead of re-aggregating the arranged frame in a second
+    pass (r18: value_ks_drift's totals-broadcast subtree re-read every
+    arranged block for two sums this collect already knew)."""
     pairs = list(sum_cols) if sum_cols else []
     if sum_col is not None:
         pairs.append((sum_col, cum_col))
@@ -201,7 +210,10 @@ def global_order_stats(
     drop = ["_gr_offc", *[f"_gr_offs{i}" for i in range(len(pairs))]]
     if not keep_pid:
         drop.append("_gr_pid")
-    return out.drop(*drop)
+    out = out.drop(*drop)
+    if with_totals:
+        return out, {"rows": acc_c, "sums": list(acc_s)}
+    return out
 
 
 def row_count(df: DataFrame) -> int:

@@ -149,6 +149,11 @@ def brute_force_topk(
             [], "query_id long, neighbor_id long, cosine_sim double, rank int"
         )
     bc = spark.sparkContext.broadcast(_normalized_matrix(q_rows))
+    # deliberately NOT scattered (r18 A/B, min-of-3 ×3 alternating:
+    # similarity_topk 0.40→0.79 s, ann_recall 0.79→1.11 s WITH a guarded
+    # scatter): the numpy GEMM outruns a round-robin exchange of the
+    # vector payload even from a single split, and multi-split
+    # production scans parallelize on their own.
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1383,6 +1388,17 @@ def kmeans_train(
     # seeds do, so probing first protected nothing — one driver
     # round-trip saved per training call). The guard still fires before
     # any corpus-sized work or stats collect.
+    # NULL seed vectors would otherwise surface as a bare TypeError from
+    # len(None) below (r18 ADVICE); the budget check itself still runs on
+    # the seed rows already in hand — the k seed vectors are the ONLY
+    # driver pull before the guard, bounded by k·dim of the caller's own
+    # seeds, and folding the dim probe into this collect saved a full
+    # driver round-trip per training call (r17)
+    if seeds and seeds[0]["_c"] is None:
+        raise ValueError(
+            f"kmeans_train: seed vector for id {seeds[0]['_cid']} is NULL — "
+            f"every seed row must carry a non-null `{vec_col}`"
+        )
     if seeds and len(seeds[0]["_c"]) * k > max_codebook:
         raise ValueError(
             f"kmeans_train: k·dim = {len(seeds[0]['_c']) * k} exceeds the "

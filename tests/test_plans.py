@@ -171,7 +171,11 @@ def test_dup_ngram_spans_bounded_shuffles_and_pruned_scan(spark):
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
     for cols in plans.read_schema_columns(df):
         assert set(cols) == {"doc_id", "text"}
-    # the checkpointed build side itself still reads only (doc_id, text)
+    # The checkpoint hides the build side from the final plan, so assert
+    # on the ACTUAL wins subtree rebuilt without it (r18 ADVICE: the loop
+    # above is vacuous for the build side): the full normalize → split →
+    # window-hash → dup-hash aggregate chain reads only (doc_id, text)
+    # and pays exactly ONE shuffle (the hash aggregate).
     from commerce_data_pipeline_spark.catalog import load_table
     from commerce_data_pipeline_spark.operators import text as text_ops
 
@@ -179,9 +183,35 @@ def test_dup_ngram_spans_bounded_shuffles_and_pruned_scan(spark):
     toks = docs.select(
         F.col("doc_id"),
         F.split(text_ops.normalized_text("text"), " ").alias("_tk"),
+        F.monotonically_increasing_id().alias("_mb0"),
     )
-    for cols in plans.read_schema_columns(toks):
+    tk, n = F.col("_tk"), 8
+    n_win = F.greatest(F.size(tk) - (n - 1), F.lit(0))
+    win_idx = F.when(n_win > 0, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = toks.select(
+        F.col("doc_id"),
+        F.explode(
+            F.transform(
+                win_idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(F.array_join(F.slice(tk, i, n), " ")).alias("h"),
+                ),
+            )
+        ).alias("_w"),
+    ).select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.h").alias("h"))
+    dup_h = wins.groupBy("h").agg(
+        F.count_distinct(F.col("doc_id")).alias("_nd")
+    )
+    schemas = list(plans.read_schema_columns(dup_h))
+    assert schemas, "build-side plan must expose its parquet scan"
+    for cols in schemas:
         assert set(cols) == {"doc_id", "text"}
+    # count_distinct plans as the two-phase distinct aggregate: one
+    # exchange on (h, doc) then one on h — bounded, never data-squared
+    assert plans.num_shuffles(dup_h) == 2
 
 
 def test_heavy_hitters_broadcast_candidates_and_pruned_scan(spark):

@@ -1326,6 +1326,91 @@ def test_torn_markerless_sidecar_degrades_to_default(spark, tmp_path):
         I.current_gen(spark, path)
 
 
+def test_torn_classifier_uses_cause_chain_not_trace(spark, tmp_path):
+    """r18 ADVICE (medium): the generic-exception torn-write heuristic
+    must classify on the Java cause chain, not str(e) — a Py4JJavaError
+    string embeds the whole stack trace, so a transient failure passing
+    through ParquetFileReader.readFooter frames would otherwise match
+    'parquet'+'footer' and silently degrade a healthy sidecar."""
+    import pytest
+
+    from commerce_data_pipeline_spark.operators import index as I
+    from commerce_data_pipeline_spark.sources.hadoopfs import HadoopFS
+
+    # e2e: a REAL corrupt footer (garbage part file) on a markerless
+    # sidecar degrades to default; the same corruption under _SUCCESS
+    # raises loudly
+    emb = _vecs(spark, n=20)
+    path = f"file://{tmp_path}/ivf_torn"
+    I.build_ivf_index(emb, path, n_centroids=2)
+    fs = HadoopFS(spark, path)
+    assert fs.delete(f"{path}/gen_meta")
+    fs.write_bytes(f"{path}/gen_meta/part-00000.parquet", b"not parquet bytes")
+    assert I.current_gen(spark, path) == 0  # markerless + corrupt -> default
+    fs.write_bytes(f"{path}/gen_meta/_SUCCESS", b"")
+    with pytest.raises(Exception):
+        I.current_gen(spark, path)  # committer vouched for it: raise
+
+    # unit: a transient error whose rendered TRACE mentions parquet
+    # footer frames but whose cause chain is connection loss is NOT torn
+    class _JThrowable:
+        def __init__(self, cls, msg, cause=None):
+            self._cls, self._msg, self._cause = cls, msg, cause
+
+        def getClass(self):
+            outer = self
+
+            class _C:
+                def getName(self):
+                    return outer._cls
+
+            return _C()
+
+        def getMessage(self):
+            return self._msg
+
+        def getCause(self):
+            return self._cause
+
+    class _FakePy4JError(Exception):
+        def __init__(self, je, text):
+            super().__init__(text)
+            self.java_exception = je
+
+    transient = _FakePy4JError(
+        _JThrowable(
+            "java.io.IOException",
+            "Connection reset by peer",
+            _JThrowable("java.net.SocketException", "connection reset"),
+        ),
+        "An error occurred while calling o1.collect.\n"
+        ": java.io.IOException: Connection reset by peer\n"
+        "\tat org.apache.parquet.hadoop.ParquetFileReader.readFooter(...)\n",
+    )
+    assert not I._is_torn_parquet_error(transient)
+
+    corrupt = _FakePy4JError(
+        _JThrowable(
+            "java.lang.RuntimeException",
+            "file:/x/part-0.parquet is not a Parquet file (length too small)",
+        ),
+        "An error occurred while calling o1.collect.\n",
+    )
+    assert I._is_torn_parquet_error(corrupt)
+    decoding = _FakePy4JError(
+        _JThrowable(
+            "org.apache.spark.SparkException",
+            "task failed",
+            _JThrowable(
+                "org.apache.parquet.io.ParquetDecodingException",
+                "Can not read value at offset 0",
+            ),
+        ),
+        "trace...",
+    )
+    assert I._is_torn_parquet_error(decoding)
+
+
 def test_ann_commit_selfheal_query_matches_oracle(spark, sf_dir, tmp_path):
     """Pre-registration differential for the r17 window candidate (the
     never-attested-in-window protocol, ann_veto_rollback precedent): the
