@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import words
+from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 
 __all__ = ["bm25_topk", "bm25_scores", "tfidf_keywords", "hybrid_rrf", "build_text_index", "bm25_query_index"]
 
@@ -156,7 +157,14 @@ def tfidf_keywords(
     tok = docs.select(
         F.col(group_col).alias("grp"), F.explode(words(text_col)).alias("term")
     )
-    tf = tok.groupBy("grp", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # the ONE corpus-sized aggregate, materialized once (r18): dfreq and
+    # n_groups are BROADCAST subtrees, and each broadcast job re-ran the
+    # whole explode+count from the scan (plan audit: three 2-column
+    # corpus scans per query) — at 100 TB three full corpus passes for
+    # one result
+    tf = tok.groupBy("grp", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).transform(_checkpoint, eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_groups = tf.select("grp").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("_n_groups")

@@ -42,6 +42,7 @@ from commerce_data_pipeline_spark.operators.analytics import (
 )
 from commerce_data_pipeline_spark.streaming import events as streaming_events
 from commerce_data_pipeline_spark.queries._shared import _dsum
+from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
 
 
 
@@ -224,12 +225,18 @@ def _q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     against broadcast cutoffs is map-side. Cutoffs are rounded to 6
     decimals so both engines interpolate to the identical boundary."""
     o = load_table(spark, sf, "orders")
+    # ONE orders pass (r18): the cutoffs subtree and the quartile select
+    # both consume this frame, and the global max date is the max of the
+    # per-customer maxes (GROUP BY drops no order), so the separate
+    # corpus-wide gmax aggregation and the duplicated per-customer
+    # aggregation (scan pattern 3+1+3+1 in the r17 plan audit) collapse
+    # into one materialized customer-sized frame.
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("_last"),
         F.count(F.lit(1)).alias("frequency"),
         _dsum(F.col("o_totalprice")).alias("monetary"),
-    )
-    gmax = o.agg(F.max("o_orderdate").alias("_gmax"))
+    ).transform(_checkpoint, eager=False)
+    gmax = per_cust.agg(F.max("_last").alias("_gmax"))
     rfm = per_cust.crossJoin(gmax).withColumn(
         "recency_days", F.datediff("_gmax", "_last")
     )
