@@ -16,6 +16,8 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructField, StructType
 
+from commerce_data_pipeline_spark.checkpoint import checkpoint as _checkpoint
+
 
 def approx_distinct(df: DataFrame, col: str, rsd: float = 0.01, group_by: Sequence[str] = ()) -> DataFrame:
     agg = F.approx_count_distinct(col, rsd=rsd).alias(f"approx_distinct_{col}")
@@ -110,9 +112,13 @@ def misra_gries_heavy_hitters(
         on=col,
         how="left",
     )
+    # ≤ partitions×capacity+1 rows, but TWO consumers (the N subtree and
+    # the threshold filter) — without the checkpoint the broadcast job
+    # for N re-ran BOTH corpus passes (candidates + verify), turning the
+    # two-pass algorithm into four scans (r18 plan audit: 1+1+1+1)
     counts = flagged.groupBy(
         F.when(F.col("_is_cand"), F.col(col)).alias("_k")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(F.count(F.lit(1)).alias("cnt")).transform(_checkpoint, eager=False)
     total = counts.agg(F.sum("cnt").alias("_total"))
     return (
         counts.filter(F.col("_k").isNotNull())
