@@ -147,25 +147,40 @@ def benchmark_contamination(
     half-even vs half-away rounding differs across engines).
     """
     sh = word_shingles(text_col, shingle_n)
-    doc_sh = docs.select(F.col(id_col), F.explode(sh).alias("_sh"))
     bench_sh = benchmark.select(F.explode(sh).alias("_sh")).distinct()
-    hits = (
-        doc_sh.join(F.broadcast(bench_sh), on="_sh", how="left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    # ONE corpus pass (r18): the former shape scanned the training corpus
+    # twice — once exploded for the overlap semi-join, once for the
+    # per-doc shingle totals. explode_outer carries the total alongside
+    # every shingle row (a shingle-less doc keeps its one NULL-shingle
+    # row), the broadcast membership flag replaces the semi-join, and one
+    # groupBy(doc) recovers both counts — identical n_hits/n_shingles
+    # (bench_sh is distinct, so the left join never multiplies rows).
+    ex = docs.select(
+        F.col(id_col),
+        F.size(sh).cast("long").alias("n_shingles"),
+        F.explode_outer(sh).alias("_sh"),
     )
-    totals = docs.select(F.col(id_col), F.size(sh).cast("long").alias("n_shingles"))
-    ratio = F.col("n_hits") / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double")
-    return (
-        totals.join(hits, on=id_col, how="left")
-        .na.fill({"n_hits": 0})
-        .select(
-            F.col(id_col),
-            "n_shingles",
-            F.col("n_hits").cast("long").alias("n_hits"),
-            F.floor(ratio * 1_000_000).cast("long").alias("overlap_e6"),
-            (ratio >= threshold).alias("contaminated"),
+    per_doc = (
+        ex.join(
+            F.broadcast(bench_sh.withColumn("_hit", F.lit(True))),
+            on="_sh",
+            how="left",
         )
+        .groupBy(id_col)
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    ratio = F.col("n_hits") / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double")
+    return per_doc.select(
+        F.col(id_col),
+        "n_shingles",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.floor(ratio * 1_000_000).cast("long").alias("overlap_e6"),
+        (ratio >= threshold).alias("contaminated"),
     )
 
 

@@ -788,6 +788,11 @@ def pair_group_matrix(
 
     Output: (source_a, source_b, n_pairs) with source_a ≤ source_b.
     """
+    # meta feeds BOTH join sides: materialize the thin (id, group)
+    # projection once instead of re-scanning its source per side (r18)
+    meta = meta.select(F.col(id_col), F.col(group_col)).transform(
+        _checkpoint, eager=False
+    )
     ma = meta.select(F.col(id_col).alias("_ia"), F.col(group_col).alias("_ga"))
     mb = meta.select(F.col(id_col).alias("_ib"), F.col(group_col).alias("_gb"))
     return (
