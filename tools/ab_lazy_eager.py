@@ -79,11 +79,6 @@ def _patched(df, eager: bool = True):
 def _install() -> None:
     """Rebind every module-level alias of the checkpoint shim."""
     _ckpt_mod.checkpoint = _patched
-    import importlib
-    import pkgutil
-
-    import commerce_data_pipeline_spark as pkg
-
     for mod in list(sys.modules.values()):
         name = getattr(mod, "__name__", "")
         if not name.startswith("commerce_data_pipeline_spark"):
